@@ -1,13 +1,156 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ast.{Command, QueryCmd, ReplayCmd}
+import graft.engine.QueryCompiler
+import graft.parser.CommandParser
+import graft.sources.TestDataSource
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2/§3).
+  *
+  * Every `q_*` entry runs a command-language string through the full stack:
+  * CommandParser → AST → QueryCompiler → DataFrame plan, over the testdata
+  * bound as event streams by [[TestDataSource]]. The matching `oracleSql`
+  * reproduces the same semantics in ANSI SQL for DuckDB.
+  *
+  * Column-name parity rules (driver hashes after sorting columns by name):
+  * every computed column is aliased identically on both sides; timestamps are
+  * epoch-second BIGINTs on both sides (`CAST(floor(epoch(ts)) AS BIGINT)` in
+  * DuckDB ≡ Spark's truncating timestamp→long cast — the reference normalizes
+  * all times to epoch seconds, sneldb `src/shared/time.rs`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Run a command-language string against the testdata event binding. */
+  def run(cmd: String)(spark: SparkSession, dir: String): DataFrame = {
+    val src = new TestDataSource(spark, dir)
+    CommandParser.parse(cmd) match {
+      case q: QueryCmd  => QueryCompiler.compile(q, src)
+      case r: ReplayCmd => QueryCompiler.compile(r.toQuery, src)
+      case other        => throw new IllegalArgumentException(s"not a query command: $other")
+    }
+  }
+
+  private def q(cmd: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => run(cmd)(spark, dir)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    run("QUERY purchase COUNT, TOTAL value, AVG value PER DAY")(spark, "/root/testdata/sf0.001")
+
+  // DuckDB-side view of an events-derived event type (epoch-second core cols).
+  private def eView(t: String): String =
+    s"""SELECT CAST(user_id AS VARCHAR) AS context_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", event_id, value, props FROM events WHERE event_type = '$t'"""
+
+  private val liView =
+    """SELECT CAST(l_orderkey AS VARCHAR) AS context_id, 'lineitem' AS event_type, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS "timestamp", l_orderkey * 10 + l_linenumber AS event_id, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus FROM lineitem"""
+
+  private val ordView =
+    """SELECT CAST(o_custkey AS VARCHAR) AS context_id, 'orders' AS event_type, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS "timestamp", o_orderkey AS event_id, o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders"""
+
+  // Sequence-side view: link key + sort key + payload.
+  private def sView(t: String): String =
+    s"""SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = '$t'"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- selection / filtering (SURVEY §3.2: P1-P6) ----
+    "q_select_where_gt" -> q("QUERY purchase WHERE value > 100"),
+    "q_select_and_or"   -> q("QUERY purchase WHERE (value > 150 OR value < 10) AND context_id != 42"),
+    "q_select_not"      -> q("QUERY purchase WHERE NOT value <= 100"),
+    "q_select_in"       -> q("QUERY error WHERE context_id IN (1, 2, 3)"),
+    "q_select_since"    -> q("QUERY click SINCE 2024-01-15T00:00:00Z"),
+    "q_return_proj"     -> q("QUERY purchase WHERE value >= 190 RETURN [value]"),
+    "q_limit_offset"    -> q("QUERY purchase LIMIT 50 OFFSET 10"),
+    "q_order_by_desc"   -> q("QUERY purchase ORDER BY value DESC LIMIT 20"),
+    // ---- aggregations (SURVEY §3.4: A1-A8) ----
+    "q_agg_count_by"      -> q("QUERY lineitem COUNT BY l_returnflag"),
+    "q_agg_multi"         -> q("QUERY lineitem COUNT, TOTAL l_quantity, AVG l_quantity, MIN l_extendedprice, MAX l_extendedprice BY l_returnflag, l_linestatus"),
+    "q_agg_count_unique"  -> q("QUERY orders COUNT UNIQUE context_id BY o_orderpriority"),
+    "q_agg_count_field"   -> q("QUERY orders COUNT o_totalprice BY o_orderstatus"),
+    "q_agg_per_day"       -> q("QUERY purchase COUNT, AVG value PER DAY"),
+    "q_agg_per_month_by"  -> q("QUERY lineitem TOTAL l_quantity PER MONTH BY l_returnflag"),
+    "q_agg_topk_groups"   -> q("QUERY lineitem COUNT BY l_partkey ORDER BY count DESC LIMIT 10"),
+    "q_agg_where_since"   -> q("QUERY purchase COUNT, AVG value SINCE 2024-01-15T00:00:00Z WHERE value > 50"),
+    // ---- replay (SURVEY §2: REPLAY) ----
+    "q_replay_ctx"        -> q("REPLAY FOR 7 LIMIT 1000"),
+    "q_replay_type_since" -> q("REPLAY purchase FOR 7 SINCE 2024-01-10T00:00:00Z"),
+    // ---- sequence / funnel (SURVEY §3.3: J1) ----
+    "q_seq_followed" -> q("QUERY signup FOLLOWED BY purchase LINKED BY context_id"),
+    "q_seq_preceded" -> q("QUERY error PRECEDED BY purchase LINKED BY context_id"),
+    "q_seq_where"    -> q("QUERY signup FOLLOWED BY purchase LINKED BY context_id WHERE purchase.value > 100"),
+    "q_seq_chain3"   -> q("QUERY signup FOLLOWED BY purchase FOLLOWED BY error LINKED BY context_id LIMIT 100")
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_select_where_gt" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE value > 100""",
+    "q_select_and_or" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE (value > 150 OR value < 10) AND context_id <> '42'""",
+    "q_select_not" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE NOT (value <= 100)""",
+    "q_select_in" ->
+      s"""WITH e AS (${eView("error")}) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE context_id IN ('1','2','3')""",
+    "q_select_since" ->
+      s"""WITH e AS (${eView("click")}) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE "timestamp" >= 1705276800""",
+    "q_return_proj" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value FROM e WHERE value >= 190""",
+    "q_limit_offset" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value, props FROM e ORDER BY "timestamp", event_id LIMIT 50 OFFSET 10""",
+    "q_order_by_desc" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value, props FROM e ORDER BY value DESC, "timestamp", event_id LIMIT 20""",
+    "q_agg_count_by" ->
+      s"""WITH e AS ($liView) SELECT l_returnflag, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1""",
+    "q_agg_multi" ->
+      s"""WITH e AS ($liView) SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS "count", CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS total_l_quantity, avg(CAST(trunc(l_quantity) AS BIGINT)) AS avg_l_quantity, min(l_extendedprice) AS min_l_extendedprice, max(l_extendedprice) AS max_l_extendedprice FROM e GROUP BY 1, 2""",
+    "q_agg_count_unique" ->
+      s"""WITH e AS ($ordView) SELECT o_orderpriority, CAST(count(DISTINCT context_id) AS BIGINT) AS count_unique_context_id FROM e GROUP BY 1""",
+    "q_agg_count_field" ->
+      s"""WITH e AS ($ordView) SELECT o_orderstatus, CAST(count(o_totalprice) AS BIGINT) AS count_o_totalprice FROM e GROUP BY 1""",
+    "q_agg_per_day" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT ("timestamp" // 86400) * 86400 AS bucket, CAST(count(*) AS BIGINT) AS "count", avg(CAST(trunc(value) AS BIGINT)) AS avg_value FROM e GROUP BY 1""",
+    "q_agg_per_month_by" ->
+      s"""WITH e AS ($liView) SELECT CAST(floor(epoch(date_trunc('month', make_timestamp("timestamp" * 1000000)))) AS BIGINT) AS bucket, l_returnflag, CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS total_l_quantity FROM e GROUP BY 1, 2""",
+    "q_agg_topk_groups" ->
+      s"""WITH e AS ($liView) SELECT l_partkey, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1 ORDER BY "count" DESC, l_partkey LIMIT 10""",
+    "q_agg_where_since" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT CAST(count(*) AS BIGINT) AS "count", avg(CAST(trunc(value) AS BIGINT)) AS avg_value FROM e WHERE "timestamp" >= 1705276800 AND value > 50""",
+    "q_replay_ctx" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", event_id, value, props FROM events) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE context_id = '7' ORDER BY "timestamp", event_id LIMIT 1000""",
+    "q_replay_type_since" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE context_id = '7' AND "timestamp" >= 1704844800""",
+    "q_seq_followed" ->
+      s"""WITH s AS (${sView("signup")}), p AS (${sView("purchase")})
+         |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
+         |       p.t AS purchase_timestamp, p.value AS purchase_value, p.props AS purchase_props
+         |FROM s JOIN p ON s.link = p.link AND p.t >= s.t
+         |QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1""".stripMargin,
+    "q_seq_preceded" ->
+      s"""WITH a AS (${sView("error")}), b AS (${sView("purchase")})
+         |SELECT a.link AS link_value, a.t AS error_timestamp, a.value AS error_value, a.props AS error_props,
+         |       b.t AS purchase_timestamp, b.value AS purchase_value, b.props AS purchase_props
+         |FROM a JOIN b ON a.link = b.link AND b.t < a.t
+         |QUALIFY row_number() OVER (PARTITION BY a.link, a.eid ORDER BY b.t DESC, b.eid DESC) = 1""".stripMargin,
+    "q_seq_where" ->
+      s"""WITH s AS (${sView("signup")}), p AS (SELECT * FROM (${sView("purchase")}) WHERE value > 100)
+         |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
+         |       p.t AS purchase_timestamp, p.value AS purchase_value, p.props AS purchase_props
+         |FROM s JOIN p ON s.link = p.link AND p.t >= s.t
+         |QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1""".stripMargin,
+    "q_seq_chain3" ->
+      s"""WITH s AS (${sView("signup")}), p AS (${sView("purchase")}), x AS (${sView("error")}),
+         |sp AS (
+         |  SELECT s.link, s.t AS st, s.eid AS seid, s.value AS sv, s.props AS spr,
+         |         p.t AS pt, p.eid AS peid, p.value AS pv, p.props AS ppr
+         |  FROM s JOIN p ON s.link = p.link AND p.t >= s.t
+         |  QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1),
+         |spx AS (
+         |  SELECT sp.*, x.t AS xt, x.value AS xv, x.props AS xpr
+         |  FROM sp JOIN x ON sp.link = x.link AND x.t >= sp.pt
+         |  QUALIFY row_number() OVER (PARTITION BY sp.link, sp.seid, sp.peid ORDER BY x.t, x.eid) = 1)
+         |SELECT link AS link_value, st AS signup_timestamp, sv AS signup_value, spr AS signup_props,
+         |       pt AS purchase_timestamp, pv AS purchase_value, ppr AS purchase_props,
+         |       xt AS error_timestamp, xv AS error_value, xpr AS error_props
+         |FROM spx
+         |ORDER BY st, link, sv, spr, pt, pv, ppr, xt, xv, xpr LIMIT 100""".stripMargin
+  )
 }

@@ -1,0 +1,517 @@
+package graft.parser
+
+import graft.ast._
+import graft.time.TimeParser
+import scala.collection.mutable.ArrayBuffer
+
+/** Parse error with a human-readable message (the reference returns 400s with
+  * similar messages — `src/command/parser/command.rs:19-93`). */
+final case class ParseException(msg: String) extends Exception(msg)
+
+/** Recursive-descent parser for the command language (SURVEY.md §2.1).
+  *
+  * Grammar (keywords case-insensitive; reference PEG
+  * `src/command/parser/commands/query.rs:26-277`):
+  * {{{
+  * QUERY <type|*> [FOLLOWED BY|PRECEDED BY <type>]…
+  *   [FOR ctx] [SINCE ts] [RETURN [f,…]] [LINKED BY f] [WHERE expr]
+  *   [USING TIME f] [USING f] [agg[, agg…]] [PER gran [USING f]]
+  *   [BY f[,f…] [USING f]] [LIMIT n] [OFFSET n] [ORDER BY f [ASC|DESC]]
+  * }}}
+  * Optional clauses are accepted in any order (superset of the reference's
+  * fixed clause order). Precedence in WHERE: NOT > AND > OR.
+  */
+object CommandParser {
+
+  // ---------------- tokenizer ----------------
+
+  sealed trait Tok { def text: String }
+  final case class Word(text: String) extends Tok
+  final case class Str(text: String) extends Tok // unquoted content
+  final case class Sym(text: String) extends Tok
+
+  private val symbols = List("->", "!=", ">=", "<=", "(", ")", ",", "[", "]", "{", "}", ":", "=", ">", "<")
+
+  def tokenize(input: String): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val c = input(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = input(i)
+          if (d == '\\' && i + 1 < n) { sb.append(input(i + 1)); i += 2 }
+          else if (d == quote) { closed = true; i += 1 }
+          else { sb.append(d); i += 1 }
+        }
+        if (!closed) throw ParseException(s"unterminated string literal starting at offset ${i}")
+        out += Str(sb.toString)
+      } else {
+        symbols.find(s => input.startsWith(s, i)) match {
+          case Some(s) => out += Sym(s); i += s.length
+          case None =>
+            val start = i
+            while (i < n && !input(i).isWhitespace && !isSymStart(input, i) &&
+                   input(i) != '"' && input(i) != '\'') i += 1
+            out += Word(input.substring(start, i))
+        }
+      }
+    }
+    out.toVector
+  }
+
+  private def isSymStart(s: String, i: Int): Boolean = {
+    val c = s(i)
+    // '-' and '.' are word chars (ISO dates, negative numbers, dotted fields)
+    c == '(' || c == ')' || c == ',' || c == '[' || c == ']' || c == '{' || c == '}' ||
+    c == ':' || c == '=' || c == '>' || c == '<' ||
+    (c == '!' && i + 1 < s.length && s(i + 1) == '=') ||
+    (c == '-' && i + 1 < s.length && s(i + 1) == '>')
+  }
+
+  // ---------------- parser state ----------------
+
+  private final class P(val toks: Vector[Tok], val raw: String) {
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def next(): Tok =
+      if (pos < toks.length) { val t = toks(pos); pos += 1; t }
+      else throw ParseException("unexpected end of command")
+    def isKw(t: Tok, kw: String): Boolean = t match {
+      case Word(w) => w.equalsIgnoreCase(kw); case _ => false
+    }
+    def peekKw(kw: String): Boolean = peek.exists(isKw(_, kw))
+    def peekKw2(kw1: String, kw2: String): Boolean =
+      peekKw(kw1) && pos + 1 < toks.length && isKw(toks(pos + 1), kw2)
+    def eatKw(kw: String): Boolean = if (peekKw(kw)) { pos += 1; true } else false
+    def expectKw(kw: String): Unit =
+      if (!eatKw(kw)) throw ParseException(s"expected '$kw' but found ${peek.map(_.text).getOrElse("<end>")}")
+    def expectSym(s: String): Unit = next() match {
+      case Sym(`s`) => ()
+      case t        => throw ParseException(s"expected '$s' but found '${t.text}'")
+    }
+    def word(): String = next() match {
+      case Word(w) => w
+      case Str(s)  => s
+      case t       => throw ParseException(s"expected identifier but found '${t.text}'")
+    }
+    def int(): Int = next() match {
+      case Word(w) if w.matches("-?\\d+") => w.toInt
+      case t => throw ParseException(s"expected integer but found '${t.text}'")
+    }
+    def done: Boolean = pos >= toks.length
+  }
+
+  private val clauseKeywords = Set(
+    "for", "since", "return", "linked", "where", "using", "per", "by", "limit",
+    "offset", "order", "followed", "preceded", "count", "total", "avg", "min",
+    "max", "and", "or", "not", "in", "asc", "desc", "unique", "time", "vs")
+
+  // ---------------- public entry ----------------
+
+  def parse(input: String): Command = {
+    val trimmed = input.trim
+    val p = new P(tokenize(trimmed), trimmed)
+    val head = p.word().toUpperCase
+    head match {
+      case "QUERY" | "FIND" => parseQuery(p)
+      case "REPLAY"         => parseReplay(p)
+      case "DEFINE"         => parseDefine(p)
+      case "STORE"          => parseStore(p, trimmed)
+      case "FLUSH"          => FlushCmd
+      case "PING"           => PingCmd
+      case "REMEMBER"       => parseRemember(p)
+      case "SHOW"           => ShowCmd(p.word())
+      case "PLOT"           => parsePlot(p)
+      case other            => throw ParseException(s"unknown command: $other")
+    }
+  }
+
+  // ---------------- QUERY ----------------
+
+  private[parser] def parseQuery(p: P): QueryCmd = {
+    val eventType = p.word()
+    // sequence links
+    val links = ArrayBuffer.empty[(SequenceLink, String)]
+    var continue = true
+    while (continue) {
+      if (p.peekKw2("followed", "by")) { p.pos += 2; links += ((SequenceLink.FollowedBy, p.word())) }
+      else if (p.peekKw2("preceded", "by")) { p.pos += 2; links += ((SequenceLink.PrecededBy, p.word())) }
+      else continue = false
+    }
+    var q = QueryCmd(eventType,
+      sequence = if (links.nonEmpty) Some(EventSequence(eventType, links.toSeq)) else None)
+
+    var progressed = true
+    while (!p.done && progressed) {
+      progressed = true
+      if (p.eatKw("for")) q = q.copy(contextId = Some(p.word()))
+      else if (p.eatKw("since")) q = q.copy(since = Some(parseSince(p)))
+      else if (p.eatKw("return")) q = q.copy(returnFields = Some(parseReturnList(p)))
+      else if (p.peekKw2("linked", "by")) { p.pos += 2; q = q.copy(linkField = Some(p.word())) }
+      else if (p.eatKw("where")) q = q.copy(where = Some(parseOr(p)))
+      else if (p.peekKw2("using", "time")) { p.pos += 2; q = q.copy(sequenceTimeField = Some(p.word())) }
+      else if (p.eatKw("using")) q = q.copy(timeField = Some(p.word()))
+      else if (p.eatKw("per")) {
+        val g = parseGranularity(p.word())
+        val f = if (p.peekKw2("using", "time")) { p.pos += 2; Some(p.word()) }
+                else if (p.eatKw("using")) Some(p.word()) else None
+        q = q.copy(timeBucket = Some(g), bucketTimeField = f)
+      }
+      else if (p.peekKw2("order", "by")) {
+        p.pos += 2
+        val f = p.word()
+        val desc = if (p.eatKw("desc")) true else { p.eatKw("asc"); false }
+        q = q.copy(orderBy = Some(OrderSpec(f, desc)))
+      }
+      else if (p.eatKw("by")) {
+        val fields = ArrayBuffer(p.word())
+        while (p.peek.contains(Sym(","))) { p.pos += 1; fields += p.word() }
+        val f = if (p.eatKw("using")) Some(p.word()) else None
+        q = q.copy(groupBy = fields.toSeq,
+          bucketTimeField = f.orElse(q.bucketTimeField))
+      }
+      else if (p.eatKw("limit")) q = q.copy(limit = Some(p.int()))
+      else if (p.eatKw("offset")) q = q.copy(offset = Some(p.int()))
+      else if (isAggStart(p)) {
+        val aggs = ArrayBuffer(parseAgg(p))
+        while (p.peek.contains(Sym(","))) { p.pos += 1; aggs += parseAgg(p) }
+        q = q.copy(aggs = q.aggs ++ aggs)
+      }
+      else progressed = false
+    }
+    if (!p.done) throw ParseException(s"unexpected token: '${p.peek.get.text}'")
+    q
+  }
+
+  private def isAggStart(p: P): Boolean =
+    p.peekKw("count") || p.peekKw("total") || p.peekKw("avg") || p.peekKw("min") || p.peekKw("max")
+
+  private def parseAgg(p: P): AggSpec = {
+    val kw = p.word().toLowerCase
+    kw match {
+      case "count" =>
+        if (p.eatKw("unique")) AggSpec.CountUnique(p.word())
+        else p.peek match {
+          case Some(Word(w)) if !clauseKeywords.contains(w.toLowerCase) =>
+            p.pos += 1; AggSpec.CountField(w)
+          case _ => AggSpec.Count
+        }
+      case "total" => AggSpec.Total(p.word())
+      case "avg"   => AggSpec.Avg(p.word())
+      case "min"   => AggSpec.Min(p.word())
+      case "max"   => AggSpec.Max(p.word())
+      case other   => throw ParseException(s"unknown aggregation: $other")
+    }
+  }
+
+  private def parseGranularity(w: String): TimeGranularity = w.toLowerCase match {
+    case "hour"  => TimeGranularity.Hour
+    case "day"   => TimeGranularity.Day
+    case "week"  => TimeGranularity.Week
+    case "month" => TimeGranularity.Month
+    case "year"  => TimeGranularity.Year
+    case other   => throw ParseException(s"unknown time granularity: $other")
+  }
+
+  private def parseSince(p: P): Long = {
+    // Unquoted ISO-8601 datetimes contain ':' which the tokenizer treats as a
+    // symbol — reassemble `2024-03-01T00 : 00 : 00Z` style splits.
+    val sb = new StringBuilder(p.next().text)
+    while (p.peek.contains(Sym(":")) && p.pos + 1 < p.toks.length &&
+           p.toks(p.pos + 1).isInstanceOf[Word]) {
+      p.pos += 1
+      sb.append(':').append(p.next().text)
+    }
+    TimeParser.parseToEpochSeconds(sb.toString)
+      .getOrElse(throw ParseException(s"invalid SINCE timestamp: '${sb.toString}'"))
+  }
+
+  /** `RETURN [a, b]` or `RETURN a, b` or `RETURN []` (= all fields). */
+  private def parseReturnList(p: P): Seq[String] = {
+    val fields = ArrayBuffer.empty[String]
+    if (p.peek.contains(Sym("["))) {
+      p.pos += 1
+      while (!p.peek.contains(Sym("]"))) {
+        fields += p.word()
+        if (p.peek.contains(Sym(","))) p.pos += 1
+      }
+      p.expectSym("]")
+    } else {
+      fields += p.word()
+      while (p.peek.contains(Sym(","))) { p.pos += 1; fields += p.word() }
+    }
+    fields.toSeq
+  }
+
+  // ---------------- WHERE expressions ----------------
+  // Precedence NOT > AND > OR (reference `query.rs:192-211`).
+
+  private[parser] def parseOr(p: P): Expr = {
+    var l = parseAnd(p)
+    while (p.eatKw("or")) l = Expr.Or(l, parseAnd(p))
+    l
+  }
+
+  private def parseAnd(p: P): Expr = {
+    var l = parseNot(p)
+    while (p.eatKw("and")) l = Expr.And(l, parseNot(p))
+    l
+  }
+
+  private def parseNot(p: P): Expr =
+    if (p.eatKw("not")) Expr.Not(parseNot(p))
+    else parsePrimary(p)
+
+  private def parsePrimary(p: P): Expr = {
+    if (p.peek.contains(Sym("("))) {
+      p.pos += 1
+      val e = parseOr(p)
+      p.expectSym(")")
+      return e
+    }
+    val field = parseFieldRef(p.word())
+    p.peek match {
+      case Some(Sym(op)) if Set("=", "!=", ">", ">=", "<", "<=").contains(op) =>
+        p.pos += 1
+        Expr.Cmp(field, sym2op(op), parseLit(p))
+      case Some(t) if p.isKw(t, "in") =>
+        p.pos += 1
+        p.expectSym("(")
+        val vals = ArrayBuffer(parseLit(p))
+        while (p.peek.contains(Sym(","))) { p.pos += 1; vals += parseLit(p) }
+        p.expectSym(")")
+        Expr.In(field, vals.toSeq)
+      case _ =>
+        // bare field ⇒ field = true (reference `query.rs:213-220`)
+        Expr.Cmp(field, CompareOp.Eq, Lit.Bool(true))
+    }
+  }
+
+  private def sym2op(s: String): CompareOp = s match {
+    case "="  => CompareOp.Eq
+    case "!=" => CompareOp.Neq
+    case ">"  => CompareOp.Gt
+    case ">=" => CompareOp.Gte
+    case "<"  => CompareOp.Lt
+    case "<=" => CompareOp.Lte
+  }
+
+  private def parseFieldRef(w: String): FieldRef = {
+    val idx = w.indexOf('.')
+    if (idx > 0 && idx < w.length - 1 && !w.matches("-?\\d+(\\.\\d+)?"))
+      FieldRef(w.substring(idx + 1), Some(w.substring(0, idx)))
+    else FieldRef(w)
+  }
+
+  /** value: "str" | number | true/false | bare-word→string (reference `query.rs:140`). */
+  private def parseLit(p: P): Lit = p.next() match {
+    case Str(s) => Lit.Str(s)
+    case Word(w) =>
+      if (w.equalsIgnoreCase("true")) Lit.Bool(true)
+      else if (w.equalsIgnoreCase("false")) Lit.Bool(false)
+      else if (w.equalsIgnoreCase("null")) Lit.Null
+      else if (w.matches("-?\\d+")) Lit.I64(w.toLong)
+      else if (w.matches("-?\\d*\\.\\d+([eE][-+]?\\d+)?") || w.matches("-?\\d+[eE][-+]?\\d+")) Lit.F64(w.toDouble)
+      else Lit.Str(w)
+    case t => throw ParseException(s"expected literal but found '${t.text}'")
+  }
+
+  // ---------------- REPLAY ----------------
+
+  private def parseReplay(p: P): ReplayCmd = {
+    // REPLAY [<type>] FOR <ctx> [SINCE ts] [USING f] [RETURN [...]] [LIMIT n] [OFFSET n]
+    val maybeType = p.peek match {
+      case Some(t) if !p.isKw(t, "for") => Some(p.word())
+      case _                            => None
+    }
+    p.expectKw("for")
+    var cmd = ReplayCmd(maybeType, p.word())
+    var progressed = true
+    while (!p.done && progressed) {
+      if (p.eatKw("since")) cmd = cmd.copy(since = Some(parseSince(p)))
+      else if (p.eatKw("using")) cmd = cmd.copy(timeField = Some(p.word()))
+      else if (p.eatKw("return")) cmd = cmd.copy(returnFields = Some(parseReturnList(p)))
+      else if (p.eatKw("limit")) cmd = cmd.copy(limit = Some(p.int()))
+      else if (p.eatKw("offset")) cmd = cmd.copy(offset = Some(p.int()))
+      else progressed = false
+    }
+    if (!p.done) throw ParseException(s"unexpected token: '${p.peek.get.text}'")
+    cmd
+  }
+
+  // ---------------- DEFINE ----------------
+
+  private def parseDefine(p: P): DefineCmd = {
+    // DEFINE <type> [AS <ver>] FIELDS { k: "type" | k: [v1, v2], ... }
+    val typ = p.word()
+    val ver = if (p.eatKw("as")) Some(p.int()) else None
+    p.expectKw("fields")
+    p.expectSym("{")
+    val fields = ArrayBuffer.empty[(String, String)]
+    while (!p.peek.contains(Sym("}"))) {
+      val name = p.word()
+      p.expectSym(":")
+      val spec: String = p.peek match {
+        case Some(Sym("[")) =>
+          p.pos += 1
+          val vs = ArrayBuffer.empty[String]
+          while (!p.peek.contains(Sym("]"))) {
+            vs += p.word()
+            if (p.peek.contains(Sym(","))) p.pos += 1
+          }
+          p.expectSym("]")
+          vs.mkString("[", ", ", "]")
+        case _ =>
+          val first = p.next().text
+          // allow "T | null": tokenizer keeps '|' inside words? '|' is a word char here;
+          // a spec may come as one word "string|null" or three tokens "string | null"
+          if (p.peek.exists(_.text == "|")) { p.pos += 1; s"$first | ${p.word()}" }
+          else first
+      }
+      fields += ((name, spec))
+      if (p.peek.contains(Sym(","))) p.pos += 1
+    }
+    p.expectSym("}")
+    DefineCmd(typ, ver, fields.toSeq)
+  }
+
+  // ---------------- STORE ----------------
+
+  private def parseStore(p: P, raw: String): StoreCmd = {
+    // STORE <type> FOR <ctx> PAYLOAD {json} — JSON grabbed raw with balanced braces
+    val typ = p.word()
+    p.expectKw("for")
+    val ctx = p.word()
+    p.expectKw("payload")
+    val idx = raw.toUpperCase.indexOf("PAYLOAD")
+    val braceStart = raw.indexOf('{', idx)
+    if (braceStart < 0) throw ParseException("STORE: missing PAYLOAD JSON object")
+    var depth = 0; var i = braceStart; var end = -1; var inStr = false
+    while (i < raw.length && end < 0) {
+      val c = raw(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+      else if (c == '"') inStr = true
+      else if (c == '{') depth += 1
+      else if (c == '}') { depth -= 1; if (depth == 0) end = i }
+      i += 1
+    }
+    if (end < 0) throw ParseException("STORE: unbalanced PAYLOAD JSON")
+    StoreCmd(typ, ctx, raw.substring(braceStart, end + 1))
+  }
+
+  // ---------------- PLOT (PlotQL) ----------------
+  // Reference: `src/command/parser/commands/plotql.rs:8-266`; pure sugar that
+  // desugars to QueryCmd / CompareCmd (`plotql.rs:531-652`).
+  //   PLOT <metric> OF <event>[-> <event>…] [FILTER expr] [TOP n [BY f]]
+  //     [VS <metric> OF <event> …]… [BREAKDOWN BY f,…]
+  //     [OVER HOUR|DAY|WEEK|MONTH|YEAR[(field)]] [TOP n [BY f]]
+  //   metric := COUNT | COUNT(f) | UNIQUE(f) | TOTAL(f)|SUM(f) | AVG(f) | MIN(f) | MAX(f)
+
+  private final case class PlotSide(agg: AggSpec, events: Seq[String],
+      where: Option[Expr], top: Option[(Int, Option[String])], label: String)
+
+  private def parsePlot(p: P): Command = {
+    val first = parsePlotSide(p)
+    val sides = ArrayBuffer(first)
+    while (p.eatKw("vs")) sides += parsePlotSide(p)
+    // shared trailing clauses
+    var groupBy: Seq[String] = Nil
+    var bucket: Option[TimeGranularity] = None
+    var bucketField: Option[String] = None
+    var top: Option[(Int, Option[String])] = None
+    var progressed = true
+    while (!p.done && progressed) {
+      if (p.peekKw2("breakdown", "by")) {
+        p.pos += 2
+        val fs = ArrayBuffer(p.word())
+        while (p.peek.contains(Sym(","))) { p.pos += 1; fs += p.word() }
+        groupBy = fs.toSeq
+      } else if (p.eatKw("over")) {
+        bucket = Some(parseGranularity(p.word()))
+        if (p.peek.contains(Sym("("))) { p.pos += 1; bucketField = Some(p.word()); p.expectSym(")") }
+      } else if (p.eatKw("top")) {
+        val n = p.int()
+        val byF = if (p.eatKw("by")) Some(p.word()) else None
+        top = Some((n, byF))
+      } else progressed = false
+    }
+    if (!p.done) throw ParseException(s"unexpected token: '${p.peek.get.text}'")
+
+    def build(s: PlotSide): QueryCmd = {
+      val seq =
+        if (s.events.length > 1)
+          Some(EventSequence(s.events.head, s.events.tail.map(e => (SequenceLink.FollowedBy: SequenceLink, e))))
+        else None
+      val effTop = s.top.orElse(top)
+      QueryCmd(s.events.head, sequence = seq, where = s.where,
+        aggs = Seq(s.agg), groupBy = groupBy, timeBucket = bucket,
+        bucketTimeField = bucketField,
+        limit = effTop.map(_._1),
+        orderBy = effTop.map { case (_, f) => OrderSpec(f.getOrElse(s.agg.outputName), descending = true) })
+    }
+
+    if (sides.length == 1) build(sides.head)
+    else {
+      val metrics = sides.map(_.agg.getClass.getSimpleName).distinct
+      if (metrics.length > 1)
+        throw ParseException("PLOT VS requires the same metric on all sides")
+      CompareCmd(sides.toSeq.map(build), sides.toSeq.map(_.label))
+    }
+  }
+
+  private def parsePlotSide(p: P): PlotSide = {
+    val agg = parsePlotMetric(p)
+    p.expectKw("of")
+    val events = ArrayBuffer(p.word())
+    while (p.peek.exists(_.text == "->") || p.peekKw("then")) { p.pos += 1; events += p.word() }
+    var where: Option[Expr] = None
+    var top: Option[(Int, Option[String])] = None
+    var progressed = true
+    while (!p.done && progressed) {
+      if (p.eatKw("filter")) where = Some(parseOr(p))
+      else if (p.eatKw("top")) {
+        val n = p.int()
+        val byF = if (p.eatKw("by")) Some(p.word()) else None
+        top = Some((n, byF))
+      } else progressed = false
+    }
+    PlotSide(agg, events.toSeq, where, top, events.mkString("->"))
+  }
+
+  private def parsePlotMetric(p: P): AggSpec = {
+    val name = p.word().toLowerCase
+    def arg(): String = { p.expectSym("("); val f = p.word(); p.expectSym(")"); f }
+    name match {
+      case "count" =>
+        if (p.peek.contains(Sym("("))) AggSpec.CountField(arg()) else AggSpec.Count
+      case "unique"        => AggSpec.CountUnique(arg())
+      case "total" | "sum" => AggSpec.Total(arg())
+      case "avg"           => AggSpec.Avg(arg())
+      case "min"           => AggSpec.Min(arg())
+      case "max"           => AggSpec.Max(arg())
+      case other           => throw ParseException(s"unknown PLOT metric: $other")
+    }
+  }
+
+  // ---------------- REMEMBER ----------------
+
+  private def parseRemember(p: P): RememberCmd = {
+    // REMEMBER QUERY <query…> AS <name>
+    p.expectKw("query")
+    // find trailing AS <name>: parse query over tokens up to last 'AS'
+    val asIdx = (p.toks.length - 2 to p.pos by -1)
+      .find(i => p.isKw(p.toks(i), "as"))
+      .getOrElse(throw ParseException("REMEMBER: missing AS <name>"))
+    val sub = new P(p.toks.slice(p.pos, asIdx), p.raw)
+    val q = parseQuery(sub)
+    val name = p.toks(asIdx + 1).text
+    RememberCmd(q, name)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import graft.time.TimeParser
+
+/** Schema of one event type — the reference's `MiniSchema`
+  * (sneldb `src/engine/schema/registry.rs`). Flat field map; core fields
+  * (`context_id`, `event_type`, `timestamp`, `event_id`) are implicit and
+  * always present on every event.
+  */
+final case class EventSchema(
+    eventType: String,
+    version: Int,
+    fields: Vector[(String, FieldType)]
+) {
+  def fieldMap: Map[String, FieldType] = fields.toMap
+
+  /** Payload-only Spark schema (declared field order). */
+  def payloadStruct: StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t.sparkType, t.nullable) })
+
+  /** Full event schema: core columns + payload columns.
+    * Time-typed fields are epoch-second longs (see [[FieldType]]). */
+  def fullStruct: StructType = StructType(
+    Seq(
+      StructField(EventSchema.ContextId, StringType, nullable = false),
+      StructField(EventSchema.EventType, StringType, nullable = false),
+      StructField(EventSchema.Timestamp, LongType, nullable = false),
+      StructField(EventSchema.EventId, LongType, nullable = false)
+    ) ++ payloadStruct.fields
+  )
+
+  /** Validate + normalize one payload (parsed JSON as Map[String, Any]).
+    * Enforces the reference's STORE rules (`handlers/store.rs:22`,
+    * `schema/normalization.rs:14-51`): missing / extra fields and type
+    * mismatches are rejected; enum values must be declared variants
+    * (case-sensitive); datetime/date values are normalized to epoch seconds.
+    * Returns the normalized payload in schema field order. */
+  def validate(payload: Map[String, Any]): Either[String, Vector[Any]] = {
+    val extra = payload.keySet -- fields.map(_._1).toSet
+    if (extra.nonEmpty) return Left(s"unknown fields: ${extra.mkString(", ")}")
+    val out = Vector.newBuilder[Any]
+    for ((name, t) <- fields) {
+      payload.get(name) match {
+        case None | Some(null) =>
+          if (t.nullable) out += null
+          else return Left(s"missing required field: $name")
+        case Some(v) =>
+          normalizeValue(name, v, t) match {
+            case Right(n)  => out += n
+            case Left(err) => return Left(err)
+          }
+      }
+    }
+    Right(out.result())
+  }
+
+  private def normalizeValue(name: String, v: Any, t: FieldType): Either[String, Any] = t match {
+    case FieldType.OptionalT(inner) => normalizeValue(name, v, inner)
+    case FieldType.StringT =>
+      v match { case s: String => Right(s); case _ => Left(s"field $name: expected string") }
+    case FieldType.I64T =>
+      v match {
+        case n: Long   => Right(n)
+        case n: Int    => Right(n.toLong)
+        case n: Double if n.isWhole => Right(n.toLong)
+        case _         => Left(s"field $name: expected integer")
+      }
+    case FieldType.U64T =>
+      v match {
+        case n: Long if n >= 0 => Right(n)
+        case n: Int if n >= 0  => Right(n.toLong)
+        case n: Double if n.isWhole && n >= 0 => Right(n.toLong)
+        case _                 => Left(s"field $name: expected unsigned integer")
+      }
+    case FieldType.F64T =>
+      v match {
+        case n: Double => Right(n)
+        case n: Long   => Right(n.toDouble)
+        case n: Int    => Right(n.toDouble)
+        case _         => Left(s"field $name: expected number")
+      }
+    case FieldType.BoolT =>
+      v match { case b: Boolean => Right(b); case _ => Left(s"field $name: expected bool") }
+    case FieldType.TimestampT | FieldType.DateT =>
+      v match {
+        case s: String =>
+          TimeParser.parseToEpochSeconds(s).toRight(s"field $name: invalid time '$s'")
+        case n: Long   => TimeParser.normalizeIntegerEpoch(BigInt(n)).toRight(s"field $name: bad epoch")
+        case n: Int    => TimeParser.normalizeIntegerEpoch(BigInt(n)).toRight(s"field $name: bad epoch")
+        case n: Double => Right(math.floor(n).toLong)
+        case _         => Left(s"field $name: expected time value")
+      }
+    case FieldType.EnumT(variants) =>
+      v match {
+        case s: String if variants.contains(s) => Right(s)
+        case s: String => Left(s"field $name: '$s' is not a variant of ${variants.mkString("[", ", ", "]")}")
+        case _         => Left(s"field $name: expected enum string")
+      }
+  }
+}
+
+object EventSchema {
+  // Core column names (reference `event.rs:50-58`).
+  val ContextId = "context_id"
+  val EventType = "event_type"
+  val Timestamp = "timestamp"
+  val EventId = "event_id"
+  val CoreFields: Seq[String] = Seq(ContextId, EventType, Timestamp)
+  val AllCoreFields: Seq[String] = Seq(ContextId, EventType, Timestamp, EventId)
+
+  def fromSpecs(eventType: String, version: Int, specs: Seq[(String, String)]): Either[String, EventSchema] = {
+    if (specs.isEmpty) return Left("schema must declare at least one field")
+    val names = specs.map(_._1)
+    if (names.distinct.size != names.size) return Left("duplicate field names in schema")
+    val reserved = names.toSet.intersect(AllCoreFields.toSet)
+    if (reserved.nonEmpty) return Left(s"reserved core field names: ${reserved.mkString(", ")}")
+    val parsed = Vector.newBuilder[(String, FieldType)]
+    for ((n, spec) <- specs)
+      FieldType.fromString(spec) match {
+        case Right(t)  => parsed += ((n, t))
+        case Left(err) => return Left(err)
+      }
+    Right(EventSchema(eventType, version, parsed.result()))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.EventSource
+import graft.schema.EventSchema
+
+/** Binds the driver-generated testdata (TESTDATA.md) to the engine's event
+  * model so every reference operator can run over it.
+  *
+  * The `events` table is the natural analog of the reference's data model:
+  * each distinct `events.event_type` value (click/error/purchase/signup/view)
+  * becomes an engine event type whose payload is `{value: float, props:
+  * string}`, keyed by `user_id` as the context and with `ts` truncated to
+  * epoch seconds (the reference normalizes all times to epoch seconds —
+  * sneldb `src/shared/time.rs`).
+  *
+  * TPC-H-ish tables are bound as additional event types (orders keyed by
+  * customer, lineitem keyed by order) for aggregation/ordering coverage.
+  *
+  * All projections/filters here are pure Catalyst expressions on top of the
+  * Parquet scan, so pushdown and column pruning reach the files; at real
+  * scale this adapter is replaced by [[graft.store.EventStore]]'s partitioned
+  * layout.
+  */
+final class TestDataSource(spark: SparkSession, dir: String) extends EventSource {
+
+  private val eventTypeNames = Seq("click", "error", "purchase", "signup", "view")
+
+  // The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+  // refuses to read as a timestamp; read it as raw nanos with an explicit
+  // schema and truncate to epoch seconds with integer division (a double
+  // round-trip would lose precision at 1e18 magnitudes).
+  private val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  private def eventsRaw: DataFrame =
+    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+
+  override def eventTypes: Seq[String] = eventTypeNames
+
+  override def frame(eventType: String): DataFrame = eventType match {
+    case t if eventTypeNames.contains(t) =>
+      eventsRaw
+        .filter(col("event_type") === t)
+        .select(
+          col("user_id").cast("string").as(EventSchema.ContextId),
+          col("event_type"),
+          expr("ts div 1000000000").as(EventSchema.Timestamp),
+          col("event_id"),
+          col("value"),
+          col("props"))
+    case "lineitem" =>
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(
+          col("l_orderkey").cast("string").as(EventSchema.ContextId),
+          lit("lineitem").as(EventSchema.EventType),
+          col("l_shipdate").cast("timestamp").cast("long").as(EventSchema.Timestamp),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as(EventSchema.EventId),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"))
+    case "orders" =>
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(
+          col("o_custkey").cast("string").as(EventSchema.ContextId),
+          lit("orders").as(EventSchema.EventType),
+          col("o_orderdate").cast("timestamp").cast("long").as(EventSchema.Timestamp),
+          col("o_orderkey").cast("long").as(EventSchema.EventId),
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+    case other =>
+      throw new IllegalArgumentException(s"unknown event type: $other")
+  }
+
+  /** Raw table access for the data-pipeline operators (documents/embeddings). */
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ast._
+import graft.engine.{EventSource, QueryCompiler}
+import graft.parser.CommandParser
+import graft.time.TimeBucketing
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // synthetic event source: logins (bool field), payments (amount), views
+  private def src: EventSource = new EventSource {
+    def eventTypes = Seq("login", "payment")
+    def frame(t: String): DataFrame = t match {
+      case "login" =>
+        Seq(("u1", "login", 100L, 1L, true, "mobile"),
+            ("u1", "login", 200L, 2L, false, "web"),
+            ("u2", "login", 150L, 3L, true, "web"))
+          .toDF("context_id", "event_type", "timestamp", "event_id", "ok", "device")
+      case "payment" =>
+        Seq(("u1", "payment", 150L, 10L, 50L),
+            ("u1", "payment", 250L, 11L, 75L),
+            ("u2", "payment", 100L, 12L, 20L))
+          .toDF("context_id", "event_type", "timestamp", "event_id", "amount")
+    }
+  }
+
+  private def run(cmd: String): DataFrame =
+    QueryCompiler.compile(CommandParser.parse(cmd).asInstanceOf[QueryCmd], src)
+
+  test("bare field WHERE means = true") {
+    val rows = run("QUERY login WHERE ok").collect()
+    assert(rows.map(_.getAs[Long]("timestamp")).sorted.toSeq == Seq(100L, 150L))
+  }
+
+  test("wildcard scope unions differing schemas with nulls") {
+    val df = QueryCompiler.compile(
+      CommandParser.parse("QUERY * FOR u1 LIMIT 10").asInstanceOf[QueryCmd].copy(eventType = "*"), src)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(df.columns.toSet == Set("context_id", "event_type", "timestamp", "ok", "device", "amount"))
+  }
+
+  test("REPLAY ordering is (timestamp, event_id)") {
+    val r = CommandParser.parse("REPLAY FOR u1 LIMIT 10").asInstanceOf[ReplayCmd]
+    val rows = QueryCompiler.compile(r.toQuery, src).collect()
+    assert(rows.map(_.getAs[Long]("timestamp")).toSeq == Seq(100L, 150L, 200L, 250L))
+  }
+
+  test("aggregate output naming and values") {
+    val rows = run("QUERY payment COUNT, TOTAL amount, AVG amount, MIN amount, MAX amount BY context_id").collect()
+    val byCtx = rows.map(r => r.getAs[String]("context_id") -> r).toMap
+    assert(byCtx("u1").getAs[Long]("count") == 2L)
+    assert(byCtx("u1").getAs[Long]("total_amount") == 125L)
+    assert(byCtx("u1").getAs[Double]("avg_amount") == 62.5)
+    assert(byCtx("u2").getAs[Long]("min_amount") == 20L)
+  }
+
+  test("sequence FOLLOWED BY picks first b with ts >= a") {
+    val rows = run("QUERY login FOLLOWED BY payment LINKED BY context_id").collect()
+    // u1: login@100 → payment@150; login@200 → payment@250; u2: login@150 → none
+    assert(rows.length == 2)
+    val pairs = rows.map(r => (r.getAs[Long]("login_timestamp"), r.getAs[Long]("payment_timestamp"))).sorted
+    assert(pairs.toSeq == Seq((100L, 150L), (200L, 250L)))
+  }
+
+  test("sequence PRECEDED BY picks latest b with ts < a") {
+    val rows = run("QUERY login PRECEDED BY payment LINKED BY context_id").collect()
+    // u1: login@200 ← payment@150; u2: login@150 ← payment@100; u1 login@100 ← none
+    assert(rows.length == 2)
+    val pairs = rows.map(r => (r.getAs[Long]("login_timestamp"), r.getAs[Long]("payment_timestamp"))).sorted
+    assert(pairs.toSeq == Seq((150L, 100L), (200L, 150L)))
+  }
+
+  test("sequence per-side WHERE with prefix; ambiguity error for shared fields") {
+    val rows = run("QUERY login FOLLOWED BY payment LINKED BY context_id WHERE payment.amount > 60").collect()
+    // u1 login@100: first payment >= 100 with amount>60 is payment@250 (75)
+    assert(rows.map(_.getAs[Long]("payment_timestamp")).toSet == Set(250L))
+    // ambiguity: un-prefixed field present in BOTH side schemas → error
+    val shared: EventSource = new EventSource {
+      def eventTypes = Seq("a", "b")
+      def frame(t: String): DataFrame =
+        Seq(("u1", t, 100L, 1L, "x")).toDF("context_id", "event_type", "timestamp", "event_id", "status")
+    }
+    val ex = intercept[Exception] {
+      QueryCompiler.compile(
+        CommandParser.parse("QUERY a FOLLOWED BY b LINKED BY context_id WHERE status = web")
+          .asInstanceOf[QueryCmd], shared).collect()
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+  }
+
+  test("naive vs calendar bucketing") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(1705276800L + 3600 * 30).toDF("t") // 2024-01-16T06:00:00Z
+    val naive = df.select(TimeBucketing.naiveBucket(col("t"), TimeGranularity.Month).as("b")).head.getLong(0)
+    val cal = df.select(TimeBucketing.calendarBucket(col("t"), TimeGranularity.Month).as("b")).head.getLong(0)
+    assert(naive == (1705384800L / 2592000L) * 2592000L)
+    assert(cal == 1704067200L) // 2024-01-01T00:00:00Z
+  }
+
+  test("IN over numeric column and string column coercion") {
+    val rows = run("QUERY payment WHERE amount IN (20, 75)").collect()
+    assert(rows.map(_.getAs[Long]("amount")).sorted.toSeq == Seq(20L, 75L))
+  }
+}
