@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.sources.TestDataSource
+
+/** Training-data-pipeline operator queries (dedup, similarity search,
+  * text analysis, multimodal) with DuckDB oracles.
+  *
+  * All hashing is md5-based ([[pipeline.Hashing]]) and all vector arithmetic
+  * is integer-quantized, so both engines produce bit-identical results —
+  * the oracles replicate the exact formulas, not approximations.
+  */
+object PipelineQueries {
+  import Hashing.{P, duckMd5Long, permA, permB}
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    new TestDataSource(spark, dir).table("documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    new TestDataSource(spark, dir).table("embeddings")
+
+  // ---------------- queries ----------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("tok_ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("tok_bpe"),
+      TextAnalysis.distinctWords(col("text")).cast("long").as("n_distinct"))),
+
+    "q_text_quality" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q_text_langid" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("lang_pred"))),
+
+    "q_text_fingerprint" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(docs(s, d), "doc_id", "text")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDups(docs(s, d), "doc_id", "text")),
+
+    "q_dedup_simhash" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      Dedup.simhash(col("text")).as("simhash"))),
+
+    "q_sim_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    "q_sim_lsh_topk" -> ((s, d) => {
+      // approximate variant — no oracle (recall<1 by design); rows-only check
+      val e = embs(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", 5, dims = 64, planes = 4)
+    }),
+
+    "q_multimodal_stats" -> ((s, d) => {
+      val media = Multimodal.packFromText(docs(s, d), "doc_id", "text", "image")
+      val feats = Multimodal.extractFeatures(media)
+      feats.select(
+        col("media_id"), col("kind"),
+        element_at(col("features"), 1).cast("long").as("n_bytes"),
+        round(element_at(col("features"), 2), 6).as("mean_byte"),
+        element_at(col("features"), 5).cast("long").as("first_byte"),
+        element_at(col("features"), 6).cast("long").as("last_byte"))
+    })
+  )
+
+  // ---------------- oracles ----------------
+
+  // DuckDB fragments mirroring the Spark expressions exactly.
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def duckStop(lang: String): String = {
+    val list = Map(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+      "es" -> Seq("el", "la", "de", "y", "que", "los", "en", "un", "una", "es"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+      "fr" -> Seq("le", "la", "de", "et", "est", "les", "un", "une", "des", "que")
+    )(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toks, x -> list_contains([$list], x)))"
+  }
+
+  private val duckShingles3 =
+    s"list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])"
+
+  private val duckShingleHashes =
+    s"list_transform(s, g -> ${duckMd5Long("g")} % $P)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS tok_ws,
+         |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tok_bpe,
+         |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct
+         |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id, round(
+         |  least(len($toks) / 50.0, 1.0) * 0.4 +
+         |  (CASE WHEN length(text)*1.0/len($toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+         |  least(${duckStop("en")} * 10.0 / len($toks), 1.0) * 0.2, 6) AS quality
+         |FROM documents""".stripMargin,
+
+    "q_text_langid" -> {
+      val langs = Seq("de", "en", "es", "fr")
+      val scoreDefs = langs.map(l => s"${duckStop(l)} AS s_$l").mkString(", ")
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $scoreDefs FROM documents),
+         |b AS (SELECT *, $best AS best FROM t)
+         |SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred FROM b""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS w FROM documents)
+         |SELECT doc_id, CASE WHEN len(w) < 5 THEN ${duckMd5Long("text")}
+         |  ELSE list_min(list_transform(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)],
+         |    g -> ${duckMd5Long("g")})) END AS fp
+         |FROM t""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+        |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // exact all-pairs 3-gram Jaccard >= 0.5: equals the MinHash+LSH output
+    // when no pair above threshold is missed (32 bands x 2 rows → miss
+    // probability ~1e-4 at J=0.5; verified empirically on this data).
+    "q_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS s FROM t)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  round(len(list_intersect(a.s, b.s)) * 1.0 /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val bits = (0 until 60).map { j =>
+        s"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, list_transform($toks, x -> ${duckMd5Long("x")}) AS h FROM documents)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t""".stripMargin
+    },
+
+    "q_sim_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot,
+        |        list_dot_product(q.qv, c.qv) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.qv, c.qv))) AS cos
+        |      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, dot, round(cos, 6) AS cosine FROM j
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
+    "q_multimodal_stats" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  round(list_sum(list_transform(string_split_regex(text, ''), c -> unicode(c))) * 1.0 / octet_length(encode(text)), 6) AS mean_byte,
+        |  CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST(unicode(substr(text, length(text), 1)) AS BIGINT) AS last_byte
+        |FROM documents""".stripMargin
+  )
+}

@@ -52,7 +52,9 @@ object SparkEntry {
   private def sView(t: String): String =
     s"""SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = '$t'"""
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = engineQueries ++ PipelineQueries.queries
+
+  private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- selection / filtering (SURVEY §3.2: P1-P6) ----
     "q_select_where_gt" -> q("QUERY purchase WHERE value > 100"),
     "q_select_and_or"   -> q("QUERY purchase WHERE (value > 150 OR value < 10) AND context_id != 42"),
@@ -81,7 +83,9 @@ object SparkEntry {
     "q_seq_chain3"   -> q("QUERY signup FOLLOWED BY purchase FOLLOWED BY error LINKED BY context_id LIMIT 100")
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = engineOracles ++ PipelineQueries.oracleSql
+
+  private def engineOracles: Map[String, String] = Map(
     "q_select_where_gt" ->
       s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE value > 100""",
     "q_select_and_or" ->

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, and document
+  * fingerprinting. All are per-row Catalyst expressions (codegen'd, no UDFs,
+  * no shuffles) — they stream over any number of partitions unchanged at
+  * 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word pieces plus standalone punctuation — the
+    * standard cheap proxy for LLM token budgeting when no tokenizer model is
+    * loadable. */
+  def bpeishTokenCount(text: Column): Column =
+    size(expr(s"regexp_extract_all(${text.toString}, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+
+  /** Distinct word count. */
+  def distinctWords(text: Column): Column = size(array_distinct(tokens(text)))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "en", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "les", "un", "une", "des", "que")
+  )
+
+  /** Number of tokens that are English stopwords. */
+  def stopwordHits(text: Column, lang: String = "en"): Column = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    size(expr(s"filter(split(trim(${text.toString}), '\\\\s+'), x -> array_contains(array($list), x))"))
+  }
+
+  /** Quality score in [0,1]: blends length, mean word length sanity, and
+    * stopword presence — the usual cheap heuristics (C4/Gopher-style rules)
+    * expressed as one deterministic arithmetic formula. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val meanWord = chars / n
+    val stopRatio = stopwordHits(text).cast("double") / n
+    val lengthScore = least(n / lit(50.0), lit(1.0))
+    val wordLenScore = when(meanWord.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(lengthScore * lit(0.4) + wordLenScore * lit(0.4) + least(stopRatio * 10.0, lit(1.0)) * lit(0.2), 6)
+  }
+
+  /** Language-ID by stopword-hit voting over the supported languages; ties
+    * and zero-hit rows → "und". Deterministic argmax (lexicographic on ties
+    * after score). */
+  def languageId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => stopwordHits(text, l))
+    val best = greatest(scores: _*)
+    // first language (sorted order) achieving the max, if any hits at all
+    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** 60-bit document fingerprint: minimum md5-hash over word 5-gram shingles
+    * (winnowing-style robust fingerprint; falls back to whole-text hash for
+    * docs shorter than 5 words). */
+  def fingerprint(text: Column): Column = {
+    val t = "split(trim(%s), '\\\\s+')".format(text.toString)
+    val gram = s"transform(sequence(0, size($t) - 5), i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2], $t[i+3], $t[i+4]))"
+    // cast inside the lambda: array_min over decimal STRINGS would compare
+    // lexicographically ("100" < "99") — must be numeric before the min
+    val hashes = s"transform($gram, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    when(size(split(trim(text), "\\s+")) < 5, Hashing.md5Long(text))
+      .otherwise(expr(s"array_min($hashes)"))
+  }
+}
