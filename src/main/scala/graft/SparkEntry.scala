@@ -52,7 +52,7 @@ object SparkEntry {
   private def sView(t: String): String =
     s"""SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = '$t'"""
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = engineQueries ++ PipelineQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = engineQueries ++ PipelineQueries.queries ++ StoreQueries.queries
 
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- selection / filtering (SURVEY §3.2: P1-P6) ----
@@ -83,7 +83,7 @@ object SparkEntry {
     "q_seq_chain3"   -> q("QUERY signup FOLLOWED BY purchase FOLLOWED BY error LINKED BY context_id LIMIT 100")
   )
 
-  def oracleSql: Map[String, String] = engineOracles ++ PipelineQueries.oracleSql
+  def oracleSql: Map[String, String] = engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql
 
   private def engineOracles: Map[String, String] = Map(
     "q_select_where_gt" ->

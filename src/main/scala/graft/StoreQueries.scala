@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ast.QueryCmd
+import graft.engine.QueryCompiler
+import graft.parser.CommandParser
+import graft.sources.TestDataSource
+import graft.store.{EventStore, ExecResult}
+
+/** Correctness-gate queries that exercise the [[graft.store.EventStore]]
+  * write path end-to-end: testdata events are ingested into a fresh store
+  * (DEFINE → bulk ingest → FLUSH → QUERY / REMEMBER → SHOW) and the final
+  * result must hash-match the oracle computed directly over the original
+  * parquet — proving the store round-trips bytes, ids, and time semantics.
+  */
+object StoreQueries {
+
+  private val splitTs = 1705276800L // 2024-01-15T00:00:00Z — inside the data range
+
+  private def freshStore(spark: SparkSession): EventStore =
+    new EventStore(spark, Files.createTempDirectory("graft_gate_store_").toString)
+
+  /** STORE → FLUSH → QUERY roundtrip over the purchase stream. */
+  def storeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(spark)
+    store.execute("""DEFINE purchase FIELDS { value: "float", props: "string" }""")
+    val purchases = new TestDataSource(spark, dir).frame("purchase")
+      .select(col("context_id"), col("timestamp"), col("value"), col("props"))
+    store.ingestFrame("purchase", purchases, "context_id", Some("timestamp"))
+      .left.foreach(e => throw new IllegalStateException(e))
+    store.execute("FLUSH")
+    QueryCompiler.compile(
+      CommandParser.parse("QUERY purchase WHERE value > 120").asInstanceOf[QueryCmd], store)
+  }
+
+  /** REMEMBER on the first half of the stream, ingest the second half, SHOW —
+    * the result must equal the query over the full stream (incremental delta
+    * with watermark, no duplicates, no gaps). */
+  def rememberShow(spark: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(spark)
+    store.execute("""DEFINE purchase FIELDS { value: "float", props: "string" }""")
+    val purchases = new TestDataSource(spark, dir).frame("purchase")
+      .select(col("context_id"), col("timestamp"), col("value"), col("props"))
+    store.ingestFrame("purchase", purchases.filter(col("timestamp") < splitTs),
+      "context_id", Some("timestamp")).left.foreach(e => throw new IllegalStateException(e))
+    store.execute("REMEMBER QUERY purchase WHERE value > 150 AS big") match {
+      case ExecResult.Error(e) => throw new IllegalStateException(e)
+      case _                   => ()
+    }
+    store.ingestFrame("purchase", purchases.filter(col("timestamp") >= splitTs),
+      "context_id", Some("timestamp")).left.foreach(e => throw new IllegalStateException(e))
+    store.execute("SHOW big") match {
+      case ExecResult.Frame(df) => df
+      case other                => throw new IllegalStateException(other.toString)
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_store_roundtrip" -> ((s, d) => storeRoundtrip(s, d)),
+    "q_remember_show"   -> ((s, d) => rememberShow(s, d))
+  )
+
+  private val purchaseView =
+    """SELECT CAST(user_id AS VARCHAR) AS context_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", value, props FROM events WHERE event_type = 'purchase'"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q_store_roundtrip" ->
+      s"""WITH e AS ($purchaseView) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE value > 120""",
+    "q_remember_show" ->
+      s"""WITH e AS ($purchaseView) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE value > 150"""
+  )
+}

@@ -33,7 +33,7 @@ object QueryCompiler {
 
   /** Resolve the event-type scope; `*` = union of all types
     * (reference `read/event_scope.rs:6-31`). Missing columns become nulls. */
-  private[engine] def scoped(q: QueryCmd, src: EventSource): DataFrame =
+  def scoped(q: QueryCmd, src: EventSource): DataFrame =
     if (q.eventType == "*") {
       val frames = src.eventTypes.map(src.frame)
       require(frames.nonEmpty, "no event types defined")

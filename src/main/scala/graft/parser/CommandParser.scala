@@ -127,6 +127,7 @@ object CommandParser {
       case "FLUSH"          => FlushCmd
       case "PING"           => PingCmd
       case "REMEMBER"       => parseRemember(p)
+      case "BATCH"          => parseBatch(trimmed)
       case "SHOW"           => ShowCmd(p.word())
       case "PLOT"           => parsePlot(p)
       case other            => throw ParseException(s"unknown command: $other")
@@ -498,6 +499,40 @@ object CommandParser {
       case "max"           => AggSpec.Max(arg())
       case other           => throw ParseException(s"unknown PLOT metric: $other")
     }
+  }
+
+  // ---------------- BATCH ----------------
+  // `BATCH [ cmd1; cmd2; … ]` — semicolon-separated commands in brackets
+  // (reference `parser/commands/batch.rs`). Split on the raw string at
+  // depth 0 (semicolons inside strings/braces are preserved).
+  private def parseBatch(raw: String): BatchCmd = {
+    val start = raw.indexOf('[')
+    if (start < 0) throw ParseException("BATCH: expected '[' to start the block")
+    var depth = 0; var inStr = false; var strQuote = ' '
+    var end = -1
+    val parts = ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = start + 1
+    while (i < raw.length && end < 0) {
+      val c = raw(i)
+      if (inStr) {
+        if (c == '\\') { sb.append(c); if (i + 1 < raw.length) { sb.append(raw(i + 1)); i += 1 } }
+        else { if (c == strQuote) inStr = false; sb.append(c) }
+      } else c match {
+        case '"' | '\'' => inStr = true; strQuote = c; sb.append(c)
+        case '{' => depth += 1; sb.append(c)
+        case '}' => depth -= 1; sb.append(c)
+        case ';' if depth == 0 => parts += sb.toString; sb.clear()
+        case ']' if depth == 0 => end = i
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    if (end < 0) throw ParseException("BATCH: missing closing ']'")
+    parts += sb.toString
+    val cmds = parts.map(_.trim).filter(_.nonEmpty).map(parse)
+    if (cmds.isEmpty) throw ParseException("BATCH must contain at least one command")
+    BatchCmd(cmds.toSeq)
   }
 
   // ---------------- REMEMBER ----------------

@@ -1,0 +1,291 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ast._
+import graft.engine.{EventSource, QueryCompiler}
+import graft.parser.CommandParser
+import graft.schema.{EventSchema, FieldType}
+
+/** The engine's storage layer — the Spark rebuild of the reference's write
+  * path (sneldb WAL → MemTable → segments, `docs/src/design/storage_engine.md`)
+  * per SURVEY.md §8.1:
+  *
+  *  - layout: `root/_schemas/<type>.json` catalog; committed events under
+  *    `root/data/<type>/` as Parquet (the segment analog — row-group stats,
+  *    dictionary and bloom filters replace the reference's zones/XOR/SuRF
+  *    indexes for free);
+  *  - a small in-memory memtable keeps fresh writes visible to reads before
+  *    FLUSH (reference MemTable semantics); `flushThreshold` triggers an
+  *    automatic flush like the reference's `flush_threshold`;
+  *  - durability: callers needing WAL semantics ingest through Structured
+  *    Streaming (see [[Ingest]]) where checkpointing replaces the WAL —
+  *    the synchronous STORE path here is the test/dev surface;
+  *  - `event_id` is a monotonically increasing per-store sequence persisted
+  *    across flushes (replay order = `(timestamp, event_id)`).
+  *
+  * At scale the layout partitions by event type (separate directories →
+  * partition pruning) and Parquet's min/max stats give temporal zone
+  * pruning; `context_id` bucketing for replay/sequence locality is applied
+  * by [[flushSorted]] (sortWithinPartitions on write).
+  */
+final class EventStore(val spark: SparkSession, val root: String,
+    flushThreshold: Int = 32768,
+    clock: () => Long = () => System.currentTimeMillis() / 1000) extends EventSource {
+
+  private val schemasDir = Paths.get(root, "_schemas")
+  private val dataDir = Paths.get(root, "data")
+  Files.createDirectories(schemasDir)
+  Files.createDirectories(dataDir)
+
+  private val schemas = mutable.LinkedHashMap.empty[String, EventSchema]
+  private val memtable = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Row]]
+
+  // event_id space: (batch << 50) | offset. Bulk ingests use Spark's
+  // monotonically_increasing_id (partition << 33 | row — fits 50 bits up to
+  // 131k partitions) as the offset; the synchronous STORE path uses a dense
+  // counter. Uniqueness is per store; ordering within a context follows
+  // append order, which is what REPLAY requires.
+  private val batchSeq = new AtomicLong(1L)
+  private val seqInBatch = new AtomicLong(0L)
+  @volatile private var storeBatchBase: Long = -1L
+  private def nextStoreId(): Long = {
+    if (storeBatchBase < 0) storeBatchBase = batchSeq.getAndIncrement() << 50
+    storeBatchBase + seqInBatch.getAndIncrement()
+  }
+
+  loadCatalog()
+
+  // ---------------- catalog ----------------
+
+  private def schemaFile(t: String): Path = schemasDir.resolve(s"$t.json")
+
+  private def loadCatalog(): Unit = {
+    if (!Files.isDirectory(schemasDir)) return
+    Files.list(schemasDir).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .foreach { p =>
+        val json = new String(Files.readAllBytes(p), "UTF-8")
+        EventStore.schemaFromJson(json).foreach(s => schemas(s.eventType) = s)
+      }
+    // restore the batch high-water from committed data
+    val committedTypes = listCommittedTypes().filter(schemas.contains)
+    if (committedTypes.nonEmpty) {
+      val maxId = committedTypes.map { t =>
+        committedFrame(t).agg(max(col(EventSchema.EventId))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r                  => r.getLong(0)
+        }
+      }.max
+      batchSeq.set((maxId >> 50) + 1)
+    }
+  }
+
+  def define(cmd: DefineCmd): Either[String, EventSchema] = {
+    val version = cmd.version.getOrElse(schemas.get(cmd.eventType).map(_.version + 1).getOrElse(1))
+    EventSchema.fromSpecs(cmd.eventType, version, cmd.fields) match {
+      case Left(err) => Left(err)
+      case Right(s) =>
+        schemas.get(cmd.eventType) match {
+          case Some(existing) if existing.fields == s.fields => Right(existing) // idempotent
+          case Some(existing) if cmd.version.forall(_ <= existing.version) =>
+            Left(s"event type '${cmd.eventType}' already defined (v${existing.version}); bump with AS <version> to evolve")
+          case _ =>
+            schemas(cmd.eventType) = s
+            Files.write(schemaFile(cmd.eventType), EventStore.schemaToJson(s).getBytes("UTF-8"))
+            Right(s)
+        }
+    }
+  }
+
+  def schemaFor(t: String): Option[EventSchema] = schemas.get(t)
+  override def schemaOf(t: String): Option[EventSchema] = schemas.get(t)
+
+  // ---------------- write path ----------------
+
+  /** Synchronous STORE: validate against the schema, normalize times, append
+    * to the memtable; auto-flush at the threshold (reference
+    * `handlers/store.rs:22`). */
+  def store(cmd: StoreCmd): Either[String, Long] = {
+    val schema = schemas.getOrElse(cmd.eventType,
+      return Left(s"unknown event type: ${cmd.eventType}"))
+    EventStore.parseJsonObject(cmd.payloadJson) match {
+      case Left(err) => Left(s"invalid payload JSON: $err")
+      case Right(payload) =>
+        schema.validate(payload) match {
+          case Left(err) => Left(err)
+          case Right(values) =>
+            val id = nextStoreId()
+            val row = Row.fromSeq(Seq(cmd.contextId, cmd.eventType, clock(), id) ++ values)
+            memtable.getOrElseUpdate(cmd.eventType, mutable.ArrayBuffer.empty) += row
+            if (memtable.valuesIterator.map(_.size).sum >= flushThreshold) flush()
+            Right(id)
+        }
+    }
+  }
+
+  /** Bulk validated append (the body of the streaming ingest path): rows must
+    * carry the payload columns; core columns are synthesized. If `tsCol` is
+    * given it supplies the event timestamp (normalized to epoch seconds),
+    * otherwise ingest time is used. Writes straight to Parquet (one job, no
+    * driver loop) — the 100 TB path. */
+  def ingestFrame(eventType: String, df: DataFrame, contextCol: String,
+      tsCol: Option[String] = None): Either[String, Long] = {
+    val schema = schemas.getOrElse(eventType, return Left(s"unknown event type: $eventType"))
+    val payloadCols = schema.fields.map { case (n, t) =>
+      val c = col(n)
+      val typed = t match {
+        case FieldType.TimestampT | FieldType.DateT |
+             FieldType.OptionalT(FieldType.TimestampT) | FieldType.OptionalT(FieldType.DateT) =>
+          c.cast("long")
+        case other => c.cast(other.sparkType)
+      }
+      typed.as(n)
+    }
+    val base = batchSeq.getAndIncrement() << 50 // this ingest's id block
+    val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(clock()))
+    val out = df.select(
+      (Seq(col(contextCol).cast("string").as(EventSchema.ContextId),
+        lit(eventType).as(EventSchema.EventType),
+        ts.as(EventSchema.Timestamp),
+        (monotonically_increasing_id() + base).as(EventSchema.EventId)) ++ payloadCols): _*)
+    writeSegment(eventType, out)
+    Right(base)
+  }
+
+  /** FLUSH: memtable → committed Parquet segment (reference flusher). */
+  def flush(): Unit = {
+    memtable.foreach { case (t, rows) =>
+      if (rows.nonEmpty) {
+        val schema = schemas(t)
+        val df = spark.createDataFrame(rows.asJava, schema.fullStruct)
+        writeSegment(t, df)
+      }
+    }
+    memtable.clear()
+  }
+
+  private def writeSegment(t: String, df: DataFrame): Unit =
+    df.sortWithinPartitions(EventSchema.ContextId, EventSchema.Timestamp, EventSchema.EventId)
+      .write.mode("append").parquet(dataDir.resolve(t).toString)
+
+  // ---------------- read path ----------------
+
+  private def listCommittedTypes(): Seq[String] =
+    if (Files.isDirectory(dataDir))
+      Files.list(dataDir).iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    else Nil
+
+  private def committedFrame(t: String): DataFrame = {
+    val schema = schemas(t)
+    val p = dataDir.resolve(t)
+    if (Files.isDirectory(p)) spark.read.schema(schema.fullStruct).parquet(p.toString)
+    else spark.createDataFrame(java.util.List.of[Row](), schema.fullStruct)
+  }
+
+  override def eventTypes: Seq[String] = schemas.keys.toSeq
+
+  /** Committed segments UNION fresh memtable rows — the reference's
+    * memtable-visible-to-reads semantics (`core/memory/memtable.rs`). */
+  override def frame(t: String): DataFrame = {
+    val schema = schemas.getOrElse(t, throw new IllegalArgumentException(s"unknown event type: $t"))
+    val committed = committedFrame(t)
+    memtable.get(t).filter(_.nonEmpty) match {
+      case Some(rows) =>
+        committed.unionByName(spark.createDataFrame(rows.asJava, schema.fullStruct))
+      case None => committed
+    }
+  }
+
+  // ---------------- command dispatch ----------------
+
+  /** Execute one command string — the engine's full API surface
+    * (reference `command/dispatcher.rs:16`). */
+  def execute(command: String): ExecResult = {
+    val cmd = try CommandParser.parse(command) catch {
+      case e: Exception => return ExecResult.Error(e.getMessage)
+    }
+    execute(cmd)
+  }
+
+  def execute(cmd: Command): ExecResult = cmd match {
+    case d: DefineCmd =>
+      define(d).fold(ExecResult.Error.apply, s => ExecResult.Ok(s"defined ${s.eventType} v${s.version}"))
+    case s: StoreCmd =>
+      store(s).fold(ExecResult.Error.apply, id => ExecResult.Ok(s"stored #$id"))
+    case FlushCmd => flush(); ExecResult.Ok("flushed")
+    case PingCmd  => ExecResult.Ok("PONG")
+    case q: QueryCmd  => ExecResult.Frame(QueryCompiler.compile(q, this))
+    case r: ReplayCmd => ExecResult.Frame(QueryCompiler.compile(r.toQuery, this))
+    case BatchCmd(cmds) =>
+      val results = cmds.map(execute)
+      results.collectFirst { case e: ExecResult.Error => e }.getOrElse(
+        ExecResult.Ok(s"batch ok (${results.size} commands)"))
+    case rem: RememberCmd => new Materializer(this).remember(rem)
+    case ShowCmd(name)    => new Materializer(this).show(name)
+    case c: CompareCmd =>
+      ExecResult.Frame(graft.engine.CompareCompiler.compile(c, this))
+  }
+}
+
+sealed trait ExecResult
+object ExecResult {
+  final case class Ok(message: String) extends ExecResult
+  final case class Error(message: String) extends ExecResult
+  final case class Frame(df: DataFrame) extends ExecResult
+}
+
+object EventStore {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import com.fasterxml.jackson.databind.node.ObjectNode
+
+  private val mapper = new ObjectMapper()
+
+  def jsonString(s: String): String = mapper.writeValueAsString(s)
+  def readTree(json: String): com.fasterxml.jackson.databind.JsonNode = mapper.readTree(json)
+
+  /** Parse a JSON object into a Scala Map (numbers → Long/Double). */
+  def parseJsonObject(json: String): Either[String, Map[String, Any]] =
+    try {
+      val node = mapper.readTree(json)
+      if (!node.isObject) Left("payload must be a JSON object")
+      else Right(node.properties().asScala.map { e =>
+        val v = e.getValue
+        val value: Any =
+          if (v.isNull) null
+          else if (v.isBoolean) v.asBoolean()
+          else if (v.isIntegralNumber) v.asLong()
+          else if (v.isFloatingPointNumber) v.asDouble()
+          else if (v.isTextual) v.asText()
+          else return Left(s"field ${e.getKey}: nested objects/arrays not allowed (flat schemas only)")
+        e.getKey -> value
+      }.toMap)
+    } catch { case ex: Exception => Left(ex.getMessage) }
+
+  def schemaToJson(s: EventSchema): String = {
+    val node = mapper.createObjectNode()
+    node.put("event_type", s.eventType)
+    node.put("version", s.version)
+    val f = node.putObject("fields")
+    s.fields.foreach { case (n, t) => f.put(n, t.render) }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  def schemaFromJson(json: String): Option[EventSchema] =
+    try {
+      val node = mapper.readTree(json)
+      val t = node.get("event_type").asText()
+      val v = node.get("version").asInt()
+      val fields = node.get("fields").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toSeq
+      EventSchema.fromSpecs(t, v, fields).toOption
+    } catch { case _: Exception => None }
+}

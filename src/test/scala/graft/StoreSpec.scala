@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{EventStore, ExecResult, Ingest}
+
+class StoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def newStore(clockStart: Long = 1000L): EventStore = {
+    val dir = Files.createTempDirectory("graft_store_").toString
+    var t = clockStart
+    new EventStore(spark, dir, clock = () => { t += 1; t })
+  }
+
+  private def ok(r: ExecResult): String = r match {
+    case ExecResult.Ok(m)    => m
+    case ExecResult.Error(e) => fail(s"unexpected error: $e")
+    case ExecResult.Frame(_) => fail("unexpected frame")
+  }
+  private def frame(r: ExecResult) = r match {
+    case ExecResult.Frame(df) => df
+    case ExecResult.Error(e)  => fail(s"unexpected error: $e")
+    case ExecResult.Ok(m)     => fail(s"unexpected ok: $m")
+  }
+  private def err(r: ExecResult): String = r match {
+    case ExecResult.Error(e) => e
+    case other               => fail(s"expected error, got $other")
+  }
+
+  test("full command surface: DEFINE, STORE, FLUSH, QUERY, PING, BATCH") {
+    val s = newStore()
+    assert(ok(s.execute("""DEFINE order FIELDS { amount: "int", status: ["new", "paid"] }""")).contains("defined order v1"))
+    assert(ok(s.execute("""STORE order FOR u1 PAYLOAD {"amount": 5, "status": "new"}""")).contains("stored"))
+    assert(ok(s.execute("""STORE order FOR u1 PAYLOAD {"amount": 9, "status": "paid"}""")).contains("stored"))
+    assert(ok(s.execute("""STORE order FOR u2 PAYLOAD {"amount": 7, "status": "new"}""")).contains("stored"))
+    // memtable visible before flush
+    assert(frame(s.execute("QUERY order WHERE amount > 6")).count() == 2)
+    assert(ok(s.execute("FLUSH")) == "flushed")
+    assert(frame(s.execute("QUERY order WHERE amount > 6")).count() == 2)
+    // mixed memtable + segment reads
+    assert(ok(s.execute("""STORE order FOR u3 PAYLOAD {"amount": 11, "status": "new"}""")).contains("stored"))
+    assert(frame(s.execute("QUERY order WHERE amount > 6")).count() == 3)
+    assert(ok(s.execute("PING")) == "PONG")
+    assert(ok(s.execute("""BATCH [ STORE order FOR u4 PAYLOAD {"amount": 1, "status": "new"}; STORE order FOR u4 PAYLOAD {"amount": 2, "status": "paid"}; FLUSH ]""")).contains("batch ok (3"))
+    assert(frame(s.execute("QUERY order FOR u4")).count() == 2)
+  }
+
+  test("STORE validation: unknown type, missing/extra/type/enum errors") {
+    val s = newStore()
+    s.execute("""DEFINE sub FIELDS { plan: ["pro", "basic"], n: "int", note: "string | null" }""")
+    assert(err(s.execute("""STORE nope FOR u PAYLOAD {"x": 1}""")).contains("unknown event type"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro"}""")).contains("missing required field"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 1, "zz": 2}""")).contains("unknown fields"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "gold", "n": 1}""")).contains("not a variant"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": "x"}""")).contains("expected integer"))
+    // optional field may be absent or null
+    assert(ok(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 1}""")).contains("stored"))
+    assert(ok(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 2, "note": null}""")).contains("stored"))
+  }
+
+  test("DEFINE evolution: idempotent, error without version bump, ok with bump") {
+    val s = newStore()
+    s.execute("""DEFINE t FIELDS { a: "int" }""")
+    assert(ok(s.execute("""DEFINE t FIELDS { a: "int" }""")).contains("v1"))      // idempotent
+    assert(err(s.execute("""DEFINE t FIELDS { a: "string" }""")).contains("already defined"))
+    assert(ok(s.execute("""DEFINE t AS 2 FIELDS { a: "string" }""")).contains("v2"))
+  }
+
+  test("datetime normalization on STORE + REPLAY append order") {
+    val s = newStore()
+    s.execute("""DEFINE evt FIELDS { at: "datetime", v: "int" }""")
+    s.execute("""STORE evt FOR c1 PAYLOAD {"at": "2024-01-15T00:00:00Z", "v": 1}""")
+    s.execute("""STORE evt FOR c1 PAYLOAD {"at": 1705276800123, "v": 2}""")
+    s.execute("FLUSH")
+    s.execute("""STORE evt FOR c1 PAYLOAD {"at": "2024-01-16", "v": 3}""")
+    val rows = frame(s.execute("REPLAY FOR c1")).collect()
+    assert(rows.map(_.getAs[Long]("v")).toSeq == Seq(1L, 2L, 3L)) // append order
+    assert(rows.map(_.getAs[Long]("at")).toSeq == Seq(1705276800L, 1705276800L, 1705363200L))
+  }
+
+  test("aggregation + sequence over the store") {
+    val s = newStore()
+    s.execute("""DEFINE click FIELDS { page: "string" }""")
+    s.execute("""DEFINE buy FIELDS { amount: "int" }""")
+    for (i <- 1 to 5) s.execute(s"""STORE click FOR u1 PAYLOAD {"page": "p$i"}""")
+    s.execute("""STORE buy FOR u1 PAYLOAD {"amount": 10}""")
+    s.execute("FLUSH")
+    val agg = frame(s.execute("QUERY click COUNT")).collect()
+    assert(agg.head.getAs[Long]("count") == 5L)
+    val seq = frame(s.execute("QUERY click FOLLOWED BY buy LINKED BY context_id")).collect()
+    assert(seq.length == 5) // every click precedes-or-equals the buy
+  }
+
+  test("REMEMBER + SHOW with incremental delta and watermark") {
+    val s = newStore()
+    s.execute("""DEFINE m FIELDS { v: "int" }""")
+    s.execute("""STORE m FOR a PAYLOAD {"v": 1}""")
+    s.execute("""STORE m FOR a PAYLOAD {"v": 20}""")
+    s.execute("FLUSH")
+    assert(ok(s.execute("REMEMBER QUERY m WHERE v > 5 AS big")).contains("remembered"))
+    assert(frame(s.execute("SHOW big")).count() == 1)
+    // new events arrive; SHOW must pick up only the delta (no duplicates)
+    s.execute("""STORE m FOR b PAYLOAD {"v": 30}""")
+    s.execute("""STORE m FOR b PAYLOAD {"v": 2}""")
+    s.execute("FLUSH")
+    val shown = frame(s.execute("SHOW big")).collect()
+    assert(shown.map(_.getAs[Long]("v")).sorted.toSeq == Seq(20L, 30L))
+    // repeated SHOW with no new data: unchanged
+    assert(frame(s.execute("SHOW big")).count() == 2)
+    assert(err(s.execute("SHOW nope")).contains("unknown materialization"))
+    assert(err(s.execute("REMEMBER QUERY m AS big")).contains("already exists"))
+  }
+
+  test("bulk ingestFrame and persistence across reopen") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE x FIELDS { k: "string", v: "int" }""")
+    val df = Seq(("c1", "a", 1L, 100L), ("c2", "b", 2L, 200L)).toDF("ctx", "k", "v", "at")
+    assert(s.ingestFrame("x", df, "ctx", Some("at")).isRight)
+    assert(s.frame("x").count() == 2)
+    // reopen: schema catalog + data survive, ids keep increasing
+    val s2 = new EventStore(spark, dir)
+    assert(s2.eventTypes == Seq("x"))
+    assert(s2.frame("x").count() == 2)
+    s2.execute("""STORE x FOR c3 PAYLOAD {"k": "c", "v": 3}""")
+    s2.execute("FLUSH")
+    val ids = s2.frame("x").collect().map(_.getAs[Long]("event_id"))
+    assert(ids.distinct.length == 3)
+  }
+
+  test("streaming ingest: checkpointed micro-batches land in the store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE se FIELDS { v: "int" }""")
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF.toDF("ctx", "v")
+    val cp = Files.createTempDirectory("graft_cp_").toString
+    val q = Ingest.start(s, "se", stream, "ctx", None, cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    mem.addData(("u1", 1L), ("u2", 2L))
+    q.awaitTermination(60000)
+    assert(s.frame("se").count() == 2)
+  }
+}
