@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ast.{Command, QueryCmd, ReplayCmd}
-import graft.engine.QueryCompiler
+import graft.ast.{Command, CompareCmd, QueryCmd, ReplayCmd}
+import graft.engine.{CompareCompiler, QueryCompiler}
 import graft.parser.CommandParser
 import graft.sources.TestDataSource
 
@@ -25,9 +25,10 @@ object SparkEntry {
   def run(cmd: String)(spark: SparkSession, dir: String): DataFrame = {
     val src = new TestDataSource(spark, dir)
     CommandParser.parse(cmd) match {
-      case q: QueryCmd  => QueryCompiler.compile(q, src)
-      case r: ReplayCmd => QueryCompiler.compile(r.toQuery, src)
-      case other        => throw new IllegalArgumentException(s"not a query command: $other")
+      case q: QueryCmd   => QueryCompiler.compile(q, src)
+      case r: ReplayCmd  => QueryCompiler.compile(r.toQuery, src)
+      case c: CompareCmd => CompareCompiler.compile(c, src)
+      case other         => throw new IllegalArgumentException(s"not a query command: $other")
     }
   }
 
@@ -80,7 +81,10 @@ object SparkEntry {
     "q_seq_followed" -> q("QUERY signup FOLLOWED BY purchase LINKED BY context_id"),
     "q_seq_preceded" -> q("QUERY error PRECEDED BY purchase LINKED BY context_id"),
     "q_seq_where"    -> q("QUERY signup FOLLOWED BY purchase LINKED BY context_id WHERE purchase.value > 100"),
-    "q_seq_chain3"   -> q("QUERY signup FOLLOWED BY purchase FOLLOWED BY error LINKED BY context_id LIMIT 100")
+    "q_seq_chain3"   -> q("QUERY signup FOLLOWED BY purchase FOLLOWED BY error LINKED BY context_id LIMIT 100"),
+    // ---- PlotQL + compare (SURVEY §2.4: PLOT, VS) ----
+    "q_plot_top_breakdown" -> q("PLOT COUNT OF purchase BREAKDOWN BY context_id OVER DAY TOP 10"),
+    "q_compare_vs"         -> q("PLOT TOTAL(value) OF purchase FILTER value > 50 VS TOTAL(value) OF click")
   )
 
   def oracleSql: Map[String, String] = engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql
@@ -155,6 +159,15 @@ object SparkEntry {
          |       pt AS purchase_timestamp, pv AS purchase_value, ppr AS purchase_props,
          |       xt AS error_timestamp, xv AS error_value, xpr AS error_props
          |FROM spx
-         |ORDER BY st, link, sv, spr, pt, pv, ppr, xt, xv, xpr LIMIT 100""".stripMargin
+         |ORDER BY st, link, sv, spr, pt, pv, ppr, xt, xv, xpr LIMIT 100""".stripMargin,
+    "q_plot_top_breakdown" ->
+      s"""WITH e AS (${eView("purchase")})
+         |SELECT ("timestamp" // 86400) * 86400 AS bucket, context_id, CAST(count(*) AS BIGINT) AS "count"
+         |FROM e GROUP BY 1, 2 ORDER BY "count" DESC, bucket, context_id LIMIT 10""".stripMargin,
+    "q_compare_vs" ->
+      s"""WITH p AS (${eView("purchase")}), c AS (${eView("click")})
+         |SELECT CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, 'purchase' AS side FROM p WHERE value > 50
+         |UNION ALL
+         |SELECT CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, 'click' AS side FROM c""".stripMargin
   )
 }

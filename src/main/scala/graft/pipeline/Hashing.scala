@@ -33,4 +33,13 @@ object Hashing {
     * both < P — inlined as literals on both engines. */
   def permA(i: Int): Long = Math.floorMod(1103515245L * (2 * i + 1) + 12345L, P)
   def permB(i: Int): Long = Math.floorMod(1103515245L * (i + 101) + 54321L, P)
+
+  /** JVM-side md5Long — bit-identical to [[md5Long]]; used to PRECOMPUTE
+    * constants (e.g. LSH hyperplanes) at plan-build time instead of
+    * re-hashing per row. */
+  def md5LongJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

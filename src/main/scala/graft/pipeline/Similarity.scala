@@ -57,11 +57,16 @@ object Similarity {
 
   /** Sign-random-projection bucket id for hash table `table` over `planes`
     * deterministic hyperplanes. Plane p's component j is an md5-derived value
-    * in [-500, 500] — fixed by (table, p, j), engine-portable. */
+    * in [-500, 500] — fixed by (table, p, j), engine-portable. The planes are
+    * PRECOMPUTED at plan-build time and inlined as literal arrays (hashing
+    * them per row cost more than the dot products themselves). */
   def srpBucket(qv: Column, dims: Int, planes: Int, table: Int): Column = {
     val bitExprs = (0 until planes).map { p =>
+      val weights = (0 until dims)
+        .map(j => Math.floorMod(Hashing.md5LongJvm(s"plane_$table-$p-$j"), 1001L) - 500L)
+        .map(w => s"${w}L").mkString("array(", ", ", ")")
       // dot(plane_{table,p}, v) > 0 → bit p
-      val terms = s"aggregate(zip_with(${qv.toString}, transform(sequence(0, ${dims - 1}), j -> pmod(cast(conv(substring(md5(concat('plane_$table-$p-', j)), 1, 15), 16, 10) as bigint), 1001L) - 500L), (x, w) -> x * w), 0L, (acc, v) -> acc + v)"
+      val terms = s"aggregate(zip_with(${qv.toString}, $weights, (x, w) -> x * w), 0L, (acc, v) -> acc + v)"
       s"if($terms > 0, ${1L << p}L, 0L)"
     }
     expr(bitExprs.mkString(" + "))

@@ -69,10 +69,9 @@ object TextAnalysis {
     * (winnowing-style robust fingerprint; falls back to whole-text hash for
     * docs shorter than 5 words). */
   def fingerprint(text: Column): Column = {
-    val t = "split(trim(%s), '\\\\s+')".format(text.toString)
-    val gram = s"transform(sequence(0, size($t) - 5), i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2], $t[i+3], $t[i+4]))"
     // cast inside the lambda: array_min over decimal STRINGS would compare
     // lexicographically ("100" < "99") — must be numeric before the min
+    val gram = Dedup.shingles(text, 5).toString
     val hashes = s"transform($gram, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
     when(size(split(trim(text), "\\s+")) < 5, Hashing.md5Long(text))
       .otherwise(expr(s"array_min($hashes)"))
