@@ -136,7 +136,7 @@ object QueryCompiler {
     * Spark's partial→final aggregation replicates the reference's AggState
     * shard merge (`ops.rs` partials) for free.
     */
-  private[engine] def aggColumn(schema: StructType, spec: AggSpec): Column = spec match {
+  private[graft] def aggColumn(schema: StructType, spec: AggSpec): Column = spec match {
     case AggSpec.Count          => count(lit(1)).as(spec.outputName)
     case AggSpec.CountField(f)  => count(col(f)).as(spec.outputName)
     case AggSpec.CountUnique(f) => countDistinct(col(f).cast("string")).as(spec.outputName)

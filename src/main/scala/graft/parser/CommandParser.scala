@@ -128,7 +128,19 @@ object CommandParser {
       case "PING"           => PingCmd
       case "REMEMBER"       => parseRemember(p)
       case "BATCH"          => parseBatch(trimmed)
-      case "SHOW"           => ShowCmd(p.word())
+      case "SHOW" =>
+        if (p.eatKw("permissions")) ShowPermissionsCmd(p.word()) else ShowCmd(p.word())
+      case "CREATE" =>
+        p.expectKw("user"); parseCreateUser(p)
+      case "GRANT"          => parseGrantRevoke(p, isGrant = true)
+      case "REVOKE" =>
+        if (p.eatKw("key")) RevokeKeyCmd(p.word()) else parseGrantRevoke(p, isGrant = false)
+      case "LIST" =>
+        p.expectKw("users"); ListUsersCmd
+      case "AUTH" =>
+        // AUTH user:signature — a transport/session construct; surfaced as a
+        // parse error pointing at the SecureEventStore credential mechanism
+        throw ParseException("AUTH is handled by the session transport; pass credentials as 'user_id=<u> signature=<sig>' suffix")
       case "PLOT"           => parsePlot(p)
       case other            => throw ParseException(s"unknown command: $other")
     }
@@ -499,6 +511,47 @@ object CommandParser {
       case "max"           => AggSpec.Max(arg())
       case other           => throw ParseException(s"unknown PLOT metric: $other")
     }
+  }
+
+  // ---------------- auth commands ----------------
+  // CREATE USER <name> [WITH KEY "key"] [WITH ROLES [r1, r2]]
+  // GRANT READ[, WRITE] ON <type> TO <user> ; REVOKE … FROM|TO <user>
+  // (reference `docs/src/commands/user_management.md`)
+
+  private def parseCreateUser(p: P): CreateUserCmd = {
+    val name = p.word()
+    var key: Option[String] = None
+    var roles: Seq[String] = Nil
+    while (p.eatKw("with")) {
+      if (p.eatKw("key")) key = Some(p.word())
+      else if (p.eatKw("roles") || p.eatKw("role")) {
+        val rs = ArrayBuffer.empty[String]
+        if (p.peek.contains(Sym("["))) {
+          p.pos += 1
+          while (!p.peek.contains(Sym("]"))) {
+            rs += p.word()
+            if (p.peek.contains(Sym(","))) p.pos += 1
+          }
+          p.expectSym("]")
+        } else {
+          rs += p.word()
+          while (p.peek.contains(Sym(","))) { p.pos += 1; rs += p.word() }
+        }
+        roles = rs.toSeq
+      } else throw ParseException("CREATE USER: expected WITH KEY or WITH ROLES")
+    }
+    CreateUserCmd(name, key, roles)
+  }
+
+  private def parseGrantRevoke(p: P, isGrant: Boolean): Command = {
+    val perms = ArrayBuffer(p.word())
+    while (p.peek.contains(Sym(","))) { p.pos += 1; perms += p.word() }
+    p.expectKw("on")
+    val tpe = p.word()
+    if (!p.eatKw("to")) p.expectKw("from")
+    val user = p.word()
+    if (isGrant) GrantCmd(perms.toSeq, tpe, user)
+    else RevokePermCmd(perms.toSeq, tpe, user)
   }
 
   // ---------------- BATCH ----------------

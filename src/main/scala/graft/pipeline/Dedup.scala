@@ -52,7 +52,7 @@ object Dedup {
     * practice, so Jaccard over hashes ≡ Jaccard over the string shingles;
     * the mod-P fold happens inside the minhash permutations only). */
   def shingleHashes(text: Column, n: Int): Column =
-    expr(s"transform(${shingles(text, n).toString}, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))")
+    expr(s"transform(${shingles(text, n).toString}, s -> md5long(s))")
 
   /** MinHash signature as `perms` COLUMNS (`mh0 … mh{perms-1}`) computed by
     * exploding the shingle hashes and running `perms` codegen'd `min`
@@ -139,7 +139,7 @@ object Dedup {
     * (see [[minhashSignature]]). */
   def simhash(text: Column, bits: Int = 60): Column = {
     val toks = s"split(trim(${text.toString}), '\\\\s+')"
-    val hashes = s"transform($toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    val hashes = s"transform($toks, t -> md5long(t))"
     val votes =
       s"""aggregate($hashes, transform(sequence(0, ${bits - 1}), j -> 0L),
          |  (acc, h) -> zip_with(acc, sequence(0, ${bits - 1}),

@@ -16,9 +16,13 @@ object Hashing {
     * p^2 < 2^62, used by the MinHash permutations and band hashes). */
   val P: Long = 2147483647L // 2^31 - 1 (Mersenne)
 
-  /** 60-bit hash of a string column: first 15 hex chars of md5. */
+  /** 60-bit hash of a string column: first 15 hex chars of md5. Backed by
+    * the native [[graft.functions.Md5Long]] expression (no hex round-trip;
+    * codegen-capable). Value-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)`. */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.bridge.columnOf(
+      graft.functions.Md5Long(org.apache.spark.sql.graft.bridge.expressionOf(c)))
 
   /** Same hash folded into [0, P). */
   def md5Mod(c: Column): Column = pmod(md5Long(c), lit(P))
@@ -37,9 +41,6 @@ object Hashing {
   /** JVM-side md5Long — bit-identical to [[md5Long]]; used to PRECOMPUTE
     * constants (e.g. LSH hyperplanes) at plan-build time instead of
     * re-hashing per row. */
-  def md5LongJvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def md5LongJvm(s: String): Long =
+    graft.functions.Md5Long.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s))
 }

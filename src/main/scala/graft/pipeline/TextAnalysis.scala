@@ -72,7 +72,7 @@ object TextAnalysis {
     // cast inside the lambda: array_min over decimal STRINGS would compare
     // lexicographically ("100" < "99") — must be numeric before the min
     val gram = Dedup.shingles(text, 5).toString
-    val hashes = s"transform($gram, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    val hashes = s"transform($gram, g -> md5long(g))"
     when(size(split(trim(text), "\\s+")) < 5, Hashing.md5Long(text))
       .otherwise(expr(s"array_min($hashes)"))
   }

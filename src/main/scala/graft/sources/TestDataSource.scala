@@ -25,6 +25,8 @@ import graft.schema.EventSchema
   */
 final class TestDataSource(spark: SparkSession, dir: String) extends EventSource {
 
+  graft.functions.Md5Long.register(spark) // used inside pipeline SQL lambdas
+
   private val eventTypeNames = Seq("click", "error", "purchase", "signup", "view")
 
   // The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4

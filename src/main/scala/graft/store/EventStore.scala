@@ -40,6 +40,8 @@ final class EventStore(val spark: SparkSession, val root: String,
     flushThreshold: Int = 32768,
     clock: () => Long = () => System.currentTimeMillis() / 1000) extends EventSource {
 
+  graft.functions.Md5Long.register(spark) // pipeline SQL lambdas over store data
+
   private val schemasDir = Paths.get(root, "_schemas")
   private val dataDir = Paths.get(root, "data")
   Files.createDirectories(schemasDir)
@@ -203,6 +205,72 @@ final class EventStore(val spark: SparkSession, val root: String,
         committed.unionByName(spark.createDataFrame(rows.asJava, schema.fullStruct))
       case None => committed
     }
+  }
+
+  // ---------------- maintenance ----------------
+
+  /** Snapshot export — portable event dumps per type (reference `.snp`
+    * snapshots, `core/snapshot/`; SURVEY.md S7). JSON lines, one dir per
+    * event type + the schema catalog. */
+  def exportSnapshot(outDir: String): Unit = {
+    flush()
+    Files.createDirectories(Paths.get(outDir, "_schemas"))
+    schemas.values.foreach { s =>
+      Files.write(Paths.get(outDir, "_schemas", s"${s.eventType}.json"),
+        EventStore.schemaToJson(s).getBytes("UTF-8"))
+    }
+    listCommittedTypes().filter(schemas.contains).foreach { t =>
+      committedFrame(t).write.mode("overwrite").json(Paths.get(outDir, t).toString)
+    }
+  }
+
+  /** Restore a snapshot into this (empty) store. */
+  def importSnapshot(inDir: String): Unit = {
+    val sdir = Paths.get(inDir, "_schemas")
+    Files.list(sdir).iterator().asScala.filter(_.toString.endsWith(".json")).foreach { p =>
+      EventStore.schemaFromJson(new String(Files.readAllBytes(p), "UTF-8")).foreach { s =>
+        schemas(s.eventType) = s
+        Files.write(schemaFile(s.eventType), EventStore.schemaToJson(s).getBytes("UTF-8"))
+      }
+    }
+    schemas.keys.foreach { t =>
+      val src = Paths.get(inDir, t)
+      if (Files.isDirectory(src)) {
+        val df = spark.read.schema(schemas(t).fullStruct).json(src.toString)
+        writeSegment(t, df)
+      }
+    }
+  }
+
+  /** Segment compaction — the reference's background compaction worker
+    * (`core/compaction/`, k-way segment merge; SURVEY.md §5) collapses to a
+    * rewrite: many small Parquet files per event type → `targetFiles`
+    * context-sorted files. Run periodically, like Delta OPTIMIZE. */
+  def compact(targetFiles: Int = 4): Unit = {
+    flush()
+    listCommittedTypes().filter(schemas.contains).foreach { t =>
+      val dir = dataDir.resolve(t)
+      val files = Files.list(dir).iterator().asScala.count(_.toString.endsWith(".parquet"))
+      if (files > targetFiles) {
+        val tmp = dataDir.resolve(s"$t.compact.tmp")
+        committedFrame(t)
+          .repartition(targetFiles, col(EventSchema.ContextId))
+          .sortWithinPartitions(EventSchema.ContextId, EventSchema.Timestamp, EventSchema.EventId)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // atomic-ish swap on a local FS; on object stores this would be a
+        // manifest swap (Delta-style)
+        val old = dataDir.resolve(s"$t.old")
+        Files.move(dir, old)
+        Files.move(tmp, dir)
+        deleteRecursively(old)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   // ---------------- command dispatch ----------------

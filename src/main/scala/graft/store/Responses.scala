@@ -1,0 +1,73 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Wire/response rendering (reference `src/shared/response/json.rs:151-226`;
+  * SURVEY.md §2.7): results stream as JSON line frames —
+  *
+  * {{{
+  * {"type":"schema","columns":["a","b"]}
+  * {"type":"batch","rows":[[1,"x"],[2,"y"]]}
+  * {"type":"end","row_count":2}
+  * }}}
+  *
+  * Rows stream through `toLocalIterator` (one partition in memory at a
+  * time — no full collect), batched `batchSize` rows per frame like the
+  * reference's bounded streaming batches. The reference's Arrow IPC
+  * renderer maps to Spark's built-in Arrow collect path; a transport layer
+  * would use that directly.
+  */
+object Responses {
+
+  def jsonFrames(df: DataFrame, batchSize: Int = 1000): Iterator[String] = {
+    val mapper = new ObjectMapper()
+    val schema = df.schema
+    val header = {
+      val n = mapper.createObjectNode()
+      n.put("type", "schema")
+      val cols = n.putArray("columns")
+      schema.fieldNames.foreach(cols.add)
+      mapper.writeValueAsString(n)
+    }
+
+    var rowCount = 0L
+    val rowIt = df.toLocalIterator()
+    val batches = new Iterator[String] {
+      def hasNext: Boolean = rowIt.hasNext
+      def next(): String = {
+        val n = mapper.createObjectNode()
+        n.put("type", "batch")
+        val rows = n.putArray("rows")
+        var i = 0
+        while (i < batchSize && rowIt.hasNext) {
+          val row = rowIt.next()
+          val arr = rows.addArray()
+          schema.fields.indices.foreach { j =>
+            if (row.isNullAt(j)) arr.addNull()
+            else schema.fields(j).dataType match {
+              case LongType | IntegerType => arr.add(row.getAs[Number](j).longValue())
+              case DoubleType | FloatType => arr.add(row.getAs[Number](j).doubleValue())
+              case BooleanType            => arr.add(row.getBoolean(j))
+              case _                      => arr.add(row.get(j).toString)
+            }
+          }
+          rowCount += 1; i += 1
+        }
+        mapper.writeValueAsString(n)
+      }
+    }
+
+    Iterator(header) ++ batches ++ new Iterator[String] {
+      private var done = false
+      def hasNext: Boolean = !done
+      def next(): String = {
+        done = true
+        val n = mapper.createObjectNode()
+        n.put("type", "end"); n.put("row_count", rowCount)
+        mapper.writeValueAsString(n)
+      }
+    }
+  }
+}

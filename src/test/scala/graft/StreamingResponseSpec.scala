@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ast.{AggSpec, TimeGranularity}
+import graft.store.{EventStore, ExecResult, Responses}
+import graft.streaming.StreamingAggregates
+
+class StreamingResponseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("streaming windowed aggregation: hourly counts and totals per group") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val stream = mem.toDF.toDF("context_id", "timestamp", "v")
+    val agg = StreamingAggregates.windowed(stream, TimeGranularity.Hour,
+      Seq(AggSpec.Count, AggSpec.Total("v")), groupBy = Seq("context_id"),
+      watermarkDelay = None)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("hourly").start()
+    val h0 = 1705276800L // 2024-01-15T00:00:00Z
+    mem.addData(("u1", h0 + 60, 5L), ("u1", h0 + 120, 7L), ("u2", h0 + 30, 1L),
+      ("u1", h0 + 3700, 100L)) // second hour
+    q.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[String]("context_id"),
+        r.getAs[Long]("count"), r.getAs[Long]("total_v"))).toSet
+    q.stop()
+    assert(rows == Set(
+      (h0, "u1", 2L, 12L), (h0, "u2", 1L, 1L), (h0 + 3600, "u1", 1L, 100L)))
+  }
+
+  test("streaming windowed aggregation with watermark emits closed windows (append)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val stream = mem.toDF.toDF("context_id", "timestamp", "v")
+    val agg = StreamingAggregates.windowed(stream, TimeGranularity.Hour,
+      Seq(AggSpec.Count), watermarkDelay = Some("5 minutes"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("appendwm").start()
+    val h0 = 1705276800L
+    mem.addData(("u1", h0 + 10, 1L))
+    q.processAllAvailable()
+    mem.addData(("u1", h0 + 7500, 1L)) // advances watermark past hour 1
+    q.processAllAvailable()
+    mem.addData(("u1", h0 + 9000, 1L)) // one more batch so the closed window flushes
+    q.processAllAvailable()
+    val buckets = spark.table("appendwm").collect().map(_.getAs[Long]("bucket")).toSet
+    q.stop()
+    assert(buckets.contains(h0)) // first hour emitted after watermark passed
+  }
+
+  test("month granularity rejected on the streaming path") {
+    assertThrows[IllegalArgumentException](StreamingAggregates.windowWidth(TimeGranularity.Month))
+  }
+
+  test("JSON response frames: schema, batches, end count") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null.asInstanceOf[String], 3.5))
+      .toDF("id", "s", "x")
+    val frames = Responses.jsonFrames(df.orderBy("id"), batchSize = 2).toSeq
+    assert(frames.head == """{"type":"schema","columns":["id","s","x"]}""")
+    assert(frames.last == """{"type":"end","row_count":3}""")
+    assert(frames.length == 4) // schema + 2 batches + end
+    assert(frames(1).contains("""[1,"a",1.5]"""))
+    assert(frames(2).contains("""[3,null,3.5]"""))
+  }
+
+  test("snapshot export/import roundtrip and compaction") {
+    val dir1 = Files.createTempDirectory("graft_snap1_").toString
+    val s1 = new EventStore(spark, dir1)
+    s1.execute("""DEFINE t FIELDS { v: "int" }""")
+    // several small segments (flush per store)
+    (1 to 6).foreach { i =>
+      s1.execute(s"""STORE t FOR c${i % 2} PAYLOAD {"v": $i}""")
+      s1.execute("FLUSH")
+    }
+    val snap = Files.createTempDirectory("graft_snapout_").toString
+    s1.exportSnapshot(snap)
+
+    val dir2 = Files.createTempDirectory("graft_snap2_").toString
+    val s2 = new EventStore(spark, dir2)
+    s2.importSnapshot(snap)
+    assert(s2.frame("t").count() == 6)
+    assert(s2.frame("t").agg(sum(col("v"))).head.getLong(0) == 21L)
+
+    // compaction reduces file count, preserves data
+    s1.compact(targetFiles = 1)
+    assert(s1.frame("t").count() == 6)
+    assert(s1.frame("t").agg(sum(col("v"))).head.getLong(0) == 21L)
+    val files = Files.list(java.nio.file.Paths.get(dir1, "data", "t"))
+      .iterator()
+    val parquets = new scala.collection.mutable.ArrayBuffer[String]
+    files.forEachRemaining(p => if (p.toString.endsWith(".parquet")) parquets += p.toString)
+    assert(parquets.size == 1)
+  }
+}
