@@ -44,7 +44,7 @@ object SparkEntry {
     s"""SELECT CAST(user_id AS VARCHAR) AS context_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp", event_id, value, props FROM events WHERE event_type = '$t'"""
 
   private val liView =
-    """SELECT CAST(l_orderkey AS VARCHAR) AS context_id, 'lineitem' AS event_type, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS "timestamp", l_orderkey * 10 + l_linenumber AS event_id, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus FROM lineitem"""
+    """SELECT CAST(l_orderkey AS VARCHAR) AS context_id, 'lineitem' AS event_type, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS "timestamp", l_orderkey * 10 + l_linenumber AS event_id, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS l_shipdate FROM lineitem"""
 
   private val ordView =
     """SELECT CAST(o_custkey AS VARCHAR) AS context_id, 'orders' AS event_type, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS "timestamp", o_orderkey AS event_id, o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders"""
@@ -84,7 +84,14 @@ object SparkEntry {
     "q_seq_chain3"   -> q("QUERY signup FOLLOWED BY purchase FOLLOWED BY error LINKED BY context_id LIMIT 100"),
     // ---- PlotQL + compare (SURVEY §2.4: PLOT, VS) ----
     "q_plot_top_breakdown" -> q("PLOT COUNT OF purchase BREAKDOWN BY context_id OVER DAY TOP 10"),
-    "q_compare_vs"         -> q("PLOT TOTAL(value) OF purchase FILTER value > 50 VS TOTAL(value) OF click")
+    "q_compare_vs"         -> q("PLOT TOTAL(value) OF purchase FILTER value > 50 VS TOTAL(value) OF click"),
+    // ---- additional time / pagination semantics ----
+    "q_agg_per_week"        -> q("QUERY lineitem COUNT PER WEEK"),
+    "q_agg_per_year_by"     -> q("QUERY orders COUNT, TOTAL o_totalprice PER YEAR BY o_orderstatus"),
+    "q_since_using_payload" -> q("QUERY lineitem SINCE 1995-01-01 USING l_shipdate COUNT BY l_linestatus"),
+    "q_seq_using_time"      -> q("QUERY signup FOLLOWED BY purchase LINKED BY context_id USING TIME value LIMIT 200"),
+    "q_agg_offset"          -> q("QUERY lineitem COUNT BY l_suppkey ORDER BY count DESC LIMIT 10 OFFSET 5"),
+    "q_agg_unique_props"    -> q("QUERY purchase COUNT UNIQUE props BY context_id ORDER BY count_unique_props DESC LIMIT 30")
   )
 
   def oracleSql: Map[String, String] = engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql
@@ -168,6 +175,24 @@ object SparkEntry {
       s"""WITH p AS (${eView("purchase")}), c AS (${eView("click")})
          |SELECT CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, 'purchase' AS side FROM p WHERE value > 50
          |UNION ALL
-         |SELECT CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, 'click' AS side FROM c""".stripMargin
+         |SELECT CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, 'click' AS side FROM c""".stripMargin,
+    "q_agg_per_week" ->
+      s"""WITH e AS ($liView) SELECT CAST(floor(epoch(date_trunc('week', make_timestamp("timestamp" * 1000000)))) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1""",
+    "q_agg_per_year_by" ->
+      s"""WITH e AS ($ordView) SELECT CAST(floor(epoch(date_trunc('year', make_timestamp("timestamp" * 1000000)))) AS BIGINT) AS bucket, o_orderstatus, CAST(count(*) AS BIGINT) AS "count", CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT) AS total_o_totalprice FROM e GROUP BY 1, 2""",
+    "q_since_using_payload" ->
+      s"""WITH e AS ($liView) SELECT l_linestatus, CAST(count(*) AS BIGINT) AS "count" FROM e WHERE l_shipdate >= 788918400 GROUP BY 1""",
+    "q_seq_using_time" ->
+      s"""WITH s AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(trunc(value) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'signup'),
+         |p AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(trunc(value) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'purchase')
+         |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
+         |       p.t AS purchase_timestamp, p.value AS purchase_value, p.props AS purchase_props
+         |FROM s JOIN p ON s.link = p.link AND p.t >= s.t
+         |QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1
+         |ORDER BY signup_timestamp, link_value, signup_value, signup_props, purchase_timestamp, purchase_value, purchase_props LIMIT 200""".stripMargin,
+    "q_agg_offset" ->
+      s"""WITH e AS ($liView) SELECT l_suppkey, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1 ORDER BY "count" DESC, l_suppkey LIMIT 10 OFFSET 5""",
+    "q_agg_unique_props" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, CAST(count(DISTINCT props) AS BIGINT) AS count_unique_props FROM e GROUP BY 1 ORDER BY count_unique_props DESC, context_id LIMIT 30"""
   )
 }

@@ -139,7 +139,15 @@ object QueryCompiler {
   private[graft] def aggColumn(schema: StructType, spec: AggSpec): Column = spec match {
     case AggSpec.Count          => count(lit(1)).as(spec.outputName)
     case AggSpec.CountField(f)  => count(col(f)).as(spec.outputName)
-    case AggSpec.CountUnique(f) => countDistinct(col(f).cast("string")).as(spec.outputName)
+    case AggSpec.CountUnique(f) =>
+      // exact by default (reference parity: exact HashSet, ops.rs:312). At
+      // 100 TB an exact distinct can dominate the shuffle; flip
+      // spark.graft.countUnique.approx=true for HLL (documented divergence,
+      // SURVEY.md §5c).
+      val approx = org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.countUnique.approx").contains("true")
+      if (approx) approx_count_distinct(col(f).cast("string")).as(spec.outputName)
+      else countDistinct(col(f).cast("string")).as(spec.outputName)
     case AggSpec.Total(f)       => coalesce(sum(toI64(schema, f)), lit(0L)).as(spec.outputName)
     case AggSpec.Avg(f)         => avg(toI64(schema, f)).as(spec.outputName)
     case AggSpec.Min(f)         => min(col(f)).as(spec.outputName)

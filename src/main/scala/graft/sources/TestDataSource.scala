@@ -66,7 +66,9 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
           (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as(EventSchema.EventId),
           col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-          col("l_tax"), col("l_returnflag"), col("l_linestatus"))
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+          // payload datetime field (epoch seconds) — exercises SINCE … USING
+          col("l_shipdate").cast("timestamp").cast("long").as("l_shipdate"))
     case "orders" =>
       spark.read.parquet(s"$dir/orders.parquet")
         .select(

@@ -115,6 +115,17 @@ class EngineSpec extends AnyFunSuite {
     assert(cal == 1704067200L) // 2024-01-01T00:00:00Z
   }
 
+  test("COUNT UNIQUE approx flag switches to HLL") {
+    spark.conf.set("spark.graft.countUnique.approx", "true")
+    try {
+      val rows = run("QUERY payment COUNT UNIQUE amount").collect()
+      // HLL on 3 distinct values is exact in practice
+      assert(rows.head.getAs[Long]("count_unique_amount") == 3L)
+    } finally spark.conf.unset("spark.graft.countUnique.approx")
+    val exact = run("QUERY payment COUNT UNIQUE amount").collect()
+    assert(exact.head.getAs[Long]("count_unique_amount") == 3L)
+  }
+
   test("IN over numeric column and string column coercion") {
     val rows = run("QUERY payment WHERE amount IN (20, 75)").collect()
     assert(rows.map(_.getAs[Long]("amount")).sorted.toSeq == Seq(20L, 75L))
