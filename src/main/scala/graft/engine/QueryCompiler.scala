@@ -95,7 +95,12 @@ object QueryCompiler {
   private def compileAggregate(df: DataFrame, q: QueryCmd): DataFrame = {
     val bucketExpr: Option[Column] = q.timeBucket.map { g =>
       val timeCol = col(q.bucketTimeField.orElse(q.timeField).getOrElse(EventSchema.Timestamp))
-      TimeBucketing.bucket(timeCol, g, calendar = true).as(BucketCol)
+      // calendar-aware by default; spark.graft.time.naiveBuckets=true switches
+      // to the reference's fixed-width mode (hour 3600 … year 31536000 —
+      // `[time] calendar=false` in the reference config, SURVEY §2.3 A8)
+      val naive = org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.time.naiveBuckets").contains("true")
+      TimeBucketing.bucket(timeCol, g, calendar = !naive).as(BucketCol)
     }
     val groupCols: Seq[Column] = bucketExpr.toSeq ++ q.groupBy.map(col)
     val aggCols = q.aggs.map(aggColumn(df.schema, _))

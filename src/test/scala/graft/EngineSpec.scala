@@ -106,6 +106,23 @@ class EngineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("ambiguous"))
   }
 
+  test("naiveBuckets flag switches PER to fixed-width mode") {
+    // month bucket of 2024-01-16T06:00 — calendar: Jan 1; naive: epoch//2592000
+    val srcT: EventSource = new EventSource {
+      import spark.implicits._
+      def eventTypes = Seq("e")
+      def frame(t: String) =
+        Seq(("u", "e", 1705384800L, 1L)).toDF("context_id", "event_type", "timestamp", "event_id")
+    }
+    def bucketOf(): Long =
+      QueryCompiler.compile(CommandParser.parse("QUERY e COUNT PER MONTH").asInstanceOf[QueryCmd], srcT)
+        .head().getAs[Long]("bucket")
+    assert(bucketOf() == 1704067200L) // calendar Jan 1
+    spark.conf.set("spark.graft.time.naiveBuckets", "true")
+    try assert(bucketOf() == (1705384800L / 2592000L) * 2592000L)
+    finally spark.conf.unset("spark.graft.time.naiveBuckets")
+  }
+
   test("naive vs calendar bucketing") {
     import org.apache.spark.sql.functions.col
     val df = Seq(1705276800L + 3600 * 30).toDF("t") // 2024-01-16T06:00:00Z
