@@ -51,6 +51,12 @@ object PipelineQueries {
       col("doc_id"),
       Dedup.simhash(col("text")).as("simhash"))),
 
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.fingerprintJaccardDups(docs(s, d), "doc_id", "text")),
+
+    "q_dedup_embed" -> ((s, d) =>
+      Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4)),
+
     "q_sim_topk" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -143,6 +149,30 @@ object PipelineQueries {
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // fingerprint-blocked candidates, exact 3-gram Jaccard confirm
+    "q_dedup_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS w FROM documents),
+         |f AS (SELECT doc_id,
+         |  CASE WHEN len(w) < 5 THEN ${duckMd5Long("text")}
+         |    ELSE list_min(list_transform(
+         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)],
+         |      g -> ${duckMd5Long("g")})) END AS fp,
+         |  $duckShingles3 AS s FROM t)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  round(len(list_intersect(a.s, b.s)) * 1.0 /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |WHERE len(a.s) > 0 AND len(b.s) > 0""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+        |        CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+        |        list_dot_product(a.qv, b.qv) /
+        |          (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
+        |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
 
     "q_dedup_simhash" -> {
       val bits = (0 until 60).map { j =>

@@ -149,6 +149,38 @@ object Dedup {
          |  (v, j) -> if(v > 0, shiftleft(1L, cast(j as int)), 0L)), 0L, (acc, x) -> acc + x)""".stripMargin)
   }
 
+  /** Fingerprint-blocked exact n-gram Jaccard dedup: block documents on
+    * their winnowing-style fingerprint ([[TextAnalysis.fingerprint]]), then
+    * exact-Jaccard every within-block pair. One shuffle on the fingerprint;
+    * pair work is bounded by block sizes, never the corpus cross product —
+    * the classic "blocking key + verify" shape that holds at 100 TB (a hot
+    * fingerprint would indicate boilerplate worth exact-dedup'ing first).
+    * Output: (id_1, id_2, jaccard), id_1 < id_2, both sides ≥1 shingle. */
+  def fingerprintJaccardDups(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3): DataFrame = {
+    // The repartition is a deliberate materialization barrier: without it,
+    // CollapseProject inlines the (expensive) shingle + fingerprint
+    // expressions into BOTH join sides' filters and projects (4× per row);
+    // with it the two sides are identical exchange subtrees that Spark's
+    // ReuseExchange computes ONCE, and the shuffle on fp is the one a
+    // sort-merge self-join needs at scale anyway (AQE may still downgrade
+    // it to broadcast on small inputs).
+    val keyed = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"),
+      shingles(col(textCol), ngram).as("sh"))
+      .repartition(col("fp"))
+    val l = keyed.select(col("fp"), col("id").as("id_1"), col("sh").as("sh_1"))
+    val r = keyed.select(col("fp"), col("id").as("id_2"), col("sh").as("sh_2"))
+    l.join(r, Seq("fp"))
+      .filter(col("id_1") < col("id_2"))
+      .filter(size(col("sh_1")) > 0 && size(col("sh_2")) > 0)
+      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_1")) + size(col("sh_2")) - col("inter")))
+      .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact word n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     val sa = shingles(a, n)

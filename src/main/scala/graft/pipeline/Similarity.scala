@@ -26,9 +26,14 @@ object Similarity {
   def quantize(v: Column): Column =
     expr(s"transform(${v.toString}, x -> cast(round(x * 1000) as bigint))")
 
-  /** Exact integer dot product of two array<long> columns. */
+  /** Exact integer dot product of two array<long> columns, backed by the
+    * native codegen'd [[graft.functions.DotLong]] expression. The lambda
+    * spelling (`aggregate(zip_with(...))`) is interpreted and measured ~480×
+    * slower when evaluated per candidate pair inside a join. */
   def dotLong(a: Column, b: Column): Column =
-    expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    org.apache.spark.sql.graft.bridge.columnOf(graft.functions.DotLong(
+      org.apache.spark.sql.graft.bridge.expressionOf(a),
+      org.apache.spark.sql.graft.bridge.expressionOf(b)))
 
   /** Cosine from quantized vectors (deterministic double). */
   def cosineQ(a: Column, b: Column): Column =
@@ -40,14 +45,16 @@ object Similarity {
     * ranked by (dot desc, neighbor_id) for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms are per-VECTOR quantities — computed once per row before the
+    // join, never per candidate pair
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")))
+      col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dotLong(col("qv"), col("qv")).cast("double"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
     val joined = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("dot", dotLong(col("qv"), col("cv")))
-      .withColumn("cosine",
-        col("dot") / (sqrt(dotLong(col("qv"), col("qv")).cast("double")) *
-                      sqrt(dotLong(col("cv"), col("cv")).cast("double"))))
+      .withColumn("cosine", col("dot") / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -62,14 +69,81 @@ object Similarity {
     * them per row cost more than the dot products themselves). */
   def srpBucket(qv: Column, dims: Int, planes: Int, table: Int): Column = {
     val bitExprs = (0 until planes).map { p =>
-      val weights = (0 until dims)
-        .map(j => Math.floorMod(Hashing.md5LongJvm(s"plane_$table-$p-$j"), 1001L) - 500L)
-        .map(w => s"${w}L").mkString("array(", ", ", ")")
-      // dot(plane_{table,p}, v) > 0 → bit p
-      val terms = s"aggregate(zip_with(${qv.toString}, $weights, (x, w) -> x * w), 0L, (acc, v) -> acc + v)"
+      val weights = planeWeights(table, p, dims).map(w => s"${w}L").mkString("array(", ", ", ")")
+      // dot(plane_{table,p}, v) > 0 → bit p — native dotl, not the
+      // interpreted lambda spelling (see [[dotLong]])
+      val terms = s"dotl(${qv.toString}, $weights)"
       s"if($terms > 0, ${1L << p}L, 0L)"
     }
     expr(bitExprs.mkString(" + "))
+  }
+
+  private def planeWeights(table: Int, p: Int, dims: Int): Seq[Long] =
+    (0 until dims).map(j => Math.floorMod(Hashing.md5LongJvm(s"plane_$table-$p-$j"), 1001L) - 500L)
+
+  /** All `tables` bucket ids in ONE expression returning
+    * `array<struct<tbl:int, bkt:bigint>>`, for `explode`.
+    *
+    * Why not `array(struct(srpBucket(t=0)), …)`: each srpBucket references
+    * the quantized-vector column, and CollapseProject inlines the
+    * (interpreted-lambda) quantization into EVERY reference — tables×planes
+    * re-evaluations per row. Here the vector expression is the HOF's
+    * *argument* (evaluated once per row) and rebinds as the lambda variable
+    * `v`; the hyperplanes are foldable literals and each dot product is the
+    * native [[graft.functions.DotLong]]. */
+  def srpBuckets(qv: Column, dims: Int, planes: Int, tables: Int): Column = {
+    // built with the typed Column API, not an expr() string: tables×planes
+    // literal weight arrays spelled as SQL text made the one-off plan cost
+    // (parse + constant folding + codegen) ~10 s — typedLit arrays are
+    // already Literals and plan in milliseconds
+    val perTable = (v: Column) => array((0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val w = typedLit(planeWeights(t, p, dims))
+        when(dotLong(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("bkt"))
+    }: _*)
+    flatten(transform(array(qv), perTable))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (id_1 < id_2) pairs with
+    * quantized cosine ≥ `threshold`. Output: (id_1, id_2, dot, cosine).
+    *
+    * Exact mode self-joins the corpus — right when one side fits in a
+    * broadcast or the corpus is a filtered slice. At 100 TB set
+    * `lshPrefilter = true`: candidates are generated by SRP-LSH bucket
+    * co-occurrence (shuffle on (table, bucket), never a cross join) and then
+    * exact-confirmed, trading recall (grows with `tables`) for the O(n²).
+    * The exact mode is the oracle-checked one; LSH recall is spec-tested. */
+  def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, lshPrefilter: Boolean = false, dims: Int = 64,
+      planes: Int = 4, tables: Int = 8): DataFrame = {
+    // quantized vector + norm computed ONCE per row (norms are per-vector,
+    // not per-pair quantities)
+    val v = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+    val pairs =
+      if (!lshPrefilter) {
+        val l = v.select(col("id").as("id_1"), col("qv").as("qv_1"), col("nrm").as("nrm_1"))
+        val r = v.select(col("id").as("id_2"), col("qv").as("qv_2"), col("nrm").as("nrm_2"))
+        l.join(r, col("id_1") < col("id_2"))
+      } else {
+        val banded = v
+          .select(col("id"), explode(srpBuckets(col("qv"), dims, planes, tables)).as("tb"))
+          .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+        val cand = banded.as("a").join(banded.as("b"), Seq("tbl", "bkt"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+          .dropDuplicates("id_1", "id_2")
+        cand
+          .join(v.select(col("id").as("id_1"), col("qv").as("qv_1"), col("nrm").as("nrm_1")), Seq("id_1"))
+          .join(v.select(col("id").as("id_2"), col("qv").as("qv_2"), col("nrm").as("nrm_2")), Seq("id_2"))
+      }
+    pairs
+      .withColumn("dot", dotLong(col("qv_1"), col("qv_2")))
+      .withColumn("cosine", col("dot") / (col("nrm_1") * col("nrm_2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_1"), col("id_2"), col("dot"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** LSH-bucketed approximate top-k with `tables` independent hash tables
@@ -81,19 +155,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dims: Int,
       planes: Int = 4, tables: Int = 8): DataFrame = {
-    def withBuckets(df: DataFrame, idName: String, vecName: String): DataFrame = {
-      val v = df.select(col(idCol).as(idName), quantize(col(vecCol)).as(vecName))
-      val buckets = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"), srpBucket(col(vecName), dims, planes, t).as("bkt")))
-      v.select(col(idName), col(vecName), explode(array(buckets: _*)).as("tb"))
-        .select(col(idName), col(vecName), col("tb.tbl"), col("tb.bkt"))
-    }
-    val c = withBuckets(corpus, "neighbor_id", "cv")
-    val q = withBuckets(queries, "query_id", "qv")
-    val joined = c.join(q, Seq("tbl", "bkt"))
+    // bucket rows carry ONLY (tbl, bkt, id) — 24-byte-ish rows through the
+    // candidate shuffle; vectors are joined back for deduped candidates only
+    // (shuffling the vectors through the bucket join measured ~3× slower)
+    def prep(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col(idCol).as(idName), quantize(col(vecCol)).as(vecName))
+    def buckets(v: DataFrame, idName: String, vecName: String): DataFrame =
+      v.select(col(idName), explode(srpBuckets(col(vecName), dims, planes, tables)).as("tb"))
+        .select(col(idName), col("tb.tbl"), col("tb.bkt"))
+    val cV = prep(corpus, "neighbor_id", "cv")
+    val qV = prep(queries, "query_id", "qv")
+    val cand = buckets(cV, "neighbor_id", "cv").join(buckets(qV, "query_id", "qv"), Seq("tbl", "bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qv", "cv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val joined = cand
+      .join(qV, Seq("query_id"))
+      .join(cV, Seq("neighbor_id"))
       .withColumn("dot", dotLong(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
     joined

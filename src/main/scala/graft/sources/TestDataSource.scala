@@ -26,6 +26,7 @@ import graft.schema.EventSchema
 final class TestDataSource(spark: SparkSession, dir: String) extends EventSource {
 
   graft.functions.Md5Long.register(spark) // used inside pipeline SQL lambdas
+  graft.functions.DotLong.register(spark) // native dot product in SQL fragments
 
   private val eventTypeNames = Seq("click", "error", "purchase", "signup", "view")
 

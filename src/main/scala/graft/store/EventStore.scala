@@ -41,6 +41,7 @@ final class EventStore(val spark: SparkSession, val root: String,
     clock: () => Long = () => System.currentTimeMillis() / 1000) extends EventSource {
 
   graft.functions.Md5Long.register(spark) // pipeline SQL lambdas over store data
+  graft.functions.DotLong.register(spark) // native dot product in SQL fragments
 
   private val schemasDir = Paths.get(root, "_schemas")
   private val dataDir = Paths.get(root, "data")

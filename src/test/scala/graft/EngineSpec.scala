@@ -16,6 +16,7 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.functions.Md5Long.register(s)
+    graft.functions.DotLong.register(s)
     s
   }
 }

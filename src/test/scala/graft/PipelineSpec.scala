@@ -63,6 +63,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(top(1)._1 == 3L && math.abs(top(1)._2) < 1e-3)
   }
 
+  test("fingerprint-blocked jaccard finds near-dups sharing a fingerprint") {
+    // near-dup pair 1/2 share the minimum 5-gram (change is outside it) →
+    // same block; unrelated doc 3 lands in its own block → no pair emitted
+    val out = Dedup.fingerprintJaccardDups(docs.filter($"doc_id" <= 4), "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_1"), r.getAs[Long]("id_2"), r.getAs[Double]("jaccard")))
+    assert(out.map(p => (p._1, p._2)).toSet.contains((1L, 4L))) // exact dup, j=1
+    assert(out.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosine near-dups: exact mode finds planted pair; lsh prefilter recalls it") {
+    // planted: vec 2 = vec 1 with tiny noise (cos ≈ 1); vecs 3..40 random-ish
+    val dims = 64
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dims)(j => (Math.floorMod(Hashing.md5LongJvm(s"v$seed-$j"), 2001L) - 1000L) / 1000.0f)
+    val v1 = vec(1)
+    val v2 = v1.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.01f else x }
+    val rows = Seq((1L, v1), (2L, v2)) ++ (3L to 40L).map(i => (i, vec(i)))
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_1"), r.getAs[Long]("id_2"))).toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.9,
+      lshPrefilter = true, dims = dims)
+      .collect().map(r => (r.getAs[Long]("id_1"), r.getAs[Long]("id_2"))).toSet
+    assert(lsh == Set((1L, 2L))) // near-identical vectors share every SRP bucket
+  }
+
   test("language id picks stopword-matching language") {
     val t = Seq(
       (1L, "the cat is in the house and it is warm"),
