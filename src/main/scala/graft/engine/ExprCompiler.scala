@@ -32,14 +32,26 @@ object ExprCompiler {
     case Expr.Not(e)    => !compile(e, schema, resolve)
     case Expr.In(f, vs) =>
       val name = resolve(f)
-      val c = col(name)
+      val dt = dataTypeOf(schema, name)
       // IN ≡ chain of equalities (reference `filter/in_expansion.rs`); Catalyst's
-      // `isin` compiles to an `In` predicate pushed to Parquet.
-      c.isin(vs.map(v => litFor(v, dataTypeOf(schema, name))): _*)
+      // `isin` compiles to an `In` predicate pushed to Parquet. Values that
+      // don't coerce to the column type match via the string-fallback ladder.
+      val (typed, fallback) = vs.partition(v => litFor(v, dt).isDefined)
+      val parts =
+        (if (typed.nonEmpty) Seq(col(name).isin(typed.map(v => litFor(v, dt).get): _*)) else Nil) ++
+        (if (fallback.nonEmpty) Seq(col(name).cast("string").isin(fallback.map(rawString): _*)) else Nil)
+      parts.reduceOption(_ || _).getOrElse(lit(false))
     case Expr.Cmp(f, op, v) =>
       val name = resolve(f)
-      val c = col(name)
-      val l = lit(litFor(v, dataTypeOf(schema, name)))
+      val dt = dataTypeOf(schema, name)
+      // Reference parity (`ScalarValue::compare`, sneldb `types/mod.rs:245-270`):
+      // when the literal doesn't parse as the column's type, comparison falls
+      // back to LEXICOGRAPHIC over stringified values (so `datetime =
+      // "not-a-time"` is 0 rows, not an error).
+      val (c, l) = litFor(v, dt) match {
+        case Some(x) => (col(name), lit(x))
+        case None    => (col(name).cast("string"), lit(rawString(v)))
+      }
       op match {
         case CompareOp.Eq  => c === l
         case CompareOp.Neq => c =!= l
@@ -54,37 +66,43 @@ object ExprCompiler {
     schema.fields.find(_.name == name).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(s"no such field: $name"))
 
-  /** Coerce a parsed literal to the target column type. Numeric strings
-    * compare numerically against numeric columns (reference
-    * `ScalarValue::compare` ladder); time-typed columns accept ISO strings. */
-  private[engine] def litFor(v: Lit, target: DataType): Any = (v, target) match {
-    case (Lit.Null, _)              => null
-    case (Lit.I64(n), LongType)     => n
-    case (Lit.I64(n), IntegerType)  => n.toInt
-    case (Lit.I64(n), DoubleType)   => n.toDouble
-    case (Lit.I64(n), StringType)   => n.toString
-    case (Lit.I64(n), TimestampType) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(n))
-    case (Lit.F64(d), DoubleType)   => d
-    case (Lit.F64(d), LongType)     => d.toLong
-    case (Lit.F64(d), StringType)   => d.toString
-    case (Lit.Bool(b), BooleanType) => b
-    case (Lit.Bool(b), StringType)  => b.toString
-    case (Lit.Str(s), StringType)   => s
+  /** Coerce a parsed literal to the target column type; `None` = not
+    * coercible, caller falls back to lexicographic string comparison (the
+    * last rung of the reference's `ScalarValue::compare` ladder). Numeric
+    * strings compare numerically against numeric columns; time-typed columns
+    * accept ISO strings. */
+  private[engine] def litFor(v: Lit, target: DataType): Option[Any] = (v, target) match {
+    case (Lit.Null, _)              => Some(null)
+    case (Lit.I64(n), LongType)     => Some(n)
+    case (Lit.I64(n), IntegerType)  => Some(n.toInt)
+    case (Lit.I64(n), DoubleType)   => Some(n.toDouble)
+    case (Lit.I64(n), StringType)   => Some(n.toString)
+    case (Lit.I64(n), TimestampType) => Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(n)))
+    case (Lit.F64(d), DoubleType)   => Some(d)
+    case (Lit.F64(d), LongType)     => Some(d.toLong)
+    case (Lit.F64(d), StringType)   => Some(d.toString)
+    case (Lit.Bool(b), BooleanType) => Some(b)
+    case (Lit.Bool(b), StringType)  => Some(b.toString)
+    case (Lit.Str(s), StringType)   => Some(s)
     case (Lit.Str(s), LongType)     =>
       // numeric string vs long column → numeric; ISO time string → epoch seconds
-      s.toLongOption
-        .orElse(TimeParser.parseToEpochSeconds(s))
-        .getOrElse(throw new IllegalArgumentException(s"cannot compare '$s' to integer column"))
-    case (Lit.Str(s), DoubleType)   =>
-      s.toDoubleOption.getOrElse(throw new IllegalArgumentException(s"cannot compare '$s' to float column"))
-    case (Lit.Str(s), BooleanType)  =>
-      s.toBooleanOption.getOrElse(throw new IllegalArgumentException(s"cannot compare '$s' to bool column"))
+      s.toLongOption.orElse(TimeParser.parseToEpochSeconds(s))
+    case (Lit.Str(s), DoubleType)   => s.toDoubleOption
+    case (Lit.Str(s), BooleanType)  => s.toBooleanOption
     case (Lit.Str(s), TimestampType) =>
       TimeParser.parseToEpochSeconds(s)
         .map(e => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e)))
-        .getOrElse(throw new IllegalArgumentException(s"cannot compare '$s' to timestamp column"))
-    case (Lit.Bool(b), LongType)    => if (b) 1L else 0L
-    case (l, t) => throw new IllegalArgumentException(s"cannot compare $l to $t column")
+    case (Lit.Bool(b), LongType)    => Some(if (b) 1L else 0L)
+    case _                          => None
+  }
+
+  /** The literal's natural string form, for the string-comparison fallback. */
+  private def rawString(v: Lit): String = v match {
+    case Lit.Str(s)  => s
+    case Lit.I64(n)  => n.toString
+    case Lit.F64(d)  => d.toString
+    case Lit.Bool(b) => b.toString
+    case Lit.Null    => "null"
   }
 
   /** All field names referenced by an expression (for projection pruning and

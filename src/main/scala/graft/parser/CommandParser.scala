@@ -165,7 +165,7 @@ object CommandParser {
     while (!p.done && progressed) {
       progressed = true
       if (p.eatKw("for")) q = q.copy(contextId = Some(p.word()))
-      else if (p.eatKw("since")) q = q.copy(since = Some(parseSince(p)))
+      else if (p.eatKw("since")) q = q.copy(since = parseSince(p))
       else if (p.eatKw("return")) q = q.copy(returnFields = Some(parseReturnList(p)))
       else if (p.peekKw2("linked", "by")) { p.pos += 2; q = q.copy(linkField = Some(p.word())) }
       else if (p.eatKw("where")) q = q.copy(where = Some(parseOr(p)))
@@ -200,6 +200,9 @@ object CommandParser {
       else progressed = false
     }
     if (!p.done) throw ParseException(s"unexpected token: '${p.peek.get.text}'")
+    // reference parity: pagination is only defined relative to a bounded page
+    if (q.offset.isDefined && q.limit.isEmpty)
+      throw ParseException("OFFSET requires LIMIT")
     q
   }
 
@@ -233,7 +236,7 @@ object CommandParser {
     case other   => throw ParseException(s"unknown time granularity: $other")
   }
 
-  private def parseSince(p: P): Long = {
+  private def parseSince(p: P): Option[Long] = {
     // Unquoted ISO-8601 datetimes contain ':' which the tokenizer treats as a
     // symbol — reassemble `2024-03-01T00 : 00 : 00Z` style splits.
     val sb = new StringBuilder(p.next().text)
@@ -242,8 +245,9 @@ object CommandParser {
       p.pos += 1
       sb.append(':').append(p.next().text)
     }
+    // reference parity: an unparsable SINCE value is IGNORED (query includes
+    // all rows) rather than rejected — scenario `since_unparsable_ignored…`
     TimeParser.parseToEpochSeconds(sb.toString)
-      .getOrElse(throw ParseException(s"invalid SINCE timestamp: '${sb.toString}'"))
   }
 
   /** `RETURN [a, b]` or `RETURN a, b` or `RETURN []` (= all fields). */
@@ -348,7 +352,7 @@ object CommandParser {
     var cmd = ReplayCmd(maybeType, p.word())
     var progressed = true
     while (!p.done && progressed) {
-      if (p.eatKw("since")) cmd = cmd.copy(since = Some(parseSince(p)))
+      if (p.eatKw("since")) cmd = cmd.copy(since = parseSince(p))
       else if (p.eatKw("using")) cmd = cmd.copy(timeField = Some(p.word()))
       else if (p.eatKw("return")) cmd = cmd.copy(returnFields = Some(parseReturnList(p)))
       else if (p.eatKw("limit")) cmd = cmd.copy(limit = Some(p.int()))
@@ -356,6 +360,8 @@ object CommandParser {
       else progressed = false
     }
     if (!p.done) throw ParseException(s"unexpected token: '${p.peek.get.text}'")
+    if (cmd.offset.isDefined && cmd.limit.isEmpty)
+      throw ParseException("OFFSET requires LIMIT")
     cmd
   }
 

@@ -161,6 +161,83 @@ class ScenarioParitySpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("avg_amount") == 15.0)
   }
 
+  test("store validation errors: unknown type, type mismatch, missing/extra fields, bad time") {
+    val s = newStore()
+    s.execute("""DEFINE ord FIELDS { order_id: "int", created_at: "datetime" }""")
+    assert(err(s.execute("""STORE nosuch FOR c PAYLOAD {"x": 1}""")).contains("unknown event type"))
+    assert(err(s.execute("""STORE ord FOR c PAYLOAD {"order_id": "a string", "created_at": "2025-01-01T00:00:00Z"}"""))
+      .contains("order_id"))
+    assert(err(s.execute("""STORE ord FOR c PAYLOAD {"order_id": 1}""")).contains("created_at"))
+    assert(err(s.execute("""STORE ord FOR c PAYLOAD {"order_id": 1, "created_at": "2025-01-01T00:00:00Z", "zz": 2}"""))
+      .contains("zz"))
+    assert(err(s.execute("""STORE ord FOR c PAYLOAD {"order_id": 1, "created_at": "not-a-time"}"""))
+      .toLowerCase.contains("invalid time"))
+  }
+
+  test("optional field: present and absent rows both store and match") {
+    val s = newStore()
+    s.execute("""DEFINE oc FIELDS { order_id: "int", note: "string | null" }""")
+    s.execute("""STORE oc FOR c1 PAYLOAD {"order_id": 123, "note": "hi"}""")
+    s.execute("""STORE oc FOR c1 PAYLOAD {"order_id": 124}""")
+    val rows = frame(s.execute("""QUERY oc WHERE order_id > 0""")).collect()
+    assert(rows.map(_.getAs[Long]("order_id")).toSet == Set(123L, 124L))
+    assert(rows.find(_.getAs[Long]("order_id") == 124L).get.isNullAt(rows.head.fieldIndex("note")))
+  }
+
+  test("unparsable SINCE is ignored (includes all rows), reference scenario parity") {
+    val s = newStore()
+    s.execute("""DEFINE eb FIELDS { id: "int", created_at: "datetime" }""")
+    s.execute("""STORE eb FOR c PAYLOAD {"id": 1, "created_at": "2025-01-01T00:00:01Z"}""")
+    s.execute("""STORE eb FOR c PAYLOAD {"id": 2, "created_at": "2025-01-02T00:00:00Z"}""")
+    s.execute("FLUSH")
+    assert(frame(s.execute("""QUERY eb FOR c SINCE "bogus" USING created_at""")).count() == 2)
+  }
+
+  test("SINCE on optional datetime skips null values") {
+    val s = newStore()
+    s.execute("""DEFINE eo FIELDS { id: "int", created_at: "datetime | null" }""")
+    s.execute("""STORE eo FOR c PAYLOAD {"id": 1, "created_at": null}""")
+    s.execute("""STORE eo FOR c PAYLOAD {"id": 2, "created_at": "2025-01-02T00:00:00Z"}""")
+    val rows = frame(s.execute("""QUERY eo FOR c SINCE "2025-01-01T00:00:00Z" USING created_at""")).collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(2L))
+  }
+
+  test("unparsable literal against a typed column falls back to string compare (0 rows, no error)") {
+    val s = newStore()
+    s.execute("""DEFINE eq FIELDS { id: "int", created_at: "datetime" }""")
+    s.execute("""STORE eq FOR c PAYLOAD {"id": 1, "created_at": "2025-01-01T00:00:00Z"}""")
+    assert(frame(s.execute("""QUERY eq WHERE created_at = "not-a-time"""")).count() == 0)
+    assert(frame(s.execute("""QUERY eq WHERE id = "not-a-number"""")).count() == 0)
+  }
+
+  test("OFFSET without LIMIT is rejected") {
+    val s = newStore()
+    s.execute("""DEFINE ol FIELDS { v: "int" }""")
+    s.execute("""STORE ol FOR a PAYLOAD {"v": 1}""")
+    assert(err(s.execute("QUERY ol ORDER BY v ASC OFFSET 1")).contains("OFFSET requires LIMIT"))
+  }
+
+  test("date field equals full-ISO midnight timestamp") {
+    val s = newStore()
+    s.execute("""DEFINE pq FIELDS { id: "int", on: "date" }""")
+    s.execute("""STORE pq FOR pa PAYLOAD {"id": 1, "on": "2025-09-06"}""")
+    s.execute("""STORE pq FOR pb PAYLOAD {"id": 2, "on": "2025-09-07"}""")
+    val rows = frame(s.execute("""QUERY pq WHERE on = "2025-09-06T00:00:00Z"""")).collect()
+    assert(rows.map(_.getAs[String]("context_id")).toSeq == Seq("pa"))
+  }
+
+  test("IN with negative numbers; double negation normalizes") {
+    val s = newStore()
+    s.execute("""DEFINE ng FIELDS { id: "int" }""")
+    Seq(-5, -3, 0, 2).zipWithIndex.foreach { case (v, i) =>
+      s.execute(s"""STORE ng FOR n$i PAYLOAD {"id": $v}""")
+    }
+    val in = frame(s.execute("QUERY ng WHERE id IN (-3, -1, 0, 2)")).collect()
+    assert(in.map(_.getAs[Long]("id")).toSet == Set(-3L, 0L, 2L))
+    val dn = frame(s.execute("QUERY ng WHERE NOT NOT id = 0")).collect()
+    assert(dn.map(_.getAs[Long]("id")).toSeq == Seq(0L))
+  }
+
   test("wildcard replay interleaves event types in append order") {
     val s = newStore()
     s.execute("""DEFINE login FIELDS { device: "string" }""")
