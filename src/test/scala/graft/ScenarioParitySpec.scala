@@ -238,6 +238,46 @@ class ScenarioParitySpec extends AnyFunSuite {
     assert(dn.map(_.getAs[Long]("id")).toSeq == Seq(0L))
   }
 
+  test("sequence LIMIT caps matched pairs deterministically (first link values kept)") {
+    val s = newStore()
+    s.execute("""DEFINE pv FIELDS { page: "string", user_id: "string" }""")
+    s.execute("""DEFINE oc FIELDS { order_id: "int", user_id: "string" }""")
+    (1 to 3).foreach { u =>
+      s.execute(s"""STORE pv FOR u$u PAYLOAD {"page": "/checkout", "user_id": "u$u"}""")
+      s.execute(s"""STORE oc FOR u$u PAYLOAD {"order_id": $u, "user_id": "u$u"}""")
+    }
+    val rows = frame(s.execute(
+      """QUERY pv FOLLOWED BY oc LINKED BY user_id WHERE pv.page = "/checkout" LIMIT 2""")).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("link_value")).toSeq == Seq("u1", "u2"))
+  }
+
+  test("FOLLOWED BY matches equal timestamps (>=) under USING TIME") {
+    val s = newStore()
+    s.execute("""DEFINE a2 FIELDS { user_id: "string", created_at: "datetime" }""")
+    s.execute("""DEFINE b2 FIELDS { user_id: "string", created_at: "datetime" }""")
+    s.execute("""STORE a2 FOR u1 PAYLOAD {"user_id": "u1", "created_at": "2025-01-01T10:00:00Z"}""")
+    s.execute("""STORE b2 FOR u1 PAYLOAD {"user_id": "u1", "created_at": "2025-01-01T10:00:00Z"}""")
+    assert(frame(s.execute("QUERY a2 FOLLOWED BY b2 LINKED BY user_id USING TIME created_at")).count() == 1)
+  }
+
+  test("replay of a nonexistent context is empty, not an error; unparsable replay SINCE ignored") {
+    val s = newStore()
+    s.execute("""DEFINE rp FIELDS { id: "int", created_at: "datetime" }""")
+    s.execute("""STORE rp FOR c PAYLOAD {"id": 1, "created_at": "2025-01-01T00:00:00Z"}""")
+    assert(frame(s.execute("REPLAY FOR ghost-user")).count() == 0)
+    assert(frame(s.execute("""REPLAY rp FOR c SINCE "bogus" USING created_at""")).count() == 1)
+  }
+
+  test("REMEMBER duplicate name errors; SHOW of unknown materialization errors") {
+    val s = newStore()
+    s.execute("""DEFINE td FIELDS { id: "int" }""")
+    s.execute("""STORE td FOR t1 PAYLOAD {"id": 1}""")
+    s.execute("REMEMBER QUERY td AS dup_test")
+    assert(err(s.execute("REMEMBER QUERY td AS dup_test")).contains("already exists"))
+    assert(err(s.execute("SHOW nonexistent_mat")).toLowerCase.contains("unknown"))
+  }
+
   test("wildcard replay interleaves event types in append order") {
     val s = newStore()
     s.execute("""DEFINE login FIELDS { device: "string" }""")
