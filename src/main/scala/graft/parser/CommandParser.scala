@@ -129,7 +129,8 @@ object CommandParser {
       case "REMEMBER"       => parseRemember(p)
       case "BATCH"          => parseBatch(trimmed)
       case "SHOW" =>
-        if (p.eatKw("permissions")) ShowPermissionsCmd(p.word()) else ShowCmd(p.word())
+        if (p.eatKw("permissions")) { p.eatKw("for"); ShowPermissionsCmd(p.word()) }
+        else ShowCmd(p.word())
       case "CREATE" =>
         p.expectKw("user"); parseCreateUser(p)
       case "GRANT"          => parseGrantRevoke(p, isGrant = true)

@@ -80,7 +80,12 @@ final class SecureEventStore(val store: EventStore, val auth: AuthManager) {
       else auth.createUser(name, key.getOrElse(java.util.UUID.randomUUID().toString.replace("-", "")), roles)
         .fold(ExecResult.Error.apply, nu => ExecResult.Ok(s"created user ${nu.name}"))
     case GrantCmd(perms, tpe, user) =>
-      perms.foldLeft[Either[String, User]](Right(null)) { (acc, p) =>
+      // reference parity: granting on an undefined event type is an error
+      // (revoke stays lenient — removing a permission that isn't there is a
+      // no-op in the reference)
+      if (!store.eventTypes.contains(tpe))
+        ExecResult.Error(s"no schema defined for event type '$tpe'")
+      else perms.foldLeft[Either[String, User]](Right(null)) { (acc, p) =>
         acc.flatMap(_ => auth.grant(user, p, tpe))
       }.fold(ExecResult.Error.apply, _ => ExecResult.Ok(s"granted ${perms.mkString(", ")} on $tpe to $user"))
     case RevokePermCmd(perms, tpe, user) =>

@@ -68,6 +68,42 @@ class AuthSpec extends AnyFunSuite {
     }
   }
 
+  test("grant edges: undefined event type, invalid permission, unknown user, merge, lenient revoke") {
+    val s = setup()
+    def admin(c: String) = s.execute(sign("admin", "admin-key", c))
+    ok(admin("""DEFINE orders FIELDS { amount: "int" }"""))
+    ok(admin("""CREATE USER mu WITH KEY "mk""""))
+    // reference scenario: granting on an undefined event type is an error
+    assert(err(admin("GRANT READ ON nonexistent_event TO mu")).contains("no schema defined"))
+    assert(err(admin("GRANT EXECUTE ON orders TO mu")).contains("unknown permission"))
+    assert(err(admin("GRANT READ ON orders TO ghost")).contains("unknown user"))
+    // grants merge across statements; SHOW PERMISSIONS FOR form accepted
+    ok(admin("GRANT READ ON orders TO mu"))
+    ok(admin("GRANT WRITE ON orders TO mu"))
+    val perms = ok(admin("SHOW PERMISSIONS FOR mu"))
+    assert(perms.contains("reads=orders") && perms.contains("writes=orders"))
+    // revoking a permission the user doesn't hold is a no-op, not an error
+    ok(admin("REVOKE WRITE ON orders FROM mu"))
+    ok(admin("REVOKE WRITE ON orders FROM mu"))
+  }
+
+  test("revoke key: old signature dies, permissions survive, recreate fails") {
+    val s = setup()
+    def admin(c: String) = s.execute(sign("admin", "admin-key", c))
+    ok(admin("""DEFINE t FIELDS { v: "int" }"""))
+    ok(admin("""CREATE USER rk WITH KEY "old-key""""))
+    ok(admin("GRANT READ ON t TO rk"))
+    val msg = ok(admin("REVOKE KEY rk"))
+    val newKey = msg.split(":").last.trim
+    assert(err(s.execute(sign("rk", "old-key", "QUERY t"))).contains("invalid signature"))
+    // new key works and the read grant survived the rotation
+    s.execute(sign("rk", newKey, "QUERY t")) match {
+      case ExecResult.Frame(df) => assert(df.count() == 0)
+      case other                => fail(other.toString)
+    }
+    assert(err(admin("""CREATE USER rk WITH KEY "x"""")).contains("already exists"))
+  }
+
   test("bad signature, lockout after repeated failures, unknown user") {
     val dir = Files.createTempDirectory("graft_auth_").toString
     val auth = new AuthManager(dir, maxFailures = 3)
