@@ -57,6 +57,12 @@ object PipelineQueries {
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4)),
 
+    "q_dedup_embed_lsh" -> ((s, d) =>
+      // the 100 TB path (SRP-LSH candidates + exact confirm) — approximate
+      // recall by design, so rows-only check like q_sim_lsh_topk
+      Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
+        lshPrefilter = true, tables = 16)),
+
     "q_sim_topk" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
