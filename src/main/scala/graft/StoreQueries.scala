@@ -48,7 +48,7 @@ object StoreQueries {
     store.ingestFrame("purchase", purchases.filter(col("timestamp") < splitTs),
       "context_id", Some("timestamp")).left.foreach(e => throw new IllegalStateException(e))
     store.execute("REMEMBER QUERY purchase WHERE value > 150 AS big") match {
-      case ExecResult.Error(e) => throw new IllegalStateException(e)
+      case ExecResult.Error(e, _) => throw new IllegalStateException(e)
       case _                   => ()
     }
     store.ingestFrame("purchase", purchases.filter(col("timestamp") >= splitTs),

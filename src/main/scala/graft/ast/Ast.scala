@@ -157,8 +157,8 @@ final case class CompareCmd(queries: Seq[QueryCmd], labels: Seq[String]) extends
 
 // ---- auth / user management (reference `docs/src/commands/user_management.md`) ----
 final case class CreateUserCmd(name: String, key: Option[String], roles: Seq[String]) extends Command
-final case class GrantCmd(perms: Seq[String], eventType: String, user: String) extends Command
-final case class RevokePermCmd(perms: Seq[String], eventType: String, user: String) extends Command
+final case class GrantCmd(perms: Seq[String], eventTypes: Seq[String], user: String) extends Command
+final case class RevokePermCmd(perms: Seq[String], eventTypes: Seq[String], user: String) extends Command
 final case class RevokeKeyCmd(user: String) extends Command
 case object ListUsersCmd extends Command
 final case class ShowPermissionsCmd(user: String) extends Command

@@ -11,12 +11,13 @@ import scala.jdk.CollectionConverters._
   * `docs/src/commands/user_management.md` — SURVEY.md §2.6).
   *
   * Reproduced surface: named users with API keys; roles `admin | editor |
-  * read-only | viewer | write-only`; per-event-type read/write grants on top
-  * of the role; HMAC-SHA256 request signing; failed-auth rate limiting
-  * (lockout after repeated failures). Users persist as JSON under the store
-  * root. Deliberately thin — authorization gates command dispatch; it is
-  * orthogonal to the query engine itself (the reference treats it the same
-  * way).
+  * read-only | viewer | write-only`; per-event-type `PermissionSet`s that
+  * OVERRIDE roles (reference `auth/types.rs` `PermissionCache::can_read/
+  * can_write`); HMAC-SHA256 request signing; session tokens (`AUTH` →
+  * token; reference `frontend/tcp/listener.rs:37-78`); REVOKE KEY
+  * deactivates the user and kills their sessions (reference
+  * `auth/user_ops.rs`); failed-auth lockout. Users persist as JSON under
+  * the store root.
   */
 object Role extends Enumeration {
   val Admin, Editor, ReadOnly, Viewer, WriteOnly = Value
@@ -35,91 +36,143 @@ object Role extends Enumeration {
   }
 }
 
+/** Per-event-type read/write grant — reference `auth/types.rs` `PermissionSet`.
+  * An entry with both flags false is an EXPLICIT DENIAL (written by REVOKE)
+  * that overrides any role-derived access. */
+final case class Perm(read: Boolean, write: Boolean) {
+  def render: String =
+    if (read && write) "read, write"
+    else if (read) "read"
+    else if (write) "write"
+    else "none"
+}
+
 final case class User(
     name: String,
     key: String,
     roles: Set[Role.Value],
-    reads: Set[String] = Set.empty,   // per-event-type grants beyond the roles
-    writes: Set[String] = Set.empty) {
+    permissions: Map[String, Perm] = Map.empty,
+    active: Boolean = true) {
 
-  def canRead(eventType: String): Boolean =
-    roles.exists(r => r == Role.Admin || r == Role.Editor || r == Role.ReadOnly || r == Role.Viewer) ||
-      reads.contains(eventType)
-  def canWrite(eventType: String): Boolean =
-    roles.exists(r => r == Role.Admin || r == Role.Editor || r == Role.WriteOnly) ||
-      writes.contains(eventType)
   def isAdmin: Boolean = roles.contains(Role.Admin)
+  private def roleReads: Boolean =
+    roles.exists(r => r == Role.Editor || r == Role.ReadOnly || r == Role.Viewer)
+  private def roleWrites: Boolean =
+    roles.exists(r => r == Role.Editor || r == Role.WriteOnly)
+
+  /** Priority: admin > per-type permission > role. A write-only entry falls
+    * through to the role for READ; a none() entry denies outright
+    * (reference `PermissionCache::can_read`). */
+  def canRead(eventType: String): Boolean =
+    if (isAdmin) true
+    else permissions.get(eventType) match {
+      case Some(p) if p.read             => true
+      case Some(p) if !p.read && !p.write => false // explicit denial
+      case _                             => roleReads // no entry, or write-only entry
+    }
+
+  /** A permission entry overrides the role completely for WRITE
+    * (reference `PermissionCache::can_write`). */
+  def canWrite(eventType: String): Boolean =
+    if (isAdmin) true
+    else permissions.get(eventType) match {
+      case Some(p) => p.write
+      case None    => roleWrites
+    }
 }
 
 final class AuthManager(root: String, maxFailures: Int = 5,
-    lockoutSeconds: Long = 300, clock: () => Long = () => System.currentTimeMillis() / 1000) {
+    lockoutSeconds: Long = 300, clock: () => Long = () => System.currentTimeMillis() / 1000,
+    tokenTtlSeconds: Long = 3600) {
 
   private val file = Paths.get(root, "_auth", "users.json")
   private val users = mutable.LinkedHashMap.empty[String, User]
   private val failures = mutable.Map.empty[String, (Int, Long)] // name -> (count, lastFail)
+  private val sessions = mutable.Map.empty[String, (String, Long)] // token -> (user, expiry)
 
   Files.createDirectories(file.getParent)
   load()
 
   def createUser(name: String, key: String, roles: Set[Role.Value]): Either[String, User] = {
-    if (users.contains(name)) Left(s"user '$name' already exists")
+    if (users.contains(name)) Left("User already exists")
     else {
       val u = User(name, key, roles)
       users(name) = u; save(); Right(u)
     }
   }
 
-  def grant(name: String, perm: String, eventType: String): Either[String, User] =
+  /** GRANT merges: existing OR requested (reference `permissions.rs:89-93`). */
+  def grant(name: String, eventType: String, addRead: Boolean, addWrite: Boolean): Either[String, User] =
     modify(name) { u =>
-      perm.toLowerCase match {
-        case "read"  => Right(u.copy(reads = u.reads + eventType))
-        case "write" => Right(u.copy(writes = u.writes + eventType))
-        case other   => Left(s"unknown permission: $other (expected read|write)")
-      }
+      val existing = u.permissions.getOrElse(eventType, Perm(false, false))
+      val merged = Perm(existing.read || addRead, existing.write || addWrite)
+      Right(u.copy(permissions = u.permissions + (eventType -> merged)))
     }
 
-  def revoke(name: String, perm: String, eventType: String): Either[String, User] =
+  /** REVOKE always writes the resulting entry — a both-false entry is an
+    * explicit denial overriding roles (reference `permissions.rs:152-163`). */
+  def revoke(name: String, eventType: String, dropRead: Boolean, dropWrite: Boolean): Either[String, User] =
     modify(name) { u =>
-      perm.toLowerCase match {
-        case "read"  => Right(u.copy(reads = u.reads - eventType))
-        case "write" => Right(u.copy(writes = u.writes - eventType))
-        case other   => Left(s"unknown permission: $other (expected read|write)")
-      }
+      val existing = u.permissions.getOrElse(eventType, Perm(false, false))
+      val reduced = Perm(existing.read && !dropRead, existing.write && !dropWrite)
+      Right(u.copy(permissions = u.permissions + (eventType -> reduced)))
     }
 
-  /** Rotate out a compromised key (reference REVOKE KEY). */
-  def revokeKey(name: String): Either[String, String] = {
-    val newKey = java.util.UUID.randomUUID().toString.replace("-", "")
-    modify(name)(u => Right(u.copy(key = newKey))).map(_ => newKey)
-  }
+  /** REVOKE KEY deactivates the user and revokes their session tokens
+    * (reference: `revoke_key_preserves_user_record` scenario — the user
+    * stays listed as inactive; permissions survive). */
+  def revokeKey(name: String): Either[String, Unit] =
+    modify(name)(u => Right(u.copy(active = false))).map { _ =>
+      sessions.filterInPlace { case (_, (owner, _)) => owner != name }
+    }
 
   def listUsers: Seq[User] = users.values.toSeq
   def get(name: String): Option[User] = users.get(name)
 
-  /** HMAC-SHA256 request verification with failed-auth lockout
-    * (reference auth rate limiting). */
-  def verify(name: String, command: String, signatureHex: String): Either[String, User] = {
+  /** HMAC-SHA256 request verification with failed-auth lockout. Errors are
+    * deliberately generic (reference `AuthError::AuthenticationFailed`
+    * prevents user enumeration). */
+  def verify(name: String, message: String, signatureHex: String): Either[String, User] = {
     users.get(name) match {
-      case None => Left(s"unknown user: $name")
+      case None => fail(name)
       case Some(u) =>
         failures.get(name) match {
           case Some((n, last)) if n >= maxFailures && clock() - last < lockoutSeconds =>
-            return Left(s"user '$name' locked out after $n failed attempts")
+            return Left("Rate limit exceeded")
           case _ => ()
         }
-        if (AuthManager.hmacHex(u.key, command).equalsIgnoreCase(signatureHex)) {
+        if (!u.active) fail(name)
+        else if (AuthManager.hmacHex(u.key, message).equalsIgnoreCase(signatureHex)) {
           failures.remove(name); Right(u)
-        } else {
-          val (n, _) = failures.getOrElse(name, (0, 0L))
-          failures(name) = (n + 1, clock())
-          Left("invalid signature")
-        }
+        } else fail(name)
     }
   }
 
+  private def fail(name: String): Either[String, User] = {
+    val (n, _) = failures.getOrElse(name, (0, 0L))
+    failures(name) = (n + 1, clock())
+    Left("Authentication failed")
+  }
+
+  /** `AUTH user:sig` where sig = HMAC(key, user_id) — issues a session token
+    * (reference `tcp/listener.rs:46-78`). */
+  def authenticate(name: String, signatureHex: String): Either[String, String] =
+    verify(name, name, signatureHex).map { _ =>
+      val token = java.util.UUID.randomUUID().toString.replace("-", "")
+      sessions(token) = (name, clock() + tokenTtlSeconds)
+      token
+    }
+
+  /** Validate a session token → user (active, unexpired). */
+  def validateToken(token: String): Option[User] =
+    sessions.get(token).flatMap { case (name, expiry) =>
+      if (clock() > expiry) { sessions.remove(token); None }
+      else users.get(name).filter(_.active)
+    }
+
   private def modify(name: String)(f: User => Either[String, User]): Either[String, User] =
     users.get(name) match {
-      case None => Left(s"unknown user: $name")
+      case None => Left(s"User not found: $name")
       case Some(u) => f(u).map { nu => users(name) = nu; save(); nu }
     }
 
@@ -129,10 +182,12 @@ final class AuthManager(root: String, maxFailures: Int = 5,
     val arr = mapper.createArrayNode()
     users.values.foreach { u =>
       val n = arr.addObject()
-      n.put("name", u.name); n.put("key", u.key)
+      n.put("name", u.name); n.put("key", u.key); n.put("active", u.active)
       val rl = n.putArray("roles"); u.roles.toSeq.map(Role.render).sorted.foreach(rl.add)
-      val r = n.putArray("reads"); u.reads.toSeq.sorted.foreach(r.add)
-      val w = n.putArray("writes"); u.writes.toSeq.sorted.foreach(w.add)
+      val ps = n.putObject("permissions")
+      u.permissions.toSeq.sortBy(_._1).foreach { case (et, p) =>
+        val e = ps.putObject(et); e.put("read", p.read); e.put("write", p.write)
+      }
     }
     Files.write(file, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(arr))
   }
@@ -142,11 +197,26 @@ final class AuthManager(root: String, maxFailures: Int = 5,
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = mapper.readTree(Files.readAllBytes(file))
     arr.elements().asScala.foreach { n =>
+      val perms = mutable.LinkedHashMap.empty[String, Perm]
+      if (n.has("permissions")) {
+        n.get("permissions").properties().asScala.foreach { e =>
+          perms(e.getKey) = Perm(e.getValue.get("read").asBoolean(), e.getValue.get("write").asBoolean())
+        }
+      }
+      // legacy round-1 format: reads/writes string arrays
+      if (n.has("reads")) n.get("reads").elements().asScala.foreach { r =>
+        val et = r.asText(); val p = perms.getOrElse(et, Perm(false, false))
+        perms(et) = p.copy(read = true)
+      }
+      if (n.has("writes")) n.get("writes").elements().asScala.foreach { w =>
+        val et = w.asText(); val p = perms.getOrElse(et, Perm(false, false))
+        perms(et) = p.copy(write = true)
+      }
       users(n.get("name").asText()) = User(
         n.get("name").asText(), n.get("key").asText(),
         n.get("roles").elements().asScala.flatMap(r => Role.parse(r.asText())).toSet,
-        n.get("reads").elements().asScala.map(_.asText()).toSet,
-        n.get("writes").elements().asScala.map(_.asText()).toSet)
+        perms.toMap,
+        active = !n.has("active") || n.get("active").asBoolean())
     }
   }
 }

@@ -550,15 +550,23 @@ object CommandParser {
     CreateUserCmd(name, key, roles)
   }
 
+  // GRANT READ[, WRITE] ON <type>[, <type>…] TO <user>
+  // REVOKE READ[, WRITE] ON <type>[, <type>…] FROM <user>
+  // Permission names validate at parse time (reference
+  // `parser/commands/grant_permission.rs`: "Invalid permission: ...").
   private def parseGrantRevoke(p: P, isGrant: Boolean): Command = {
     val perms = ArrayBuffer(p.word())
     while (p.peek.contains(Sym(","))) { p.pos += 1; perms += p.word() }
+    perms.find(w => !w.equalsIgnoreCase("read") && !w.equalsIgnoreCase("write")).foreach { bad =>
+      throw ParseException(s"Invalid permission: '$bad'. Must be 'READ' or 'WRITE'")
+    }
     p.expectKw("on")
-    val tpe = p.word()
+    val types = ArrayBuffer(p.word())
+    while (p.peek.contains(Sym(","))) { p.pos += 1; types += p.word() }
     if (!p.eatKw("to")) p.expectKw("from")
     val user = p.word()
-    if (isGrant) GrantCmd(perms.toSeq, tpe, user)
-    else RevokePermCmd(perms.toSeq, tpe, user)
+    if (isGrant) GrantCmd(perms.toSeq.map(_.toLowerCase), types.toSeq, user)
+    else RevokePermCmd(perms.toSeq.map(_.toLowerCase), types.toSeq, user)
   }
 
   // ---------------- BATCH ----------------

@@ -287,10 +287,10 @@ final class EventStore(val spark: SparkSession, val root: String,
 
   def execute(cmd: Command): ExecResult = cmd match {
     case d: DefineCmd =>
-      define(d).fold(ExecResult.Error.apply, s => ExecResult.Ok(s"defined ${s.eventType} v${s.version}"))
+      define(d).fold(e => ExecResult.Error(e), s => ExecResult.Ok(s"Schema defined for '${s.eventType}'"))
     case s: StoreCmd =>
-      store(s).fold(ExecResult.Error.apply, id => ExecResult.Ok(s"stored #$id"))
-    case FlushCmd => flush(); ExecResult.Ok("flushed")
+      store(s).fold(e => ExecResult.Error(e), _ => ExecResult.Ok("Event accepted for storage"))
+    case FlushCmd => flush(); ExecResult.Ok("Flush command completed")
     case PingCmd  => ExecResult.Ok("PONG")
     case q: QueryCmd  => ExecResult.Frame(QueryCompiler.compile(q, this))
     case r: ReplayCmd => ExecResult.Frame(QueryCompiler.compile(r.toQuery, this))
@@ -302,13 +302,20 @@ final class EventStore(val spark: SparkSession, val root: String,
     case ShowCmd(name)    => new Materializer(this).show(name)
     case c: CompareCmd =>
       ExecResult.Frame(graft.engine.CompareCompiler.compile(c, this))
+    case _: CreateUserCmd | _: GrantCmd | _: RevokePermCmd | _: RevokeKeyCmd |
+         ListUsersCmd | _: ShowPermissionsCmd =>
+      // user management needs an auth manager — reference dispatcher.rs:87-110
+      ExecResult.Error("Authentication not configured", 500)
   }
 }
 
 sealed trait ExecResult
 object ExecResult {
+  /** Success; `message` may be multi-line (reference `Response::ok_lines`). */
   final case class Ok(message: String) extends ExecResult
-  final case class Error(message: String) extends ExecResult
+  /** Failure with an HTTP-style status code (reference `StatusCode`):
+    * 400 bad request, 401 auth, 403 forbidden, 404 not found. */
+  final case class Error(message: String, code: Int = 400) extends ExecResult
   final case class Frame(df: DataFrame) extends ExecResult
 }
 

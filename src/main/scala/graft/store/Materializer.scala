@@ -31,6 +31,17 @@ final class Materializer(store: EventStore) {
   private val spark: SparkSession = store.spark
   private def matDir(name: String) = Paths.get(store.root, "_materializations", name)
 
+  /** The stored query of a materialization, if it exists (used by the auth
+    * gate to scope SHOW to the query's event types). */
+  def storedQuery(name: String): Option[QueryCmd] = {
+    val metaFile = matDir(name).resolve("meta.json")
+    if (!Files.exists(metaFile)) None
+    else {
+      val node = EventStore.readTree(new String(Files.readAllBytes(metaFile), "UTF-8"))
+      Some(graft.parser.CommandParser.parse(node.get("query").asText()).asInstanceOf[QueryCmd])
+    }
+  }
+
   def remember(cmd: RememberCmd): ExecResult = {
     val dir = matDir(cmd.name)
     if (Files.exists(dir)) return ExecResult.Error(s"materialization '${cmd.name}' already exists")

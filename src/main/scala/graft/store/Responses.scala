@@ -21,6 +21,18 @@ import org.apache.spark.sql.types._
   */
 object Responses {
 
+  /** Render an [[ExecResult]] in the reference's line protocol
+    * (`shared/response/unix.rs:26-76`): a `<code> <message>` header line,
+    * then body lines (Ok) or streamed JSON frames (Frame). Errors carry
+    * their message on the header line — e.g.
+    * `403 Write permission denied for event type 'orders'`. */
+  def render(r: ExecResult, batchSize: Int = 1000): String = r match {
+    case ExecResult.Ok(msg)          => s"200 OK\n$msg\n"
+    case ExecResult.Error(msg, code) => s"$code $msg\n"
+    case ExecResult.Frame(df) =>
+      jsonFrames(df, batchSize).mkString("200 OK\n", "\n", "\n")
+  }
+
   def jsonFrames(df: DataFrame, batchSize: Int = 1000): Iterator[String] = {
     val mapper = new ObjectMapper()
     val schema = df.schema

@@ -5,14 +5,11 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.auth.{AuthManager, Role}
+import graft.auth.{AuthManager, Perm, Role, User}
 import graft.store.{EventStore, ExecResult, SecureEventStore}
 
 class AuthSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
-
-  private def signed(key: String)(cmd: String): String =
-    s"$cmd user_id=IGNORED signature=IGNORED" // placeholder, see sign()
 
   private def sign(user: String, key: String, cmd: String): String =
     s"$cmd user_id=$user signature=${AuthManager.hmacHex(key, cmd)}"
@@ -29,31 +26,36 @@ class AuthSpec extends AnyFunSuite {
     case other            => fail(s"expected Ok, got $other")
   }
   private def err(r: ExecResult): String = r match {
-    case ExecResult.Error(e) => e
-    case other               => fail(s"expected Error, got $other")
+    case ExecResult.Error(e, _) => e
+    case other                  => fail(s"expected Error, got $other")
+  }
+  private def errCode(r: ExecResult): Int = r match {
+    case ExecResult.Error(_, c) => c
+    case other                  => fail(s"expected Error, got $other")
   }
 
   test("signed admin flow: create user, grant, query within grants") {
     val s = setup()
     def admin(c: String) = s.execute(sign("admin", "admin-key", c))
     ok(admin("""DEFINE orders FIELDS { amount: "int" }"""))
-    ok(admin("""CREATE USER reader WITH KEY "read-key""""))
+    assert(ok(admin("""CREATE USER reader WITH KEY "read-key"""")).contains("User 'reader' created"))
     ok(admin("GRANT READ ON orders TO reader"))
     ok(admin("""STORE orders FOR c1 PAYLOAD {"amount": 5}"""))
 
     def reader(c: String) = s.execute(sign("reader", "read-key", c))
-    s.execute(sign("reader", "read-key", "QUERY orders")) match {
+    reader("QUERY orders") match {
       case ExecResult.Frame(df) => assert(df.count() == 1)
       case other                => fail(other.toString)
     }
-    // no write grant → STORE denied
-    assert(err(reader("""STORE orders FOR c2 PAYLOAD {"amount": 1}""")).contains("permission denied"))
+    // no write grant → STORE denied with 403
+    val denied = reader("""STORE orders FOR c2 PAYLOAD {"amount": 1}""")
+    assert(err(denied) == "Write permission denied for event type 'orders'" && errCode(denied) == 403)
     // no grant on other type → read denied
     ok(admin("""DEFINE secret FIELDS { x: "int" }"""))
-    assert(err(reader("QUERY secret")).contains("permission denied"))
+    assert(err(reader("QUERY secret")) == "Read permission denied for event type 'secret'")
   }
 
-  test("roles: editor reads and writes; write-only cannot read") {
+  test("roles: editor reads and writes; write-only cannot read; DEFINE is admin-only") {
     val s = setup()
     def admin(c: String) = s.execute(sign("admin", "admin-key", c))
     ok(admin("""DEFINE t FIELDS { v: "int" }"""))
@@ -61,79 +63,176 @@ class AuthSpec extends AnyFunSuite {
     ok(admin("""CREATE USER wo WITH KEY "wk" WITH ROLES [write-only]"""))
     ok(s.execute(sign("ed", "ek", """STORE t FOR c PAYLOAD {"v": 1}""")))
     ok(s.execute(sign("wo", "wk", """STORE t FOR c PAYLOAD {"v": 2}""")))
-    assert(err(s.execute(sign("wo", "wk", "QUERY t"))).contains("permission denied"))
+    assert(err(s.execute(sign("wo", "wk", "QUERY t"))).contains("Read permission denied"))
     s.execute(sign("ed", "ek", "QUERY t")) match {
       case ExecResult.Frame(df) => assert(df.count() == 2)
       case other                => fail(other.toString)
     }
+    // editors cannot define schemas (reference handlers/define.rs)
+    assert(err(s.execute(sign("ed", "ek", """DEFINE t2 FIELDS { v: "int" }""")))
+      == "Only admin users can define schemas")
   }
 
-  test("grant edges: undefined event type, invalid permission, unknown user, merge, lenient revoke") {
+  test("per-type permissions OVERRIDE roles (reference PermissionCache semantics)") {
+    val s = setup()
+    def admin(c: String) = s.execute(sign("admin", "admin-key", c))
+    ok(admin("""DEFINE ev FIELDS { v: "int" }"""))
+    ok(admin("""STORE ev FOR c PAYLOAD {"v": 42}"""))
+    ok(admin("""CREATE USER ro WITH KEY "rk" WITH ROLES [read-only]"""))
+
+    // read-only role + GRANT WRITE entry: can write AND still read (write-only
+    // entry falls through to the role for READ)
+    ok(admin("GRANT WRITE ON ev TO ro"))
+    ok(s.execute(sign("ro", "rk", """STORE ev FOR c PAYLOAD {"v": 43}""")))
+    s.execute(sign("ro", "rk", "QUERY ev")) match {
+      case ExecResult.Frame(df) => assert(df.count() == 2)
+      case other                => fail(other.toString)
+    }
+
+    // REVOKE both → explicit denial overrides the read-only role
+    ok(admin("GRANT READ ON ev TO ro"))
+    ok(admin("REVOKE READ, WRITE ON ev FROM ro"))
+    assert(err(s.execute(sign("ro", "rk", "QUERY ev"))).contains("Read permission denied"))
+
+    // editor + GRANT READ then REVOKE WRITE: write denied (entry verbatim),
+    // read kept via the entry (reference permissions_override_editor_role)
+    ok(admin("""CREATE USER ed2 WITH KEY "ek2" WITH ROLES [editor]"""))
+    ok(admin("GRANT READ ON ev TO ed2"))
+    ok(admin("REVOKE WRITE ON ev FROM ed2"))
+    assert(err(s.execute(sign("ed2", "ek2", """STORE ev FOR c PAYLOAD {"v": 1}""")))
+      .contains("Write permission denied"))
+    s.execute(sign("ed2", "ek2", "QUERY ev")) match {
+      case ExecResult.Frame(df) => assert(df.count() >= 2)
+      case other                => fail(other.toString)
+    }
+  }
+
+  test("grant edges: undefined event type, invalid permission, unknown user, merge, multi-type") {
     val s = setup()
     def admin(c: String) = s.execute(sign("admin", "admin-key", c))
     ok(admin("""DEFINE orders FIELDS { amount: "int" }"""))
+    ok(admin("""DEFINE products FIELDS { p: "int" }"""))
     ok(admin("""CREATE USER mu WITH KEY "mk""""))
-    // reference scenario: granting on an undefined event type is an error
-    assert(err(admin("GRANT READ ON nonexistent_event TO mu")).contains("no schema defined"))
-    assert(err(admin("GRANT EXECUTE ON orders TO mu")).contains("unknown permission"))
-    assert(err(admin("GRANT READ ON orders TO ghost")).contains("unknown user"))
-    // grants merge across statements; SHOW PERMISSIONS FOR form accepted
-    ok(admin("GRANT READ ON orders TO mu"))
+    assert(err(admin("GRANT READ ON nonexistent_event TO mu"))
+      == "No schema defined for event type 'nonexistent_event'")
+    assert(err(admin("GRANT EXECUTE ON orders TO mu")).contains("Invalid permission"))
+    assert(err(admin("GRANT READ ON orders TO ghost")).contains("User not found"))
+    // grants merge across statements; multi-type grant
+    ok(admin("GRANT READ ON orders, products TO mu"))
     ok(admin("GRANT WRITE ON orders TO mu"))
     val perms = ok(admin("SHOW PERMISSIONS FOR mu"))
-    assert(perms.contains("reads=orders") && perms.contains("writes=orders"))
-    // revoking a permission the user doesn't hold is a no-op, not an error
+    assert(perms.contains("orders: read, write") && perms.contains("products: read"))
+    // revoking on an undefined event type is lenient and writes an explicit entry
+    ok(admin("REVOKE WRITE ON ghost_event FROM mu"))
+    assert(ok(admin("SHOW PERMISSIONS FOR mu")).contains("ghost_event: none"))
+    // partial revoke leaves the rest
     ok(admin("REVOKE WRITE ON orders FROM mu"))
-    ok(admin("REVOKE WRITE ON orders FROM mu"))
+    val after = ok(admin("SHOW PERMISSIONS FOR mu"))
+    assert(after.contains("orders: read") && !after.contains("orders: read, write"))
   }
 
-  test("revoke key: old signature dies, permissions survive, recreate fails") {
+  test("revoke key deactivates the user; permissions survive; recreate fails") {
     val s = setup()
     def admin(c: String) = s.execute(sign("admin", "admin-key", c))
     ok(admin("""DEFINE t FIELDS { v: "int" }"""))
     ok(admin("""CREATE USER rk WITH KEY "old-key""""))
     ok(admin("GRANT READ ON t TO rk"))
-    val msg = ok(admin("REVOKE KEY rk"))
-    val newKey = msg.split(":").last.trim
-    assert(err(s.execute(sign("rk", "old-key", "QUERY t"))).contains("invalid signature"))
-    // new key works and the read grant survived the rotation
-    s.execute(sign("rk", newKey, "QUERY t")) match {
-      case ExecResult.Frame(df) => assert(df.count() == 0)
-      case other                => fail(other.toString)
-    }
-    assert(err(admin("""CREATE USER rk WITH KEY "x"""")).contains("already exists"))
+    assert(ok(admin("REVOKE KEY rk")) == "Key revoked for user 'rk'")
+    // old key now fails — the user is inactive, not rotated
+    assert(err(s.execute(sign("rk", "old-key", "QUERY t"))) == "Authentication failed")
+    assert(ok(admin("LIST USERS")).contains("rk: inactive"))
+    // permissions survive deactivation
+    assert(ok(admin("SHOW PERMISSIONS FOR rk")).contains("t: read"))
+    assert(err(admin("""CREATE USER rk WITH KEY "x"""")) == "User already exists")
+    assert(err(admin("REVOKE KEY ghost")).contains("User not found"))
   }
 
-  test("bad signature, lockout after repeated failures, unknown user") {
+  test("session tokens: AUTH issues a token; TOKEN authenticates; revoke kills sessions") {
+    val s = setup()
+    def admin(c: String) = s.execute(sign("admin", "admin-key", c))
+    ok(admin("""DEFINE t FIELDS { v: "int" }"""))
+    ok(admin("""CREATE USER tu WITH KEY "tk""""))
+    ok(admin("GRANT READ, WRITE ON t TO tu"))
+
+    val authMsg = ok(s.execute(s"AUTH tu:${AuthManager.hmacHex("tk", "tu")}"))
+    assert(authMsg.startsWith("OK TOKEN "))
+    val token = authMsg.stripPrefix("OK TOKEN ").trim
+    assert(ok(s.execute(s"""STORE t FOR c PAYLOAD {"v": 1} TOKEN $token""")).contains("Event accepted"))
+    // bad token
+    assert(err(s.execute("""STORE t FOR c PAYLOAD {"v": 2} TOKEN bogus""")) == "Authentication failed")
+    // bad AUTH signature
+    assert(err(s.execute("AUTH tu:deadbeef")) == "Authentication failed")
+    // REVOKE KEY invalidates outstanding sessions
+    ok(admin("REVOKE KEY tu"))
+    assert(err(s.execute(s"""STORE t FOR c PAYLOAD {"v": 3} TOKEN $token""")) == "Authentication failed")
+  }
+
+  test("bad signature, lockout after repeated failures, unknown user — all generic errors") {
     val dir = Files.createTempDirectory("graft_auth_").toString
     val auth = new AuthManager(dir, maxFailures = 3)
     val s = new SecureEventStore(new EventStore(spark, dir), auth)
     s.bootstrapAdmin("admin", "k")
-    assert(err(s.execute("PING user_id=admin signature=deadbeef")).contains("invalid signature"))
-    assert(err(s.execute("PING user_id=ghost signature=x")).contains("unknown user"))
+    val bad = s.execute("PING user_id=admin signature=deadbeef")
+    assert(err(bad) == "Authentication failed" && errCode(bad) == 401)
+    // unknown user gets the same generic message (no user enumeration)
+    assert(err(s.execute("PING user_id=ghost signature=x")) == "Authentication failed")
     (1 to 2).foreach(_ => s.execute("PING user_id=admin signature=bad"))
     // locked out now even with the correct signature
-    assert(err(s.execute(sign("admin", "k", "PING"))).contains("locked out"))
+    assert(err(s.execute(sign("admin", "k", "PING"))) == "Rate limit exceeded")
   }
 
-  test("admin-only user management; list and show permissions") {
+  test("admin-only user management; SHOW PERMISSIONS output shapes") {
     val s = setup()
     def admin(c: String) = s.execute(sign("admin", "admin-key", c))
     ok(admin("""CREATE USER u1 WITH KEY "k1""""))
-    assert(err(s.execute(sign("u1", "k1", """CREATE USER u2 WITH KEY "k2""""))).contains("admin role required"))
+    assert(err(s.execute(sign("u1", "k1", """CREATE USER u2 WITH KEY "k2"""")))
+      == "Only admin users can manage users")
+    assert(err(s.execute(sign("u1", "k1", "SHOW PERMISSIONS FOR u1")))
+      == "Only admin users can manage permissions")
+    assert(ok(admin("SHOW PERMISSIONS FOR u1")) == "User 'u1' has no permissions")
+    assert(err(admin("SHOW PERMISSIONS FOR ghost")).contains("User not found"))
     ok(admin("""DEFINE d FIELDS { x: "int" }"""))
     ok(admin("GRANT READ, WRITE ON d TO u1"))
-    assert(ok(admin("SHOW PERMISSIONS u1")).contains("reads=d"))
-    assert(ok(admin("LIST USERS")).contains("u1"))
-    ok(admin("REVOKE WRITE ON d FROM u1"))
-    assert(err(s.execute(sign("u1", "k1", """STORE d FOR c PAYLOAD {"x": 1}"""))).contains("permission denied"))
-    // key rotation invalidates the old key
-    ok(admin("REVOKE KEY u1"))
-    assert(err(s.execute(sign("u1", "k1", "QUERY d"))).contains("invalid signature"))
+    val shown = ok(admin("SHOW PERMISSIONS FOR u1"))
+    assert(shown.contains("Permissions for user 'u1':") && shown.contains("  d: read, write"))
+    assert(ok(admin("LIST USERS")).contains("u1: active"))
   }
 
-  test("missing credentials rejected") {
+  test("bypass mode runs everything as a synthetic admin") {
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    val s = new SecureEventStore(new EventStore(spark, dir), new AuthManager(dir), bypassAuth = true)
+    assert(ok(s.execute("""DEFINE b FIELDS { v: "int" }""")).contains("Schema defined"))
+    assert(ok(s.execute("""STORE b FOR c PAYLOAD {"v": 1}""")).contains("Event accepted"))
+    s.execute("QUERY b") match {
+      case ExecResult.Frame(df) => assert(df.count() == 1)
+      case other                => fail(other.toString)
+    }
+  }
+
+  test("missing credentials rejected with generic 401") {
     val s = setup()
-    assert(err(s.execute("PING")).contains("missing credentials"))
+    val r = s.execute("PING")
+    assert(err(r) == "Authentication failed" && errCode(r) == 401)
+  }
+
+  test("User.canRead/canWrite unit semantics match the reference PermissionCache") {
+    val ro = User("u", "k", Set(Role.ReadOnly))
+    assert(ro.canRead("a") && !ro.canWrite("a"))
+    // write-only entry on read-only role: write yes, read falls through to role
+    val roW = ro.copy(permissions = Map("a" -> Perm(false, true)))
+    assert(roW.canRead("a") && roW.canWrite("a"))
+    // explicit denial overrides role
+    val roD = ro.copy(permissions = Map("a" -> Perm(false, false)))
+    assert(!roD.canRead("a") && !roD.canWrite("a"))
+    // entry scoped per type: other types still follow the role
+    assert(roD.canRead("b") && !roD.canWrite("b"))
+    // editor with write revoked: entry verbatim for write, role for read
+    val edR = User("e", "k", Set(Role.Editor), Map("a" -> Perm(true, false)))
+    assert(edR.canRead("a") && !edR.canWrite("a") && edR.canWrite("b"))
+    // viewer reads like read-only
+    assert(User("v", "k", Set(Role.Viewer)).canRead("x"))
+    // no roles, no perms: nothing
+    val none = User("n", "k", Set.empty)
+    assert(!none.canRead("x") && !none.canWrite("x"))
   }
 }

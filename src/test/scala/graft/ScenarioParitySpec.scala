@@ -28,7 +28,7 @@ class ScenarioParitySpec extends AnyFunSuite {
     case other                => fail(s"expected frame, got $other")
   }
   private def err(r: ExecResult): String = r match {
-    case ExecResult.Error(e) => e
+    case ExecResult.Error(e, _) => e
     case other               => fail(s"expected error, got $other")
   }
 

@@ -19,31 +19,31 @@ class StoreSpec extends AnyFunSuite {
 
   private def ok(r: ExecResult): String = r match {
     case ExecResult.Ok(m)    => m
-    case ExecResult.Error(e) => fail(s"unexpected error: $e")
+    case ExecResult.Error(e, _) => fail(s"unexpected error: $e")
     case ExecResult.Frame(_) => fail("unexpected frame")
   }
   private def frame(r: ExecResult) = r match {
     case ExecResult.Frame(df) => df
-    case ExecResult.Error(e)  => fail(s"unexpected error: $e")
+    case ExecResult.Error(e, _)  => fail(s"unexpected error: $e")
     case ExecResult.Ok(m)     => fail(s"unexpected ok: $m")
   }
   private def err(r: ExecResult): String = r match {
-    case ExecResult.Error(e) => e
+    case ExecResult.Error(e, _) => e
     case other               => fail(s"expected error, got $other")
   }
 
   test("full command surface: DEFINE, STORE, FLUSH, QUERY, PING, BATCH") {
     val s = newStore()
-    assert(ok(s.execute("""DEFINE order FIELDS { amount: "int", status: ["new", "paid"] }""")).contains("defined order v1"))
-    assert(ok(s.execute("""STORE order FOR u1 PAYLOAD {"amount": 5, "status": "new"}""")).contains("stored"))
-    assert(ok(s.execute("""STORE order FOR u1 PAYLOAD {"amount": 9, "status": "paid"}""")).contains("stored"))
-    assert(ok(s.execute("""STORE order FOR u2 PAYLOAD {"amount": 7, "status": "new"}""")).contains("stored"))
+    assert(ok(s.execute("""DEFINE order FIELDS { amount: "int", status: ["new", "paid"] }""")).contains("Schema defined for 'order'"))
+    assert(ok(s.execute("""STORE order FOR u1 PAYLOAD {"amount": 5, "status": "new"}""")).contains("Event accepted"))
+    assert(ok(s.execute("""STORE order FOR u1 PAYLOAD {"amount": 9, "status": "paid"}""")).contains("Event accepted"))
+    assert(ok(s.execute("""STORE order FOR u2 PAYLOAD {"amount": 7, "status": "new"}""")).contains("Event accepted"))
     // memtable visible before flush
     assert(frame(s.execute("QUERY order WHERE amount > 6")).count() == 2)
-    assert(ok(s.execute("FLUSH")) == "flushed")
+    assert(ok(s.execute("FLUSH")) == "Flush command completed")
     assert(frame(s.execute("QUERY order WHERE amount > 6")).count() == 2)
     // mixed memtable + segment reads
-    assert(ok(s.execute("""STORE order FOR u3 PAYLOAD {"amount": 11, "status": "new"}""")).contains("stored"))
+    assert(ok(s.execute("""STORE order FOR u3 PAYLOAD {"amount": 11, "status": "new"}""")).contains("Event accepted"))
     assert(frame(s.execute("QUERY order WHERE amount > 6")).count() == 3)
     assert(ok(s.execute("PING")) == "PONG")
     assert(ok(s.execute("""BATCH [ STORE order FOR u4 PAYLOAD {"amount": 1, "status": "new"}; STORE order FOR u4 PAYLOAD {"amount": 2, "status": "paid"}; FLUSH ]""")).contains("batch ok (3"))
@@ -59,16 +59,16 @@ class StoreSpec extends AnyFunSuite {
     assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "gold", "n": 1}""")).contains("not a variant"))
     assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": "x"}""")).contains("expected integer"))
     // optional field may be absent or null
-    assert(ok(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 1}""")).contains("stored"))
-    assert(ok(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 2, "note": null}""")).contains("stored"))
+    assert(ok(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 1}""")).contains("Event accepted"))
+    assert(ok(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 2, "note": null}""")).contains("Event accepted"))
   }
 
   test("DEFINE evolution: idempotent, error without version bump, ok with bump") {
     val s = newStore()
     s.execute("""DEFINE t FIELDS { a: "int" }""")
-    assert(ok(s.execute("""DEFINE t FIELDS { a: "int" }""")).contains("v1"))      // idempotent
+    assert(ok(s.execute("""DEFINE t FIELDS { a: "int" }""")).contains("Schema defined for 't'")) // idempotent
     assert(err(s.execute("""DEFINE t FIELDS { a: "string" }""")).contains("already defined"))
-    assert(ok(s.execute("""DEFINE t AS 2 FIELDS { a: "string" }""")).contains("v2"))
+    assert(ok(s.execute("""DEFINE t AS 2 FIELDS { a: "string" }""")).contains("Schema defined for 't'"))
   }
 
   test("datetime normalization on STORE + REPLAY append order") {
