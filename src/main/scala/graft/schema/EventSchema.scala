@@ -38,13 +38,14 @@ final case class EventSchema(
     * Returns the normalized payload in schema field order. */
   def validate(payload: Map[String, Any]): Either[String, Vector[Any]] = {
     val extra = payload.keySet -- fields.map(_._1).toSet
-    if (extra.nonEmpty) return Left(s"unknown fields: ${extra.mkString(", ")}")
+    if (extra.nonEmpty) // reference handlers/store.rs:258-261
+      return Left(s"Payload contains fields not defined in schema: ${extra.toSeq.sorted.mkString(", ")}")
     val out = Vector.newBuilder[Any]
     for ((name, t) <- fields) {
       payload.get(name) match {
         case None | Some(null) =>
           if (t.nullable) out += null
-          else return Left(s"missing required field: $name")
+          else return Left(s"Missing field '$name' in payload")
         case Some(v) =>
           normalizeValue(name, v, t) match {
             case Right(n)  => out += n
@@ -55,47 +56,49 @@ final case class EventSchema(
     Right(out.result())
   }
 
+  /** Reference error text — `handlers/store.rs:243`. */
+  private def mismatch(name: String): String = s"Field '$name' does not match expected type"
+
   private def normalizeValue(name: String, v: Any, t: FieldType): Either[String, Any] = t match {
     case FieldType.OptionalT(inner) => normalizeValue(name, v, inner)
     case FieldType.StringT =>
-      v match { case s: String => Right(s); case _ => Left(s"field $name: expected string") }
+      v match { case s: String => Right(s); case _ => Left(mismatch(name)) }
     case FieldType.I64T =>
       v match {
         case n: Long   => Right(n)
         case n: Int    => Right(n.toLong)
         case n: Double if n.isWhole => Right(n.toLong)
-        case _         => Left(s"field $name: expected integer")
+        case _         => Left(mismatch(name))
       }
     case FieldType.U64T =>
       v match {
         case n: Long if n >= 0 => Right(n)
         case n: Int if n >= 0  => Right(n.toLong)
         case n: Double if n.isWhole && n >= 0 => Right(n.toLong)
-        case _                 => Left(s"field $name: expected unsigned integer")
+        case _                 => Left(mismatch(name))
       }
     case FieldType.F64T =>
       v match {
         case n: Double => Right(n)
         case n: Long   => Right(n.toDouble)
         case n: Int    => Right(n.toDouble)
-        case _         => Left(s"field $name: expected number")
+        case _         => Left(mismatch(name))
       }
     case FieldType.BoolT =>
-      v match { case b: Boolean => Right(b); case _ => Left(s"field $name: expected bool") }
+      v match { case b: Boolean => Right(b); case _ => Left(mismatch(name)) }
     case FieldType.TimestampT | FieldType.DateT =>
       v match {
         case s: String =>
-          TimeParser.parseToEpochSeconds(s).toRight(s"field $name: invalid time '$s'")
-        case n: Long   => TimeParser.normalizeIntegerEpoch(BigInt(n)).toRight(s"field $name: bad epoch")
-        case n: Int    => TimeParser.normalizeIntegerEpoch(BigInt(n)).toRight(s"field $name: bad epoch")
+          TimeParser.parseToEpochSeconds(s).toRight(s"Invalid time string: '$s' (field '$name')")
+        case n: Long   => TimeParser.normalizeIntegerEpoch(BigInt(n)).toRight(mismatch(name))
+        case n: Int    => TimeParser.normalizeIntegerEpoch(BigInt(n)).toRight(mismatch(name))
         case n: Double => Right(math.floor(n).toLong)
-        case _         => Left(s"field $name: expected time value")
+        case _         => Left(mismatch(name))
       }
     case FieldType.EnumT(variants) =>
       v match {
         case s: String if variants.contains(s) => Right(s)
-        case s: String => Left(s"field $name: '$s' is not a variant of ${variants.mkString("[", ", ", "]")}")
-        case _         => Left(s"field $name: expected enum string")
+        case _         => Left(mismatch(name))
       }
   }
 }

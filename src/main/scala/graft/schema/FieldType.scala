@@ -60,6 +60,12 @@ object FieldType {
     def render: String = variants.mkString("[", ", ", "]")
   }
 
+  /** Strip optionality — the underlying value type. */
+  def base(t: FieldType): FieldType = t match {
+    case OptionalT(inner) => base(inner)
+    case other            => other
+  }
+
   /** Primitive-name aliases — reference `types.rs:48-60` (`from_primitive_str`). */
   private val aliases: Map[String, FieldType] = Map(
     "string" -> StringT, "str" -> StringT, "text" -> StringT, "varchar" -> StringT,

@@ -38,7 +38,8 @@ import graft.schema.{EventSchema, FieldType}
   */
 final class EventStore(val spark: SparkSession, val root: String,
     flushThreshold: Int = 32768,
-    clock: () => Long = () => System.currentTimeMillis() / 1000) extends EventSource {
+    clock: () => Long = () => System.currentTimeMillis() / 1000,
+    walEnabled: Boolean = true) extends EventSource {
 
   graft.functions.Md5Long.register(spark) // pipeline SQL lambdas over store data
   graft.functions.DotLong.register(spark) // native dot product in SQL fragments
@@ -58,13 +59,25 @@ final class EventStore(val spark: SparkSession, val root: String,
   // append order, which is what REPLAY requires.
   private val batchSeq = new AtomicLong(1L)
   private val seqInBatch = new AtomicLong(0L)
-  @volatile private var storeBatchBase: Long = -1L
+  private val storeBatchBase = new AtomicLong(-1L)
   private def nextStoreId(): Long = {
-    if (storeBatchBase < 0) storeBatchBase = batchSeq.getAndIncrement() << 50
-    storeBatchBase + seqInBatch.getAndIncrement()
+    var base = storeBatchBase.get()
+    if (base < 0) {
+      // CAS so two racing first-writers share one batch block
+      val candidate = batchSeq.getAndIncrement() << 50
+      base = if (storeBatchBase.compareAndSet(-1L, candidate)) candidate
+             else storeBatchBase.get()
+    }
+    base + seqInBatch.getAndIncrement()
   }
 
+  // write-ahead log for the synchronous STORE path: uncommitted memtable
+  // rows survive restarts (reference `wal/*` scenarios; the streaming path
+  // gets the same guarantee from checkpoints — see [[Ingest]])
+  private val walFile = Paths.get(root, "_wal", "events.jsonl")
+
   loadCatalog()
+  if (walEnabled) replayWal()
 
   // ---------------- catalog ----------------
 
@@ -78,17 +91,73 @@ final class EventStore(val spark: SparkSession, val root: String,
         val json = new String(Files.readAllBytes(p), "UTF-8")
         EventStore.schemaFromJson(json).foreach(s => schemas(s.eventType) = s)
       }
-    // restore the batch high-water from committed data
+    // restore the batch high-water from committed data — ONE Spark job over
+    // the union of per-type id columns, not one job per type
     val committedTypes = listCommittedTypes().filter(schemas.contains)
     if (committedTypes.nonEmpty) {
-      val maxId = committedTypes.map { t =>
-        committedFrame(t).agg(max(col(EventSchema.EventId))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r                  => r.getLong(0)
-        }
-      }.max
+      val ids = committedTypes.map(t => committedFrame(t).select(col(EventSchema.EventId)))
+        .reduce(_ union _)
+      val maxId = ids.agg(max(col(EventSchema.EventId))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
       batchSeq.set((maxId >> 50) + 1)
     }
+  }
+
+  // ---------------- WAL ----------------
+
+  private def appendWal(eventType: String, contextId: String, ts: Long, id: Long,
+      values: Vector[Any], schema: EventSchema): Unit = {
+    val mapper = EventStore.mapperInstance
+    val n = mapper.createObjectNode()
+    n.put("t", eventType); n.put("c", contextId); n.put("ts", ts); n.put("id", id)
+    val arr = n.putArray("v")
+    values.zip(schema.fields).foreach { case (v, _) =>
+      v match {
+        case null        => arr.addNull()
+        case s: String   => arr.add(s)
+        case l: Long     => arr.add(l)
+        case i: Int      => arr.add(i.toLong)
+        case d: Double   => arr.add(d)
+        case b: Boolean  => arr.add(b)
+        case other       => arr.add(other.toString)
+      }
+    }
+    Files.createDirectories(walFile.getParent)
+    Files.write(walFile, (mapper.writeValueAsString(n) + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Rebuild the memtable from unflushed WAL entries (crash/restart
+    * recovery). Ids are restored verbatim; the batch sequence resumes past
+    * the recovered high-water so no id block is reused. */
+  private def replayWal(): Unit = {
+    if (!Files.exists(walFile)) return
+    var maxId = 0L
+    Files.readAllLines(walFile).asScala.filter(_.nonEmpty).foreach { line =>
+      val n = EventStore.readTree(line)
+      val t = n.get("t").asText()
+      schemas.get(t).foreach { schema =>
+        val vals = n.get("v").elements().asScala.toVector.zip(schema.fields).map {
+          case (v, (_, ft)) =>
+            if (v.isNull) null
+            else FieldType.base(ft) match {
+              case FieldType.StringT | _: FieldType.EnumT => v.asText()
+              case FieldType.I64T | FieldType.U64T |
+                   FieldType.TimestampT | FieldType.DateT => v.asLong()
+              case FieldType.F64T  => v.asDouble()
+              case FieldType.BoolT => v.asBoolean()
+              case _               => v.asText()
+            }
+        }
+        val id = n.get("id").asLong()
+        maxId = math.max(maxId, id)
+        val row = Row.fromSeq(Seq(n.get("c").asText(), t, n.get("ts").asLong(), id) ++ vals)
+        memtable.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += row
+      }
+    }
+    if (maxId > 0) batchSeq.set(math.max(batchSeq.get(), (maxId >> 50) + 1))
   }
 
   def define(cmd: DefineCmd): Either[String, EventSchema] = {
@@ -118,7 +187,7 @@ final class EventStore(val spark: SparkSession, val root: String,
     * `handlers/store.rs:22`). */
   def store(cmd: StoreCmd): Either[String, Long] = {
     val schema = schemas.getOrElse(cmd.eventType,
-      return Left(s"unknown event type: ${cmd.eventType}"))
+      return Left(s"No schema defined for event type '${cmd.eventType}'"))
     EventStore.parseJsonObject(cmd.payloadJson) match {
       case Left(err) => Left(s"invalid payload JSON: $err")
       case Right(payload) =>
@@ -126,7 +195,9 @@ final class EventStore(val spark: SparkSession, val root: String,
           case Left(err) => Left(err)
           case Right(values) =>
             val id = nextStoreId()
-            val row = Row.fromSeq(Seq(cmd.contextId, cmd.eventType, clock(), id) ++ values)
+            val ts = clock()
+            val row = Row.fromSeq(Seq(cmd.contextId, cmd.eventType, ts, id) ++ values)
+            if (walEnabled) appendWal(cmd.eventType, cmd.contextId, ts, id, values, schema)
             memtable.getOrElseUpdate(cmd.eventType, mutable.ArrayBuffer.empty) += row
             if (memtable.valuesIterator.map(_.size).sum >= flushThreshold) flush()
             Right(id)
@@ -141,7 +212,7 @@ final class EventStore(val spark: SparkSession, val root: String,
     * driver loop) — the 100 TB path. */
   def ingestFrame(eventType: String, df: DataFrame, contextCol: String,
       tsCol: Option[String] = None): Either[String, Long] = {
-    val schema = schemas.getOrElse(eventType, return Left(s"unknown event type: $eventType"))
+    val schema = schemas.getOrElse(eventType, return Left(s"No schema defined for event type '$eventType'"))
     val payloadCols = schema.fields.map { case (n, t) =>
       val c = col(n)
       val typed = t match {
@@ -163,7 +234,8 @@ final class EventStore(val spark: SparkSession, val root: String,
     Right(base)
   }
 
-  /** FLUSH: memtable → committed Parquet segment (reference flusher). */
+  /** FLUSH: memtable → committed Parquet segment (reference flusher). The
+    * WAL truncates only after every segment write commits. */
   def flush(): Unit = {
     memtable.foreach { case (t, rows) =>
       if (rows.nonEmpty) {
@@ -173,6 +245,7 @@ final class EventStore(val spark: SparkSession, val root: String,
       }
     }
     memtable.clear()
+    if (walEnabled) Files.deleteIfExists(walFile)
   }
 
   private def writeSegment(t: String, df: DataFrame): Unit =
@@ -324,6 +397,7 @@ object EventStore {
   import com.fasterxml.jackson.databind.node.ObjectNode
 
   private val mapper = new ObjectMapper()
+  private[store] def mapperInstance: ObjectMapper = mapper
 
   def jsonString(s: String): String = mapper.writeValueAsString(s)
   def readTree(json: String): com.fasterxml.jackson.databind.JsonNode = mapper.readTree(json)

@@ -1,14 +1,9 @@
 package graft
 
-import java.nio.file.Files
-
-import scala.collection.mutable
-
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.auth.AuthManager
-import graft.store.{EventStore, Responses, SecureEventStore}
 
 /** Protocol-level behavior parity with the reference's permissions / auth /
   * session-token scenario corpus (`tests/integration/scenarios.json`:
@@ -20,36 +15,7 @@ import graft.store.{EventStore, Responses, SecureEventStore}
 class PermissionScenariosSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
-  /** Minimal analog of the reference's integration runner: accumulates the
-    * rendered wire output, substitutes `{TOKEN:user}` placeholders, and
-    * captures tokens from `AUTH` responses. */
-  private final class Proto(authEnabled: Boolean) {
-    private val dir = Files.createTempDirectory("graft_proto_").toString
-    private var t = 1000L
-    val store = new EventStore(spark, dir, clock = () => { t += 1; t })
-    val secure = new SecureEventStore(store, new AuthManager(dir), bypassAuth = !authEnabled)
-    if (authEnabled) secure.bootstrapAdmin("admin", "admin-key-123")
-    private val sb = new StringBuilder
-    private val tokens = mutable.Map.empty[String, String]
-
-    def send(cmd: String): String = {
-      val withTok = """\{TOKEN:(\w+)\}""".r
-        .replaceAllIn(cmd, m => tokens.getOrElse(m.group(1), "missing_token"))
-      val r = Responses.render(secure.execute(withTok))
-      val tokIdx = r.indexOf("OK TOKEN ")
-      if (tokIdx >= 0) {
-        val user = withTok.trim.substring(5).split(":")(0)
-        tokens(user) = r.substring(tokIdx + 9).linesIterator.next().trim
-      }
-      sb.append(r); r
-    }
-    def as(user: String, key: String)(cmd: String): String =
-      send(s"$cmd user_id=$user signature=${AuthManager.hmacHex(key, cmd)}")
-    def admin(cmd: String): String = as("admin", "admin-key-123")(cmd)
-    def authCmd(user: String, key: String): String =
-      send(s"AUTH $user:${AuthManager.hmacHex(key, user)}")
-    def output: String = sb.toString
-  }
+  private def newProto(authEnabled: Boolean) = new Proto(spark, authEnabled)
 
   private def assertIncludes(out: String, frags: String*): Unit =
     frags.foreach(f => assert(out.contains(f), s"output missing <$f>:\n$out"))
@@ -60,7 +26,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // _grant_write_only, _grant_multiple_event_types, _grant_merges_with_existing,
   // _multiple_grants_same_event_type
   test("grant shapes: read/write, single and multi type, merging") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""DEFINE bills FIELDS { total: "int" }""")
     p.admin("""DEFINE shipments FIELDS { weight: "int" }""")
     p.admin("""CREATE USER clerk WITH KEY "clerk-key"""")
@@ -97,7 +63,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // permissions_revoke_all, _revoke_partial_read, _revoke_partial_write,
   // _revoke_multiple_event_types, _revoke_nonexistent_permission_no_error
   test("revoke shapes: full, partial, multi type, lenient on unknown types") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""DEFINE bills FIELDS { total: "int" }""")
     p.admin("""DEFINE shipments FIELDS { weight: "int" }""")
 
@@ -135,7 +101,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
 
   // permissions_show_empty_permissions, permissions_show_nonexistent_user_error
   test("show permissions: empty and unknown user") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""CREATE USER blank WITH KEY "bk"""")
     assertIncludes(p.admin("SHOW PERMISSIONS FOR blank"), "has no permissions")
     assertIncludes(p.admin("SHOW PERMISSIONS FOR nobody"), "User not found")
@@ -145,7 +111,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // _query_requires_read_permission, _query_denied_without_read,
   // _full_workflow_read_write
   test("enforcement: store needs write, query needs read, full workflow") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""DEFINE tickets FIELDS { seat: "int", tier: "string" }""")
     p.admin("""CREATE USER writer WITH KEY "wkey"""")
     p.admin("GRANT WRITE ON tickets TO writer")
@@ -175,7 +141,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // permissions_grant_between_commands_takes_effect,
   // permissions_grant_read_between_queries_takes_effect
   test("grants take effect between commands without restart") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""DEFINE logs FIELDS { line: "string" }""")
     p.admin("""CREATE USER late WITH KEY "lkey"""")
     val before = p.as("late", "lkey")("""STORE logs FOR c PAYLOAD {"line":"first"}""")
@@ -194,7 +160,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // _non_admin_cannot_revoke, _non_admin_cannot_show_permissions,
   // _define_requires_admin, _admin_can_define_schema
   test("admin gates: permission management and DEFINE") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     assertIncludes(p.admin("""DEFINE zones FIELDS { id: "int" }"""), "200 OK")
     p.admin("""CREATE USER plain WITH KEY "pk"""")
     p.admin("""CREATE USER target WITH KEY "tk"""")
@@ -217,7 +183,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // permissions_invalid_permission_name_error,
   // permissions_grant_to_nonexistent_event_type_error
   test("error paths: unknown user, invalid permission, undefined event type") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""DEFINE zones FIELDS { id: "int" }""")
     assertIncludes(p.admin("GRANT READ, WRITE ON zones TO phantom"), "User not found")
     assertIncludes(p.admin("REVOKE READ, WRITE ON zones FROM phantom"), "User not found")
@@ -230,7 +196,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // permissions_override_read_only_role, _override_editor_role,
   // _override_write_only_role, _override_role_none_permission
   test("per-type permissions override roles") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""DEFINE metrics FIELDS { v: "int" }""")
     p.admin("""STORE metrics FOR ctx PAYLOAD {"v":42}""")
 
@@ -265,7 +231,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // revoke_key_with_roles, revoke_key_error_user_not_found,
   // revoke_key_then_create_same_user_fails, revoke_key_preserves_permissions
   test("revoke key: deactivation, session kill, record/permission survival") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""DEFINE pings FIELDS { n: "int" }""")
     p.admin("""CREATE USER keyed WITH KEY "keyed-key"""")
     p.admin("GRANT READ, WRITE ON pings TO keyed")
@@ -300,7 +266,7 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // _insufficient_permissions, _query_command, _token_in_payload,
   // _empty_token, _multiple_users
   test("session tokens: lifecycle, permissions, payload collision, multiple users") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     p.admin("""DEFINE taps FIELDS { v: "int", token: "string | null" }""")
     p.admin("""CREATE USER tok1 WITH KEY "tok1-key"""")
     p.admin("""CREATE USER tok2 WITH KEY "tok2-key"""")
@@ -340,26 +306,26 @@ class PermissionScenariosSpec extends AnyFunSuite {
   // auth_create_user_and_list, auth_bypass_enabled_allows_unauthenticated_commands,
   // auth_bypass_disabled_requires_authentication
   test("auth basics: create/list, bypass on, bypass off") {
-    val p = new Proto(authEnabled = true)
+    val p = newProto(authEnabled = true)
     val created = p.admin("""CREATE USER fresh WITH KEY "fresh-key"""")
     assertIncludes(created, "User 'fresh' created", "Secret key:")
     assertIncludes(p.admin("LIST USERS"), "fresh: active")
 
     // bypass: unauthenticated commands work end to end
-    val b = new Proto(authEnabled = false)
+    val b = newProto(authEnabled = false)
     b.send("""DEFINE open FIELDS { v: "int" }""")
     b.send("""STORE open FOR ctx1 PAYLOAD {"v":42}""")
     assertIncludes(b.send("QUERY open WHERE v = 42"), "ctx1", "42")
 
     // auth on: unauthenticated commands are rejected
-    val strict = new Proto(authEnabled = true)
+    val strict = newProto(authEnabled = true)
     assertIncludes(strict.send("""DEFINE closed FIELDS { v: "int" }"""),
       "Authentication failed")
   }
 
   // wire-protocol shape: schema/batch/end frames under 200 OK header
   test("query responses render as line-protocol JSON frames") {
-    val p = new Proto(authEnabled = false)
+    val p = newProto(authEnabled = false)
     p.send("""DEFINE fr FIELDS { v: "int" }""")
     p.send("""STORE fr FOR a PAYLOAD {"v":1}""")
     p.send("""STORE fr FOR b PAYLOAD {"v":2}""")

@@ -68,7 +68,7 @@ class ScenarioParitySpec extends AnyFunSuite {
   test("enum: case-sensitive variants, neq filtering") {
     val s = newStore()
     s.execute("""DEFINE sub FIELDS { plan: ["pro", "basic"] }""")
-    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "PRO"}""")).contains("not a variant"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "PRO"}""")).contains("does not match expected type"))
     s.execute("""STORE sub FOR u1 PAYLOAD {"plan": "pro"}""")
     s.execute("""STORE sub FOR u2 PAYLOAD {"plan": "basic"}""")
     val rows = frame(s.execute("""QUERY sub WHERE plan != "pro"""")).collect()
@@ -164,14 +164,14 @@ class ScenarioParitySpec extends AnyFunSuite {
   test("store validation errors: unknown type, type mismatch, missing/extra fields, bad time") {
     val s = newStore()
     s.execute("""DEFINE ord FIELDS { order_id: "int", created_at: "datetime" }""")
-    assert(err(s.execute("""STORE nosuch FOR c PAYLOAD {"x": 1}""")).contains("unknown event type"))
+    assert(err(s.execute("""STORE nosuch FOR c PAYLOAD {"x": 1}""")).contains("No schema defined"))
     assert(err(s.execute("""STORE ord FOR c PAYLOAD {"order_id": "a string", "created_at": "2025-01-01T00:00:00Z"}"""))
       .contains("order_id"))
     assert(err(s.execute("""STORE ord FOR c PAYLOAD {"order_id": 1}""")).contains("created_at"))
     assert(err(s.execute("""STORE ord FOR c PAYLOAD {"order_id": 1, "created_at": "2025-01-01T00:00:00Z", "zz": 2}"""))
       .contains("zz"))
     assert(err(s.execute("""STORE ord FOR c PAYLOAD {"order_id": 1, "created_at": "not-a-time"}"""))
-      .toLowerCase.contains("invalid time"))
+      .contains("Invalid time string"))
   }
 
   test("optional field: present and absent rows both store and match") {

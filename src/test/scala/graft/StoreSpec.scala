@@ -53,11 +53,11 @@ class StoreSpec extends AnyFunSuite {
   test("STORE validation: unknown type, missing/extra/type/enum errors") {
     val s = newStore()
     s.execute("""DEFINE sub FIELDS { plan: ["pro", "basic"], n: "int", note: "string | null" }""")
-    assert(err(s.execute("""STORE nope FOR u PAYLOAD {"x": 1}""")).contains("unknown event type"))
-    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro"}""")).contains("missing required field"))
-    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 1, "zz": 2}""")).contains("unknown fields"))
-    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "gold", "n": 1}""")).contains("not a variant"))
-    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": "x"}""")).contains("expected integer"))
+    assert(err(s.execute("""STORE nope FOR u PAYLOAD {"x": 1}""")).contains("No schema defined"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro"}""")).contains("Missing field"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 1, "zz": 2}""")).contains("not defined in schema: zz"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "gold", "n": 1}""")).contains("does not match expected type"))
+    assert(err(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": "x"}""")).contains("does not match expected type"))
     // optional field may be absent or null
     assert(ok(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 1}""")).contains("Event accepted"))
     assert(ok(s.execute("""STORE sub FOR u PAYLOAD {"plan": "pro", "n": 2, "note": null}""")).contains("Event accepted"))
