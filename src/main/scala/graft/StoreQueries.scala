@@ -59,9 +59,38 @@ object StoreQueries {
     }
   }
 
+  /** Aggregate materialization maintained by partial-state merge (the
+    * reference's AggState design): REMEMBER an aggregate over the first
+    * slice, ingest two more slices with a SHOW in between (two merge
+    * cycles), and the final SHOW must equal the aggregate over the full
+    * stream — proving the merged state is exact, including COUNT UNIQUE. */
+  def rememberShowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(spark)
+    store.execute("""DEFINE purchase FIELDS { value: "float", props: "string" }""")
+    val purchases = new TestDataSource(spark, dir).frame("purchase")
+      .select(col("context_id"), col("timestamp"), col("value"), col("props"))
+    val midTs = splitTs + 5 * 86400
+    def slice(df: DataFrame) = store.ingestFrame("purchase", df, "context_id", Some("timestamp"))
+      .left.foreach(e => throw new IllegalStateException(e))
+    slice(purchases.filter(col("timestamp") < splitTs))
+    store.execute(
+      "REMEMBER QUERY purchase COUNT, TOTAL value, AVG value, MIN value, MAX value, COUNT UNIQUE context_id BY props AS agg_props") match {
+      case ExecResult.Error(e, _) => throw new IllegalStateException(e)
+      case _                      => ()
+    }
+    slice(purchases.filter(col("timestamp") >= splitTs && col("timestamp") < midTs))
+    store.execute("SHOW agg_props") // first delta merge
+    slice(purchases.filter(col("timestamp") >= midTs))
+    store.execute("SHOW agg_props") match { // second delta merge
+      case ExecResult.Frame(df) => df
+      case other                => throw new IllegalStateException(other.toString)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_store_roundtrip" -> ((s, d) => storeRoundtrip(s, d)),
-    "q_remember_show"   -> ((s, d) => rememberShow(s, d))
+    "q_store_roundtrip"   -> ((s, d) => storeRoundtrip(s, d)),
+    "q_remember_show"     -> ((s, d) => rememberShow(s, d)),
+    "q_remember_show_agg" -> ((s, d) => rememberShowAgg(s, d))
   )
 
   private val purchaseView =
@@ -71,6 +100,8 @@ object StoreQueries {
     "q_store_roundtrip" ->
       s"""WITH e AS ($purchaseView) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE value > 120""",
     "q_remember_show" ->
-      s"""WITH e AS ($purchaseView) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE value > 150"""
+      s"""WITH e AS ($purchaseView) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE value > 150""",
+    "q_remember_show_agg" ->
+      s"""WITH e AS ($purchaseView) SELECT props, CAST(count(*) AS BIGINT) AS "count", CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, avg(CAST(trunc(value) AS BIGINT)) AS avg_value, min(value) AS min_value, max(value) AS max_value, CAST(count(DISTINCT context_id) AS BIGINT) AS count_unique_context_id FROM e GROUP BY 1"""
   )
 }

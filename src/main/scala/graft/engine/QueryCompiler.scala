@@ -92,33 +92,31 @@ object QueryCompiler {
 
   // ---------------- aggregation ----------------
 
-  private def compileAggregate(df: DataFrame, q: QueryCmd): DataFrame = {
-    val bucketExpr: Option[Column] = q.timeBucket.map { g =>
-      val timeCol = col(q.bucketTimeField.orElse(q.timeField).getOrElse(EventSchema.Timestamp))
-      // calendar-aware by default; spark.graft.time.naiveBuckets=true switches
-      // to the reference's fixed-width mode (hour 3600 … year 31536000 —
-      // `[time] calendar=false` in the reference config, SURVEY §2.3 A8)
-      val naive = org.apache.spark.sql.SparkSession.active.conf
-        .getOption("spark.graft.time.naiveBuckets").contains("true")
-      TimeBucketing.bucket(timeCol, g, calendar = !naive).as(BucketCol)
-    }
-    val groupCols: Seq[Column] = bucketExpr.toSeq ++ q.groupBy.map(col)
-    val aggCols = q.aggs.map(aggColumn(df.schema, _))
+  /** Bucket column for `PER <granularity>` queries (shared with the
+    * incremental aggregate materializer). */
+  private[graft] def bucketColumn(q: QueryCmd): Option[Column] = q.timeBucket.map { g =>
+    val timeCol = col(q.bucketTimeField.orElse(q.timeField).getOrElse(EventSchema.Timestamp))
+    // calendar-aware by default; spark.graft.time.naiveBuckets=true switches
+    // to the reference's fixed-width mode (hour 3600 … year 31536000 —
+    // `[time] calendar=false` in the reference config, SURVEY §2.3 A8)
+    val naive = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.time.naiveBuckets").contains("true")
+    TimeBucketing.bucket(timeCol, g, calendar = !naive).as(BucketCol)
+  }
 
-    val grouped =
-      if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-      else df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+  private[graft] def groupNames(q: QueryCmd): Seq[String] =
+    q.timeBucket.map(_ => BucketCol).toSeq ++ q.groupBy
 
-    val groupNames = (bucketExpr.map(_ => BucketCol).toSeq ++ q.groupBy)
-
-    // ORDER BY / LIMIT / OFFSET applied after the final merge (reference
-    // `query_plan.rs:211-227`); default order = group columns for
-    // deterministic output; tiebreak on remaining group columns.
+  /** ORDER BY / LIMIT / OFFSET over finalized groups — applied after the
+    * final merge (reference `query_plan.rs:211-227`); default order = group
+    * columns for deterministic output. Shared with the materializer. */
+  private[graft] def orderAndPageGroups(grouped: DataFrame, q: QueryCmd,
+      names: Seq[String]): DataFrame = {
     val ordered = q.orderBy match {
       case Some(OrderSpec(f, desc)) =>
         val c = if (desc) col(f).desc else col(f).asc
-        grouped.orderBy(c +: groupNames.filterNot(_ == f).map(col): _*)
-      case None if groupNames.nonEmpty => grouped.orderBy(groupNames.map(col): _*)
+        grouped.orderBy(c +: names.filterNot(_ == f).map(col): _*)
+      case None if names.nonEmpty => grouped.orderBy(names.map(col): _*)
       case None => grouped
     }
     (q.offset, q.limit) match {
@@ -127,6 +125,18 @@ object QueryCompiler {
       case (None, Some(l))    => ordered.limit(l)
       case (None, None)       => ordered
     }
+  }
+
+  private def compileAggregate(df: DataFrame, q: QueryCmd): DataFrame = {
+    val bucketExpr = bucketColumn(q)
+    val groupCols: Seq[Column] = bucketExpr.toSeq ++ q.groupBy.map(col)
+    val aggCols = q.aggs.map(aggColumn(df.schema, _))
+
+    val grouped =
+      if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+
+    orderAndPageGroups(grouped, q, groupNames(q))
   }
 
   /** One AggSpec → typed Catalyst aggregate with reference-parity naming and

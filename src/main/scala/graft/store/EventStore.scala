@@ -177,6 +177,9 @@ final class EventStore(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Store-visible wall clock (injectable in tests; retention ages against it). */
+  def now: Long = clock()
+
   def schemaFor(t: String): Option[EventSchema] = schemas.get(t)
   override def schemaOf(t: String): Option[EventSchema] = schemas.get(t)
 

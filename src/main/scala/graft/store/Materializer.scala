@@ -1,31 +1,41 @@
 package graft.store
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ast._
-import graft.engine.QueryCompiler
+import graft.engine.{AggStateCompiler, QueryCompiler}
 import graft.schema.EventSchema
 
 /** REMEMBER / SHOW — incrementally-maintained materialized query results
   * (reference `src/engine/materialize/`, `docs/src/design/materialization.md`;
   * SURVEY.md §2.5).
   *
-  * REMEMBER runs the query once, persists the result as a Parquet table
-  * under `root/_materializations/<name>/data` together with the query text
-  * and a high-water mark `(timestamp, event_id)` over the SOURCE events.
-  * SHOW streams the stored table plus an incremental delta — the stored
-  * query re-run with a `(ts, event_id) > hwm` predicate — appends the delta
-  * to the store and advances the watermark. This is exactly the reference's
-  * watermark/delta design with Parquet standing in for the LZ4 frame store
-  * and the catalog entry; in streaming deployments the same thing falls out
-  * of Structured Streaming checkpoints ([[Ingest]]).
+  * REMEMBER records the query, an `event_id` high-water mark over the source
+  * scope, and a schema hash. SHOW advances the materialization with only the
+  * delta rows `hwm_old < event_id <= hwm_new` — the id bound is captured
+  * BEFORE the delta is evaluated, so rows that land mid-SHOW are picked up
+  * by the next SHOW instead of being silently skipped (and the filter is on
+  * `event_id` alone, which is monotonic per store, so late/out-of-order
+  * payload timestamps can't hide events from the delta).
   *
-  * Aggregation queries are materialized by full recompute on SHOW (appending
-  * raw deltas would double-count groups); selection queries use the true
-  * incremental path.
+  *  - Selection queries append the delta to the stored Parquet in ONE job
+  *    (no separate count pass).
+  *  - Aggregate queries maintain mergeable partial state
+  *    ([[AggStateCompiler]], the reference's `AggState` design) — SHOW costs
+  *    one delta scan + a group-key merge, not a full recompute.
+  *  - Sequence queries full-recompute (join state is not mergeable here).
+  *
+  * Schema evolution: the recorded schema hash is checked on every SHOW and
+  * appending against a changed schema fails (reference
+  * `materialization.md:127-133`). Retention (`max_rows` / `max_age_seconds`,
+  * reference `materialize/store/retention.rs`) prunes selection
+  * materializations after each append; policies are recorded in the catalog
+  * entry, set programmatically as in the reference.
   */
 final class Materializer(store: EventStore) {
   private val spark: SparkSession = store.spark
@@ -33,69 +43,188 @@ final class Materializer(store: EventStore) {
 
   /** The stored query of a materialization, if it exists (used by the auth
     * gate to scope SHOW to the query's event types). */
-  def storedQuery(name: String): Option[QueryCmd] = {
-    val metaFile = matDir(name).resolve("meta.json")
-    if (!Files.exists(metaFile)) None
+  def storedQuery(name: String): Option[QueryCmd] =
+    readMeta(name).map(m => graft.parser.CommandParser.parse(m.query).asInstanceOf[QueryCmd])
+
+  // ---------------- catalog entry ----------------
+
+  private case class Meta(query: String, hwmId: Long, schemaHash: String,
+      maxRows: Option[Long], maxAgeSeconds: Option[Long])
+
+  private def readMeta(name: String): Option[Meta] = {
+    val f = matDir(name).resolve("meta.json")
+    if (!Files.exists(f)) None
     else {
-      val node = EventStore.readTree(new String(Files.readAllBytes(metaFile), "UTF-8"))
-      Some(graft.parser.CommandParser.parse(node.get("query").asText()).asInstanceOf[QueryCmd])
+      val n = EventStore.readTree(new String(Files.readAllBytes(f), "UTF-8"))
+      Some(Meta(
+        n.get("query").asText(),
+        if (n.has("hwm_id")) n.get("hwm_id").asLong() else Long.MinValue,
+        if (n.has("schema_hash")) n.get("schema_hash").asText() else "",
+        if (n.has("max_rows") && !n.get("max_rows").isNull) Some(n.get("max_rows").asLong()) else None,
+        if (n.has("max_age_seconds") && !n.get("max_age_seconds").isNull)
+          Some(n.get("max_age_seconds").asLong()) else None))
     }
   }
+
+  private def writeMeta(name: String, m: Meta): Unit = {
+    val json = s"""{"query": ${EventStore.jsonString(m.query)}, "hwm_id": ${m.hwmId}, """ +
+      s""""schema_hash": ${EventStore.jsonString(m.schemaHash)}, """ +
+      s""""max_rows": ${m.maxRows.map(_.toString).getOrElse("null")}, """ +
+      s""""max_age_seconds": ${m.maxAgeSeconds.map(_.toString).getOrElse("null")}}"""
+    Files.write(matDir(name).resolve("meta.json"), json.getBytes("UTF-8"))
+  }
+
+  /** Fingerprint of every schema in the query's scope — SHOW refuses to
+    * append across a schema change (reference materialization.md). */
+  private def schemaHash(q: QueryCmd): String = {
+    val types =
+      if (q.eventType == "*") store.eventTypes.sorted
+      else q.sequence.map(s => (s.head +: s.links.map(_._2)).distinct).getOrElse(Seq(q.eventType))
+    val spec = types.flatMap(t => store.schemaOf(t)).map { s =>
+      s"${s.eventType}/${s.version}:" + s.fields.map { case (n, t) => s"$n=${t.render}" }.mkString(",")
+    }.mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(spec.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Max event_id currently visible in the query's scope — ONE job. */
+  private def currentMaxId(q: QueryCmd): Long = {
+    val r = QueryCompiler.scoped(q, store).agg(max(col(EventSchema.EventId))).head()
+    if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+  }
+
+  /** Record a retention policy on an existing materialization (the reference
+    * stores policies in the catalog and enforces them on append). */
+  def setRetention(name: String, maxRows: Option[Long], maxAgeSeconds: Option[Long]): ExecResult =
+    readMeta(name) match {
+      case None    => ExecResult.Error(s"unknown materialization: $name", 404)
+      case Some(m) =>
+        writeMeta(name, m.copy(maxRows = maxRows, maxAgeSeconds = maxAgeSeconds))
+        ExecResult.Ok(s"retention set on '$name'")
+    }
+
+  // ---------------- REMEMBER ----------------
 
   def remember(cmd: RememberCmd): ExecResult = {
     val dir = matDir(cmd.name)
     if (Files.exists(dir)) return ExecResult.Error(s"materialization '${cmd.name}' already exists")
     Files.createDirectories(dir)
-
-    val result = QueryCompiler.compile(cmd.query, store)
-    result.write.mode("overwrite").parquet(dir.resolve("data").toString)
-    val hwm = currentHighWater(cmd.query)
-    val meta = s"""{"query": ${EventStore.jsonString(renderQuery(cmd.query))}, "hwm_ts": ${hwm._1}, "hwm_id": ${hwm._2}}"""
-    Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"))
+    val q = cmd.query
+    val hwmId = currentMaxId(q) // captured BEFORE evaluation: a concurrent
+                                // write lands in the next SHOW's delta
+    if (q.isAggregate && !q.isSequence) {
+      AggStateCompiler.partialState(q, boundedSource(Long.MinValue, hwmId))
+        .write.mode("overwrite").parquet(dir.resolve("state").toString)
+      AggStateCompiler.uniqueFields(q).foreach { f =>
+        AggStateCompiler.partialUnique(q, boundedSource(Long.MinValue, hwmId), f)
+          .write.mode("overwrite").parquet(dir.resolve(s"uniq_$f").toString)
+      }
+    } else {
+      QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
+        .write.mode("overwrite").parquet(dir.resolve("data").toString)
+    }
+    writeMeta(cmd.name, Meta(renderQuery(q), hwmId, schemaHash(q), None, None))
     ExecResult.Ok(s"remembered '${cmd.name}'")
   }
 
+  // ---------------- SHOW ----------------
+
   def show(name: String): ExecResult = {
     val dir = matDir(name)
-    if (!Files.exists(dir.resolve("meta.json")))
-      return ExecResult.Error(s"unknown materialization: $name")
-    val meta = new String(Files.readAllBytes(dir.resolve("meta.json")), "UTF-8")
-    val node = EventStore.readTree(meta)
-    val queryText = node.get("query").asText()
-    val hwmTs = node.get("hwm_ts").asLong()
-    val hwmId = node.get("hwm_id").asLong()
-    val query = graft.parser.CommandParser.parse(queryText).asInstanceOf[QueryCmd]
+    val meta = readMeta(name).getOrElse(
+      return ExecResult.Error(s"unknown materialization: $name", 404))
+    val query = graft.parser.CommandParser.parse(meta.query).asInstanceOf[QueryCmd]
 
-    if (query.isAggregate || query.isSequence) {
-      // full recompute for non-append-able shapes; refresh the snapshot
+    if (meta.schemaHash.nonEmpty && schemaHash(query) != meta.schemaHash)
+      return ExecResult.Error(
+        s"schema changed since materialization '$name' was created; recreate it")
+
+    if (query.isSequence) {
+      // join state is not incrementally mergeable — refresh the snapshot
       val result = QueryCompiler.compile(query, store)
-      result.write.mode("overwrite").parquet(dir.resolve("data").toString)
+      swapWrite(dir.resolve("data"), result)
       return ExecResult.Frame(spark.read.parquet(dir.resolve("data").toString))
     }
 
-    // incremental delta: stored query with (ts, event_id) > watermark —
-    // compiled as a filter BEFORE projection so event_id is still available
-    val snapshot = spark.read.parquet(dir.resolve("data").toString)
-    val deltaSrc = new DeltaSource(store, hwmTs, hwmId)
-    val delta = QueryCompiler.compile(query, deltaSrc)
-    val deltaRows = delta.count()
-    if (deltaRows > 0) {
+    val newHwm = currentMaxId(query)
+
+    if (query.isAggregate) {
+      if (newHwm > meta.hwmId) {
+        val delta = boundedSource(meta.hwmId, newHwm)
+        val merged = AggStateCompiler.mergeState(query,
+          spark.read.parquet(dir.resolve("state").toString),
+          AggStateCompiler.partialState(query, delta))
+        swapWrite(dir.resolve("state"), merged)
+        AggStateCompiler.uniqueFields(query).foreach { f =>
+          val mergedPairs = AggStateCompiler.mergeUnique(
+            spark.read.parquet(dir.resolve(s"uniq_$f").toString),
+            AggStateCompiler.partialUnique(query, delta, f))
+          swapWrite(dir.resolve(s"uniq_$f"), mergedPairs)
+        }
+        writeMeta(name, meta.copy(hwmId = newHwm))
+      }
+      val state = spark.read.parquet(dir.resolve("state").toString)
+      val uniques = AggStateCompiler.uniqueFields(query)
+        .map(f => f -> spark.read.parquet(dir.resolve(s"uniq_$f").toString)).toMap
+      return ExecResult.Frame(AggStateCompiler.finalize(query, state, uniques))
+    }
+
+    // selection: append the delta in ONE job (no separate count pass)
+    if (newHwm > meta.hwmId) {
+      val delta = QueryCompiler.compile(query, boundedSource(meta.hwmId, newHwm))
       delta.write.mode("append").parquet(dir.resolve("data").toString)
-      val hwm = currentHighWater(query)
-      val newMeta = s"""{"query": ${EventStore.jsonString(queryText)}, "hwm_ts": ${hwm._1}, "hwm_id": ${hwm._2}}"""
-      Files.write(dir.resolve("meta.json"), newMeta.getBytes("UTF-8"))
+      writeMeta(name, meta.copy(hwmId = newHwm))
+      enforceRetention(name, dir, meta)
     }
     ExecResult.Frame(spark.read.parquet(dir.resolve("data").toString))
   }
 
-  /** High-water mark over the query's source scope: max (timestamp,
-    * event_id) currently visible (reference `materialize/high_water.rs`). */
-  private def currentHighWater(q: QueryCmd): (Long, Long) = {
-    val scope = QueryCompiler.scoped(q, store)
-    val r = scope.agg(max(col(EventSchema.Timestamp)), max(col(EventSchema.EventId))).head()
-    (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
-     if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+  /** Retention (reference `materialize/store/retention.rs`): drop rows past
+    * `max_age_seconds`, then keep the most recent `max_rows` — enforced
+    * after each delta append. */
+  private def enforceRetention(name: String, dir: Path, meta: Meta): Unit = {
+    if (meta.maxRows.isEmpty && meta.maxAgeSeconds.isEmpty) return
+    var kept = spark.read.parquet(dir.resolve("data").toString)
+    meta.maxAgeSeconds.foreach { maxAge =>
+      kept = kept.filter(col(EventSchema.Timestamp) >= store.now - maxAge)
+    }
+    meta.maxRows.foreach { maxRows =>
+      kept = kept.orderBy(col(EventSchema.Timestamp).desc).limit(
+        math.min(maxRows, Int.MaxValue.toLong).toInt)
+    }
+    swapWrite(dir.resolve("data"), kept)
   }
+
+  /** Overwrite a Parquet dir that the plan is also reading: write to a tmp
+    * sibling, then swap (a direct overwrite would clobber its own input). */
+  private def swapWrite(target: Path, df: DataFrame): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val old = target.resolveSibling(target.getFileName.toString + ".old")
+    if (Files.exists(target)) Files.move(target, old)
+    Files.move(tmp, target)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  /** Source view bounded to `lo < event_id <= hi` — the SHOW delta window
+    * (reference `handlers/show/delta/{refresher,watermark}.rs`, re-keyed to
+    * the monotonic event id so late timestamps can't be skipped). */
+  private def boundedSource(lo: Long, hi: Long): graft.engine.EventSource =
+    new graft.engine.EventSource {
+      override def eventTypes: Seq[String] = store.eventTypes
+      override def frame(t: String): DataFrame = {
+        val f = store.frame(t)
+        val lower = if (lo == Long.MinValue) f else f.filter(col(EventSchema.EventId) > lo)
+        if (hi == Long.MaxValue) lower else lower.filter(col(EventSchema.EventId) <= hi)
+      }
+      override def schemaOf(t: String) = store.schemaOf(t)
+    }
 
   /** Render a QueryCmd back to command text (stored in the catalog entry). */
   private def renderQuery(q: QueryCmd): String = {
@@ -114,7 +243,8 @@ final class Materializer(store: EventStore) {
     q.sequenceTimeField.foreach(f => sb.append(s" USING TIME $f"))
     q.timeField.foreach(f => sb.append(s" USING $f"))
     if (q.aggs.nonEmpty) sb.append(q.aggs.map(renderAgg).mkString(" ", ", ", ""))
-    q.timeBucket.foreach(g => sb.append(s" PER ${g.toString.toUpperCase}"))
+    q.timeBucket.foreach(g => sb.append(s" PER ${g.toString.toUpperCase}" +
+      q.bucketTimeField.map(f => s" USING $f").getOrElse("")))
     if (q.groupBy.nonEmpty) sb.append(q.groupBy.mkString(" BY ", ", ", ""))
     q.limit.foreach(n => sb.append(s" LIMIT $n"))
     q.offset.foreach(n => sb.append(s" OFFSET $n"))
@@ -153,17 +283,4 @@ final class Materializer(store: EventStore) {
     case Lit.Bool(b) => b.toString
     case Lit.Null    => "null"
   }
-}
-
-/** EventSource view exposing only events past the watermark — the delta
-  * query of SHOW (reference `handlers/show/delta/{refresher,watermark}.rs`). */
-private final class DeltaSource(store: EventStore, hwmTs: Long, hwmId: Long)
-    extends graft.engine.EventSource {
-  override def eventTypes: Seq[String] = store.eventTypes
-  override def frame(t: String): DataFrame = {
-    val f = store.frame(t)
-    f.filter(col(EventSchema.Timestamp) > hwmTs ||
-      (col(EventSchema.Timestamp) === hwmTs && col(EventSchema.EventId) > hwmId))
-  }
-  override def schemaOf(t: String) = store.schemaOf(t)
 }
