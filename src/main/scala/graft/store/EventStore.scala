@@ -57,24 +57,41 @@ final class EventStore(val spark: SparkSession, val root: String,
   // 131k partitions) as the offset; the synchronous STORE path uses a dense
   // counter. Uniqueness is per store; ordering within a context follows
   // append order, which is what REPLAY requires.
+  //
+  // SHOW's delta watermark filters on event_id alone, so ids must stay
+  // monotonic across the sync and bulk paths: the sync block is re-allocated
+  // whenever any ingestFrame has taken a later block (otherwise a sync STORE
+  // after a bulk ingest would land BELOW an already-captured high-water mark
+  // and be silently excluded from every materialization delta).
   private val batchSeq = new AtomicLong(1L)
-  private val seqInBatch = new AtomicLong(0L)
-  private val storeBatchBase = new AtomicLong(-1L)
-  private def nextStoreId(): Long = {
-    var base = storeBatchBase.get()
-    if (base < 0) {
-      // CAS so two racing first-writers share one batch block
-      val candidate = batchSeq.getAndIncrement() << 50
-      base = if (storeBatchBase.compareAndSet(-1L, candidate)) candidate
-             else storeBatchBase.get()
+  private val idLock = new Object
+  private var syncBlockBase = -1L
+  private var syncOffset = 0L
+  private def nextStoreId(): Long = idLock.synchronized {
+    if (syncBlockBase < 0 || (syncBlockBase >>> 50) != batchSeq.get() - 1) {
+      syncBlockBase = batchSeq.getAndIncrement() << 50
+      syncOffset = 0L
     }
-    base + seqInBatch.getAndIncrement()
+    val id = syncBlockBase + syncOffset
+    syncOffset += 1
+    id
   }
 
   // write-ahead log for the synchronous STORE path: uncommitted memtable
   // rows survive restarts (reference `wal/*` scenarios; the streaming path
-  // gets the same guarantee from checkpoints — see [[Ingest]])
+  // gets the same guarantee from checkpoints — see [[Ingest]]).
+  // Appends are serialized behind a lock on a shared channel and fsync'd, so
+  // concurrent STOREs can't interleave partial lines and an acknowledged
+  // event is on disk before the ack (reference WAL fsync semantics).
   private val walFile = Paths.get(root, "_wal", "events.jsonl")
+  private val walLock = new Object
+  private var walChannel: java.nio.channels.FileChannel = null
+
+  /** Per-type max committed event_id, restored by [[loadCatalog]]; used by
+    * [[replayWal]] to skip WAL entries whose rows already reached a Parquet
+    * segment (the flush crash-window: a crash after `writeSegment(t1)` but
+    * before the WAL truncate must not re-insert t1's rows). */
+  private var committedMaxId = Map.empty[String, Long]
 
   loadCatalog()
   if (walEnabled) replayWal()
@@ -95,13 +112,13 @@ final class EventStore(val spark: SparkSession, val root: String,
     // the union of per-type id columns, not one job per type
     val committedTypes = listCommittedTypes().filter(schemas.contains)
     if (committedTypes.nonEmpty) {
-      val ids = committedTypes.map(t => committedFrame(t).select(col(EventSchema.EventId)))
+      val ids = committedTypes.map(t => committedFrame(t)
+          .select(lit(t).as("t"), col(EventSchema.EventId).as("id")))
         .reduce(_ union _)
-      val maxId = ids.agg(max(col(EventSchema.EventId))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r                  => r.getLong(0)
-      }
-      batchSeq.set((maxId >> 50) + 1)
+      committedMaxId = ids.groupBy(col("t")).agg(max(col("id")).as("m")).collect()
+        .filterNot(_.isNullAt(1)).map(r => r.getString(0) -> r.getLong(1)).toMap
+      val maxId = if (committedMaxId.isEmpty) 0L else committedMaxId.values.max
+      batchSeq.set((maxId >>> 50) + 1)
     }
   }
 
@@ -112,52 +129,87 @@ final class EventStore(val spark: SparkSession, val root: String,
     val mapper = EventStore.mapperInstance
     val n = mapper.createObjectNode()
     n.put("t", eventType); n.put("c", contextId); n.put("ts", ts); n.put("id", id)
+    // field names travel with the entry so recovery maps values BY NAME — a
+    // DEFINE that adds/reorders fields between the append and a restart can't
+    // shift values into the wrong columns
+    val names = n.putArray("f")
+    schema.fields.foreach { case (fname, _) => names.add(fname) }
     val arr = n.putArray("v")
-    values.zip(schema.fields).foreach { case (v, _) =>
-      v match {
-        case null        => arr.addNull()
-        case s: String   => arr.add(s)
-        case l: Long     => arr.add(l)
-        case i: Int      => arr.add(i.toLong)
-        case d: Double   => arr.add(d)
-        case b: Boolean  => arr.add(b)
-        case other       => arr.add(other.toString)
-      }
+    values.foreach {
+      case null        => arr.addNull()
+      case s: String   => arr.add(s)
+      case l: Long     => arr.add(l)
+      case i: Int      => arr.add(i.toLong)
+      case d: Double   => arr.add(d)
+      case b: Boolean  => arr.add(b)
+      case other       => arr.add(other.toString)
     }
-    Files.createDirectories(walFile.getParent)
-    Files.write(walFile, (mapper.writeValueAsString(n) + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val bytes = (mapper.writeValueAsString(n) + "\n").getBytes("UTF-8")
+    walLock.synchronized {
+      if (walChannel == null || !walChannel.isOpen) {
+        Files.createDirectories(walFile.getParent)
+        walChannel = java.nio.channels.FileChannel.open(walFile,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+      walChannel.write(java.nio.ByteBuffer.wrap(bytes))
+      walChannel.force(false) // acknowledged ⇒ durable (reference WAL fsync)
+    }
+  }
+
+  private def truncateWal(): Unit = walLock.synchronized {
+    if (walChannel != null && walChannel.isOpen) walChannel.close()
+    walChannel = null
+    Files.deleteIfExists(walFile)
   }
 
   /** Rebuild the memtable from unflushed WAL entries (crash/restart
-    * recovery). Ids are restored verbatim; the batch sequence resumes past
-    * the recovered high-water so no id block is reused. */
+    * recovery). Entries whose rows already reached a committed segment —
+    * the flush crash-window, where a crash lands after `writeSegment(t)` but
+    * before the WAL truncate — are skipped via the per-type committed max id
+    * (the reference prunes its WAL up to the flush cutoff per shard). Ids are
+    * restored verbatim; the batch sequence resumes past the recovered
+    * high-water so no id block is reused. */
   private def replayWal(): Unit = {
     if (!Files.exists(walFile)) return
     var maxId = 0L
     Files.readAllLines(walFile).asScala.filter(_.nonEmpty).foreach { line =>
       val n = EventStore.readTree(line)
       val t = n.get("t").asText()
-      schemas.get(t).foreach { schema =>
-        val vals = n.get("v").elements().asScala.toVector.zip(schema.fields).map {
-          case (v, (_, ft)) =>
-            if (v.isNull) null
-            else FieldType.base(ft) match {
-              case FieldType.StringT | _: FieldType.EnumT => v.asText()
-              case FieldType.I64T | FieldType.U64T |
-                   FieldType.TimestampT | FieldType.DateT => v.asLong()
-              case FieldType.F64T  => v.asDouble()
-              case FieldType.BoolT => v.asBoolean()
-              case _               => v.asText()
-            }
+      val id = n.get("id").asLong()
+      val alreadyCommitted = id <= committedMaxId.getOrElse(t, Long.MinValue)
+      if (!alreadyCommitted) schemas.get(t).foreach { schema =>
+        // map recorded values by field name against the CURRENT schema;
+        // legacy entries without names fall back to positional zip
+        val recorded: Map[String, com.fasterxml.jackson.databind.JsonNode] =
+          if (n.has("f")) {
+            val names = n.get("f").elements().asScala.map(_.asText()).toVector
+            names.zip(n.get("v").elements().asScala.toVector).toMap
+          } else {
+            schema.fields.map(_._1).zip(n.get("v").elements().asScala.toVector).toMap
+          }
+        val vals = schema.fields.map { case (fname, ft) =>
+          recorded.get(fname) match {
+            case None => null
+            case Some(v) if v.isNull => null
+            case Some(v) =>
+              FieldType.base(ft) match {
+                case FieldType.StringT | _: FieldType.EnumT => v.asText()
+                case FieldType.I64T | FieldType.U64T |
+                     FieldType.TimestampT | FieldType.DateT => v.asLong()
+                case FieldType.F64T  => v.asDouble()
+                case FieldType.BoolT => v.asBoolean()
+                case _               => v.asText()
+              }
+          }
         }
-        val id = n.get("id").asLong()
         maxId = math.max(maxId, id)
         val row = Row.fromSeq(Seq(n.get("c").asText(), t, n.get("ts").asLong(), id) ++ vals)
         memtable.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += row
       }
     }
-    if (maxId > 0) batchSeq.set(math.max(batchSeq.get(), (maxId >> 50) + 1))
+    if (maxId > 0) batchSeq.set(math.max(batchSeq.get(), (maxId >>> 50) + 1))
   }
 
   def define(cmd: DefineCmd): Either[String, EventSchema] = {
@@ -201,8 +253,11 @@ final class EventStore(val spark: SparkSession, val root: String,
             val ts = clock()
             val row = Row.fromSeq(Seq(cmd.contextId, cmd.eventType, ts, id) ++ values)
             if (walEnabled) appendWal(cmd.eventType, cmd.contextId, ts, id, values, schema)
-            memtable.getOrElseUpdate(cmd.eventType, mutable.ArrayBuffer.empty) += row
-            if (memtable.valuesIterator.map(_.size).sum >= flushThreshold) flush()
+            val shouldFlush = memtable.synchronized {
+              memtable.getOrElseUpdate(cmd.eventType, mutable.ArrayBuffer.empty) += row
+              memtable.valuesIterator.map(_.size).sum >= flushThreshold
+            }
+            if (shouldFlush) flush()
             Right(id)
         }
     }
@@ -212,10 +267,23 @@ final class EventStore(val spark: SparkSession, val root: String,
     * carry the payload columns; core columns are synthesized. If `tsCol` is
     * given it supplies the event timestamp (normalized to epoch seconds),
     * otherwise ingest time is used. Writes straight to Parquet (one job, no
-    * driver loop) — the 100 TB path. */
+    * driver loop) — the 100 TB path.
+    *
+    * When `idempotencyKey` is given (the streaming path derives it from
+    * `(checkpoint, batchId)`), the write is EXACTLY-ONCE under micro-batch
+    * replay: part files land under deterministic per-key names with
+    * replace-not-append semantics, and a `_ingest_<key>.committed` marker is
+    * the atomic commit point — a batch retried after a crash either skips
+    * (marker present) or overwrites its own partial output, never duplicates
+    * it (the WAL-replay-without-duplication guarantee of reference
+    * `engine/core/wal/wal_recovery.rs`, re-keyed to the checkpoint). */
   def ingestFrame(eventType: String, df: DataFrame, contextCol: String,
-      tsCol: Option[String] = None): Either[String, Long] = {
+      tsCol: Option[String] = None, idempotencyKey: Option[String] = None): Either[String, Long] = {
     val schema = schemas.getOrElse(eventType, return Left(s"No schema defined for event type '$eventType'"))
+    idempotencyKey.foreach { key =>
+      if (Files.exists(dataDir.resolve(eventType).resolve(s"_ingest_$key.committed")))
+        return Right(-1L) // already committed — replayed micro-batch
+    }
     val payloadCols = schema.fields.map { case (n, t) =>
       val c = col(n)
       val typed = t match {
@@ -233,22 +301,54 @@ final class EventStore(val spark: SparkSession, val root: String,
         lit(eventType).as(EventSchema.EventType),
         ts.as(EventSchema.Timestamp),
         (monotonically_increasing_id() + base).as(EventSchema.EventId)) ++ payloadCols): _*)
-    writeSegment(eventType, out)
+    idempotencyKey match {
+      case None      => writeSegment(eventType, out)
+      case Some(key) => writeSegmentIdempotent(eventType, out, key)
+    }
     Right(base)
   }
 
+  /** Write a segment under deterministic `ingest-<key>-<i>.parquet` names,
+    * then drop the commit marker. Retries of the same key replace any
+    * partial prior attempt instead of appending beside it. */
+  private def writeSegmentIdempotent(t: String, df: DataFrame, key: String): Unit = {
+    val typeDir = dataDir.resolve(t)
+    val tmp = dataDir.resolve(s".ingest_${t}_$key.tmp")
+    df.sortWithinPartitions(EventSchema.ContextId, EventSchema.Timestamp, EventSchema.EventId)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.createDirectories(typeDir)
+    // clear stale parts from a crashed earlier attempt of THIS key (a retry
+    // may produce a different part count — leftovers would be duplicates)
+    Files.list(typeDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith(s"ingest-$key-"))
+      .foreach(Files.delete)
+    val parts = Files.list(tmp).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, typeDir.resolve(s"ingest-$key-$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteRecursively(tmp)
+    Files.write(typeDir.resolve(s"_ingest_$key.committed"), // commit point
+      "1".getBytes("UTF-8"))
+  }
+
   /** FLUSH: memtable → committed Parquet segment (reference flusher). The
-    * WAL truncates only after every segment write commits. */
+    * WAL truncates only after every segment write commits; a crash between a
+    * segment write and the truncate is covered by [[replayWal]]'s
+    * committed-max-id dedupe. */
   def flush(): Unit = {
     memtable.foreach { case (t, rows) =>
       if (rows.nonEmpty) {
         val schema = schemas(t)
         val df = spark.createDataFrame(rows.asJava, schema.fullStruct)
         writeSegment(t, df)
+        val flushedMax = rows.iterator.map(_.getLong(3)).max
+        committedMaxId += t -> math.max(flushedMax, committedMaxId.getOrElse(t, Long.MinValue))
       }
     }
     memtable.clear()
-    if (walEnabled) Files.deleteIfExists(walFile)
+    if (walEnabled) truncateWal()
   }
 
   private def writeSegment(t: String, df: DataFrame): Unit =
@@ -260,7 +360,8 @@ final class EventStore(val spark: SparkSession, val root: String,
   private def listCommittedTypes(): Seq[String] =
     if (Files.isDirectory(dataDir))
       Files.list(dataDir).iterator().asScala.filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq.sorted
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq.sorted
     else Nil
 
   private def committedFrame(t: String): DataFrame = {
@@ -334,6 +435,11 @@ final class EventStore(val spark: SparkSession, val root: String,
           .repartition(targetFiles, col(EventSchema.ContextId))
           .sortWithinPartitions(EventSchema.ContextId, EventSchema.Timestamp, EventSchema.EventId)
           .write.mode("overwrite").parquet(tmp.toString)
+        // carry ingest commit markers into the rewritten dir — compaction
+        // must not reopen the exactly-once window for replayable batches
+        Files.list(dir).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("_ingest_"))
+          .foreach(m => Files.copy(m, tmp.resolve(m.getFileName.toString)))
         // atomic-ish swap on a local FS; on object stores this would be a
         // manifest swap (Delta-style)
         val old = dataDir.resolve(s"$t.old")

@@ -42,9 +42,12 @@ final class Materializer(store: EventStore) {
   private def matDir(name: String) = Paths.get(store.root, "_materializations", name)
 
   /** The stored query of a materialization, if it exists (used by the auth
-    * gate to scope SHOW to the query's event types). */
+    * gate to scope SHOW to the query's event types). A corrupt/unparseable
+    * meta.json yields None instead of throwing out of the auth gate. */
   def storedQuery(name: String): Option[QueryCmd] =
-    readMeta(name).map(m => graft.parser.CommandParser.parse(m.query).asInstanceOf[QueryCmd])
+    readMeta(name).flatMap(m =>
+      scala.util.Try(graft.parser.CommandParser.parse(m.query)).toOption
+        .collect { case q: QueryCmd => q })
 
   // ---------------- catalog entry ----------------
 
@@ -133,7 +136,10 @@ final class Materializer(store: EventStore) {
     val dir = matDir(name)
     val meta = readMeta(name).getOrElse(
       return ExecResult.Error(s"unknown materialization: $name", 404))
-    val query = graft.parser.CommandParser.parse(meta.query).asInstanceOf[QueryCmd]
+    val query = scala.util.Try(graft.parser.CommandParser.parse(meta.query)).toOption
+      .collect { case q: QueryCmd => q }
+      .getOrElse(return ExecResult.Error(
+        s"materialization '$name' has a corrupt stored query; recreate it"))
 
     if (meta.schemaHash.nonEmpty && schemaHash(query) != meta.schemaHash)
       return ExecResult.Error(

@@ -31,6 +31,10 @@ final class SecureEventStore(val store: EventStore, val auth: AuthManager,
     val bypassAuth: Boolean = false) {
 
   private val credentialRe = """\s+user_id=(\S+)\s+signature=(\S+)\s*$""".r
+  // session tokens are 32 hex chars (AuthManager.authenticate) — anchoring
+  // the suffix to that charset keeps a payload string containing " TOKEN "
+  // from hijacking auth routing
+  private val tokenSuffixRe = """^(.*)\s+TOKEN\s+([0-9a-f]{32})\s*$""".r
   private val bypassUser = User("bypass", "", Set(Role.Admin))
 
   /** Bootstrap convenience: create the initial admin (no auth required when
@@ -41,8 +45,14 @@ final class SecureEventStore(val store: EventStore, val auth: AuthManager,
 
   def execute(raw: String): ExecResult = {
     val trimmed = raw.trim
-    if (bypassAuth) // credentials, if present, are ignored in bypass mode
-      return run(credentialRe.replaceFirstIn(trimmed, ""), bypassUser)
+    if (bypassAuth) { // credentials, if present, are ignored in bypass mode
+      val noCreds = credentialRe.replaceFirstIn(trimmed, "")
+      val noToken = noCreds match {
+        case tokenSuffixRe(cmd, _) => cmd.trim
+        case other                 => other
+      }
+      return run(noToken, bypassUser)
+    }
 
     // AUTH <user>:<sig> → session token (reference tcp/listener.rs:46-78)
     if (trimmed.length >= 5 && trimmed.substring(0, 5).equalsIgnoreCase("AUTH ")) {
@@ -55,31 +65,28 @@ final class SecureEventStore(val store: EventStore, val auth: AuthManager,
       }
     }
 
-    // <command> TOKEN <token> (reference tcp/listener.rs:144-186; rfind so a
-    // payload containing " TOKEN " can't hijack the suffix)
-    val tokenPos = trimmed.lastIndexOf(" TOKEN ")
-    if (tokenPos >= 0) {
-      val token = trimmed.substring(tokenPos + 7).trim
-      val command = trimmed.substring(0, tokenPos).trim
-      if (token.isEmpty || token.length > 128)
-        return ExecResult.Error("Authentication failed", 401)
-      return auth.validateToken(token) match {
-        case Some(u) => run(command, u)
-        case None    => ExecResult.Error("Authentication failed", 401)
-      }
-    }
-    if (trimmed.endsWith(" TOKEN") || trimmed.endsWith(" TOKEN "))
-      return ExecResult.Error("Authentication failed", 401)
-
-    // <command> user_id=<u> signature=<sig>
+    // <command> user_id=<u> signature=<sig> — checked FIRST: this suffix is
+    // anchored at end-of-string, so a signed command whose text merely
+    // contains " TOKEN " is not misrouted to token auth
     credentialRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         val command = trimmed.substring(0, m.start)
-        auth.verify(m.group(1), command, m.group(2)) match {
+        return auth.verify(m.group(1), command, m.group(2)) match {
           case Right(u)  => run(command, u)
           case Left(err) => ExecResult.Error(err, 401)
         }
-      case None => ExecResult.Error("Authentication failed", 401)
+      case None => ()
+    }
+
+    // <command> TOKEN <token> (reference tcp/listener.rs:144-186) — only a
+    // trailing 32-hex token counts as token auth
+    trimmed match {
+      case tokenSuffixRe(command, token) =>
+        auth.validateToken(token) match {
+          case Some(u) => run(command.trim, u)
+          case None    => ExecResult.Error("Authentication failed", 401)
+        }
+      case _ => ExecResult.Error("Authentication failed", 401)
     }
   }
 

@@ -215,6 +215,63 @@ class AuthSpec extends AnyFunSuite {
     assert(err(r) == "Authentication failed" && errCode(r) == 401)
   }
 
+  test("signed command whose payload contains ' TOKEN ' routes to signature auth") {
+    val s = setup()
+    def admin(c: String) = s.execute(sign("admin", "admin-key", c))
+    ok(admin("""DEFINE note FIELDS { txt: "string" }"""))
+    // the payload text embeds " TOKEN " — must NOT be misrouted to token auth
+    val r = admin("""STORE note FOR c1 PAYLOAD {"txt": "my TOKEN is secret"}""")
+    assert(ok(r).contains("Event accepted"))
+    admin("QUERY note") match {
+      case ExecResult.Frame(df) =>
+        assert(df.collect().head.getAs[String]("txt") == "my TOKEN is secret")
+      case other => fail(other.toString)
+    }
+    // a trailing 32-hex garbage token on an UNSIGNED command is token auth → 401
+    val bogus = "QUERY note TOKEN " + "ab" * 16
+    assert(errCode(s.execute(bogus)) == 401)
+  }
+
+  test("session-token auth still works and survives embedded TOKEN text") {
+    val s = setup()
+    val tok = ok(s.execute(s"AUTH admin:${AuthManager.hmacHex("admin-key", "admin")}"))
+      .stripPrefix("OK TOKEN ").trim
+    assert(tok.matches("[0-9a-f]{32}"))
+    ok(s.execute(s"""DEFINE note FIELDS { txt: "string" }  TOKEN $tok"""))
+    ok(s.execute(s"""STORE note FOR c1 PAYLOAD {"txt": "x TOKEN y"} TOKEN $tok"""))
+    s.execute(s"QUERY note TOKEN $tok") match {
+      case ExecResult.Frame(df) => assert(df.count() == 1)
+      case other                => fail(other.toString)
+    }
+  }
+
+  test("bypass mode strips both credential and token suffixes before parsing") {
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    val s = new SecureEventStore(new EventStore(spark, dir), new AuthManager(dir), bypassAuth = true)
+    ok(s.execute("""DEFINE b FIELDS { v: "int" }"""))
+    val tok = "cd" * 16
+    assert(ok(s.execute(s"""STORE b FOR c PAYLOAD {"v": 1} TOKEN $tok""")).contains("Event accepted"))
+    assert(ok(s.execute("""STORE b FOR c PAYLOAD {"v": 2} user_id=x signature=y""")).contains("Event accepted"))
+    s.execute("QUERY b") match {
+      case ExecResult.Frame(df) => assert(df.count() == 2)
+      case other                => fail(other.toString)
+    }
+  }
+
+  test("SHOW of a materialization with corrupt meta errors instead of throwing") {
+    val s = setup()
+    def admin(c: String) = s.execute(sign("admin", "admin-key", c))
+    ok(admin("""DEFINE mm FIELDS { v: "int" }"""))
+    ok(admin("""STORE mm FOR c PAYLOAD {"v": 1}"""))
+    ok(admin("FLUSH"))
+    ok(admin("REMEMBER QUERY mm AS keepme"))
+    // corrupt the stored query text
+    val meta = java.nio.file.Paths.get(s.store.root, "_materializations", "keepme", "meta.json")
+    Files.write(meta, """{"query": "QUERY ((", "hwm_id": 0}""".getBytes("UTF-8"))
+    val r = admin("SHOW keepme")
+    assert(err(r).contains("corrupt"))
+  }
+
   test("User.canRead/canWrite unit semantics match the reference PermissionCache") {
     val ro = User("u", "k", Set(Role.ReadOnly))
     assert(ro.canRead("a") && !ro.canWrite("a"))

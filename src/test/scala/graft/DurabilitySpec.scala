@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{EventStore, ExecResult}
+
+/** Crash/replay durability: exactly-once micro-batch ingest (VERDICT r2 #1),
+  * the WAL flush crash-window (VERDICT r2 #2), id monotonicity across the
+  * sync and bulk write paths (ADVICE r2 high), and schema-evolution-safe WAL
+  * recovery (ADVICE r2 low). Reference semantics:
+  * `engine/core/wal/wal_recovery.rs` (replay without duplication) and the
+  * `wal_*` scenario family. */
+class DurabilitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def frame(r: ExecResult) = r match {
+    case ExecResult.Frame(df) => df
+    case other                => fail(s"expected frame, got $other")
+  }
+
+  test("idempotent ingestFrame: a replayed (checkpoint,batchId) never duplicates") {
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE x FIELDS { v: "int" }""")
+    val df = Seq(("c1", 1L), ("c2", 2L), ("c3", 3L)).toDF("ctx", "v")
+    assert(s.ingestFrame("x", df, "ctx", idempotencyKey = Some("abc-0")).isRight)
+    assert(s.frame("x").count() == 3)
+    // exact replay of the same micro-batch (marker present) → skipped
+    assert(s.ingestFrame("x", df, "ctx", idempotencyKey = Some("abc-0")) == Right(-1L))
+    assert(s.frame("x").count() == 3)
+    val ids = s.frame("x").collect().map(_.getAs[Long]("event_id"))
+    assert(ids.distinct.length == 3)
+    // a different batch id appends normally
+    assert(s.ingestFrame("x", Seq(("c4", 4L)).toDF("ctx", "v"), "ctx",
+      idempotencyKey = Some("abc-1")).isRight)
+    assert(s.frame("x").count() == 4)
+  }
+
+  test("crash before commit marker: retry replaces the partial attempt, no duplicates") {
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE x FIELDS { v: "int" }""")
+    val df = Seq(("c1", 1L), ("c2", 2L)).toDF("ctx", "v")
+    assert(s.ingestFrame("x", df, "ctx", idempotencyKey = Some("k-7")).isRight)
+    // simulate a crash after the part files landed but before the marker:
+    // delete the marker, leaving the data files in place
+    val marker = Paths.get(dir, "data", "x", "_ingest_k-7.committed")
+    assert(Files.exists(marker))
+    Files.delete(marker)
+    // the retried micro-batch must overwrite its own partial output
+    assert(s.ingestFrame("x", df, "ctx", idempotencyKey = Some("k-7")).isRight)
+    assert(s.frame("x").count() == 2)
+    assert(s.frame("x").collect().map(_.getAs[Long]("event_id")).distinct.length == 2)
+    assert(Files.exists(marker))
+  }
+
+  test("WAL flush crash-window: replay skips rows already in committed segments") {
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val wal = Paths.get(dir, "_wal", "events.jsonl")
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE a FIELDS { v: "int" }""")
+    s.execute("""DEFINE b FIELDS { v: "int" }""")
+    s.execute("""STORE a FOR c1 PAYLOAD {"v": 1}""")
+    s.execute("""STORE a FOR c2 PAYLOAD {"v": 2}""")
+    s.execute("""STORE b FOR c1 PAYLOAD {"v": 3}""")
+    val preFlushWal = Files.readAllBytes(wal)
+    s.execute("FLUSH") // segments committed, WAL truncated
+    s.execute("""STORE a FOR c3 PAYLOAD {"v": 4}""") // fresh, unflushed
+    val postFlushWal = Files.readAllBytes(wal)
+    // simulate the crash window: the whole pre-flush WAL is still on disk
+    // alongside the fresh entry (as if the truncate never happened)
+    Files.write(wal, preFlushWal ++ postFlushWal)
+    val s2 = new EventStore(spark, dir)
+    // committed rows must NOT be re-inserted; the unflushed row must survive
+    assert(frame(s2.execute("QUERY a")).count() == 3)
+    assert(frame(s2.execute("QUERY b")).count() == 1)
+    s2.execute("FLUSH")
+    assert(frame(s2.execute("QUERY a")).count() == 3)
+    val ids = s2.frame("a").collect().map(_.getAs[Long]("event_id"))
+    assert(ids.distinct.length == 3)
+  }
+
+  test("sync STORE after bulk ingest allocates ids above the ingested block") {
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE x FIELDS { v: "int" }""")
+    // sync store first pins the sync block low
+    s.execute("""STORE x FOR c0 PAYLOAD {"v": 0}""")
+    assert(s.ingestFrame("x", Seq(("c1", 1L)).toDF("ctx", "v"), "ctx").isRight)
+    val maxAfterIngest = s.frame("x").agg(org.apache.spark.sql.functions.max("event_id"))
+      .head().getLong(0)
+    // the regression (ADVICE r2 high): this id landed BELOW maxAfterIngest
+    s.execute("""STORE x FOR c2 PAYLOAD {"v": 2}""")
+    val syncId = s.frame("x").filter($"context_id" === "c2").head().getAs[Long]("event_id")
+    assert(syncId > maxAfterIngest)
+  }
+
+  test("materialization delta sees a sync STORE that follows a bulk ingest") {
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE m FIELDS { v: "int" }""")
+    s.execute("""STORE m FOR a PAYLOAD {"v": 10}""")
+    s.execute("FLUSH")
+    s.execute("REMEMBER QUERY m WHERE v > 5 AS big")
+    assert(frame(s.execute("SHOW big")).count() == 1)
+    assert(s.ingestFrame("m", Seq(("b", 20L)).toDF("ctx", "v"), "ctx").isRight)
+    s.execute("""STORE m FOR c PAYLOAD {"v": 30}""") // sync after bulk
+    s.execute("FLUSH")
+    val shown = frame(s.execute("SHOW big")).collect()
+    assert(shown.map(_.getAs[Long]("v")).sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("WAL recovery maps values by field name across a schema reorder") {
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE t FIELDS { a: "int", b: "string" }""")
+    s.execute("""STORE t FOR c1 PAYLOAD {"a": 7, "b": "x"}""") // in WAL, unflushed
+    // evolve the schema: same fields, reordered — recovery must not zip
+    // positionally
+    s.execute("""DEFINE t AS 2 FIELDS { b: "string", a: "int" }""")
+    val s2 = new EventStore(spark, dir)
+    val row = frame(s2.execute("QUERY t")).head()
+    assert(row.getAs[Long]("a") == 7L)
+    assert(row.getAs[String]("b") == "x")
+  }
+
+  test("concurrent STOREs keep WAL lines whole and recoverable") {
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE t FIELDS { v: "int" }""")
+    val threads = (1 to 4).map { tn =>
+      new Thread(() => {
+        var i = 0
+        while (i < 50) {
+          s.execute(s"""STORE t FOR c$tn PAYLOAD {"v": $i}""")
+          i += 1
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val s2 = new EventStore(spark, dir) // replay all 200 from WAL
+    assert(frame(s2.execute("QUERY t")).count() == 200)
+    assert(s2.frame("t").collect()
+      .map(_.getAs[Long]("event_id")).distinct.length == 200)
+  }
+}
