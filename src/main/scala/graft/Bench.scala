@@ -8,8 +8,26 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass (flagship entry + one trivial job) separates JVM/session
   * startup and parquet footer reads from the per-query numbers, which is
   * what a long-running engine would amortize anyway.
+  *
+  * `calibration_s` is a fixed-work single-thread CPU measurement (a
+  * deterministic spin) emitted with every run: on an idle host it is ~flat,
+  * so a contended run — which has distorted the recorded totals in BOTH
+  * prior rounds (660s/756s recorded vs 33s/54s clean re-runs) — is
+  * machine-detectable by comparing calibration values across runs.
   */
 object Bench {
+
+  /** Fixed-work spin: ~0.2-0.4 s single-threaded on an idle core. The value
+    * is data-dependent enough that the JIT can't elide the loop. */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 1469598103934665603L
+    var i = 0
+    while (i < 200000000) { acc = (acc ^ i) * 1099511628211L; i += 1 }
+    if (acc == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -23,18 +41,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + file index
+    // warmup: JVM + codegen + file index (also primes the calibration JIT)
+    calibrate()
     try { SparkEntry.entry(spark).count(); () } catch { case _: Throwable => () }
+    val calBefore = calibrate()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val calAfter = calibrate()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cal = math.max(calBefore, calAfter)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""calibration_s":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,11 +55,17 @@ object PipelineQueries {
       Dedup.fingerprintJaccardDups(docs(s, d), "doc_id", "text")),
 
     "q_dedup_embed" -> ((s, d) =>
+      // the operator's DEFAULT is now the 100 TB path (SRP-LSH candidates +
+      // exact confirm) — approximate recall by design, so rows-only check
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4)),
 
+    "q_dedup_embed_exact" -> ((s, d) =>
+      // exact O(n²) slice — oracle-checked; only for bounded corpora
+      Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
+        lshPrefilter = false)),
+
     "q_dedup_embed_lsh" -> ((s, d) =>
-      // the 100 TB path (SRP-LSH candidates + exact confirm) — approximate
-      // recall by design, so rows-only check like q_sim_lsh_topk
+      // kept for bench continuity with rounds 1-2 (≡ q_dedup_embed now)
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
         lshPrefilter = true, tables = 16)),
 
@@ -171,7 +177,7 @@ object PipelineQueries {
          |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |WHERE len(a.s) > 0 AND len(b.s) > 0""".stripMargin,
 
-    "q_dedup_embed" ->
+    "q_dedup_embed_exact" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
         |p AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2,
         |        CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,

@@ -98,10 +98,15 @@ object QueryCompiler {
     val timeCol = col(q.bucketTimeField.orElse(q.timeField).getOrElse(EventSchema.Timestamp))
     // calendar-aware by default; spark.graft.time.naiveBuckets=true switches
     // to the reference's fixed-width mode (hour 3600 … year 31536000 —
-    // `[time] calendar=false` in the reference config, SURVEY §2.3 A8)
-    val naive = org.apache.spark.sql.SparkSession.active.conf
-      .getOption("spark.graft.time.naiveBuckets").contains("true")
-    TimeBucketing.bucket(timeCol, g, calendar = !naive).as(BucketCol)
+    // `[time] calendar=false` in the reference config, SURVEY §2.3 A8).
+    // spark.graft.time.{zone,weekStart} mirror the reference's `[time]`
+    // timezone + week_start config (time_bucketing.rs:6-107).
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val naive = conf.getOption("spark.graft.time.naiveBuckets").contains("true")
+    val zone = conf.getOption("spark.graft.time.zone").getOrElse("UTC")
+    val weekStart = conf.getOption("spark.graft.time.weekStart")
+      .map(TimeBucketing.parseWeekStart).getOrElse(0)
+    TimeBucketing.bucket(timeCol, g, calendar = !naive, zone, weekStart).as(BucketCol)
   }
 
   private[graft] def groupNames(q: QueryCmd): Seq[String] =

@@ -294,7 +294,20 @@ object CommandParser {
       p.expectSym(")")
       return e
     }
-    val field = parseFieldRef(p.word())
+    val w = p.word()
+    if (w.equalsIgnoreCase("exists")) {
+      // EXISTS(field) — reference plotql.rs:171-190 desugars to the
+      // placeholder comparison `exists(field) = true` (its own TODO); bare
+      // `exists` without parens is a parse error (plotql_tests.rs
+      // rejects_invalid_exists_expression)
+      if (!p.peek.contains(Sym("(")))
+        throw ParseException("EXISTS requires a parenthesized field, e.g. EXISTS(user_id)")
+      p.pos += 1
+      val id = p.word()
+      p.expectSym(")")
+      return Expr.Cmp(FieldRef(s"exists($id)"), CompareOp.Eq, Lit.Bool(true))
+    }
+    val field = parseFieldRef(w)
     p.peek match {
       case Some(Sym(op)) if Set("=", "!=", ">", ">=", "<", "<=").contains(op) =>
         p.pos += 1

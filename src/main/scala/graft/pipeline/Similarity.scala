@@ -109,15 +109,16 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all (id_1 < id_2) pairs with
     * quantized cosine ≥ `threshold`. Output: (id_1, id_2, dot, cosine).
     *
-    * Exact mode self-joins the corpus — right when one side fits in a
-    * broadcast or the corpus is a filtered slice. At 100 TB set
-    * `lshPrefilter = true`: candidates are generated by SRP-LSH bucket
-    * co-occurrence (shuffle on (table, bucket), never a cross join) and then
-    * exact-confirmed, trading recall (grows with `tables`) for the O(n²).
-    * The exact mode is the oracle-checked one; LSH recall is spec-tested. */
+    * The DEFAULT is the scale path: candidates are generated by SRP-LSH
+    * bucket co-occurrence (shuffle on (table, bucket), never a cross join)
+    * and then exact-confirmed — recall grows with `tables` at proportional
+    * cost, and the pair space never goes O(n²). Set `lshPrefilter = false`
+    * for the exact self-join — right only when the corpus is a filtered
+    * slice or small enough that an n² pair space is acceptable; that mode is
+    * the oracle-checked slice, and LSH recall against it is spec-tested. */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, lshPrefilter: Boolean = false, dims: Int = 64,
-      planes: Int = 4, tables: Int = 8): DataFrame = {
+      threshold: Double, lshPrefilter: Boolean = true, dims: Int = 64,
+      planes: Int = 4, tables: Int = 16): DataFrame = {
     // quantized vector + norm computed ONCE per row (norms are per-vector,
     // not per-pair quantities)
     val v = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))

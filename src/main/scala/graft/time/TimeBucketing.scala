@@ -37,20 +37,57 @@ object TimeBucketing {
   }
 
   /** Calendar bucket of an epoch-seconds column; returns epoch seconds of the
-    * bucket start (UTC calendar, weeks start Monday — matches both the
-    * reference default and `date_trunc` in Spark/DuckDB). */
-  def calendarBucket(epochSec: Column, g: TimeGranularity): Column = {
+    * bucket start. Defaults match both the reference default (`[time]` in
+    * `config/dev.toml:67-70`: UTC, weeks start Monday) and `date_trunc` in
+    * Spark/DuckDB.
+    *
+    * With a non-UTC `zone` the wall-clock frame is shifted via
+    * `from_utc_timestamp`/`to_utc_timestamp` (reference
+    * `time_bucketing.rs:24-55`: convert → truncate in local time → convert
+    * back), so buckets align to LOCAL midnights/hours across DST
+    * transitions. `weekStart` is days-from-Monday (0 = Monday … 6 = Sunday),
+    * the reference's configurable `week_start` (`time_bucketing.rs:74-86`).
+    * All modes stay pure codegen'd Catalyst expressions. */
+  def calendarBucket(epochSec: Column, g: TimeGranularity,
+      zone: String = "UTC", weekStart: Int = 0): Column = {
+    val utc = zone == "UTC" || zone == "Etc/UTC" || zone == "Z"
     val ts = timestamp_seconds(epochSec)
-    val unit = g match {
-      case TimeGranularity.Hour  => "hour"
-      case TimeGranularity.Day   => "day"
-      case TimeGranularity.Week  => "week"
-      case TimeGranularity.Month => "month"
-      case TimeGranularity.Year  => "year"
+    val local = if (utc) ts else from_utc_timestamp(ts, zone)
+    val truncated = g match {
+      case TimeGranularity.Week if weekStart != 0 || !utc =>
+        // days since the configured week start:
+        // (days_from_monday + 7 - weekStart) % 7, dayofweek is 1=Sunday
+        val d = to_date(local)
+        val delta = pmod(dayofweek(d) + lit(5) - lit(weekStart), lit(7))
+        date_sub(d, delta).cast("timestamp")
+      case other =>
+        val unit = other match {
+          case TimeGranularity.Hour  => "hour"
+          case TimeGranularity.Day   => "day"
+          case TimeGranularity.Week  => "week"
+          case TimeGranularity.Month => "month"
+          case TimeGranularity.Year  => "year"
+        }
+        date_trunc(unit, local)
     }
-    date_trunc(unit, ts).cast("long")
+    (if (utc) truncated else to_utc_timestamp(truncated, zone)).cast("long")
   }
 
-  def bucket(epochSec: Column, g: TimeGranularity, calendar: Boolean): Column =
-    if (calendar) calendarBucket(epochSec, g) else naiveBucket(epochSec, g)
+  /** Parse a week-start day name (reference accepts chrono `Weekday` names)
+    * to days-from-Monday. */
+  def parseWeekStart(s: String): Int = s.trim.toLowerCase match {
+    case "mon" | "monday"    => 0
+    case "tue" | "tuesday"   => 1
+    case "wed" | "wednesday" => 2
+    case "thu" | "thursday"  => 3
+    case "fri" | "friday"    => 4
+    case "sat" | "saturday"  => 5
+    case "sun" | "sunday"    => 6
+    case other => throw new IllegalArgumentException(s"invalid week start: $other")
+  }
+
+  def bucket(epochSec: Column, g: TimeGranularity, calendar: Boolean,
+      zone: String = "UTC", weekStart: Int = 0): Column =
+    if (calendar) calendarBucket(epochSec, g, zone, weekStart)
+    else naiveBucket(epochSec, g)
 }

@@ -136,6 +136,20 @@ class CommandParserSpec extends AnyFunSuite {
     assert(c.queries.head.aggs == Seq(AggSpec.Total("amount")))
   }
 
+  test("PLOT EXISTS placeholder parity (reference plotql.rs:171-190)") {
+    // EXISTS(f) desugars to the reference's placeholder comparison
+    val q = CommandParser.parse("PLOT COUNT OF orders FILTER EXISTS(user_id)").asInstanceOf[QueryCmd]
+    assert(q.where.contains(Expr.Cmp(FieldRef("exists(user_id)"), CompareOp.Eq, Lit.Bool(true))))
+    // NOT EXISTS(f) — negation wraps the same placeholder
+    val qn = CommandParser.parse("PLOT COUNT OF orders FILTER NOT EXISTS(user_id)").asInstanceOf[QueryCmd]
+    assert(qn.where.contains(Expr.Not(Expr.Cmp(FieldRef("exists(user_id)"), CompareOp.Eq, Lit.Bool(true)))))
+    // bare EXISTS is rejected (plotql_tests.rs rejects_invalid_exists_expression)
+    intercept[Exception] { CommandParser.parse("PLOT COUNT OF orders FILTER EXISTS") }
+    // combined with other predicates
+    val qc = CommandParser.parse("PLOT COUNT OF orders FILTER EXISTS(a) AND x > 3").asInstanceOf[QueryCmd]
+    assert(qc.where.exists(_.isInstanceOf[Expr.And]))
+  }
+
   test("PLOT funnel with arrows") {
     val q = CommandParser.parse("PLOT COUNT OF page_view -> purchase").asInstanceOf[QueryCmd]
     assert(q.sequence.contains(EventSequence("page_view", Seq((SequenceLink.FollowedBy, "purchase")))))

@@ -82,7 +82,8 @@ class PipelineSpec extends AnyFunSuite {
     val v2 = v1.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.01f else x }
     val rows = Seq((1L, v1), (2L, v2)) ++ (3L to 40L).map(i => (i, vec(i)))
     val e = rows.toDF("vec_id", "embedding")
-    val exact = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.9)
+    val exact = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.9,
+      lshPrefilter = false)
       .collect().map(r => (r.getAs[Long]("id_1"), r.getAs[Long]("id_2"))).toSet
     assert(exact == Set((1L, 2L)))
     val lsh = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.9,
@@ -107,5 +108,21 @@ class PipelineSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.getLong(0))
     assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
     assert(f1.forall(_.getAs[Seq[Double]]("features").length == 8))
+  }
+
+  test("LSH-default embed dedup: perfect precision, high recall vs exact at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_1"), r.getAs[Long]("id_2"))).toSet
+    val exact = pairs(Similarity.cosineNearDups(e, "vec_id", "embedding",
+      threshold = 0.4, lshPrefilter = false))
+    val lsh = pairs(Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.4))
+    // every LSH pair is exact-confirmed → subset of the exact output
+    assert(lsh.subsetOf(exact))
+    // recall at the default table count (r2 measured ~0.9 on this data)
+    assert(exact.nonEmpty && lsh.size.toDouble / exact.size >= 0.85,
+      s"recall ${lsh.size}/${exact.size}")
   }
 }

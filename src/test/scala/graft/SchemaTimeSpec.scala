@@ -56,4 +56,58 @@ class SchemaTimeSpec extends AnyFunSuite {
     assert(TimeParser.parseToEpochSeconds("2024-01-15").contains(1705276800L))
     assert(TimeParser.parseToEpochSeconds("not-a-time").isEmpty)
   }
+
+  test("[time] config: timezone + week start bucketing (reference time_bucketing.rs)") {
+    import org.apache.spark.sql.functions._
+    import graft.ast.TimeGranularity
+    import graft.time.TimeBucketing
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def bucket(ts: Long, g: TimeGranularity, zone: String = "UTC", weekStart: Int = 0): Long =
+      Seq(ts).toDF("ts")
+        .select(TimeBucketing.calendarBucket(col("ts"), g, zone, weekStart).as("b"))
+        .head().getLong(0)
+
+    // UTC defaults unchanged (the oracle-checked q_agg_per_* behavior)
+    assert(bucket(1710331200L, TimeGranularity.Day) == 1710288000L)  // 2024-03-13 12:00Z → 00:00Z
+    assert(bucket(1710331200L, TimeGranularity.Week) == 1710115200L) // → Mon 2024-03-11
+
+    // day bucket aligns to LOCAL midnight: 2024-03-10 06:00Z is 01:00 EST;
+    // the New York day starts 2024-03-10 00:00 EST = 05:00Z
+    assert(bucket(1710050400L, TimeGranularity.Day, "America/New_York") == 1710046800L)
+
+    // reference calendar_bucketing_dst_transition: hour buckets straddling
+    // the 2024-03-10 spring-forward differ and align to local hour starts
+    val beforeDst = bucket(1710050400L, TimeGranularity.Hour, "America/New_York") // 01:00 EST
+    val afterDst = bucket(1710054000L, TimeGranularity.Hour, "America/New_York")  // 03:00 EDT
+    assert(beforeDst == 1710050400L && afterDst == 1710054000L && beforeDst != afterDst)
+
+    // configurable week start (reference week_start config): Wed 2024-03-13
+    // belongs to the week starting Sun 2024-03-10 when weeks start Sunday
+    assert(bucket(1710331200L, TimeGranularity.Week, "UTC", TimeBucketing.parseWeekStart("sunday")) == 1710028800L)
+    // Sunday itself is the bucket start
+    assert(bucket(1710028800L + 3600L, TimeGranularity.Week, "UTC", 6) == 1710028800L)
+    // Saturday start: Wed 2024-03-13 → Sat 2024-03-09
+    assert(bucket(1710331200L, TimeGranularity.Week, "UTC", 5) == 1709942400L)
+
+    assert(TimeBucketing.parseWeekStart("Mon") == 0)
+    intercept[IllegalArgumentException] { TimeBucketing.parseWeekStart("noday") }
+
+    // end-to-end: PER DAY honors spark.graft.time.zone via the query path
+    val dir = java.nio.file.Files.createTempDirectory("graft_tz_").toString
+    val s = new graft.store.EventStore(spark, dir)
+    s.execute("""DEFINE e FIELDS { at: "datetime", v: "int" }""")
+    // 01:30Z and 23:30Z on 2024-03-10: same UTC day, different NY days
+    s.execute("""STORE e FOR c PAYLOAD {"at": "2024-03-10T01:30:00Z", "v": 1}""")
+    s.execute("""STORE e FOR c PAYLOAD {"at": "2024-03-10T23:30:00Z", "v": 1}""")
+    s.execute("FLUSH")
+    def countBuckets(): Long = s.execute("QUERY e COUNT PER DAY USING at") match {
+      case graft.store.ExecResult.Frame(df) => df.count()
+      case other                            => fail(other.toString)
+    }
+    assert(countBuckets() == 1L) // UTC: one day
+    spark.conf.set("spark.graft.time.zone", "America/New_York")
+    try assert(countBuckets() == 2L) // NY: 2024-03-09 20:30 EST vs 03-10 19:30 EDT
+    finally spark.conf.unset("spark.graft.time.zone")
+  }
 }
