@@ -233,60 +233,5 @@ final class Materializer(store: EventStore) {
     }
 
   /** Render a QueryCmd back to command text (stored in the catalog entry). */
-  private def renderQuery(q: QueryCmd): String = {
-    val sb = new StringBuilder(s"QUERY ${q.eventType}")
-    q.sequence.foreach(_.links.foreach { case (l, t) =>
-      sb.append(l match {
-        case SequenceLink.FollowedBy => s" FOLLOWED BY $t"
-        case SequenceLink.PrecededBy => s" PRECEDED BY $t"
-      })
-    })
-    q.contextId.foreach(c => sb.append(s" FOR $c"))
-    q.since.foreach(s => sb.append(s" SINCE $s"))
-    q.returnFields.foreach(fs => sb.append(fs.mkString(" RETURN [", ", ", "]")))
-    q.linkField.foreach(f => sb.append(s" LINKED BY $f"))
-    q.where.foreach(w => sb.append(" WHERE " + renderExpr(w)))
-    q.sequenceTimeField.foreach(f => sb.append(s" USING TIME $f"))
-    q.timeField.foreach(f => sb.append(s" USING $f"))
-    if (q.aggs.nonEmpty) sb.append(q.aggs.map(renderAgg).mkString(" ", ", ", ""))
-    q.timeBucket.foreach(g => sb.append(s" PER ${g.toString.toUpperCase}" +
-      q.bucketTimeField.map(f => s" USING $f").getOrElse("")))
-    if (q.groupBy.nonEmpty) sb.append(q.groupBy.mkString(" BY ", ", ", ""))
-    q.limit.foreach(n => sb.append(s" LIMIT $n"))
-    q.offset.foreach(n => sb.append(s" OFFSET $n"))
-    q.orderBy.foreach(o => sb.append(s" ORDER BY ${o.field} ${if (o.descending) "DESC" else "ASC"}"))
-    sb.toString
-  }
-
-  private def renderAgg(a: AggSpec): String = a match {
-    case AggSpec.Count           => "COUNT"
-    case AggSpec.CountField(f)   => s"COUNT $f"
-    case AggSpec.CountUnique(f)  => s"COUNT UNIQUE $f"
-    case AggSpec.Total(f)        => s"TOTAL $f"
-    case AggSpec.Avg(f)          => s"AVG $f"
-    case AggSpec.Min(f)          => s"MIN $f"
-    case AggSpec.Max(f)          => s"MAX $f"
-  }
-
-  private def renderExpr(e: Expr): String = e match {
-    case Expr.Cmp(f, op, v) =>
-      val o = op match {
-        case CompareOp.Eq => "="; case CompareOp.Neq => "!="
-        case CompareOp.Gt => ">"; case CompareOp.Gte => ">="
-        case CompareOp.Lt => "<"; case CompareOp.Lte => "<="
-      }
-      s"${f.render} $o ${renderLit(v)}"
-    case Expr.In(f, vs)  => s"${f.render} IN (${vs.map(renderLit).mkString(", ")})"
-    case Expr.Not(inner) => s"NOT (${renderExpr(inner)})"
-    case Expr.And(l, r)  => s"(${renderExpr(l)} AND ${renderExpr(r)})"
-    case Expr.Or(l, r)   => s"(${renderExpr(l)} OR ${renderExpr(r)})"
-  }
-
-  private def renderLit(l: Lit): String = l match {
-    case Lit.Str(s)  => "\"" + s.replace("\"", "\\\"") + "\""
-    case Lit.I64(n)  => n.toString
-    case Lit.F64(d)  => d.toString
-    case Lit.Bool(b) => b.toString
-    case Lit.Null    => "null"
-  }
+  private def renderQuery(q: QueryCmd): String = Render.query(q)
 }

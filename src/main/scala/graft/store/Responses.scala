@@ -82,4 +82,77 @@ object Responses {
       }
     }
   }
+
+  /** Arrow IPC stream rendering of a result frame (reference
+    * `src/shared/response/arrow.rs:18-60` ArrowStreamEncoder: one schema
+    * message followed by record batches — the standard Arrow streaming
+    * format, readable by any Arrow client). Long/double/bool columns map to
+    * their native Arrow types; everything else renders Utf8, mirroring
+    * [[jsonFrames]]' coercions so both renderers agree row-for-row.
+    *
+    * Rows stream through `toLocalIterator` in `batchSize` record batches —
+    * one partition in memory at a time, same as the JSON path. */
+  def arrowFrame(df: DataFrame, batchSize: Int = 1000): Array[Byte] = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field => AField, FieldType => AFieldType, Schema => ASchema}
+
+    val sparkSchema = df.schema
+    val afields: Seq[AField] = sparkSchema.fields.toSeq.map { f =>
+      val t: ArrowType = f.dataType match {
+        case LongType | IntegerType => new ArrowType.Int(64, true)
+        case DoubleType | FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case BooleanType            => ArrowType.Bool.INSTANCE
+        case _                      => ArrowType.Utf8.INSTANCE
+      }
+      new AField(f.name, AFieldType.nullable(t), null)
+    }
+    val schema = new ASchema(java.util.Arrays.asList(afields: _*))
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val writer = new ArrowStreamWriter(root, null, out)
+        writer.start()
+        val rowIt = df.toLocalIterator()
+        while (rowIt.hasNext) {
+          root.allocateNew()
+          var i = 0
+          while (i < batchSize && rowIt.hasNext) {
+            val row = rowIt.next()
+            var j = 0
+            while (j < sparkSchema.fields.length) {
+              val vec = root.getVector(j)
+              if (row.isNullAt(j)) vec.asInstanceOf[FieldVector] match {
+                case v: BigIntVector  => v.setNull(i)
+                case v: Float8Vector  => v.setNull(i)
+                case v: BitVector     => v.setNull(i)
+                case v: VarCharVector => v.setNull(i)
+                case _                => ()
+              } else sparkSchema.fields(j).dataType match {
+                case LongType | IntegerType =>
+                  vec.asInstanceOf[BigIntVector].setSafe(i, row.getAs[Number](j).longValue())
+                case DoubleType | FloatType =>
+                  vec.asInstanceOf[Float8Vector].setSafe(i, row.getAs[Number](j).doubleValue())
+                case BooleanType =>
+                  vec.asInstanceOf[BitVector].setSafe(i, if (row.getBoolean(j)) 1 else 0)
+                case _ =>
+                  vec.asInstanceOf[VarCharVector].setSafe(i, row.get(j).toString.getBytes("UTF-8"))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          root.setRowCount(i)
+          writer.writeBatch()
+        }
+        writer.end()
+        writer.close()
+        out.toByteArray
+      } finally root.close()
+    } finally alloc.close()
+  }
 }

@@ -90,6 +90,12 @@ final class SecureEventStore(val store: EventStore, val auth: AuthManager,
     }
   }
 
+  /** Dispatch a command for an ALREADY-authenticated user — wire layers
+    * that verify credentials at the transport level (the HTTP JSON form
+    * signs the raw request body, not the rendered command text) call this
+    * after their own verification. Authorization still applies. */
+  def executeAs(command: String, u: User): ExecResult = run(command, u)
+
   private def run(command: String, u: User): ExecResult = {
     val cmd = try graft.parser.CommandParser.parse(command) catch {
       case e: Exception => return ExecResult.Error(e.getMessage)

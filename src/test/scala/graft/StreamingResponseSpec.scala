@@ -73,6 +73,40 @@ class StreamingResponseSpec extends AnyFunSuite {
     assert(frames(2).contains("""[3,null,3.5]"""))
   }
 
+  test("Arrow IPC frames round-trip and agree with the JSON renderer") {
+    import spark.implicits._
+    import org.apache.arrow.vector._
+    import scala.jdk.CollectionConverters._
+    val df = Seq((1L, "a", 1.5, true), (2L, "b", 2.5, false),
+      (3L, null.asInstanceOf[String], 3.5, true)).toDF("id", "s", "x", "f").orderBy("id")
+    val bytes = Responses.arrowFrame(df, batchSize = 2)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    assert(reader.getVectorSchemaRoot.getSchema.getFields.asScala.map(_.getName) ==
+      Seq("id", "s", "x", "f"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String], Double, Boolean)]
+    while (reader.loadNextBatch()) {
+      val root = reader.getVectorSchemaRoot
+      val id = root.getVector("id").asInstanceOf[BigIntVector]
+      val s = root.getVector("s").asInstanceOf[VarCharVector]
+      val x = root.getVector("x").asInstanceOf[Float8Vector]
+      val f = root.getVector("f").asInstanceOf[BitVector]
+      (0 until root.getRowCount).foreach { i =>
+        rows += ((id.get(i),
+          if (s.isNull(i)) None else Some(new String(s.get(i), "UTF-8")),
+          x.get(i), f.get(i) == 1))
+      }
+    }
+    reader.close(); alloc.close()
+    // same rows the JSON renderer produces, in the same order
+    assert(rows.toSeq == Seq(
+      (1L, Some("a"), 1.5, true), (2L, Some("b"), 2.5, false), (3L, None, 3.5, true)))
+    val jsonRows = Responses.jsonFrames(df, batchSize = 2).toSeq
+      .filter(_.contains("\"batch\"")).mkString
+    assert(jsonRows.contains("""[1,"a",1.5,true]""") && jsonRows.contains("""[3,null,3.5,true]"""))
+  }
+
   test("snapshot export/import roundtrip and compaction") {
     val dir1 = Files.createTempDirectory("graft_snap1_").toString
     val s1 = new EventStore(spark, dir1)
