@@ -32,39 +32,47 @@ object ExprCompiler {
     case Expr.Not(e)    => !compile(e, schema, resolve)
     case Expr.In(f, vs) =>
       val name = resolve(f)
-      val dt = dataTypeOf(schema, name)
-      // IN ≡ chain of equalities (reference `filter/in_expansion.rs`); Catalyst's
-      // `isin` compiles to an `In` predicate pushed to Parquet. Values that
-      // don't coerce to the column type match via the string-fallback ladder.
-      val (typed, fallback) = vs.partition(v => litFor(v, dt).isDefined)
-      val parts =
-        (if (typed.nonEmpty) Seq(col(name).isin(typed.map(v => litFor(v, dt).get): _*)) else Nil) ++
-        (if (fallback.nonEmpty) Seq(col(name).cast("string").isin(fallback.map(rawString): _*)) else Nil)
-      parts.reduceOption(_ || _).getOrElse(lit(false))
+      dataTypeOf(schema, name) match {
+        // a comparison on a field that doesn't exist matches nothing
+        // (reference missing-field ScalarValue compare; scenario
+        // query_empty_event_type) — NOT above it still inverts
+        case None => lit(false)
+        case Some(dt) =>
+          // IN ≡ chain of equalities (reference `filter/in_expansion.rs`); Catalyst's
+          // `isin` compiles to an `In` predicate pushed to Parquet. Values that
+          // don't coerce to the column type match via the string-fallback ladder.
+          val (typed, fallback) = vs.partition(v => litFor(v, dt).isDefined)
+          val parts =
+            (if (typed.nonEmpty) Seq(col(name).isin(typed.map(v => litFor(v, dt).get): _*)) else Nil) ++
+            (if (fallback.nonEmpty) Seq(col(name).cast("string").isin(fallback.map(rawString): _*)) else Nil)
+          parts.reduceOption(_ || _).getOrElse(lit(false))
+      }
     case Expr.Cmp(f, op, v) =>
       val name = resolve(f)
-      val dt = dataTypeOf(schema, name)
-      // Reference parity (`ScalarValue::compare`, sneldb `types/mod.rs:245-270`):
-      // when the literal doesn't parse as the column's type, comparison falls
-      // back to LEXICOGRAPHIC over stringified values (so `datetime =
-      // "not-a-time"` is 0 rows, not an error).
-      val (c, l) = litFor(v, dt) match {
-        case Some(x) => (col(name), lit(x))
-        case None    => (col(name).cast("string"), lit(rawString(v)))
-      }
-      op match {
-        case CompareOp.Eq  => c === l
-        case CompareOp.Neq => c =!= l
-        case CompareOp.Gt  => c > l
-        case CompareOp.Gte => c >= l
-        case CompareOp.Lt  => c < l
-        case CompareOp.Lte => c <= l
+      dataTypeOf(schema, name) match {
+        case None => lit(false) // unknown field never matches
+        case Some(dt) =>
+          // Reference parity (`ScalarValue::compare`, sneldb `types/mod.rs:245-270`):
+          // when the literal doesn't parse as the column's type, comparison falls
+          // back to LEXICOGRAPHIC over stringified values (so `datetime =
+          // "not-a-time"` is 0 rows, not an error).
+          val (c, l) = litFor(v, dt) match {
+            case Some(x) => (col(name), lit(x))
+            case None    => (col(name).cast("string"), lit(rawString(v)))
+          }
+          op match {
+            case CompareOp.Eq  => c === l
+            case CompareOp.Neq => c =!= l
+            case CompareOp.Gt  => c > l
+            case CompareOp.Gte => c >= l
+            case CompareOp.Lt  => c < l
+            case CompareOp.Lte => c <= l
+          }
       }
   }
 
-  private def dataTypeOf(schema: StructType, name: String): DataType =
+  private def dataTypeOf(schema: StructType, name: String): Option[DataType] =
     schema.fields.find(_.name == name).map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(s"no such field: $name"))
 
   /** Coerce a parsed literal to the target column type; `None` = not
     * coercible, caller falls back to lexicographic string comparison (the

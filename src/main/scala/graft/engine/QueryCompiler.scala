@@ -32,13 +32,31 @@ object QueryCompiler {
   }
 
   /** Resolve the event-type scope; `*` = union of all types
-    * (reference `read/event_scope.rs:6-31`). Missing columns become nulls. */
+    * (reference `read/event_scope.rs:6-31`). Missing columns become nulls.
+    * An unknown event type — or `*` over an empty catalog — is an EMPTY
+    * result, not an error (reference scenarios `query_empty_event_type`,
+    * `replay_nonexistent_context`). */
   def scoped(q: QueryCmd, src: EventSource): DataFrame =
     if (q.eventType == "*") {
       val frames = src.eventTypes.map(src.frame)
-      require(frames.nonEmpty, "no event types defined")
-      frames.reduce(_.unionByName(_, allowMissingColumns = true))
-    } else src.frame(q.eventType)
+      if (frames.isEmpty) emptyCoreFrame()
+      else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else if (src.eventTypes.contains(q.eventType)) src.frame(q.eventType)
+    else try src.frame(q.eventType) catch {
+      // ad-hoc sources may serve types beyond eventTypes (table bindings);
+      // only a genuinely unknown type collapses to the empty result
+      case _: IllegalArgumentException | _: MatchError => emptyCoreFrame()
+    }
+
+  private def emptyCoreFrame(): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField(EventSchema.ContextId, StringType),
+        StructField(EventSchema.EventType, StringType),
+        StructField(EventSchema.Timestamp, LongType),
+        StructField(EventSchema.EventId, LongType))))
+  }
 
   private[engine] def applyBaseFilters(df: DataFrame, q: QueryCmd): DataFrame = {
     var out = df

@@ -95,9 +95,13 @@ object SequenceCompiler {
           else lit(null).cast(sides(j)._1.schema(f).dataType).as(s"__s${j}_$f")
         }
       }
+      // a side lacking the USING TIME field orders at 0 (reference
+      // `read/sequence/group.rs:368-377`: get_i64_at(...).unwrap_or(0))
+      val tsCol =
+        if (df.columns.contains(timeField)) col(timeField).cast("long") else lit(0L)
       df.select(
         (Seq(col(linkField).cast("string").as("__link"), lit(i).as("__side"),
-          col(timeField).cast("long").as("__ts"), col(EventSchema.EventId).as("__eid")) ++ slots): _*)
+          tsCol.as("__ts"), col(EventSchema.EventId).as("__eid")) ++ slots): _*)
     }.reduce(_.unionByName(_))
       .filter(col("__link").isNotNull)
 

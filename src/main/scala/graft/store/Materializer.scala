@@ -100,7 +100,7 @@ final class Materializer(store: EventStore) {
     * stores policies in the catalog and enforces them on append). */
   def setRetention(name: String, maxRows: Option[Long], maxAgeSeconds: Option[Long]): ExecResult =
     readMeta(name) match {
-      case None    => ExecResult.Error(s"unknown materialization: $name", 404)
+      case None    => ExecResult.Error(s"Materialization not found: $name", 404)
       case Some(m) =>
         writeMeta(name, m.copy(maxRows = maxRows, maxAgeSeconds = maxAgeSeconds))
         ExecResult.Ok(s"retention set on '$name'")
@@ -115,19 +115,25 @@ final class Materializer(store: EventStore) {
     val q = cmd.query
     val hwmId = currentMaxId(q) // captured BEFORE evaluation: a concurrent
                                 // write lands in the next SHOW's delta
-    if (q.isAggregate && !q.isSequence) {
-      AggStateCompiler.partialState(q, boundedSource(Long.MinValue, hwmId))
-        .write.mode("overwrite").parquet(dir.resolve("state").toString)
-      AggStateCompiler.uniqueFields(q).foreach { f =>
-        AggStateCompiler.partialUnique(q, boundedSource(Long.MinValue, hwmId), f)
-          .write.mode("overwrite").parquet(dir.resolve(s"uniq_$f").toString)
+    val storedDir =
+      if (q.isAggregate && !q.isSequence) {
+        AggStateCompiler.partialState(q, boundedSource(Long.MinValue, hwmId))
+          .write.mode("overwrite").parquet(dir.resolve("state").toString)
+        AggStateCompiler.uniqueFields(q).foreach { f =>
+          AggStateCompiler.partialUnique(q, boundedSource(Long.MinValue, hwmId), f)
+            .write.mode("overwrite").parquet(dir.resolve(s"uniq_$f").toString)
+        }
+        dir.resolve("state")
+      } else {
+        QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
+          .write.mode("overwrite").parquet(dir.resolve("data").toString)
+        dir.resolve("data")
       }
-    } else {
-      QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
-        .write.mode("overwrite").parquet(dir.resolve("data").toString)
-    }
     writeMeta(cmd.name, Meta(renderQuery(q), hwmId, schemaHash(q), None, None))
-    ExecResult.Ok(s"remembered '${cmd.name}'")
+    // rows-stored summary line (reference `handlers/remember.rs:168-169`);
+    // counting the just-written parquet is a footer-metadata read, not a scan
+    val stored = spark.read.parquet(storedDir.toString).count()
+    ExecResult.Ok(s"remembered query '${cmd.name}'\nrows stored: $stored")
   }
 
   // ---------------- SHOW ----------------
@@ -135,7 +141,7 @@ final class Materializer(store: EventStore) {
   def show(name: String): ExecResult = {
     val dir = matDir(name)
     val meta = readMeta(name).getOrElse(
-      return ExecResult.Error(s"unknown materialization: $name", 404))
+      return ExecResult.Error(s"Materialization not found: $name", 404))
     val query = scala.util.Try(graft.parser.CommandParser.parse(meta.query)).toOption
       .collect { case q: QueryCmd => q }
       .getOrElse(return ExecResult.Error(

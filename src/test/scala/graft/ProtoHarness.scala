@@ -15,17 +15,22 @@ import graft.store.{EventStore, Responses, SecureEventStore}
   * substitutes `{TOKEN:user}` placeholders, captures session tokens from
   * `AUTH` responses, and supports RESTART (new engine instance over the
   * same root — WAL/catalog recovery path). */
-final class Proto(spark: SparkSession, authEnabled: Boolean, walEnabled: Boolean = true) {
+final class Proto(spark: SparkSession, authEnabled: Boolean, walEnabled: Boolean = true,
+    flushThreshold: Int = 32768, adminUser: Option[String] = Some("admin"),
+    adminKey: String = "admin-key-123") {
   val dir: String = Files.createTempDirectory("graft_proto_").toString
-  private var clockT = 1000L
+  // realistic epoch base: scenario matchers include_none small integers
+  // (order ids, amounts) that must not collide with rendered store-times
+  private var clockT = 1750000000L
   private val clock: () => Long = () => { clockT += 1; clockT }
 
   private def mkSecure(): SecureEventStore = new SecureEventStore(
-    new EventStore(spark, dir, clock = clock, walEnabled = walEnabled),
+    new EventStore(spark, dir, flushThreshold = flushThreshold, clock = clock,
+      walEnabled = walEnabled),
     new AuthManager(dir), bypassAuth = !authEnabled)
 
   var secure: SecureEventStore = mkSecure()
-  if (authEnabled) secure.bootstrapAdmin("admin", "admin-key-123")
+  if (authEnabled) adminUser.foreach(u => secure.bootstrapAdmin(u, adminKey))
   def store: EventStore = secure.store
 
   private val sb = new StringBuilder
@@ -33,6 +38,10 @@ final class Proto(spark: SparkSession, authEnabled: Boolean, walEnabled: Boolean
 
   /** Drop the in-memory engine and reload from disk (scenario RESTART). */
   def restart(): Unit = { secure = mkSecure() }
+
+  /** Scenario SLEEP pseudo-command: advance the injected clock (≥1 s so
+    * ordering by store-time is observable, like the reference's real sleep). */
+  def sleep(ms: Long): Unit = { clockT += math.max(1L, ms / 1000L) }
 
   def send(cmd: String): String = {
     val withTok = """\{TOKEN:(\w+)\}""".r

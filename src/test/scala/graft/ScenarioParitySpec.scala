@@ -275,7 +275,7 @@ class ScenarioParitySpec extends AnyFunSuite {
     s.execute("""STORE td FOR t1 PAYLOAD {"id": 1}""")
     s.execute("REMEMBER QUERY td AS dup_test")
     assert(err(s.execute("REMEMBER QUERY td AS dup_test")).contains("already exists"))
-    assert(err(s.execute("SHOW nonexistent_mat")).toLowerCase.contains("unknown"))
+    assert(err(s.execute("SHOW nonexistent_mat")).toLowerCase.contains("not found"))
   }
 
   test("wildcard replay interleaves event types in append order") {

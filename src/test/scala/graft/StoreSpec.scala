@@ -112,7 +112,7 @@ class StoreSpec extends AnyFunSuite {
     assert(shown.map(_.getAs[Long]("v")).sorted.toSeq == Seq(20L, 30L))
     // repeated SHOW with no new data: unchanged
     assert(frame(s.execute("SHOW big")).count() == 2)
-    assert(err(s.execute("SHOW nope")).contains("unknown materialization"))
+    assert(err(s.execute("SHOW nope")).contains("not found"))
     assert(err(s.execute("REMEMBER QUERY m AS big")).contains("already exists"))
   }
 
