@@ -447,8 +447,37 @@ object CommandParser {
   //     [OVER HOUR|DAY|WEEK|MONTH|YEAR[(field)]] [TOP n [BY f]]
   //   metric := COUNT | COUNT(f) | UNIQUE(f) | TOTAL(f)|SUM(f) | AVG(f) | MIN(f) | MAX(f)
 
+  /** `TOP n BY <target>` target: a plain column or a metric expression
+    * (reference plotql.rs:126-134 `top_by_target`). */
+  private sealed trait TopBy
+  private object TopBy {
+    final case class Field(name: String) extends TopBy
+    final case class Metric(agg: AggSpec) extends TopBy
+  }
+
   private final case class PlotSide(agg: AggSpec, events: Seq[String],
-      where: Option[Expr], top: Option[(Int, Option[String])], label: String)
+      where: Option[Expr], top: Option[(Int, Option[TopBy])], label: String)
+
+  /** Event identifiers must not end with a dash (reference plotql.rs
+    * identifier rule; plotql_tests.rs rejects_identifier_ending_with_dash). */
+  private def plotEventName(p: P): String = {
+    val w = p.word()
+    if (w.endsWith("-")) throw ParseException(s"invalid identifier: '$w' (trailing dash)")
+    w
+  }
+
+  /** BY target: metric keyword followed by `(` (or bare `count`) parses as a
+    * metric; anything else is a column name. */
+  private def parseTopBy(p: P): TopBy = {
+    val metricKws = Set("count", "unique", "total", "sum", "avg", "min", "max")
+    p.peek match {
+      case Some(t) if metricKws.contains(t.text.toLowerCase) =>
+        val isCall = p.toks.lift(p.pos + 1).contains(Sym("("))
+        if (isCall || t.text.equalsIgnoreCase("count")) TopBy.Metric(parsePlotMetric(p))
+        else TopBy.Field(p.word())
+      case _ => TopBy.Field(p.word())
+    }
+  }
 
   private def parsePlot(p: P): Command = {
     val first = parsePlotSide(p)
@@ -458,7 +487,7 @@ object CommandParser {
     var groupBy: Seq[String] = Nil
     var bucket: Option[TimeGranularity] = None
     var bucketField: Option[String] = None
-    var top: Option[(Int, Option[String])] = None
+    var top: Option[(Int, Option[TopBy])] = None
     var progressed = true
     while (!p.done && progressed) {
       if (p.peekKw2("breakdown", "by")) {
@@ -471,7 +500,7 @@ object CommandParser {
         if (p.peek.contains(Sym("("))) { p.pos += 1; bucketField = Some(p.word()); p.expectSym(")") }
       } else if (p.eatKw("top")) {
         val n = p.int()
-        val byF = if (p.eatKw("by")) Some(p.word()) else None
+        val byF = if (p.eatKw("by")) Some(parseTopBy(p)) else None
         top = Some((n, byF))
       } else progressed = false
     }
@@ -483,18 +512,32 @@ object CommandParser {
           Some(EventSequence(s.events.head, s.events.tail.map(e => (SequenceLink.FollowedBy: SequenceLink, e))))
         else None
       val effTop = s.top.orElse(top)
+      // TOP BY a metric orders by that aggregate's output column, adding it
+      // to the agg list when it differs from the side's main metric
+      // (reference plotql.rs:614-652 build_order_spec_for_metrics)
+      val (aggs, orderBy) = effTop match {
+        case Some((_, Some(TopBy.Metric(m)))) =>
+          val as = if (m == s.agg) Seq(s.agg) else Seq(s.agg, m)
+          (as, Some(OrderSpec(m.outputName, descending = true)))
+        case Some((_, Some(TopBy.Field(f)))) =>
+          (Seq(s.agg), Some(OrderSpec(f, descending = true)))
+        case Some((_, None)) =>
+          (Seq(s.agg), Some(OrderSpec(s.agg.outputName, descending = true)))
+        case None => (Seq(s.agg), None)
+      }
       QueryCmd(s.events.head, sequence = seq, where = s.where,
-        aggs = Seq(s.agg), groupBy = groupBy, timeBucket = bucket,
+        aggs = aggs, groupBy = groupBy, timeBucket = bucket,
         bucketTimeField = bucketField,
         limit = effTop.map(_._1),
-        orderBy = effTop.map { case (_, f) => OrderSpec(f.getOrElse(s.agg.outputName), descending = true) })
+        orderBy = orderBy)
     }
 
     if (sides.length == 1) build(sides.head)
     else {
-      val metrics = sides.map(_.agg.getClass.getSimpleName).distinct
-      if (metrics.length > 1)
-        throw ParseException("PLOT VS requires the same metric on all sides")
+      // exact equality including the aggregated field (reference
+      // plotql.rs:275, MetricSpec::equals)
+      if (sides.map(_.agg).distinct.length > 1)
+        throw ParseException("All sides of a comparison query must use the same metric function")
       CompareCmd(sides.toSeq.map(build), sides.toSeq.map(_.label))
     }
   }
@@ -502,16 +545,16 @@ object CommandParser {
   private def parsePlotSide(p: P): PlotSide = {
     val agg = parsePlotMetric(p)
     p.expectKw("of")
-    val events = ArrayBuffer(p.word())
-    while (p.peek.exists(_.text == "->") || p.peekKw("then")) { p.pos += 1; events += p.word() }
+    val events = ArrayBuffer(plotEventName(p))
+    while (p.peek.exists(_.text == "->") || p.peekKw("then")) { p.pos += 1; events += plotEventName(p) }
     var where: Option[Expr] = None
-    var top: Option[(Int, Option[String])] = None
+    var top: Option[(Int, Option[TopBy])] = None
     var progressed = true
     while (!p.done && progressed) {
       if (p.eatKw("filter")) where = Some(parseOr(p))
       else if (p.eatKw("top")) {
         val n = p.int()
-        val byF = if (p.eatKw("by")) Some(p.word()) else None
+        val byF = if (p.eatKw("by")) Some(parseTopBy(p)) else None
         top = Some((n, byF))
       } else progressed = false
     }
