@@ -1,0 +1,103 @@
+package graft.frontend
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter, Writer}
+import java.net.{InetSocketAddress, StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.channels.{Channels, ServerSocketChannel, SocketChannel}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.store.{Responses, SecureEventStore}
+
+/** TCP / Unix-domain-socket frontends (reference `src/frontend/tcp/
+  * listener.rs`, `src/frontend/unix/`; SURVEY.md §2 S9): newline-delimited
+  * commands in, line-protocol responses out, one thread per connection.
+  *
+  * Connection auth state (reference `TcpAuthState`): an `AUTH user:sig`
+  * line authenticates the CONNECTION — the issued session token is
+  * remembered and appended to subsequent bare commands, so clients
+  * authenticate once and then send plain commands at full throughput.
+  * Commands carrying their own credential/`TOKEN` suffix pass through
+  * untouched.
+  *
+  * Framing: each response ([[Responses.render]] — a `<code> <message>`
+  * header then body lines / JSON frames) is terminated by one empty line,
+  * so pipelined clients can split the stream without knowing frame counts.
+  */
+final class SocketFrontend private (engine: SecureEventStore,
+    server: ServerSocketChannel) {
+
+  private val pool = Executors.newCachedThreadPool()
+  private val running = new AtomicBoolean(true)
+  private val acceptor = new Thread(() => acceptLoop(), "graft-socket-accept")
+
+  def start(): this.type = { acceptor.setDaemon(true); acceptor.start(); this }
+
+  def stop(): Unit = {
+    running.set(false)
+    server.close()
+    pool.shutdownNow()
+  }
+
+  /** Bound TCP port (TCP mode only). */
+  def port: Int = server.getLocalAddress match {
+    case a: InetSocketAddress => a.getPort
+    case _                    => -1
+  }
+
+  private def acceptLoop(): Unit =
+    try {
+      while (running.get()) {
+        val ch = server.accept()
+        pool.execute(() => serve(ch))
+      }
+    } catch { case _: Exception => () /* closed on stop */ }
+
+  private def serve(ch: SocketChannel): Unit = {
+    val in = new BufferedReader(new InputStreamReader(Channels.newInputStream(ch), UTF_8))
+    val out: Writer = new OutputStreamWriter(Channels.newOutputStream(ch), UTF_8)
+    var sessionToken: Option[String] = None
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        val t = line.trim
+        if (t.nonEmpty) {
+          val hasCreds = t.contains("user_id=") || t.matches(".*\\sTOKEN\\s+[0-9a-f]{32}\\s*$")
+          val isAuth = t.length >= 5 && t.substring(0, 5).equalsIgnoreCase("AUTH ")
+          val cmd =
+            if (isAuth || hasCreds || sessionToken.isEmpty) t
+            else s"$t TOKEN ${sessionToken.get}" // connection-level auth
+          val result = engine.execute(cmd)
+          if (isAuth) result match {
+            case graft.store.ExecResult.Ok(msg) if msg.startsWith("OK TOKEN ") =>
+              sessionToken = Some(msg.stripPrefix("OK TOKEN ").trim)
+            case _ => ()
+          }
+          out.write(Responses.render(result))
+          out.write("\n") // response terminator
+          out.flush()
+        }
+        line = in.readLine()
+      }
+    } catch { case _: Exception => () } finally ch.close()
+  }
+}
+
+object SocketFrontend {
+
+  /** TCP listener on 127.0.0.1 (reference default port 7171; pass 0 for an
+    * ephemeral test port). */
+  def tcp(engine: SecureEventStore, port: Int = 7171): SocketFrontend = {
+    val server = ServerSocketChannel.open()
+    server.bind(new InetSocketAddress("127.0.0.1", port))
+    new SocketFrontend(engine, server).start()
+  }
+
+  /** Unix-domain-socket listener at `path` (reference `frontend/unix`). */
+  def unix(engine: SecureEventStore, path: java.nio.file.Path): SocketFrontend = {
+    java.nio.file.Files.deleteIfExists(path)
+    val server = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+    server.bind(UnixDomainSocketAddress.of(path))
+    new SocketFrontend(engine, server).start()
+  }
+}
