@@ -66,16 +66,31 @@ object Multimodal {
     StructField("kind", StringType, nullable = false),
     StructField("features", ArrayType(DoubleType), nullable = false)))
 
-  /** Batch-shaped feature extraction: one decode pass per partition, rows
-    * streamed — the mapInPandas analog. Input must have (media_id, kind,
-    * bytes). */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
+  /** Feature extraction. The stub decoder's byte statistics are pure
+    * arithmetic, so the DEFAULT path is the native codegen'd
+    * [[graft.functions.ByteStats]] expression — the scan → stats pipeline
+    * stays inside one whole-stage-codegen'd select, no (de)serialization
+    * boundary. Input must have (media_id, kind, bytes). */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("kind"),
+      org.apache.spark.sql.graft.bridge.columnOf(graft.functions.ByteStats(
+        org.apache.spark.sql.graft.bridge.expressionOf(col("bytes")))).as("features"))
+
+  /** Batch-shaped extraction harness for a REAL decoder: one codec init per
+    * partition, rows streamed — the `mapInPandas` analog. A production
+    * image/audio decoder replaces `decode` (the default wires in the stub,
+    * which keeps this path exercised and output-identical to
+    * [[extractFeatures]]). */
+  def extractFeaturesWithDecoder(media: DataFrame,
+      decode: Array[Byte] => Array[Double] = decodeStub): DataFrame = {
     media.select("media_id", "kind", "bytes")
       .mapPartitions { it =>
-        // per-partition setup would initialize the codec once here
+        // per-partition setup: a real implementation initializes the codec
+        // once here before streaming the rows through it
         it.map { r =>
-          val feats = decodeStub(r.getAs[Array[Byte]]("bytes"))
+          val feats = decode(r.getAs[Array[Byte]]("bytes"))
           Row(r.getLong(0), r.getString(1), feats.toSeq)
         }
       }(Encoders.row(featureSchema))

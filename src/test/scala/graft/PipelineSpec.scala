@@ -108,6 +108,9 @@ class PipelineSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.getLong(0))
     assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
     assert(f1.forall(_.getAs[Seq[Double]]("features").length == 8))
+    // the codegen'd ByteStats path and the decoder-harness path agree
+    val harness = Multimodal.extractFeaturesWithDecoder(media).collect().sortBy(_.getLong(0))
+    assert(f1.map(_.toString).toSeq == harness.map(_.toString).toSeq)
   }
 
   test("LSH-default embed dedup: perfect precision, high recall vs exact at sf0.01") {
