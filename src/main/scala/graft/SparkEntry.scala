@@ -91,7 +91,18 @@ object SparkEntry {
     "q_since_using_payload" -> q("QUERY lineitem SINCE 1995-01-01 USING l_shipdate COUNT BY l_linestatus"),
     "q_seq_using_time"      -> q("QUERY signup FOLLOWED BY purchase LINKED BY context_id USING TIME value LIMIT 200"),
     "q_agg_offset"          -> q("QUERY lineitem COUNT BY l_suppkey ORDER BY count DESC LIMIT 10 OFFSET 5"),
-    "q_agg_unique_props"    -> q("QUERY purchase COUNT UNIQUE props BY context_id ORDER BY count_unique_props DESC LIMIT 30")
+    "q_agg_unique_props"    -> q("QUERY purchase COUNT UNIQUE props BY context_id ORDER BY count_unique_props DESC LIMIT 30"),
+    // ---- [time] config: zone + week start (reference time_bucketing.rs) ----
+    "q_agg_per_week_sun" -> ((s, d) => {
+      s.conf.set("spark.graft.time.weekStart", "sunday")
+      try run("QUERY lineitem COUNT PER WEEK")(s, d)
+      finally s.conf.unset("spark.graft.time.weekStart")
+    }),
+    "q_agg_per_day_tz" -> ((s, d) => {
+      s.conf.set("spark.graft.time.zone", "America/New_York")
+      try run("QUERY lineitem COUNT PER DAY")(s, d)
+      finally s.conf.unset("spark.graft.time.zone")
+    })
   )
 
   def oracleSql: Map[String, String] = engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql
@@ -178,6 +189,12 @@ object SparkEntry {
          |SELECT CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, 'click' AS side FROM c""".stripMargin,
     "q_agg_per_week" ->
       s"""WITH e AS ($liView) SELECT CAST(floor(epoch(date_trunc('week', make_timestamp("timestamp" * 1000000)))) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1""",
+    // Sunday-start weeks: Monday-truncate the day after, then step back a day
+    "q_agg_per_week_sun" ->
+      s"""WITH e AS ($liView) SELECT CAST(floor(epoch(date_trunc('week', make_timestamp("timestamp" * 1000000) + INTERVAL 1 DAY) - INTERVAL 1 DAY)) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1""",
+    // NY-local day buckets: UTC instant → NY wall time → midnight → back to UTC
+    "q_agg_per_day_tz" ->
+      s"""WITH e AS ($liView) SELECT CAST(floor(epoch(timezone('America/New_York', date_trunc('day', timezone('America/New_York', make_timestamp("timestamp" * 1000000)::TIMESTAMPTZ))))) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1""",
     "q_agg_per_year_by" ->
       s"""WITH e AS ($ordView) SELECT CAST(floor(epoch(date_trunc('year', make_timestamp("timestamp" * 1000000)))) AS BIGINT) AS bucket, o_orderstatus, CAST(count(*) AS BIGINT) AS "count", CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT) AS total_o_totalprice FROM e GROUP BY 1, 2""",
     "q_since_using_payload" ->
