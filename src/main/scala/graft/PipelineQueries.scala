@@ -80,6 +80,14 @@ object PipelineQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", 5, dims = 64, planes = 4)
     }),
 
+    "q_sim_ivf_topk" -> ((s, d) => {
+      // IVF cell-probe ANN — deterministic centroids/assignment, so unlike
+      // LSH this approximate path IS oracle-checked
+      val e = embs(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, nClusters = 16, nProbe = 4)
+    }),
+
     "q_multimodal_stats" -> ((s, d) => {
       val media = Multimodal.packFromText(docs(s, d), "doc_id", "text", "image")
       val feats = Multimodal.extractFeatures(media)
@@ -202,6 +210,22 @@ object PipelineQueries {
         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.qv, c.qv))) AS cos
         |      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, dot, round(cos, 6) AS cosine FROM j
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
+    "q_sim_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS cid, qv AS centroid FROM v ORDER BY vec_id LIMIT 16),
+        |cells AS (SELECT vec_id AS neighbor_id, qv AS cv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM v CROSS JOIN c) WHERE rk = 1),
+        |probes AS (SELECT vec_id AS query_id, qv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM v CROSS JOIN c WHERE v.vec_id < 50) WHERE rk <= 4)
+        |SELECT query_id, neighbor_id, CAST(list_dot_product(p.qv, cells.cv) AS BIGINT) AS dot
+        |FROM probes p JOIN cells USING (cid)
+        |WHERE neighbor_id <> query_id
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
 
     "q_multimodal_stats" ->

@@ -147,6 +147,50 @@ object Similarity {
       .select(col("id_1"), col("id_2"), col("dot"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    * `nClusters` cells around centroid vectors; a query exact-ranks only the
+    * cells its `nProbe` closest centroids own — candidates ∝ corpus/nClusters
+    * × nProbe instead of the full corpus. The 100 TB shape: centroids
+    * broadcast (they are tiny), cell assignment is one map-side pass, and
+    * the probe is a shuffle on cluster id.
+    *
+    * Centroids here are the `nClusters` lowest-id corpus vectors and
+    * assignment maximizes the exact integer dot product (ties → lowest
+    * centroid id) — fully DETERMINISTIC, which makes the operator
+    * oracle-checkable; a production index would swap in k-means centroids
+    * (the plumbing — broadcast, argmax assignment, cell-probe join — is
+    * identical). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val cents = broadcast(v.orderBy(col("neighbor_id")).limit(nClusters)
+      .select(col("neighbor_id").as("cid"), col("cv").as("centroid")))
+
+    // cell assignment: argmax_{c} dot(v, centroid_c), ties to lowest cid —
+    // one broadcast-join pass over the corpus, top-1 per vector
+    def assign(df: DataFrame, idName: String, vecName: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      df.join(cents, lit(true))
+        .withColumn("cdot", dotLong(col(vecName), col("centroid")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centroid", "cdot", "crank")
+    }
+
+    val cells = assign(v, "neighbor_id", "cv", keep = 1) // corpus: home cell only
+    val qv = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val probes = assign(qv, "query_id", "qv", keep = nProbe) // queries probe nProbe cells
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
+    probes.join(cells, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dotLong(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+  }
+
   /** LSH-bucketed approximate top-k with `tables` independent hash tables
     * (standard SRP-LSH): each side is exploded to (table, bucket) keys, a
     * query's candidates are the union of its buckets across tables, then

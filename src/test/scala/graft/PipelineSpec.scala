@@ -113,6 +113,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1.map(_.toString).toSeq == harness.map(_.toString).toSeq)
   }
 
+  test("IVF top-k: near-identical vectors share a cell and rank first") {
+    val dims = 64
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dims)(j => (Math.floorMod(Hashing.md5LongJvm(s"iv$seed-$j"), 2001L) - 1000L) / 1000.0f)
+    val v1 = vec(1)
+    val v2 = v1.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.01f else x }
+    val rows = Seq((1L, v1), (2L, v2)) ++ (3L to 60L).map(i => (i, vec(i)))
+    val e = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(e, e.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, nClusters = 8, nProbe = 2).collect()
+    assert(out.nonEmpty && out.length <= 3)
+    // the planted near-duplicate is the top neighbor of its twin
+    assert(out.head.getAs[Long]("neighbor_id") == 2L)
+    // deterministic across runs
+    val again = Similarity.ivfTopK(e, e.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, nClusters = 8, nProbe = 2).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("LSH-default embed dedup: perfect precision, high recall vs exact at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
