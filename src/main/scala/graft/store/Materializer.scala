@@ -131,9 +131,22 @@ final class Materializer(store: EventStore) {
       }
     writeMeta(cmd.name, Meta(renderQuery(q), hwmId, schemaHash(q), None, None))
     // rows-stored summary line (reference `handlers/remember.rs:168-169`);
-    // counting the just-written parquet is a footer-metadata read, not a scan
-    val stored = spark.read.parquet(storedDir.toString).count()
-    ExecResult.Ok(s"remembered query '${cmd.name}'\nrows stored: $stored")
+    // summed from the just-written Parquet footers on the driver — a
+    // metadata read, not a Spark job
+    ExecResult.Ok(s"remembered query '${cmd.name}'\nrows stored: ${footerRowCount(storedDir)}")
+  }
+
+  /** Total row count of a Parquet directory from file footers (no job). */
+  private def footerRowCount(dir: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   // ---------------- SHOW ----------------
