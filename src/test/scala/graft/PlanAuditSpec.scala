@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these operators
+  * scale (predicate pushdown to the Parquet scan, column pruning,
+  * partial+final aggregation, whole-stage codegen, no accidental cartesian
+  * products) are asserted on the EXPLAIN output, so a refactor that silently
+  * loses one fails here rather than in a 100 TB run. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("selection pushes filters to the Parquet scan") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val p = plan(SparkEntry.run("QUERY purchase WHERE value > 100")(spark, dir))
+    assert(p.contains("PushedFilters:"), p)
+    // both the event-type scope filter and the user predicate reach the scan
+    assert(p.contains("GreaterThan(value,100"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("codegen id"), p)
+  }
+
+  test("RETURN projection prunes unread columns at the scan") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val p = plan(SparkEntry.run("QUERY purchase RETURN [value]")(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
+  }
+
+  test("aggregation is partial+final with codegen, including tz calendar buckets") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val p = plan(SparkEntry.run("QUERY purchase COUNT BY context_id")(spark, dir))
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final HashAggregate:\n$p")
+
+    spark.conf.set("spark.graft.time.zone", "America/New_York")
+    try {
+      val tz = plan(SparkEntry.run("QUERY purchase COUNT PER DAY")(spark, dir))
+      // tz conversion is built-in from/to_utc_timestamp in the grouping
+      // projection — partial+final agg preserved, no UDF/object boundary
+      assert(tz.contains("from_utc_timestamp") && tz.contains("to_utc_timestamp"), tz)
+      assert(tz.split("HashAggregate").length >= 3, tz)
+      assert(!tz.contains("BatchEvalPython") && !tz.contains("MapPartitions"), tz)
+    } finally spark.conf.unset("spark.graft.time.zone")
+  }
+
+  test("LSH-default embedding dedup plans no cartesian pair space") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    val lsh = plan(graft.pipeline.Similarity.cosineNearDups(e, "vec_id", "embedding", 0.4))
+    assert(!lsh.contains("CartesianProduct") && !lsh.contains("BroadcastNestedLoopJoin"),
+      s"LSH path must not plan an n^2 join:\n$lsh")
+    // the exact oracle slice, by contrast, IS the n^2 self-join
+    val exact = plan(graft.pipeline.Similarity.cosineNearDups(e, "vec_id", "embedding", 0.4,
+      lshPrefilter = false))
+    assert(exact.contains("BroadcastNestedLoopJoin") || exact.contains("CartesianProduct"), exact)
+  }
+
+  test("sequence matching is a single shuffle on the link key") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val p = plan(SparkEntry.run(
+      "QUERY signup FOLLOWED BY purchase LINKED BY context_id")(spark, dir))
+    // one Exchange for the groupByKey, a Union above it, no join operator
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert("Exchange \\(".r.findAllIn(p).length == 1, p)
+    assert(p.contains("MapGroups") && p.contains("Union"), p)
+  }
+}
