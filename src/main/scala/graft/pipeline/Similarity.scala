@@ -154,17 +154,39 @@ object Similarity {
     * broadcast (they are tiny), cell assignment is one map-side pass, and
     * the probe is a shuffle on cluster id.
     *
-    * Centroids here are the `nClusters` lowest-id corpus vectors and
-    * assignment maximizes the exact integer dot product (ties → lowest
-    * centroid id) — fully DETERMINISTIC, which makes the operator
-    * oracle-checkable; a production index would swap in k-means centroids
-    * (the plumbing — broadcast, argmax assignment, cell-probe join — is
-    * identical). */
+    * Centroids seed from the `nClusters` lowest-id corpus vectors; with
+    * `lloydIters > 0` they are refined by that many k-means (Lloyd)
+    * rounds — assignment by exact integer dot, new centroid = element-wise
+    * integer mean of the cell — each round one broadcast-assign pass + one
+    * cell-key aggregation, all in integer arithmetic, so the result stays
+    * fully DETERMINISTIC. The default (0 iterations) keeps the seed
+    * centroids, which is what the oracle replicates. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
     val v = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
-    val cents = broadcast(v.orderBy(col("neighbor_id")).limit(nClusters)
+    var cents = broadcast(v.orderBy(col("neighbor_id")).limit(nClusters)
       .select(col("neighbor_id").as("cid"), col("cv").as("centroid")))
+
+    // Lloyd refinement: explode cell members to (dim, value), average per
+    // (cell, dim) in integer math, re-assemble centroids — shuffle keyed on
+    // (cid, dim), never wider than nClusters × dims rows
+    (0 until lloydIters).foreach { _ =>
+      val w1 = Window.partitionBy(col("neighbor_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val assigned = v.join(cents, lit(true))
+        .withColumn("cdot", dotLong(col("cv"), col("centroid")))
+        .withColumn("crank", row_number().over(w1))
+        .filter(col("crank") === 1)
+        .select(col("cid"), col("cv"))
+      val refined = assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x")) / count(lit(1))).cast("long").as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, e -> e.m)").as("centroid"))
+      cents = broadcast(refined)
+    }
 
     // cell assignment: argmax_{c} dot(v, centroid_c), ties to lowest cid —
     // one broadcast-join pass over the corpus, top-1 per vector

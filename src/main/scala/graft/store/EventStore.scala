@@ -102,7 +102,7 @@ final class EventStore(val spark: SparkSession, val root: String,
 
   private def loadCatalog(): Unit = {
     if (!Files.isDirectory(schemasDir)) return
-    Files.list(schemasDir).iterator().asScala
+    EventStore.listDir(schemasDir).iterator
       .filter(_.toString.endsWith(".json"))
       .foreach { p =>
         val json = new String(Files.readAllBytes(p), "UTF-8")
@@ -319,10 +319,10 @@ final class EventStore(val spark: SparkSession, val root: String,
     Files.createDirectories(typeDir)
     // clear stale parts from a crashed earlier attempt of THIS key (a retry
     // may produce a different part count — leftovers would be duplicates)
-    Files.list(typeDir).iterator().asScala.toSeq
+    EventStore.listDir(typeDir)
       .filter(_.getFileName.toString.startsWith(s"ingest-$key-"))
       .foreach(Files.delete)
-    val parts = Files.list(tmp).iterator().asScala.toSeq
+    val parts = EventStore.listDir(tmp)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, typeDir.resolve(s"ingest-$key-$i.parquet"),
@@ -359,7 +359,7 @@ final class EventStore(val spark: SparkSession, val root: String,
 
   private def listCommittedTypes(): Seq[String] =
     if (Files.isDirectory(dataDir))
-      Files.list(dataDir).iterator().asScala.filter(Files.isDirectory(_))
+      EventStore.listDir(dataDir).iterator.filter(Files.isDirectory(_))
         .map(_.getFileName.toString)
         .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq.sorted
     else Nil
@@ -405,7 +405,7 @@ final class EventStore(val spark: SparkSession, val root: String,
   /** Restore a snapshot into this (empty) store. */
   def importSnapshot(inDir: String): Unit = {
     val sdir = Paths.get(inDir, "_schemas")
-    Files.list(sdir).iterator().asScala.filter(_.toString.endsWith(".json")).foreach { p =>
+    EventStore.listDir(sdir).iterator.filter(_.toString.endsWith(".json")).foreach { p =>
       EventStore.schemaFromJson(new String(Files.readAllBytes(p), "UTF-8")).foreach { s =>
         schemas(s.eventType) = s
         Files.write(schemaFile(s.eventType), EventStore.schemaToJson(s).getBytes("UTF-8"))
@@ -428,7 +428,7 @@ final class EventStore(val spark: SparkSession, val root: String,
     flush()
     listCommittedTypes().filter(schemas.contains).foreach { t =>
       val dir = dataDir.resolve(t)
-      val files = Files.list(dir).iterator().asScala.count(_.toString.endsWith(".parquet"))
+      val files = EventStore.listDir(dir).count(_.toString.endsWith(".parquet"))
       if (files > targetFiles) {
         val tmp = dataDir.resolve(s"$t.compact.tmp")
         committedFrame(t)
@@ -437,7 +437,7 @@ final class EventStore(val spark: SparkSession, val root: String,
           .write.mode("overwrite").parquet(tmp.toString)
         // carry ingest commit markers into the rewritten dir — compaction
         // must not reopen the exactly-once window for replayable batches
-        Files.list(dir).iterator().asScala.toSeq
+        EventStore.listDir(dir)
           .filter(_.getFileName.toString.startsWith("_ingest_"))
           .foreach(m => Files.copy(m, tmp.resolve(m.getFileName.toString)))
         // atomic-ish swap on a local FS; on object stores this would be a
@@ -452,7 +452,7 @@ final class EventStore(val spark: SparkSession, val root: String,
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      EventStore.listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
@@ -504,6 +504,14 @@ object ExecResult {
 object EventStore {
   import com.fasterxml.jackson.databind.ObjectMapper
   import com.fasterxml.jackson.databind.node.ObjectNode
+
+  /** Directory listing that CLOSES the underlying stream — `Files.list`
+    * holds a file handle until closed, which leaks in a long-running
+    * engine. */
+  private[store] def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
 
   private val mapper = new ObjectMapper()
   private[store] def mapperInstance: ObjectMapper = mapper

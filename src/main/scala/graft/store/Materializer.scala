@@ -139,7 +139,7 @@ final class Materializer(store: EventStore) {
   /** Total row count of a Parquet directory from file footers (no job). */
   private def footerRowCount(dir: Path): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    Files.list(dir).iterator().asScala
+    EventStore.listDir(dir).iterator
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -233,7 +233,7 @@ final class Materializer(store: EventStore) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      EventStore.listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 

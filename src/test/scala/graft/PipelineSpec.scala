@@ -130,6 +130,13 @@ class PipelineSpec extends AnyFunSuite {
     val again = Similarity.ivfTopK(e, e.filter($"vec_id" === 1L), "vec_id", "embedding",
       k = 3, nClusters = 8, nProbe = 2).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // Lloyd-refined centroids: still deterministic, still finds the twin
+    val refined = Similarity.ivfTopK(e, e.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, nClusters = 8, nProbe = 2, lloydIters = 2).collect()
+    val refined2 = Similarity.ivfTopK(e, e.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, nClusters = 8, nProbe = 2, lloydIters = 2).collect()
+    assert(refined.map(_.toString).toSeq == refined2.map(_.toString).toSeq)
+    assert(refined.head.getAs[Long]("neighbor_id") == 2L)
   }
 
   test("LSH-default embed dedup: perfect precision, high recall vs exact at sf0.01") {
