@@ -85,6 +85,7 @@ object SparkEntry {
     // ---- PlotQL + compare (SURVEY §2.4: PLOT, VS) ----
     "q_plot_top_breakdown" -> q("PLOT COUNT OF purchase BREAKDOWN BY context_id OVER DAY TOP 10"),
     "q_compare_vs"         -> q("PLOT TOTAL(value) OF purchase FILTER value > 50 VS TOTAL(value) OF click"),
+    "q_compare_3way"       -> q("PLOT COUNT OF purchase VS COUNT OF click VS COUNT OF view BREAKDOWN BY props"),
     // ---- additional time / pagination semantics ----
     "q_agg_per_week"        -> q("QUERY lineitem COUNT PER WEEK"),
     "q_agg_per_year_by"     -> q("QUERY orders COUNT, TOTAL o_totalprice PER YEAR BY o_orderstatus"),
@@ -187,6 +188,13 @@ object SparkEntry {
          |SELECT CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, 'purchase' AS side FROM p WHERE value > 50
          |UNION ALL
          |SELECT CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, 'click' AS side FROM c""".stripMargin,
+    "q_compare_3way" ->
+      s"""WITH p AS (${eView("purchase")}), c AS (${eView("click")}), v AS (${eView("view")})
+         |SELECT props, CAST(count(*) AS BIGINT) AS "count", 'purchase' AS side FROM p GROUP BY props
+         |UNION ALL
+         |SELECT props, CAST(count(*) AS BIGINT) AS "count", 'click' AS side FROM c GROUP BY props
+         |UNION ALL
+         |SELECT props, CAST(count(*) AS BIGINT) AS "count", 'view' AS side FROM v GROUP BY props""".stripMargin,
     "q_agg_per_week" ->
       s"""WITH e AS ($liView) SELECT CAST(floor(epoch(date_trunc('week', make_timestamp("timestamp" * 1000000)))) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1""",
     // Sunday-start weeks: Monday-truncate the day after, then step back a day
