@@ -87,11 +87,9 @@ final class EventStore(val spark: SparkSession, val root: String,
   private val walLock = new Object
   private var walChannel: java.nio.channels.FileChannel = null
 
-  /** Per-type max committed event_id, restored by [[loadCatalog]]; used by
-    * [[replayWal]] to skip WAL entries whose rows already reached a Parquet
-    * segment (the flush crash-window: a crash after `writeSegment(t1)` but
-    * before the WAL truncate must not re-insert t1's rows). */
-  private var committedMaxId = Map.empty[String, Long]
+  /** Serializes [[flush]] so two threads crossing `flushThreshold` can't
+    * both write the same memtable snapshot to segments (duplicate rows). */
+  private val flushLock = new Object
 
   loadCatalog()
   if (walEnabled) replayWal()
@@ -113,11 +111,10 @@ final class EventStore(val spark: SparkSession, val root: String,
     val committedTypes = listCommittedTypes().filter(schemas.contains)
     if (committedTypes.nonEmpty) {
       val ids = committedTypes.map(t => committedFrame(t)
-          .select(lit(t).as("t"), col(EventSchema.EventId).as("id")))
+          .select(col(EventSchema.EventId).as("id")))
         .reduce(_ union _)
-      committedMaxId = ids.groupBy(col("t")).agg(max(col("id")).as("m")).collect()
-        .filterNot(_.isNullAt(1)).map(r => r.getString(0) -> r.getLong(1)).toMap
-      val maxId = if (committedMaxId.isEmpty) 0L else committedMaxId.values.max
+      val maxId = ids.agg(max(col("id"))).collect().headOption
+        .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
       batchSeq.set((maxId >>> 50) + 1)
     }
   }
@@ -158,28 +155,60 @@ final class EventStore(val spark: SparkSession, val root: String,
     }
   }
 
-  private def truncateWal(): Unit = walLock.synchronized {
+  /** Truncate the WAL prefix covered by a flush: drop every entry with
+    * `id <= cutoff`, keep entries appended after the memtable swap (their ids
+    * are strictly greater — [[store]] allocates the id and appends WAL + row
+    * under one lock, so id order is append order). The rewrite is atomic
+    * (tmp + move): a crash leaves either the old WAL, whose flushed entries
+    * replay as no-ops via [[replayWal]]'s committed-membership check, or the
+    * pruned one. */
+  private def pruneWal(cutoff: Long): Unit = walLock.synchronized {
     if (walChannel != null && walChannel.isOpen) walChannel.close()
     walChannel = null
-    Files.deleteIfExists(walFile)
+    if (!Files.exists(walFile)) return
+    val kept = Files.readAllLines(walFile).asScala.filter { line =>
+      line.nonEmpty && EventStore.readTree(line).get("id").asLong() > cutoff
+    }
+    if (kept.isEmpty) Files.deleteIfExists(walFile)
+    else {
+      val tmp = walFile.resolveSibling("events.jsonl.tmp")
+      Files.write(tmp, kept.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.move(tmp, walFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** Rebuild the memtable from unflushed WAL entries (crash/restart
     * recovery). Entries whose rows already reached a committed segment —
     * the flush crash-window, where a crash lands after `writeSegment(t)` but
-    * before the WAL truncate — are skipped via the per-type committed max id
-    * (the reference prunes its WAL up to the flush cutoff per shard). Ids are
+    * before the WAL prune — are skipped by an EXACT membership probe: one
+    * Spark job asking which candidate event_ids exist in committed Parquet.
+    * A per-type max-id heuristic is wrong here: a bulk [[ingestFrame]] block
+    * inflates the committed max above an unflushed sync STORE's id, which
+    * would silently drop the fsync-acknowledged entry (ADVICE r3). Ids are
     * restored verbatim; the batch sequence resumes past the recovered
     * high-water so no id block is reused. */
   private def replayWal(): Unit = {
     if (!Files.exists(walFile)) return
+    val lines = Files.readAllLines(walFile).asScala.filter(_.nonEmpty).map(EventStore.readTree)
+    if (lines.isEmpty) return
+    val candidates = lines.groupBy(_.get("t").asText()).map { case (t, ns) =>
+      t -> ns.map(_.get("id").asLong()).toSet
+    }
+    val committedIds: Set[Long] = {
+      val probed = candidates.keys.toSeq.sorted
+        .filter(t => schemas.contains(t) && Files.isDirectory(dataDir.resolve(t)))
+      if (probed.isEmpty) Set.empty
+      else probed.map { t =>
+        committedFrame(t).select(col(EventSchema.EventId))
+          .where(col(EventSchema.EventId).isInCollection(candidates(t)))
+      }.reduce(_ union _).collect().map(_.getLong(0)).toSet
+    }
     var maxId = 0L
-    Files.readAllLines(walFile).asScala.filter(_.nonEmpty).foreach { line =>
-      val n = EventStore.readTree(line)
+    lines.foreach { n =>
       val t = n.get("t").asText()
       val id = n.get("id").asLong()
-      val alreadyCommitted = id <= committedMaxId.getOrElse(t, Long.MinValue)
-      if (!alreadyCommitted) schemas.get(t).foreach { schema =>
+      if (!committedIds(id)) schemas.get(t).foreach { schema =>
         // map recorded values by field name against the CURRENT schema;
         // legacy entries without names fall back to positional zip
         val recorded: Map[String, com.fasterxml.jackson.databind.JsonNode] =
@@ -249,13 +278,18 @@ final class EventStore(val spark: SparkSession, val root: String,
         schema.validate(payload) match {
           case Left(err) => Left(err)
           case Right(values) =>
-            val id = nextStoreId()
+            // id allocation, WAL append and memtable append form one atomic
+            // unit under the memtable lock: id order = append order, and an
+            // entry and its row always land in the same flush generation —
+            // flush()'s snapshot swap takes the same lock, so its max id is
+            // a true cutoff between flushed and not-yet-flushed entries.
             val ts = clock()
-            val row = Row.fromSeq(Seq(cmd.contextId, cmd.eventType, ts, id) ++ values)
-            if (walEnabled) appendWal(cmd.eventType, cmd.contextId, ts, id, values, schema)
-            val shouldFlush = memtable.synchronized {
+            val (id, shouldFlush) = memtable.synchronized {
+              val id = nextStoreId()
+              val row = Row.fromSeq(Seq(cmd.contextId, cmd.eventType, ts, id) ++ values)
+              if (walEnabled) appendWal(cmd.eventType, cmd.contextId, ts, id, values, schema)
               memtable.getOrElseUpdate(cmd.eventType, mutable.ArrayBuffer.empty) += row
-              memtable.valuesIterator.map(_.size).sum >= flushThreshold
+              (id, memtable.valuesIterator.map(_.size).sum >= flushThreshold)
             }
             if (shouldFlush) flush()
             Right(id)
@@ -333,22 +367,31 @@ final class EventStore(val spark: SparkSession, val root: String,
       "1".getBytes("UTF-8"))
   }
 
-  /** FLUSH: memtable → committed Parquet segment (reference flusher). The
-    * WAL truncates only after every segment write commits; a crash between a
-    * segment write and the truncate is covered by [[replayWal]]'s
-    * committed-max-id dedupe. */
-  def flush(): Unit = {
-    memtable.foreach { case (t, rows) =>
+  /** FLUSH: memtable → committed Parquet segment (reference flusher).
+    * Serialized behind [[flushLock]]; the memtable is STOLEN atomically
+    * (snapshot + clear under the memtable lock) so a STORE racing with the
+    * flush lands wholly in the next generation — its row can't be silently
+    * dropped by a `clear()` nor its WAL entry deleted before its row is
+    * durable. The WAL is pruned (not deleted) only after every segment write
+    * commits, and only up to the snapshot's max id; a crash between a
+    * segment write and the prune is covered by [[replayWal]]'s
+    * committed-membership dedupe. */
+  def flush(): Unit = flushLock.synchronized {
+    val snapshot = memtable.synchronized {
+      val snap = memtable.iterator.map { case (t, rows) => (t, rows.toVector) }.toVector
+      memtable.clear()
+      snap
+    }
+    var maxFlushed = Long.MinValue
+    snapshot.foreach { case (t, rows) =>
       if (rows.nonEmpty) {
         val schema = schemas(t)
         val df = spark.createDataFrame(rows.asJava, schema.fullStruct)
         writeSegment(t, df)
-        val flushedMax = rows.iterator.map(_.getLong(3)).max
-        committedMaxId += t -> math.max(flushedMax, committedMaxId.getOrElse(t, Long.MinValue))
+        maxFlushed = math.max(maxFlushed, rows.iterator.map(_.getLong(3)).max)
       }
     }
-    memtable.clear()
-    if (walEnabled) truncateWal()
+    if (walEnabled && maxFlushed != Long.MinValue) pruneWal(maxFlushed)
   }
 
   private def writeSegment(t: String, df: DataFrame): Unit =
@@ -378,7 +421,9 @@ final class EventStore(val spark: SparkSession, val root: String,
   override def frame(t: String): DataFrame = {
     val schema = schemas.getOrElse(t, throw new IllegalArgumentException(s"unknown event type: $t"))
     val committed = committedFrame(t)
-    memtable.get(t).filter(_.nonEmpty) match {
+    // immutable copy under the lock — a concurrent STORE may grow the buffer
+    // while Spark iterates the localRelation
+    memtable.synchronized(memtable.get(t).filter(_.nonEmpty).map(_.toVector)) match {
       case Some(rows) =>
         committed.unionByName(spark.createDataFrame(rows.asJava, schema.fullStruct))
       case None => committed

@@ -128,6 +128,57 @@ class DurabilitySpec extends AnyFunSuite {
     assert(row.getAs[String]("b") == "x")
   }
 
+  test("STORE-before-ingest crash: bulk id blocks must not mask the unflushed WAL entry") {
+    // ADVICE r3 high #2: a sync STORE (WAL'd, unflushed) followed by a bulk
+    // ingestFrame of the SAME type gives the ingest a higher id block; a
+    // per-type committed-max-id dedupe would classify the STORE's WAL entry
+    // as already committed and drop it on replay — losing an fsync-acked
+    // event. Replay must use exact id membership instead.
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE x FIELDS { v: "int" }""")
+    s.execute("""STORE x FOR sync PAYLOAD {"v": 1}""") // WAL'd, unflushed
+    assert(s.ingestFrame("x", Seq(("b1", 10L), ("b2", 11L)).toDF("ctx", "v"), "ctx").isRight)
+    // crash before flush: recover from the same root
+    val s2 = new EventStore(spark, dir)
+    assert(frame(s2.execute("QUERY x")).count() == 3)
+    assert(s2.frame("x").filter($"context_id" === "sync").count() == 1)
+    s2.execute("FLUSH") // and the recovered entry commits exactly once
+    assert(frame(s2.execute("QUERY x")).count() == 3)
+    assert(s2.frame("x").collect().map(_.getAs[Long]("event_id")).distinct.length == 3)
+  }
+
+  test("STOREs racing a flush: no duplicates, no lost acks, WAL covers the survivors") {
+    // ADVICE r3 high #1: flush() used to iterate + clear the memtable without
+    // the append lock — a racing STORE could be dropped by clear() while the
+    // WAL truncate deleted its entry (acked event lost), and two threads
+    // crossing the threshold could flush the same rows twice (duplicates).
+    val dir = Files.createTempDirectory("graft_dur_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE t FIELDS { v: "int" }""")
+    val writers = (1 to 8).map { tn =>
+      new Thread(() => {
+        var i = 0
+        while (i < 50) {
+          s.execute(s"""STORE t FOR w$tn PAYLOAD {"v": $i}""")
+          i += 1
+        }
+      })
+    }
+    @volatile var storing = true
+    val flusher = new Thread(() => while (storing) { s.flush(); Thread.sleep(1) })
+    writers.foreach(_.start()); flusher.start()
+    writers.foreach(_.join()); storing = false; flusher.join()
+    // live view: every acked store visible exactly once
+    assert(frame(s.execute("QUERY t")).count() == 400)
+    assert(s.frame("t").collect().map(_.getAs[Long]("event_id")).distinct.length == 400)
+    // crash now (no final flush): committed segments + pruned WAL must still
+    // cover all 400 acked events, each exactly once
+    val s2 = new EventStore(spark, dir)
+    assert(frame(s2.execute("QUERY t")).count() == 400)
+    assert(s2.frame("t").collect().map(_.getAs[Long]("event_id")).distinct.length == 400)
+  }
+
   test("concurrent STOREs keep WAL lines whole and recoverable") {
     val dir = Files.createTempDirectory("graft_dur_").toString
     val s = new EventStore(spark, dir)
