@@ -55,7 +55,10 @@ object Render {
   }
 
   def lit(l: Lit): String = l match {
-    case Lit.Str(s)  => "\"" + s.replace("\"", "\\\"") + "\""
+    // backslash first — a value ending in '\' must not escape the closing
+    // quote when the rendered text is re-parsed (tokenizer unescape is
+    // CommandParser.scala: '\x' → 'x')
+    case Lit.Str(s)  => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case Lit.I64(n)  => n.toString
     case Lit.F64(d)  => d.toString
     case Lit.Bool(b) => b.toString

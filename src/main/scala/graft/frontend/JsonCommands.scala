@@ -25,6 +25,22 @@ object JsonCommands {
       else convert(n)
     } catch { case e: Exception => Left(e.getMessage) }
 
+  /** Rendering a JSON value into line-protocol TEXT must round-trip: a quote
+    * or backslash in a string operand is escaped (Render.lit rules), and an
+    * identifier-position value (event type, context id, field name, enum
+    * member) containing whitespace or structural characters is rejected —
+    * interpolated raw it would re-tokenize as a different command. */
+  private final class BadCommand(msg: String) extends RuntimeException(msg)
+
+  private def escStr(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def identChecked(s: String, what: String): String = {
+    if (s.exists(c => c.isWhitespace || c.isControl) || s.exists("\",[]{}();".contains(_)))
+      throw new BadCommand(s"$what contains characters not allowed in an identifier: '$s'")
+    s
+  }
+
   private def convert(n: JsonNode): Either[String, String] = {
     val typ = Option(n.get("type")).map(_.asText()).getOrElse(return Left("missing 'type'"))
     typ match {
@@ -32,49 +48,57 @@ object JsonCommands {
       case "Flush" => Right("FLUSH")
 
       case "Define" =>
-        val et = str(n, "event_type").getOrElse(return Left("Define: missing event_type"))
+        val et = identChecked(str(n, "event_type")
+          .getOrElse(return Left("Define: missing event_type")), "event_type")
         val ver = Option(n.get("version")).filterNot(_.isNull).map(v => s" AS ${v.asInt()}").getOrElse("")
         val fieldsNode = Option(n.get("schema")).flatMap(s => Option(s.get("fields")))
           .getOrElse(return Left("Define: missing schema.fields"))
         val specs = fieldsNode.properties().asScala.map { e =>
           val spec = e.getValue
+          val fname = identChecked(e.getKey, "field name")
           if (spec.isArray)
-            e.getKey + ": " + spec.elements().asScala.map(_.asText()).mkString("[", ", ", "]")
+            fname + ": " + spec.elements().asScala
+              .map(v => identChecked(v.asText(), "enum value")).mkString("[", ", ", "]")
           else
-            e.getKey + ": " + "\"" + spec.asText() + "\""
+            fname + ": " + "\"" + escStr(spec.asText()) + "\""
         }
         Right(s"DEFINE $et$ver FIELDS { ${specs.mkString(", ")} }")
 
       case "Store" =>
-        val et = str(n, "event_type").getOrElse(return Left("Store: missing event_type"))
-        val ctx = str(n, "context_id").getOrElse(return Left("Store: missing context_id"))
+        val et = identChecked(str(n, "event_type")
+          .getOrElse(return Left("Store: missing event_type")), "event_type")
+        val ctx = identChecked(str(n, "context_id")
+          .getOrElse(return Left("Store: missing context_id")), "context_id")
         val payload = Option(n.get("payload")).getOrElse(return Left("Store: missing payload"))
         Right(s"STORE $et FOR $ctx PAYLOAD ${payload.toString}")
 
       case "Query" =>
-        val et = str(n, "event_type").getOrElse(return Left("Query: missing event_type"))
+        val et = identChecked(str(n, "event_type")
+          .getOrElse(return Left("Query: missing event_type")), "event_type")
         val sb = new StringBuilder(s"QUERY $et")
-        str(n, "context_id").foreach(c => sb.append(s" FOR $c"))
-        str(n, "since").foreach(s => sb.append(s""" SINCE "$s""""))
+        str(n, "context_id").foreach(c => sb.append(s" FOR ${identChecked(c, "context_id")}"))
+        str(n, "since").foreach(s => sb.append(s""" SINCE "${escStr(s)}""""))
         val whereNode = Option(n.get("where_clause")).orElse(Option(n.get("where")))
           .filterNot(_.isNull)
         whereNode.foreach { w => sb.append(" WHERE " + Render.expr(jsonExpr(w))) }
-        str(n, "time_field").foreach(f => sb.append(s" USING $f"))
+        str(n, "time_field").foreach(f => sb.append(s" USING ${identChecked(f, "time_field")}"))
         num(n, "limit").foreach(v => sb.append(s" LIMIT $v"))
         num(n, "offset").foreach(v => sb.append(s" OFFSET $v"))
         Option(n.get("order_by")).filterNot(_.isNull).foreach { o =>
-          val f = Option(o.get("field")).map(_.asText()).getOrElse("timestamp")
+          val f = identChecked(Option(o.get("field")).map(_.asText()).getOrElse("timestamp"),
+            "order_by.field")
           val d = Option(o.get("desc")).exists(_.asBoolean())
           sb.append(s" ORDER BY $f ${if (d) "DESC" else "ASC"}")
         }
         Right(sb.toString)
 
       case "Replay" =>
-        val ctx = str(n, "context_id").getOrElse(return Left("Replay: missing context_id"))
-        val et = str(n, "event_type").map(t => s"$t ").getOrElse("")
+        val ctx = identChecked(str(n, "context_id")
+          .getOrElse(return Left("Replay: missing context_id")), "context_id")
+        val et = str(n, "event_type").map(t => s"${identChecked(t, "event_type")} ").getOrElse("")
         val sb = new StringBuilder(s"REPLAY ${et}FOR $ctx")
-        str(n, "since").foreach(s => sb.append(s""" SINCE "$s""""))
-        str(n, "time_field").foreach(f => sb.append(s" USING $f"))
+        str(n, "since").foreach(s => sb.append(s""" SINCE "${escStr(s)}""""))
+        str(n, "time_field").foreach(f => sb.append(s" USING ${identChecked(f, "time_field")}"))
         Right(sb.toString)
 
       case "Batch" =>

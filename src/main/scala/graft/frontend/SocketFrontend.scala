@@ -62,7 +62,7 @@ final class SocketFrontend private (engine: SecureEventStore,
       while (line != null) {
         val t = line.trim
         if (t.nonEmpty) {
-          val hasCreds = t.contains("user_id=") || t.matches(".*\\sTOKEN\\s+[0-9a-f]{32}\\s*$")
+          val hasCreds = graft.store.SecureEventStore.hasCredentialSuffix(t)
           val isAuth = t.length >= 5 && t.substring(0, 5).equalsIgnoreCase("AUTH ")
           val cmd =
             if (isAuth || hasCreds || sessionToken.isEmpty) t

@@ -59,8 +59,7 @@ final class WsFrontend(engine: SecureEventStore, port: Int = 0) {
           case Some((WsFrontend.OpText, payload)) =>
             val t = new String(payload, UTF_8).trim
             if (t.nonEmpty) {
-              val hasCreds = t.contains("user_id=") ||
-                t.matches(".*\\sTOKEN\\s+[0-9a-f]{32}\\s*$")
+              val hasCreds = graft.store.SecureEventStore.hasCredentialSuffix(t)
               val isAuth = t.length >= 5 && t.substring(0, 5).equalsIgnoreCase("AUTH ")
               val cmd =
                 if (isAuth || hasCreds || sessionToken.isEmpty) t

@@ -202,3 +202,16 @@ final class SecureEventStore(val store: EventStore, val auth: AuthManager,
     case other => store.execute(other)
   }
 }
+
+object SecureEventStore {
+  private val credentialSuffixRe = """\s+user_id=\S+\s+signature=\S+\s*$""".r
+  private val tokenSuffixProbe = """(?s)^.*\s+TOKEN\s+[0-9a-f]{32}\s*$"""
+
+  /** True when the command text ends with its own credentials — the SAME
+    * anchored suffix forms [[SecureEventStore.execute]] routes on. Frontends
+    * use this to decide whether to append a connection-level session token;
+    * a substring test (e.g. `contains("user_id=")`) would misfire on payload
+    * text that merely mentions the marker and 401 an authenticated line. */
+  def hasCredentialSuffix(t: String): Boolean =
+    credentialSuffixRe.findFirstIn(t).isDefined || t.matches(tokenSuffixProbe)
+}

@@ -122,6 +122,34 @@ class HttpFrontendSpec extends AnyFunSuite {
     } finally fe.stop()
   }
 
+  test("JsonCommands rendering round-trips escapes and rejects malformed identifiers") {
+    import graft.frontend.JsonCommands
+    // a quote + trailing backslash in string operands must escape, not
+    // truncate the rendered command (ADVICE r3 low)
+    val q = JsonCommands.toCommandText(
+      """{"type":"Query","event_type":"t","since":"2024-01-01T00:00:00Z",""" +
+        """"where":{"field":"s","op":"eq","value":"he said \"hi\" \\"}}""")
+    assert(q.isRight)
+    graft.parser.CommandParser.parse(q.toOption.get) match {
+      case qc: graft.ast.QueryCmd =>
+        assert(qc.since.contains(1704067200L)) // 2024-01-01T00:00:00Z
+        qc.where match {
+          case Some(graft.ast.Expr.Cmp(_, _, graft.ast.Lit.Str(v))) =>
+            assert(v == "he said \"hi\" \\")
+          case other => fail(s"unexpected where: $other")
+        }
+      case other => fail(s"unexpected command: $other")
+    }
+    // identifier-position values with whitespace/structural chars are
+    // rejected, not spliced into a different command
+    assert(JsonCommands.toCommandText(
+      """{"type":"Store","event_type":"t x","context_id":"c","payload":{}}""").isLeft)
+    assert(JsonCommands.toCommandText(
+      """{"type":"Query","event_type":"t","context_id":"c d"}""").isLeft)
+    assert(JsonCommands.toCommandText(
+      """{"type":"Define","event_type":"e","schema":{"fields":{"f":["a b","c"]}}}""").isLeft)
+  }
+
   test("arrow output mode: frames as Arrow IPC streams, errors as JSON") {
     val (fe, port, _) = newServer(arrow = true)
     try {

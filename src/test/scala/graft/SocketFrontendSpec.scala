@@ -65,6 +65,13 @@ class SocketFrontendSpec extends AnyFunSuite {
       val signed = """PING user_id=admin signature=""" + AuthManager.hmacHex("admin-key", "PING")
       out.println(signed)
       assert(readResponse(in).contains("PONG"))
+
+      // a payload merely MENTIONING user_id= is not credentials — the session
+      // token must still be appended (ADVICE r3: substring test misfired)
+      out.println("""DEFINE u FIELDS { s: "string" }""")
+      assert(readResponse(in).contains("Schema defined"))
+      out.println("""STORE u FOR c1 PAYLOAD {"s": "mailto:user_id=alice"}""")
+      assert(readResponse(in).contains("Event accepted"))
       sock.close()
     } finally fe.stop()
   }
