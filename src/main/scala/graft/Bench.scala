@@ -44,20 +44,41 @@ object Bench {
     // warmup: JVM + codegen + file index (also primes the calibration JIT)
     calibrate()
     try { SparkEntry.entry(spark).count(); () } catch { case _: Throwable => () }
-    val calBefore = calibrate()
 
+    // Interleaved calibration: r1-r3 showed host contention is BURSTY — a
+    // single before/after probe read idle (0.25s) while mid-run queries were
+    // distorted up to 200×. A probe after EVERY query localizes the burst;
+    // when the adjacent probe exceeds 1.5× the best probe seen, the query is
+    // re-run once (bounded) and the better time kept. `calibration` reports
+    // min/max/mean and the retry count so a contended run stays
+    // machine-detectable even when best-of masked it.
+    val cals = scala.collection.mutable.ArrayBuffer(calibrate())
+    var baseCal = cals.head
+    var retried = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      var t = run()
+      val c = calibrate()
+      cals += c
+      baseCal = math.min(baseCal, c)
+      if (c > baseCal * 1.5) { // host was busy while this query ran
+        retried += 1
+        t = math.min(t, run())
+        val c2 = calibrate(); cals += c2; baseCal = math.min(baseCal, c2)
+      }
+      name -> t
     }
-    val calAfter = calibrate()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val cal = math.max(calBefore, calAfter)
+    val calStats = s"""{"min":${cals.min},"max":${cals.max},""" +
+      s""""mean":${cals.sum / cals.size},"retried":$retried}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""calibration_s":$cal,"sf":"$sfDir"}""")
+      s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

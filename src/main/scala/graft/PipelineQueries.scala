@@ -88,6 +88,11 @@ object PipelineQueries {
         k = 5, nClusters = 16, nProbe = 4)
     }),
 
+    "q_pipeline_e2e" -> ((s, d) =>
+      // the composite curation pipeline: lang filter → quality filter →
+      // exact dedup (window, single shuffle) → token stats
+      TrainingPipeline.curate(docs(s, d), "doc_id", "text")),
+
     "q_multimodal_stats" -> ((s, d) => {
       val media = Multimodal.packFromText(docs(s, d), "doc_id", "text", "image")
       val feats = Multimodal.extractFeatures(media)
@@ -227,6 +232,28 @@ object PipelineQueries {
         |FROM probes p JOIN cells USING (cid)
         |WHERE neighbor_id <> query_id
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
+    "q_pipeline_e2e" -> {
+      val langs = Seq("de", "en", "es", "fr")
+      val scoreDefs = langs.map(l => s"${duckStop(l)} AS s_$l").mkString(", ")
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      val quality =
+        s"""round(least(len($toks) / 50.0, 1.0) * 0.4 +
+           |  (CASE WHEN length(text)*1.0/len($toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+           |  least(${duckStop("en")} * 10.0 / len($toks), 1.0) * 0.2, 6)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, text, $scoreDefs FROM documents),
+         |b AS (SELECT *, $best AS best FROM t),
+         |l AS (SELECT doc_id, text, CASE $pick ELSE 'und' END AS lang_pred,
+         |        $quality AS quality FROM b),
+         |f AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key
+         |      FROM l WHERE lang_pred = 'en' AND quality >= 0.5)
+         |SELECT doc_id, CAST(len($toks) AS BIGINT) AS tok_ws,
+         |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tok_bpe,
+         |  quality
+         |FROM f
+         |QUALIFY row_number() OVER (PARTITION BY content_key ORDER BY doc_id) = 1""".stripMargin
+    },
 
     "q_multimodal_stats" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

@@ -61,6 +61,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exact.contains("BroadcastNestedLoopJoin") || exact.contains("CartesianProduct"), exact)
   }
 
+  test("curation pipeline is one shuffle end-to-end with no join") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val d = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.TrainingPipeline.curate(d, "doc_id", "text"))
+    // lang/quality filters fuse into the scan side; dedup survivor selection
+    // is a window over content_key — exactly ONE Exchange, and no join
+    assert("Exchange \\(".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("sequence matching is a single shuffle on the link key") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val p = plan(SparkEntry.run(
