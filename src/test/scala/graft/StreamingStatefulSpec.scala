@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StreamingPipeline, StreamingSequence}
+
+/** Stateful Structured Streaming operators: the flatMapGroupsWithState
+  * funnel (streaming FOLLOWED BY) and watermark-bounded streaming curation
+  * (dropDuplicatesWithinWatermark dedup). */
+class StreamingStatefulSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("streaming funnel: first-touch completion, re-fire, equal-ts eid ordering") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "event_type", "timestamp", "event_id")
+    val q = StreamingSequence.funnel(events, Seq("signup", "purchase"))
+      .writeStream.outputMode("append").format("memory").queryName("funnel").start()
+
+    // u1 completes; u2 has the purchase BEFORE the signup → no match
+    mem.addData(("u1", "signup", 10L, 1L), ("u1", "purchase", 20L, 2L),
+      ("u2", "purchase", 5L, 3L), ("u2", "signup", 8L, 4L))
+    q.processAllAvailable()
+    // u1 re-fires with later events (state reset after completion)
+    mem.addData(("u1", "signup", 30L, 5L), ("u1", "purchase", 40L, 6L))
+    q.processAllAvailable()
+    // equal timestamps: ordered by event_id, so signup(eid 7) → purchase(eid 8)
+    mem.addData(("u3", "signup", 50L, 7L), ("u3", "purchase", 50L, 8L))
+    q.processAllAvailable()
+    val rows = spark.table("funnel").collect()
+      .map(r => (r.getAs[String]("link"), r.getAs[Seq[Long]]("stepTs"))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("u1", Seq(10L, 20L)), ("u1", Seq(30L, 40L)), ("u3", Seq(50L, 50L))))
+  }
+
+  test("streaming funnel: 3-step chain across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "event_type", "timestamp", "event_id")
+    val q = StreamingSequence.funnel(events, Seq("view", "cart", "buy"))
+      .writeStream.outputMode("append").format("memory").queryName("funnel3").start()
+
+    mem.addData(("u1", "view", 10L, 1L))
+    q.processAllAvailable()
+    mem.addData(("u1", "cart", 20L, 2L)) // partial state carried between batches
+    q.processAllAvailable()
+    assert(spark.table("funnel3").isEmpty)
+    mem.addData(("u1", "buy", 30L, 3L))
+    q.processAllAvailable()
+    val rows = spark.table("funnel3").collect()
+      .map(r => (r.getAs[String]("link"), r.getAs[Seq[Long]]("stepTs")))
+    q.stop()
+    assert(rows.toSeq == Seq(("u1", Seq(10L, 20L, 30L))))
+  }
+
+  test("streaming funnel: abandoned partial state is dropped by the event-time timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "event_type", "timestamp", "event_id")
+    val q = StreamingSequence.funnel(events, Seq("signup", "purchase"),
+      watermarkDelay = "10 minutes", horizonMs = 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("funneltmo").start()
+
+    mem.addData(("u4", "signup", 100L, 1L)) // partial funnel
+    q.processAllAvailable()
+    // advance the watermark far past signup+horizon. NB the filler must be a
+    // funnel STEP: Catalyst pushes the side filter below the watermark node,
+    // so only step events advance the watermark (documented caveat)
+    mem.addData(("w", "signup", 10000L, 2L))
+    q.processAllAvailable()
+    mem.addData(("w", "signup", 10001L, 3L)) // batch where u4's timeout fires
+    q.processAllAvailable()
+    // state gone: a purchase alone must NOT complete the funnel
+    mem.addData(("u4", "purchase", 10002L, 4L))
+    q.processAllAvailable()
+    val n = spark.table("funneltmo").count()
+    q.stop()
+    assert(n == 0)
+  }
+
+  test("streaming curation: lang/quality filters and watermark-bounded dedup") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val good = ("the quick brown fox jumps over the lazy dog and it is that for " * 4).trim
+    val spanish = "el la de y que los en un una es " * 5
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = StreamingPipeline.curateStream(stream, "doc_id", "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("curated").start()
+
+    mem.addData((1L, good, 100L), (2L, "x", 101L), (3L, spanish, 102L))
+    q.processAllAvailable()
+    mem.addData((4L, good, 103L)) // exact duplicate of doc 1 within the watermark
+    q.processAllAvailable()
+    val ids = spark.table("curated").collect().map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    // doc 2 fails quality, doc 3 fails language, doc 4 is a duplicate
+    assert(ids == Set(1L))
+  }
+}
