@@ -54,6 +54,10 @@ object PipelineQueries {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.fingerprintJaccardDups(docs(s, d), "doc_id", "text")),
 
+    "q_dedup_cluster" -> ((s, d) =>
+      // pairs → connected components → survivor marking (large-star/small-star)
+      Clustering.nearDupClusters(docs(s, d), "doc_id", "text")),
+
     "q_dedup_embed" -> ((s, d) =>
       // the operator's DEFAULT is now the 100 TB path (SRP-LSH candidates +
       // exact confirm) — approximate recall by design, so rows-only check
@@ -174,6 +178,26 @@ object PipelineQueries {
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // connected components over the near-dup pair graph: recursive CTE
+    // propagating every smaller reachable label, then min per node — equals
+    // large-star/small-star's component-min labeling. Pair set = the exact
+    // Jaccard pairs (same justification as q_dedup_minhash's oracle).
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
+         |p AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+         |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |e AS (SELECT id_1 AS u, id_2 AS v FROM p UNION SELECT id_2, id_1 FROM p),
+         |n AS (SELECT DISTINCT u AS id FROM e),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.id WHERE w.label < e.v)
+         |SELECT id, min(label) AS cluster_id, id = min(label) AS is_survivor
+         |FROM walk GROUP BY id""".stripMargin,
 
     // fingerprint-blocked candidates, exact 3-gram Jaccard confirm
     "q_dedup_jaccard" ->

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over near-duplicate PAIRS — the pairs→groups step a
+  * large-scale dedup pipeline needs before it can pick survivors (pair lists
+  * alone over-delete: A~B and B~C must collapse to ONE group even when A!~C).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+  * published shuffle-only formulation that converges in O(log n) rounds and
+  * needs no driver-side graph state, vertex collections, or long lineage:
+  * each round is a groupBy-min plus a co-partitioned join over (src, dst)
+  * pairs, so a 100 TB edge set is just a big shuffle, and skewed (hot) nodes
+  * cost a wide group, never a cross product. Plain min-label propagation was
+  * rejected: its round count is the graph DIAMETER, unbounded for the chain
+  * topologies boilerplate dedup actually produces.
+  *
+  * Per round the edge set is `localCheckpoint`ed: iterative plans otherwise
+  * accumulate lineage (and re-execute every prior round on each action).
+  */
+object Clustering {
+
+  /** Assign every node of the undirected pair graph its component label
+    * (= the component's minimum node id). Output: `(id, cluster_id)`, one
+    * row per distinct node appearing in `pairs`.
+    *
+    * @param pairs     DataFrame with two long-castable id columns
+    * @param maxRounds safety bound on star rounds; the algorithm converges
+    *                  in O(log n) — hitting the bound raises rather than
+    *                  returning a possibly-unconverged labeling
+    */
+  def connectedComponents(pairs: DataFrame, idCol1: String = "id_1",
+      idCol2: String = "id_2", maxRounds: Int = 30): DataFrame = {
+    val canonical = pairs
+      .select(col(idCol1).cast("long").as("u"), col(idCol2).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+    // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u});
+    // small-star: every neighbor v < u (and u itself) links to m(u).
+    // Both are: symmetrize → per-node min → join-back → emit, all shuffles
+    // on the node id.
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val joined = sym.join(mins, "u")
+      val emitted =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else joined.filter(col("v") < col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mins.select(col("u"), col("m").as("v")))
+      emitted.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+
+    // one aggregate action per round: (count, xor of a 64-bit edge hash) is
+    // a change detector without materializing except() diffs
+    def checksum(edges: DataFrame): (Long, Long) = {
+      val r = edges.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = canonical.localCheckpoint(true)
+    var sig = checksum(edges)
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      val nextSig = checksum(next)
+      edges.unpersist(false)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds")
+
+    // converged ⇒ every component is a star (v, m) centered at its min node
+    val members = edges.select(col("v").as("id"), col("u").as("cluster_id"))
+    val centers = edges.select(col("u").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    members.union(centers)
+  }
+
+  /** Near-duplicate CLUSTERS over a document frame: MinHash+LSH pairs
+    * ([[Dedup.minhashNearDups]]) collapsed into components. Output one row
+    * per clustered doc: `(id, cluster_id, is_survivor)` — survivor = the
+    * cluster's min id, matching [[Dedup.exactDedup]]'s keep-min convention.
+    * Docs with no near-duplicate are omitted (they are all trivial
+    * survivors; at 100 TB emitting them would dwarf the interesting rows). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(df, idCol, textCol, ngram, bands, rowsPerBand, threshold)
+    connectedComponents(pairs)
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_survivor"))
+  }
+
+  /** Drop every clustered non-survivor from `df` — the end-to-end near-dup
+    * dedup: keep each cluster's min id plus all unclustered docs. The losers
+    * relation is cluster-bounded (≪ corpus size), so the anti-join
+    * broadcasts in the common case and hash-shuffles at worst. */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val losers = nearDupClusters(df, idCol, textCol, ngram, bands, rowsPerBand, threshold)
+      .filter(!col("is_survivor"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Clustering
+
+/** Connected-components clustering over near-dup pairs (large-star /
+  * small-star), cross-checked against a driver-side union-find. */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Clustering.connectedComponents(pairs.toDF("id_1", "id_2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference union-find on the driver. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chains collapse transitively; disjoint components stay apart") {
+    // A~B, B~C (A!~C) must be ONE cluster; {5,6} a second
+    assert(cc(Seq((2L, 1L), (2L, 3L), (5L, 6L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("long chain and star topologies converge to the component min") {
+    val chain = (10L until 30L).map(i => (i, i + 1)) // 21-node path
+    val star = (101L to 110L).map(i => (100L, i))
+    val got = cc(chain ++ star)
+    assert((10L to 30L).forall(got(_) == 10L))
+    assert((100L to 110L).forall(got(_) == 100L))
+  }
+
+  test("matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(cc(pairs) == unionFind(pairs))
+  }
+
+  test("empty and self-loop-only inputs yield no clusters") {
+    import spark.implicits._
+    assert(cc(Nil) == Map.empty)
+    assert(Clustering.connectedComponents(
+      Seq((7L, 7L)).toDF("id_1", "id_2")).isEmpty)
+  }
+
+  test("dropNearDups keeps the min id per near-dup cluster and all singletons") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq(
+      (1L, body + "alpha beta gamma"),
+      (2L, body + "alpha beta gamma"),     // near-dup of 1
+      (3L, body + "alpha beta delta"),     // near-dup of 1 and 2
+      (4L, "completely different tiny text"),
+      (5L, ("numbers one two three four five six seven eight nine ten " * 4))
+    ).toDF("doc_id", "text")
+    val kept = Clustering.dropNearDups(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+    val clusters = Clustering.nearDupClusters(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(clusters == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+}
