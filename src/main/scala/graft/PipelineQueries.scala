@@ -73,6 +73,15 @@ object PipelineQueries {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
         lshPrefilter = true, tables = 16)),
 
+    "q_decontaminate" -> ((s, d) => {
+      // benchmark = every 50th doc (deterministic eval-set stand-in);
+      // corpus = the rest; 3-gram collision check
+      val all = docs(s, d)
+      Contamination.contamination(
+        all.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        all.filter(col("doc_id") % 50 === 0), "text", ngram = 3)
+    }),
+
     "q_sim_topk" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -229,6 +238,19 @@ object PipelineQueries {
       }.mkString(" + ")
       s"""WITH t AS (SELECT doc_id, list_transform($toks, x -> ${duckMd5Long("x")}) AS h FROM documents)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t""".stripMargin
+    },
+
+    // grams joined as strings ≡ Spark's collision-free md5long gram hashes
+    "q_decontaminate" -> {
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
+         |bg AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 50 = 0),
+         |cg AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 50 <> 0),
+         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+         |SELECT g.doc_id AS id, CAST(len(s) AS BIGINT) AS n_grams, n_hits,
+         |  round(n_hits * 1.0 / len(s), 6) AS contamination
+         |FROM g JOIN h ON g.doc_id = h.doc_id WHERE g.doc_id % 50 <> 0""".stripMargin
     },
 
     "q_sim_topk" ->
