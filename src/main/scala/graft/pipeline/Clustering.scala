@@ -43,8 +43,10 @@ object Clustering {
     // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u});
     // small-star: every neighbor v < u (and u itself) links to m(u).
     // Both are: symmetrize → per-node min → join-back → emit, all shuffles
-    // on the node id.
-    def star(edges: DataFrame, large: Boolean): DataFrame = {
+    // on the node id. groupBy-min is insensitive to duplicate edges, so the
+    // (shuffling) dedup runs only at the round boundary, not between the
+    // two stars of a round.
+    def star(edges: DataFrame, large: Boolean, dedup: Boolean): DataFrame = {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
@@ -55,9 +57,9 @@ object Clustering {
         else joined.filter(col("v") < col("u"))
           .select(col("v").as("u"), col("m").as("v"))
           .union(mins.select(col("u"), col("m").as("v")))
-      emitted.filter(col("u") =!= col("v"))
+      val loops = emitted.filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-        .distinct()
+      if (dedup) loops.distinct() else loops
     }
 
     // one aggregate action per round: (count, xor of a 64-bit edge hash) is
@@ -74,7 +76,7 @@ object Clustering {
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = star(star(edges, large = true), large = false)
+      val next = star(star(edges, large = true, dedup = false), large = false, dedup = true)
         .localCheckpoint(true)
       val nextSig = checksum(next)
       edges.unpersist(false)

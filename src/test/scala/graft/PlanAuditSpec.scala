@@ -81,4 +81,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange \\(".r.findAllIn(p).length == 1, p)
     assert(p.contains("MapGroups") && p.contains("Union"), p)
   }
+
+  test("decontamination broadcasts the benchmark gram set, never the corpus") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val d = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.Contamination.contamination(
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0), "doc_id", "text",
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0), "text", ngram = 3))
+    // gram semi-join side is a BroadcastHashJoin (benchmark grams), so the
+    // exploded corpus grams never hash-shuffle; no cartesian anywhere
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("clustering rounds are shuffle-only: no cartesian in the star step") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    import spark.implicits._
+    // the iterative loop materializes per round, so audit one star round's
+    // shape via the public API on a graph that converges in one round
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_1", "id_2")
+    val labels = graft.pipeline.Clustering.connectedComponents(pairs)
+    val p = plan(labels)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
