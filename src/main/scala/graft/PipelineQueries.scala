@@ -73,6 +73,13 @@ object PipelineQueries {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
         lshPrefilter = true, tables = 16)),
 
+    "q_data_mix" -> ((s, d) =>
+      // domain-weighted mixture: upsample src0 2.5x, keep src1, halve src2,
+      // quarter everything else — weights chosen FP-exact (w*1e6 integral)
+      DataMix.mixByDomain(docs(s, d), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5), defaultWeight = 0.25)
+        .select(col("doc_id"), col("source"), col("copy_idx"))),
+
     "q_decontaminate" -> ((s, d) => {
       // benchmark = every 50th doc (deterministic eval-set stand-in);
       // corpus = the rest; 3-gram collision check
@@ -238,6 +245,20 @@ object PipelineQueries {
       }.mkString(" + ")
       s"""WITH t AS (SELECT doc_id, list_transform($toks, x -> ${duckMd5Long("x")}) AS h FROM documents)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t""".stripMargin
+    },
+
+    "q_data_mix" -> {
+      val coin = s"${duckMd5Long("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000"
+      s"""WITH c AS (SELECT doc_id, source, $coin AS coin FROM documents),
+         |n AS (SELECT doc_id, source,
+         |        CASE source
+         |          WHEN 'src0' THEN 2 + CASE WHEN coin < 500000 THEN 1 ELSE 0 END
+         |          WHEN 'src1' THEN 1
+         |          WHEN 'src2' THEN CASE WHEN coin < 500000 THEN 1 ELSE 0 END
+         |          ELSE CASE WHEN coin < 250000 THEN 1 ELSE 0 END END AS n
+         |      FROM c)
+         |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy_idx
+         |FROM n WHERE n > 0""".stripMargin
     },
 
     // grams joined as strings ≡ Spark's collision-free md5long gram hashes

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.DataMix
+
+/** Deterministic sampling and domain-weighted mixing. */
+class DataMixSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"dom${i % 4}", s"text $i")).toDF("id", "dom", "text")
+  }
+
+  test("deterministicSample: reproducible, near-rate, salt-sensitive") {
+    val df = corpus(2000)
+    val a = DataMix.deterministicSample(df, "id", 0.3).select("id").collect().map(_.getLong(0)).toSet
+    val b = DataMix.deterministicSample(df, "id", 0.3).select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // identical across runs — no RNG
+    assert(math.abs(a.size - 600) < 60, s"got ${a.size}") // ~30% within 10%
+    val salted = DataMix.deterministicSample(df, "id", 0.3, salt = "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(salted != a) // a different salt draws a different subset
+    // rate monotonicity: the 30% sample nests inside the 60% sample
+    val wider = DataMix.deterministicSample(df, "id", 0.6).select("id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+  }
+
+  test("mixByDomain: integer weights repeat, fractional weights sample, 0 drops") {
+    val df = corpus(400) // 100 per domain
+    val mixed = DataMix.mixByDomain(df, "id", "dom",
+      Map("dom0" -> 3.0, "dom1" -> 1.5, "dom2" -> 0.5), defaultWeight = 0.0)
+    val byDom = mixed.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("dom0") == 300L) // exactly 3 copies each
+    assert(byDom("dom1") >= 100L && math.abs(byDom("dom1") - 150L) < 25)
+    assert(math.abs(byDom("dom2") - 50L) < 25)
+    assert(!byDom.contains("dom3")) // default weight 0 drops the domain
+    // copy_idx enumerates repeats per doc: dom0 docs carry 0,1,2
+    val idxs = mixed.filter(col("dom") === "dom0").groupBy("id")
+      .agg(sort_array(collect_list("copy_idx")).as("ix"))
+      .select("ix").distinct().collect()
+    assert(idxs.length == 1 && idxs.head.getSeq[Long](0) == Seq(0L, 1L, 2L))
+    // every row of the original schema survives (plus copy_idx)
+    assert(mixed.columns.toSeq == Seq("id", "dom", "text", "copy_idx"))
+  }
+}
