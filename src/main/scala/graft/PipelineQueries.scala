@@ -73,6 +73,26 @@ object PipelineQueries {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
         lshPrefilter = true, tables = 16)),
 
+    "q_seq_pack" -> ((s, d) =>
+      // token-budget sequence packing (greedy within hash buckets),
+      // flattened to one row per packed doc for the hash compare
+      SequencePacking.packGreedy(
+          docs(s, d).withColumn("tok", TextAnalysis.tokenCount(col("text")).cast("long")),
+          "doc_id", "tok", budget = 512, buckets = 8)
+        .select(col("seq_id"), explode(col("doc_ids")).as("doc_id"),
+          col("n_docs"), col("n_tokens"))),
+
+    "q_corpus_stats" -> ((s, d) =>
+      // per-source corpus report: doc/token counts + exact token median —
+      // the mixture-design summary a curation run ends with. Partial+final
+      // agg; integer-exact everywhere (no FP-order-dependent sums)
+      docs(s, d)
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("total_tokens"),
+          min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"),
+          round(expr("percentile(t, 0.5)"), 6).as("median_tokens"))),
+
     "q_data_mix" -> ((s, d) =>
       // domain-weighted mixture: upsample src0 2.5x, keep src1, halve src2,
       // quarter everything else — weights chosen FP-exact (w*1e6 integral)
@@ -246,6 +266,35 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id, list_transform($toks, x -> ${duckMd5Long("x")}) AS h FROM documents)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t""".stripMargin
     },
+
+    // replays the greedy packing sequentially per bucket via recursive CTE
+    "q_seq_pack" -> {
+      val bucket = s"${duckMd5Long("'pack:' || CAST(doc_id AS VARCHAR)")} % 8"
+      s"""WITH RECURSIVE b AS (
+         |  SELECT $bucket AS bucket, doc_id AS id, CAST(len($toks) AS BIGINT) AS t
+         |  FROM documents),
+         |o AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM b),
+         |r AS (
+         |  SELECT bucket, id, t, rn, CAST(0 AS BIGINT) AS seq, t AS acc
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.bucket, o.id, o.t, o.rn,
+         |         CASE WHEN r.acc + o.t > 512 THEN r.seq + 1 ELSE r.seq END,
+         |         CASE WHEN r.acc + o.t > 512 THEN o.t ELSE r.acc + o.t END
+         |  FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
+         |SELECT bucket * 1099511627776 + seq AS seq_id, id AS doc_id,
+         |  CAST(count(*) OVER (PARTITION BY bucket, seq) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) OVER (PARTITION BY bucket, seq) AS BIGINT) AS n_tokens
+         |FROM r""".stripMargin
+    },
+
+    "q_corpus_stats" ->
+      s"""WITH t AS (SELECT source, CAST(len($toks) AS BIGINT) AS t FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS total_tokens,
+         |  min(t) AS min_tokens, max(t) AS max_tokens,
+         |  round(quantile_cont(t, 0.5), 6) AS median_tokens
+         |FROM t GROUP BY source""".stripMargin,
 
     "q_data_mix" -> {
       val coin = s"${duckMd5Long("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000"

@@ -59,6 +59,21 @@ class ClusteringSpec extends AnyFunSuite {
       Seq((7L, 7L)).toDF("id_1", "id_2")).isEmpty)
   }
 
+  test("hot-node skew: a 100k-degree hub converges without a pair blowup") {
+    import spark.implicits._
+    // one hub (id 5) connected to 100k spokes, hub also chained to node 1 —
+    // the skew shape boilerplate dedup produces; large-star handles the hot
+    // neighborhood as a single wide groupBy-min, never a pair space
+    val spokes = spark.range(10L, 100010L).select(lit(5L).as("id_1"), col("id").as("id_2"))
+    val extra = Seq((1L, 5L)).toDF("id_1", "id_2")
+    val labels = Clustering.connectedComponents(spokes.union(extra))
+    val agg = labels.agg(
+      countDistinct(col("cluster_id")).as("c"),
+      min(col("cluster_id")).as("mn"),
+      count(lit(1)).as("n")).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 1L && agg.getLong(2) == 100002L)
+  }
+
   test("dropNearDups keeps the min id per near-dup cluster and all singletons") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog again and again " * 3
