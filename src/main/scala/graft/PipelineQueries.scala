@@ -133,6 +133,14 @@ object PipelineQueries {
       // exact dedup (window, single shuffle) → token stats
       TrainingPipeline.curate(docs(s, d), "doc_id", "text")),
 
+    "q_multimodal_frames" -> ((s, d) => {
+      // frame-sampling plumbing: offsets/lengths are oracle-checked; the
+      // byte slices themselves are pinned by MultimodalSpec
+      val media = Multimodal.packFromText(docs(s, d), "doc_id", "text", "video")
+      Multimodal.sampleFrames(media, k = 4)
+        .select(col("media_id"), col("frame_idx"), col("frame_offset"), col("frame_len"))
+    }),
+
     "q_multimodal_stats" -> ((s, d) => {
       val media = Multimodal.packFromText(docs(s, d), "doc_id", "text", "image")
       val feats = Multimodal.extractFeatures(media)
@@ -370,6 +378,15 @@ object PipelineQueries {
          |FROM f
          |QUALIFY row_number() OVER (PARTITION BY content_key ORDER BY doc_id) = 1""".stripMargin
     },
+
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |i AS (SELECT media_id, n, CAST(unnest(range(4)) AS BIGINT) AS frame_idx FROM m)
+        |SELECT media_id, frame_idx,
+        |  CAST(floor(frame_idx * n / 4) AS BIGINT) AS frame_offset,
+        |  least(256, n - CAST(floor(frame_idx * n / 4) AS BIGINT)) AS frame_len
+        |FROM i""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

@@ -78,6 +78,27 @@ object Multimodal {
       org.apache.spark.sql.graft.bridge.columnOf(graft.functions.ByteStats(
         org.apache.spark.sql.graft.bridge.expressionOf(col("bytes")))).as("features"))
 
+  /** Evenly sample `k` frames per media row as bounded byte slices — the
+    * video analog of the decode harness. A real implementation would seek
+    * the container per frame; the Spark-side plumbing here IS the real
+    * thing: deterministic frame offsets (`floor(i·n/k)`), one output row
+    * per frame via `posexplode`, and bounded `frameBytes` slices so a row's
+    * output is k·frameBytes regardless of blob size (no multi-GB rows).
+    * All per-row codegen'd expressions; blobs never leave the executor.
+    * Output: `(media_id, frame_idx, frame_offset, frame_len, frame_bytes)`. */
+  def sampleFrames(media: DataFrame, k: Int, frameBytes: Int = 256): DataFrame = {
+    require(k > 0 && frameBytes > 0)
+    media
+      .select(col("media_id"), col("meta.n_bytes").as("n"), col("bytes"),
+        posexplode(expr(s"sequence(0L, ${k - 1}L)")).as(Seq("frame_idx", "i")))
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        floor(col("i") * col("n") / k).cast("long").as("frame_offset"),
+        least(lit(frameBytes.toLong), col("n") - floor(col("i") * col("n") / k)).as("frame_len"),
+        expr(s"substring(bytes, cast(floor(i * n / $k) as int) + 1, $frameBytes)").as("frame_bytes"))
+  }
+
   /** Batch-shaped extraction harness for a REAL decoder: one codec init per
     * partition, rows streamed — the `mapInPandas` analog. A production
     * image/audio decoder replaces `decode` (the default wires in the stub,

@@ -113,6 +113,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1.map(_.toString).toSeq == harness.map(_.toString).toSeq)
   }
 
+  test("frame sampling: even offsets, bounded slices, correct bytes") {
+    val media = Multimodal.packFromText(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text", "video")
+    val frames = Multimodal.sampleFrames(media, k = 2, frameBytes = 3)
+      .collect().sortBy(_.getAs[Long]("frame_idx"))
+    assert(frames.map(r => (r.getAs[Long]("frame_idx"), r.getAs[Long]("frame_offset"),
+      r.getAs[Long]("frame_len"))).toSeq == Seq((0L, 0L, 3L), (1L, 5L, 3L)))
+    assert(frames.map(r => new String(r.getAs[Array[Byte]]("frame_bytes"), "UTF-8")).toSeq
+      == Seq("abc", "fgh"))
+    // k larger than the blob: offsets repeat, tail slices shrink, never error
+    val tiny = Multimodal.sampleFrames(media, k = 4, frameBytes = 300)
+      .collect().sortBy(_.getAs[Long]("frame_idx"))
+    assert(tiny.map(_.getAs[Long]("frame_offset")).toSeq == Seq(0L, 2L, 5L, 7L))
+    assert(tiny.map(r => new String(r.getAs[Array[Byte]]("frame_bytes"), "UTF-8")).toSeq
+      == Seq("abcdefghij", "cdefghij", "fghij", "hij"))
+  }
+
   test("IVF top-k: near-identical vectors share a cell and rank first") {
     val dims = 64
     def vec(seed: Long): Array[Float] =
