@@ -128,6 +128,15 @@ object PipelineQueries {
         k = 5, nClusters = 16, nProbe = 4)
     }),
 
+    "q_sim_ivf_lloyd" -> ((s, d) => {
+      // one k-means (Lloyd) refinement round — exact integer arithmetic
+      // (truncated integer cell means), so the refined path is oracle-checked
+      // just like the seed path
+      val e = embs(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, nClusters = 16, nProbe = 4, lloydIters = 1)
+    }),
+
     "q_pipeline_e2e" -> ((s, d) =>
       // the composite curation pipeline: lang filter → quality filter →
       // exact dedup (window, single shuffle) → token stats
@@ -352,6 +361,33 @@ object PipelineQueries {
         |  SELECT v.vec_id, v.qv, c.cid,
         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
         |  FROM v CROSS JOIN c WHERE v.vec_id < 50) WHERE rk <= 4)
+        |SELECT query_id, neighbor_id, CAST(list_dot_product(p.qv, cells.cv) AS BIGINT) AS dot
+        |FROM probes p JOIN cells USING (cid)
+        |WHERE neighbor_id <> query_id
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
+    // seed assignment, then ONE Lloyd round: cell = argmax dot (ties → low
+    // cid), refined centroid = per-dim truncated integer mean of the cell
+    // (trunc ≡ Spark's double-division → cast-to-long), then the same
+    // probe/rank as q_sim_ivf_topk over the refined centroids
+    "q_sim_ivf_lloyd" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, qv AS centroid FROM v ORDER BY vec_id LIMIT 16),
+        |a0 AS (SELECT vec_id, qv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c0.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c0.centroid) DESC, c0.cid ASC) AS rk
+        |  FROM v CROSS JOIN c0) WHERE rk = 1),
+        |ex AS (SELECT cid, generate_subscripts(qv, 1) AS dim, unnest(qv) AS x FROM a0),
+        |md AS (SELECT cid, dim, CAST(trunc(sum(x) * 1.0 / count(*)) AS BIGINT) AS m FROM ex GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(m ORDER BY dim) AS centroid FROM md GROUP BY cid),
+        |cells AS (SELECT vec_id AS neighbor_id, qv AS cv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c1.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c1.centroid) DESC, c1.cid ASC) AS rk
+        |  FROM v CROSS JOIN c1) WHERE rk = 1),
+        |probes AS (SELECT vec_id AS query_id, qv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c1.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c1.centroid) DESC, c1.cid ASC) AS rk
+        |  FROM v CROSS JOIN c1 WHERE v.vec_id < 50) WHERE rk <= 4)
         |SELECT query_id, neighbor_id, CAST(list_dot_product(p.qv, cells.cv) AS BIGINT) AS dot
         |FROM probes p JOIN cells USING (cid)
         |WHERE neighbor_id <> query_id

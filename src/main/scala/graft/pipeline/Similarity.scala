@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DataType
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -18,7 +18,11 @@ import org.apache.spark.sql.expressions.Window
   *    corpus";
   *  - [[lshTopK]] buckets the corpus by sign-random-projection so each query
   *    only scans its bucket — the scale path when the query set is large;
-  *    deterministic hyperplanes derived from md5 so results are reproducible.
+  *    deterministic hyperplanes derived from md5 so results are reproducible;
+  *  - every top-k is two-phase via [[graft.functions.TopKByDot]]: bounded
+  *    per-partition state + a k-way merge over ≤ partitions×k rows — never a
+  *    per-query window rank (which funnels corpus-sized data through one
+  *    reducer per query at scale).
   */
 object Similarity {
 
@@ -39,6 +43,30 @@ object Similarity {
   def cosineQ(a: Column, b: Column): Column =
     dotLong(a, b) / (sqrt(dotLong(a, a).cast("double")) * sqrt(dotLong(b, b).cast("double")))
 
+  /** k best (dot DESC, neighbor_id ASC) rows per query from a candidate
+    * frame carrying (query_id, neighbor_id, dot [, cosine]) — grouped
+    * through the bounded [[graft.functions.TopKByDot]] aggregate: map-side
+    * partial state ≤ k per (query, partition), exchange of ≤ partitions×k
+    * entries per query, k-way final merge. The per-group analog of
+    * TakeOrderedAndProject. */
+  private def topKPerQuery(cand: DataFrame, k: Int, idType: DataType,
+      withCosine: Boolean): DataFrame = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    val tk = columnOf(graft.functions.TopKByDot(
+      expressionOf(col("dot")),
+      expressionOf(col("neighbor_id").cast("long")),
+      expressionOf((if (withCosine) col("cosine") else lit(0.0)).cast("double")),
+      k).toAggregateExpression())
+    val exploded = cand.groupBy(col("query_id")).agg(tk.as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+    if (withCosine)
+      exploded.select(col("query_id"), col("e.id").cast(idType).as("neighbor_id"),
+        col("e.dot").as("dot"), round(col("e.payload"), 6).as("cosine"))
+    else
+      exploded.select(col("query_id"), col("e.id").cast(idType).as("neighbor_id"),
+        col("e.dot").as("dot"))
+  }
+
   /** Exact top-k neighbors for each query vector by quantized cosine.
     * `queries` must be small (broadcast); the corpus side streams.
     * Output: (query_id, neighbor_id, dot, cosine) — k rows per query,
@@ -55,11 +83,7 @@ object Similarity {
     val joined = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("dot", dotLong(col("qv"), col("cv")))
       .withColumn("cosine", col("dot") / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("dot"), round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(joined, k, corpus.schema(idCol).dataType, withCosine = true)
   }
 
   /** Sign-random-projection bucket id for hash table `table` over `planes`
@@ -147,70 +171,77 @@ object Similarity {
       .select(col("id_1"), col("id_2"), col("dot"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** `array<struct<nd, cid>>` of the `keep` nearest centroids (dot DESC, cid
+    * ASC) — ONE codegen'd map-side expression over the plan-time centroid
+    * literals: no per-row centroid join, no nClusters× row inflation, no
+    * argmax window (`nd` is the negated dot, so lexicographic struct sort
+    * ranks directly). The centroid list is tiny (nClusters × dims longs) and
+    * known at plan time, so inlining beats broadcasting a join side. */
+  private def nearestCells(vec: Column, cents: Seq[(Long, Seq[Long])], keep: Int): Column =
+    slice(sort_array(array(cents.map { case (cid, cv) =>
+      struct((-dotLong(vec, typedLit(cv))).as("nd"), lit(cid).as("cid"))
+    }: _*)), 1, keep)
+
+  private def collectCentroids(df: DataFrame): Seq[(Long, Seq[Long])] =
+    df.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).sortBy(_._1)
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `nClusters` cells around centroid vectors; a query exact-ranks only the
     * cells its `nProbe` closest centroids own — candidates ∝ corpus/nClusters
-    * × nProbe instead of the full corpus. The 100 TB shape: centroids
-    * broadcast (they are tiny), cell assignment is one map-side pass, and
-    * the probe is a shuffle on cluster id.
+    * × nProbe instead of the full corpus. The 100 TB shape: centroids are
+    * plan-time literals (they are tiny), cell assignment is one codegen'd
+    * map-side pass, the probe join broadcasts the (small) probe set so
+    * candidates never shuffle, and the final ranking is the two-phase
+    * bounded top-k.
     *
     * Centroids seed from the `nClusters` lowest-id corpus vectors; with
     * `lloydIters > 0` they are refined by that many k-means (Lloyd)
     * rounds — assignment by exact integer dot, new centroid = element-wise
-    * integer mean of the cell — each round one broadcast-assign pass + one
-    * cell-key aggregation, all in integer arithmetic, so the result stays
-    * fully DETERMINISTIC. The default (0 iterations) keeps the seed
-    * centroids, which is what the oracle replicates. */
+    * truncated integer mean of the cell — each round one map-side assign
+    * pass + one (cid, dim)-keyed aggregation, all in integer arithmetic, so
+    * the result stays fully DETERMINISTIC and oracle-checkable. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
     val v = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
-    var cents = broadcast(v.orderBy(col("neighbor_id")).limit(nClusters)
-      .select(col("neighbor_id").as("cid"), col("cv").as("centroid")))
 
-    // Lloyd refinement: explode cell members to (dim, value), average per
-    // (cell, dim) in integer math, re-assemble centroids — shuffle keyed on
-    // (cid, dim), never wider than nClusters × dims rows
+    // seed centroids: nClusters lowest-id vectors — one tiny TakeOrdered job
+    var cents = collectCentroids(
+      v.orderBy(col("neighbor_id")).limit(nClusters)
+        .select(col("neighbor_id").cast("long"), col("cv")))
+
+    // Lloyd refinement: per round, one map-side assign pass over the corpus
+    // plus a (cid, dim)-keyed integer aggregation — never wider than
+    // nClusters × dims rows after the partial agg. Mean is the TRUNCATED
+    // integer quotient (Spark double-division cast, trunc() in the oracle).
     (0 until lloydIters).foreach { _ =>
-      val w1 = Window.partitionBy(col("neighbor_id"))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      val assigned = v.join(cents, lit(true))
-        .withColumn("cdot", dotLong(col("cv"), col("centroid")))
-        .withColumn("crank", row_number().over(w1))
-        .filter(col("crank") === 1)
-        .select(col("cid"), col("cv"))
-      val refined = assigned
+      val assigned = v.select(
+        element_at(nearestCells(col("cv"), cents, 1), 1).getField("cid").as("cid"),
+        col("cv"))
+      cents = collectCentroids(assigned
         .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(col("x")) / count(lit(1))).cast("long").as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"), expr("transform(dm, e -> e.m)").as("centroid"))
-      cents = broadcast(refined)
+        .select(col("cid"), expr("transform(dm, e -> e.m)").as("centroid")))
     }
 
-    // cell assignment: argmax_{c} dot(v, centroid_c), ties to lowest cid —
-    // one broadcast-join pass over the corpus, top-1 per vector
-    def assign(df: DataFrame, idName: String, vecName: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idName))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      df.join(cents, lit(true))
-        .withColumn("cdot", dotLong(col(vecName), col("centroid")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("centroid", "cdot", "crank")
-    }
-
-    val cells = assign(v, "neighbor_id", "cv", keep = 1) // corpus: home cell only
+    // corpus: home cell only; queries: nProbe probe cells — both map-side
+    val cells = v.withColumn("cid",
+      element_at(nearestCells(col("cv"), cents, 1), 1).getField("cid"))
     val qv = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
-    val probes = assign(qv, "query_id", "qv", keep = nProbe) // queries probe nProbe cells
+    val probes = qv
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nProbe)))
+      .select(col("query_id"), col("qv"), col("cell.cid").as("cid"))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
-    probes.join(cells, Seq("cid"))
+    // probes are queries×nProbe rows — broadcast them so the corpus-sized
+    // cell frame never shuffles (a shuffle keyed on ≤ nClusters values would
+    // be skew-prone at scale)
+    val cand = cells.join(broadcast(probes), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dot", dotLong(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("dot"))
+    topKPerQuery(cand, k, corpus.schema(idCol).dataType, withCosine = false)
   }
 
   /** LSH-bucketed approximate top-k with `tables` independent hash tables
@@ -240,10 +271,6 @@ object Similarity {
       .join(qV, Seq("query_id"))
       .join(cV, Seq("neighbor_id"))
       .withColumn("dot", dotLong(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("dot"))
+    topKPerQuery(joined, k, corpus.schema(idCol).dataType, withCosine = false)
   }
 }

@@ -94,6 +94,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("similarity top-k is two-phase bounded agg, never a per-query window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val plans = Seq(
+      "brute" -> plan(graft.pipeline.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)),
+      "ivf"   -> plan(graft.pipeline.Similarity.ivfTopK(e, q, "vec_id", "embedding", 5)),
+      "lsh"   -> plan(graft.pipeline.Similarity.lshTopK(e, q, "vec_id", "embedding", 5, dims = 64)))
+    plans.foreach { case (name, p) =>
+      // a Window.partitionBy(query_id) rank would single-reducer per query
+      // at 100 TB; the bounded TopKByDot aggregate (ObjectHashAggregate,
+      // partial+final) must rank instead
+      assert(!p.contains("Window"), s"$name plans a per-query window rank:\n$p")
+      assert(p.split("ObjectHashAggregate").length >= 3,
+        s"$name missing partial+final bounded top-k agg:\n$p")
+    }
+  }
+
+  test("IVF assignment is map-side: no centroid join, no row inflation") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val p = plan(graft.pipeline.Similarity.ivfTopK(e, q, "vec_id", "embedding", 5))
+    // centroids are plan-time literals: the ONLY join is the broadcast of
+    // the (queries × nProbe) probe rows onto the corpus cells
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).length == 1,
+      s"IVF should have exactly one (broadcast) join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("clustering rounds are shuffle-only: no cartesian in the star step") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     import spark.implicits._
