@@ -18,8 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * rejected: its round count is the graph DIAMETER, unbounded for the chain
   * topologies boilerplate dedup actually produces.
   *
-  * Per round the edge set is `localCheckpoint`ed: iterative plans otherwise
+  * Per round the edge set is materialized: iterative plans otherwise
   * accumulate lineage (and re-execute every prior round on each action).
+  * Default is `localCheckpoint` (executor block storage — fine for tests and
+  * single-node runs); pass `checkpointDir` for a RELIABLE per-round scratch
+  * Parquet table instead — on a real cluster `localCheckpoint` blocks die
+  * with their executor, making an O(log n)-round job on 100 TB of edges
+  * unrecoverable after a single executor loss mid-run.
   */
 object Clustering {
 
@@ -27,13 +32,23 @@ object Clustering {
     * (= the component's minimum node id). Output: `(id, cluster_id)`, one
     * row per distinct node appearing in `pairs`.
     *
-    * @param pairs     DataFrame with two long-castable id columns
-    * @param maxRounds safety bound on star rounds; the algorithm converges
-    *                  in O(log n) — hitting the bound raises rather than
-    *                  returning a possibly-unconverged labeling
+    * @param pairs         DataFrame with two long-castable id columns
+    * @param maxRounds     safety bound on star rounds; the algorithm
+    *                      converges in O(log n) — hitting the bound raises
+    *                      rather than returning a possibly-unconverged
+    *                      labeling
+    * @param checkpointDir when set, each round materializes to
+    *                      `<dir>/cc_round_<n>` Parquet (reliable storage —
+    *                      survives executor loss; stale rounds are deleted
+    *                      as the job advances — the FINAL round's table
+    *                      backs the returned frame, so delete the dir only
+    *                      after consuming it); when None, rounds
+    *                      `localCheckpoint` to executor block storage
     */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id_1",
-      idCol2: String = "id_2", maxRounds: Int = 30): DataFrame = {
+      idCol2: String = "id_2", maxRounds: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
     val canonical = pairs
       .select(col(idCol1).cast("long").as("u"), col(idCol2).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -71,15 +86,32 @@ object Clustering {
       (r.getLong(0), r.getLong(1))
     }
 
-    var edges = canonical.localCheckpoint(true)
+    // materialize a round's edges: reliable scratch Parquet when a
+    // checkpoint dir is given, executor-local blocks otherwise. Stale round
+    // tables are deleted once the next round is durably written.
+    def materialize(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/cc_round_$round"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
+    def dropRound(round: Int): Unit = checkpointDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/cc_round_$round")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true): Unit
+    }
+
+    var edges = materialize(canonical, 0)
     var sig = checksum(edges)
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = star(star(edges, large = true, dedup = false), large = false, dedup = true)
-        .localCheckpoint(true)
+      val next = materialize(
+        star(star(edges, large = true, dedup = false), large = false, dedup = true), round + 1)
       val nextSig = checksum(next)
       edges.unpersist(false)
+      dropRound(round)
       converged = nextSig == sig
       edges = next
       sig = nextSig
@@ -105,9 +137,9 @@ object Clustering {
     * survivors; at 100 TB emitting them would dwarf the interesting rows). */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, checkpointDir: Option[String] = None): DataFrame = {
     val pairs = Dedup.minhashNearDups(df, idCol, textCol, ngram, bands, rowsPerBand, threshold)
-    connectedComponents(pairs)
+    connectedComponents(pairs, checkpointDir = checkpointDir)
       .select(col("id"), col("cluster_id"),
         (col("id") === col("cluster_id")).as("is_survivor"))
   }

@@ -35,17 +35,18 @@ object Contamination {
       .distinct()
     val bg = if (broadcastBenchmark) broadcast(bgRaw) else bgRaw
 
-    // shingleHashes is per-doc distinct, so count(*) after the semi-join is
-    // the distinct-gram hit count
-    val cg = corpus.select(col(idCol).as("id"),
-      explode(Dedup.shingleHashes(col(textCol), ngram)).as("gram"))
-    val hits = cg.join(bg, Seq("gram")).groupBy("id")
+    // ONE pass over the corpus text: the gram array is computed once,
+    // `n_grams` is captured BEFORE the explode and rides along as a group
+    // key (it is functionally dependent on id), so no second scan/join is
+    // needed to recover the denominator. shingleHashes is per-doc distinct,
+    // so count(*) after the semi-join is the distinct-gram hit count.
+    val cg = corpus
+      .select(col(idCol).as("id"), Dedup.shingleHashes(col(textCol), ngram).as("grams"))
+      .select(col("id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+    cg.join(bg, Seq("gram"))
+      .groupBy("id", "n_grams")
       .agg(count(lit(1)).as("n_hits"))
-
-    corpus
-      .select(col(idCol).as("id"),
-        size(Dedup.shingleHashes(col(textCol), ngram)).cast("long").as("n_grams"))
-      .join(hits, Seq("id"))
       .filter(col("n_hits") >= minHits)
       .select(col("id"), col("n_grams"), col("n_hits"),
         round(col("n_hits").cast("double") / col("n_grams"), 6).as("contamination"))

@@ -74,6 +74,23 @@ class ClusteringSpec extends AnyFunSuite {
     assert(agg.getLong(0) == 1L && agg.getLong(1) == 1L && agg.getLong(2) == 100002L)
   }
 
+  test("reliable checkpoint dir: same labels, rounds land in scratch parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
+    try {
+      val chain = (10L until 40L).map(i => (i, i + 1)) // multi-round topology
+      val got = Clustering.connectedComponents(
+        chain.toDF("id_1", "id_2"), checkpointDir = Some(dir))
+      val labels = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((10L to 40L).forall(labels(_) == 10L))
+      // stale rounds were cleaned; the final round's table backs the result
+      val rounds = new java.io.File(dir).list().toSeq.filter(_.startsWith("cc_round_"))
+      assert(rounds.size == 1, s"expected only the final round kept, got $rounds")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("dropNearDups keeps the min id per near-dup cluster and all singletons") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog again and again " * 3

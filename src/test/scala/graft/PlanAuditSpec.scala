@@ -92,6 +92,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // exploded corpus grams never hash-shuffle; no cartesian anywhere
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly two text scans: corpus side ONCE (n_grams captured before the
+    // explode) + benchmark side — a third scan means the denominator
+    // recompute crept back in
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 2, s"expected 2 scans:\n$p")
   }
 
   test("similarity top-k is two-phase bounded agg, never a per-query window") {
