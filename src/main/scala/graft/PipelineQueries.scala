@@ -41,6 +41,23 @@ object PipelineQueries {
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "q_text_redact" -> ((s, d) => {
+      // the corpus text is digit-free, so PII is synthesized DETERMINISTICALLY
+      // from doc_id (same construction in the oracle): every doc gets an
+      // email; docs divisible by 3/5/7 also get a phone / account digit run /
+      // API-key-looking token — exercising all four redaction rules
+      val aug = concat_ws(" ", col("text"),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+        when(col("doc_id") % 3 === 0, lit("call (555) 123-4567 now")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("acct "), col("doc_id").cast("string"), lit("9999888877"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("token a1B2c3D4e5F6g7H8i9J0k1L2m3N4")).otherwise(lit("")))
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.redactPii(aug).as("redacted"))
+        .withColumn("n_pii", TextAnalysis.piiHits(col("redacted")))
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(docs(s, d), "doc_id", "text")),
 
@@ -213,6 +230,24 @@ object PipelineQueries {
          |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)],
          |    g -> ${duckMd5Long("g")})) END AS fp
          |FROM t""".stripMargin,
+
+    // same synthetic augmentation, then the same 4-rule replace chain
+    // (email → phone → key → digit-run; 'g' = Spark's replace-all)
+    "q_text_redact" ->
+      """WITH aug AS (SELECT doc_id, concat_ws(' ', text,
+        |    'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'call (555) 123-4567 now' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'acct ' || CAST(doc_id AS VARCHAR) || '9999888877' ELSE '' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'token a1B2c3D4e5F6g7H8i9J0k1L2m3N4' ELSE '' END) AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '(\+?[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |    '[A-Za-z0-9+/_-]{28,}', '<KEY>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS redacted FROM aug)
+        |SELECT doc_id, redacted,
+        |  CAST(len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<KEY>|<NUM>')) AS BIGINT) AS n_pii
+        |FROM r""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,

@@ -65,6 +65,43 @@ object TextAnalysis {
     }
   }
 
+  /** PII redaction patterns, applied IN ORDER: emails before phone/digit
+    * rules (so an address's digits aren't half-eaten), key-looking runs
+    * before bare digit runs. Portable regex subset — no lookaround, no
+    * backreferences — so the Java (Spark) and RE2 (DuckDB oracle) engines
+    * agree byte-for-byte. */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    // local@domain.tld
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // separator-delimited phone shapes: (555) 123-4567, 555-123-4567,
+    // +1 555 123 4567 — undelimited digit runs fall through to <NUM>
+    "(\\+?[0-9]{1,2}[-. ]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    // key/token-looking: 28+ unbroken base64ish characters
+    "[A-Za-z0-9+/_-]{28,}" -> "<KEY>",
+    // long digit runs: SSNs, card and account numbers
+    "[0-9]{9,}" -> "<NUM>")
+
+  /** Redact PII in place: emails, delimited phone numbers, key-looking
+    * tokens, and long digit runs each collapse to a typed sentinel. A pure
+    * per-row `regexp_replace` chain — codegen'd, shuffle-free, streams at
+    * any scale. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Number of redactions in an already-redacted text (sentinel count). */
+  def piiHits(redacted: Column): Column =
+    regexp_count(redacted, lit("<EMAIL>|<PHONE>|<KEY>|<NUM>")).cast("long")
+
+  /** Scrub a document frame: redact PII in `textCol`, and DROP documents
+    * with more than `maxHits` redactions — heavily-PII documents (credential
+    * dumps, contact-list boilerplate) are worth dropping outright rather
+    * than keeping as sentinel soup. */
+  def scrubPii(df: DataFrame, textCol: String, maxHits: Int = Int.MaxValue): DataFrame =
+    df.withColumn("__redacted", redactPii(col(textCol)))
+      .filter(piiHits(col("__redacted")) <= maxHits)
+      .withColumn(textCol, col("__redacted"))
+      .drop("__redacted")
+
   /** 60-bit document fingerprint: minimum md5-hash over word 5-gram shingles
     * (winnowing-style robust fingerprint; falls back to whole-text hash for
     * docs shorter than 5 words). */
