@@ -53,7 +53,8 @@ object SparkEntry {
   private def sView(t: String): String =
     s"""SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = '$t'"""
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = engineQueries ++ PipelineQueries.queries ++ StoreQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    engineQueries ++ PipelineQueries.queries ++ StoreQueries.queries ++ StreamQueries.queries
 
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- selection / filtering (SURVEY §3.2: P1-P6) ----
@@ -106,7 +107,8 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql ++ StreamQueries.oracleSql
 
   private def engineOracles: Map[String, String] = Map(
     "q_select_where_gt" ->

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ast.{AggSpec, TimeGranularity}
+import graft.sources.TestDataSource
+import graft.streaming.{StreamingAggregates, StreamingPipeline, StreamingReplay, StreamingSequence}
+
+/** CORRECTNESS rows for the Structured Streaming operators: each one is
+  * batch-replayed over the testdata via [[streaming.StreamingReplay]]
+  * (`Trigger.AvailableNow`, real state stores/watermarks) and hash-compared
+  * against a DuckDB oracle expressing the same semantics — the same hard
+  * gate every batch operator passes.
+  *
+  * The replay delivers all input as one micro-batch, so the stream-only
+  * semantics (funnel first-touch scan order, dedup first-arrival survivor)
+  * are deterministic and the oracles below express them exactly.
+  */
+object StreamQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_funnel" -> ((s, d) => {
+      // streaming FOLLOWED BY with first-touch + reset semantics
+      // (flatMapGroupsWithState) — the oracle replays the same greedy
+      // alternating scan per link via a recursive CTE
+      val src = new TestDataSource(s, d)
+      val fm = StreamingSequence.funnel(src.eventsStream, Seq("signup", "purchase"))
+      StreamingReplay.run(fm.toDF())
+        .select(col("link").as("link_value"),
+          element_at(col("stepTs"), 1).as("signup_ts"),
+          element_at(col("stepTs"), 2).as("purchase_ts"))
+    }),
+
+    "q_stream_curate" -> ((s, d) => {
+      // streaming curation (lang → quality → watermark-bounded dedup →
+      // token stats); event time synthesized from doc_id (the corpus has no
+      // timestamp column), shifted off epoch 0 — a row AT the initial
+      // watermark (et = 0) would be classified late and dropped
+      val src = new TestDataSource(s, d)
+      val docs = src.documentsStream.withColumn("ets", col("doc_id") + lit(86400L))
+      StreamingReplay.run(
+        StreamingPipeline.curateStream(docs, "doc_id", "text", "ets"))
+    }),
+
+    "q_stream_windowed" -> ((s, d) => {
+      // streaming PER DAY aggregation: tumbling window() + the batch agg
+      // column compiler; complete mode so every window is emitted at replay
+      // end (same totals as the batch PER DAY path)
+      val src = new TestDataSource(s, d)
+      val purchases = src.eventsStream.filter(col("event_type") === "purchase")
+      StreamingReplay.run(
+        StreamingAggregates.windowed(purchases, TimeGranularity.Day,
+          Seq(AggSpec.Count, AggSpec.Avg("value")), watermarkDelay = None),
+        mode = "complete")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // greedy first-touch alternating matcher, replayed per link in strict
+    // (ts, event_id) order: a signup arms the state unless already armed; a
+    // purchase with armed state emits (signup_ts, purchase_ts) and resets
+    "q_stream_funnel" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS link,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid,
+        |         CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS side,
+        |         row_number() OVER (PARTITION BY CAST(user_id AS VARCHAR)
+        |                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |r AS (
+        |  SELECT link, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS pend_ts,
+        |         CAST(NULL AS BIGINT) AS em_s, CAST(NULL AS BIGINT) AS em_p
+        |  FROM (SELECT DISTINCT link FROM ev)
+        |  UNION ALL
+        |  SELECT e.link, e.rn,
+        |    CASE WHEN e.side = 0 AND r.pend_ts IS NULL THEN e.t
+        |         WHEN e.side = 1 THEN NULL
+        |         ELSE r.pend_ts END,
+        |    CASE WHEN e.side = 1 AND r.pend_ts IS NOT NULL THEN r.pend_ts END,
+        |    CASE WHEN e.side = 1 AND r.pend_ts IS NOT NULL THEN e.t END
+        |  FROM r JOIN ev e ON e.link = r.link AND e.rn = r.rn + 1)
+        |SELECT link AS link_value, em_s AS signup_ts, em_p AS purchase_ts
+        |FROM r WHERE em_s IS NOT NULL""".stripMargin,
+
+    // identical to the batch pipeline oracle: the corpus has no duplicate
+    // content keys, so first-arrival == min-id survivor and the streaming
+    // output equals the batch curation exactly
+    "q_stream_curate" -> PipelineQueries.oracleSql("q_pipeline_e2e"),
+
+    // tumbling 1-day windows anchored at the epoch == integer day floor
+    "q_stream_windowed" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS "count",
+        |  avg(CAST(trunc(value) AS BIGINT)) AS avg_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+  )
+}

@@ -85,4 +85,35 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
 
   /** Raw table access for the data-pipeline operators (documents/embeddings). */
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  /** STREAMING (file-source) view of the events table with the same core
+    * columns as [[frame]] — for batch-replaying the streaming operators
+    * ([[graft.streaming.StreamingReplay]]) over the same data the batch
+    * path is oracle-checked on. Unfiltered by event type; the streaming
+    * operators scope their own steps. */
+  // The file stream source requires its path to be a DIRECTORY, but the
+  // testdata tables are single parquet files — stage a symlink to the file
+  // inside a temp directory and stream that (no data copy).
+  private def streamDir(table: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve(s"$table.parquet"), java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    tmp.toString
+  }
+
+  def eventsStream: DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(streamDir("events"))
+      .select(
+        col("user_id").cast("string").as(EventSchema.ContextId),
+        col("event_type"),
+        expr("ts div 1000000000").as(EventSchema.Timestamp),
+        col("event_id"),
+        col("value"),
+        col("props"))
+
+  /** STREAMING view of the documents table ([[table]] is the batch analog). */
+  def documentsStream: DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(streamDir("documents"))
+  }
 }
