@@ -36,10 +36,6 @@ class ScenarioCorpusSpec extends AnyFunSuite {
 
   /** name → reason. Divergences documented in docs/DIVERGENCES.md. */
   private val skip: Map[String, String] = Map(
-    "simple_query_status_confirmed" ->
-      ("matcher pins the reference's HashMap column iteration order " +
-        "(status before order_id); our rows carry identical values in " +
-        "schema-declaration order"),
     "sequence_followed_by_with_common_where" ->
       ("defines a payload field named 'timestamp'; our flat event frame " +
         "reserves core column names (DIVERGENCES.md #6)"),
@@ -52,24 +48,38 @@ class ScenarioCorpusSpec extends AnyFunSuite {
     "wal_fsync_every_n_without_flush_each_write" ->
       ("asserts buffered-WAL data LOSS on restart; our WAL fsyncs every " +
         "append so the event survives — strictly more durable; the loss " +
-        "path is covered wal-disabled in CoreScenariosSpec")) ++
-    // matchers pin `,1]`/`,2]` row ENDINGS from the reference's HashMap
-    // column iteration order (DIVERGENCES.md #7); identical row content in
-    // schema order, semantics hand-ported in CoreScenariosSpec's since_/
-    // store_ tranches (each id cited there)
-    Seq("since_using_created_at_equal_boundary_included",
-      "since_using_created_at_ms_input",
-      "since_using_created_at_ns_input_excludes_first",
-      "since_using_created_at_minus_offset_boundary",
-      "store_created_at_ms_number_normalized",
-      "since_using_created_at_with_offset",
-      "since_using_date_field",
-      "since_unparsable_ignored_includes_all",
-      "since_using_optional_datetime_skips_nulls",
-      "since_using_created_at_iso8601_selection",
-      "since_using_created_at_numeric_units_selection",
-      "since_using_created_at_us_input_inclusive")
-      .map(_ -> "row-ending matcher pins HashMap column order (DIVERGENCES.md #7); semantics covered in CoreScenariosSpec").toMap
+        "path is covered wal-disabled in CoreScenariosSpec"))
+
+  /** Order-insensitive re-expression of matchers that pin the reference's
+    * HashMap column ITERATION ORDER (row endings like `,1]` mean "the row
+    * whose `id` cell is 1"; our rows carry identical values in
+    * schema-declaration order, so the literal substring never matches).
+    * Each entry replaces the corpus matcher with the same semantic
+    * assertion on named CELLS: (mustExist, column → cell text). A row
+    * matches a rule when every listed cell equals the expected text; the
+    * rule passes when such a row exists (or, for mustExist=false, none
+    * does). See DIVERGENCES.md #7.
+    */
+  private val cellRules: Map[String, Seq[(Boolean, Map[String, String])]] = {
+    val id2not1 = Seq(true -> Map("id" -> "2"), false -> Map("id" -> "1"))
+    val bothIds = Seq(true -> Map("id" -> "1"), true -> Map("id" -> "2"))
+    Map(
+      "simple_query_status_confirmed" ->
+        Seq(true -> Map("status" -> "confirmed", "order_id" -> "1")),
+      "since_using_created_at_equal_boundary_included" -> id2not1,
+      "since_using_created_at_ns_input_excludes_first" -> id2not1,
+      "since_using_created_at_minus_offset_boundary"   -> id2not1,
+      "since_using_created_at_with_offset"             -> id2not1,
+      "since_using_date_field"                         -> id2not1,
+      "since_using_optional_datetime_skips_nulls"      -> id2not1,
+      "since_using_created_at_iso8601_selection"       -> id2not1,
+      "since_using_created_at_ms_input"                -> bothIds,
+      "store_created_at_ms_number_normalized"          -> bothIds,
+      "since_unparsable_ignored_includes_all"          -> bothIds,
+      "since_using_created_at_numeric_units_selection" -> bothIds,
+      "since_using_created_at_us_input_inclusive" ->
+        Seq(true -> Map("id" -> "1"), false -> Map("id" -> "2")))
+  }
 
   private case class Matcher(kind: String, values: Seq[String])
   private case class Config(bypassAuth: Boolean, adminUser: Option[String],
@@ -147,17 +157,49 @@ class ScenarioCorpusSpec extends AnyFunSuite {
       }
     }
     val out = p.output
-    s.matchers.foreach { m =>
-      m.kind match {
-        case "include" | "include_all" => m.values.foreach(v =>
-          assert(out.contains(v), s"expected output to include <$v>\n--- output ---\n$out"))
-        case "include_none" => m.values.foreach(v =>
-          assert(!out.contains(v), s"expected output to NOT include <$v>\n--- output ---\n$out"))
-        case "regex" => m.values.foreach(v =>
-          assert(v.r.findFirstIn(out).isDefined, s"expected output to match /$v/\n--- output ---\n$out"))
-        case other => fail(s"unknown matcher kind: $other")
+    cellRules.get(s.name) match {
+      case Some(rules) =>
+        val rows = outputRows(out)
+        rules.foreach { case (mustExist, cells) =>
+          val hit = rows.exists(r => cells.forall { case (c, v) => r.get(c).contains(v) })
+          assert(hit == mustExist,
+            s"expected a row with cells $cells to ${if (mustExist) "exist" else "be absent"}" +
+              s"\n--- rows ---\n${rows.mkString("\n")}\n--- output ---\n$out")
+        }
+      case None => s.matchers.foreach { m =>
+        m.kind match {
+          case "include" | "include_all" => m.values.foreach(v =>
+            assert(out.contains(v), s"expected output to include <$v>\n--- output ---\n$out"))
+          case "include_none" => m.values.foreach(v =>
+            assert(!out.contains(v), s"expected output to NOT include <$v>\n--- output ---\n$out"))
+          case "regex" => m.values.foreach(v =>
+            assert(v.r.findFirstIn(out).isDefined, s"expected output to match /$v/\n--- output ---\n$out"))
+          case other => fail(s"unknown matcher kind: $other")
+        }
       }
     }
+  }
+
+  /** Every schema/batch frame in `out`, flattened to rows of
+    * (column → cell text). Cell text is the JSON node's `asText` — numbers
+    * render without quotes, matching the expected texts in [[cellRules]].
+    */
+  private def outputRows(out: String): Seq[Map[String, String]] = {
+    var cols: Seq[String] = Nil
+    val rows = Seq.newBuilder[Map[String, String]]
+    out.linesIterator.map(_.trim).filter(_.startsWith("{")).foreach { line =>
+      val n = try graft.store.EventStore.readTree(line) catch { case _: Exception => null }
+      if (n != null) Option(n.get("type")).map(_.asText()) match {
+        case Some("schema") =>
+          cols = n.get("columns").elements().asScala.map(_.asText()).toSeq
+        case Some("batch") =>
+          n.get("rows").elements().asScala.foreach { r =>
+            rows += cols.zip(r.elements().asScala.map(_.asText()).toSeq).toMap
+          }
+        case _ => ()
+      }
+    }
+    rows.result()
   }
 
   private val corpus =
