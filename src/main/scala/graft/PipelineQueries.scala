@@ -58,6 +58,20 @@ object PipelineQueries {
         .withColumn("n_pii", TextAnalysis.piiHits(col("redacted")))
     }),
 
+    "q_text_repetition" -> ((s, d) => {
+      val stats = TextAnalysis.repetitionStats(col("text"))
+      docs(s, d).select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    "q_sample_group" -> ((s, d) =>
+      // 5 docs per source by salted-hash order — deterministic stratified
+      // subsample through the bounded two-phase top-k (never a window rank)
+      DataMix.samplePerGroup(docs(s, d), "source", "doc_id", n = 5)),
+
+    "q_chunk_overlap" -> ((s, d) =>
+      // 64-token windows every 48 tokens (16-token overlap; last chunk short)
+      Chunking.chunk(docs(s, d), "doc_id", "text", chunkSize = 64, stride = 48)),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(docs(s, d), "doc_id", "text")),
 
@@ -248,6 +262,39 @@ object PipelineQueries {
         |SELECT doc_id, redacted,
         |  CAST(len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<KEY>|<NUM>')) AS BIGINT) AS n_pii
         |FROM r""".stripMargin,
+
+    // same tokenize-once + shifted-window n-grams; duplicate fraction is
+    // 1 - distinct/total with the same round(…, 6)
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, w,
+         |  [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS b2,
+         |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS b3
+         |  FROM t)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  CASE WHEN len(w) > 0 THEN round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) ELSE 0.0 END AS dup_word_frac,
+         |  CASE WHEN len(b2) > 0 THEN round(1.0 - len(list_distinct(b2)) * 1.0 / len(b2), 6) ELSE 0.0 END AS dup_bigram_frac,
+         |  CASE WHEN len(b3) > 0 THEN round(1.0 - len(list_distinct(b3)) * 1.0 / len(b3), 6) ELSE 0.0 END AS dup_trigram_frac
+         |FROM g""".stripMargin,
+
+    // the bounded top-k aggregate ranks (-hash DESC, id ASC) ≡ (hash ASC,
+    // id ASC) — the window spelling is the oracle, not the plan
+    "q_sample_group" -> {
+      val h = duckMd5Long("'mix:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (SELECT source, doc_id, $h AS h FROM documents),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS rk
+         |      FROM c)
+         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk < 5""".stripMargin
+    },
+
+    "q_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS st FROM t)
+         |SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         |  array_to_string(list_slice(w, st + 1, st + 64), ' ') AS chunk_text,
+         |  CAST(least(64, len(w) - st) AS BIGINT) AS n_tokens
+         |FROM s""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,

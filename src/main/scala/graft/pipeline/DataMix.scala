@@ -30,6 +30,35 @@ object DataMix {
     df.filter(coin(col(idCol), salt) < (rate * M).toLong)
   }
 
+  /** At most `n` survivors per group (every row when the group is smaller),
+    * chosen by salted-id hash order — a deterministic stratified subsample
+    * ("N docs per domain"), reproducible across runs, engines, and
+    * partitionings. Ranking runs through the bounded
+    * [[graft.functions.TopKByDot]] aggregate: map-side state ≤ n per
+    * (group, partition) and an exchange of ≤ partitions×n rows per group —
+    * never a per-group window rank, which would funnel every row of a hot
+    * group through a single reducer at 100 TB.
+    *
+    * Output: (groupCol, idCol, rk) where rk is the 0-based rank in
+    * (hash ASC, id ASC) order — stable under corpus growth: adding rows can
+    * displace survivors but never reorders two that remain. */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
+      salt: String = "mix"): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    val idType = df.schema(idCol).dataType
+    // TopKByDot keeps the k LARGEST dots; negate the hash to sample the
+    // smallest-hash rows (ties break to the smaller id inside the aggregate)
+    val rank = -Hashing.md5Long(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val tk = columnOf(graft.functions.TopKByDot(
+      expressionOf(rank), expressionOf(col(idCol).cast("long")),
+      expressionOf(lit(0.0).cast("double")), n).toAggregateExpression())
+    df.groupBy(col(groupCol)).agg(tk.as("tk"))
+      .select(col(groupCol), posexplode(col("tk")).as(Seq("rk", "e")))
+      .select(col(groupCol), col("e.id").cast(idType).as(idCol),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Weighted mixture: each row is emitted `floor(w)` times plus one more
     * with probability `frac(w)`, where `w` is its domain's weight
     * (`defaultWeight` when absent). Output appends `copy_idx` (0-based) so

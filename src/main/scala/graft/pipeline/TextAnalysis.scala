@@ -102,6 +102,43 @@ object TextAnalysis {
       .withColumn(textCol, col("__redacted"))
       .drop("__redacted")
 
+  /** Word n-gram array (adjacent tokens joined by a single space);
+    * n_tokens < n ⇒ empty array. */
+  private def wordGrams(toks: Column, n: Int): Column = {
+    require(n >= 2, s"wordGrams needs n >= 2, got $n")
+    // zip_with over n shifted slices: gram i = w[i] ' ' w[i+1] … ' ' w[i+n-1].
+    // Every slice uses the SAME clamped length m: slice() rejects negative
+    // lengths, and zip_with pads the shorter side with nulls — mixed lengths
+    // would fabricate null-joined grams on short documents.
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), m)) { case (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), m), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** Duplicate fraction of an array: 1 − distinct/total (0 when empty). */
+  private def dupFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      round(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"), 6))
+      .otherwise(lit(0.0))
+
+  /** Gopher-style repetition profile: the fraction of duplicate words,
+    * bigrams, and trigrams in each document — the standard cheap signal for
+    * boilerplate / degenerate-generation filtering. One codegen'd per-row
+    * expression tree (tokenize once, shifted-slice zip for the n-grams):
+    * no shuffle, no UDF, streams at 100 TB.
+    *
+    * Output columns: n_words, dup_word_frac, dup_bigram_frac,
+    * dup_trigram_frac. */
+  def repetitionStats(text: Column): Seq[(String, Column)] = {
+    val w = tokens(text)
+    Seq(
+      "n_words" -> size(w).cast("long"),
+      "dup_word_frac" -> dupFrac(w),
+      "dup_bigram_frac" -> dupFrac(wordGrams(w, 2)),
+      "dup_trigram_frac" -> dupFrac(wordGrams(w, 3)))
+  }
+
   /** 60-bit document fingerprint: minimum md5-hash over word 5-gram shingles
     * (winnowing-style robust fingerprint; falls back to whole-text hash for
     * docs shorter than 5 words). */

@@ -205,4 +205,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(1L) == "contact me at <EMAIL>")
     assert(kept(3L) == "nothing sensitive here")
   }
+
+  test("repetitionStats: dup fractions for repeated words/bigrams; short docs safe") {
+    val rows = Seq(
+      (1L, "a b a b a b"),   // words {a,b}: dup 4/6; bigrams: 5 total 2 distinct
+      (2L, "x y z"),         // all unique
+      (3L, "solo"),          // 1 word: no bigrams/trigrams → fractions 0
+      (4L, "")               // tokenizer quirk: one empty token
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.repetitionStats(col("text"))
+    val got = rows.select($"doc_id" +: stats.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_words"), r.getAs[Double]("dup_word_frac"),
+          r.getAs[Double]("dup_bigram_frac"), r.getAs[Double]("dup_trigram_frac")))).toMap
+    assert(got(1L) == ((6L, (4.0 / 6 * 1e6).round / 1e6, 0.6, 0.5)))
+    assert(got(2L) == ((3L, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0.0, 0.0, 0.0)))
+    assert(got(4L)._1 == 1L) // one empty token; all fractions 0
+    assert(got(4L)._2 == 0.0 && got(4L)._3 == 0.0 && got(4L)._4 == 0.0)
+  }
+
+  test("samplePerGroup: n per group, hash-deterministic, small groups whole") {
+    val rows = (0L until 40L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "grp")
+      .union(Seq((100L, "tiny")).toDF("doc_id", "grp"))
+    val out = DataMix.samplePerGroup(rows, "grp", "doc_id", n = 4)
+    val byGrp = out.collect()
+      .groupBy(_.getAs[String]("grp"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id")).toSeq).toMap
+    assert(byGrp.keySet == Set("g0", "g1", "g2", "tiny"))
+    assert(byGrp("tiny") == Seq(100L)) // group smaller than n → whole group
+    Seq("g0", "g1", "g2").foreach(g => assert(byGrp(g).length == 4))
+    // deterministic: same survivors in the same rank order on re-run, and
+    // equal to the window-rank spelling over the same salted hash
+    val again = DataMix.samplePerGroup(rows, "grp", "doc_id", n = 4).collect()
+      .groupBy(_.getAs[String]("grp"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id")).toSeq).toMap
+    assert(again == byGrp)
+    import org.apache.spark.sql.expressions.Window
+    val h = Hashing.md5Long(concat_ws(":", lit("mix"), $"doc_id".cast("string")))
+    val oracle = rows.withColumn("h", h)
+      .withColumn("rn", row_number().over(Window.partitionBy($"grp").orderBy($"h", $"doc_id")))
+      .filter($"rn" <= 4)
+      .collect().groupBy(_.getAs[String]("grp"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("doc_id")).toSeq).toMap
+    assert(oracle == byGrp)
+  }
+
+  test("chunk: overlapping windows, short tail, single-chunk and empty docs") {
+    val rows = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: chunks at 0,4,8
+      (2L, "a b c"),                                  // fits in one chunk
+      (3L, "")                                        // one empty token → one chunk
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunk(rows, "doc_id", "text", chunkSize = 6, stride = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        ((r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (3L, 0L)))
+    assert(out((1L, 0L)) == (("w1 w2 w3 w4 w5 w6", 6L)))
+    assert(out((1L, 1L)) == (("w5 w6 w7 w8 w9 w10", 6L))) // 2-token overlap
+    assert(out((1L, 2L)) == (("w9 w10", 2L)))             // short tail
+    assert(out((2L, 0L)) == (("a b c", 3L)))
+    assert(out((3L, 0L)) == (("", 1L)))
+    // stride == chunkSize ⇒ a partition (no overlap, covers every token once)
+    val flat = Chunking.chunk(rows.filter($"doc_id" === 1L), "doc_id", "text", 5, 5)
+      .collect().sortBy(_.getAs[Long]("chunk_idx"))
+      .map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(flat == (1 to 10).map(i => s"w$i").mkString(" "))
+  }
 }

@@ -139,4 +139,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(labels)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("per-group sampling is two-phase bounded agg, never a per-group window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.DataMix.samplePerGroup(docs, "source", "doc_id", 5))
+    assert(!p.contains("Window"), s"samplePerGroup plans a per-group window rank:\n$p")
+    assert(p.split("ObjectHashAggregate").length >= 3,
+      s"missing partial+final bounded sample agg:\n$p")
+  }
+
+  test("chunking and repetition stats are map-side: no exchange, pruned scan") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    import org.apache.spark.sql.functions.col
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val chunkPlan = plan(graft.pipeline.Chunking.chunk(docs, "doc_id", "text", 64, 48))
+    val repCols = graft.pipeline.TextAnalysis.repetitionStats(col("text"))
+    val repPlan = plan(docs.select(col("doc_id") +: repCols.map { case (n, c) => c.as(n) }: _*))
+    Seq("chunk" -> chunkPlan, "repetition" -> repPlan).foreach { case (name, p) =>
+      assert(!p.contains("Exchange"), s"$name shuffles a per-row operator:\n$p")
+      val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!readSchema.contains("lang"), s"$name reads unused columns: $readSchema")
+    }
+  }
 }
