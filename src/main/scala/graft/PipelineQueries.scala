@@ -72,6 +72,25 @@ object PipelineQueries {
       // 64-token windows every 48 tokens (16-token overlap; last chunk short)
       Chunking.chunk(docs(s, d), "doc_id", "text", chunkSize = 64, stride = 48)),
 
+    "q_multimodal_ppm" -> ((s, d) =>
+      // REAL image decode: synthesize a valid binary-PPM blob per doc
+      // (pixel j = (id*31 + j*7) % 256), parse it back with the pure-JVM
+      // decoder, emit dims + per-channel means. 64 px/channel ⇒ every mean
+      // is an exact power-of-two division — bit-identical in the oracle,
+      // which computes the same stats from the FORMULA (never the bytes)
+      Multimodal.decodeImages(docs(s, d).select(
+        col("doc_id").as("media_id"),
+        Multimodal.syntheticPpm(col("doc_id"), 8, 8).as("bytes")))),
+
+    "q_multimodal_wav" -> ((s, d) =>
+      // REAL audio decode: valid PCM16 WAV per doc — sample i's unsigned
+      // word is u = (id*13 + i*97) % 65536, little-endian, so the int16
+      // value is u (u < 32768) or u - 65536 (two's complement); parsed
+      // back by the chunk-walking decoder; 256 samples ⇒ exact mean
+      Multimodal.decodeAudio(docs(s, d).select(
+        col("doc_id").as("media_id"),
+        Multimodal.syntheticWav(col("doc_id"), 256, 16000).as("bytes")))),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(docs(s, d), "doc_id", "text")),
 
@@ -295,6 +314,28 @@ object PipelineQueries {
          |  array_to_string(list_slice(w, st + 1, st + 64), ' ') AS chunk_text,
          |  CAST(least(64, len(w) - st) AS BIGINT) AS n_tokens
          |FROM s""".stripMargin,
+
+    // the oracle never decodes: it recomputes the decoded stats from the
+    // same analytic pixel/sample formulas the blob was built from — a
+    // mismatch means the DECODER misparsed real bytes
+    "q_multimodal_ppm" ->
+      """WITH px AS (SELECT doc_id, unnest(range(0, 192)) AS j FROM documents),
+        |v AS (SELECT doc_id, j % 3 AS ch, (doc_id * 31 + j * 7) % 256 AS val FROM px)
+        |SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  sum(CASE WHEN ch = 0 THEN val END) / 64.0 AS mean_r,
+        |  sum(CASE WHEN ch = 1 THEN val END) / 64.0 AS mean_g,
+        |  sum(CASE WHEN ch = 2 THEN val END) / 64.0 AS mean_b
+        |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q_multimodal_wav" ->
+      """WITH s AS (SELECT doc_id, unnest(range(0, 256)) AS i FROM documents),
+        |u AS (SELECT doc_id, (doc_id * 13 + i * 97) % 65536 AS w FROM s),
+        |v AS (SELECT doc_id, CASE WHEN w >= 32768 THEN w - 65536 ELSE w END AS smp FROM u)
+        |SELECT doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  sum(smp) / 256.0 AS mean_amp,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,

@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus batch-shaped decode / feature-extraction
   * plumbing.
   *
-  * The real decode step (image/audio codecs) is STUBBED — those libraries
-  * are not in this container — behind [[decodeStub]], a deterministic fake
-  * that produces byte-level statistics with the same shape a real extractor
-  * would (fixed-length feature vector per item). Everything around it —
+  * Container-less formats are decoded FOR REAL: [[decodePpmP6]] (binary PPM
+  * images) and [[decodeWavPcm16]] (RIFF/PCM16 audio) parse actual bytes —
+  * headers, chunk layout, endianness — with no codec library, and are
+  * oracle-checked end-to-end against analytically-constructed blobs
+  * ([[syntheticPpm]]/[[syntheticWav]]). Only COMPRESSED codecs (JPEG/MP3/
+  * H.264), whose libraries are not in this container, remain behind
+  * [[decodeStub]], a deterministic fake producing byte-level statistics
+  * with the same shape a real extractor would. Everything around it —
   * schema, binary packing, partition-wise batched execution, feature
   * schema — is real Spark plumbing that a production decoder drops into.
   *
@@ -97,6 +101,167 @@ object Multimodal {
         floor(col("i") * col("n") / k).cast("long").as("frame_offset"),
         least(lit(frameBytes.toLong), col("n") - floor(col("i") * col("n") / k)).as("frame_len"),
         expr(s"substring(bytes, cast(floor(i * n / $k) as int) + 1, $frameBytes)").as("frame_bytes"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Real decoders — container-less formats need no codec library, so these
+  // parse actual bytes (headers, chunk layout, endianness), not a stub.
+  // Compressed codecs (JPEG/MP3/H.264) still require external libraries not
+  // present in this container; their entry point remains
+  // [[extractFeaturesWithDecoder]] with [[decodeStub]].
+  // ---------------------------------------------------------------------
+
+  /** Decoded image summary: dims + per-channel means. */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** Decode a binary PPM (P6) image: `P6 <ws> w <ws> h <ws> maxval <1 ws
+    * byte> <w*h*3 raw RGB bytes>`, `#`-comments allowed in the header.
+    * Returns None on malformed input (truncated, wrong magic, maxval > 255).
+    */
+  def decodePpmP6(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWsAndComments(): Unit = {
+      var going = true
+      while (going && i < bytes.length) {
+        val b = bytes(i)
+        if (b == ' ' || b == '\t' || b == '\r' || b == '\n') i += 1
+        else if (b == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else going = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      var v = -1
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = math.max(v, 0) * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    i += 1 // exactly one whitespace byte separates maxval from raw data
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    val n = w * h
+    if (i + n * 3 > bytes.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < n) {
+      sr += bytes(i + p * 3) & 0xff
+      sg += bytes(i + p * 3 + 1) & 0xff
+      sb += bytes(i + p * 3 + 2) & 0xff
+      p += 1
+    }
+    Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  /** Decoded audio summary: rate + sample count + amplitude stats. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("mean_amp", DoubleType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false)))
+
+  /** Decode a PCM16 WAV (RIFF) blob: walks the chunk list for `fmt ` (must
+    * be format 1 = uncompressed PCM, 16-bit) and `data`, then reads
+    * little-endian int16 samples. Returns None on malformed input. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Long, Double, Long)] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var rate = -1
+    var dataOff = -1; var dataLen = -1L
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val id = tag(o); val sz = u32(o + 4)
+      if (id == "fmt ") {
+        if (u16(o + 8) != 1 || u16(o + 22) != 16) return None // PCM16 only
+        rate = u32(o + 12).toInt
+      } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return None
+    val n = dataLen / 2
+    var sum = 0L; var peak = 0L
+    var s = 0
+    while (s < n) {
+      val v = u16(dataOff + s * 2).toShort.toLong
+      sum += v
+      val a = math.abs(v); if (a > peak) peak = a
+      s += 1
+    }
+    if (n == 0) Some((rate, 0L, 0.0, 0L))
+    else Some((rate, n, sum.toDouble / n, peak))
+  }
+
+  /** Decode every `bytes` blob as a PPM image (malformed rows dropped) —
+    * batch-shaped like [[extractFeaturesWithDecoder]]: per-partition setup,
+    * rows streamed, blobs never leave the executor. */
+  def decodeImages(media: DataFrame): DataFrame =
+    media.select("media_id", "bytes").mapPartitions { it =>
+      it.flatMap { r =>
+        decodePpmP6(r.getAs[Array[Byte]]("bytes")).map { case (w, h, mr, mg, mb) =>
+          Row(r.getLong(0), w, h, mr, mg, mb)
+        }
+      }
+    }(Encoders.row(imageSchema))
+
+  /** Decode every `bytes` blob as a PCM16 WAV (malformed rows dropped). */
+  def decodeAudio(media: DataFrame): DataFrame =
+    media.select("media_id", "bytes").mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWavPcm16(r.getAs[Array[Byte]]("bytes")).map { case (rate, n, mean, peak) =>
+          Row(r.getLong(0), rate, n, mean, peak)
+        }
+      }
+    }(Encoders.row(audioSchema))
+
+  import org.apache.spark.sql.Column
+
+  /** Hex string of one byte-valued column (for `unhex` blob synthesis). */
+  private def hexByte(v: Column): Column = lpad(hex(v), 2, "0")
+
+  /** A VALID binary-PPM (P6) blob synthesized per row: pixel byte j is
+    * `(id*31 + j*7) mod 256` — an analytic formula, so an oracle can verify
+    * the DECODED features without decoding anything itself. Built entirely
+    * from codegen'd expressions (header literal ++ unhex of generated hex
+    * pairs): no UDF, streams at any scale. */
+  def syntheticPpm(id: Column, w: Int, h: Int): Column = {
+    val header = lit(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+    val body = unhex(concat_ws("", transform(
+      sequence(lit(0L), lit(w.toLong * h * 3 - 1)),
+      j => hexByte(pmod(id.cast("long") * 31 + j * 7, lit(256L))))))
+    concat(header, body)
+  }
+
+  /** A VALID PCM16 mono WAV blob per row: sample i's unsigned word is
+    * `u = (id*13 + i*97) mod 65536`, written little-endian — its int16
+    * (two's-complement) value is `u` when u < 32768, else `u - 65536`.
+    * Same analytic construction as [[syntheticPpm]]. */
+  def syntheticWav(id: Column, nSamples: Int, sampleRate: Int): Column = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val header = lit(bb.array())
+    val body = unhex(concat_ws("", transform(
+      sequence(lit(0L), lit(nSamples.toLong - 1)),
+      i => {
+        val u = pmod(id.cast("long") * 13 + i * 97, lit(65536L))
+        concat(hexByte(pmod(u, lit(256L))), hexByte(shiftright(u, 8)))
+      })))
+    concat(header, body)
   }
 
   /** Batch-shaped extraction harness for a REAL decoder: one codec init per

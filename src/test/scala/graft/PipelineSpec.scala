@@ -272,4 +272,62 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.getAs[String]("chunk_text")).mkString(" ")
     assert(flat == (1 to 10).map(i => s"w$i").mkString(" "))
   }
+
+  test("PPM decoder: real bytes, header comments, malformed rejected") {
+    // 2x1 image: red pixel then blue pixel, with a header comment
+    val ppm = ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte))
+    assert(Multimodal.decodePpmP6(ppm).contains((2, 1, 127.5, 0.0, 127.5)))
+    // truncated pixel data, wrong magic, 16-bit maxval → all rejected
+    assert(Multimodal.decodePpmP6(ppm.dropRight(1)).isEmpty)
+    assert(Multimodal.decodePpmP6("P5\n2 1\n255\n  ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpmP6("P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](6)(0)).isEmpty)
+  }
+
+  test("WAV decoder: chunk walk, negative samples, extra chunk, malformed rejected") {
+    def wav(samples: Seq[Short], extraChunk: Boolean = false): Array[Byte] = {
+      val extra = if (extraChunk) 8 + 3 + 1 else 0 // odd-sized chunk + pad byte
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + extra + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      if (extraChunk) { bb.put("LIST".getBytes).putInt(3).put(Array[Byte](1, 2, 3, 0)) }
+      bb.put("data".getBytes).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val s = Seq[Short](100, -100, 32767, -32768)
+    assert(Multimodal.decodeWavPcm16(wav(s)).contains((8000, 4L, -0.25, 32768L)))
+    // decoder walks past unknown (odd, padded) chunks to find data
+    assert(Multimodal.decodeWavPcm16(wav(s, extraChunk = true)).contains((8000, 4L, -0.25, 32768L)))
+    assert(Multimodal.decodeWavPcm16("nope".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm16(wav(Seq.empty)).contains((8000, 0L, 0.0, 0L)))
+    // declared data size past the end of the blob → rejected
+    val trunc = wav(s).dropRight(2)
+    assert(Multimodal.decodeWavPcm16(trunc).isEmpty)
+  }
+
+  test("synthetic blobs decode to the analytic stats end-to-end") {
+    val media = Seq(7L, 42L).toDF("media_id")
+      .select($"media_id", Multimodal.syntheticPpm($"media_id", 8, 8).as("bytes"))
+    val img = Multimodal.decodeImages(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    def meanR(id: Long): Double =
+      (0 until 64).map(p => (id * 31 + p * 3 * 7) % 256).sum.toDouble / 64
+    assert(img(7L) == ((8, 8, meanR(7L))))
+    assert(img(42L) == ((8, 8, meanR(42L))))
+    val audio = Multimodal.decodeAudio(Seq(7L).toDF("media_id")
+      .select($"media_id", Multimodal.syntheticWav($"media_id", 256, 16000).as("bytes")))
+      .collect().head
+    val samples = (0 until 256).map { i =>
+      val u = (7L * 13 + i * 97) % 65536
+      if (u >= 32768) u - 65536 else u
+    }
+    assert(audio.getInt(1) == 16000 && audio.getLong(2) == 256L)
+    assert(audio.getDouble(3) == samples.sum.toDouble / 256)
+    assert(audio.getLong(4) == samples.map(math.abs).max)
+  }
 }
