@@ -123,6 +123,13 @@ object PipelineQueries {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
         lshPrefilter = true, tables = 16)),
 
+    "q_semantic_dedup" -> ((s, d) =>
+      // SemDeDup: embedding near-dup pairs → connected components → min-id
+      // survivors; exact pair slice so the component labeling is
+      // oracle-checkable (the LSH-default path is the same code)
+      Clustering.semanticDedup(embs(s, d), "vec_id", "embedding",
+        threshold = 0.4, lshPrefilter = false)),
+
     "q_seq_pack" -> ((s, d) =>
       // token-budget sequence packing (greedy within hash buckets),
       // flattened to one row per packed doc for the hash compare
@@ -398,6 +405,23 @@ object PipelineQueries {
         |          (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
         |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
+
+    // exact embedding pair graph + the same min-label walk as
+    // q_dedup_cluster — components over semantic (cosine) duplicates
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2
+        |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.qv, b.qv) /
+        |        (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4),
+        |e AS (SELECT id_1 AS u, id_2 AS v FROM p UNION SELECT id_2, id_1 FROM p),
+        |n AS (SELECT DISTINCT u AS id FROM e),
+        |walk(id, label) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.id WHERE w.label < e.v)
+        |SELECT id, min(label) AS cluster_id, id = min(label) AS is_survivor
+        |FROM walk GROUP BY id""".stripMargin,
 
     "q_dedup_simhash" -> {
       val bits = (0 until 60).map { j =>

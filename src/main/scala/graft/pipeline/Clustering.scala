@@ -144,6 +144,24 @@ object Clustering {
         (col("id") === col("cluster_id")).as("is_survivor"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication: embedding-cosine near-dup pairs
+    * collapsed into components, min-id survivor per component — the
+    * embedding-space sibling of [[nearDupClusters]] (Abbas et al., SemDeDup,
+    * arXiv:2303.09540: cluster embeddings, keep one representative per
+    * semantic duplicate group). The pair stage is
+    * [[Similarity.cosineNearDups]]: SRP-LSH candidates + exact confirm by
+    * default (the 100 TB path — never an O(n²) pair space);
+    * `lshPrefilter = false` gives the exact pair graph (the oracle slice).
+    * Output: `(id, cluster_id, is_survivor)`, clustered vectors only. */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, lshPrefilter: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = Similarity.cosineNearDups(embeddings, idCol, vecCol, threshold, lshPrefilter)
+    connectedComponents(pairs, checkpointDir = checkpointDir)
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_survivor"))
+  }
+
   /** Drop every clustered non-survivor from `df` — the end-to-end near-dup
     * dedup: keep each cluster's min id plus all unclustered docs. The losers
     * relation is cluster-bounded (≪ corpus size), so the anti-join

@@ -108,4 +108,26 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(clusters == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
   }
+
+  test("semanticDedup clusters planted embedding groups, min-id survivors") {
+    import spark.implicits._
+    // two semantic groups (tiny perturbations of a base direction) + one
+    // orthogonal singleton; exact pair slice for determinism
+    def vec(base: Array[Float], eps: Float, at: Int): Array[Float] = {
+      val v = base.clone(); v(at) = v(at) + eps; v
+    }
+    val a = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val b = Array.tabulate(8)(i => if (i >= 4) 1.0f else 0.0f)
+    val rows = Seq(
+      (10L, a), (11L, vec(a, 0.05f, 0)), (12L, vec(a, -0.05f, 2)), // group min 10
+      (20L, b), (21L, vec(b, 0.05f, 5)),                           // group min 20
+      (30L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)) // unrelated
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.semanticDedup(rows, "vec_id", "embedding",
+        threshold = 0.9, lshPrefilter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
 }
