@@ -123,6 +123,12 @@ object PipelineQueries {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
         lshPrefilter = true, tables = 16)),
 
+    "q_split_assign" -> ((s, d) =>
+      // deterministic 90/5/5 train/val/test assignment by salted-id hash
+      DataMix.assignSplits(docs(s, d), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("source"), col("split"))),
+
     "q_semantic_dedup" -> ((s, d) =>
       // SemDeDup: embedding near-dup pairs → connected components → min-id
       // survivors; exact pair slice so the component labeling is
@@ -405,6 +411,15 @@ object PipelineQueries {
         |          (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
         |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
+
+    "q_split_assign" -> {
+      val coin = s"${duckMd5Long("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000"
+      s"""SELECT doc_id, source,
+         |  CASE WHEN $coin < 900000 THEN 'train'
+         |       WHEN $coin < 950000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
 
     // exact embedding pair graph + the same min-label walk as
     // q_dedup_cluster — components over semantic (cosine) duplicates

@@ -30,6 +30,31 @@ object DataMix {
     df.filter(coin(col(idCol), salt) < (rate * M).toLong)
   }
 
+  /** Deterministic train/validation/test SPLIT assignment: each row's salted
+    * id hash falls into one of the cumulative `[0,1e6)` ranges the split
+    * fractions define, appending a `split` label column. Pure per-row
+    * arithmetic — disjoint and exhaustive by construction, stable across
+    * runs/engines/partitionings, and adding rows never moves an existing row
+    * between splits (the property that keeps a held-out set honest as the
+    * corpus grows). Fractions must sum to 1 within 1e-9 and be exact
+    * millionths (so the integer range edges represent them exactly). */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    // per-fraction, not just the sum: 1/3 + 2/3 round-trips to 1e6 but the
+    // individual boundaries would silently shift by a half-millionth
+    require(splits.forall { case (_, f) => math.abs(f * M - (f * M).round) < 1e-3 },
+      "fractions must be exact millionths")
+    val edges = splits.scanLeft(0L) { case (acc, (_, f)) => acc + (f * M).round }
+    require(edges.last == M, "fractions must be exact millionths")
+    val c = coin(col(idCol), salt)
+    val label = splits.zip(edges.tail.dropRight(1)).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(c < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** At most `n` survivors per group (every row when the group is smaller),
     * chosen by salted-id hash order — a deterministic stratified subsample
     * ("N docs per domain"), reproducible across runs, engines, and

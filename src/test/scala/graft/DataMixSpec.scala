@@ -47,4 +47,26 @@ class DataMixSpec extends AnyFunSuite {
     // every row of the original schema survives (plus copy_idx)
     assert(mixed.columns.toSeq == Seq("id", "dom", "text", "copy_idx"))
   }
+
+  test("assignSplits: exhaustive, disjoint, stable under corpus growth") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val got = DataMix.assignSplits(ids, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000) // every row labeled exactly once
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1700 && counts("val") > 50 && counts("test") > 50)
+    // growth stability: labels of existing ids don't move when rows appear
+    val grown = DataMix.assignSplits((0L until 4000L).toDF("id"), "id", splits)
+      .filter($"id" < 2000).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == got)
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      DataMix.assignSplits(ids, "id", Seq("a" -> 0.5, "b" -> 0.6))
+    }
+    intercept[IllegalArgumentException] {
+      DataMix.assignSplits(ids, "id", Seq("a" -> (1.0 / 3), "b" -> (2.0 / 3)))
+    }
+  }
 }
