@@ -251,6 +251,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(oracle == byGrp)
   }
 
+  test("samplePerGroup: a 200k-row hot group stays map-side-bounded") {
+    // the whole point of the bounded aggregate: a group with 200k rows must
+    // ship ≤ partitions×n rows through the exchange, never sort-shuffle the
+    // group to one reducer. A regression to window-rank shows up here as a
+    // big slowdown; correctness is pinned by the oracle row separately.
+    val rows = spark.range(200000).select(
+      when(col("id") < 199000, "hot").otherwise(concat(lit("g"), col("id") % 7)).as("grp"),
+      col("id").as("doc_id"))
+    val out = DataMix.samplePerGroup(rows, "grp", "doc_id", n = 10).collect()
+    val byGrp = out.groupBy(_.getAs[String]("grp")).view.mapValues(_.length).toMap
+    assert(byGrp("hot") == 10)
+    assert(byGrp.filterKeys(_ != "hot").values.forall(_ == 10))
+  }
+
+  test("semanticDedup LSH default recovers the exact clustering at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val embs = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    def labels(lsh: Boolean) =
+      Clustering.semanticDedup(embs, "vec_id", "embedding", threshold = 0.4,
+          lshPrefilter = lsh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exact = labels(lsh = false)
+    val approx = labels(lsh = true)
+    // LSH candidates + exact confirm: perfect precision (approx ⊆ exact up
+    // to labels) and high recall — on this corpus the clusterings agree on
+    // the vast majority of memberships
+    assert(exact.nonEmpty)
+    assert((approx intersect exact).size >= (exact.size * 0.85).toInt,
+      s"recall too low: ${(approx intersect exact).size}/${exact.size}")
+  }
+
   test("chunk: overlapping windows, short tail, single-chunk and empty docs") {
     val rows = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: chunks at 0,4,8
