@@ -123,6 +123,24 @@ object PipelineQueries {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
         lshPrefilter = true, tables = 16)),
 
+    "q_top_tokens" -> ((s, d) =>
+      // corpus heavy hitters: vocabulary-sized exchange + global top-k
+      TextAnalysis.topTokens(docs(s, d), "text", k = 20)),
+
+    "q_embed_stats" -> ((s, d) =>
+      // embedding QC per label: count, dim, quantized-norm² range/mean —
+      // the degenerate-embedding detector (all-zero / exploded vectors show
+      // up as norm outliers). Integer norms ⇒ exact sums on both engines
+      embs(s, d)
+        .select(col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          Similarity.dotLong(Similarity.quantize(col("embedding")),
+            Similarity.quantize(col("embedding"))).as("n2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), max(col("dim")).as("dim"),
+          min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"),
+          round(avg(col("n2")), 6).as("avg_norm2"))),
+
     "q_split_assign" -> ((s, d) =>
       // deterministic 90/5/5 train/val/test assignment by salted-id hash
       DataMix.assignSplits(docs(s, d), "doc_id",
@@ -411,6 +429,23 @@ object PipelineQueries {
         |          (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
         |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
+
+    "q_top_tokens" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($toks) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_embed_stats" ->
+      """WITH v AS (SELECT label,
+        |    CAST(len(embedding) AS BIGINT) AS dim,
+        |    CAST(list_dot_product(
+        |      list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)),
+        |      list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT))) AS BIGINT) AS n2
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, max(dim) AS dim,
+        |  min(n2) AS min_norm2, max(n2) AS max_norm2,
+        |  round(avg(n2), 6) AS avg_norm2
+        |FROM v GROUP BY label""".stripMargin,
 
     "q_split_assign" -> {
       val coin = s"${duckMd5Long("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000"

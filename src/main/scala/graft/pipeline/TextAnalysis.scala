@@ -139,6 +139,18 @@ object TextAnalysis {
       "dup_trigram_frac" -> dupFrac(wordGrams(w, 3)))
   }
 
+  /** Corpus-wide heavy hitters: the `k` most frequent whitespace tokens with
+    * occurrence counts, ties broken by token (deterministic cut line). The
+    * plan is the right 100 TB shape without any custom code: explode →
+    * partial+final count (vocabulary-sized exchange, not corpus-sized) →
+    * `TakeOrderedAndProject` for the global top-k (per-partition k, never a
+    * full sort). */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** 60-bit document fingerprint: minimum md5-hash over word 5-gram shingles
     * (winnowing-style robust fingerprint; falls back to whole-text hash for
     * docs shorter than 5 words). */

@@ -149,6 +149,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"missing partial+final bounded sample agg:\n$p")
   }
 
+  test("corpus heavy hitters: partial+final count, TakeOrdered global top-k") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.TextAnalysis.topTokens(docs, "text", 20))
+    assert(p.split("HashAggregate").length >= 3,
+      s"missing partial+final vocabulary count:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
+    assert(!p.contains("\n(1) Sort") && !p.contains(" Sort "),
+      s"global sort in a top-k plan:\n$p")
+  }
+
   test("chunking and repetition stats are map-side: no exchange, pruned scan") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     import org.apache.spark.sql.functions.col
