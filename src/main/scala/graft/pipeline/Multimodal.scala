@@ -208,9 +208,10 @@ object Multimodal {
   def decodeImages(media: DataFrame): DataFrame =
     media.select("media_id", "bytes").mapPartitions { it =>
       it.flatMap { r =>
-        decodePpmP6(r.getAs[Array[Byte]]("bytes")).map { case (w, h, mr, mg, mb) =>
-          Row(r.getLong(0), w, h, mr, mg, mb)
-        }
+        // null blob ≡ malformed (dropped) — a single null row must not
+        // fail a 100 TB decode job
+        Option(r.getAs[Array[Byte]]("bytes")).flatMap(decodePpmP6)
+          .map { case (w, h, mr, mg, mb) => Row(r.getLong(0), w, h, mr, mg, mb) }
       }
     }(Encoders.row(imageSchema))
 
@@ -218,9 +219,8 @@ object Multimodal {
   def decodeAudio(media: DataFrame): DataFrame =
     media.select("media_id", "bytes").mapPartitions { it =>
       it.flatMap { r =>
-        decodeWavPcm16(r.getAs[Array[Byte]]("bytes")).map { case (rate, n, mean, peak) =>
-          Row(r.getLong(0), rate, n, mean, peak)
-        }
+        Option(r.getAs[Array[Byte]]("bytes")).flatMap(decodeWavPcm16)
+          .map { case (rate, n, mean, peak) => Row(r.getLong(0), rate, n, mean, peak) }
       }
     }(Encoders.row(audioSchema))
 
@@ -276,8 +276,9 @@ object Multimodal {
         // per-partition setup: a real implementation initializes the codec
         // once here before streaming the rows through it
         it.map { r =>
-          val feats = decode(r.getAs[Array[Byte]]("bytes"))
-          Row(r.getLong(0), r.getString(1), feats.toSeq)
+          // null blob → empty-input features, same as a zero-length blob
+          val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.emptyByteArray)
+          Row(r.getLong(0), r.getString(1), decode(bytes).toSeq)
         }
       }(Encoders.row(featureSchema))
   }

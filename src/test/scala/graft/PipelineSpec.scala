@@ -342,6 +342,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavPcm16(trunc).isEmpty)
   }
 
+  test("null text and null blobs drop cleanly instead of failing the job") {
+    val rows = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // null text → null token array → generator emits nothing; job survives
+    assert(Chunking.chunk(rows, "doc_id", "text", 4, 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    val stats = TextAnalysis.repetitionStats(col("text"))
+    val rep = rows.select($"doc_id" +: stats.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rep(1L) && rep(2L)) // null text → null stats, not a crash
+    val media = Seq((1L, "ok".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+    assert(Multimodal.decodeImages(media).count() == 0) // both malformed, no NPE
+    assert(Multimodal.decodeAudio(media).count() == 0)
+    val feats = Multimodal.extractFeaturesWithDecoder(
+      media.withColumn("kind", lit("image")).select("media_id", "kind", "bytes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(feats(2L) == Seq.fill(8)(0.0)) // null blob ≡ empty blob
+  }
+
   test("synthetic blobs decode to the analytic stats end-to-end") {
     val media = Seq(7L, 42L).toDF("media_id")
       .select($"media_id", Multimodal.syntheticPpm($"media_id", 8, 8).as("bytes"))
