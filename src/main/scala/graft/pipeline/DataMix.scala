@@ -37,7 +37,9 @@ object DataMix {
     * runs/engines/partitionings, and adding rows never moves an existing row
     * between splits (the property that keeps a held-out set honest as the
     * corpus grows). Fractions must sum to 1 within 1e-9 and be exact
-    * millionths (so the integer range edges represent them exactly). */
+    * millionths (so the integer range edges represent them exactly).
+    * Null ids hash to null and fall through every range test into the LAST
+    * split — deterministic, but filter null ids upstream if that matters. */
   def assignSplits(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], salt: String = "split"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0), "fractions must be >= 0")
