@@ -74,6 +74,11 @@ object DataMix {
     require(n > 0, s"n must be > 0, got $n")
     import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
     val idType = df.schema(idCol).dataType
+    // the bounded aggregate carries ids as longs; a non-integral id would
+    // cast to null, be skipped, and SILENTLY return an empty sample
+    require(Seq("byte", "short", "int", "integer", "bigint", "long")
+      .contains(idType.simpleString),
+      s"samplePerGroup needs an integral id column, got $idCol: ${idType.simpleString}")
     // TopKByDot keeps the k LARGEST dots; negate the hash to sample the
     // smallest-hash rows (ties break to the smaller id inside the aggregate)
     val rank = -Hashing.md5Long(concat_ws(":", lit(salt), col(idCol).cast("string")))

@@ -39,6 +39,11 @@ object Dedup {
     * tokenization is evaluated O(n) times per ROW. Texts shorter than n
     * words produce no shingles. */
   def shingles(text: Column, n: Int): Column = {
+    // STRING-expr spelling (not the Column-built [[wordGrams]]): callers
+    // interpolate `shingles(...).toString` into larger expr() strings
+    // (shingleHashes, fingerprint), and a Column-built lambda does not
+    // round-trip through the SQL parser. Semantics are identical to
+    // array_distinct(wordGrams(tokens, n)) and pinned against it in tests.
     val t = s"split(trim(${text.toString}), '\\\\s+')"
     val len = s"greatest(size($t) - ${n - 1}, 0)"
     val first = s"slice($t, 1, $len)"
@@ -46,6 +51,22 @@ object Dedup {
       s"zip_with($acc, slice($t, $k, $len), (a, b) -> concat(a, ' ', b))"
     }
     expr(s"array_distinct($grams)")
+  }
+
+  /** Non-distinct word n-gram array from a token-array column (used by
+    * [[TextAnalysis.repetitionStats]]'s duplicate-gram fractions; the
+    * distinct string-expr variant above must stay value-equivalent).
+    *
+    * Every slice uses the SAME clamped length m: slice() rejects negative
+    * lengths, and zip_with pads the shorter side with nulls — mixed lengths
+    * would fabricate null-joined grams on short documents (fewer than n
+    * tokens ⇒ empty array). */
+  private[graft] def wordGrams(toks: Column, n: Int): Column = {
+    require(n >= 2, s"wordGrams needs n >= 2, got $n")
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), m)) { case (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), m), (a, b) => concat(a, lit(" "), b))
+    }
   }
 
   /** Shingle hash array — full 60-bit md5 hashes (collision-free in

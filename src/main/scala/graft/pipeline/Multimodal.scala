@@ -138,17 +138,21 @@ object Multimodal {
     }
     def readInt(): Int = {
       skipWsAndComments()
-      var v = -1
+      var v = -1L
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = math.max(v, 0) * 10 + (bytes(i) - '0'); i += 1
+        v = math.max(v, 0L) * 10 + (bytes(i) - '0'); i += 1
+        if (v > 100000000L) return -1 // absurd header value ⇒ malformed
       }
-      v
+      v.toInt
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     i += 1 // exactly one whitespace byte separates maxval from raw data
-    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
-    val n = w * h
-    if (i + n * 3 > bytes.length) return None
+    // dimension caps keep n*3 far from Int overflow — a crafted 65536×65536
+    // header must be rejected, not wrap to a passing bounds check
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+      maxval <= 0 || maxval > 255) return None
+    val n = w * h // ≤ 2^28; n*3 ≤ 3·2^28 < 2^31
+    if (i.toLong + n.toLong * 3 > bytes.length) return None
     var sr = 0L; var sg = 0L; var sb = 0L
     var p = 0
     while (p < n) {
@@ -179,14 +183,26 @@ object Multimodal {
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var rate = -1
     var dataOff = -1; var dataLen = -1L
-    var o = 12
+    // chunk offsets in LONG arithmetic: a corrupt 32-bit size field must
+    // neither wrap the cursor (infinite loop / negative index) nor let a
+    // declared-past-the-end payload through — every malformed shape → None
+    var o = 12L
     while (o + 8 <= bytes.length) {
-      val id = tag(o); val sz = u32(o + 4)
+      val oi = o.toInt
+      val id = tag(oi); val sz = u32(oi + 4) // unsigned, in [0, 2^32)
+      val payload = o + 8
       if (id == "fmt ") {
-        if (u16(o + 8) != 1 || u16(o + 22) != 16) return None // PCM16 only
-        rate = u32(o + 12).toInt
-      } else if (id == "data") { dataOff = o + 8; dataLen = sz }
-      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        if (sz < 16 || payload + 16 > bytes.length) return None
+        val p = payload.toInt
+        // PCM16 MONO only: interleaved multi-channel words would silently
+        // skew every sample statistic
+        if (u16(p) != 1 || u16(p + 2) != 1 || u16(p + 14) != 16) return None
+        rate = u32(p + 4).toInt
+      } else if (id == "data") {
+        if (payload + sz > bytes.length) return None
+        dataOff = payload.toInt; dataLen = sz
+      }
+      o = payload + sz + (sz & 1L) // word-aligned; strictly advances ≥ 8
     }
     if (rate <= 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return None
     val n = dataLen / 2
@@ -205,12 +221,17 @@ object Multimodal {
   /** Decode every `bytes` blob as a PPM image (malformed rows dropped) —
     * batch-shaped like [[extractFeaturesWithDecoder]]: per-partition setup,
     * rows streamed, blobs never leave the executor. */
+  /** "Malformed rows DROPPED" as a harness guarantee, not per-decoder
+    * discipline: null blobs and any decoder throwable both degrade to a
+    * skipped row — one bad byte sequence must never fail a 100 TB job. */
+  private def decodeRow[T](r: Row, decode: Array[Byte] => Option[T]): Option[T] =
+    Option(r.getAs[Array[Byte]]("bytes"))
+      .flatMap(b => scala.util.Try(decode(b)).toOption.flatten)
+
   def decodeImages(media: DataFrame): DataFrame =
     media.select("media_id", "bytes").mapPartitions { it =>
       it.flatMap { r =>
-        // null blob ≡ malformed (dropped) — a single null row must not
-        // fail a 100 TB decode job
-        Option(r.getAs[Array[Byte]]("bytes")).flatMap(decodePpmP6)
+        decodeRow(r, decodePpmP6)
           .map { case (w, h, mr, mg, mb) => Row(r.getLong(0), w, h, mr, mg, mb) }
       }
     }(Encoders.row(imageSchema))
@@ -219,7 +240,7 @@ object Multimodal {
   def decodeAudio(media: DataFrame): DataFrame =
     media.select("media_id", "bytes").mapPartitions { it =>
       it.flatMap { r =>
-        Option(r.getAs[Array[Byte]]("bytes")).flatMap(decodeWavPcm16)
+        decodeRow(r, decodeWavPcm16)
           .map { case (rate, n, mean, peak) => Row(r.getLong(0), rate, n, mean, peak) }
       }
     }(Encoders.row(audioSchema))

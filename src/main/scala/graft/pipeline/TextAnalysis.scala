@@ -102,20 +102,6 @@ object TextAnalysis {
       .withColumn(textCol, col("__redacted"))
       .drop("__redacted")
 
-  /** Word n-gram array (adjacent tokens joined by a single space);
-    * n_tokens < n ⇒ empty array. */
-  private def wordGrams(toks: Column, n: Int): Column = {
-    require(n >= 2, s"wordGrams needs n >= 2, got $n")
-    // zip_with over n shifted slices: gram i = w[i] ' ' w[i+1] … ' ' w[i+n-1].
-    // Every slice uses the SAME clamped length m: slice() rejects negative
-    // lengths, and zip_with pads the shorter side with nulls — mixed lengths
-    // would fabricate null-joined grams on short documents.
-    val m = greatest(size(toks) - (n - 1), lit(0))
-    (2 to n).foldLeft(slice(toks, lit(1), m)) { case (acc, j) =>
-      zip_with(acc, slice(toks, lit(j), m), (a, b) => concat(a, lit(" "), b))
-    }
-  }
-
   /** Duplicate fraction of an array: 1 − distinct/total (0 when empty). */
   private def dupFrac(arr: Column): Column =
     when(size(arr) > 0,
@@ -135,8 +121,8 @@ object TextAnalysis {
     Seq(
       "n_words" -> size(w).cast("long"),
       "dup_word_frac" -> dupFrac(w),
-      "dup_bigram_frac" -> dupFrac(wordGrams(w, 2)),
-      "dup_trigram_frac" -> dupFrac(wordGrams(w, 3)))
+      "dup_bigram_frac" -> dupFrac(Dedup.wordGrams(w, 2)),
+      "dup_trigram_frac" -> dupFrac(Dedup.wordGrams(w, 3)))
   }
 
   /** Corpus-wide heavy hitters: the `k` most frequent whitespace tokens with

@@ -206,6 +206,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(3L) == "nothing sensitive here")
   }
 
+  test("shingles (string-expr) ≡ array_distinct(wordGrams) (Column-built)") {
+    // Dedup.shingles must stay value-equivalent to the shared Column-built
+    // gram helper — two spellings of the same construction (the string form
+    // exists only because callers interpolate .toString into expr())
+    val rows = Seq("a b c d e", "a a a", "one two", "", "x") .zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    (2 to 4).foreach { n =>
+      val diff = rows.select(
+        Dedup.shingles($"text", n).as("s"),
+        array_distinct(Dedup.wordGrams(TextAnalysis.tokens($"text"), n)).as("w"))
+        .filter(not($"s" <=> $"w")).count()
+      assert(diff == 0, s"spellings diverge at n=$n")
+    }
+  }
+
   test("repetitionStats: dup fractions for repeated words/bigrams; short docs safe") {
     val rows = Seq(
       (1L, "a b a b a b"),   // words {a,b}: dup 4/6; bigrams: 5 total 2 distinct
@@ -315,6 +330,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodePpmP6("P5\n2 1\n255\n  ".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.decodePpmP6("P6\n1 1\n65535\n".getBytes("US-ASCII") ++
       Array.fill[Byte](6)(0)).isEmpty)
+    // crafted dims that overflow w*h (65536^2 wraps Int to 0) or n*3
+    // (1 x 715827883 wraps negative) must be rejected, not emit garbage/AIOOBE
+    assert(Multimodal.decodePpmP6("P6\n65536 65536\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpmP6("P6\n1 715827883\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](16)(0)).isEmpty)
+    // absurd digit runs in the header -> malformed, not overflow
+    assert(Multimodal.decodePpmP6(("P6\n999999999999999999 1\n255\n" + " " * 8)
+      .getBytes("US-ASCII")).isEmpty)
   }
 
   test("WAV decoder: chunk walk, negative samples, extra chunk, malformed rejected") {
@@ -340,6 +363,26 @@ class PipelineSpec extends AnyFunSuite {
     // declared data size past the end of the blob → rejected
     val trunc = wav(s).dropRight(2)
     assert(Multimodal.decodeWavPcm16(trunc).isEmpty)
+    // corrupt chunk size 0xFFFFFFF8: as a truncated Int this is -8 and the
+    // old cursor arithmetic advanced by ZERO — must terminate with None,
+    // not hang the executor
+    val loopy = wav(s)
+    val bb = java.nio.ByteBuffer.wrap(loopy).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0xFFFFFFF8) // fmt chunk size field
+    assert(Multimodal.decodeWavPcm16(loopy).isEmpty)
+    // fmt tag sitting at the very tail: loop guard passes but the field
+    // reads would run off the end — must be None, not AIOOBE
+    val tailFmt = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tailFmt.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+    tailFmt.put("JUNK".getBytes).putInt(20).put(Array.fill[Byte](20)(0))
+    tailFmt.put("fmt ".getBytes).putInt(16)
+    assert(Multimodal.decodeWavPcm16(tailFmt.array()).isEmpty)
+    // stereo PCM16 rejected: interleaved channel words would silently skew
+    // every sample statistic under the mono schema
+    val stereo = wav(s)
+    java.nio.ByteBuffer.wrap(stereo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(22, 2) // numChannels field
+    assert(Multimodal.decodeWavPcm16(stereo).isEmpty)
   }
 
   test("null text and null blobs drop cleanly instead of failing the job") {
