@@ -154,6 +154,13 @@ object PipelineQueries {
       Clustering.semanticDedup(embs(s, d), "vec_id", "embedding",
         threshold = 0.4, lshPrefilter = false)),
 
+    "q_hybrid_dedup" -> ((s, d) =>
+      // lexical ∪ semantic pair graphs → ONE component labeling; clusters
+      // may chain across signals. Exact embedding slice for the oracle
+      Clustering.hybridDedup(docs(s, d), "doc_id", "text",
+        embs(s, d), "vec_id", "embedding",
+        cosineThreshold = 0.4, lshPrefilter = false)),
+
     "q_seq_pack" -> ((s, d) =>
       // token-budget sequence packing (greedy within hash buckets),
       // flattened to one row per packed doc for the hash compare
@@ -455,6 +462,31 @@ object PipelineQueries {
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
     },
+
+    // union of the MinHash-confirmed 3-gram-Jaccard pair graph and the
+    // exact embedding-cosine pair graph, then the same min-label walk —
+    // clusters may chain across the two signals
+    "q_hybrid_dedup" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
+         |lex AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+         |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |ve AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+         |sem AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2
+         |      FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+         |      WHERE list_dot_product(a.qv, b.qv) /
+         |        (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4),
+         |p AS (SELECT * FROM lex UNION SELECT * FROM sem),
+         |e AS (SELECT id_1 AS u, id_2 AS v FROM p UNION SELECT id_2, id_1 FROM p),
+         |n AS (SELECT DISTINCT u AS id FROM e),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.id WHERE w.label < e.v)
+         |SELECT id, min(label) AS cluster_id, id = min(label) AS is_survivor
+         |FROM walk GROUP BY id""".stripMargin,
 
     // exact embedding pair graph + the same min-label walk as
     // q_dedup_cluster — components over semantic (cosine) duplicates

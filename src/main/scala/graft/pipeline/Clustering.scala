@@ -162,6 +162,29 @@ object Clustering {
         (col("id") === col("cluster_id")).as("is_survivor"))
   }
 
+  /** HYBRID dedup: the union of the lexical (MinHash 3-gram Jaccard) and
+    * semantic (embedding-cosine) near-dup pair graphs collapsed into ONE
+    * component labeling — a document caught by either signal joins the
+    * cluster, and transitive chains may cross signals (a↔b lexical, b↔c
+    * semantic ⇒ {a,b,c}). Ids must share a key space (`idCol` ≡ `embIdCol`).
+    * Both pair stages keep their 100 TB shapes (banded LSH / SRP buckets —
+    * never O(n²)); the union just concatenates two bounded pair lists before
+    * the O(log n)-round star labeling. Output: `(id, cluster_id,
+    * is_survivor)`, clustered ids only. */
+  def hybridDedup(docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, embIdCol: String, vecCol: String,
+      cosineThreshold: Double, jaccardThreshold: Double = 0.5,
+      lshPrefilter: Boolean = true, checkpointDir: Option[String] = None): DataFrame = {
+    val lexical = Dedup.minhashNearDups(docs, idCol, textCol, threshold = jaccardThreshold)
+      .select(col("id_1"), col("id_2"))
+    val semantic = Similarity
+      .cosineNearDups(embeddings, embIdCol, vecCol, cosineThreshold, lshPrefilter)
+      .select(col("id_1"), col("id_2"))
+    connectedComponents(lexical.unionByName(semantic), checkpointDir = checkpointDir)
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_survivor"))
+  }
+
   /** Drop every clustered non-survivor from `df` — the end-to-end near-dup
     * dedup: keep each cluster's min id plus all unclustered docs. The losers
     * relation is cluster-bounded (≪ corpus size), so the anti-join

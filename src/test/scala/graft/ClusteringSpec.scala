@@ -130,4 +130,23 @@ class ClusteringSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
       (20L, 20L, true), (21L, 20L, false)))
   }
+
+  test("hybridDedup chains clusters across lexical and semantic signals") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    // 1↔2 lexical near-dups; 2↔3 share an embedding but DIFFER textually;
+    // hybrid must chain {1,2,3} while pure-lexical stops at {1,2}
+    val docs = Seq(
+      (1L, body + "alpha beta gamma"),
+      (2L, body + "alpha beta delta"),
+      (3L, "totally different words about catalyst and parquet internals here")
+    ).toDF("doc_id", "text")
+    val e = Array.tabulate(8)(i => (i + 1).toFloat)
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f)
+    val embs = Seq((1L, far), (2L, e), (3L, e)).toDF("vec_id", "embedding")
+    val out = Clustering.hybridDedup(docs, "doc_id", "text",
+        embs, "vec_id", "embedding", cosineThreshold = 0.95, lshPrefilter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
 }
