@@ -44,10 +44,14 @@ object Clustering {
     *                      backs the returned frame, so delete the dir only
     *                      after consuming it); when None, rounds
     *                      `localCheckpoint` to executor block storage
+    * @param localThreshold canonical edge counts at or below this finish as
+    *                      driver-side union-find instead of shuffle rounds
+    *                      (small-graph fast path; negative disables)
     */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id_1",
       idCol2: String = "id_2", maxRounds: Int = 30,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localThreshold: Int = 1 << 20): DataFrame = {
     val spark = pairs.sparkSession
     val canonical = pairs
       .select(col(idCol1).cast("long").as("u"), col(idCol2).cast("long").as("v"))
@@ -104,6 +108,39 @@ object Clustering {
 
     var edges = materialize(canonical, 0)
     var sig = checksum(edges)
+
+    // Small-graph fast path (the AQE-broadcast principle applied to the
+    // iterative loop): the O(log n) star rounds exist for graphs too big
+    // for one machine — but each round costs several scheduled jobs, and
+    // once the CANONICAL edge count (already paid for by the round-0
+    // checksum) is known to be bounded, finishing distributed is pure
+    // scheduler latency. ≤ localThreshold edges ⇒ collect (≤ 16 MB at the
+    // default) and run min-root union-find on the driver; identical labels,
+    // milliseconds instead of O(log n) shuffle rounds. A 100 TB pair graph
+    // never takes this branch.
+    if (sig._1 <= localThreshold) {
+      val arr = edges.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(false)
+      dropRound(0)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // min-root union ⇒ every root IS its component's min id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val ids = arr.flatMap { case (a, b) => Seq(a, b) }.distinct
+      import spark.implicits._
+      return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster_id")
+    }
+
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {

@@ -11,9 +11,12 @@ import graft.pipeline.Clustering
 class ClusteringSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
+  /** Distributed star rounds FORCED (localThreshold = -1): these tests pin
+    * the shuffle-round algorithm, which the small-graph fast path would
+    * otherwise bypass on test-sized inputs. */
   private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    Clustering.connectedComponents(pairs.toDF("id_1", "id_2"))
+    Clustering.connectedComponents(pairs.toDF("id_1", "id_2"), localThreshold = -1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -52,11 +55,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cc(pairs) == unionFind(pairs))
   }
 
+  test("small-graph fast path: identical labels to the distributed rounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    // default threshold takes the driver union-find branch on this size
+    val fast = Clustering.connectedComponents(pairs.toDF("id_1", "id_2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == cc(pairs))
+    assert(fast == unionFind(pairs))
+    // empty input through the fast path (0 edges ≤ threshold)
+    assert(Clustering.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_1", "id_2")).isEmpty)
+  }
+
   test("empty and self-loop-only inputs yield no clusters") {
     import spark.implicits._
     assert(cc(Nil) == Map.empty)
     assert(Clustering.connectedComponents(
-      Seq((7L, 7L)).toDF("id_1", "id_2")).isEmpty)
+      Seq((7L, 7L)).toDF("id_1", "id_2"), localThreshold = -1).isEmpty)
   }
 
   test("hot-node skew: a 100k-degree hub converges without a pair blowup") {
@@ -66,7 +84,7 @@ class ClusteringSpec extends AnyFunSuite {
     // neighborhood as a single wide groupBy-min, never a pair space
     val spokes = spark.range(10L, 100010L).select(lit(5L).as("id_1"), col("id").as("id_2"))
     val extra = Seq((1L, 5L)).toDF("id_1", "id_2")
-    val labels = Clustering.connectedComponents(spokes.union(extra))
+    val labels = Clustering.connectedComponents(spokes.union(extra), localThreshold = -1)
     val agg = labels.agg(
       countDistinct(col("cluster_id")).as("c"),
       min(col("cluster_id")).as("mn"),
@@ -80,7 +98,7 @@ class ClusteringSpec extends AnyFunSuite {
     try {
       val chain = (10L until 40L).map(i => (i, i + 1)) // multi-round topology
       val got = Clustering.connectedComponents(
-        chain.toDF("id_1", "id_2"), checkpointDir = Some(dir))
+        chain.toDF("id_1", "id_2"), checkpointDir = Some(dir), localThreshold = -1)
       val labels = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert((10L to 40L).forall(labels(_) == 10L))
       // stale rounds were cleaned; the final round's table backs the result

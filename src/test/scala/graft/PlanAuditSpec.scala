@@ -135,7 +135,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the iterative loop materializes per round, so audit one star round's
     // shape via the public API on a graph that converges in one round
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_1", "id_2")
-    val labels = graft.pipeline.Clustering.connectedComponents(pairs)
+    // force the distributed rounds — the plan under audit — past the
+    // small-graph fast path
+    val labels = graft.pipeline.Clustering.connectedComponents(pairs, localThreshold = -1)
     val p = plan(labels)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
