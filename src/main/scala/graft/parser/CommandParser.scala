@@ -78,6 +78,7 @@ object CommandParser {
   // ---------------- parser state ----------------
 
   private final class P(val toks: Vector[Tok], val raw: String) {
+    var depth: Int = 0 // expression nesting level (see MaxExprDepth)
     var pos = 0
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     def next(): Tok =
@@ -283,14 +284,30 @@ object CommandParser {
     l
   }
 
+  /** Expression nesting bound: recursive descent means parser stack depth
+    * tracks paren/NOT depth, and an adversarial `((((…` command would kill
+    * the serving thread with a StackOverflowError — an Error, which
+    * `execute`'s Exception handler cannot turn into a clean protocol error.
+    * 256 is far beyond any legitimate WHERE clause. */
+  private val MaxExprDepth = 256
+
+  private def enter(p: P): Unit = {
+    p.depth += 1
+    if (p.depth > MaxExprDepth)
+      throw ParseException(s"expression nesting exceeds $MaxExprDepth levels")
+  }
+
   private def parseNot(p: P): Expr =
-    if (p.eatKw("not")) Expr.Not(parseNot(p))
-    else parsePrimary(p)
+    if (p.eatKw("not")) {
+      enter(p)
+      try Expr.Not(parseNot(p)) finally p.depth -= 1
+    } else parsePrimary(p)
 
   private def parsePrimary(p: P): Expr = {
     if (p.peek.contains(Sym("("))) {
       p.pos += 1
-      val e = parseOr(p)
+      enter(p)
+      val e = try parseOr(p) finally p.depth -= 1
       p.expectSym(")")
       return e
     }

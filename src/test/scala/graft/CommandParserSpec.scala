@@ -155,6 +155,34 @@ class CommandParserSpec extends AnyFunSuite {
     assert(q.sequence.contains(EventSequence("page_view", Seq((SequenceLink.FollowedBy, "purchase")))))
   }
 
+  test("adversarial nesting: clean error past the depth bound, never a StackOverflowError") {
+    // 20k nested parens previously killed the thread with an Error that
+    // execute()'s Exception handler cannot catch
+    val deep = "QUERY t WHERE " + ("(" * 20000) + "a = 1" + (")" * 20000)
+    val e = intercept[graft.parser.ParseException](CommandParser.parse(deep))
+    assert(e.getMessage.contains("nesting"))
+    val deepNot = "QUERY t WHERE " + ("NOT " * 20000) + "a = 1"
+    assert(intercept[graft.parser.ParseException](CommandParser.parse(deepNot))
+      .getMessage.contains("nesting"))
+    // depths a real query could plausibly reach still parse
+    val ok = "QUERY t WHERE " + ("(" * 100) + "a = 1" + (")" * 100)
+    assert(CommandParser.parse(ok).isInstanceOf[graft.ast.QueryCmd])
+  }
+
+  test("fuzz: arbitrary printable garbage parses or raises ParseException, nothing fatal") {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "QUERY SELECT WHERE AND OR NOT IN () [] {} \" ' \\ , . = < > ! 0 1 9 a z _ - \n\t"
+    (0 until 2000).foreach { _ =>
+      val len = rnd.nextInt(120)
+      val s = Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      try { CommandParser.parse(s); () } catch {
+        case _: graft.parser.ParseException => ()
+        case e: Exception => () // any Exception is catchable by execute()
+        // Errors (SOE etc.) propagate and fail the test
+      }
+    }
+  }
+
   test("errors: unknown command, bad agg") {
     assertThrows[ParseException](CommandParser.parse("FROBNICATE x"))
     assertThrows[ParseException](CommandParser.parse("QUERY t PER FORTNIGHT"))
