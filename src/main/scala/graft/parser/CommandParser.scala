@@ -116,7 +116,17 @@ object CommandParser {
 
   // ---------------- public entry ----------------
 
-  def parse(input: String): Command = {
+  def parse(input: String): Command = parseImpl(input, batchDepth = 0)
+
+  /** Batch nesting bound: each BATCH level re-parses its parts, so an
+    * adversarial `BATCH [ BATCH { [ … ] } …` (braces shield the inner
+    * brackets from the splitter) recursed once per level AND copied the
+    * remaining text per level — O(n²) blowup to a driver OOM from a
+    * ~400 KB command. The reference has no nested-batch semantics; 4
+    * levels is already generous. */
+  private val MaxBatchDepth = 4
+
+  private def parseImpl(input: String, batchDepth: Int): Command = {
     val trimmed = input.trim
     val p = new P(tokenize(trimmed), trimmed)
     val head = p.word().toUpperCase
@@ -128,7 +138,7 @@ object CommandParser {
       case "FLUSH"          => FlushCmd
       case "PING"           => PingCmd
       case "REMEMBER"       => parseRemember(p)
-      case "BATCH"          => parseBatch(trimmed)
+      case "BATCH"          => parseBatch(trimmed, batchDepth)
       case "SHOW" =>
         if (p.eatKw("permissions")) { p.eatKw("for"); ShowPermissionsCmd(p.word()) }
         else ShowCmd(p.word())
@@ -646,7 +656,9 @@ object CommandParser {
   // `BATCH [ cmd1; cmd2; … ]` — semicolon-separated commands in brackets
   // (reference `parser/commands/batch.rs`). Split on the raw string at
   // depth 0 (semicolons inside strings/braces are preserved).
-  private def parseBatch(raw: String): BatchCmd = {
+  private def parseBatch(raw: String, batchDepth: Int): BatchCmd = {
+    if (batchDepth >= MaxBatchDepth)
+      throw ParseException(s"BATCH nesting exceeds $MaxBatchDepth levels")
     val start = raw.indexOf('[')
     if (start < 0) throw ParseException("BATCH: expected '[' to start the block")
     var depth = 0; var inStr = false; var strQuote = ' '
@@ -671,7 +683,7 @@ object CommandParser {
     }
     if (end < 0) throw ParseException("BATCH: missing closing ']'")
     parts += sb.toString
-    val cmds = parts.map(_.trim).filter(_.nonEmpty).map(parse)
+    val cmds = parts.map(_.trim).filter(_.nonEmpty).map(parseImpl(_, batchDepth + 1))
     if (cmds.isEmpty) throw ParseException("BATCH must contain at least one command")
     BatchCmd(cmds.toSeq)
   }

@@ -167,6 +167,13 @@ class CommandParserSpec extends AnyFunSuite {
     // depths a real query could plausibly reach still parse
     val ok = "QUERY t WHERE " + ("(" * 100) + "a = 1" + (")" * 100)
     assert(CommandParser.parse(ok).isInstanceOf[graft.ast.QueryCmd])
+    // brace-shielded nested BATCH previously recursed once per level AND
+    // copied the remainder per level — O(n²) to a driver OOM from ~400 KB
+    val n = 20000
+    val bomb = "BATCH [ " + ("BATCH { [ " * n) + "PING" + (" ] }" * n) + " ]"
+    assert(intercept[graft.parser.ParseException](CommandParser.parse(bomb))
+      .getMessage.contains("nesting"))
+    assert(CommandParser.parse("BATCH [ PING; FLUSH ]").isInstanceOf[graft.ast.BatchCmd])
   }
 
   test("fuzz: arbitrary printable garbage parses or raises ParseException, nothing fatal") {
