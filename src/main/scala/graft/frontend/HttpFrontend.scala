@@ -63,7 +63,12 @@ final class HttpFrontend(engine: SecureEventStore, port: Int = 0,
     } finally x.close()
 
   private def command(x: HttpExchange, json: Boolean): Unit = {
-    val body = new String(x.getRequestBody.readAllBytes(), UTF_8).trim
+    // same 64 MiB command ceiling as the WS frames: an unbounded
+    // readAllBytes would let one oversized POST exhaust the heap
+    val raw = x.getRequestBody.readNBytes(HttpFrontend.MaxBodyBytes + 1)
+    if (raw.length > HttpFrontend.MaxBodyBytes)
+      return respond(x, ExecResult.Error("Payload too large", 413), 0)
+    val body = new String(raw, UTF_8).trim
     if (body.isEmpty) return respond(x, ExecResult.Error("Empty command", 400), 0)
 
     val t0 = System.nanoTime()
@@ -182,4 +187,9 @@ final class HttpFrontend(engine: SecureEventStore, port: Int = 0,
     x.sendResponseHeaders(code, bytes.length)
     x.getResponseBody.write(bytes)
   }
+}
+
+object HttpFrontend {
+  /** Request-body ceiling (matches the WS frame ceiling). */
+  val MaxBodyBytes: Int = 1 << 26
 }

@@ -58,7 +58,7 @@ final class SocketFrontend private (engine: SecureEventStore,
     val out: Writer = new OutputStreamWriter(Channels.newOutputStream(ch), UTF_8)
     var sessionToken: Option[String] = None
     try {
-      var line = in.readLine()
+      var line = SocketFrontend.readBoundedLine(in)
       while (line != null) {
         val t = line.trim
         if (t.nonEmpty) {
@@ -77,13 +77,34 @@ final class SocketFrontend private (engine: SecureEventStore,
           out.write("\n") // response terminator
           out.flush()
         }
-        line = in.readLine()
+        line = SocketFrontend.readBoundedLine(in)
       }
     } catch { case _: Exception => () } finally ch.close()
   }
 }
 
 object SocketFrontend {
+
+  /** Per-command line ceiling (matches the WS frame ceiling). */
+  val MaxLineChars: Int = 1 << 26
+
+  /** `readLine` with a length bound: an unbounded line lets one client
+    * stream gigabytes into the server heap before the first newline. Past
+    * the cap the connection is failed (IOException → close), matching the
+    * WS frontend's oversized-frame behavior. Null at end of stream;
+    * swallows '\r' like BufferedReader.readLine. */
+  private[graft] def readBoundedLine(in: BufferedReader): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      if (sb.length > MaxLineChars)
+        throw new java.io.IOException(s"command line exceeds $MaxLineChars chars")
+      c = in.read()
+    }
+    sb.toString
+  }
 
   /** TCP listener on 127.0.0.1 (reference default port 7171; pass 0 for an
     * ephemeral test port). */

@@ -91,4 +91,16 @@ class SocketFrontendSpec extends AnyFunSuite {
       ch.close()
     } finally fe.stop()
   }
+
+  test("bounded line reader: lines, CRLF, EOF — protocol semantics intact") {
+    import graft.frontend.SocketFrontend.readBoundedLine
+    def rdr(s: String) = new java.io.BufferedReader(new java.io.StringReader(s))
+    val r = rdr("PING\r\nFLUSH\nlast")
+    assert(readBoundedLine(r) == "PING")
+    assert(readBoundedLine(r) == "FLUSH")
+    assert(readBoundedLine(r) == "last") // unterminated tail still delivered
+    assert(readBoundedLine(r) == null)   // EOF
+    assert(readBoundedLine(rdr("")) == null)
+    assert(readBoundedLine(rdr("\n")) == "")
+  }
 }
