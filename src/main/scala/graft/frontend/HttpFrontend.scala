@@ -190,6 +190,6 @@ final class HttpFrontend(engine: SecureEventStore, port: Int = 0,
 }
 
 object HttpFrontend {
-  /** Request-body ceiling (matches the WS frame ceiling). */
-  val MaxBodyBytes: Int = 1 << 26
+  /** Request-body ceiling — the shared frontend command limit. */
+  val MaxBodyBytes: Int = Frontends.MaxCommandBytes
 }

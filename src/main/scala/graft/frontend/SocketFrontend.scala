@@ -85,23 +85,30 @@ final class SocketFrontend private (engine: SecureEventStore,
 
 object SocketFrontend {
 
-  /** Per-command line ceiling (matches the WS frame ceiling). */
-  val MaxLineChars: Int = 1 << 26
+  /** Per-command line ceiling in CHARS: half [[Frontends.MaxCommandBytes]],
+    * so the UTF-16 StringBuilder heap footprint (2 bytes/char) honors the
+    * same 64 MiB ceiling the byte-counting frontends enforce. */
+  val MaxLineChars: Int = Frontends.MaxCommandBytes / 2
 
   /** `readLine` with a length bound: an unbounded line lets one client
     * stream gigabytes into the server heap before the first newline. Past
     * the cap the connection is failed (IOException → close), matching the
     * WS frontend's oversized-frame behavior. Null at end of stream;
-    * swallows '\r' like BufferedReader.readLine. */
+    * terminates on '\n', '\r', or "\r\n" exactly like
+    * BufferedReader.readLine. */
   private[graft] def readBoundedLine(in: BufferedReader): String = {
     val sb = new StringBuilder
     var c = in.read()
     if (c < 0) return null
-    while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+    while (c >= 0 && c != '\n' && c != '\r') {
+      sb.append(c.toChar)
       if (sb.length > MaxLineChars)
         throw new java.io.IOException(s"command line exceeds $MaxLineChars chars")
       c = in.read()
+    }
+    if (c == '\r') { // consume a following '\n' (CRLF), keep anything else
+      in.mark(1)
+      if (in.read() != '\n') in.reset()
     }
     sb.toString
   }

@@ -120,7 +120,7 @@ object WsFrontend {
     var len: Long = b1 & 0x7f
     if (len == 126) len = in.readUnsignedShort().toLong
     else if (len == 127) len = in.readLong()
-    if (len < 0 || len > (1L << 26)) // 64 MiB command ceiling
+    if (len < 0 || len > Frontends.MaxCommandBytes.toLong) // shared command ceiling
       throw new java.io.IOException(s"frame too large: $len")
     val mask = if (masked) { val m = new Array[Byte](4); in.readFully(m); m } else null
     val payload = new Array[Byte](len.toInt)

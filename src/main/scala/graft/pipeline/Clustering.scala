@@ -46,12 +46,14 @@ object Clustering {
     *                      `localCheckpoint` to executor block storage
     * @param localThreshold canonical edge counts at or below this finish as
     *                      driver-side union-find instead of shuffle rounds
-    *                      (small-graph fast path; negative disables)
+    *                      (small-graph fast path; default 128k edges —
+    *                      tens of MB transient on the driver; negative
+    *                      disables)
     */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id_1",
       idCol2: String = "id_2", maxRounds: Int = 30,
       checkpointDir: Option[String] = None,
-      localThreshold: Int = 1 << 20): DataFrame = {
+      localThreshold: Int = 1 << 17): DataFrame = {
     val spark = pairs.sparkSession
     val canonical = pairs
       .select(col(idCol1).cast("long").as("u"), col(idCol2).cast("long").as("v"))
@@ -114,13 +116,14 @@ object Clustering {
     // for one machine — but each round costs several scheduled jobs, and
     // once the CANONICAL edge count (already paid for by the round-0
     // checksum) is known to be bounded, finishing distributed is pure
-    // scheduler latency. ≤ localThreshold edges ⇒ collect (≤ 16 MB at the
-    // default) and run min-root union-find on the driver; identical labels,
-    // milliseconds instead of O(log n) shuffle rounds. A 100 TB pair graph
-    // never takes this branch.
+    // scheduler latency. ≤ localThreshold edges ⇒ collect through the tuple
+    // encoder (no Row per edge; ~tens of MB transient at the default
+    // 128k-edge bound) and run min-root union-find on the driver; identical
+    // labels, milliseconds instead of O(log n) shuffle rounds. A 100 TB
+    // pair graph never takes this branch.
     if (sig._1 <= localThreshold) {
-      val arr = edges.select(col("u"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      import spark.implicits._
+      val arr = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
       edges.unpersist(false)
       dropRound(0)
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -137,7 +140,6 @@ object Clustering {
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
       val ids = arr.flatMap { case (a, b) => Seq(a, b) }.distinct
-      import spark.implicits._
       return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster_id")
     }
 

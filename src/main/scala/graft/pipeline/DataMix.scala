@@ -75,9 +75,12 @@ object DataMix {
     import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
     val idType = df.schema(idCol).dataType
     // the bounded aggregate carries ids as longs; a non-integral id would
-    // cast to null, be skipped, and SILENTLY return an empty sample
-    require(Seq("byte", "short", "int", "integer", "bigint", "long")
-      .contains(idType.simpleString),
+    // cast to null, be skipped, and SILENTLY return an empty sample.
+    // Compare against the concrete type singletons — simpleString spellings
+    // ("tinyint"/"smallint") are easy to get wrong
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(idType),
       s"samplePerGroup needs an integral id column, got $idCol: ${idType.simpleString}")
     // TopKByDot keeps the k LARGEST dots; negate the hash to sample the
     // smallest-hash rows (ties break to the smaller id inside the aggregate)

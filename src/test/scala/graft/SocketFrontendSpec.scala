@@ -102,5 +102,10 @@ class SocketFrontendSpec extends AnyFunSuite {
     assert(readBoundedLine(r) == null)   // EOF
     assert(readBoundedLine(rdr("")) == null)
     assert(readBoundedLine(rdr("\n")) == "")
+    // bare '\r' terminates a line exactly like BufferedReader.readLine
+    val cr = rdr("PING\rFLUSH\r\nlast")
+    assert(readBoundedLine(cr) == "PING")
+    assert(readBoundedLine(cr) == "FLUSH")
+    assert(readBoundedLine(cr) == "last")
   }
 }
