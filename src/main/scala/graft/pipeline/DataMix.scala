@@ -19,9 +19,13 @@ object DataMix {
 
   private val M = 1000000L
 
-  /** Uniform hash in [0, 1e6) from the salted id — the per-row coin. */
+  /** Uniform hash in [0, 1e6) from the salted id — the per-row coin.
+    * `concat` (not `concat_ws`) so a NULL id yields a NULL coin: concat_ws
+    * SKIPS nulls, which would hash every null id to the constant salt —
+    * silently diverging from the `'salt:' || id` oracle spelling, where
+    * `||` propagates NULL. Identical output for non-null ids. */
   private def coin(idCol: Column, salt: String): Column =
-    pmod(Hashing.md5Long(concat_ws(":", lit(salt), idCol.cast("string"))), lit(M))
+    pmod(Hashing.md5Long(concat(lit(s"$salt:"), idCol.cast("string"))), lit(M))
 
   /** Keep a deterministic `rate` fraction of rows (by salted id hash). */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double,
@@ -83,8 +87,10 @@ object DataMix {
       .contains(idType),
       s"samplePerGroup needs an integral id column, got $idCol: ${idType.simpleString}")
     // TopKByDot keeps the k LARGEST dots; negate the hash to sample the
-    // smallest-hash rows (ties break to the smaller id inside the aggregate)
-    val rank = -Hashing.md5Long(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    // smallest-hash rows (ties break to the smaller id inside the aggregate).
+    // Null-propagating concat like [[coin]] (null ids are skipped by the
+    // aggregate regardless)
+    val rank = -Hashing.md5Long(concat(lit(s"$salt:"), col(idCol).cast("string")))
     val tk = columnOf(graft.functions.TopKByDot(
       expressionOf(rank), expressionOf(col(idCol).cast("long")),
       expressionOf(lit(0.0).cast("double")), n).toAggregateExpression())

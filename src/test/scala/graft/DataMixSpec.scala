@@ -68,5 +68,13 @@ class DataMixSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DataMix.assignSplits(ids, "id", Seq("a" -> (1.0 / 3), "b" -> (2.0 / 3)))
     }
+    // null id → null coin → every range test null → LAST split, matching
+    // the oracle's `'salt:' || NULL` propagation (concat_ws would have
+    // hashed nulls to the constant salt instead)
+    val withNull = Seq(Some(1L), None).map(o => Tuple1(o.map(Long.box).orNull))
+      .toDF("id")
+    val nullSplit = DataMix.assignSplits(withNull, "id", splits)
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(nullSplit(None) == "test")
   }
 }
