@@ -36,7 +36,9 @@ object SequencePacking {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
-        pmod(Hashing.md5Long(concat_ws(":", lit(salt), col(idCol).cast("string"))),
+        // null-propagating concat: the oracle spells this `'salt:' || id`,
+        // and concat_ws would silently hash null ids to the constant salt
+        pmod(Hashing.md5Long(concat(lit(s"$salt:"), col(idCol).cast("string"))),
           lit(buckets.toLong)).as("bucket"),
         col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("t"))
