@@ -84,8 +84,17 @@ final class WsFrontend(engine: SecureEventStore, port: Int = 0) {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var prev = 0
+    var total = 0
     var b = in.read()
     while (b >= 0) {
+      total += 1
+      // header ceiling: endless header bytes must not grow the heap
+      // unbounded (64 KiB is far beyond any legitimate upgrade request)
+      if (total > WsFrontend.MaxHandshakeBytes) {
+        out.write("HTTP/1.1 431 Request Header Fields Too Large\r\n\r\n".getBytes(UTF_8))
+        out.flush()
+        return false
+      }
       if (b == '\n') {
         val line = sb.toString.stripSuffix("\r")
         if (line.isEmpty) { b = -1 } else { lines += line; sb.clear(); b = in.read() }
@@ -110,6 +119,9 @@ final class WsFrontend(engine: SecureEventStore, port: Int = 0) {
 
 object WsFrontend {
   val OpText = 0x1; val OpClose = 0x8; val OpPing = 0x9; val OpPong = 0xa
+
+  /** Upgrade-request header ceiling (see handshake). */
+  val MaxHandshakeBytes: Int = 64 * 1024
 
   /** Read one frame → (opcode, payload); None on EOF. Unmasks when masked. */
   def readFrame(in: DataInputStream): Option[(Int, Array[Byte])] = {
