@@ -83,11 +83,18 @@ object Bench {
     val results = pass1.zip(pass2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // `value` is a best-of composite (sum of per-query minima across the two
+    // passes) — it corresponds to no single measured run. `best_pass_total`
+    // is the fastest single pass as actually measured; `total_kind` labels
+    // the composite so a reader of `value` alone is not misled.
     val total = results.map(_._2).sum
+    val bestPass = math.min(pass1.map(_._2).sum, pass2.map(_._2).sum)
     val calStats = s"""{"min":${cals.min},"max":${cals.max},""" +
       s""""mean":${cals.sum / cals.size},"retried":$retried,""" +
       s""""pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}]}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_kind":"per_query_min_composite","best_pass_total":$bestPass,""" +
+      s""""queries":$qs,""" +
       s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}""")
     spark.stop()
   }

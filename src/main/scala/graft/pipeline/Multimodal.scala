@@ -228,8 +228,18 @@ object Multimodal {
     Option(r.getAs[Array[Byte]]("bytes"))
       .flatMap(b => scala.util.Try(decode(b)).toOption.flatten)
 
+  /** `media_id` widened to long for the decode row shape; any non-integral
+    * id type fails HERE at plan time instead of as an executor-side
+    * ClassCastException mid-job (same guard as DataMix.samplePerGroup). */
+  private def idAndBytes(media: DataFrame): DataFrame = {
+    val idType = media.schema("media_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"decode needs an integral media_id column, got ${idType.simpleString}")
+    media.select(col("media_id").cast("long").as("media_id"), col("bytes"))
+  }
+
   def decodeImages(media: DataFrame): DataFrame =
-    media.select("media_id", "bytes").mapPartitions { it =>
+    idAndBytes(media).mapPartitions { it =>
       it.flatMap { r =>
         decodeRow(r, decodePpmP6)
           .map { case (w, h, mr, mg, mb) => Row(r.getLong(0), w, h, mr, mg, mb) }
@@ -238,7 +248,7 @@ object Multimodal {
 
   /** Decode every `bytes` blob as a PCM16 WAV (malformed rows dropped). */
   def decodeAudio(media: DataFrame): DataFrame =
-    media.select("media_id", "bytes").mapPartitions { it =>
+    idAndBytes(media).mapPartitions { it =>
       it.flatMap { r =>
         decodeRow(r, decodeWavPcm16)
           .map { case (rate, n, mean, peak) => Row(r.getLong(0), rate, n, mean, peak) }

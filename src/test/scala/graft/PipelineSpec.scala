@@ -425,4 +425,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(audio.getDouble(3) == samples.sum.toDouble / 256)
     assert(audio.getLong(4) == samples.map(math.abs).max)
   }
+
+  test("decode widens integral media_id and rejects non-integral ids at plan time") {
+    val intIds = Seq(7).toDF("media_id") // IntegerType, not LongType
+      .select($"media_id", Multimodal.syntheticPpm($"media_id", 4, 4).as("bytes"))
+    val decoded = Multimodal.decodeImages(intIds).collect()
+    assert(decoded.map(_.getLong(0)).toSeq == Seq(7L))
+    val strIds = Seq(("7", "ok".getBytes)).toDF("media_id", "bytes")
+    val e = intercept[IllegalArgumentException](Multimodal.decodeImages(strIds))
+    assert(e.getMessage.contains("integral media_id"))
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeAudio(strIds))
+    assert(e2.getMessage.contains("integral media_id"))
+  }
 }

@@ -166,17 +166,34 @@ class ScenarioCorpusSpec extends AnyFunSuite {
             s"expected a row with cells $cells to ${if (mustExist) "exist" else "be absent"}" +
               s"\n--- rows ---\n${rows.mkString("\n")}\n--- output ---\n$out")
         }
-      case None => s.matchers.foreach { m =>
-        m.kind match {
-          case "include" | "include_all" => m.values.foreach(v =>
-            assert(out.contains(v), s"expected output to include <$v>\n--- output ---\n$out"))
-          case "include_none" => m.values.foreach(v =>
-            assert(!out.contains(v), s"expected output to NOT include <$v>\n--- output ---\n$out"))
-          case "regex" => m.values.foreach(v =>
-            assert(v.r.findFirstIn(out).isDefined, s"expected output to match /$v/\n--- output ---\n$out"))
-          case other => fail(s"unknown matcher kind: $other")
-        }
-      }
+        // the cell rules replace ONLY the order-pinning matcher values (row
+        // fragments like `,1]` that encode HashMap column iteration order);
+        // every other original assertion still runs against the transcript
+        checkMatchers(s.matchers.flatMap(m =>
+          m.copy(values = m.values.filterNot(pinsRowOrder)) match {
+            case f if f.values.isEmpty => None
+            case f                     => Some(f)
+          }), out)
+      case None => checkMatchers(s.matchers, out)
+    }
+  }
+
+  /** A matcher value "pins row order" when it is a fragment of a serialized
+    * row ARRAY (ends inside/at a `]` row terminator, e.g. `,1]` or
+    * `"confirmed",1]`) — such values assert the reference's Rust-HashMap
+    * column iteration order, which is not reproducible (DIVERGENCES.md #7).
+    */
+  private def pinsRowOrder(v: String): Boolean = v.endsWith("]")
+
+  private def checkMatchers(ms: Seq[Matcher], out: String): Unit = ms.foreach { m =>
+    m.kind match {
+      case "include" | "include_all" => m.values.foreach(v =>
+        assert(out.contains(v), s"expected output to include <$v>\n--- output ---\n$out"))
+      case "include_none" => m.values.foreach(v =>
+        assert(!out.contains(v), s"expected output to NOT include <$v>\n--- output ---\n$out"))
+      case "regex" => m.values.foreach(v =>
+        assert(v.r.findFirstIn(out).isDefined, s"expected output to match /$v/\n--- output ---\n$out"))
+      case other => fail(s"unknown matcher kind: $other")
     }
   }
 
