@@ -127,6 +127,30 @@ object PipelineQueries {
       // corpus heavy hitters: vocabulary-sized exchange + global top-k
       TextAnalysis.topTokens(docs(s, d), "text", k = 20)),
 
+    "q_rare_tokens" -> ((s, d) =>
+      // corpus-relative token rarity (integer inverse-df weights) — the
+      // exact analog of an LM/CCNet noise screen; df <= 50 marks "rare"
+      CorpusSignals.rarityStats(docs(s, d), "doc_id", "text", maxDf = 50)),
+
+    "q_boilerplate" -> ((s, d) =>
+      // duplicated-span fraction: share of each doc's distinct 3-grams
+      // appearing in >= 2 documents (RefinedWeb-style boilerplate signal)
+      CorpusSignals.boilerplateStats(docs(s, d), "doc_id", "text")),
+
+    "q_search_topk" -> ((s, d) =>
+      // inverse-df weighted term search, global top-15 via bounded top-k
+      // (TakeOrderedAndProject) — never a full sort
+      Search.searchTopK(docs(s, d), "doc_id", "text",
+        Seq("dup", "vector", "slow"), k = 15)),
+
+    "q_postings" -> ((s, d) =>
+      // capped inverted index (df, tf, first-8 posting head per token),
+      // flattened to one row per (token, rank) for the hash compare
+      Search.buildPostings(docs(s, d), "doc_id", "text", cap = 8)
+        .select(col("token"), col("df"), col("tf"),
+          posexplode(col("head_ids")).as(Seq("rank", "head_id")))
+        .withColumn("rank", col("rank").cast("long"))),
+
     "q_embed_stats" -> ((s, d) =>
       // embedding QC per label: count, dim, quantized-norm² range/mean —
       // the degenerate-embedding detector (all-zero / exploded vectors show
@@ -441,6 +465,60 @@ object PipelineQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest($toks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // same (doc, token, count) collapse, df over doc-distinct pairs, and
+    // integer floor weights as the Spark plan
+    "q_rare_tokens" ->
+      s"""WITH o AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM occ GROUP BY tok)
+         |SELECT doc_id AS id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN df <= 50 THEN cnt ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(floor(sum(CASE WHEN df <= 50 THEN cnt ELSE 0 END) * 1000000.0 / sum(cnt)) AS BIGINT) AS rare_ppm,
+         |  CAST(sum(cnt * CAST(floor(1000000.0 / df) AS BIGINT)) AS BIGINT) AS df_score
+         |FROM occ JOIN dfs USING (tok) GROUP BY doc_id""".stripMargin,
+
+    // grams joined as strings ≡ Spark's collision-free md5long gram hashes
+    // (the q_decontaminate justification)
+    "q_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
+         |e AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE len(s) > 0),
+         |dfs AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY gram)
+         |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  CAST(floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT) AS common_ppm
+         |FROM e JOIN dfs USING (gram) GROUP BY doc_id""".stripMargin,
+
+    // scalar per-term dfs (the Spark side collects the same <= 3 aggregate
+    // rows), integer-division weights, (score DESC, id) top-15
+    "q_search_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |dfs AS (SELECT
+         |  (SELECT count(*) FROM t WHERE list_contains(w, 'dup')) AS df_dup,
+         |  (SELECT count(*) FROM t WHERE list_contains(w, 'vector')) AS df_vector,
+         |  (SELECT count(*) FROM t WHERE list_contains(w, 'slow')) AS df_slow),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(w, x -> x = 'dup')) * (1000000 // df_dup) +
+         |  len(list_filter(w, x -> x = 'vector')) * (1000000 // df_vector) +
+         |  len(list_filter(w, x -> x = 'slow')) * (1000000 // df_slow) AS score
+         |  FROM t, dfs)
+         |SELECT doc_id AS id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE score > 0 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // the bounded head agg ranks (-id DESC, id ASC) ≡ id ASC — the window
+    // spelling is the oracle, not the plan
+    "q_postings" ->
+      s"""WITH o AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1, 2),
+         |r AS (SELECT tok, doc_id, cnt,
+         |        row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY tok) AS df,
+         |        sum(cnt) OVER (PARTITION BY tok) AS tf
+         |      FROM occ)
+         |SELECT tok AS token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+         |  CAST(rn - 1 AS BIGINT) AS rank, doc_id AS head_id
+         |FROM r WHERE rn <= 8""".stripMargin,
 
     "q_embed_stats" ->
       """WITH v AS (SELECT label,

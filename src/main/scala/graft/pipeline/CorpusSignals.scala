@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative document signals: statistics of a document computed
+  * against the WHOLE corpus (unlike TextAnalysis' per-row signals).
+  *
+  *  - token rarity: how much of a document is made of corpus-rare tokens —
+  *    the integer-exact analog of CCNet-style LM filtering (a document full
+  *    of tokens the corpus has never seen is OCR noise / mojibake / spam);
+  *  - boilerplate fraction: how much of a document's n-gram content is
+  *    SHARED with other documents — RefinedWeb/C4-style duplicated-span
+  *    detection (headers, footers, templates) without the all-pairs cost.
+  *
+  * All scores are integer arithmetic (counts, millionths via floor) so an
+  * independent SQL engine reproduces them bit-exactly — no logs, no
+  * FP-order-dependent sums.
+  */
+object CorpusSignals {
+
+  /** Per-document token-rarity profile against the corpus' document
+    * frequencies (df = number of documents containing the token):
+    *
+    * {{{ id | n_tokens | n_rare | rare_ppm | df_score }}}
+    *
+    *  - `n_rare`: token OCCURRENCES whose df <= maxDf;
+    *  - `rare_ppm`: floor(1e6 * n_rare / n_tokens) — the rare fraction in
+    *    millionths;
+    *  - `df_score`: sum over occurrences of floor(1e6 / df) — an exact
+    *    integer inverse-df weight (rare tokens dominate; the corpus-noise
+    *    analog of an LM perplexity screen).
+    *
+    * 100 TB shape: the explode collapses to (doc, token, count) through a
+    * map-side partial aggregate, so only doc-DISTINCT pairs cross the wire;
+    * token df is a second partial+final aggregate; the join back is keyed
+    * by token — hot tokens (stopwords) are exactly the high-df keys, so at
+    * scale AQE skew-join splits them; nothing is collected to the driver.
+    */
+  def rarityStats(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long): DataFrame = {
+    val occ = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+    val dfs = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+    occ.join(dfs, "tok")
+      .groupBy("id")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("df") <= maxDf, col("cnt")).otherwise(lit(0L))).as("n_rare"),
+        sum(col("cnt") * floor(lit(1000000.0) / col("df")).cast("long")).as("df_score"))
+      .withColumn("rare_ppm",
+        floor(col("n_rare") * lit(1000000.0) / col("n_tokens")).cast("long"))
+      .select(col("id"), col("n_tokens"), col("n_rare"), col("rare_ppm"), col("df_score"))
+  }
+
+  /** Per-document boilerplate profile: the fraction of the document's
+    * DISTINCT word n-grams that also appear in at least `minDocs` documents
+    * (the document itself included):
+    *
+    * {{{ id | n_grams | n_common | common_ppm }}}
+    *
+    * A near-1.0 `common_ppm` marks template/boilerplate documents; a
+    * moderate one marks shared headers/footers. Documents with fewer than
+    * `ngram` words produce no grams and are absent from the output.
+    *
+    * 100 TB shape: per-doc distinct gram HASHES are computed map-side
+    * ([[Dedup.shingleHashes]] — the raw text never shuffles); gram df is a
+    * partial+final aggregate; the join back is keyed by gram hash, where
+    * the heavy keys are precisely the common grams — AQE skew-join
+    * territory, never a pair explosion (contrast all-pairs Jaccard).
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, minDocs: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingleHashes(col(textCol), ngram)).as("gh"))
+    val dfs = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    grams.join(dfs, "gh")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDocs, lit(1L)).otherwise(lit(0L))).as("n_common"))
+      .withColumn("common_ppm",
+        floor(col("n_common") * lit(1000000.0) / col("n_grams")).cast("long"))
+  }
+}

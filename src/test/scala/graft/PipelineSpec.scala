@@ -426,6 +426,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(audio.getLong(4) == samples.map(math.abs).max)
   }
 
+  test("rarityStats counts rare occurrences and integer inverse-df weights") {
+    // dfs: a→3 docs, b→2, z→1 (rare at maxDf=1)
+    val docs = Seq((1L, "a a b z"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val out = CorpusSignals.rarityStats(docs, "doc_id", "text", maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc1: 4 tokens, 1 rare (z); df_score = 2*⌊1e6/3⌋ + 1*⌊1e6/2⌋ + 1*⌊1e6/1⌋
+    assert(out(1L) == ((4L, 1L, 250000L, 2 * 333333L + 500000L + 1000000L)))
+    assert(out(2L) == ((2L, 0L, 0L, 333333L + 500000L)))
+    assert(out(3L) == ((1L, 0L, 0L, 333333L)))
+  }
+
+  test("boilerplateStats measures shared-gram fraction; short docs absent") {
+    val docs = Seq(
+      (1L, "x y z w"),   // grams {x y z, y z w}
+      (2L, "x y z q"),   // grams {x y z, y z q} — shares "x y z" with doc1
+      (3L, "p q"))       // < 3 words → no grams → absent
+      .toDF("doc_id", "text")
+    val out = CorpusSignals.boilerplateStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((2L, 1L, 500000L)))
+    assert(out(2L) == ((2L, 1L, 500000L)))
+  }
+
+  test("searchTopK ranks by tf × inverse-df, ties to smaller id, absent term = 0") {
+    val docs = Seq(
+      (1L, "rare common common"), // df(common)=4: 1×(1e6/1) + 2×(1e6/4)
+      (2L, "common"),             // 1×(1e6/4)
+      (3L, "common common"),      // 2×(1e6/4) — tie with doc4 broken by id
+      (4L, "common common"),
+      (5L, "nothing here")).toDF("doc_id", "text")
+    val out = Search.searchTopK(docs, "doc_id", "text",
+      Seq("rare", "common", "ghost"), k = 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      (1L, 1000000L + 2 * 250000L), (3L, 2 * 250000L), (4L, 2 * 250000L)))
+    intercept[IllegalArgumentException](Search.searchTopK(docs, "doc_id", "text", Nil, 3))
+    intercept[IllegalArgumentException](Search.searchTopK(docs, "doc_id", "text", Seq("x"), 0))
+  }
+
+  test("buildPostings caps posting heads but keeps exact df/tf") {
+    val docs = Seq(
+      (5L, "b a a"), (1L, "a"), (3L, "a c"), (2L, "a"), (4L, "a")).toDF("doc_id", "text")
+    val out = Search.buildPostings(docs, "doc_id", "text", cap = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    // 'a': df=5 docs, tf=6 occurrences, head capped to the 3 smallest ids
+    assert(out("a") == ((5L, 6L, Seq(1L, 2L, 3L))))
+    assert(out("b") == ((1L, 1L, Seq(5L))))
+    assert(out("c") == ((1L, 1L, Seq(3L))))
+    intercept[IllegalArgumentException](Search.buildPostings(docs, "doc_id", "text", 0))
+  }
+
   test("decode widens integral media_id and rejects non-integral ids at plan time") {
     val intIds = Seq(7).toDF("media_id") // IntegerType, not LongType
       .select($"media_id", Multimodal.syntheticPpm($"media_id", 4, 4).as("bytes"))

@@ -175,4 +175,47 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!readSchema.contains("lang"), s"$name reads unused columns: $readSchema")
     }
   }
+
+  test("term search is map-side scoring + TakeOrdered, never a sort or window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.Search.searchTopK(docs, "doc_id", "text",
+      Seq("dup", "vector"), k = 10))
+    // term dfs were collected as literals at plan-build; the remaining plan
+    // must be scan → project/filter → bounded top-k
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(!p.contains("Exchange"), s"search scoring shuffles:\n$p")
+  }
+
+  test("posting heads are a bounded two-phase agg, never an unbounded collect") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.Search.buildPostings(docs, "doc_id", "text", 8))
+    // a stopword's posting head must stay ≤ cap per partition: the bounded
+    // aggregate appears partial+final, and no collect_list/sort anywhere
+    assert(p.split("ObjectHashAggregate").length >= 3,
+      s"missing partial+final bounded head agg:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("Window"), p)
+  }
+
+  test("corpus signals collapse to doc-distinct pairs before any exchange") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val plans = Seq(
+      "rarity" -> plan(graft.pipeline.CorpusSignals.rarityStats(docs, "doc_id", "text", 50)),
+      "boilerplate" -> plan(graft.pipeline.CorpusSignals.boilerplateStats(docs, "doc_id", "text")))
+    plans.foreach { case (name, p) =>
+      // the exploded occurrences must partial-aggregate map-side (partial +
+      // final HashAggregate pairs) so only doc-distinct rows shuffle, and
+      // the df join-back must never be a nested-loop/cartesian
+      assert(p.split("HashAggregate").length >= 5,
+        s"$name missing partial+final aggregates:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a pair space:\n$p")
+      val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+        s"$name reads unused columns: $readSchema")
+    }
+  }
 }
