@@ -42,7 +42,13 @@ object CorpusSignals {
     val occ = df
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
-    val dfs = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+    // count(cnt>0 → id), not count(*): the spelling keeps BOTH occ columns
+    // referenced in this branch, so column pruning cannot specialize its
+    // copy of occ's (id, tok) exchange subtree and ReuseExchange computes
+    // the scan + explode + partial agg ONCE for the df count and the join
+    // back (cnt is a count, always > 0 — the value is identical)
+    val dfs = occ.groupBy("tok")
+      .agg(count(when(col("cnt") > 0, col("id"))).as("df"))
     occ.join(dfs, "tok")
       .groupBy("id")
       .agg(
@@ -72,10 +78,23 @@ object CorpusSignals {
     */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, minDocs: Int = 2): DataFrame = {
+    // The repartition is a deliberate materialization barrier (the
+    // fingerprintJaccardDups trick): without it the df-count branch and the
+    // join-back branch are DIFFERENT exchange subtrees (one has a partial
+    // agg below it), so the scan + gram md5 hashing runs twice; with it
+    // both branches read ONE reused exchange, the gram df needs no further
+    // shuffle (already hash-partitioned by gh), and the join is
+    // co-partitioned. The (id, gh) pairs must cross the wire whole for the
+    // join anyway, so the lost pre-shuffle combine costs nothing extra.
     val grams = df
       .select(col(idCol).as("id"),
         explode(Dedup.shingleHashes(col(textCol), ngram)).as("gh"))
-    val dfs = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .repartition(col("gh"))
+    // count(id), not count(*): with count(*) column pruning drops `id`
+    // below THIS branch's exchange, the two subtrees stop being identical,
+    // and ReuseExchange no longer fires (ids are non-null here, so the
+    // counts agree)
+    val dfs = grams.groupBy("gh").agg(count(col("id")).as("df"))
     grams.join(dfs, "gh")
       .groupBy("id")
       .agg(

@@ -218,4 +218,21 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name reads unused columns: $readSchema")
     }
   }
+
+  test("corpus signals scan and tokenize once: the df branch reuses the exchange") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val dfs = Seq(
+      "rarity" -> graft.pipeline.CorpusSignals.rarityStats(docs, "doc_id", "text", 50),
+      "boilerplate" -> graft.pipeline.CorpusSignals.boilerplateStats(docs, "doc_id", "text"))
+    dfs.foreach { case (name, f) =>
+      // exchange reuse is an AQE runtime decision — execute, then audit the
+      // final plan: without ReusedExchange the scan + explode + hashing of
+      // the occurrence frame runs TWICE (once per consumer branch)
+      f.collect()
+      val p = f.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$name recomputes the occurrence exchange per branch:\n$p")
+    }
+  }
 }
