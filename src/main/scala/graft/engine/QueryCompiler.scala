@@ -79,7 +79,9 @@ object QueryCompiler {
     val payloadCols = df.columns.filterNot(EventSchema.AllCoreFields.contains)
     val wanted = q.returnFields match {
       case None | Some(Seq()) => payloadCols.toSeq
-      case Some(fs)           => fs.filter(payloadCols.contains)
+      // a requested field shadowed by a core name maps to its internal
+      // column (rendered back under the declared name by Responses)
+      case Some(fs)           => fs.map(EventSchema.columnName).filter(payloadCols.contains)
     }
     val projected = df.select(
       (EventSchema.CoreFields.map(col) ++ wanted.map(col) ++ Seq(col(EventSchema.EventId))): _*)

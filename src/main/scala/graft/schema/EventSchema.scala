@@ -15,9 +15,12 @@ final case class EventSchema(
 ) {
   def fieldMap: Map[String, FieldType] = fields.toMap
 
-  /** Payload-only Spark schema (declared field order). */
+  /** Payload-only Spark schema (declared field order). Fields shadowed by a
+    * core name are stored under their internal column name (see
+    * [[EventSchema.columnName]]). */
   def payloadStruct: StructType =
-    StructType(fields.map { case (n, t) => StructField(n, t.sparkType, t.nullable) })
+    StructType(fields.map { case (n, t) =>
+      StructField(EventSchema.columnName(n), t.sparkType, t.nullable) })
 
   /** Full event schema: core columns + payload columns.
     * Time-typed fields are epoch-second longs (see [[FieldType]]). */
@@ -112,12 +115,35 @@ object EventSchema {
   val CoreFields: Seq[String] = Seq(ContextId, EventType, Timestamp)
   val AllCoreFields: Seq[String] = Seq(ContextId, EventType, Timestamp, EventId)
 
+  /** Payload fields may SHADOW core names (the reference stores payload in a
+    * separate map, so `DEFINE t FIELDS { "timestamp": "int" }` is legal —
+    * scenarios `sequence_followed_by_with_common_where` et al. rely on it).
+    * Our events are ONE flat frame, so a shadowed field is stored under this
+    * prefixed internal column name; reads resolve core-first exactly like
+    * the reference's `get_field_scalar` (`event.rs:50-58` matches core names
+    * before the payload map), and the prefix is stripped again at the
+    * response-rendering boundary ([[graft.store.Responses]]). */
+  val ShadowPrefix = "p$"
+
+  /** Internal storage column for a declared payload field name. */
+  def columnName(declared: String): String =
+    if (AllCoreFields.contains(declared)) ShadowPrefix + declared else declared
+
+  /** Declared (user-facing) name for an internal payload column. */
+  def displayName(column: String): String =
+    if (column.startsWith(ShadowPrefix) &&
+        AllCoreFields.contains(column.substring(ShadowPrefix.length)))
+      column.substring(ShadowPrefix.length)
+    else column
+
   def fromSpecs(eventType: String, version: Int, specs: Seq[(String, String)]): Either[String, EventSchema] = {
     if (specs.isEmpty) return Left("schema must declare at least one field")
     val names = specs.map(_._1)
     if (names.distinct.size != names.size) return Left("duplicate field names in schema")
-    val reserved = names.toSet.intersect(AllCoreFields.toSet)
-    if (reserved.nonEmpty) return Left(s"reserved core field names: ${reserved.mkString(", ")}")
+    // declared names must not collide with the internal shadow columns
+    val spoofed = names.filter(n => n.startsWith(ShadowPrefix) &&
+      AllCoreFields.contains(n.substring(ShadowPrefix.length)))
+    if (spoofed.nonEmpty) return Left(s"invalid field names: ${spoofed.mkString(", ")}")
     val parsed = Vector.newBuilder[(String, FieldType)]
     for ((n, spec) <- specs)
       FieldType.fromString(spec) match {

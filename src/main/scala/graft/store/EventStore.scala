@@ -326,7 +326,7 @@ final class EventStore(val spark: SparkSession, val root: String,
           c.cast("long")
         case other => c.cast(other.sparkType)
       }
-      typed.as(n)
+      typed.as(EventSchema.columnName(n)) // shadowed fields → internal column
     }
     val base = batchSeq.getAndIncrement() << 50 // this ingest's id block
     val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(clock()))

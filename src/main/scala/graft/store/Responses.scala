@@ -40,7 +40,9 @@ object Responses {
       val n = mapper.createObjectNode()
       n.put("type", "schema")
       val cols = n.putArray("columns")
-      schema.fieldNames.foreach(cols.add)
+      // internal shadow columns (p$timestamp …) render under their declared
+      // payload name — the rendering half of EventSchema.columnName
+      schema.fieldNames.foreach(f => cols.add(graft.schema.EventSchema.displayName(f)))
       mapper.writeValueAsString(n)
     }
 
@@ -107,7 +109,7 @@ object Responses {
         case BooleanType            => ArrowType.Bool.INSTANCE
         case _                      => ArrowType.Utf8.INSTANCE
       }
-      new AField(f.name, AFieldType.nullable(t), null)
+      new AField(graft.schema.EventSchema.displayName(f.name), AFieldType.nullable(t), null)
     }
     val schema = new ASchema(java.util.Arrays.asList(afields: _*))
     val alloc = new RootAllocator(Long.MaxValue)

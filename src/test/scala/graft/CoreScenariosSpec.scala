@@ -16,6 +16,31 @@ class CoreScenariosSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   private def open() = new Proto(spark, authEnabled = false)
 
+  // ---- shadowed core names (DIVERGENCES.md #6, resolved r6) ----
+
+  test("payload fields may shadow core names; reads resolve core-first") {
+    val p = open()
+    p.send("""DEFINE shdw FIELDS { "timestamp": "int", "event_id": "int", "tag": "string" }""")
+    p.send("""STORE shdw FOR sh1 PAYLOAD {"timestamp":1000,"event_id":7,"tag":"a"}""")
+    p.sleep(5000)
+    p.send("""STORE shdw FOR sh2 PAYLOAD {"timestamp":2000,"event_id":8,"tag":"b"}""")
+    p.send("FLUSH")
+    // the payload values are stored and rendered under their declared names
+    val all = p.send("QUERY shdw")
+    assertIncludes(all, "\"timestamp\"", "\"event_id\"", "1000", "2000", "\"row_count\":2")
+    assertExcludes(all, "p$")
+    // WHERE timestamp resolves to the CORE (ingest-clock) column, exactly
+    // like the reference's get_field_scalar — payload 1000/2000 would match
+    // nothing against a > 1500s boundary if it shadowed the other way
+    val t0 = all.split("\"rows\":\\[\\[")(1).split(",")(2) // core ts of first row
+    val later = p.send(s"QUERY shdw WHERE timestamp > ${t0.trim.toLong + 1}")
+    assertIncludes(later, "sh2", "\"row_count\":1")
+    assertExcludes(later.split("\"row_count\"")(0), "sh1")
+    // RETURN with a shadowed name projects the payload field
+    val ret = p.send("""QUERY shdw RETURN [timestamp]""")
+    assertIncludes(ret, "1000", "2000")
+  }
+
   // ---- since_* ----
 
   // since_using_created_at_equal_boundary_included, _iso8601_selection

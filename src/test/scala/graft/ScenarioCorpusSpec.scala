@@ -36,15 +36,6 @@ class ScenarioCorpusSpec extends AnyFunSuite {
 
   /** name → reason. Divergences documented in docs/DIVERGENCES.md. */
   private val skip: Map[String, String] = Map(
-    "sequence_followed_by_with_common_where" ->
-      ("defines a payload field named 'timestamp'; our flat event frame " +
-        "reserves core column names (DIVERGENCES.md #6)"),
-    "remember_query_with_limit" ->
-      ("defines a payload field named 'event_id'; our flat event frame " +
-        "reserves core column names (DIVERGENCES.md #6)"),
-    "permissions_grant_write_only" ->
-      ("defines a payload field named 'event_id'; our flat event frame " +
-        "reserves core column names (DIVERGENCES.md #6)"),
     "wal_fsync_every_n_without_flush_each_write" ->
       ("asserts buffered-WAL data LOSS on restart; our WAL fsyncs every " +
         "append so the event survives — strictly more durable; the loss " +

@@ -18,10 +18,17 @@ class SchemaTimeSpec extends AnyFunSuite {
     assert(FieldType.fromString("wibble").isLeft)
   }
 
-  test("schema rejects dup fields and reserved names") {
+  test("schema rejects dup/spoofed fields; core names may be shadowed") {
     assert(EventSchema.fromSpecs("t", 1, Seq("a" -> "int", "a" -> "int")).isLeft)
-    assert(EventSchema.fromSpecs("t", 1, Seq("timestamp" -> "int")).isLeft)
     assert(EventSchema.fromSpecs("t", 1, Nil).isLeft)
+    // payload may shadow a core name (reference stores payload separately —
+    // DIVERGENCES.md #6, resolved r6): stored under the internal p$ column
+    val s = EventSchema.fromSpecs("t", 1, Seq("timestamp" -> "int")).toOption.get
+    assert(s.payloadStruct.fieldNames.toSeq == Seq("p$timestamp"))
+    assert(EventSchema.displayName("p$timestamp") == "timestamp")
+    assert(EventSchema.columnName("tag") == "tag") // identity off core names
+    // declared names that collide with the internal shadow columns refuse
+    assert(EventSchema.fromSpecs("t", 1, Seq("p$timestamp" -> "int")).isLeft)
   }
 
   test("payload validation: missing, extra, type mismatch, enum") {
