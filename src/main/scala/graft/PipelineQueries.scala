@@ -82,6 +82,18 @@ object PipelineQueries {
         col("doc_id").as("media_id"),
         Multimodal.syntheticPpm(col("doc_id"), 8, 8).as("bytes")))),
 
+    "q_multimodal_bmp" -> ((s, d) =>
+      // REAL BMP decode: same logical image as q_multimodal_ppm but through
+      // BMP's bottom-up/BGR/padded layout (6×8 ⇒ 2 pad bytes per row); the
+      // top-left red is the positional witness that the orientation and
+      // channel unswizzling actually happened
+      Multimodal.decodeBmps(docs(s, d).select(
+          col("doc_id").as("media_id"),
+          Multimodal.syntheticBmp(col("doc_id"), 6, 8).as("bytes")))
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"), col("tl_r"))),
+
     "q_multimodal_wav" -> ((s, d) =>
       // REAL audio decode: valid PCM16 WAV per doc — sample i's unsigned
       // word is u = (id*13 + i*97) % 65536, little-endian, so the int16
@@ -387,6 +399,18 @@ object PipelineQueries {
         |  sum(CASE WHEN ch = 0 THEN val END) / 64.0 AS mean_r,
         |  sum(CASE WHEN ch = 1 THEN val END) / 64.0 AS mean_g,
         |  sum(CASE WHEN ch = 2 THEN val END) / 64.0 AS mean_b
+        |FROM v GROUP BY doc_id""".stripMargin,
+
+    // identical logical-formula strategy to q_multimodal_ppm; 6×8 ⇒ 48 px
+    // per channel; tl_r = channel value at j = 0
+    "q_multimodal_bmp" ->
+      """WITH px AS (SELECT doc_id, unnest(range(0, 144)) AS j FROM documents),
+        |v AS (SELECT doc_id, j % 3 AS ch, (doc_id * 31 + j * 7) % 256 AS val FROM px)
+        |SELECT doc_id AS media_id, CAST(6 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  round(sum(CASE WHEN ch = 0 THEN val END) / 48.0, 6) AS mean_r,
+        |  round(sum(CASE WHEN ch = 1 THEN val END) / 48.0, 6) AS mean_g,
+        |  round(sum(CASE WHEN ch = 2 THEN val END) / 48.0, 6) AS mean_b,
+        |  CAST(doc_id * 31 % 256 AS INTEGER) AS tl_r
         |FROM v GROUP BY doc_id""".stripMargin,
 
     "q_multimodal_wav" ->

@@ -164,6 +164,49 @@ object Multimodal {
     Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
+  /** Decode a 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB): rows are
+    * stored BOTTOM-UP (top-down when height is negative), pixels are BGR,
+    * and every row pads to a 4-byte boundary — three layout inversions the
+    * PPM path never exercises. Same output shape as [[decodePpmP6]]
+    * (width, height, per-channel means in top-down RGB space); None on any
+    * malformed shape. */
+  def decodeBmp24(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Int)] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    if (u32(14) < 40L) return None // BITMAPINFOHEADER or longer
+    val w = u32(18).toInt; val rawH = u32(22).toInt
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    if (u16(26) != 1 || u16(28) != 24 || u32(30) != 0L) return None // planes/bpp/BI_RGB
+    val off = u32(10)
+    val rowSize = (w * 3 + 3) / 4 * 4 // padded to 4-byte boundary
+    if (off < 54L || off + rowSize.toLong * h > bytes.length) return None
+    // means are pixel-order-free, so they can't catch an upside-down or
+    // BGR-swapped decode — the TOP-LEFT red value is the positional witness
+    // (in a bottom-up file it lives in the LAST row, channel offset 2)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var tlR = -1
+    var r = 0
+    while (r < h) {
+      val y = if (topDown) r else h - 1 - r // file row r ⇒ image row y
+      val base = off.toInt + r * rowSize
+      var x = 0
+      while (x < w) {
+        sb += bytes(base + x * 3) & 0xff // BGR order on disk
+        sg += bytes(base + x * 3 + 1) & 0xff
+        sr += bytes(base + x * 3 + 2) & 0xff
+        x += 1
+      }
+      if (y == 0) tlR = bytes(base + 2) & 0xff
+      r += 1
+    }
+    val n = w * h
+    Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, tlR))
+  }
+
   /** Decoded audio summary: rate + sample count + amplitude stats. */
   val audioSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -246,6 +289,26 @@ object Multimodal {
       }
     }(Encoders.row(imageSchema))
 
+  /** [[decodeBmp24]] row shape: the PPM image stats + the positional
+    * top-left red witness. */
+  val bmpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("tl_r", IntegerType, nullable = false)))
+
+  /** Decode every `bytes` blob as a 24-bit BMP (malformed rows dropped). */
+  def decodeBmps(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeBmp24)
+          .map { case (w, h, mr, mg, mb, tl) => Row(r.getLong(0), w, h, mr, mg, mb, tl) }
+      }
+    }(Encoders.row(bmpSchema))
+
   /** Decode every `bytes` blob as a PCM16 WAV (malformed rows dropped). */
   def decodeAudio(media: DataFrame): DataFrame =
     idAndBytes(media).mapPartitions { it =>
@@ -270,6 +333,32 @@ object Multimodal {
     val body = unhex(concat_ws("", transform(
       sequence(lit(0L), lit(w.toLong * h * 3 - 1)),
       j => hexByte(pmod(id.cast("long") * 31 + j * 7, lit(256L))))))
+    concat(header, body)
+  }
+
+  /** A VALID 24-bit bottom-up BMP blob per row carrying the SAME logical
+    * image as [[syntheticPpm]] (channel value at top-down RGB index j is
+    * `(id*31 + j*7) mod 256`) — but serialized through BMP's three layout
+    * inversions: rows bottom-up, pixels BGR, rows padded to 4 bytes. The
+    * oracle verifies the DECODED stats from the logical formula, so a
+    * decoder that misses any inversion mismatches. */
+  def syntheticBmp(id: Column, w: Int, h: Int): Column = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val pad = rowSize - w * 3
+    val dataSize = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    bb.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val header = lit(bb.array())
+    val idL = id.cast("long")
+    val body = unhex(concat_ws("", transform(sequence(lit(0L), lit(h - 1L)), fr => {
+      val y = lit(h - 1L) - fr // bottom-up: file row fr holds image row y
+      val rowHex = concat_ws("", transform(sequence(lit(0L), lit(w - 1L)), x =>
+        concat(Seq(2, 1, 0).map(c => // BGR on disk
+          hexByte(pmod(idL * 31 + ((y * w + x) * 3 + lit(c.toLong)) * 7, lit(256L)))): _*)))
+      if (pad == 0) rowHex else concat(rowHex, lit("00" * pad))
+    })))
     concat(header, body)
   }
 

@@ -340,6 +340,57 @@ class PipelineSpec extends AnyFunSuite {
       .getBytes("US-ASCII")).isEmpty)
   }
 
+  test("BMP decoder: bottom-up BGR padded rows, top-down variant, malformed rejected") {
+    // hand-built 2x2 24-bit BMP, bottom-up: file row 0 is the BOTTOM image
+    // row. Image (top-down, RGB): (255,0,0) (0,255,0) / (0,0,255) (10,20,30)
+    def bmp(h: Int, pixelRowsFileOrder: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+      val w = pixelRowsFileOrder.head.length
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + rowSize * pixelRowsFileOrder.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * pixelRowsFileOrder.length)
+        .putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      bb.putInt(0).putInt(rowSize * pixelRowsFileOrder.length)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      pixelRowsFileOrder.foreach { row =>
+        row.foreach { case (r, g, b) => // BGR on disk
+          bb.put(b.toByte).put(g.toByte).put(r.toByte)
+        }
+        (w * 3 until rowSize).foreach(_ => bb.put(0.toByte))
+      }
+      bb.array()
+    }
+    val topRow = Seq((255, 0, 0), (0, 255, 0))
+    val botRow = Seq((0, 0, 255), (10, 20, 30))
+    val expect = (2, 2, (255 + 10) / 4.0, (255 + 20) / 4.0, (255 + 30) / 4.0, 255)
+    // bottom-up (h=2): bottom image row first in the file
+    assert(Multimodal.decodeBmp24(bmp(2, Seq(botRow, topRow))).contains(expect))
+    // top-down (h=-2): top image row first — same logical image, same answer
+    assert(Multimodal.decodeBmp24(bmp(-2, Seq(topRow, botRow))).contains(expect))
+    // wrong magic, truncated pixels, non-24bpp, compressed → all rejected
+    val good = bmp(2, Seq(botRow, topRow))
+    assert(Multimodal.decodeBmp24("XX".getBytes ++ good.drop(2)).isEmpty)
+    assert(Multimodal.decodeBmp24(good.dropRight(1)).isEmpty)
+    val bpp16 = good.clone(); bpp16(28) = 16.toByte
+    assert(Multimodal.decodeBmp24(bpp16).isEmpty)
+    val rle = good.clone(); rle(30) = 1.toByte // BI_RLE8
+    assert(Multimodal.decodeBmp24(rle).isEmpty)
+    // absurd dims rejected before any allocation-sized arithmetic
+    val wide = good.clone()
+    java.nio.ByteBuffer.wrap(wide).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(18, 1 << 20)
+    assert(Multimodal.decodeBmp24(wide).isEmpty)
+    // syntheticBmp round-trips through the full three-inversion layout
+    val media = Seq(7L, 42L).toDF("media_id")
+      .select($"media_id", Multimodal.syntheticBmp($"media_id", 6, 8).as("bytes"))
+    val out = Multimodal.decodeBmps(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(6)))).toMap
+    def meanR(id: Long): Double =
+      (0 until 48).map(p => (id * 31 + p * 3 * 7) % 256).sum.toDouble / 48
+    assert(out(7L) == ((6, 8, meanR(7L), 7 * 31 % 256)))
+    assert(out(42L) == ((6, 8, meanR(42L), 42 * 31 % 256)))
+  }
+
   test("WAV decoder: chunk walk, negative samples, extra chunk, malformed rejected") {
     def wav(samples: Seq[Short], extraChunk: Boolean = false): Array[Byte] = {
       val extra = if (extraChunk) 8 + 3 + 1 else 0 // odd-sized chunk + pad byte
@@ -464,6 +515,25 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 1000000L + 2 * 250000L), (3L, 2 * 250000L), (4L, 2 * 250000L)))
     intercept[IllegalArgumentException](Search.searchTopK(docs, "doc_id", "text", Nil, 3))
     intercept[IllegalArgumentException](Search.searchTopK(docs, "doc_id", "text", Seq("x"), 0))
+  }
+
+  test("corpus signals and postings survive a 100k-doc hot token") {
+    // every doc contains the hot token (a stopword at scale): rarity's df
+    // join and postings' head agg must stay bounded/correct — the hot key
+    // carries one row per doc (doc-distinct collapse), never tf-inflated,
+    // and the posting head stays ≤ cap
+    val docs = spark.range(100000).select(col("id").as("doc_id"),
+      concat(lit("the the w"), col("id") % 1000).as("text"))
+    val rare = CorpusSignals.rarityStats(docs, "doc_id", "text", maxDf = 500)
+      .agg(sum("n_rare"), sum("n_tokens"), min("df_score"), max("df_score")).collect().head
+    // each doc: 3 tokens, 1 rare (its w<k> bucket token, df=100); score =
+    // 2*⌊1e6/100000⌋ + ⌊1e6/100⌋ — identical for every doc
+    assert(rare.getLong(0) == 100000L && rare.getLong(1) == 300000L)
+    assert(rare.getLong(2) == 2 * 10L + 10000L && rare.getLong(3) == 2 * 10L + 10000L)
+    val posting = Search.buildPostings(docs, "doc_id", "text", cap = 4)
+      .filter(col("token") === "the").collect().head
+    assert(posting.getLong(1) == 100000L && posting.getLong(2) == 200000L)
+    assert(posting.getSeq[Long](3) == Seq(0L, 1L, 2L, 3L))
   }
 
   test("buildPostings caps posting heads but keeps exact df/tf") {
