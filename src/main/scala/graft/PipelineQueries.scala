@@ -94,6 +94,18 @@ object PipelineQueries {
           round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"), col("tl_r"))),
 
+    "q_multimodal_png" -> ((s, d) =>
+      // REAL compressed-codec decode: a valid 8-bit RGB PNG per doc — the
+      // q_multimodal_ppm logical image pushed through scanline filtering
+      // ((id+y)%5 sweeps all five filter types across the corpus), zlib
+      // DEFLATE, and a two-chunk IDAT split; the decoder must verify CRCs,
+      // inflate, and unfilter to reproduce the formula's stats
+      Multimodal.decodePngs(Multimodal.syntheticPngs(
+          docs(s, d).select(col("doc_id")), "doc_id", 5, 6))
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"), col("tl_r"))),
+
     "q_multimodal_wav" -> ((s, d) =>
       // REAL audio decode: valid PCM16 WAV per doc — sample i's unsigned
       // word is u = (id*13 + i*97) % 65536, little-endian, so the int16
@@ -410,6 +422,19 @@ object PipelineQueries {
         |  round(sum(CASE WHEN ch = 0 THEN val END) / 48.0, 6) AS mean_r,
         |  round(sum(CASE WHEN ch = 1 THEN val END) / 48.0, 6) AS mean_g,
         |  round(sum(CASE WHEN ch = 2 THEN val END) / 48.0, 6) AS mean_b,
+        |  CAST(doc_id * 31 % 256 AS INTEGER) AS tl_r
+        |FROM v GROUP BY doc_id""".stripMargin,
+
+    // identical logical-formula strategy to q_multimodal_ppm — the oracle
+    // never touches zlib or filtering, it recomputes the DECODED stats from
+    // the formula; 5×6 ⇒ 30 px per channel
+    "q_multimodal_png" ->
+      """WITH px AS (SELECT doc_id, unnest(range(0, 90)) AS j FROM documents),
+        |v AS (SELECT doc_id, j % 3 AS ch, (doc_id * 31 + j * 7) % 256 AS val FROM px)
+        |SELECT doc_id AS media_id, CAST(5 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |  round(sum(CASE WHEN ch = 0 THEN val END) / 30.0, 6) AS mean_r,
+        |  round(sum(CASE WHEN ch = 1 THEN val END) / 30.0, 6) AS mean_g,
+        |  round(sum(CASE WHEN ch = 2 THEN val END) / 30.0, 6) AS mean_b,
         |  CAST(doc_id * 31 % 256 AS INTEGER) AS tl_r
         |FROM v GROUP BY doc_id""".stripMargin,
 

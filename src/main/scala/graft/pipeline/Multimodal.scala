@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus batch-shaped decode / feature-extraction
   * plumbing.
   *
-  * Container-less formats are decoded FOR REAL: [[decodePpmP6]] (binary PPM
-  * images) and [[decodeWavPcm16]] (RIFF/PCM16 audio) parse actual bytes —
-  * headers, chunk layout, endianness — with no codec library, and are
+  * Formats whose codecs need nothing beyond the JVM are decoded FOR REAL:
+  * [[decodePpmP6]] (binary PPM), [[decodeBmp24]] (24-bit BMP),
+  * [[decodeWavPcm16]] (RIFF/PCM16 audio), and [[decodePng]] (8-bit RGB PNG
+  * — a genuinely COMPRESSED codec: zlib inflate via `java.util.zip`, CRC32
+  * chunk validation, all five scanline filters) parse actual bytes and are
   * oracle-checked end-to-end against analytically-constructed blobs
-  * ([[syntheticPpm]]/[[syntheticWav]]). Only COMPRESSED codecs (JPEG/MP3/
-  * H.264), whose libraries are not in this container, remain behind
-  * [[decodeStub]], a deterministic fake producing byte-level statistics
-  * with the same shape a real extractor would. Everything around it —
+  * ([[syntheticPpm]]/[[syntheticBmp]]/[[syntheticWav]]/[[syntheticPngs]]).
+  * Only PERCEPTUAL codecs (JPEG/MP3/H.264), whose libraries are not in
+  * this container, remain behind [[decodeStub]], a deterministic fake
+  * producing byte-level statistics with the same shape a real extractor
+  * would. Everything around it —
   * schema, binary packing, partition-wise batched execution, feature
   * schema — is real Spark plumbing that a production decoder drops into.
   *
@@ -104,10 +107,10 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
-  // Real decoders — container-less formats need no codec library, so these
-  // parse actual bytes (headers, chunk layout, endianness), not a stub.
-  // Compressed codecs (JPEG/MP3/H.264) still require external libraries not
-  // present in this container; their entry point remains
+  // Real decoders — everything the JVM can decode alone (incl. PNG's zlib)
+  // parses actual bytes (headers, chunk layout, endianness, inflate), not a
+  // stub. Perceptual codecs (JPEG/MP3/H.264) still require external
+  // libraries not present in this container; their entry point remains
   // [[extractFeaturesWithDecoder]] with [[decodeStub]].
   // ---------------------------------------------------------------------
 
@@ -207,6 +210,114 @@ object Multimodal {
     Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, tlR))
   }
 
+  /** Paeth predictor (PNG filter 4): nearest of left/above/upper-left to
+    * `a + b - c`, ties broken left, above, upper-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Decode an 8-bit truecolor (RGB, color type 2, non-interlaced) PNG —
+    * a REAL compressed codec: walks the chunk list verifying each CRC32,
+    * concatenates the IDAT zlib stream, inflates it (`java.util.zip`), and
+    * inverts the per-scanline filter (all five types: None/Sub/Up/Average/
+    * Paeth). Same output shape as [[decodeBmp24]]; None on any malformed
+    * shape — bad signature, CRC mismatch, wrong color mode, truncated or
+    * over-long compressed stream, unknown filter type. */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Int)] = {
+    if (bytes.length < 8) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != pngSig(i)) return None; i += 1 }
+    def u32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var w = -1; var h = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    // chunk walk in LONG arithmetic (same discipline as the WAV walker): a
+    // corrupt 32-bit length must neither wrap the cursor nor read past end
+    var o = 8L
+    while (!sawIend && o + 12 <= bytes.length) {
+      val oi = o.toInt
+      val len = u32(oi)
+      if (o + 12 + len > bytes.length) return None
+      val dataOff = oi + 8
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, oi + 4, 4 + len.toInt) // CRC covers type + data
+      if (crc.getValue != u32(dataOff + len.toInt)) return None
+      new String(bytes, oi + 4, 4, "US-ASCII") match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13L) return None
+          sawIhdr = true
+          w = u32(dataOff).toInt; h = u32(dataOff + 4).toInt
+          if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+          // bit depth 8, color type 2 (truecolor), deflate, adaptive
+          // filtering, no interlace — anything else is out of scope
+          if (bytes(dataOff + 8) != 8 || bytes(dataOff + 9) != 2 ||
+            bytes(dataOff + 10) != 0 || bytes(dataOff + 11) != 0 ||
+            bytes(dataOff + 12) != 0) return None
+        case "IDAT" =>
+          if (!sawIhdr) return None
+          idat.write(bytes, dataOff, len.toInt)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) skipped
+      }
+      o += 12 + len
+    }
+    if (!sawIhdr || !sawIend) return None
+    val stride = w * 3
+    val rawLen = h.toLong * (1 + stride)
+    if (rawLen > (1L << 26)) return None // 64 MiB decoded cap on crafted headers
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated zlib stream
+        got += n
+      }
+      if (got < raw.length || !inf.finished()) return None // short or over-long
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter scanline by scanline; `prev`/`cur` hold reconstructed rows
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var tlR = -1
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None
+      var k = 0
+      while (k < stride) {
+        val a = if (k >= 3) cur(k - 3) else 0
+        val b = prev(k)
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, if (k >= 3) prev(k - 3) else 0)
+        }
+        cur(k) = ((raw(base + 1 + k) & 0xff) + pred) & 0xff
+        k += 1
+      }
+      var p = 0
+      while (p < stride) { sr += cur(p); sg += cur(p + 1); sb += cur(p + 2); p += 3 }
+      if (y == 0) tlR = cur(0)
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val n = w * h
+    Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, tlR))
+  }
+
   /** Decoded audio summary: rate + sample count + amplitude stats. */
   val audioSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -268,7 +379,10 @@ object Multimodal {
     * discipline: null blobs and any decoder throwable both degrade to a
     * skipped row — one bad byte sequence must never fail a 100 TB job. */
   private def decodeRow[T](r: Row, decode: Array[Byte] => Option[T]): Option[T] =
-    Option(r.getAs[Array[Byte]]("bytes"))
+    // positional: [[idAndBytes]] pins (media_id, bytes), and rows arriving
+    // from an adjacent typed operator (EliminateSerialization) may carry no
+    // schema for a by-name lookup
+    Option(r.getAs[Array[Byte]](1))
       .flatMap(b => scala.util.Try(decode(b)).toOption.flatten)
 
   /** `media_id` widened to long for the decode row shape; any non-integral
@@ -308,6 +422,19 @@ object Multimodal {
           .map { case (w, h, mr, mg, mb, tl) => Row(r.getLong(0), w, h, mr, mg, mb, tl) }
       }
     }(Encoders.row(bmpSchema))
+
+  /** [[decodePng]] shares the BMP row shape (dims + channel means + the
+    * positional top-left red witness). */
+  val pngSchema: StructType = bmpSchema
+
+  /** Decode every `bytes` blob as an 8-bit RGB PNG (malformed rows dropped). */
+  def decodePngs(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodePng)
+          .map { case (w, h, mr, mg, mb, tl) => Row(r.getLong(0), w, h, mr, mg, mb, tl) }
+      }
+    }(Encoders.row(pngSchema))
 
   /** Decode every `bytes` blob as a PCM16 WAV (malformed rows dropped). */
   def decodeAudio(media: DataFrame): DataFrame =
@@ -382,6 +509,90 @@ object Multimodal {
         concat(hexByte(pmod(u, lit(256L))), hexByte(shiftright(u, 8)))
       })))
     concat(header, body)
+  }
+
+  /** One PNG chunk: BE length + type + data + CRC32(type ++ data). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length) // BIG endian (default)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** A VALID 8-bit RGB PNG carrying the SAME logical image as
+    * [[syntheticPpm]] (channel value at top-down RGB index j is
+    * `(id*31 + j*7) mod 256`) — but serialized through PNG's real pipeline:
+    * scanline y gets filter type `(id + y) mod 5` (so a corpus sweep
+    * exercises ALL five filters), the filtered stream is zlib-DEFLATED, and
+    * the IDAT payload is split across two chunks (multi-IDAT concatenation
+    * is part of the format). The oracle verifies the DECODED stats from the
+    * logical formula, so the decoder must really invert zlib + filtering. */
+  def buildSyntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val ft = Math.floorMod(id + y, 5).toInt
+      val base = y * (1 + stride)
+      raw(base) = ft.toByte
+      var k = 0
+      while (k < stride) {
+        cur(k) = Math.floorMod(id * 31 + (y.toLong * stride + k) * 7, 256L).toInt
+        k += 1
+      }
+      k = 0
+      while (k < stride) {
+        val a = if (k >= 3) cur(k - 3) else 0
+        val b = prev(k)
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, if (k >= 3) prev(k - 3) else 0)
+        }
+        raw(base + 1 + k) = ((cur(k) - pred) & 0xff).toByte
+        k += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      while (!defl.finished()) { val n = defl.deflate(buf); out.write(buf, 0, n) }
+    } finally defl.end()
+    val idat = out.toByteArray
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val half = idat.length / 2
+    pngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", idat.take(half)) ++ pngChunk("IDAT", idat.drop(half)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  private val syntheticPngSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false)))
+
+  /** [[buildSyntheticPng]] over a corpus: one (media_id, bytes) row per
+    * input id. Encoding needs zlib, so unlike [[syntheticPpm]] this is a
+    * `mapPartitions` generator rather than a pure-expression column — the
+    * DECODE side under test has the identical batch shape either way. */
+  def syntheticPngs(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticPngs needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, buildSyntheticPng(id, w, h)) }
+    }(Encoders.row(syntheticPngSchema))
   }
 
   /** Batch-shaped extraction harness for a REAL decoder: one codec init per

@@ -391,6 +391,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(42L) == ((6, 8, meanR(42L), 42 * 31 % 256)))
   }
 
+  test("PNG decoder: all five filters from a hand-built fixture, CRC + malformed rejected") {
+    // 2x5 8-bit RGB image, one scanline per filter type, filtered bytes
+    // computed BY HAND — pins the decoder's unfiltering independently of
+    // the synthetic encoder (a symmetric encode/decode bug can't pass this)
+    // recon rows (RGB px): (10,20,30)(13,24,35) / (110,120,130)(14,25,36) /
+    // (50,60,70)(80,90,100) / (1,2,3)(4,5,6) / (7,8,9)(200,201,202)
+    val scanlines: Array[Int] = Array(
+      1, 10, 20, 30, 3, 4, 5, //          Sub
+      2, 100, 100, 100, 1, 1, 1, //       Up
+      3, 251, 0, 5, 48, 48, 47, //        Average
+      4, 207, 198, 189, 210, 201, 3, //   Paeth
+      0, 7, 8, 9, 200, 201, 202) //       None
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf); d.end(); buf.take(n)
+    }
+    def png(w: Int, h: Int, raw: Array[Byte], colorType: Int = 2,
+        extraChunk: Boolean = false): Array[Byte] = {
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val extra = if (extraChunk) chunk("tEXt", "k v".getBytes("US-ASCII"))
+        else Array.emptyByteArray
+      sig ++ chunk("IHDR", ihdr) ++ extra ++ chunk("IDAT", deflate(raw)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val raw = scanlines.map(_.toByte)
+    val expect = (2, 5, 48.9, 55.5, 62.1, 10)
+    assert(Multimodal.decodePng(png(2, 5, raw)).contains(expect))
+    // ancillary chunks are skipped, not fatal
+    assert(Multimodal.decodePng(png(2, 5, raw, extraChunk = true)).contains(expect))
+    val good = png(2, 5, raw)
+    // wrong signature
+    assert(Multimodal.decodePng("XXXXXXXX".getBytes ++ good.drop(8)).isEmpty)
+    // one flipped byte inside IDAT → CRC32 mismatch
+    val corrupt = good.clone(); corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5a).toByte
+    assert(Multimodal.decodePng(corrupt).isEmpty)
+    // RGBA color type out of scope
+    assert(Multimodal.decodePng(png(2, 5, raw, colorType = 6)).isEmpty)
+    // truncated compressed stream (chunk CRC valid, stream too short)
+    assert(Multimodal.decodePng(png(2, 5, raw.dropRight(7))).isEmpty)
+    // unknown filter type 5
+    val badFilter = raw.clone(); badFilter(0) = 5.toByte
+    assert(Multimodal.decodePng(png(2, 5, badFilter)).isEmpty)
+    // missing IEND
+    assert(Multimodal.decodePng(good.dropRight(12)).isEmpty)
+    // synthetic round-trip: ids 0..4 rotate the filter pattern through all
+    // five types in every position; decoded stats must match the formula
+    val media = Multimodal.syntheticPngs(Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id"), "doc_id", 5, 6)
+    val out = Multimodal.decodePngs(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(6)))).toMap
+    assert(out.size == 5)
+    for (id <- 0L to 4L) {
+      val meanR = (0 until 30).map(p => (id * 31 + p * 3 * 7) % 256).sum.toDouble / 30
+      assert(out(id) == ((5, 6, meanR, (id * 31 % 256).toInt)))
+    }
+  }
+
   test("WAV decoder: chunk walk, negative samples, extra chunk, malformed rejected") {
     def wav(samples: Seq[Short], extraChunk: Boolean = false): Array[Byte] = {
       val extra = if (extraChunk) 8 + 3 + 1 else 0 // odd-sized chunk + pad byte
