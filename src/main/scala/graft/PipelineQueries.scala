@@ -128,6 +128,22 @@ object PipelineQueries {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.fingerprintJaccardDups(docs(s, d), "doc_id", "text")),
 
+    "q_dedup_incremental" -> ((s, d) => {
+      // nightly-refresh shape: corpus = 4/5 of the docs; batch = the other
+      // 1/5 PLUS re-submitted exact copies under fresh ids — corpus copies
+      // (%7=3 → dup_exact_corpus) and batch-internal copies (%10=0 →
+      // dup_exact_batch); near-dup pairs straddling the split exercise the
+      // LSH-confirmed rules
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+      val batch = all.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .unionByName(all.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(all.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+    }),
+
     "q_dedup_cluster" -> ((s, d) =>
       // pairs → connected components → survivor marking (large-star/small-star)
       Clustering.nearDupClusters(docs(s, d), "doc_id", "text")),
@@ -469,6 +485,44 @@ object PipelineQueries {
     // connected components over the near-dup pair graph: recursive CTE
     // propagating every smaller reachable label, then min per node — equals
     // large-star/small-star's component-min labeling. Pair set = the exact
+    // Exact replication of the incremental-dedup admission rules; the
+    // near-dup stages use exact all-pairs Jaccard >= 0.5 in place of the
+    // LSH candidates (same justification as q_dedup_minhash's oracle).
+    "q_dedup_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |bk AS (SELECT doc_id, text,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck FROM batch),
+         |ckeys AS (SELECT DISTINCT
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck FROM corpus),
+         |flagged AS (SELECT bk.*, bk.ck IN (SELECT ck FROM ckeys) AS in_corpus FROM bk),
+         |keepers AS (SELECT ck, min(doc_id) AS keep_id FROM flagged WHERE NOT in_corpus GROUP BY ck),
+         |exact AS (SELECT f.doc_id, f.text,
+         |    CASE WHEN f.in_corpus THEN 'dup_exact_corpus'
+         |         WHEN f.doc_id != k.keep_id THEN 'dup_exact_batch' END AS es
+         |  FROM flagged f LEFT JOIN keepers k USING (ck)),
+         |survt AS (SELECT doc_id, $toks AS w FROM (SELECT doc_id, text FROM exact WHERE es IS NULL)),
+         |sgg AS (SELECT doc_id, $duckShingles3 AS s FROM survt),
+         |corpt AS (SELECT doc_id, $toks AS w FROM corpus),
+         |cgg AS (SELECT doc_id, $duckShingles3 AS s FROM corpt),
+         |nearc AS (SELECT DISTINCT a.doc_id FROM sgg a JOIN cgg b
+         |  ON len(a.s) > 0 AND len(b.s) > 0 AND
+         |     len(list_intersect(a.s, b.s)) * 1.0 /
+         |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |standing AS (SELECT * FROM sgg WHERE doc_id NOT IN (SELECT doc_id FROM nearc)),
+         |nearb AS (SELECT DISTINCT b.doc_id FROM standing a JOIN standing b
+         |  ON a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0 AND
+         |     len(list_intersect(a.s, b.s)) * 1.0 /
+         |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+         |SELECT e.doc_id, COALESCE(e.es,
+         |  CASE WHEN e.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup_corpus'
+         |       WHEN e.doc_id IN (SELECT doc_id FROM nearb) THEN 'near_dup_batch'
+         |       ELSE 'admitted' END) AS status
+         |FROM exact e""".stripMargin,
+
     // Jaccard pairs (same justification as q_dedup_minhash's oracle).
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS w FROM documents),

@@ -102,6 +102,21 @@ object Dedup {
     minhashColumns(df, idCol, hashesCol, perms)
       .select(col("id"), array((0 until perms).map(i => col(s"mh$i")): _*).as("sig"))
 
+  /** LSH band table (band_idx, band_hash, id) from a minhash-column frame:
+    * each band's `rowsPerBand` values pack into one i64 without overflow
+    * (values < P, P^2 < 2^62). Band rows carry ONLY the three narrow
+    * columns — large shingle arrays are joined back for CANDIDATES only. */
+  private def bandTable(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val packed = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}"))
+        .reduce((acc, x) => acc * P + x)
+      struct(lit(b).as("band_idx"), packed.as("band_hash"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
   /** Near-duplicate pairs via MinHash + banded LSH, confirmed by exact
     * Jaccard ≥ `threshold`. `bands` bands of `rowsPerBand` rows; with the
     * default 32×2 the probability of missing a pair at J=0.5 is
@@ -112,21 +127,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val perms = bands * rowsPerBand
     val hashed = df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
-    val sig = minhashColumns(hashed, col("id"), col("sh"), perms)
-
-    // explode to (band_idx, band_hash, id); band hash packs the band's rows
-    // into one i64 without overflow (values < P, P^2 < 2^62). Band rows
-    // carry ONLY (band_idx, band_hash, id) — the (large) shingle arrays are
-    // joined back for CANDIDATES only.
-    val bandCols = (0 until bands).map { b =>
-      val packed = (0 until rowsPerBand)
-        .map(r => col(s"mh${b * rowsPerBand + r}"))
-        .reduce((acc, x) => acc * P + x)
-      struct(lit(b).as("band_idx"), packed.as("band_hash"))
-    }
-    val banded = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
+    val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms), bands, rowsPerBand)
 
     // candidate pairs: ids sharing any band bucket (shuffle on band hash —
     // no cross join); then confirm with exact Jaccard on the shingle sets
@@ -200,6 +201,77 @@ object Dedup {
       .withColumn("jaccard",
         col("inter") / (size(col("sh_1")) + size(col("sh_2")) - col("inter")))
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental (cross-corpus) dedup — the nightly-refresh shape: decide,
+    * for every document in a NEW batch, whether it is novel with respect to
+    * an EXISTING corpus and to the rest of the batch. Output is one row per
+    * batch document: `(idCol, status)` with status the FIRST match of
+    *
+    *  1. `dup_exact_corpus` — its content key already exists in the corpus;
+    *  2. `dup_exact_batch`  — its key is shared within the batch (and absent
+    *     from the corpus) and it is not the minimum-id holder;
+    *  3. `near_dup_corpus`  — exact n-gram Jaccard ≥ `threshold` against
+    *     some corpus document (candidates from banded MinHash LSH);
+    *  4. `near_dup_batch`   — Jaccard ≥ `threshold` against a SMALLER-id
+    *     batch document that is itself still standing after 1–3;
+    *  5. `admitted`.
+    *
+    * 100 TB shape: the corpus contributes only (a) its distinct content
+    * keys (partial-aggregated, one shuffle) and (b) its narrow LSH band
+    * rows — full corpus text is never joined against the batch; exact
+    * Jaccard touches LSH candidates only. In production the corpus band
+    * table and key set would be PERSISTED and incrementally maintained
+    * (they are insert-only under admission), making the per-batch cost
+    * proportional to the batch, not the corpus. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val perms = bands * rowsPerBand
+    val b = batch.select(col(idCol).as("id"), col(textCol).as("text"),
+      contentKey(col(textCol)).as("ck"))
+    val ckeys = corpus.select(contentKey(col(textCol)).as("ck")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val flagged = b.join(ckeys, Seq("ck"), "left")
+      .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+    // within-batch exact keep-min, computed only over keys the corpus lacks
+    // (a key the corpus has rejects ALL its batch holders as rule 1)
+    val keepers = flagged.filter(!col("in_corpus"))
+      .groupBy("ck").agg(min("id").as("keep_id"))
+    val exact = flagged.join(keepers, Seq("ck"), "left")
+      .select(col("id"), col("text"),
+        when(col("in_corpus"), "dup_exact_corpus")
+          .when(col("id") =!= col("keep_id"), "dup_exact_batch").as("exact_status"))
+    val surv = exact.filter(col("exact_status").isNull).select("id", "text")
+
+    // near-dup vs corpus: batch bands join corpus bands, exact-Jaccard confirm
+    val bH = surv.select(col("id"), shingleHashes(col("text"), ngram).as("sh"))
+    val cH = corpus.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+    val bBand = bandTable(minhashColumns(bH, col("id"), col("sh"), perms), bands, rowsPerBand)
+    val cBand = bandTable(minhashColumns(cH, col("id"), col("sh"), perms), bands, rowsPerBand)
+      .withColumnRenamed("id", "cid")
+    val candIds = bBand.join(cBand, Seq("band_idx", "band_hash"))
+      .select("id", "cid").dropDuplicates("id", "cid")
+    val nearCorpus = candIds
+      .join(bH.select(col("id"), col("sh").as("sh_b")), Seq("id"))
+      .join(cH.select(col("id").as("cid"), col("sh").as("sh_c")), Seq("cid"))
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
+      .filter(col("inter") / (size(col("sh_b")) + size(col("sh_c")) - col("inter")) >= threshold)
+      .select("id").distinct().withColumn("near_corpus", lit(true))
+
+    // near-dup within the still-standing batch (smaller id wins)
+    val standing = surv.join(nearCorpus, Seq("id"), "left_anti")
+    val nearBatch = minhashNearDups(standing, "id", "text", ngram, bands, rowsPerBand, threshold)
+      .select(col("id_2").as("id")).distinct().withColumn("near_batch", lit(true))
+
+    exact
+      .join(nearCorpus, Seq("id"), "left")
+      .join(nearBatch, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("exact_status"),
+          when(col("near_corpus"), "near_dup_corpus"),
+          when(col("near_batch"), "near_dup_batch"),
+          lit("admitted")).as("status"))
   }
 
   /** Exact word n-gram Jaccard similarity between two text columns. */

@@ -33,6 +33,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incremental dedup: all five admission statuses, precedence order") {
+    val other = "yet another entirely separate paragraph describing shuffle partitioning strategies in detail"
+    val otherNear = other.replace("detail", "depth")
+    val corpus = Seq((100L, base), (101L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base), //           key in corpus → dup_exact_corpus
+      (2L, base.toUpperCase), // normalizes to a corpus key → dup_exact_corpus
+      (3L, other), //          novel, min id of its key → admitted
+      (4L, other), //          same key as 3, absent from corpus → dup_exact_batch
+      (5L, nearDup), //        J(base)≈0.71 vs corpus doc 100 → near_dup_corpus
+      (6L, otherNear), //      near-dup of STANDING batch doc 3 → near_dup_batch
+      (7L, "short text here totally novel content nothing else shares these words at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "dup_exact_corpus", 2L -> "dup_exact_corpus",
+      3L -> "admitted", 4L -> "dup_exact_batch",
+      5L -> "near_dup_corpus", 6L -> "near_dup_batch",
+      7L -> "admitted"))
+  }
+
   test("simhash of near-dups differs in few bits; unrelated differs in many") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("s")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
