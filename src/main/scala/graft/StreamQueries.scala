@@ -43,6 +43,26 @@ object StreamQueries {
         StreamingPipeline.curateStream(docs, "doc_id", "text", "ets"))
     }),
 
+    "q_stream_admit" -> ((s, d) => {
+      // streaming incremental admission vs a static corpus key set — the
+      // same corpus/batch split (plus re-submitted exact copies) as
+      // q_dedup_incremental's exact stages; single AvailableNow micro-batch
+      // makes the min-id holder deterministic
+      val src = new TestDataSource(s, d)
+      def shifted(m: Int, off: Long) = src.documentsStream
+        .filter(col("doc_id") % m === (if (m == 7) 3 else 0))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val batch = shifted(5, 0L)
+        .unionByName(shifted(7, 100000L))
+        .unionByName(shifted(10, 200000L))
+        .withColumn("ets", col("doc_id") + lit(86400L))
+      val corpusKeys = src.table("documents")
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(graft.pipeline.Dedup.contentKey(col("text")).as("ck")).distinct()
+      StreamingReplay.run(
+        StreamingPipeline.admitStream(batch, corpusKeys, "doc_id", "text", "ets").toDF())
+    }),
+
     "q_stream_windowed" -> ((s, d) => {
       // streaming PER DAY aggregation: tumbling window() + the batch agg
       // column compiler; complete mode so every window is emitted at replay
@@ -87,6 +107,23 @@ object StreamQueries {
     // content keys, so first-arrival == min-id survivor and the streaming
     // output equals the batch curation exactly
     "q_stream_curate" -> PipelineQueries.oracleSql("q_pipeline_e2e"),
+
+    // the exact stages of q_dedup_incremental's oracle: corpus-key
+    // membership, then within-batch keep-min over keys the corpus lacks
+    "q_stream_admit" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |bk AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ck FROM batch),
+        |ckeys AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ck FROM corpus),
+        |flagged AS (SELECT bk.*, bk.ck IN (SELECT ck FROM ckeys) AS in_corpus FROM bk),
+        |keepers AS (SELECT ck, min(doc_id) AS keep_id FROM flagged WHERE NOT in_corpus GROUP BY ck)
+        |SELECT f.doc_id, CASE WHEN f.in_corpus THEN 'dup_exact_corpus'
+        |                      WHEN f.doc_id != k.keep_id THEN 'dup_exact_batch'
+        |                      ELSE 'admitted' END AS status
+        |FROM flagged f LEFT JOIN keepers k USING (ck)""".stripMargin,
 
     // tumbling 1-day windows anchored at the epoch == integer day floor
     "q_stream_windowed" ->

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.pipeline.{Dedup, TextAnalysis}
 
@@ -41,4 +42,73 @@ object StreamingPipeline {
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_ws"),
         TextAnalysis.bpeishTokenCount(col(textCol)).cast("long").as("tok_bpe"),
         TextAnalysis.qualityScore(col(textCol)).as("quality"))
+
+  /** One keyed stream document heading into admission. `et` carries the
+    * watermarked event-time attribute into the stateful operator. */
+  case class AdmitInput(ck: String, id: Long, inCorpus: Boolean, et: java.sql.Timestamp)
+
+  /** Admission decision for one stream document. */
+  case class AdmitDecision(doc_id: Long, status: String)
+
+  /** Streaming incremental admission — the unbounded-ingest sibling of
+    * [[graft.pipeline.Dedup.incrementalDedup]]'s EXACT stages: every arriving
+    * document is flagged against a STATIC corpus key set (stream-static left
+    * join, stateless) and against previously-admitted stream keys via
+    * `flatMapGroupsWithState` keyed on the content key. Unlike
+    * `dropDuplicatesWithinWatermark` (which silently drops and keeps an
+    * arbitrary first row), this emits a DECISION for every input document and
+    * picks the min-id holder within a micro-batch deterministically:
+    *
+    *  - `dup_exact_corpus` — key exists in the corpus (never touches state);
+    *  - `dup_exact_batch`  — key already admitted from this stream (or a
+    *    smaller id in the same micro-batch holds it);
+    *  - `admitted`         — first holder of a novel key.
+    *
+    * Near-dup admission stays on the batch path — LSH banding needs a
+    * corpus-wide signature exchange no per-key streaming state can express.
+    *
+    * State is one boolean per admitted key, evicted `horizonMs` past the
+    * key's last event time (a re-submitted duplicate after eviction is
+    * re-admitted — the standard watermark-bounded streaming-dedup trade-off;
+    * the batch pass stays exact). */
+  def admitStream(stream: DataFrame, corpusKeys: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 3600000L): Dataset[AdmitDecision] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withColumn("__event_time", timestamp_seconds(col(eventTimeCol).cast("long")))
+      .withWatermark("__event_time", watermarkDelay)
+      .withColumn("ck", Dedup.contentKey(col(textCol)))
+      .join(corpusKeys.select(col("ck"), lit(true).as("in_corpus")), Seq("ck"), "left")
+      .select(col("ck"), col(idCol).cast("long").as("id"),
+        coalesce(col("in_corpus"), lit(false)).as("inCorpus"),
+        col("__event_time").as("et"))
+      .as[AdmitInput]
+      .groupByKey(_.ck)
+      .flatMapGroupsWithState[Boolean, AdmitDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[AdmitInput], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toArray
+            val (corp, fresh) = rows.partition(_.inCorpus)
+            val out = scala.collection.mutable.ArrayBuffer.empty[AdmitDecision]
+            corp.foreach(r => out += AdmitDecision(r.id, "dup_exact_corpus"))
+            if (fresh.nonEmpty) {
+              if (state.exists) fresh.foreach(r => out += AdmitDecision(r.id, "dup_exact_batch"))
+              else {
+                val minId = fresh.iterator.map(_.id).min
+                fresh.foreach(r => out += AdmitDecision(r.id,
+                  if (r.id == minId) "admitted" else "dup_exact_batch"))
+                state.update(true)
+              }
+              val base = math.max(fresh.iterator.map(_.et.getTime).max,
+                state.getCurrentWatermarkMs())
+              state.setTimeoutTimestamp(base + horizonMs)
+            }
+            out.iterator
+          }
+      }
+  }
 }

@@ -103,4 +103,35 @@ class StreamingStatefulSpec extends AnyFunSuite {
     // doc 2 fails quality, doc 3 fails language, doc 4 is a duplicate
     assert(ids == Set(1L))
   }
+
+  test("streaming admission: corpus keys, min-id in batch, state across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val inCorpus = "this exact text already lives in the corpus today"
+    val novel = "a brand new paragraph nobody has stored before anywhere"
+    val other = "another fresh document with its own distinct content entirely"
+    val corpusKeys = Seq(inCorpus).toDF("text")
+      .select(graft.pipeline.Dedup.contentKey($"text").as("ck"))
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = StreamingPipeline
+      .admitStream(stream, corpusKeys, "doc_id", "text", "ts")
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("admitted").start()
+
+    // batch 1: corpus dup (norm-insensitive), novel key held by min id 2 of {2,5}
+    mem.addData((1L, inCorpus.toUpperCase, 100L), (2L, novel, 101L), (5L, novel, 102L))
+    q.processAllAvailable()
+    // batch 2: same key again (state says admitted), plus a new novel key
+    mem.addData((7L, novel, 103L), (8L, other, 104L))
+    q.processAllAvailable()
+    val out = spark.table("admitted").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    q.stop()
+    assert(out == Map(
+      1L -> "dup_exact_corpus",
+      2L -> "admitted", 5L -> "dup_exact_batch",
+      7L -> "dup_exact_batch", // blocked by batch-1 state
+      8L -> "admitted"))
+  }
 }
