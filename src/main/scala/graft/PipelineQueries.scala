@@ -63,6 +63,13 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_text_gopher" -> ((s, d) => {
+      // Gopher rule breakdown: per-rule booleans + the conjunction, so the
+      // oracle checks every individual threshold, not just the final verdict
+      val rules = TextAnalysis.gopherRules(col("text"), minWords = 50)
+      docs(s, d).select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     "q_sample_group" -> ((s, d) =>
       // 5 docs per source by salted-hash order — deterministic stratified
       // subsample through the bounded two-phase top-k (never a window rank)
@@ -463,6 +470,39 @@ object PipelineQueries {
         |  sum(smp) / 256.0 AS mean_amp,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // every Gopher rule replicated arithmetically; booleans hash-compared
+    "q_text_gopher" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS w,
+         |  string_split(text, chr(10)) AS ln FROM documents)
+         |SELECT doc_id,
+         |  len(w) BETWEEN 50 AND 100000 AS r_words,
+         |  len(w) > 0 AND len(array_to_string(w, '')) * 1.0 / len(w) BETWEEN 3 AND 10 AS r_word_len,
+         |  len(w) > 0 AND ((len(text) - len(replace(text, '#', ''))) * 1.0
+         |    + (len(text) - len(replace(text, '...', ''))) / 3.0
+         |    + (len(text) - len(replace(text, '…', '')))) / len(w) <= 0.1 AS r_symbol,
+         |  len(list_filter(ln, x -> starts_with(ltrim(x), '•') or starts_with(ltrim(x), '-')
+         |    or starts_with(ltrim(x), '*'))) * 1.0 / len(ln) <= 0.9 AS r_bullet,
+         |  len(list_filter(ln, x -> ends_with(rtrim(x), '...') or ends_with(rtrim(x), '…')))
+         |    * 1.0 / len(ln) <= 0.3 AS r_ellipsis,
+         |  len(w) > 0 AND len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+         |    * 1.0 / len(w) >= 0.8 AS r_alpha,
+         |  len(list_intersect(list_distinct(w),
+         |    ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'])) >= 2 AS r_stop,
+         |  (len(w) BETWEEN 50 AND 100000)
+         |    AND (len(w) > 0 AND len(array_to_string(w, '')) * 1.0 / len(w) BETWEEN 3 AND 10)
+         |    AND (len(w) > 0 AND ((len(text) - len(replace(text, '#', ''))) * 1.0
+         |      + (len(text) - len(replace(text, '...', ''))) / 3.0
+         |      + (len(text) - len(replace(text, '…', '')))) / len(w) <= 0.1)
+         |    AND (len(list_filter(ln, x -> starts_with(ltrim(x), '•') or starts_with(ltrim(x), '-')
+         |      or starts_with(ltrim(x), '*'))) * 1.0 / len(ln) <= 0.9)
+         |    AND (len(list_filter(ln, x -> ends_with(rtrim(x), '...') or ends_with(rtrim(x), '…')))
+         |      * 1.0 / len(ln) <= 0.3)
+         |    AND (len(w) > 0 AND len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+         |      * 1.0 / len(w) >= 0.8)
+         |    AND (len(list_intersect(list_distinct(w),
+         |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'])) >= 2) AS pass
+         |FROM t""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,

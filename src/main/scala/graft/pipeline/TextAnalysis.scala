@@ -125,6 +125,53 @@ object TextAnalysis {
       "dup_trigram_frac" -> dupFrac(Dedup.wordGrams(w, 3)))
   }
 
+  /** Gopher-style quality RULE BREAKDOWN (Rae et al. 2021 §A1.1, the
+    * standard pre-model document filter) — each rule as a named boolean
+    * column plus the conjunction, so a pipeline can both FILTER on `pass`
+    * and AUDIT which rule rejected a document. All per-row codegen'd
+    * expressions; no shuffle, no UDF.
+    *
+    *  - r_words:    word count within [minWords, maxWords]
+    *  - r_word_len: mean word length within [3, 10] characters
+    *  - r_symbol:   (# + ellipsis) occurrences per word ≤ 0.1
+    *  - r_bullet:   ≤ 90% of lines start with a bullet (•, -, *)
+    *  - r_ellipsis: ≤ 30% of lines end with an ellipsis
+    *  - r_alpha:    ≥ 80% of words contain an alphabetic character
+    *  - r_stop:     ≥ 2 distinct stopwords present
+    */
+  def gopherRules(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Seq[(String, Column)] = {
+    val t = text.toString
+    val w = s"split(trim($t), '\\\\s+')"
+    val n = expr(s"size($w)")
+    val nd = n.cast("double")
+    val lines = s"split($t, '\\n')"
+    val nLines = expr(s"size($lines)").cast("double")
+    val meanWord = expr(s"length(array_join($w, ''))").cast("double") / nd
+    val hashCount = length(text) - length(expr(s"replace($t, '#', '')"))
+    val ell3 = (length(text) - length(expr(s"replace($t, '...', '')"))).cast("double") / 3.0
+    val ellU = length(text) - length(expr(s"replace($t, '…', '')"))
+    val bulletLines = expr(
+      s"size(filter($lines, x -> startswith(ltrim(x), '•') or " +
+        s"startswith(ltrim(x), '-') or startswith(ltrim(x), '*')))").cast("double")
+    val ellipsisLines = expr(
+      s"size(filter($lines, x -> endswith(rtrim(x), '...') or endswith(rtrim(x), '…')))")
+      .cast("double")
+    val alphaWords = expr(s"size(filter($w, x -> x rlike '[a-zA-Z]'))").cast("double")
+    val stopList = stopwords("en").map(s => s"'$s'").mkString(", ")
+    val distinctStops = expr(s"size(array_intersect(array_distinct($w), array($stopList)))")
+    val rules = Seq(
+      "r_words" -> n.between(minWords, maxWords),
+      "r_word_len" -> (n > 0 && meanWord.between(3.0, 10.0)),
+      "r_symbol" -> (n > 0 &&
+        (hashCount.cast("double") + ell3 + ellU.cast("double")) / nd <= 0.1),
+      "r_bullet" -> (bulletLines / nLines <= 0.9),
+      "r_ellipsis" -> (ellipsisLines / nLines <= 0.3),
+      "r_alpha" -> (n > 0 && alphaWords / nd >= 0.8),
+      "r_stop" -> (distinctStops >= 2))
+    rules :+ ("pass" -> rules.map(_._2).reduce(_ && _))
+  }
+
   /** Corpus-wide heavy hitters: the `k` most frequent whitespace tokens with
     * occurrence counts, ties broken by token (deterministic cut line). The
     * plan is the right 100 TB shape without any custom code: explode →

@@ -33,6 +33,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("gopher rules: each rule rejects its crafted violator and passes clean text") {
+    val clean = ("the cat sat on a mat and it is that good for everyone here today " * 5).trim
+    val docs = Seq(
+      (1L, clean), //                                     passes all
+      (2L, "too few words"), //                           r_words
+      (3L, Seq.fill(60)("xy").mkString(" ")), //          r_word_len (mean 2) + r_stop
+      (4L, ("the a of # # # " * 20).trim), //             r_symbol (6 # per 24 words... > 0.1)
+      (5L, (1 to 60).map(i => s"- the item $i of it").mkString("\n")), // r_bullet (all lines)
+      (6L, (1 to 60).map(i => s"the line $i of it is...").mkString("\n")), // r_ellipsis
+      (7L, ("the a of 123 456 789 000 111 " * 10).trim), // r_alpha (5/8 alpha < 0.8)
+      (8L, Seq.fill(60)("zebra").mkString(" ")) //        r_stop (0 stopwords)
+    ).toDF("doc_id", "text")
+    val rules = TextAnalysis.gopherRules(col("text"), minWords = 20)
+    val out = docs.select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        rules.map(_._1).zipWithIndex.map { case (n, i) => n -> r.getBoolean(i + 1) }.toMap).toMap
+    assert(out(1L).values.forall(identity))
+    assert(!out(2L)("r_words"))
+    assert(!out(3L)("r_word_len"))
+    assert(!out(4L)("r_symbol"))
+    assert(!out(5L)("r_bullet"))
+    assert(!out(6L)("r_ellipsis"))
+    assert(!out(7L)("r_alpha"))
+    assert(!out(8L)("r_stop"))
+    assert((2L to 8L).forall(id => !out(id)("pass")))
+  }
+
   test("incremental dedup: all five admission statuses, precedence order") {
     val other = "yet another entirely separate paragraph describing shuffle partitioning strategies in detail"
     val otherNear = other.replace("detail", "depth")
