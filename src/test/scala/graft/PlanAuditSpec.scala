@@ -129,6 +129,23 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental dedup: no cartesian; corpus text never reaches the band join") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val d = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val c = org.apache.spark.sql.functions.col("doc_id")
+    val p = plan(graft.pipeline.Dedup.incrementalDedup(
+      d.filter(c % 5 === 0).select("doc_id", "text"),
+      d.filter(c % 5 =!= 0).select("doc_id", "text"), "doc_id", "text"))
+    // every join is keyed (content key / band hash / id) — an unkeyed pair
+    // space would be corpus x batch at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus contributes distinct keys and narrow band rows; its raw
+    // text column must be consumed AT the scan projections (hash/shingle
+    // expressions), never carried into a join side
+    val joinSection = p.linesIterator.filter(l => l.contains("Join") && l.contains("text"))
+    assert(joinSection.isEmpty, s"corpus text leaked into a join:\n$p")
+  }
+
   test("clustering rounds are shuffle-only: no cartesian in the star step") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     import spark.implicits._
