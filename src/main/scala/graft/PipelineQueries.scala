@@ -63,6 +63,12 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_export_shards" -> ((s, d) =>
+      // deterministic global shuffle into 8 training shards with per-shard
+      // positions — computed by repartition + sortWithinPartitions + a
+      // streaming counter, never a shard-cardinality window
+      DataMix.exportShards(docs(s, d), "doc_id", nShards = 8)),
+
     "q_text_gopher" -> ((s, d) => {
       // Gopher rule breakdown: per-rule booleans + the conjunction, so the
       // oracle checks every individual threshold, not just the final verdict
@@ -470,6 +476,16 @@ object PipelineQueries {
         |  sum(smp) / 256.0 AS mean_amp,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // the oracle MAY use the window formulation — it defines the semantics;
+    // the Spark plan computes the same ranks without one
+    "q_export_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${duckMd5Long("'shard:' || doc_id")} % 1000000 AS h
+         |  FROM documents WHERE doc_id IS NOT NULL)
+         |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS seq
+         |FROM h""".stripMargin,
 
     // every Gopher rule replicated arithmetically; booleans hash-compared
     "q_text_gopher" ->

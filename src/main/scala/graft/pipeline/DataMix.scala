@@ -100,6 +100,51 @@ object DataMix {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Deterministic EXPORT SHARDING — the last step before writing training
+    * shards: every row gets `(shard, seq)` where `shard` is its salted-hash
+    * bucket (a deterministic global shuffle: hash order is unrelated to
+    * ingest order, so each shard is an unbiased corpus sample) and `seq` is
+    * its 0-based position within the shard in `(hash, id)` order.
+    *
+    * The per-shard position is computed WITHOUT a window over `shard` (a
+    * `nShards`-cardinality window funnels the corpus through `nShards`
+    * reducers — the exact single-reducer shape the similarity top-k
+    * rewrite removed): `repartition(shard)` + `sortWithinPartitions` + a
+    * streaming per-partition counter — one shuffle, O(1) memory per task,
+    * any shard size. Rows with a NULL id are dropped (an export row needs
+    * an identity; SQL null-ordering differences would otherwise make `seq`
+    * engine-dependent). */
+  def exportShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(idType),
+      s"exportShards needs an integral id column, got $idCol: ${idType.simpleString}")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    import org.apache.spark.sql.{Encoders, Row}
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        coin(col(idCol), salt).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("id"))
+      .mapPartitions { it =>
+        // hash-colliding shards share a partition; the counter resets on
+        // each shard boundary (rows arrive shard-sorted)
+        var cur = Int.MinValue; var seq = -1L
+        it.map { r =>
+          val sh = r.getInt(2)
+          if (sh != cur) { cur = sh; seq = 0L } else seq += 1
+          Row(r.getLong(0), sh, seq)
+        }
+      }(Encoders.row(schema))
+  }
+
   /** Weighted mixture: each row is emitted `floor(w)` times plus one more
     * with probability `frac(w)`, where `w` is its domain's weight
     * (`defaultWeight` when absent). Output appends `copy_idx` (0-based) so

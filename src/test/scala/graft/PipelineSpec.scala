@@ -33,6 +33,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("export shards: dense 0-based seq per shard, hash order, nulls dropped") {
+    val ids = (1L to 300L).map(i => Tuple1(i)).toDF("doc_id")
+      .unionByName(Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("doc_id"))
+    val out = DataMix.exportShards(ids, "doc_id", nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 300) // the null id row is dropped
+    // within every shard: seq is dense 0..n-1 and follows (hash, id) order
+    val coin = (id: Long) =>
+      Math.floorMod(graft.pipeline.Hashing.md5LongJvm(s"shard:$id"), 1000000L)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (0L until rows.length).toSeq, s"shard $shard not dense")
+      val expectOrder = rows.map(_._1).sortBy(id => (coin(id), id)).toSeq
+      assert(sorted.map(_._1).toSeq == expectOrder, s"shard $shard order mismatch")
+      rows.foreach { case (id, sh, _) => assert(coin(id) % 4 == sh) }
+    }
+  }
+
   test("gopher rules: each rule rejects its crafted violator and passes clean text") {
     val clean = ("the cat sat on a mat and it is that good for everyone here today " * 5).trim
     val docs = Seq(

@@ -146,6 +146,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinSection.isEmpty, s"corpus text leaked into a join:\n$p")
   }
 
+  test("export sharding: one shuffle + local sort + counter, never a shard window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val d = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.DataMix.exportShards(d, "doc_id", nShards = 8))
+    // a Window over the 8-value shard key would funnel the corpus through
+    // 8 reducers; the two-phase shape is repartition + local sort + map
+    assert(!p.contains("Window"), s"shard-cardinality window crept in:\n$p")
+    assert("Exchange \\(".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Sort") && p.contains("MapPartitions"), p)
+  }
+
   test("clustering rounds are shuffle-only: no cartesian in the star step") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     import spark.implicits._
