@@ -63,6 +63,13 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_token_budget" -> ((s, d) =>
+      // token-share mixture: 800/5000/400 whitespace tokens from three
+      // sources in salted-hash order, boundary doc excluded; other sources
+      // dropped. Two-phase prefix sum (bucket offsets + fine window)
+      DataMix.takeTokenBudget(docs(s, d), "doc_id", "text", "source",
+        budgets = Map("src1" -> 800L, "src2" -> 5000L, "src3" -> 400L))),
+
     "q_export_shards" -> ((s, d) =>
       // deterministic global shuffle into 8 training shards with per-shard
       // positions — computed by repartition + sortWithinPartitions + a
@@ -476,6 +483,19 @@ object PipelineQueries {
         |  sum(smp) / 256.0 AS mean_amp,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // the oracle MAY use the per-domain window — it defines the semantics;
+    // the Spark plan computes the same running totals two-phase
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tok,
+         |  ${duckMd5Long("'budget:' || doc_id")} % 1000000 AS h
+         |  FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+         |c AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+         |SELECT doc_id, source, n_tok, cum_before FROM c
+         |WHERE cum_before < CASE source WHEN 'src1' THEN 800
+         |                               WHEN 'src2' THEN 5000
+         |                               WHEN 'src3' THEN 400 END""".stripMargin,
 
     // the oracle MAY use the window formulation — it defines the semantics;
     // the Spark plan computes the same ranks without one

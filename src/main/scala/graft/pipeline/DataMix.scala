@@ -100,6 +100,63 @@ object DataMix {
         col("rk").cast("long").as("rk"))
   }
 
+  /** TOKEN-BUDGET mixture — "take exactly `budget` tokens per domain", the
+    * shape published LLM data recipes are specified in (token shares, not
+    * document counts): documents are ordered by their salted-hash coin
+    * (deterministic, unbiased) and taken while the domain's running token
+    * total stays under its budget; the document CROSSING the boundary is
+    * excluded (`cum_before < budget` keeps totals ≤ budget + one document).
+    * Domains absent from `budgets` are dropped.
+    *
+    * A naive per-domain running sum is a Window over the domain key — a
+    * handful of reducers swallowing the corpus. This is TWO-PHASE instead:
+    * each document's coin maps to one of `buckets` sub-ranges; per-bucket
+    * token totals (a domains×buckets aggregate — small) are collected,
+    * turned into per-bucket STARTING OFFSETS on the driver, and joined back
+    * broadcast; the remaining within-bucket prefix sum is a Window over
+    * `(domain, bucket)` — domains×buckets partitions, each ~1/buckets of a
+    * domain. The same offsets-then-local-rank decomposition as
+    * `exportShards`, for prefix sums instead of positions.
+    *
+    * Output: the selected rows as `(idCol, domainCol, n_tok, cum_before)`. */
+  def takeTokenBudget(df: DataFrame, idCol: String, textCol: String, domainCol: String,
+      budgets: Map[String, Long], buckets: Int = 1000,
+      salt: String = "budget"): DataFrame = {
+    require(buckets > 0 && 1000000L % buckets == 0,
+      s"buckets must divide 1e6, got $buckets")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val inScope = df.filter(col(domainCol).isin(budgets.keys.toSeq: _*))
+      .select(col(idCol).as("id"), col(domainCol).as("dom"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        coin(col(idCol), salt).as("h"))
+      .withColumn("bkt", (col("h") / lit(1000000L / buckets)).cast("int"))
+    // phase 1: per-(domain, bucket) token totals — an aggregate of at most
+    // domains×buckets rows; collecting THAT (not data) mirrors
+    // Search.searchTopK's literal-weight inlining
+    val totals = inScope.groupBy("dom", "bkt").agg(sum("n_tok").as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val offsets = totals.keys.groupBy(_._1).flatMap { case (dom, keys) =>
+      val sorted = keys.map(_._2).toSeq.sorted
+      val offs = sorted.scanLeft(0L)((acc, b) => acc + totals((dom, b)))
+      sorted.zip(offs).map { case (b, off) => (dom, b, off) }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("dom", "bkt", "off"))
+    // phase 2: within-bucket EXCLUSIVE prefix sum — fine-grained partitions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dom", "bkt").orderBy(col("h"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (d, b)) =>
+      when(col("dom") === d, lit(b)).otherwise(acc)
+    }
+    inScope.join(offDf, Seq("dom", "bkt"))
+      .withColumn("cum_before", col("off") + coalesce(sum("n_tok").over(w), lit(0L)))
+      .filter(col("cum_before") < budgetCol)
+      .select(col("id").as(idCol), col("dom").as(domainCol),
+        col("n_tok"), col("cum_before"))
+  }
+
   /** Deterministic EXPORT SHARDING — the last step before writing training
     * shards: every row gets `(shard, seq)` where `shard` is its salted-hash
     * bucket (a deterministic global shuffle: hash order is unrelated to

@@ -33,6 +33,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("token budget: boundary excluded, bucket offsets compose, off-budget dropped") {
+    val rows = (1L to 120L).map(i => (i, "a b c d e f g h", if (i % 3 == 0) "keep" else "drop"))
+    val df = rows.toDF("doc_id", "text", "source")
+    // 4 coarse buckets force the two-phase path to stitch offsets across
+    // buckets; budget 100 tokens on 8-token docs ⇒ first 12 docs in coin
+    // order (cum_before 96 < 100 blocks doc 13 at 104? no: doc 13 has
+    // cum_before = 96 ≥ 100 false → kept iff 96 < 100 → 13th kept; 14th at
+    // 104 excluded) — assert against the brute-force reference instead
+    val out = DataMix.takeTokenBudget(df, "doc_id", "text", "source",
+      budgets = Map("keep" -> 100L), buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val coin = (id: Long) =>
+      Math.floorMod(graft.pipeline.Hashing.md5LongJvm(s"budget:$id"), 1000000L)
+    val ordered = rows.filter(_._3 == "keep").map(_._1).sortBy(id => (coin(id), id))
+    val expect = ordered.zipWithIndex
+      .map { case (id, i) => (id, 8L, i * 8L) }
+      .filter(_._3 < 100L)
+    assert(out.sortBy(_._3).toSeq == expect)
+    // exactly ceil(100/8)=13 docs; every "drop"-source doc absent
+    assert(out.length == 13)
+  }
+
   test("export shards: dense 0-based seq per shard, hash order, nulls dropped") {
     val ids = (1L to 300L).map(i => Tuple1(i)).toDF("doc_id")
       .unionByName(Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("doc_id"))
