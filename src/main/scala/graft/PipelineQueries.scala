@@ -63,6 +63,12 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_text_script" -> ((s, d) => {
+      // charset QC: script-range + encoding-damage counts per doc
+      val prof = TextAnalysis.scriptProfile(col("text"))
+      docs(s, d).select(col("doc_id") +: prof.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     "q_token_budget" -> ((s, d) =>
       // token-share mixture: 800/5000/400 whitespace tokens from three
       // sources in salted-hash order, boundary doc excluded; other sources
@@ -483,6 +489,16 @@ object PipelineQueries {
         |  sum(smp) / 256.0 AS mean_amp,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // explicit code-point ranges → identical counts in any regex engine
+    "q_text_script" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS BIGINT) AS n_latin,
+        |  CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+        |  CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
+        |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement
+        |FROM documents""".stripMargin,
 
     // the oracle MAY use the per-domain window — it defines the semantics;
     // the Spark plan computes the same running totals two-phase

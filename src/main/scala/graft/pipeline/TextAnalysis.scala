@@ -125,6 +125,34 @@ object TextAnalysis {
       "dup_trigram_frac" -> dupFrac(Dedup.wordGrams(w, 3)))
   }
 
+  /** Script & encoding-health profile — the charset QC stage of a curation
+    * pipeline (mojibake, binary-contaminated, or mis-decoded documents show
+    * up as control/replacement characters and off-script ratios). Counts
+    * use EXPLICIT code-point ranges, not named script classes, so any
+    * regex engine reproduces them exactly (no Unicode-table drift):
+    *
+    *  - n_chars:       total characters
+    *  - n_latin:       A-Za-z + Latin-1/Extended letters (U+00C0–U+024F)
+    *  - n_cjk:         CJK Unified Ideographs (U+4E00–U+9FFF)
+    *  - n_cyrillic:    U+0400–U+04FF
+    *  - n_control:     C0 controls except tab/newline/CR, plus DEL
+    *  - n_replacement: U+FFFD — the tombstone of a failed decode
+    *
+    * Pure per-row codegen'd `regexp_count`s; no shuffle, no UDF. */
+  def scriptProfile(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text).cast("long"),
+    "n_latin" -> regexp_count(text, lit("[A-Za-zÀ-ɏ]")).cast("long"),
+    "n_cjk" -> regexp_count(text, lit("[一-鿿]")).cast("long"),
+    "n_cyrillic" -> regexp_count(text, lit("[Ѐ-ӿ]")).cast("long"),
+    "n_control" -> regexp_count(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).cast("long"),
+    "n_replacement" -> regexp_count(text, lit("�")).cast("long"))
+
+  /** Strip encoding damage in place: control characters (keeping
+    * tab/newline/CR) and replacement characters are removed — the cheap
+    * ftfy-style cleanup applied before any text statistic. */
+  def stripEncodingDamage(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F�]", "")
+
   /** Gopher-style quality RULE BREAKDOWN (Rae et al. 2021 §A1.1, the
     * standard pre-model document filter) — each rule as a named boolean
     * column plus the conjunction, so a pipeline can both FILTER on `pass`

@@ -33,6 +33,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("script profile counts each range; damage strip keeps tab/newline/CR") {
+    val mixed = "Hi Ça И文 �\tok\n"
+    val prof = TextAnalysis.scriptProfile(col("text"))
+    val r = Seq(Tuple1(mixed)).toDF("text")
+      .select(prof.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(r.getLong(0) == mixed.length) //      n_chars
+    assert(r.getLong(1) == 6L) //                H,i,Ç,a,o,k latin
+    assert(r.getLong(2) == 1L) //                文
+    assert(r.getLong(3) == 1L) //                И
+    assert(r.getLong(4) == 2L) //                , DEL
+    assert(r.getLong(5) == 1L) //                U+FFFD
+    val cleaned = Seq(Tuple1(mixed)).toDF("text")
+      .select(TextAnalysis.stripEncodingDamage(col("text")).as("t")).collect()(0).getString(0)
+    assert(cleaned == "Hi Ça И文 \tok\n") // tab/newline survive, damage gone
+  }
+
   test("token budget: boundary excluded, bucket offsets compose, off-budget dropped") {
     val rows = (1L to 120L).map(i => (i, "a b c d e f g h", if (i % 3 == 0) "keep" else "drop"))
     val df = rows.toDF("doc_id", "text", "source")
