@@ -63,6 +63,19 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_strip_lines" -> ((s, d) => {
+      // line-level boilerplate removal: inject shared banner/header/footer
+      // lines (the testdata has no newlines of its own), then strip lines
+      // appearing in >= 3 distinct docs; each doc's own text line survives
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("COOKIE BANNER\n")).otherwise(lit("")),
+          lit("DOC START\n"), col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nCopyright Footer")).otherwise(lit(""))
+        ).as("text"))
+      CorpusSignals.stripBoilerplateLines(injected, "doc_id", "text", minDf = 3)
+    }),
+
     "q_text_script" -> ((s, d) => {
       // charset QC: script-range + encoding-damage counts per doc
       val prof = TextAnalysis.scriptProfile(col("text"))
@@ -489,6 +502,24 @@ object PipelineQueries {
         |  sum(smp) / 256.0 AS mean_amp,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // same injected corpus; heavy = line in >= 3 distinct docs, blanks kept
+    "q_strip_lines" ->
+      """WITH injected AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'COOKIE BANNER' || chr(10) ELSE '' END ||
+        |  'DOC START' || chr(10) || text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Copyright Footer' ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected),
+        |l0 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM d),
+        |l AS (SELECT doc_id, pos, ls[pos] AS line FROM l0),
+        |h AS (SELECT line FROM l WHERE trim(line) != ''
+        |      GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |j AS (SELECT l.*, l.line IN (SELECT line FROM h) AS heavy FROM l)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT heavy THEN line END, chr(10) ORDER BY pos), '') AS text,
+        |  CAST(count(CASE WHEN heavy THEN 1 END) AS BIGINT) AS n_stripped
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // explicit code-point ranges → identical counts in any regex engine
     "q_text_script" ->

@@ -103,4 +103,39 @@ object CorpusSignals {
       .withColumn("common_ppm",
         floor(col("n_common") * lit(1000000.0) / col("n_grams")).cast("long"))
   }
+
+  /** Line-level boilerplate REMOVAL (the RefinedWeb/CCNet line-dedup
+    * stage): a non-blank line appearing in ≥ `minDf` DISTINCT documents is
+    * template furniture (headers, footers, cookie banners, nav) and is
+    * stripped from every document; blank lines always survive (they carry
+    * structure, and their corpus df is meaningless). Output:
+    * `(idCol, textCol stripped, n_stripped)` — documents with no text
+    * change pass through byte-identical (split/join on `\n` is lossless).
+    *
+    * 100 TB shape: line df is a partial+final distinct aggregate; the
+    * heavy-line table (df ≥ minDf survivors) is SMALL by construction —
+    * AQE broadcasts it into the probe join, so document lines never
+    * shuffle; reassembly is one groupBy on the document id with a bounded
+    * per-document `collect_list` (a document's own lines — not corpus
+    * state). */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 3): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val heavy = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy("line").agg(countDistinct(col("id")).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col("line"), lit(true).as("heavy"))
+    lines.join(heavy, Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(
+        array_sort(collect_list(
+          when(col("heavy").isNull, struct(col("pos"), col("line"))))).as("kept"),
+        count(col("heavy")).as("n_stripped"))
+      .select(col("id").as(idCol),
+        concat_ws("\n", expr("transform(kept, x -> x.line)")).as(textCol),
+        col("n_stripped"))
+  }
 }

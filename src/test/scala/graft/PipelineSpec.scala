@@ -33,6 +33,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("line boilerplate strip: distinct-doc df, blanks survive, order kept") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha\n\nbeta\nHEADER\nFOOTER"), // HEADER twice in ONE doc
+      (2L, "HEADER\ngamma\nFOOTER"),
+      (3L, "HEADER\ndelta\nFOOTER"),
+      (4L, "only unique content here")
+    ).toDF("doc_id", "text")
+    // HEADER df=3 (distinct docs), FOOTER df=3 → both stripped everywhere;
+    // blank line and per-doc lines survive in order
+    val out = CorpusSignals.stripBoilerplateLines(docs, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("alpha\n\nbeta", 3L))) // both HEADER copies + FOOTER
+    assert(out(2L) == (("gamma", 2L)))
+    assert(out(3L) == (("delta", 2L)))
+    assert(out(4L) == (("only unique content here", 0L)))
+  }
+
   test("script profile counts each range; damage strip keeps tab/newline/CR") {
     val mixed = "Hi Ça И文 �\tok\n"
     val prof = TextAnalysis.scriptProfile(col("text"))
@@ -560,6 +577,22 @@ class PipelineSpec extends AnyFunSuite {
       val meanR = (0 until 30).map(p => (id * 31 + p * 3 * 7) % 256).sum.toDouble / 30
       assert(out(id) == ((5, 6, meanR, (id * 31 % 256).toInt)))
     }
+  }
+
+  test("PNG decoder: deterministic mutation sweep never throws") {
+    // flip every byte of a valid PNG one at a time (deterministic, no RNG):
+    // each mutant must decode to None or a valid tuple — never throw. This
+    // sweeps header, IHDR, both IDAT chunks (zlib stream corruption), CRCs
+    val good = Multimodal.buildSyntheticPng(7L, 4, 3)
+    (0 until good.length).foreach { i =>
+      val m = good.clone(); m(i) = (m(i) ^ 0xff).toByte
+      Multimodal.decodePng(m) // must not throw; CRC rejects most flips
+    }
+    // truncation sweep at every length
+    (0 until good.length).foreach { n =>
+      Multimodal.decodePng(good.take(n)) // must not throw
+    }
+    assert(Multimodal.decodePng(good).isDefined)
   }
 
   test("WAV decoder: chunk walk, negative samples, extra chunk, malformed rejected") {
