@@ -63,6 +63,11 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_dup_spans" -> ((s, d) =>
+      // bounded exact-substring signal: maximal cross-doc duplicated
+      // 5-gram runs, merged into spans per doc
+      CorpusSignals.dupSpans(docs(s, d), "doc_id", "text", ngram = 5, minDocs = 2)),
+
     "q_strip_lines" -> ((s, d) => {
       // line-level boilerplate removal: inject shared banner/header/footer
       // lines (the testdata has no newlines of its own), then strip lines
@@ -502,6 +507,22 @@ object PipelineQueries {
         |  sum(smp) / 256.0 AS mean_amp,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // positional 5-grams; islands via pos - row_number (offset-invariant)
+    "q_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g0 AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w FROM t),
+         |g AS (SELECT doc_id, pos, w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]
+         |        || ' ' || w[pos+3] || ' ' || w[pos+4] AS gram FROM g0),
+         |s AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT g.doc_id, g.pos FROM g JOIN s USING (gram)),
+         |i AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+         |sp AS (SELECT doc_id, grp, count(*) AS len_g FROM i GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(sum(len_g) AS BIGINT) AS n_dup_grams,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(max(len_g) + 4 AS BIGINT) AS longest_span_tokens
+         |FROM sp GROUP BY doc_id""".stripMargin,
 
     // same injected corpus; heavy = line in >= 3 distinct docs, blanks kept
     "q_strip_lines" ->

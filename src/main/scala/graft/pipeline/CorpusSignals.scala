@@ -104,6 +104,44 @@ object CorpusSignals {
         floor(col("n_common") * lit(1000000.0) / col("n_grams")).cast("long"))
   }
 
+  /** Cross-document DUPLICATED-SPAN detection — the bounded analog of
+    * suffix-array exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better") at n-gram granularity:
+    * a token position starts a duplicated gram when its `ngram`-token run
+    * also appears in ≥ `minDocs` distinct documents; MAXIMAL runs of
+    * consecutive duplicated positions are merged into spans (the
+    * `pos − row_number` island trick). Output, one row per document that
+    * contains at least one duplicated span:
+    *
+    * {{{ id | n_dup_grams | n_spans | longest_span_tokens }}}
+    *
+    * 100 TB shape: gram df is a partial+final distinct aggregate keyed by
+    * the 60-bit gram hash; the join back is gram-keyed (a gram shared by k
+    * docs costs k rows, never k²); island-merge windows partition on the
+    * DOCUMENT id — corpus-cardinality keys, so every reducer holds a few
+    * documents' positions, not a corpus slice. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val pg = df
+      .select(col(idCol).as("id"),
+        posexplode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), ngram))
+          .as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), Hashing.md5Long(col("g")).as("gh"))
+    val shared = pg.groupBy("gh").agg(countDistinct(col("id")).as("gdf"))
+      .filter(col("gdf") >= minDocs).select("gh")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    pg.join(shared, "gh")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "grp").agg(count(lit(1)).as("len_g"))
+      .groupBy("id").agg(
+        sum("len_g").as("n_dup_grams"),
+        count(lit(1)).as("n_spans"),
+        (max("len_g") + lit(ngram - 1)).as("longest_span_tokens"))
+      .select(col("id").as(idCol), col("n_dup_grams"),
+        col("n_spans"), col("longest_span_tokens").cast("long").as("longest_span_tokens"))
+  }
+
   /** Line-level boilerplate REMOVAL (the RefinedWeb/CCNet line-dedup
     * stage): a non-blank line appearing in ≥ `minDf` DISTINCT documents is
     * template furniture (headers, footers, cookie banners, nav) and is

@@ -33,6 +33,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dup spans: island merge, split spans, undup docs absent") {
+    val docs = Seq(
+      (1L, "x1 x2 A B C D E F x3"), //                adjacent grams → one 6-token span
+      (2L, "y1 A B C D E F y2"),
+      (3L, "A B C D E q w e r t y B C D E F"), //     two separate 5-token spans
+      (4L, "totally unshared words only here now")
+    ).toDF("doc_id", "text")
+    val out = CorpusSignals.dupSpans(docs, "doc_id", "text", ngram = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 6L))) // grams "A B C D E","B C D E F" merge
+    assert(out(2L) == ((2L, 1L, 6L)))
+    assert(out(3L) == ((2L, 2L, 5L))) // same grams, non-adjacent → two spans
+    assert(!out.contains(4L))
+  }
+
   test("line boilerplate strip: distinct-doc df, blanks survive, order kept") {
     val docs = Seq(
       (1L, "HEADER\nalpha\n\nbeta\nHEADER\nFOOTER"), // HEADER twice in ONE doc
