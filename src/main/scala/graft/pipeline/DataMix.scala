@@ -163,41 +163,64 @@ object DataMix {
     * ingest order, so each shard is an unbiased corpus sample) and `seq` is
     * its 0-based position within the shard in `(hash, id)` order.
     *
-    * The per-shard position is computed WITHOUT a window over `shard` (a
-    * `nShards`-cardinality window funnels the corpus through `nShards`
-    * reducers — the exact single-reducer shape the similarity top-k
-    * rewrite removed): `repartition(shard)` + `sortWithinPartitions` + a
-    * streaming per-partition counter — one shuffle, O(1) memory per task,
-    * any shard size. Rows with a NULL id are dropped (an export row needs
-    * an identity; SQL null-ordering differences would otherwise make `seq`
+    * Neither a Window over `shard` (nShards reducers swallowing the
+    * corpus) nor `repartition(nShards)` (nShards TASKS doing the same) is
+    * acceptable at scale. The decomposition is the same offsets-then-local
+    * two-phase as [[takeTokenBudget]]: the coin space splits into `buckets`
+    * ORDER-ALIGNED sub-ranges (every row of bucket b sorts before every
+    * row of bucket b+1 within its shard), per-(shard, bucket) COUNTS — an
+    * aggregate of ≤ nShards×buckets rows — are collected and prefix-summed
+    * into starting offsets, and `seq` = offset + a streaming counter after
+    * a `(shard, bucket)`-keyed repartition: shards×buckets-way parallel,
+    * O(1) task memory, any shard size.
+    *
+    * Rows with a NULL id are dropped (an export row needs an identity; SQL
+    * null-ordering differences would otherwise make `seq`
     * engine-dependent). */
   def exportShards(df: DataFrame, idCol: String, nShards: Int,
-      salt: String = "shard"): DataFrame = {
+      buckets: Int = 1000, salt: String = "shard"): DataFrame = {
     require(nShards > 0, s"nShards must be > 0, got $nShards")
+    require(buckets > 0 && 1000000L % buckets == 0,
+      s"buckets must divide 1e6, got $buckets")
     val idType = df.schema(idCol).dataType
     require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
       .contains(idType),
       s"exportShards needs an integral id column, got $idCol: ${idType.simpleString}")
+    val keyed = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        coin(col(idCol), salt).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("bkt", (col("h") / lit(1000000L / buckets)).cast("int"))
+    // phase 1: per-(shard, bucket) row counts → per-bucket starting offsets
+    val counts = keyed.groupBy("shard", "bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val offsets = counts.keys.groupBy(_._1).flatMap { case (sh, keys) =>
+      val sorted = keys.map(_._2).toSeq.sorted
+      val offs = sorted.scanLeft(0L)((acc, b) => acc + counts((sh, b)))
+      sorted.zip(offs).map { case (b, off) => (sh, b, off) }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, Row}
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
-    import org.apache.spark.sql.{Encoders, Row}
-    df.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        coin(col(idCol), salt).as("h"))
-      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("h"), col("id"))
+    // phase 2: local position within the (shard, bucket) group + offset
+    keyed.join(broadcast(offsets.toDF("shard", "bkt", "off")), Seq("shard", "bkt"))
+      .repartition(col("shard"), col("bkt"))
+      .sortWithinPartitions(col("shard"), col("bkt"), col("h"), col("id"))
+      .select(col("id"), col("shard"), col("bkt"), col("off"))
       .mapPartitions { it =>
-        // hash-colliding shards share a partition; the counter resets on
-        // each shard boundary (rows arrive shard-sorted)
-        var cur = Int.MinValue; var seq = -1L
+        // groups sharing a partition arrive contiguously (sorted); the
+        // counter resets on each (shard, bucket) boundary
+        var curSh = Int.MinValue; var curBk = Int.MinValue; var pos = -1L
         it.map { r =>
-          val sh = r.getInt(2)
-          if (sh != cur) { cur = sh; seq = 0L } else seq += 1
-          Row(r.getLong(0), sh, seq)
+          val sh = r.getInt(1); val bk = r.getInt(2)
+          if (sh != curSh || bk != curBk) { curSh = sh; curBk = bk; pos = 0L }
+          else pos += 1
+          Row(r.getLong(0), sh, r.getLong(3) + pos)
         }
       }(Encoders.row(schema))
   }

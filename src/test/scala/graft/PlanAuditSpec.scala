@@ -146,14 +146,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinSection.isEmpty, s"corpus text leaked into a join:\n$p")
   }
 
-  test("export sharding: one shuffle + local sort + counter, never a shard window") {
+  test("export sharding: bucketed offsets + local counter, never a shard window") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val d = new graft.sources.TestDataSource(spark, dir).table("documents")
     val p = plan(graft.pipeline.DataMix.exportShards(d, "doc_id", nShards = 8))
-    // a Window over the 8-value shard key would funnel the corpus through
-    // 8 reducers; the two-phase shape is repartition + local sort + map
+    // a Window over the 8-value shard key would funnel the corpus through 8
+    // reducers — and repartition(8) would funnel it through 8 TASKS; the
+    // two-phase shape shuffles on (shard, bucket) (8×1000-way parallel),
+    // broadcast-joins the collected offsets, and counts locally
     assert(!p.contains("Window"), s"shard-cardinality window crept in:\n$p")
-    assert("Exchange \\(".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastExchange"), p) // offsets join, not shuffled
+    // exactly one SHUFFLE exchange: the (shard, bucket) repartition — its
+    // key list must carry bkt, not shard alone
+    val shuffles = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffles.length == 1, s"expected 1 shuffle:\n$p")
+    assert(shuffles.head.contains("bkt"), s"shuffle must key on (shard, bkt):\n$p")
     assert(p.contains("Sort") && p.contains("MapPartitions"), p)
   }
 
