@@ -63,6 +63,29 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "q_pipeline_v2" -> ((s, d) => {
+      // the r6 curation chain composed end-to-end: line-level boilerplate
+      // strip → encoding-damage strip → Gopher rule filter → exact dedup
+      // (keep-min) → token stats. One oracle verifies the whole chain
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("COOKIE BANNER\n")).otherwise(lit("")),
+          lit("DOC START\n"), col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nCopyright Footer")).otherwise(lit(""))
+        ).as("text"))
+      val stripped = CorpusSignals.stripBoilerplateLines(injected, "doc_id", "text", minDf = 3)
+      val cleaned = stripped.withColumn("text",
+        TextAnalysis.stripEncodingDamage(col("text")))
+      val pass = TextAnalysis.gopherRules(col("text"), minWords = 50)
+        .find(_._1 == "pass").get._2
+      val passed = cleaned.filter(pass)
+      val keep = Dedup.exactDedup(passed, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      passed.join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("n_stripped"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok_ws"))
+    }),
+
     "q_dup_spans" -> ((s, d) =>
       // bounded exact-substring signal: maximal cross-doc duplicated
       // 5-gram runs, merged into spans per doc
@@ -507,6 +530,47 @@ object PipelineQueries {
         |  sum(smp) / 256.0 AS mean_amp,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // the strip/clean/gopher/dedup chain replicated stage by stage
+    "q_pipeline_v2" ->
+      s"""WITH injected AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'COOKIE BANNER' || chr(10) ELSE '' END ||
+         |  'DOC START' || chr(10) || text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Copyright Footer' ELSE '' END AS text
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected),
+         |l0 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM d0),
+         |l AS (SELECT doc_id, pos, ls[pos] AS line FROM l0),
+         |hv AS (SELECT line FROM l WHERE trim(line) != ''
+         |       GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+         |j AS (SELECT l.*, l.line IN (SELECT line FROM hv) AS heavy FROM l),
+         |stripped AS (SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN NOT heavy THEN line END, chr(10) ORDER BY pos), '') AS text,
+         |  CAST(count(CASE WHEN heavy THEN 1 END) AS BIGINT) AS n_stripped
+         |  FROM j GROUP BY doc_id),
+         |cleaned AS (SELECT doc_id, n_stripped,
+         |  regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F�]', '', 'g') AS text
+         |  FROM stripped),
+         |gw AS (SELECT doc_id, n_stripped, text, $toks AS w,
+         |  string_split(text, chr(10)) AS ln FROM cleaned),
+         |passed AS (SELECT * FROM gw WHERE
+         |  (len(w) BETWEEN 50 AND 100000)
+         |  AND (len(w) > 0 AND len(array_to_string(w, '')) * 1.0 / len(w) BETWEEN 3 AND 10)
+         |  AND (len(w) > 0 AND ((len(text) - len(replace(text, '#', ''))) * 1.0
+         |    + (len(text) - len(replace(text, '...', ''))) / 3.0
+         |    + (len(text) - len(replace(text, '…', '')))) / len(w) <= 0.1)
+         |  AND (len(list_filter(ln, x -> starts_with(ltrim(x), '•') or starts_with(ltrim(x), '-')
+         |    or starts_with(ltrim(x), '*'))) * 1.0 / len(ln) <= 0.9)
+         |  AND (len(list_filter(ln, x -> ends_with(rtrim(x), '...') or ends_with(rtrim(x), '…')))
+         |    * 1.0 / len(ln) <= 0.3)
+         |  AND (len(w) > 0 AND len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+         |    * 1.0 / len(w) >= 0.8)
+         |  AND (len(list_intersect(list_distinct(w),
+         |    ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'])) >= 2)),
+         |keep AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck,
+         |  min(doc_id) AS keep_id FROM passed GROUP BY 1)
+         |SELECT p.doc_id, p.n_stripped, CAST(len(p.w) AS BIGINT) AS tok_ws
+         |FROM passed p JOIN keep k ON p.doc_id = k.keep_id""".stripMargin,
 
     // positional 5-grams; islands via pos - row_number (offset-invariant)
     "q_dup_spans" ->

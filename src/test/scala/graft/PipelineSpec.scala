@@ -594,6 +594,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM/BMP/WAV decoders: deterministic mutation sweep never throws") {
+    // same discipline as the PNG sweep for the other three real decoders
+    val samples: Seq[(String, Array[Byte], Array[Byte] => Option[Any])] = {
+      val ppm = ("P6\n2 2\n255\n" + "x" * 12).getBytes("US-ASCII")
+      val bmpDf = Seq(Tuple1(1L)).toDF("id")
+        .select(Multimodal.syntheticBmp(col("id"), 2, 2).as("b")).collect()
+      val wavDf = Seq(Tuple1(1L)).toDF("id")
+        .select(Multimodal.syntheticWav(col("id"), 4, 8000).as("b")).collect()
+      Seq(
+        ("ppm", ppm, Multimodal.decodePpmP6 _),
+        ("bmp", bmpDf(0).getAs[Array[Byte]](0), Multimodal.decodeBmp24 _),
+        ("wav", wavDf(0).getAs[Array[Byte]](0), Multimodal.decodeWavPcm16 _))
+    }
+    samples.foreach { case (name, good, dec) =>
+      assert(dec(good).isDefined, name)
+      (0 until good.length).foreach { i =>
+        val m = good.clone(); m(i) = (m(i) ^ 0xff).toByte
+        dec(m) // must not throw
+      }
+      (0 until good.length).foreach(n => dec(good.take(n)))
+    }
+  }
+
   test("PNG decoder: deterministic mutation sweep never throws") {
     // flip every byte of a valid PNG one at a time (deterministic, no RNG):
     // each mutant must decode to None or a valid tuple — never throw. This
