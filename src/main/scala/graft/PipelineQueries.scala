@@ -339,6 +339,14 @@ object PipelineQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", 5, dims = 64, planes = 4)
     }),
 
+    "q_classify_embed" -> ((s, d) => {
+      // nearest-centroid domain tagging: 8 labeled centroids inlined as
+      // literals, one codegen'd pass over the corpus — no join, no window
+      val e = embs(s, d)
+      Similarity.classifyByCentroids(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding")
+    }),
+
     "q_sim_ivf_topk" -> ((s, d) => {
       // IVF cell-probe ANN — deterministic centroids/assignment, so unlike
       // LSH this approximate path IS oracle-checked
@@ -957,6 +965,16 @@ object PipelineQueries {
          |  round(n_hits * 1.0 / len(s), 6) AS contamination
          |FROM g JOIN h ON g.doc_id = h.doc_id WHERE g.doc_id % 50 <> 0""".stripMargin
     },
+
+    // exact argmax with (dot DESC, cid ASC) tie-break = the struct-sort
+    "q_classify_embed" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 8),
+        |j AS (SELECT v.vec_id, c.cid, CAST(list_dot_product(v.qv, c.cv) AS BIGINT) AS dot
+        |      FROM v CROSS JOIN c),
+        |r AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid, dot,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn FROM j)
+        |SELECT vec_id, cid, dot FROM r WHERE rn = 1""".stripMargin,
 
     "q_sim_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),

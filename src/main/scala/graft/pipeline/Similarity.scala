@@ -186,6 +186,24 @@ object Similarity {
     df.collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).sortBy(_._1)
 
+  /** Map-side nearest-centroid CLASSIFICATION — embedding-based domain/
+    * topic tagging, the labeling step that feeds domain-weighted mixing:
+    * each vector is tagged with the centroid id maximizing the exact
+    * integer dot product (ties → smaller cid). The centroid set is labels,
+    * not data — it is collected and inlined as plan-time literals (the
+    * [[srpBuckets]]/nearestCells trick): zero joins, zero row inflation,
+    * the whole pass stays inside one codegen'd projection at any corpus
+    * size. Output: `(idCol, cid, dot)`. */
+  def classifyByCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val cents = collectCentroids(
+      centroids.select(col(centIdCol).cast("long"), quantize(col(centVecCol))))
+    require(cents.nonEmpty, "classifyByCentroids needs at least one centroid")
+    df.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .withColumn("best", element_at(nearestCells(col("qv"), cents, 1), 1))
+      .select(col(idCol), col("best.cid").as("cid"), (-col("best.nd")).as("dot"))
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `nClusters` cells around centroid vectors; a query exact-ranks only the
     * cells its `nProbe` closest centroids own — candidates ∝ corpus/nClusters

@@ -80,7 +80,10 @@ object StreamingPipeline {
       .withColumn("__event_time", timestamp_seconds(col(eventTimeCol).cast("long")))
       .withWatermark("__event_time", watermarkDelay)
       .withColumn("ck", Dedup.contentKey(col(textCol)))
-      .join(corpusKeys.select(col("ck"), lit(true).as("in_corpus")), Seq("ck"), "left")
+      // distinct defensively: a duplicated corpus key would MULTIPLY stream
+      // rows through the join, emitting duplicate decisions per document
+      .join(corpusKeys.select(col("ck")).distinct().withColumn("in_corpus", lit(true)),
+        Seq("ck"), "left")
       .select(col("ck"), col(idCol).cast("long").as("id"),
         coalesce(col("in_corpus"), lit(false)).as("inCorpus"),
         col("__event_time").as("et"))

@@ -164,6 +164,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Sort") && p.contains("MapPartitions"), p)
   }
 
+  test("centroid classification is one map-side projection: no join/window/shuffle") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    val p = plan(graft.pipeline.Similarity.classifyByCentroids(
+      e, "vec_id", "embedding",
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), "vec_id", "embedding"))
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Exchange"),
+      s"classification must stay map-side:\n$p")
+  }
+
   test("clustering rounds are shuffle-only: no cartesian in the star step") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     import spark.implicits._
