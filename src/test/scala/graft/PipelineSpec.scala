@@ -594,6 +594,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG synth/decode round-trips every size 1..6 x 1..6 and id filter phase") {
+    // sweeps stride < 4, single-row, single-column, and every filter-type
+    // rotation; decoded stats must equal the formula for each (id, w, h)
+    for (w <- 1 to 6; h <- 1 to 6; id <- Seq(0L, 3L)) {
+      val got = Multimodal.decodePng(Multimodal.buildSyntheticPng(id, w, h))
+      val n = w * h
+      def mean(c: Int) = (0 until n).map(p => (id * 31 + (p * 3 + c) * 7) % 256).sum.toDouble / n
+      assert(got.contains((w, h, mean(0), mean(1), mean(2), (id * 31 % 256).toInt)),
+        s"($id, $w, $h)")
+    }
+  }
+
+  test("export shards write path: partitionBy(shard) round-trips with dense seq") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    val out = DataMix.exportShards((1L to 200L).map(Tuple1(_)).toDF("doc_id"), "doc_id", 4)
+    out.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    // each shard directory holds a dense 0..n-1 seq — a resumable export
+    val perShard = back.collect().map(r =>
+      (r.getAs[Int]("shard"), r.getAs[Long]("seq"))).groupBy(_._1)
+    perShard.foreach { case (sh, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq, s"shard $sh")
+    }
+  }
+
   test("PPM/BMP/WAV decoders: deterministic mutation sweep never throws") {
     // same discipline as the PNG sweep for the other three real decoders
     val samples: Seq[(String, Array[Byte], Array[Byte] => Option[Any])] = {
