@@ -629,7 +629,7 @@ object PipelineQueries {
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tok,
          |  ${duckMd5Long("'budget:' || doc_id")} % 1000000 AS h
-         |  FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+         |  FROM documents WHERE source IN ('src1', 'src2', 'src3') AND doc_id IS NOT NULL),
          |c AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
          |SELECT doc_id, source, n_tok, cum_before FROM c
@@ -698,9 +698,6 @@ object PipelineQueries {
          |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
 
-    // connected components over the near-dup pair graph: recursive CTE
-    // propagating every smaller reachable label, then min per node — equals
-    // large-star/small-star's component-min labeling. Pair set = the exact
     // Exact replication of the incremental-dedup admission rules; the
     // near-dup stages use exact all-pairs Jaccard >= 0.5 in place of the
     // LSH candidates (same justification as q_dedup_minhash's oracle).
@@ -739,6 +736,9 @@ object PipelineQueries {
          |       ELSE 'admitted' END) AS status
          |FROM exact e""".stripMargin,
 
+    // connected components over the near-dup pair graph: recursive CTE
+    // propagating every smaller reachable label, then min per node — equals
+    // large-star/small-star's component-min labeling. Pair set = the exact
     // Jaccard pairs (same justification as q_dedup_minhash's oracle).
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS w FROM documents),
@@ -818,9 +818,12 @@ object PipelineQueries {
          |  (SELECT count(*) FROM t WHERE list_contains(w, 'vector')) AS df_vector,
          |  (SELECT count(*) FROM t WHERE list_contains(w, 'slow')) AS df_slow),
          |s AS (SELECT doc_id,
-         |  len(list_filter(w, x -> x = 'dup')) * (1000000 // df_dup) +
-         |  len(list_filter(w, x -> x = 'vector')) * (1000000 // df_vector) +
-         |  len(list_filter(w, x -> x = 'slow')) * (1000000 // df_slow) AS score
+         |  len(list_filter(w, x -> x = 'dup'))
+         |    * (CASE WHEN df_dup > 0 THEN 1000000 // df_dup ELSE 0 END) +
+         |  len(list_filter(w, x -> x = 'vector'))
+         |    * (CASE WHEN df_vector > 0 THEN 1000000 // df_vector ELSE 0 END) +
+         |  len(list_filter(w, x -> x = 'slow'))
+         |    * (CASE WHEN df_slow > 0 THEN 1000000 // df_slow ELSE 0 END) AS score
          |  FROM t, dfs)
          |SELECT doc_id AS id, CAST(score AS BIGINT) AS score FROM s
          |WHERE score > 0 ORDER BY score DESC, id LIMIT 15""".stripMargin,

@@ -80,8 +80,9 @@ object QueryCompiler {
     val wanted = q.returnFields match {
       case None | Some(Seq()) => payloadCols.toSeq
       // a requested field shadowed by a core name maps to its internal
-      // column (rendered back under the declared name by Responses)
-      case Some(fs)           => fs.map(EventSchema.columnName).filter(payloadCols.contains)
+      // column (rendered back under the declared name by Responses); the
+      // internal p$ spelling itself is not addressable
+      case Some(fs)           => fs.flatMap(EventSchema.resolveReturn).filter(payloadCols.contains)
     }
     val projected = df.select(
       (EventSchema.CoreFields.map(col) ++ wanted.map(col) ++ Seq(col(EventSchema.EventId))): _*)

@@ -69,17 +69,22 @@ object SequenceCompiler {
             val plain = if (f.contains(".")) {
               val Array(p, n) = f.split("\\.", 2); if (p == tpe) Some(n) else None
             } else Some(f)
-            plain.filter(payloadCols.contains)
+            // shadowed names resolve to their internal p$ column (and the
+            // internal spelling itself is not addressable) — the same
+            // mapping as QueryCompiler.compileSelection
+            plain.flatMap(EventSchema.resolveReturn).filter(payloadCols.contains)
           }
       }
       (filtered, wanted, prefixes(i))
     }
 
     // output schema: link_value, then per step: <p>_timestamp + <p>_<field>…
+    // (shadowed internal columns surface under their DECLARED name)
     val outFields = StructField("link_value", StringType) +:
       sides.flatMap { case (df, wanted, p) =>
         StructField(s"${p}_${EventSchema.Timestamp}", LongType) +:
-          wanted.map(f => df.schema(f).copy(name = s"${p}_$f", nullable = true))
+          wanted.map(f =>
+            df.schema(f).copy(name = s"${p}_${EventSchema.displayName(f)}", nullable = true))
       }
     val outSchema = StructType(outFields)
 

@@ -116,7 +116,9 @@ object DataMix {
     * broadcast; the remaining within-bucket prefix sum is a Window over
     * `(domain, bucket)` — domains×buckets partitions, each ~1/buckets of a
     * domain. The same offsets-then-local-rank decomposition as
-    * `exportShards`, for prefix sums instead of positions.
+    * `exportShards`, for prefix sums instead of positions — and the same
+    * two-scan trade (see [[exportShards]]): persist the input first when
+    * the upstream plan is expensive or nondeterministic.
     *
     * Output: the selected rows as `(idCol, domainCol, n_tok, cum_before)`. */
   def takeTokenBudget(df: DataFrame, idCol: String, textCol: String, domainCol: String,
@@ -125,7 +127,11 @@ object DataMix {
     require(buckets > 0 && 1000000L % buckets == 0,
       s"buckets must divide 1e6, got $buckets")
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    // NULL ids dropped like [[exportShards]]: their coin is NULL (by design,
+    // see [[coin]]), which would NPE the phase-1 collect and make the order
+    // engine-dependent
     val inScope = df.filter(col(domainCol).isin(budgets.keys.toSeq: _*))
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), col(domainCol).as("dom"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"),
         coin(col(idCol), salt).as("h"))
@@ -173,6 +179,13 @@ object DataMix {
     * into starting offsets, and `seq` = offset + a streaming counter after
     * a `(shard, bucket)`-keyed repartition: shards×buckets-way parallel,
     * O(1) task memory, any shard size.
+    *
+    * The two phases each scan the input (counts job, then the main plan) —
+    * the same trade as [[takeTokenBudget]] and `Search.searchTopK`: what
+    * is collected is aggregate rows, never data. Callers exporting an
+    * expensive upstream plan should persist/checkpoint it first (also a
+    * correctness requirement if the input is nondeterministic — both
+    * passes must see identical rows).
     *
     * Rows with a NULL id are dropped (an export row needs an identity; SQL
     * null-ordering differences would otherwise make `seq`

@@ -278,7 +278,10 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated zlib stream
+        // n == 0 while unfinished means the stream can make no progress:
+        // truncated input, or an FDICT (preset-dictionary) header — either
+        // way malformed here; looping again would spin forever
+        if (n == 0 && !inf.finished()) return None
         got += n
       }
       if (got < raw.length || !inf.finished()) return None // short or over-long

@@ -129,6 +129,16 @@ object EventSchema {
   def columnName(declared: String): String =
     if (AllCoreFields.contains(declared)) ShadowPrefix + declared else declared
 
+  /** Resolve a RETURN-listed field name to its internal storage column.
+    * The internal `p$<core>` spelling itself is NOT addressable from the
+    * query surface (None — the field is then "unknown" and ignored, the
+    * same fence [[fromSpecs]] enforces at DEFINE time); everything else
+    * maps through [[columnName]]. */
+  def resolveReturn(declared: String): Option[String] =
+    if (declared.startsWith(ShadowPrefix) &&
+        AllCoreFields.contains(declared.substring(ShadowPrefix.length))) None
+    else Some(columnName(declared))
+
   /** Declared (user-facing) name for an internal payload column. */
   def displayName(column: String): String =
     if (column.startsWith(ShadowPrefix) &&

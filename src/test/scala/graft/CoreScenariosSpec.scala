@@ -36,9 +36,43 @@ class CoreScenariosSpec extends AnyFunSuite {
     val later = p.send(s"QUERY shdw WHERE timestamp > ${t0.trim.toLong + 1}")
     assertIncludes(later, "sh2", "\"row_count\":1")
     assertExcludes(later.split("\"row_count\"")(0), "sh1")
-    // RETURN with a shadowed name projects the payload field
+    // RETURN with a shadowed name projects the payload field — the schema
+    // frame carries "timestamp" twice (core + payload under its declared name)
     val ret = p.send("""QUERY shdw RETURN [timestamp]""")
     assertIncludes(ret, "1000", "2000")
+    def tsCols(out: String): Int = {
+      val cols = out.split("\"columns\":\\[")(1).split("\\]")(0)
+      cols.sliding("\"timestamp\"".length).count(_ == "\"timestamp\"")
+    }
+    assert(tsCols(ret) == 2, s"core + shadowed payload column expected:\n$ret")
+    // the INTERNAL p$ spelling is not addressable from the query surface
+    // (same fence DEFINE enforces) — unknown field, ignored; only the core
+    // timestamp column remains. (No value-substring exclusion here: the
+    // core wall-clock ts can contain any digit run.)
+    val spoof = p.send("""QUERY shdw RETURN [p$timestamp, tag]""")
+    assertIncludes(spoof, "\"tag\"")
+    assertExcludes(spoof, "p$")
+    assert(tsCols(spoof) == 1, s"only the core timestamp column expected:\n$spoof")
+  }
+
+  test("sequence queries resolve shadowed RETURN names and render them clean") {
+    val p = open()
+    p.send("""DEFINE sq_a FIELDS { "timestamp": "int", "v": "int" }""")
+    p.send("""DEFINE sq_b FIELDS { "w": "int" }""")
+    p.send("""STORE sq_a FOR u1 PAYLOAD {"timestamp": 111, "v": 5}""")
+    p.sleep(3000)
+    p.send("""STORE sq_b FOR u1 PAYLOAD {"w": 6}""")
+    p.send("FLUSH")
+    // RETURN with the shadowed declared name: projected (maps to p$) and
+    // rendered under the DECLARED name with the step prefix — no p$ leak
+    val ret = p.send("QUERY sq_a FOLLOWED BY sq_b RETURN [sq_a.timestamp, sq_b.w]")
+    assertIncludes(ret, "\"sq_a_timestamp\"", "111", "\"sq_b_w\"", "\"row_count\":1")
+    assertExcludes(ret, "p$")
+    // RETURN omitted = all payload fields; the shadowed one still renders
+    // under its declared name
+    val all2 = p.send("QUERY sq_a FOLLOWED BY sq_b")
+    assertIncludes(all2, "\"sq_a_timestamp\"", "\"sq_a_v\"", "\"sq_b_w\"")
+    assertExcludes(all2, "p$")
   }
 
   // ---- since_* ----

@@ -582,6 +582,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(png(2, 5, badFilter)).isEmpty)
     // missing IEND
     assert(Multimodal.decodePng(good.dropRight(12)).isEmpty)
+    // FDICT (preset-dictionary) zlib header: Inflater.inflate() returns 0
+    // without needsInput — must reject, not spin forever (0x78 0x20 passes
+    // the FCHECK: (0x7820 % 31) == 0, dictionary bit set)
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    val fdictPng = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(5)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdict) ++ chunk("IEND", Array.emptyByteArray)
+    }
+    assert(Multimodal.decodePng(fdictPng).isEmpty)
     // synthetic round-trip: ids 0..4 rotate the filter pattern through all
     // five types in every position; decoded stats must match the formula
     val media = Multimodal.syntheticPngs(Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id"), "doc_id", 5, 6)
