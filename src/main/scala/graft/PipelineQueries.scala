@@ -239,6 +239,17 @@ object PipelineQueries {
       // exact analog of an LM/CCNet noise screen; df <= 50 marks "rare"
       CorpusSignals.rarityStats(docs(s, d), "doc_id", "text", maxDf = 50)),
 
+    "q_lm_surprisal" -> ((s, d) =>
+      // bigram-LM conditional surprisal (CCNet/KenLM perplexity filter,
+      // bit-length integer log2) + novel-bigram occurrence count
+      CorpusSignals.surprisalStats(docs(s, d), "doc_id", "text")),
+
+    "q_dsir_score" -> ((s, d) =>
+      // DSIR hashed-bigram importance vs the src0 target domain: integer
+      // log-likelihood-ratio weights over 512 feature buckets
+      CorpusSignals.importanceScore(docs(s, d), "doc_id", "text",
+        col("source") === "src0", buckets = 512)),
+
     "q_boilerplate" -> ((s, d) =>
       // duplicated-span fraction: share of each doc's distinct 3-grams
       // appearing in >= 2 documents (RefinedWeb-style boilerplate signal)
@@ -796,6 +807,49 @@ object PipelineQueries {
          |  CAST(floor(sum(CASE WHEN df <= 50 THEN cnt ELSE 0 END) * 1000000.0 / sum(cnt)) AS BIGINT) AS rare_ppm,
          |  CAST(sum(cnt * CAST(floor(1000000.0 / df) AS BIGINT)) AS BIGINT) AS df_score
          |FROM occ JOIN dfs USING (tok) GROUP BY doc_id""".stripMargin,
+
+    // bigram LM replicated exactly: same (doc, bigram, count) collapse,
+    // bigram df as doc-distinct row count, context counts as a window over
+    // the distinct-bigram table, and length(bin(x)) as the integer log2
+    "q_lm_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |o AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS bg FROM t)
+         |  GROUP BY 1, 2),
+         |g AS (SELECT bg, CAST(sum(cnt) AS BIGINT) AS cb,
+         |    CAST(count(*) AS BIGINT) AS bdf FROM o GROUP BY 1),
+         |s AS (SELECT bg, bdf,
+         |  CAST(length(bin(sum(cb) OVER (PARTITION BY split_part(bg, ' ', 1))))
+         |    - length(bin(cb)) AS BIGINT) AS surp FROM g)
+         |SELECT doc_id AS id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(cnt * surp) AS BIGINT) AS surprisal,
+         |  CAST(floor(sum(cnt * surp) * 1000000.0 / sum(cnt)) AS BIGINT) AS mean_surprisal_ppm,
+         |  CAST(sum(CASE WHEN bdf = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_novel
+         |FROM o JOIN s USING (bg) GROUP BY doc_id""".stripMargin,
+
+    // DSIR weights replicated exactly: hashed-bigram buckets, add-one
+    // smoothed target/corpus counts, bit-length log2 ratio, global totals
+    // as windows over the bucket table
+    "q_dsir_score" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS w FROM documents
+         |    WHERE doc_id IS NOT NULL),
+         |o AS (SELECT doc_id, is_target, ${duckMd5Long("bg")} % 512 AS fb,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, (source = 'src0') AS is_target,
+         |      unnest(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i+1])) AS bg FROM t)
+         |  GROUP BY 1, 2, 3),
+         |wt AS (SELECT fb, CAST(sum(cnt) AS BIGINT) AS cs,
+         |    CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS ct
+         |  FROM o GROUP BY 1),
+         |ww AS (SELECT fb,
+         |  CAST((length(bin(ct + 1)) - length(bin(sum(ct) OVER () + 1))) -
+         |       (length(bin(cs + 1)) - length(bin(sum(cs) OVER () + 1))) AS BIGINT) AS w
+         |  FROM wt)
+         |SELECT doc_id AS id, is_target, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |  CAST(sum(cnt * w) AS BIGINT) AS dsir_score
+         |FROM o JOIN ww USING (fb) GROUP BY 1, 2""".stripMargin,
 
     // grams joined as strings ≡ Spark's collision-free md5long gram hashes
     // (the q_decontaminate justification)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-relative document signals: statistics of a document computed
@@ -175,5 +175,143 @@ object CorpusSignals {
       .select(col("id").as(idCol),
         concat_ws("\n", expr("transform(kept, x -> x.line)")).as(textCol),
         col("n_stripped"))
+  }
+
+  /** Integer bit-length `floor(log2(x)) + 1` for a positive long column —
+    * the engine-portable log2 every surprisal score here is built from
+    * (`length(bin(x))`: pure string ops, no FP log whose last-ulp rounding
+    * could differ between engines). */
+  private def bitLen(c: Column): Column = length(bin(c)).cast("long")
+
+  /** Bigram language-model surprisal per document — the integer-exact
+    * analog of the CCNet/KenLM perplexity filter (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * fit a bigram LM on the corpus itself, score each document by its mean
+    * conditional surprisal; unusually-improbable text (mojibake, spam,
+    * word salad) scores high, templated text scores low. Per bigram
+    * `b = (w1, w2)`:
+    *
+    * {{{ surp(b) = bitlen(c(w1 ·)) − bitlen(c(w1 w2))  ≈  −log2 p(w2 | w1) }}}
+    *
+    * where `c(w1 ·)` is the corpus count of bigrams starting with `w1`
+    * (the LM context count) and bitlen is [[bitLen]] — both counts are
+    * exact integers, so the score is bit-identical across engines and
+    * partitionings. Output, one row per document with ≥ 1 bigram:
+    *
+    * {{{ id | n_bigrams | surprisal | mean_surprisal_ppm | n_novel }}}
+    *
+    *  - `surprisal`: Σ count·surp over the document's bigram occurrences;
+    *  - `mean_surprisal_ppm`: floor(1e6 · surprisal / n_bigrams) — the
+    *    per-token perplexity proxy to threshold on;
+    *  - `n_novel`: occurrences of bigrams appearing in NO other document
+    *    (corpus df = 1) — the novel-content complement of
+    *    [[boilerplateStats]]' shared fraction.
+    *
+    * 100 TB shape: document bigrams collapse to `(doc, bigram, count)`
+    * through a map-side partial aggregate; the corpus LM is a second
+    * partial+final aggregate over that SAME exchange (the
+    * `count(when(cnt > 0, id))` df spelling keeps both branches' column
+    * sets identical so ReuseExchange scans and explodes once — see
+    * [[rarityStats]]); context counts come from a window over the
+    * distinct-bigram table partitioned by `w1` (vocabulary-cardinality
+    * keys — never a corpus-sized reducer), not a third pass over text.
+    * The join back is bigram-keyed; stopword-headed bigrams are the
+    * high-df keys AQE skew-splits. Nothing is collected to the driver. */
+  def surprisalStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the explicit isnotnull(bg) is a semantic no-op (grams are concats of
+    // non-null tokens) — but the JOIN below infers it on its probe side and
+    // pushes it above the explode, while on the LM side it cannot push
+    // through the context Window; spelling it here puts it in BOTH branches
+    // so the occ subtrees stay identical and ReuseExchange scans once
+    val occ = df
+      .select(col(idCol).as("id"),
+        explode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("id", "bg").agg(count(lit(1)).as("cnt"))
+    // corpus bigram count + bigram document-frequency in one aggregate
+    // (occ rows are doc-distinct, so count(id-rows) IS the df; cnt > 0
+    // always — the when() keeps id referenced for ReuseExchange)
+    val grams = occ.groupBy("bg").agg(
+      sum(col("cnt")).as("cb"),
+      count(when(col("cnt") > 0, col("id"))).as("bdf"))
+    val byCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("bg"), " ", 1))
+    val surp = grams
+      .withColumn("cw", sum(col("cb")).over(byCtx))
+      .select(col("bg"), col("bdf"),
+        (bitLen(col("cw")) - bitLen(col("cb"))).as("surp"))
+    occ.join(surp, "bg")
+      .groupBy("id")
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("surp")).as("surprisal"),
+        sum(when(col("bdf") === 1, col("cnt")).otherwise(lit(0L))).as("n_novel"))
+      .withColumn("mean_surprisal_ppm",
+        floor(col("surprisal") * lit(1000000.0) / col("n_bigrams")).cast("long"))
+      .select(col("id"), col("n_bigrams"), col("surprisal"),
+        col("mean_surprisal_ppm"), col("n_novel"))
+  }
+
+  /** DSIR-style hashed-n-gram importance score (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): how much more a
+    * document looks like a TARGET domain than like the corpus overall.
+    * Bigrams hash into `buckets` feature buckets; each bucket gets an
+    * integer log-likelihood-ratio weight from add-one-smoothed counts
+    *
+    * {{{ w(b) = [bitlen(ct(b)+1) − bitlen(Nt+1)] − [bitlen(cs(b)+1) − bitlen(Ns+1)] }}}
+    *
+    * (target vs corpus log2-probabilities, [[bitLen]] integer log2; the
+    * Nt/Ns terms normalize for sample size) and a document scores the
+    * count-weighted sum over its features — positive ⇒ target-like.
+    * Selection composes downstream: threshold, top-k, or resample with
+    * [[DataMix]]'s deterministic coin. Output:
+    *
+    * {{{ id | n_feats | dsir_score }}}
+    *
+    * 100 TB shape: both count vectors live on `buckets` keys — aggregate
+    * rows, never documents — and the weight table is broadcast into the
+    * feature join, so the only corpus-sized shuffle is the per-document
+    * partial+final aggregate; the target side reuses the same exchange
+    * (filter spelled as a 0/1 weight inside the aggregate, not a separate
+    * scan). Nothing is collected to the driver. */
+  def importanceScore(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    // NULL ids dropped (an importance row needs an identity) — and the
+    // filter licenses the when(id.isNotNull, …) aggregate spellings below
+    // explicit isnotnull(fb) for the same ReuseExchange alignment as
+    // [[surprisalStats]]: the join infers it probe-side only, and it cannot
+    // push through the totals Window on the weights side
+    val occ = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), targetPred.cast("boolean").as("is_target"),
+        explode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
+      .select(col("id"), col("is_target"), pmod(Hashing.md5Long(col("bg")), lit(buckets)).as("fb"))
+      .filter(col("fb").isNotNull)
+      .groupBy("id", "is_target", "fb").agg(count(lit(1)).as("cnt"))
+    // per-bucket corpus and target counts: `buckets` rows out of a
+    // partial+final aggregate; totals via a global window over those rows
+    // (bucket-cardinality — trivially small) instead of a driver collect.
+    // The when(id.isNotNull, …) spelling is value-identical (ids are
+    // filtered non-null) and keeps id referenced in this branch, so its
+    // occ subtree matches the join-back's and ReuseExchange computes the
+    // scan + explode + partial aggregate ONCE — the [[rarityStats]] trick,
+    // plan-pinned in PlanAuditSpec
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val weights = occ.groupBy("fb").agg(
+        sum(when(col("id").isNotNull, col("cnt"))).as("cs"),
+        sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("ct"))
+      .withColumn("ns", sum(col("cs")).over(all))
+      .withColumn("nt", sum(col("ct")).over(all))
+      .select(col("fb"),
+        ((bitLen(col("ct") + 1) - bitLen(col("nt") + 1)) -
+         (bitLen(col("cs") + 1) - bitLen(col("ns") + 1))).as("w"))
+    // is_target kept as a grouping key (constant per id): genuinely useful
+    // downstream (selection usually excludes the target sample itself) and
+    // it keeps this branch's occ column set identical to the weights branch
+    occ.join(broadcast(weights), "fb")
+      .groupBy("id", "is_target")
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("w")).as("dsir_score"))
+      .select(col("id"), col("is_target"), col("n_feats"), col("dsir_score"))
   }
 }

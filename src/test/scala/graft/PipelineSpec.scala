@@ -781,6 +781,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 500000L)))
   }
 
+  test("surprisalStats: bit-length conditional surprisal, novel counts, short docs absent") {
+    // bigrams: doc1 "a b"×2 + "b a"; doc2 "a b" + "b c"; doc3 none
+    // corpus: c("a b")=3, c("b a")=1, c("b c")=1; contexts a·=3, b·=2
+    // surp: "a b" = bitlen(3)−bitlen(3) = 0; "b a" = "b c" = bitlen(2)−bitlen(1) = 1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = CorpusSignals.surprisalStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // doc1: 3 bigram occurrences, surprisal 1, ⌊1e6/3⌋, one novel ("b a")
+    assert(out(1L) == ((3L, 1L, 333333L, 1L)))
+    assert(out(2L) == ((2L, 1L, 500000L, 1L)))
+  }
+
+  test("importanceScore: zero weights when target = corpus, LLR weights otherwise") {
+    import graft.pipeline.{CorpusSignals, Hashing}
+    // one bucket ⇒ target counts vs corpus counts normalize identically at
+    // every size ⇒ every weight is 0 and every doc scores 0
+    val docs = Seq((1L, "a b c", "t"), (2L, "d e", "t"), (3L, "f g h", "u"))
+      .toDF("doc_id", "text", "source")
+    val flat = CorpusSignals.importanceScore(docs, "doc_id", "text", lit(true), buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(flat.toSet == Set((1L, true, 2L, 0L), (2L, true, 1L, 0L), (3L, true, 2L, 0L)))
+    // two disjoint vocabularies: recompute the published weight formula
+    // scalar-side from the same md5 bucket mapping and add-one smoothing
+    def bitLen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val tgt = Seq((10L, "aa bb aa bb aa bb", "t"), (11L, "cc dd", "u"), (12L, "cc dd", "u"))
+      .toDF("doc_id", "text", "source")
+    val buckets = 4096
+    val spark2 = tgt.sparkSession
+    import spark2.implicits._
+    val bucketOf = Seq("aa bb", "bb aa", "cc dd").toDF("s")
+      .select(col("s"), pmod(Hashing.md5Long(col("s")), lit(buckets)).as("fb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assume(bucketOf.values.toSet.size == 3) // no collisions at 4096
+    // corpus occurrences: "aa bb"×3 + "bb aa"×2 (doc10, target), "cc dd"×2
+    val (nt, ns) = (5L, 7L)
+    def w(ct: Long, cs: Long): Long =
+      (bitLen(ct + 1) - bitLen(nt + 1)) - (bitLen(cs + 1) - bitLen(ns + 1))
+    val expect10 = 3 * w(3, 3) + 2 * w(2, 2)
+    val expect11 = 1 * w(0, 2)
+    val out = CorpusSignals.importanceScore(tgt, "doc_id", "text",
+        col("source") === "t", buckets)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((true, 5L, expect10)))
+    assert(out(11L) == ((false, 1L, expect11)))
+    assert(out(12L) == ((false, 1L, expect11)))
+    // target-looking text scores strictly above corpus-typical text
+    assert(out(10L)._3 > out(11L)._3)
+  }
+
   test("searchTopK ranks by tf × inverse-df, ties to smaller id, absent term = 0") {
     val docs = Seq(
       (1L, "rare common common"), // df(common)=4: 1×(1e6/1) + 2×(1e6/4)

@@ -269,7 +269,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
     val dfs = Seq(
       "rarity" -> graft.pipeline.CorpusSignals.rarityStats(docs, "doc_id", "text", 50),
-      "boilerplate" -> graft.pipeline.CorpusSignals.boilerplateStats(docs, "doc_id", "text"))
+      "boilerplate" -> graft.pipeline.CorpusSignals.boilerplateStats(docs, "doc_id", "text"),
+      // these two also pin the explicit isnotnull-on-the-join-key spelling:
+      // the context/totals Window blocks the inferred probe-side filter
+      // from pushing down symmetrically, so without it the subtrees differ
+      // and the corpus is scanned per branch
+      "surprisal" -> graft.pipeline.CorpusSignals.surprisalStats(docs, "doc_id", "text"),
+      "dsir" -> graft.pipeline.CorpusSignals.importanceScore(
+        docs, "doc_id", "text", org.apache.spark.sql.functions.col("source") === "src0", 512))
     dfs.foreach { case (name, f) =>
       // exchange reuse is an AQE runtime decision — execute, then audit the
       // final plan: without ReusedExchange the scan + explode + hashing of
@@ -278,6 +285,9 @@ class PlanAuditSpec extends AnyFunSuite {
       val p = f.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"),
         s"$name recomputes the occurrence exchange per branch:\n$p")
+      val finalPlan = p.split("== Initial Plan ==")(0)
+      assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
+        s"$name scans the corpus more than once:\n$p")
     }
   }
 }
