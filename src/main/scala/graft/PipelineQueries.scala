@@ -250,6 +250,15 @@ object PipelineQueries {
       CorpusSignals.importanceScore(docs(s, d), "doc_id", "text",
         col("source") === "src0", buckets = 512)),
 
+    "q_bpe_merges" -> ((s, d) =>
+      // BPE vocabulary training on the word-frequency table: 8 exact
+      // merge rounds, ties broken on the pair string
+      Bpe.train(docs(s, d), "text", merges = 8).merges),
+
+    "q_bpe_vocab" -> ((s, d) =>
+      // the segmented word table after those same 8 merges
+      Bpe.train(docs(s, d), "text", merges = 8).vocab),
+
     "q_boilerplate" -> ((s, d) =>
       // duplicated-span fraction: share of each doc's distinct 3-grams
       // appearing in >= 2 documents (RefinedWeb-style boilerplate signal)
@@ -420,7 +429,54 @@ object PipelineQueries {
   private val duckShingleHashes =
     s"list_transform(s, g -> ${duckMd5Long("g")} % $P)"
 
+  /** `k` unrolled BPE merge rounds as chained CTEs, independently
+    * re-implementing [[pipeline.Bpe.train]]: per round, pair counts over
+    * the current vocabulary (p), the (count DESC, pair ASC) winner (b),
+    * and a per-word greedy left-to-right merge pass as a positional
+    * recursive scan (m → v). The winning pair is joined into the
+    * recursion's ANCHOR and carried in its state — referencing b inside
+    * the recursive term would re-evaluate the whole CTE chain every
+    * iteration. */
+  private def bpeOracle(k: Int, select: String): String = {
+    val rounds = (1 to k).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (SELECT p, CAST(sum(wc) AS BIGINT) AS pc FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(s)),
+         |      i -> s[i] || ' ' || s[i+1])) AS p FROM $prev) GROUP BY 1),
+         |b$r AS (SELECT p, pc FROM p$r ORDER BY pc DESC, p LIMIT 1),
+         |m$r AS (SELECT word, wc, s, 1 AS pos, []::VARCHAR[] AS acc,
+         |    split_part(b$r.p, ' ', 1) AS bl, split_part(b$r.p, ' ', 2) AS br
+         |  FROM $prev, b$r
+         |  UNION ALL
+         |  SELECT word, wc, s,
+         |    CASE WHEN pos < len(s) AND s[pos] = bl AND s[pos+1] = br
+         |         THEN pos + 2 ELSE pos + 1 END,
+         |    CASE WHEN pos < len(s) AND s[pos] = bl AND s[pos+1] = br
+         |         THEN list_append(acc, bl || br) ELSE list_append(acc, s[pos]) END,
+         |    bl, br
+         |  FROM m$r WHERE pos <= len(s)),
+         |v$r AS (SELECT word, wc, acc AS s FROM m$r WHERE pos = len(s) + 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE v0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
+       |    regexp_split_to_array(word, '') AS s
+       |  FROM (SELECT unnest($toks) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |$rounds
+       |$select""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle(8,
+      "SELECT * FROM (" + (1 to 8).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, split_part(p, ' ', 1) AS l_sym, " +
+        s"split_part(p, ' ', 2) AS r_sym, replace(p, ' ', '') AS merged, " +
+        s"pc AS pair_count FROM b$r").mkString("\nUNION ALL ") + ")"),
+
+    "q_bpe_vocab" -> bpeOracle(8,
+      "SELECT word, wc, CAST(len(s) AS BIGINT) AS n_symbols, " +
+      "array_to_string(s, ' ') AS seg FROM v8"),
+
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS tok_ws,
          |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tok_bpe,

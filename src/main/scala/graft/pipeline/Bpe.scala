@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units") re-expressed for
+  * Spark's execution model.
+  *
+  * The classic formulation already trains on the WORD-FREQUENCY table, not
+  * running text — so the corpus is scanned exactly once (explode + count),
+  * and every merge round after that touches vocabulary-cardinality rows
+  * only:
+  *
+  *  - pair counting is a partial+final aggregate over the symbol table,
+  *    weighted by word count;
+  *  - the winning pair is ONE collected aggregate row per round (the
+  *    [[Search.searchTopK]] rule: collect aggregates, never data), picked
+  *    deterministically by (count DESC, pair-string ASC);
+  *  - the merge applies as a per-word greedy fold (interpreted HOF — fine
+  *    off the corpus path, the [[Dedup.minhashColumns]] measurement applies
+  *    to corpus-sized inputs only);
+  *  - each round's vocabulary is materialized ([[Clustering]]'s pattern:
+  *    `localCheckpoint` by default, reliable scratch Parquet under
+  *    `checkpointDir` for real clusters), otherwise round k would replay
+  *    rounds 1..k−1 on every action.
+  *
+  * At 100 TB the word table is millions-to-billions of rows — far below
+  * corpus size but too big to collect, which is why the loop stays
+  * distributed; production runs batch thousands of merges by collecting
+  * the HEAD of the pair-count table per round, an approximation this
+  * implementation deliberately avoids so results stay exactly canonical.
+  *
+  * Character splitting is per UTF-16 code unit on the Spark side; the
+  * documents corpus is ASCII, where code units = code points = bytes.
+  */
+object Bpe {
+
+  /** Training output: `merges` = the learned table
+    * `(merge_rank, l_sym, r_sym, merged, pair_count)` in learned order;
+    * `vocab` = the final segmented word table
+    * `(word, wc, n_symbols, seg)` with `seg` the space-joined symbols. */
+  final case class BpeModel(merges: DataFrame, vocab: DataFrame)
+
+  /** One greedy left-to-right pass merging (l, r) → l+r over a symbol
+    * array, as a fold: append x, except when the accumulator's last symbol
+    * is exactly `l` and x is `r` — then replace it with the merged symbol.
+    * Equivalent to the positional greedy scan: after a merge the last
+    * symbol becomes l+r ≠ l (r is never empty), so an overlapping re-merge
+    * cannot fire — the same non-overlap rule as the reference BPE loop. */
+  private[pipeline] def applyMerge(s: Column, l: String, r: String): Column =
+    aggregate(s, array().cast("array<string>"), (acc, x) =>
+      when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `merges` BPE merges on the corpus text column. Stops early when
+    * no pair is left to merge (every word fused to one symbol).
+    *
+    * Pairs are ranked by summed word-count and ties break on the
+    * space-joined pair string — symbols contain no whitespace, so that
+    * order is total and identical in any engine.
+    *
+    * @param checkpointDir when set, each round's vocabulary materializes to
+    *                      `<dir>/bpe_round_<n>` Parquet (reliable — survives
+    *                      executor loss; stale rounds are deleted as the
+    *                      job advances, the final round's table backs the
+    *                      returned frames); when None, rounds
+    *                      `localCheckpoint` to executor block storage. */
+  def train(df: DataFrame, textCol: String, merges: Int,
+      checkpointDir: Option[String] = None): BpeModel = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def materialize(v: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/bpe_round_$round"
+        v.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => v.localCheckpoint(true)
+    }
+    def dropRound(round: Int): Unit = checkpointDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/bpe_round_$round")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true): Unit
+    }
+
+    var vocab = materialize(
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .withColumn("s", split(col("word"), "")), 0)
+
+    val learned = Seq.newBuilder[(Long, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val top = vocab
+        .select(col("wc"), explode(Dedup.wordGrams(col("s"), 2)).as("p"))
+        .groupBy("p").agg(sum(col("wc")).as("pc"))
+        .orderBy(col("pc").desc, col("p").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (p, pc) = (top(0).getString(0), top(0).getLong(1))
+        val Array(l, r) = p.split(" ", 2)
+        learned += ((round.toLong, l, r, l + r, pc))
+        vocab = materialize(vocab.withColumn("s", applyMerge(col("s"), l, r)), round)
+        dropRound(round - 1)
+        round += 1
+      }
+    }
+
+    BpeModel(
+      merges = learned.result()
+        .toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count"),
+      vocab = vocab.select(col("word"), col("wc"),
+        size(col("s")).cast("long").as("n_symbols"),
+        concat_ws(" ", col("s")).as("seg")))
+  }
+}

@@ -31,8 +31,11 @@ class CoreScenariosSpec extends AnyFunSuite {
     assertExcludes(all, "p$")
     // WHERE timestamp resolves to the CORE (ingest-clock) column, exactly
     // like the reference's get_field_scalar — payload 1000/2000 would match
-    // nothing against a > 1500s boundary if it shadowed the other way
-    val t0 = all.split("\"rows\":\\[\\[")(1).split(",")(2) // core ts of first row
+    // nothing against a > 1500s boundary if it shadowed the other way.
+    // (ORDER BY pins row order — unordered results surface either row
+    // first, and t0 must be sh1's core ts, the smaller one.)
+    val ordered = p.send("QUERY shdw ORDER BY timestamp")
+    val t0 = ordered.split("\"rows\":\\[\\[")(1).split(",")(2) // core ts of first row
     val later = p.send(s"QUERY shdw WHERE timestamp > ${t0.trim.toLong + 1}")
     assertIncludes(later, "sh2", "\"row_count\":1")
     assertExcludes(later.split("\"row_count\"")(0), "sh1")

@@ -832,6 +832,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(10L)._3 > out(11L)._3)
   }
 
+  test("BPE training: deterministic merges, greedy application, early stop") {
+    // the classic Sennrich corpus: low×3, lower×2, newest×1
+    // r1: "l o"=5 ties "o w"=5 → string asc picks (l,o)→lo
+    // r2: (lo,w)→low pc=5;  r3: "e r"=2 ties "low e"=2 → (e,r)→er
+    val docs = Seq((1L, "low low low lower"), (2L, "lower newest")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", merges = 3)
+    val m = model.merges.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (1L, "l", "o", "lo", 5L), (2L, "lo", "w", "low", 5L), (3L, "e", "r", "er", 2L)))
+    val v = model.vocab.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(v("low") == ((3L, 1L, "low")))
+    assert(v("lower") == ((2L, 2L, "low er")))
+    assert(v("newest") == ((1L, 6L, "n e w e s t")))
+    // early stop: single letters fuse fully, further merges are a no-op
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val t = Bpe.train(tiny, "text", merges = 10)
+    assert(t.merges.count() == 1)
+    assert(t.vocab.collect().map(r => r.getString(3)).toSeq == Seq("ab"))
+    // reliable-checkpoint variant produces identical output
+    val dir = java.nio.file.Files.createTempDirectory("bpe_ckpt").toString
+    val ck = Bpe.train(docs, "text", merges = 3, checkpointDir = Some(dir))
+    assert(ck.merges.collect().map(_.toSeq).toSet == model.merges.collect().map(_.toSeq).toSet)
+    assert(ck.vocab.collect().map(_.toSeq).toSet == model.vocab.collect().map(_.toSeq).toSet)
+  }
+
   test("searchTopK ranks by tf × inverse-df, ties to smaller id, absent term = 0") {
     val docs = Seq(
       (1L, "rare common common"), // df(common)=4: 1×(1e6/1) + 2×(1e6/4)
