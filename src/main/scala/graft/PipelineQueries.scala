@@ -259,6 +259,13 @@ object PipelineQueries {
       // the segmented word table after those same 8 merges
       Bpe.train(docs(s, d), "text", merges = 8).vocab),
 
+    "q_bpe_encode" -> ((s, d) => {
+      // corpus tokenization with the learned tokenizer: per-doc word and
+      // BPE-token counts via the segmented-vocab lookup join
+      val d0 = docs(s, d)
+      Bpe.encode(d0, "doc_id", "text", Bpe.train(d0, "text", merges = 8).vocab)
+    }),
+
     "q_boilerplate" -> ((s, d) =>
       // duplicated-span fraction: share of each doc's distinct 3-grams
       // appearing in >= 2 documents (RefinedWeb-style boilerplate signal)
@@ -476,6 +483,13 @@ object PipelineQueries {
     "q_bpe_vocab" -> bpeOracle(8,
       "SELECT word, wc, CAST(len(s) AS BIGINT) AS n_symbols, " +
       "array_to_string(s, ' ') AS seg FROM v8"),
+
+    // per-doc encode = segmented-vocab lookup join, same 8-round chain
+    "q_bpe_encode" -> bpeOracle(8,
+      s"""SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(s)) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, unnest($toks) AS word FROM documents) o
+         |JOIN v8 USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin),
 
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS tok_ws,

@@ -119,4 +119,22 @@ object Bpe {
         size(col("s")).cast("long").as("n_symbols"),
         concat_ws(" ", col("s")).as("seg")))
   }
+
+  /** Tokenize a corpus with a trained model: per-document word and
+    * BPE-token counts. Every corpus word is IN the vocabulary by
+    * construction (same corpus), so encoding is a lookup of the already-
+    * segmented word table — the corpus never runs the merge fold. The
+    * vocabulary side of the join is the small one (distinct words vs
+    * corpus rows); AQE broadcasts it, so document words never shuffle —
+    * the [[Contamination]] shape. Output: `(idCol, n_words, n_bpe_tokens)`
+    * for documents with ≥ 1 word. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocab.select(col("word"), col("n_symbols")), "word")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_symbols")).as("n_bpe_tokens"))
+      .select(col("id"), col("n_words"), col("n_bpe_tokens"))
 }

@@ -857,6 +857,11 @@ class PipelineSpec extends AnyFunSuite {
     val ck = Bpe.train(docs, "text", merges = 3, checkpointDir = Some(dir))
     assert(ck.merges.collect().map(_.toSeq).toSet == model.merges.collect().map(_.toSeq).toSet)
     assert(ck.vocab.collect().map(_.toSeq).toSet == model.vocab.collect().map(_.toSeq).toSet)
+    // encode via segmented-vocab lookup: low=1, lower=2, newest=6 symbols
+    val enc = Bpe.encode(docs, "doc_id", "text", model.vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(enc(1L) == ((4L, 3 * 1L + 2L)))
+    assert(enc(2L) == ((2L, 2L + 6L)))
   }
 
   test("searchTopK ranks by tf × inverse-df, ties to smaller id, absent term = 0") {
