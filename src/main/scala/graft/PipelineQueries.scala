@@ -266,6 +266,29 @@ object PipelineQueries {
       Bpe.encode(d0, "doc_id", "text", Bpe.train(d0, "text", merges = 8).vocab)
     }),
 
+    "q_pipeline_v3" -> ((s, d) => {
+      // the model-based selection chain composed end-to-end: quality gate →
+      // bigram-LM surprisal band (CCNet's perplexity band: drop BOTH tails)
+      // → DSIR positive selection vs the src0 target (target sample itself
+      // excluded) → exact dedup (keep-min). One oracle checks the chain
+      val d0 = docs(s, d)
+      val surp = CorpusSignals.surprisalStats(d0, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("mean_surprisal_ppm"))
+      val imp = CorpusSignals.importanceScore(d0, "doc_id", "text",
+          col("source") === "src0", buckets = 512)
+        .select(col("id").as("doc_id"), col("is_target"), col("dsir_score"))
+      val band = d0
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.4)
+        .join(surp, "doc_id").join(imp, "doc_id")
+        .filter(col("mean_surprisal_ppm").between(4400000L, 4650000L))
+        .filter(!col("is_target") && col("dsir_score") >= 1)
+      val keep = Dedup.exactDedup(band, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      band.join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("mean_surprisal_ppm"), col("dsir_score"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok_ws"))
+    }),
+
     "q_boilerplate" -> ((s, d) =>
       // duplicated-span fraction: share of each doc's distinct 3-grams
       // appearing in >= 2 documents (RefinedWeb-style boilerplate signal)
@@ -490,6 +513,55 @@ object PipelineQueries {
          |  CAST(sum(len(s)) AS BIGINT) AS n_bpe_tokens
          |FROM (SELECT doc_id, unnest($toks) AS word FROM documents) o
          |JOIN v8 USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin),
+
+    // the quality → surprisal band → DSIR selection → dedup chain, each
+    // stage the verified q_text_quality / q_lm_surprisal / q_dsir_score /
+    // q_dedup_exact oracle with CTEs prefixed to compose
+    "q_pipeline_v3" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  round(least(len($toks) / 50.0, 1.0) * 0.4 +
+         |    (CASE WHEN length(text)*1.0/len($toks) BETWEEN 3.0 AND 10.0
+         |      THEN 1.0 ELSE 0.5 END) * 0.4 +
+         |    least(${duckStop("en")} * 10.0 / len($toks), 1.0) * 0.2, 6) AS quality
+         |  FROM documents),
+         |s_t AS (SELECT doc_id, $toks AS w FROM documents),
+         |s_o AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS bg FROM s_t) GROUP BY 1, 2),
+         |s_g AS (SELECT bg, CAST(sum(cnt) AS BIGINT) AS cb FROM s_o GROUP BY 1),
+         |s_s AS (SELECT bg, CAST(length(bin(sum(cb) OVER (PARTITION BY split_part(bg, ' ', 1))))
+         |    - length(bin(cb)) AS BIGINT) AS surp FROM s_g),
+         |surp AS (SELECT doc_id,
+         |    CAST(floor(sum(cnt * surp) * 1000000.0 / sum(cnt)) AS BIGINT) AS mean_surprisal_ppm
+         |  FROM s_o JOIN s_s USING (bg) GROUP BY doc_id),
+         |d_o AS (SELECT doc_id, is_target, ${duckMd5Long("bg")} % 512 AS fb,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, (source = 'src0') AS is_target,
+         |      unnest(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i+1])) AS bg
+         |    FROM (SELECT doc_id, source, $toks AS w FROM documents
+         |          WHERE doc_id IS NOT NULL))
+         |  GROUP BY 1, 2, 3),
+         |d_wt AS (SELECT fb, CAST(sum(cnt) AS BIGINT) AS cs,
+         |    CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS ct
+         |  FROM d_o GROUP BY 1),
+         |d_ww AS (SELECT fb,
+         |  CAST((length(bin(ct + 1)) - length(bin(sum(ct) OVER () + 1))) -
+         |       (length(bin(cs + 1)) - length(bin(sum(cs) OVER () + 1))) AS BIGINT) AS w
+         |  FROM d_wt),
+         |imp AS (SELECT doc_id, is_target, CAST(sum(cnt * w) AS BIGINT) AS dsir_score
+         |  FROM d_o JOIN d_ww USING (fb) GROUP BY 1, 2),
+         |band AS (SELECT d.doc_id, d.text, surp.mean_surprisal_ppm, imp.dsir_score
+         |  FROM documents d JOIN q USING (doc_id) JOIN surp USING (doc_id)
+         |    JOIN imp USING (doc_id)
+         |  WHERE q.quality >= 0.4
+         |    AND surp.mean_surprisal_ppm BETWEEN 4400000 AND 4650000
+         |    AND NOT imp.is_target AND imp.dsir_score >= 1),
+         |keep AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck,
+         |    min(doc_id) AS keep_id FROM band GROUP BY 1)
+         |SELECT b.doc_id, b.mean_surprisal_ppm, b.dsir_score,
+         |  CAST(len(regexp_split_to_array(trim(b.text), '\\s+')) AS BIGINT) AS tok_ws
+         |FROM band b JOIN keep k ON b.doc_id = k.keep_id""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS tok_ws,

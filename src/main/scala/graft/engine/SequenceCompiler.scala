@@ -136,7 +136,8 @@ object SequenceCompiler {
     q.limit match {
       case Some(n) =>
         matched
-          .orderBy(col(outFields(1).name) +: outSchema.fieldNames.filterNot(_ == outFields(1).name).map(col): _*)
+          .orderBy((col(outFields(1).name) +: outSchema.fieldNames
+            .filterNot(_ == outFields(1).name).map(col).toIndexedSeq): _*)
           .limit(n)
       case None => matched
     }
