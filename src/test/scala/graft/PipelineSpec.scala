@@ -896,6 +896,22 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("token") === "the").collect().head
     assert(posting.getLong(1) == 100000L && posting.getLong(2) == 200000L)
     assert(posting.getSeq[Long](3) == Seq(0L, 1L, 2L, 3L))
+    // surprisal under the same skew: c(the the)=100k, c(the w<k>)=100,
+    // context c(the ·)=200k → surp = 18−17=1 and 18−7=11; no novel bigrams
+    val surp = CorpusSignals.surprisalStats(docs, "doc_id", "text")
+      .agg(sum("n_bigrams"), sum("surprisal"), min("mean_surprisal_ppm"),
+        max("mean_surprisal_ppm"), max("n_novel")).collect().head
+    assert(surp.getLong(0) == 200000L && surp.getLong(1) == 12 * 100000L)
+    assert(surp.getLong(2) == 6000000L && surp.getLong(3) == 6000000L)
+    assert(surp.getLong(4) == 0L)
+    // DSIR under the same skew (the hot bigram is one hot bucket): per-doc
+    // feature counts stay exact and the target flag partitions cleanly
+    val imp = CorpusSignals.importanceScore(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0, buckets = 64)
+      .agg(count(lit(1)), sum("n_feats"),
+        sum(when(col("is_target"), 1L).otherwise(0L))).collect().head
+    assert(imp.getLong(0) == 100000L && imp.getLong(1) == 200000L)
+    assert(imp.getLong(2) == 50000L)
   }
 
   test("buildPostings caps posting heads but keeps exact df/tf") {
