@@ -252,19 +252,18 @@ object PipelineQueries {
 
     "q_bpe_merges" -> ((s, d) =>
       // BPE vocabulary training on the word-frequency table: 8 exact
-      // merge rounds, ties broken on the pair string
-      Bpe.train(docs(s, d), "text", merges = 8).merges),
+      // merge rounds, ties broken on the pair string (model memoized per
+      // dir — the three q_bpe_* queries are facets of one training run)
+      bpeModel(s, d).merges),
 
     "q_bpe_vocab" -> ((s, d) =>
       // the segmented word table after those same 8 merges
-      Bpe.train(docs(s, d), "text", merges = 8).vocab),
+      bpeModel(s, d).vocab),
 
-    "q_bpe_encode" -> ((s, d) => {
+    "q_bpe_encode" -> ((s, d) =>
       // corpus tokenization with the learned tokenizer: per-doc word and
       // BPE-token counts via the segmented-vocab lookup join
-      val d0 = docs(s, d)
-      Bpe.encode(d0, "doc_id", "text", Bpe.train(d0, "text", merges = 8).vocab)
-    }),
+      Bpe.encode(docs(s, d), "doc_id", "text", bpeModel(s, d).vocab)),
 
     "q_pipeline_v3" -> ((s, d) => {
       // the model-based selection chain composed end-to-end: quality gate →
@@ -467,6 +466,14 @@ object PipelineQueries {
     * recursion's ANCHOR and carried in its state — referencing b inside
     * the recursive term would re-evaluate the whole CTE chain every
     * iteration. */
+  /** One BPE model per corpus dir, shared by the three q_bpe_* queries —
+    * they are facets of the SAME training run; without this a verify pass
+    * trains the identical model three times. */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, pipeline.Bpe.BpeModel]()
+  private def bpeModel(s: SparkSession, d: String): pipeline.Bpe.BpeModel =
+    bpeModels.computeIfAbsent(d, _ => Bpe.train(docs(s, d), "text", merges = 8))
+
   private def bpeOracle(k: Int, select: String): String = {
     val rounds = (1 to k).map { r =>
       val prev = s"v${r - 1}"
@@ -476,7 +483,7 @@ object PipelineQueries {
          |b$r AS (SELECT p, pc FROM p$r ORDER BY pc DESC, p LIMIT 1),
          |m$r AS (SELECT word, wc, s, 1 AS pos, []::VARCHAR[] AS acc,
          |    split_part(b$r.p, ' ', 1) AS bl, split_part(b$r.p, ' ', 2) AS br
-         |  FROM $prev, b$r
+         |  FROM $prev LEFT JOIN b$r ON true
          |  UNION ALL
          |  SELECT word, wc, s,
          |    CASE WHEN pos < len(s) AND s[pos] = bl AND s[pos+1] = br
@@ -524,7 +531,8 @@ object PipelineQueries {
          |      THEN 1.0 ELSE 0.5 END) * 0.4 +
          |    least(${duckStop("en")} * 10.0 / len($toks), 1.0) * 0.2, 6) AS quality
          |  FROM documents),
-         |s_t AS (SELECT doc_id, $toks AS w FROM documents),
+         |s_t AS (SELECT doc_id, $toks AS w FROM documents
+         |    WHERE doc_id IS NOT NULL),
          |s_o AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt FROM (
          |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
          |      i -> w[i] || ' ' || w[i+1])) AS bg FROM s_t) GROUP BY 1, 2),
@@ -954,7 +962,8 @@ object PipelineQueries {
     // bigram df as doc-distinct row count, context counts as a window over
     // the distinct-bigram table, and length(bin(x)) as the integer log2
     "q_lm_surprisal" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents
+         |    WHERE doc_id IS NOT NULL),
          |o AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt FROM (
          |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
          |      i -> w[i] || ' ' || w[i+1])) AS bg FROM t)

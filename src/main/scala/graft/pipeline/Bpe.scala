@@ -106,7 +106,12 @@ object Bpe {
         val (p, pc) = (top(0).getString(0), top(0).getLong(1))
         val Array(l, r) = p.split(" ", 2)
         learned += ((round.toLong, l, r, l + r, pc))
+        val prev = vocab
         vocab = materialize(vocab.withColumn("s", applyMerge(col("s"), l, r)), round)
+        // release the superseded round's blocks/table eagerly (the
+        // Clustering pattern) — at a billion-row word table, letting nine
+        // pinned copies wait for the ContextCleaner is eviction pressure
+        prev.unpersist(false): Unit
         dropRound(round - 1)
         round += 1
       }

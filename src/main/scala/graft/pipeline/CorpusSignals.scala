@@ -218,12 +218,15 @@ object CorpusSignals {
     * The join back is bigram-keyed; stopword-headed bigrams are the
     * high-df keys AQE skew-splits. Nothing is collected to the driver. */
   def surprisalStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // the explicit isnotnull(bg) is a semantic no-op (grams are concats of
+    // NULL ids dropped (like [[importanceScore]]: a per-document row needs
+    // an identity, and the bdf spelling below would otherwise skip NULL-id
+    // rows while an engine counting rows would not — an oracle divergence).
+    // The explicit isnotnull(bg) is a semantic no-op (grams are concats of
     // non-null tokens) — but the JOIN below infers it on its probe side and
     // pushes it above the explode, while on the LM side it cannot push
     // through the context Window; spelling it here puts it in BOTH branches
     // so the occ subtrees stay identical and ReuseExchange scans once
-    val occ = df
+    val occ = df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
       .filter(col("bg").isNotNull)

@@ -785,7 +785,10 @@ class PipelineSpec extends AnyFunSuite {
     // bigrams: doc1 "a b"×2 + "b a"; doc2 "a b" + "b c"; doc3 none
     // corpus: c("a b")=3, c("b a")=1, c("b c")=1; contexts a·=3, b·=2
     // surp: "a b" = bitlen(3)−bitlen(3) = 0; "b a" = "b c" = bitlen(2)−bitlen(1) = 1
-    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    // the NULL-id doc is dropped entirely: it must not form a pseudo-doc
+    // row nor shift any bigram's corpus counts/df
+    val docs = Seq((Some(1L), "a b a b"), (Some(2L), "a b c"), (Some(3L), "x"),
+      (None, "a b a b")).toDF("doc_id", "text")
     val out = CorpusSignals.surprisalStats(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
