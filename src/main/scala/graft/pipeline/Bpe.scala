@@ -48,7 +48,7 @@ object Bpe {
     * Equivalent to the positional greedy scan: after a merge the last
     * symbol becomes l+r ≠ l (r is never empty), so an overlapping re-merge
     * cannot fire — the same non-overlap rule as the reference BPE loop. */
-  private[pipeline] def applyMerge(s: Column, l: String, r: String): Column =
+  private[graft] def applyMerge(s: Column, l: String, r: String): Column =
     aggregate(s, array().cast("array<string>"), (acc, x) =>
       when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))

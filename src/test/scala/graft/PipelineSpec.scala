@@ -867,6 +867,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(enc(2L) == ((2L, 2L + 6L)))
   }
 
+  test("BPE applyMerge fold == positional greedy scan on adversarial symbol runs") {
+    // the reference semantics: one left-to-right pass, merges never overlap
+    def scan(s: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    // alphabet chosen so merged symbols collide with existing ones
+    // (ab = a+b, aa = a+a) — the overlap/ambiguity cases the fold's
+    // "last == l" rule must get right
+    val alphabet = Vector("a", "b", "ab", "aa", "ba")
+    val rnd = new scala.util.Random(20260813L)
+    val pairs = for (l <- alphabet; r <- alphabet) yield (l, r)
+    pairs.foreach { case (l, r) =>
+      val cases = Vector.fill(12) {
+        Vector.fill(rnd.nextInt(11))(alphabet(rnd.nextInt(alphabet.length)))
+      }
+      val got = cases.map(c => (c, c)).toDF("s", "orig")
+        .select(col("orig"), Bpe.applyMerge(col("s"), l, r).as("m"))
+        .collect()
+        .map(row => row.getSeq[String](0).toVector -> row.getSeq[String](1).toVector)
+      got.foreach { case (orig, merged) =>
+        assert(merged == scan(orig, l, r),
+          s"fold/scan drift for ($l,$r) on $orig: fold=$merged scan=${scan(orig, l, r)}")
+      }
+    }
+  }
+
   test("searchTopK ranks by tf × inverse-df, ties to smaller id, absent term = 0") {
     val docs = Seq(
       (1L, "rare common common"), // df(common)=4: 1×(1e6/1) + 2×(1e6/4)
