@@ -264,6 +264,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("selection chain v3 plans no pair space and a bounded scan count") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val f = graft.PipelineQueries.queries("q_pipeline_v3")(spark, dir)
+    f.collect()
+    val p = f.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"v3 chain plans a pair space:\n$p")
+    // four corpus-relative models + the dedup/self joins: the corpus may
+    // be scanned once per model stage but never per branch-within-a-stage
+    // (surprisal and DSIR each reuse their occurrence exchange)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 6, s"v3 chain reads the corpus $scans times:\n$p")
+  }
+
   test("corpus signals scan and tokenize once: the df branch reuses the exchange") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
