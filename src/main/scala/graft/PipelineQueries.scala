@@ -250,6 +250,14 @@ object PipelineQueries {
       CorpusSignals.importanceScore(docs(s, d), "doc_id", "text",
         col("source") === "src0", buckets = 512)),
 
+    "q_dsir_resample" -> ((s, d) =>
+      // DSIR's second half: accept ∝ 2^score via bit shifts on the base
+      // rate (the scores ARE log2 ratios) against the salted md5 coin
+      CorpusSignals.importanceResample(
+        CorpusSignals.importanceScore(docs(s, d), "doc_id", "text",
+          col("source") === "src0", buckets = 512),
+        "id", "dsir_score", basePpm = 250000L)),
+
     "q_bpe_merges" -> ((s, d) =>
       // BPE vocabulary training on the word-frequency table: 8 exact
       // merge rounds, ties broken on the pair string (model memoized per
@@ -957,6 +965,33 @@ object PipelineQueries {
          |  CAST(floor(sum(CASE WHEN df <= 50 THEN cnt ELSE 0 END) * 1000000.0 / sum(cnt)) AS BIGINT) AS rare_ppm,
          |  CAST(sum(cnt * CAST(floor(1000000.0 / df) AS BIGINT)) AS BIGINT) AS df_score
          |FROM occ JOIN dfs USING (tok) GROUP BY doc_id""".stripMargin,
+
+    // the q_dsir_score chain + shift-based acceptance and the salted coin
+    "q_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS w FROM documents
+         |    WHERE doc_id IS NOT NULL),
+         |o AS (SELECT doc_id, is_target, ${duckMd5Long("bg")} % 512 AS fb,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, (source = 'src0') AS is_target,
+         |      unnest(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i+1])) AS bg FROM t)
+         |  GROUP BY 1, 2, 3),
+         |wt AS (SELECT fb, CAST(sum(cnt) AS BIGINT) AS cs,
+         |    CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS ct
+         |  FROM o GROUP BY 1),
+         |ww AS (SELECT fb,
+         |  CAST((length(bin(ct + 1)) - length(bin(sum(ct) OVER () + 1))) -
+         |       (length(bin(cs + 1)) - length(bin(sum(cs) OVER () + 1))) AS BIGINT) AS w
+         |  FROM wt),
+         |sc AS (SELECT doc_id AS id, CAST(sum(cnt * w) AS BIGINT) AS dsir_score
+         |  FROM o JOIN ww USING (fb) GROUP BY 1),
+         |p AS (SELECT id, dsir_score,
+         |  least(1000000, CASE WHEN dsir_score >= 0
+         |    THEN 250000 << least(dsir_score, 20)
+         |    ELSE 250000 >> least(-dsir_score, 20) END) AS p_ppm FROM sc)
+         |SELECT id, dsir_score, CAST(p_ppm AS BIGINT) AS p_ppm,
+         |  (${duckMd5Long("'dsir:' || id")} % 1000000) < p_ppm AS accepted
+         |FROM p""".stripMargin,
 
     // bigram LM replicated exactly: same (doc, bigram, count) collapse,
     // bigram df as doc-distinct row count, context counts as a window over

@@ -317,4 +317,39 @@ object CorpusSignals {
         sum(col("cnt") * col("w")).as("dsir_score"))
       .select(col("id"), col("is_target"), col("n_feats"), col("dsir_score"))
   }
+
+  /** The second half of DSIR — deterministic importance RESAMPLING over an
+    * [[importanceScore]] output: accept each document with probability
+    * proportional to 2^score. The scores ARE log2-likelihood-ratios (built
+    * from [[bitLen]]), so the acceptance probability in millionths is the
+    * base rate bit-SHIFTED by the score — integer end to end, no FP `pow`:
+    *
+    * {{{ p_ppm = clamp(score ≥ 0 ? basePpm << min(score, 20)
+    *                             : basePpm >> min(−score, 20), 0, 1e6) }}}
+    *
+    * and a document is accepted when its salted md5 coin (the [[DataMix]]
+    * construction — `md5('salt:' || id) % 1e6`) lands below `p_ppm`.
+    * Deterministic in the id alone: the same document gets the same
+    * decision on any cluster, any partitioning, any engine. Output:
+    * `(id, dsir_score, p_ppm, accepted)` — one decision row per scored
+    * document; callers filter `accepted` (audits keep the full frame).
+    *
+    * 100 TB shape: pure per-row arithmetic fused into the upstream plan —
+    * zero shuffles, zero state. */
+  def importanceResample(scored: DataFrame, idCol: String, scoreCol: String,
+      basePpm: Long, salt: String = "dsir"): DataFrame = {
+    require(basePpm >= 0 && basePpm <= 1000000L,
+      s"basePpm must be in [0, 1e6], got $basePpm")
+    val s = col(scoreCol).cast("long")
+    // SQL-function spelling: the Scala shiftleft/shiftright helpers take a
+    // literal bit count, and the shift here is the (capped) score column
+    val sc = s"cast(`$scoreCol` as bigint)"
+    val pPpm = least(lit(1000000L),
+      when(s >= 0, expr(s"shiftleft(${basePpm}L, cast(least($sc, 20L) as int))"))
+        .otherwise(expr(s"shiftright(${basePpm}L, cast(least(-$sc, 20L) as int))")))
+    val coin = pmod(Hashing.md5Long(
+      concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(1000000L))
+    scored.select(col(idCol).as("id"), col(scoreCol),
+      pPpm.as("p_ppm"), (coin < pPpm).as("accepted"))
+  }
 }

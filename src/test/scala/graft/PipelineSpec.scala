@@ -835,6 +835,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(10L)._3 > out(11L)._3)
   }
 
+  test("importanceResample: shift-scaled acceptance, saturation at 0 and 1e6") {
+    val scored = Seq((1L, 0L), (2L, 3L), (3L, -2L), (4L, 25L), (5L, -30L))
+      .toDF("id", "dsir_score")
+    val out = CorpusSignals.importanceResample(scored, "id", "dsir_score", basePpm = 100000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 == 100000L)           // score 0 → base rate
+    assert(out(2L)._1 == 800000L)           // << 3
+    assert(out(3L)._1 == 25000L)            // >> 2
+    assert(out(4L)._1 == 1000000L && out(4L)._2)   // saturates → always kept
+    assert(out(5L)._1 == 0L && !out(5L)._2)        // 100000 >> 20 = 0 → never
+    // decisions depend only on (salt, id): same frame re-scored agrees
+    val again = CorpusSignals.importanceResample(scored, "id", "dsir_score", 100000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
+
   test("BPE training: deterministic merges, greedy application, early stop") {
     // the classic Sennrich corpus: low×3, lower×2, newest×1
     // r1: "l o"=5 ties "o w"=5 → string asc picks (l,o)→lo
