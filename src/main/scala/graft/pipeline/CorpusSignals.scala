@@ -347,9 +347,7 @@ object CorpusSignals {
     val pPpm = least(lit(1000000L),
       when(s >= 0, expr(s"shiftleft(${basePpm}L, cast(least($sc, 20L) as int))"))
         .otherwise(expr(s"shiftright(${basePpm}L, cast(least(-$sc, 20L) as int))")))
-    val coin = pmod(Hashing.md5Long(
-      concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(1000000L))
     scored.select(col(idCol).as("id"), col(scoreCol),
-      pPpm.as("p_ppm"), (coin < pPpm).as("accepted"))
+      pPpm.as("p_ppm"), (DataMix.coin(col(idCol), salt) < pPpm).as("accepted"))
   }
 }

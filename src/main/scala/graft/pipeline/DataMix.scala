@@ -24,7 +24,7 @@ object DataMix {
     * SKIPS nulls, which would hash every null id to the constant salt —
     * silently diverging from the `'salt:' || id` oracle spelling, where
     * `||` propagates NULL. Identical output for non-null ids. */
-  private def coin(idCol: Column, salt: String): Column =
+  private[pipeline] def coin(idCol: Column, salt: String): Column =
     pmod(Hashing.md5Long(concat(lit(s"$salt:"), idCol.cast("string"))), lit(M))
 
   /** Keep a deterministic `rate` fraction of rows (by salted id hash). */

@@ -898,20 +898,25 @@ class PipelineSpec extends AnyFunSuite {
     // "last == l" rule must get right
     val alphabet = Vector("a", "b", "ab", "aa", "ba")
     val rnd = new scala.util.Random(20260813L)
-    val pairs = for (l <- alphabet; r <- alphabet) yield (l, r)
-    pairs.foreach { case (l, r) =>
-      val cases = Vector.fill(12) {
-        Vector.fill(rnd.nextInt(11))(alphabet(rnd.nextInt(alphabet.length)))
-      }
-      val got = cases.map(c => (c, c)).toDF("s", "orig")
-        .select(col("orig"), Bpe.applyMerge(col("s"), l, r).as("m"))
-        .collect()
-        .map(row => row.getSeq[String](0).toVector -> row.getSeq[String](1).toVector)
-      got.foreach { case (orig, merged) =>
-        assert(merged == scan(orig, l, r),
-          s"fold/scan drift for ($l,$r) on $orig: fold=$merged scan=${scan(orig, l, r)}")
-      }
+    val pairs = (for (l <- alphabet; r <- alphabet) yield (l, r)).toVector
+    val cases = Vector.fill(20) {
+      Vector.fill(rnd.nextInt(11))(alphabet(rnd.nextInt(alphabet.length)))
     }
+    // one job: a merged column per (l, r) pair over the shared case rows
+    val mergedCols = pairs.zipWithIndex.map { case ((l, r), i) =>
+      Bpe.applyMerge(col("s"), l, r).as(s"m_$i")
+    }
+    cases.map(Tuple1(_)).toDF("s")
+      .select(col("s") +: mergedCols: _*)
+      .collect()
+      .foreach { row =>
+        val orig = row.getSeq[String](0).toVector
+        pairs.zipWithIndex.foreach { case ((l, r), i) =>
+          assert(row.getSeq[String](i + 1).toVector == scan(orig, l, r),
+            s"fold/scan drift for ($l,$r) on $orig: " +
+              s"fold=${row.getSeq[String](i + 1)} scan=${scan(orig, l, r)}")
+        }
+      }
   }
 
   test("searchTopK ranks by tf × inverse-df, ties to smaller id, absent term = 0") {
