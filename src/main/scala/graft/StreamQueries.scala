@@ -63,6 +63,23 @@ object StreamQueries {
         StreamingPipeline.admitStream(batch, corpusKeys, "doc_id", "text", "ets").toDF())
     }),
 
+    "q_stream_score" -> ((s, d) => {
+      // nightly-model split: DSIR weights trained batch-side on the corpus
+      // at rest, tonight's stream scored + resampled against them — every
+      // document gets the decision the batch path gives it, so the oracle
+      // is q_dsir_resample's. Complete mode flushes all windows at replay
+      // end (the q_stream_windowed pattern)
+      val src = new TestDataSource(s, d)
+      val weights = graft.pipeline.CorpusSignals.importanceWeights(
+        src.table("documents"), "text", col("source") === "src0", buckets = 512)
+      val stream = src.documentsStream
+        .withColumn("ets", col("doc_id") + lit(86400L))
+      StreamingReplay.run(
+        StreamingPipeline.scoreStream(stream, weights, "doc_id", "text", "ets",
+          basePpm = 250000L, buckets = 512),
+        mode = "complete")
+    }),
+
     "q_stream_windowed" -> ((s, d) => {
       // streaming PER DAY aggregation: tumbling window() + the batch agg
       // column compiler; complete mode so every window is emitted at replay
@@ -107,6 +124,10 @@ object StreamQueries {
     // content keys, so first-arrival == min-id survivor and the streaming
     // output equals the batch curation exactly
     "q_stream_curate" -> PipelineQueries.oracleSql("q_pipeline_e2e"),
+
+    // frozen weights trained on the same corpus ⇒ the stream decisions
+    // equal the batch DSIR score + resample chain row for row
+    "q_stream_score" -> PipelineQueries.oracleSql("q_dsir_resample"),
 
     // the exact stages of q_dedup_incremental's oracle: corpus-key
     // membership, then within-batch keep-min over keys the corpus lacks

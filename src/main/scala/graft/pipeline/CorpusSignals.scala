@@ -299,15 +299,9 @@ object CorpusSignals {
     // occ subtree matches the join-back's and ReuseExchange computes the
     // scan + explode + partial aggregate ONCE — the [[rarityStats]] trick,
     // plan-pinned in PlanAuditSpec
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val weights = occ.groupBy("fb").agg(
-        sum(when(col("id").isNotNull, col("cnt"))).as("cs"),
-        sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("ct"))
-      .withColumn("ns", sum(col("cs")).over(all))
-      .withColumn("nt", sum(col("ct")).over(all))
-      .select(col("fb"),
-        ((bitLen(col("ct") + 1) - bitLen(col("nt") + 1)) -
-         (bitLen(col("cs") + 1) - bitLen(col("ns") + 1))).as("w"))
+    val weights = llrWeights(occ.groupBy("fb").agg(
+      sum(when(col("id").isNotNull, col("cnt"))).as("cs"),
+      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("ct")))
     // is_target kept as a grouping key (constant per id): genuinely useful
     // downstream (selection usually excludes the target sample itself) and
     // it keeps this branch's occ column set identical to the weights branch
@@ -316,6 +310,38 @@ object CorpusSignals {
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt") * col("w")).as("dsir_score"))
       .select(col("id"), col("is_target"), col("n_feats"), col("dsir_score"))
+  }
+
+  /** Add-one-smoothed log2-likelihood-ratio weights from a per-bucket
+    * count frame `(fb, cs, ct)` — corpus and target occurrence counts.
+    * Totals are windows over the bucket rows (≤ buckets of them), never a
+    * driver collect. Output: `(fb, w)`. */
+  private def llrWeights(bucketCounts: DataFrame): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    bucketCounts
+      .withColumn("ns", sum(col("cs")).over(all))
+      .withColumn("nt", sum(col("ct")).over(all))
+      .select(col("fb"),
+        ((bitLen(col("ct") + 1) - bitLen(col("nt") + 1)) -
+         (bitLen(col("cs") + 1) - bitLen(col("ns") + 1))).as("w"))
+  }
+
+  /** Standalone DSIR weight TRAINING — the frozen-model half of the
+    * nightly-model / streaming-ingest split: the same weights
+    * [[importanceScore]] fuses into its one-scan plan, as a `(fb, w)`
+    * table to persist and join against fresh data (see
+    * `StreamingPipeline.scoreStream`). One corpus scan, no per-document
+    * collapse (occurrence totals need no doc identity). */
+  def importanceWeights(df: DataFrame, textCol: String, targetPred: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    llrWeights(df
+      .select(targetPred.cast("boolean").as("is_target"),
+        explode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
+      .select(col("is_target"), pmod(Hashing.md5Long(col("bg")), lit(buckets)).as("fb"))
+      .groupBy("fb").agg(
+        count(lit(1)).as("cs"),
+        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct")))
   }
 
   /** The second half of DSIR — deterministic importance RESAMPLING over an

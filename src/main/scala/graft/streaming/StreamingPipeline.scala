@@ -114,4 +114,44 @@ object StreamingPipeline {
           }
       }
   }
+
+  /** Score a document stream against a FROZEN DSIR weight table — the
+    * nightly-model / streaming-ingest split: weights come from
+    * [[graft.pipeline.CorpusSignals.importanceWeights]] over the training
+    * corpus at rest, the stream carries tonight's documents, and every
+    * document gets the SAME deterministic accept/reject decision the batch
+    * path would give it (the decision rule IS
+    * [[graft.pipeline.CorpusSignals.importanceResample]], applied to the
+    * streaming frame).
+    *
+    * Plan shape: stateless stream-static join — the weight table is
+    * bucket-cardinality and broadcast, so document features never shuffle
+    * for the lookup; per-document totals are an event-time-windowed
+    * streaming aggregate (a document's features all carry its event time,
+    * so its group closes when the watermark passes — bounded
+    * (windows × docs-in-flight) state, the [[StreamingAggregates]]
+    * pattern). Buckets the model never saw score 0 (left join), so fresh
+    * vocabulary is neutral, not dropped. Documents with < 2 tokens have no
+    * features and emit no decision — the batch semantics.
+    *
+    * `buckets` must match the weight table's training value. */
+  def scoreStream(stream: DataFrame, weights: DataFrame, idCol: String,
+      textCol: String, eventTimeCol: String, basePpm: Long,
+      salt: String = "dsir", watermarkDelay: String = "10 minutes",
+      buckets: Int = 4096, windowWidth: String = "1 hour"): DataFrame = {
+    val feats = stream
+      .withColumn("__event_time", timestamp_seconds(col(eventTimeCol).cast("long")))
+      .withWatermark("__event_time", watermarkDelay)
+      .select(col(idCol).cast("long").as("id"), col("__event_time"),
+        explode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
+      .select(col("id"), col("__event_time"),
+        pmod(graft.pipeline.Hashing.md5Long(col("bg")), lit(buckets)).as("fb"))
+      .join(broadcast(weights.select(col("fb"), col("w"))), Seq("fb"), "left")
+    val scored = feats
+      .groupBy(window(col("__event_time"), windowWidth), col("id"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("dsir_score"))
+      .drop("window")
+    graft.pipeline.CorpusSignals.importanceResample(
+      scored, "id", "dsir_score", basePpm, salt)
+  }
 }

@@ -4,6 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
+import graft.pipeline.CorpusSignals
 import graft.streaming.{StreamingPipeline, StreamingSequence}
 
 /** Stateful Structured Streaming operators: the flatMapGroupsWithState
@@ -102,6 +105,35 @@ class StreamingStatefulSpec extends AnyFunSuite {
     q.stop()
     // doc 2 fails quality, doc 3 fails language, doc 4 is a duplicate
     assert(ids == Set(1L))
+  }
+
+  test("streaming scoring: frozen DSIR weights give the batch decisions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "aa bb aa bb aa bb", "t"), (2L, "cc dd ee ff", "u"),
+      (3L, "cc dd cc dd", "u"), (4L, "gg hh aa bb", "t"))
+      .toDF("doc_id", "text", "source")
+    val weights = CorpusSignals.importanceWeights(
+      corpus, "text", col("source") === "t", buckets = 64)
+    // the batch chain on the SAME corpus is the ground truth
+    val batch = CorpusSignals.importanceResample(
+        CorpusSignals.importanceScore(corpus, "doc_id", "text",
+          col("source") === "t", buckets = 64),
+        "id", "dsir_score", basePpm = 500000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamingPipeline.scoreStream(mem.toDF.toDF("doc_id", "text", "ts"),
+        weights, "doc_id", "text", "ts", basePpm = 500000L, buckets = 64)
+      .writeStream.outputMode("complete").format("memory").queryName("scored").start()
+    mem.addData((1L, "aa bb aa bb aa bb", 100L), (2L, "cc dd ee ff", 101L))
+    q.processAllAvailable()
+    mem.addData((3L, "cc dd cc dd", 7300L), (4L, "gg hh aa bb", 7301L)) // later window
+    q.processAllAvailable()
+    val got = spark.table("scored").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    q.stop()
+    assert(got == batch)
   }
 
   test("streaming admission: corpus keys, min-id in batch, state across micro-batches") {
