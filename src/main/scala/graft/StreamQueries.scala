@@ -71,12 +71,15 @@ object StreamQueries {
       // end (the q_stream_windowed pattern)
       val src = new TestDataSource(s, d)
       val weights = graft.pipeline.CorpusSignals.importanceWeights(
-        src.table("documents"), "text", col("source") === "src0", buckets = 512)
+        src.table("documents"), "doc_id", "text", col("source") === "src0", buckets = 512)
       val stream = src.documentsStream
         .withColumn("ets", col("doc_id") + lit(86400L))
       StreamingReplay.run(
         StreamingPipeline.scoreStream(stream, weights, "doc_id", "text", "ets",
-          basePpm = 250000L, buckets = 512),
+          basePpm = 250000L, buckets = 512,
+          // complete-mode replay cannot host a second stateful operator;
+          // the replayed source is exactly-once, so the dedup guard is moot
+          dedupWithinWatermark = false),
         mode = "complete")
     }),
 

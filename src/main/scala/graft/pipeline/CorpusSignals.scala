@@ -287,8 +287,8 @@ object CorpusSignals {
     // push through the totals Window on the weights side
     val occ = df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), targetPred.cast("boolean").as("is_target"),
-        explode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
-      .select(col("id"), col("is_target"), pmod(Hashing.md5Long(col("bg")), lit(buckets)).as("fb"))
+        bigramsOf(col(textCol)).as("bg"))
+      .select(col("id"), col("is_target"), featureBucket(col("bg"), buckets).as("fb"))
       .filter(col("fb").isNotNull)
       .groupBy("id", "is_target", "fb").agg(count(lit(1)).as("cnt"))
     // per-bucket corpus and target counts: `buckets` rows out of a
@@ -312,6 +312,15 @@ object CorpusSignals {
       .select(col("id"), col("is_target"), col("n_feats"), col("dsir_score"))
   }
 
+  /** The DSIR featurization, shared verbatim by [[importanceScore]],
+    * [[importanceWeights]], and `StreamingPipeline.scoreStream` — the
+    * frozen-model contract depends on all three hashing features
+    * bit-identically, so there is exactly one spelling of each half. */
+  private[graft] def bigramsOf(textCol: Column): Column =
+    explode(Dedup.wordGrams(TextAnalysis.tokens(textCol), 2))
+  private[graft] def featureBucket(bg: Column, buckets: Int): Column =
+    pmod(Hashing.md5Long(bg), lit(buckets))
+
   /** Add-one-smoothed log2-likelihood-ratio weights from a per-bucket
     * count frame `(fb, cs, ct)` — corpus and target occurrence counts.
     * Totals are windows over the bucket rows (≤ buckets of them), never a
@@ -331,17 +340,28 @@ object CorpusSignals {
     * [[importanceScore]] fuses into its one-scan plan, as a `(fb, w)`
     * table to persist and join against fresh data (see
     * `StreamingPipeline.scoreStream`). One corpus scan, no per-document
-    * collapse (occurrence totals need no doc identity). */
-  def importanceWeights(df: DataFrame, textCol: String, targetPred: Column,
-      buckets: Int = 4096): DataFrame = {
+    * collapse (occurrence totals need no doc identity) — but the SAME
+    * null-id exclusion as importanceScore, or the two halves would train
+    * on different corpora. The output is DENSE (every bucket 0..buckets−1,
+    * unseen ones with cs = ct = 0): an unseen bucket's add-one-smoothed
+    * weight is bitlen(Ns+1) − bitlen(Nt+1), NOT zero — fresh vocabulary
+    * must be scored by the model's smoothing, not silently neutralized. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
-    llrWeights(df
+    val counts = df.filter(col(idCol).isNotNull)
       .select(targetPred.cast("boolean").as("is_target"),
-        explode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
-      .select(col("is_target"), pmod(Hashing.md5Long(col("bg")), lit(buckets)).as("fb"))
+        bigramsOf(col(textCol)).as("bg"))
+      .select(col("is_target"), featureBucket(col("bg"), buckets).as("fb"))
       .groupBy("fb").agg(
         count(lit(1)).as("cs"),
-        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct")))
+        sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"))
+    val dense = df.sparkSession.range(buckets)
+      .select(col("id").as("fb"))
+      .join(counts, Seq("fb"), "left")
+      .select(col("fb"), coalesce(col("cs"), lit(0L)).as("cs"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    llrWeights(dense)
   }
 
   /** The second half of DSIR — deterministic importance RESAMPLING over an

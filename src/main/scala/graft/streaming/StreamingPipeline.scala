@@ -126,32 +126,49 @@ object StreamingPipeline {
     *
     * Plan shape: stateless stream-static join — the weight table is
     * bucket-cardinality and broadcast, so document features never shuffle
-    * for the lookup; per-document totals are an event-time-windowed
-    * streaming aggregate (a document's features all carry its event time,
-    * so its group closes when the watermark passes — bounded
-    * (windows × docs-in-flight) state, the [[StreamingAggregates]]
-    * pattern). Buckets the model never saw score 0 (left join), so fresh
-    * vocabulary is neutral, not dropped. Documents with < 2 tokens have no
-    * features and emit no decision — the batch semantics.
+    * for the lookup ([[graft.pipeline.CorpusSignals.importanceWeights]]
+    * emits a DENSE table, so every feature bucket resolves — unseen
+    * vocabulary gets the model's own smoothed weight, and the left-join
+    * fallback to 0 only fires for a foreign, sparse table); per-document
+    * totals are an event-time-windowed streaming aggregate (a document's
+    * features all carry its event time, so its group closes when the
+    * watermark passes — bounded (windows × docs-in-flight) state, the
+    * [[StreamingAggregates]] pattern). Documents with < 2 tokens have no
+    * features and emit no decision; NULL-id documents are dropped — both
+    * the batch semantics.
+    *
+    * At-least-once sources: with `dedupWithinWatermark` (default) a
+    * redelivered document inside the watermark horizon is scored ONCE —
+    * without it, same-window copies would double the feature sums and
+    * cross-window copies would emit conflicting decisions. Disable it only
+    * where the replay/output mode cannot host two stateful operators
+    * (e.g. complete-mode replay of an exactly-once source, as the gate
+    * query does); a redelivery after state expiry re-scores either way.
     *
     * `buckets` must match the weight table's training value. */
   def scoreStream(stream: DataFrame, weights: DataFrame, idCol: String,
       textCol: String, eventTimeCol: String, basePpm: Long,
       salt: String = "dsir", watermarkDelay: String = "10 minutes",
-      buckets: Int = 4096, windowWidth: String = "1 hour"): DataFrame = {
-    val feats = stream
+      buckets: Int = 4096, windowWidth: String = "1 hour",
+      dedupWithinWatermark: Boolean = true): DataFrame = {
+    import graft.pipeline.CorpusSignals
+    val watermarked = stream
+      .filter(col(idCol).isNotNull)
       .withColumn("__event_time", timestamp_seconds(col(eventTimeCol).cast("long")))
       .withWatermark("__event_time", watermarkDelay)
-      .select(col(idCol).cast("long").as("id"), col("__event_time"),
-        explode(Dedup.wordGrams(TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
+    val deduped =
+      if (dedupWithinWatermark) watermarked.dropDuplicatesWithinWatermark(idCol)
+      else watermarked
+    val feats = deduped
+      .select(col(idCol).as("id"), col("__event_time"),
+        CorpusSignals.bigramsOf(col(textCol)).as("bg"))
       .select(col("id"), col("__event_time"),
-        pmod(graft.pipeline.Hashing.md5Long(col("bg")), lit(buckets)).as("fb"))
+        CorpusSignals.featureBucket(col("bg"), buckets).as("fb"))
       .join(broadcast(weights.select(col("fb"), col("w"))), Seq("fb"), "left")
     val scored = feats
       .groupBy(window(col("__event_time"), windowWidth), col("id"))
       .agg(sum(coalesce(col("w"), lit(0L))).as("dsir_score"))
       .drop("window")
-    graft.pipeline.CorpusSignals.importanceResample(
-      scored, "id", "dsir_score", basePpm, salt)
+    CorpusSignals.importanceResample(scored, "id", "dsir_score", basePpm, salt)
   }
 }

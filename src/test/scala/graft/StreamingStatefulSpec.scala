@@ -115,7 +115,7 @@ class StreamingStatefulSpec extends AnyFunSuite {
       (3L, "cc dd cc dd", "u"), (4L, "gg hh aa bb", "t"))
       .toDF("doc_id", "text", "source")
     val weights = CorpusSignals.importanceWeights(
-      corpus, "text", col("source") === "t", buckets = 64)
+      corpus, "doc_id", "text", col("source") === "t", buckets = 64)
     // the batch chain on the SAME corpus is the ground truth
     val batch = CorpusSignals.importanceResample(
         CorpusSignals.importanceScore(corpus, "doc_id", "text",
@@ -124,7 +124,8 @@ class StreamingStatefulSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     val mem = MemoryStream[(Long, String, Long)]
     val q = StreamingPipeline.scoreStream(mem.toDF.toDF("doc_id", "text", "ts"),
-        weights, "doc_id", "text", "ts", basePpm = 500000L, buckets = 64)
+        weights, "doc_id", "text", "ts", basePpm = 500000L, buckets = 64,
+        dedupWithinWatermark = false) // complete mode hosts one stateful op
       .writeStream.outputMode("complete").format("memory").queryName("scored").start()
     mem.addData((1L, "aa bb aa bb aa bb", 100L), (2L, "cc dd ee ff", 101L))
     q.processAllAvailable()
@@ -134,6 +135,37 @@ class StreamingStatefulSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     q.stop()
     assert(got == batch)
+  }
+
+  test("streaming scoring: redelivered documents decide once within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq((1L, "aa bb aa bb", "t"), (2L, "cc dd ee", "u"))
+      .toDF("doc_id", "text", "source")
+    val weights = CorpusSignals.importanceWeights(
+      corpus, "doc_id", "text", col("source") === "t", buckets = 64)
+    val expected = CorpusSignals.importanceResample(
+        CorpusSignals.importanceScore(corpus, "doc_id", "text",
+          col("source") === "t", buckets = 64),
+        "id", "dsir_score", basePpm = 500000L)
+      .filter(col("id") === 1L).collect().head
+    val mem = MemoryStream[(Long, String, Long)]
+    // append mode + the dedup guard (default): copies inside the watermark
+    // horizon must not double the feature sums or emit twice
+    val q = StreamingPipeline.scoreStream(mem.toDF.toDF("doc_id", "text", "ts"),
+        weights, "doc_id", "text", "ts", basePpm = 500000L, buckets = 64)
+      .writeStream.outputMode("append").format("memory").queryName("once").start()
+    mem.addData((1L, "aa bb aa bb", 100L), (1L, "aa bb aa bb", 101L))
+    q.processAllAvailable()
+    mem.addData((1L, "aa bb aa bb", 200L)) // redelivery, same window
+    q.processAllAvailable()
+    mem.addData((9L, "zz", 100000L)) // advances the watermark; flushes the window
+    q.processAllAvailable()
+    val rows = spark.table("once").filter(col("id") === 1L).collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == expected.getLong(1)) // single, batch-equal score
+    assert(rows.head.getBoolean(3) == expected.getBoolean(3))
   }
 
   test("streaming admission: corpus keys, min-id in batch, state across micro-batches") {
