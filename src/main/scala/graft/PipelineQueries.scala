@@ -250,6 +250,16 @@ object PipelineQueries {
       CorpusSignals.importanceScore(docs(s, d), "doc_id", "text",
         col("source") === "src0", buckets = 512)),
 
+    "q_lm_cross_score" -> ((s, d) => {
+      // the CCNet split: LM fit on the single-digit sources (src0..src9,
+      // the "clean reference"), the double-digit half scored against it;
+      // unseen bigrams take the smoothed max surprisal and are counted
+      val d0 = docs(s, d)
+      CorpusSignals.crossSurprisal(
+        d0.filter(length(col("source")) === 4), "text",
+        d0.filter(length(col("source")) === 5), "doc_id", "text")
+    }),
+
     "q_dsir_resample" -> ((s, d) =>
       // DSIR's second half: accept ∝ 2^score via bit shifts on the base
       // rate (the scores ARE log2 ratios) against the salted md5 coin
@@ -965,6 +975,29 @@ object PipelineQueries {
          |  CAST(floor(sum(CASE WHEN df <= 50 THEN cnt ELSE 0 END) * 1000000.0 / sum(cnt)) AS BIGINT) AS rare_ppm,
          |  CAST(sum(cnt * CAST(floor(1000000.0 / df) AS BIGINT)) AS BIGINT) AS df_score
          |FROM occ JOIN dfs USING (tok) GROUP BY doc_id""".stripMargin,
+
+    // LM from the reference half only; unseen-bigram surprisal is the
+    // scalar length(bin(N+1)) with N from token counts, never an explode
+    "q_lm_cross_score" ->
+      s"""WITH ref AS (SELECT $toks AS w FROM documents WHERE length(source) = 4),
+         |g AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM (
+         |    SELECT unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS bg FROM ref) GROUP BY 1),
+         |lm AS (SELECT bg,
+         |  CAST(length(bin(sum(cb) OVER (PARTITION BY split_part(bg, ' ', 1))))
+         |    - length(bin(cb)) AS BIGINT) AS surp FROM g),
+         |u AS (SELECT CAST(length(bin(sum(greatest(len(w) - 1, 0)) + 1)) AS BIGINT)
+         |    AS unseen_surp FROM ref),
+         |t AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM (SELECT doc_id, $toks AS w FROM documents
+         |        WHERE length(source) = 5 AND doc_id IS NOT NULL))
+         |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(COALESCE(surp, unseen_surp)) AS BIGINT) AS surprisal,
+         |  CAST(floor(sum(COALESCE(surp, unseen_surp)) * 1000000.0 / count(*)) AS BIGINT)
+         |    AS mean_surprisal_ppm,
+         |  CAST(sum(CASE WHEN surp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+         |FROM t LEFT JOIN lm USING (bg), u GROUP BY doc_id""".stripMargin,
 
     // the q_dsir_score chain + shift-based acceptance and the salted coin
     "q_dsir_resample" ->

@@ -237,12 +237,7 @@ object CorpusSignals {
     val grams = occ.groupBy("bg").agg(
       sum(col("cnt")).as("cb"),
       count(when(col("cnt") > 0, col("id"))).as("bdf"))
-    val byCtx = org.apache.spark.sql.expressions.Window
-      .partitionBy(substring_index(col("bg"), " ", 1))
-    val surp = grams
-      .withColumn("cw", sum(col("cb")).over(byCtx))
-      .select(col("bg"), col("bdf"),
-        (bitLen(col("cw")) - bitLen(col("cb"))).as("surp"))
+    val surp = withSurprisal(grams).select(col("bg"), col("bdf"), col("surp"))
     occ.join(surp, "bg")
       .groupBy("id")
       .agg(
@@ -310,6 +305,60 @@ object CorpusSignals {
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt") * col("w")).as("dsir_score"))
       .select(col("id"), col("is_target"), col("n_feats"), col("dsir_score"))
+  }
+
+  /** Attach the conditional bit-length surprisal to a bigram-count frame
+    * `(bg, cb, …)`: context counts `c(w1 ·)` as a window over the
+    * distinct-bigram rows partitioned by first word (vocabulary-cardinality
+    * keys), then `surp = bitlen(cw) − bitlen(cb)`. Passes other columns
+    * through. Shared by [[surprisalStats]] and [[crossSurprisal]] — the two
+    * must stay formula-identical. */
+  private def withSurprisal(grams: DataFrame): DataFrame = {
+    val byCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("bg"), " ", 1))
+    grams
+      .withColumn("cw", sum(col("cb")).over(byCtx))
+      .withColumn("surp", bitLen(col("cw")) - bitLen(col("cb")))
+      .drop("cw")
+  }
+
+  /** Cross-corpus LM scoring — the actual CCNet configuration: the bigram
+    * LM is fit on a REFERENCE corpus (clean text) and a different corpus is
+    * scored against it. Bigrams the reference never saw take the add-one-
+    * smoothed maximum surprisal `bitlen(N + 1)` (probability 1/(N+1), N =
+    * reference bigram occurrences) and are counted separately — a high
+    * OOV-occurrence share is its own noise signal. Output, one row per
+    * target document with ≥ 1 bigram:
+    *
+    * {{{ id | n_bigrams | surprisal | mean_surprisal_ppm | n_unseen }}}
+    *
+    * 100 TB shape: the LM table is distinct-bigram-cardinality and joins
+    * bigram-keyed (stopword-headed bigrams are the high-df keys AQE
+    * skew-splits); N comes from ONE collected aggregate row computed
+    * WITHOUT exploding (`Σ max(len−1, 0)` over token counts) — never a
+    * single-reducer window over the gram table; target documents shuffle
+    * only for their own per-doc aggregate. */
+  def crossSurprisal(ref: DataFrame, refTextCol: String, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val lm = withSurprisal(
+      ref.select(bigramsOf(col(refTextCol)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cb")))
+      .select(col("bg"), col("surp"))
+    val n = ref.agg(sum(greatest(
+      size(TextAnalysis.tokens(col(refTextCol))) - 1, lit(0)))).head().getLong(0)
+    val unseenSurp = java.lang.Long.toBinaryString(n + 1).length.toLong
+    target.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), bigramsOf(col(textCol)).as("bg"))
+      .join(lm, Seq("bg"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("surp"), lit(unseenSurp))).as("surprisal"),
+        sum(when(col("surp").isNull, lit(1L)).otherwise(lit(0L))).as("n_unseen"))
+      .withColumn("mean_surprisal_ppm",
+        floor(col("surprisal") * lit(1000000.0) / col("n_bigrams")).cast("long"))
+      .select(col("id"), col("n_bigrams"), col("surprisal"),
+        col("mean_surprisal_ppm"), col("n_unseen"))
   }
 
   /** The DSIR featurization, shared verbatim by [[importanceScore]],

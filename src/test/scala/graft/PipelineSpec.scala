@@ -798,6 +798,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 500000L, 1L)))
   }
 
+  test("crossSurprisal: frozen reference LM, smoothed unseen bigrams counted") {
+    // ref "a b a b": c(a b)=2, c(b a)=1; contexts a·=2, b·=1 ⇒ both surp 0
+    // N = 3 ⇒ unseen surprisal = bitlen(4) = 3
+    val ref = Seq(Tuple1("a b a b")).toDF("text")
+    val target = Seq((10L, "a b x"), (11L, "b a"), (12L, "z")).toDF("doc_id", "text")
+    val out = CorpusSignals.crossSurprisal(ref, "text", target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(10L, 11L)) // doc 12: no bigrams
+    assert(out(10L) == ((2L, 3L, 1500000L, 1L))) // "a b"=0 + "b x" unseen=3
+    assert(out(11L) == ((1L, 0L, 0L, 0L)))
+  }
+
   test("importanceScore: zero weights when target = corpus, LLR weights otherwise") {
     import graft.pipeline.{CorpusSignals, Hashing}
     // one bucket ⇒ target counts vs corpus counts normalize identically at
