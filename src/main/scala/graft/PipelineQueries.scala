@@ -986,8 +986,8 @@ object PipelineQueries {
          |lm AS (SELECT bg,
          |  CAST(length(bin(sum(cb) OVER (PARTITION BY split_part(bg, ' ', 1))))
          |    - length(bin(cb)) AS BIGINT) AS surp FROM g),
-         |u AS (SELECT CAST(length(bin(sum(greatest(len(w) - 1, 0)) + 1)) AS BIGINT)
-         |    AS unseen_surp FROM ref),
+         |u AS (SELECT CAST(length(bin(COALESCE(sum(greatest(len(w) - 1, 0)), 0) + 1))
+         |    AS BIGINT) AS unseen_surp FROM ref),
          |t AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
          |      i -> w[i] || ' ' || w[i+1])) AS bg
          |  FROM (SELECT doc_id, $toks AS w FROM documents

@@ -344,8 +344,11 @@ object CorpusSignals {
       ref.select(bigramsOf(col(refTextCol)).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("cb")))
       .select(col("bg"), col("surp"))
-    val n = ref.agg(sum(greatest(
-      size(TextAnalysis.tokens(col(refTextCol))) - 1, lit(0)))).head().getLong(0)
+    // coalesce(…, 0): an EMPTY reference sums to NULL — both engines must
+    // then score every bigram as unseen at bitlen(0 + 1) = 1, not NULL
+    val n = ref.agg(coalesce(sum(greatest(
+      size(TextAnalysis.tokens(col(refTextCol))) - 1, lit(0))), lit(0L)))
+      .head().getLong(0)
     val unseenSurp = java.lang.Long.toBinaryString(n + 1).length.toLong
     target.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), bigramsOf(col(textCol)).as("bg"))

@@ -809,6 +809,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.keySet == Set(10L, 11L)) // doc 12: no bigrams
     assert(out(10L) == ((2L, 3L, 1500000L, 1L))) // "a b"=0 + "b x" unseen=3
     assert(out(11L) == ((1L, 0L, 0L, 0L)))
+    // empty reference: every bigram unseen at bitlen(0+1) = 1, never NULL
+    val empty = CorpusSignals.crossSurprisal(
+        ref.filter(lit(false)), "text", target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(empty(10L) == ((2L, 2L)) && empty(11L) == ((1L, 1L)))
   }
 
   test("importanceScore: zero weights when target = corpus, LLR weights otherwise") {
