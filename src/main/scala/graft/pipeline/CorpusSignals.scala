@@ -332,32 +332,37 @@ object CorpusSignals {
     *
     * {{{ id | n_bigrams | surprisal | mean_surprisal_ppm | n_unseen }}}
     *
-    * 100 TB shape: the LM table is distinct-bigram-cardinality and joins
-    * bigram-keyed (stopword-headed bigrams are the high-df keys AQE
-    * skew-splits); N comes from ONE collected aggregate row computed
-    * WITHOUT exploding (`Σ max(len−1, 0)` over token counts) — never a
-    * single-reducer window over the gram table; target documents shuffle
-    * only for their own per-doc aggregate. */
+    * 100 TB shape: the reference is scanned ONCE — the distinct-bigram LM
+    * and its occurrence total N come from the same exchange (the
+    * bg-referencing spelling keeps both branches' column sets identical
+    * for ReuseExchange), and N rides into the plan as a broadcast one-row
+    * aggregate, so the operator stays fully LAZY (no driver action at
+    * build time). Target documents collapse to doc-distinct (id, bg, cnt)
+    * map-side before the bigram-keyed LM join — occurrence multiplicity
+    * never crosses the wire (the [[surprisalStats]] shape); stopword-headed
+    * bigrams are the high-df join keys AQE skew-splits. */
   def crossSurprisal(ref: DataFrame, refTextCol: String, target: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val lm = withSurprisal(
-      ref.select(bigramsOf(col(refTextCol)).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("cb")))
-      .select(col("bg"), col("surp"))
-    // coalesce(…, 0): an EMPTY reference sums to NULL — both engines must
-    // then score every bigram as unseen at bitlen(0 + 1) = 1, not NULL
-    val n = ref.agg(coalesce(sum(greatest(
-      size(TextAnalysis.tokens(col(refTextCol))) - 1, lit(0))), lit(0L)))
-      .head().getLong(0)
-    val unseenSurp = java.lang.Long.toBinaryString(n + 1).length.toLong
-    target.filter(col(idCol).isNotNull)
+    val grams = ref.select(bigramsOf(col(refTextCol)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val lm = withSurprisal(grams).select(col("bg"), col("surp"))
+    // N = Σ cb over the SAME gram exchange; coalesce(…, 0): an EMPTY
+    // reference sums to NULL, and both engines must then score every
+    // bigram as unseen at bitlen(0 + 1) = 1, not NULL
+    val nAgg = grams.agg(
+      sum(when(col("bg").isNotNull, col("cb"))).as("n_ref"))
+    val occT = target.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), bigramsOf(col(textCol)).as("bg"))
-      .join(lm, Seq("bg"), "left")
+      .groupBy("id", "bg").agg(count(lit(1)).as("cnt"))
+    occT.join(lm, Seq("bg"), "left")
+      .crossJoin(broadcast(nAgg))
+      .withColumn("eff_surp",
+        coalesce(col("surp"), bitLen(coalesce(col("n_ref"), lit(0L)) + 1)))
       .groupBy("id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("surp"), lit(unseenSurp))).as("surprisal"),
-        sum(when(col("surp").isNull, lit(1L)).otherwise(lit(0L))).as("n_unseen"))
+        sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("eff_surp")).as("surprisal"),
+        sum(when(col("surp").isNull, col("cnt")).otherwise(lit(0L))).as("n_unseen"))
       .withColumn("mean_surprisal_ppm",
         floor(col("surprisal") * lit(1000000.0) / col("n_bigrams")).cast("long"))
       .select(col("id"), col("n_bigrams"), col("surprisal"),

@@ -303,5 +303,18 @@ class PlanAuditSpec extends AnyFunSuite {
       assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
         s"$name scans the corpus more than once:\n$p")
     }
+    // crossSurprisal reads TWO corpora: each must scan once — the LM and
+    // its occurrence total share the reference gram exchange
+    val cross = graft.pipeline.CorpusSignals.crossSurprisal(
+      docs.filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("source")) === 4), "text",
+      docs.filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("source")) === 5), "doc_id", "text")
+    cross.collect()
+    val cp = cross.queryExecution.executedPlan.toString
+    assert(cp.contains("ReusedExchange"),
+      s"crossSurprisal recomputes the reference grams per branch:\n$cp")
+    assert("FileScan parquet".r.findAllIn(cp.split("== Initial Plan ==")(0)).length == 2,
+      s"crossSurprisal scans a corpus more than once:\n$cp")
   }
 }
