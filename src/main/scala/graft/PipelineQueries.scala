@@ -139,6 +139,13 @@ object PipelineQueries {
       // 64-token windows every 48 tokens (16-token overlap; last chunk short)
       Chunking.chunk(docs(s, d), "doc_id", "text", chunkSize = 64, stride = 48)),
 
+    "q_multimodal_warc" -> ((s, d) =>
+      // REAL container parse: a synthetic WARC per doc (2 + id%3 records,
+      // analytic headers/payloads; odd ids ship whole-container gzip — the
+      // .warc.gz path), exploded back to one row per record. The oracle
+      // recomputes every field from the (id, k) formula, never the bytes
+      Multimodal.parseWarc(Multimodal.syntheticWarcs(docs(s, d), "doc_id"))),
+
     "q_multimodal_ppm" -> ((s, d) =>
       // REAL image decode: synthesize a valid binary-PPM blob per doc
       // (pixel j = (id*31 + j*7) % 256), parse it back with the pure-JVM
@@ -674,6 +681,20 @@ object PipelineQueries {
     // the oracle never decodes: it recomputes the decoded stats from the
     // same analytic pixel/sample formulas the blob was built from — a
     // mismatch means the DECODER misparsed real bytes
+    // record k of doc id: 5 + (id+k)%4 tokens "tok<(id*31+k*7+t*13)%100>";
+    // content_length = token byte lengths + separating spaces
+    "q_multimodal_warc" ->
+      """WITH r AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS k FROM documents),
+        |t AS (SELECT doc_id, k, unnest(range(0, 5 + (doc_id + k) % 4)) AS t FROM r),
+        |v AS (SELECT doc_id, k,
+        |    3 + length(CAST((doc_id * 31 + k * 7 + t * 13) % 100 AS VARCHAR)) AS tl FROM t)
+        |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS rec_idx,
+        |  CASE WHEN k % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+        |  'http://example.com/' || doc_id || '/' || k AS target_uri,
+        |  CAST(sum(tl) + count(*) - 1 AS BIGINT) AS content_length,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM v GROUP BY doc_id, k""".stripMargin,
+
     "q_multimodal_ppm" ->
       """WITH px AS (SELECT doc_id, unnest(range(0, 192)) AS j FROM documents),
         |v AS (SELECT doc_id, j % 3 AS ch, (doc_id * 31 + j * 7) % 256 AS val FROM px)

@@ -581,7 +581,7 @@ object Multimodal {
       pngChunk("IEND", Array.emptyByteArray)
   }
 
-  private val syntheticPngSchema: StructType = StructType(Seq(
+  private val syntheticBlobSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("bytes", BinaryType, nullable = false)))
 
@@ -595,7 +595,142 @@ object Multimodal {
       s"syntheticPngs needs an integral id column, got ${idType.simpleString}")
     df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticPng(id, w, h)) }
-    }(Encoders.row(syntheticPngSchema))
+    }(Encoders.row(syntheticBlobSchema))
+  }
+
+  // ---- WARC (the CommonCrawl container) ----
+
+  /** [[parseWarc]] row shape: one row per WARC record. */
+  val warcSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("rec_idx", LongType, nullable = false),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("content_length", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+
+  private def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+    scala.util.Try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      try in.readAllBytes() finally in.close()
+    }.toOption
+
+  /** Parse a WARC/1.0 blob (plain or gzipped — CommonCrawl ships .warc.gz)
+    * into its records: `(rec_idx, warc_type, target_uri, content_length,
+    * n_tokens)` with `n_tokens` the whitespace token count of the payload.
+    * Strict per the spec's framing: version line, CRLF headers, exact
+    * Content-Length payload, CRLF CRLF trailer; any violation (or a bad
+    * gzip stream) drops the WHOLE blob — a half-parsed container must not
+    * contribute partial records.
+    *
+    * Reference analog: the ingest surface (`src/engine/core/read/flow/`) —
+    * the reference has no container format; WARC is the training-pipeline
+    * entry point this library adds. */
+  private[graft] def parseWarcBytes(
+      raw: Array[Byte]): Option[Vector[(Long, String, String, Long, Long)]] = {
+    val data =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        gunzip(raw).getOrElse(return None)
+      else raw
+    def line(from: Int): Option[(String, Int)] = {
+      var i = from
+      while (i + 1 < data.length && !(data(i) == '\r' && data(i + 1) == '\n')) i += 1
+      if (i + 1 >= data.length) None
+      else Some((new String(data, from, i - from, "ISO-8859-1"), i + 2))
+    }
+    val out = Vector.newBuilder[(Long, String, String, Long, Long)]
+    var pos = 0
+    var idx = 0L
+    while (pos < data.length) {
+      val (ver, p0) = line(pos).getOrElse(return None)
+      if (ver != "WARC/1.0") return None
+      var p = p0
+      var typ: String = null
+      var uri: String = null
+      var clen = -1L
+      var blank = false
+      while (!blank) {
+        val (l, pn) = line(p).getOrElse(return None)
+        p = pn
+        if (l.isEmpty) blank = true
+        else {
+          val cut = l.indexOf(':')
+          if (cut < 0) return None
+          val (k, v) = (l.substring(0, cut).trim.toLowerCase, l.substring(cut + 1).trim)
+          k match {
+            case "warc-type"       => typ = v
+            case "warc-target-uri" => uri = v
+            case "content-length"  => clen = v.toLongOption.getOrElse(return None)
+            case _                 => () // unknown headers pass through
+          }
+        }
+      }
+      if (clen < 0 || p + clen + 4 > data.length) return None
+      val payload = new String(data, p, clen.toInt, "ISO-8859-1")
+      p += clen.toInt
+      if (!(data(p) == '\r' && data(p + 1) == '\n' &&
+            data(p + 2) == '\r' && data(p + 3) == '\n')) return None
+      p += 4
+      val trimmed = payload.trim
+      val nTok = if (trimmed.isEmpty) 0L else trimmed.split("\\s+").length.toLong
+      out += ((idx, typ, uri, clen, nTok))
+      idx += 1
+      pos = p
+    }
+    Some(out.result())
+  }
+
+  /** Explode every `bytes` blob as a WARC container (malformed blobs
+    * dropped whole). One row per record, [[warcSchema]]. */
+  def parseWarc(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, parseWarcBytes).toSeq.flatten.map {
+          case (i, t, u, cl, nt) => Row(r.getLong(0), i, t, u, cl, nt)
+        }
+      }
+    }(Encoders.row(warcSchema))
+
+  /** A VALID synthetic WARC per id: `2 + id%3` records, record k typed
+    * response/request by parity with target URI
+    * `http://example.com/<id>/<k>` and a payload of `5 + (id+k)%4` tokens
+    * `tok<(id*31 + k*7 + t*13) % 100>` — every output field of
+    * [[parseWarc]] is an analytic function of (id, k), so the oracle
+    * verifies the PARSER without parsing anything. Odd ids gzip the whole
+    * container (the .warc.gz path); gzip encoding details never reach the
+    * output, so determinism needs only round-trip fidelity. */
+  private[graft] def buildSyntheticWarc(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val nRecs = (2 + id % 3).toInt
+    for (k <- 0 until nRecs) {
+      val nTok = (5 + (id + k) % 4).toInt
+      val payload = (0 until nTok)
+        .map(t => "tok" + ((id * 31 + k * 7 + t * 13) % 100)).mkString(" ")
+      val pb = payload.getBytes("US-ASCII")
+      val typ = if (k % 2 == 0) "response" else "request"
+      val hdr = s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+        s"WARC-Target-URI: http://example.com/$id/$k\r\n" +
+        s"Content-Length: ${pb.length}\r\n\r\n"
+      bos.write(hdr.getBytes("US-ASCII"))
+      bos.write(pb)
+      bos.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    val plain = bos.toByteArray
+    if (id % 2 == 1) {
+      val gz = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(gz)
+      out.write(plain); out.close()
+      gz.toByteArray
+    } else plain
+  }
+
+  def syntheticWarcs(df: DataFrame, idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticWarcs needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, buildSyntheticWarc(id)) }
+    }(Encoders.row(syntheticBlobSchema))
   }
 
   /** Batch-shaped extraction harness for a REAL decoder: one codec init per

@@ -798,6 +798,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 500000L, 1L)))
   }
 
+  test("WARC parse: round-trip both layouts, mutation sweep drops whole blobs") {
+    // plain (id 2: 2 + 2%3 = 4 records) and whole-container gzip
+    // (id 3: 2 + 3%3 = 2 records)
+    val recs = Multimodal.parseWarc(
+        Multimodal.syntheticWarcs(Seq(2L, 3L).toDF("media_id"), "media_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(recs.keySet == (0 until 4).map(k => 2L -> k.toLong).toSet ++
+      (0 until 2).map(k => 3L -> k.toLong).toSet)
+    // record (2, 1): 5 + (2+1)%4 = 8 tokens "tok<(62 + 7 + 13t) % 100>"
+    val toks21 = (0 until 8).map(t => "tok" + ((2 * 31 + 7 + t * 13) % 100))
+    assert(recs((2L, 1L)) == (("request", "http://example.com/2/1",
+      toks21.mkString(" ").length.toLong, 8L)))
+    assert(recs((3L, 0L))._1 == "response")
+    // mutation sweep: each corruption must drop the WHOLE container
+    val good = Multimodal.buildSyntheticWarc(2L)
+    def recsOf(b: Array[Byte]) = Multimodal.parseWarcBytes(b)
+    assert(recsOf(good).get.length == 4)
+    assert(recsOf(good.dropRight(1)).isEmpty)          // truncated trailer
+    assert(recsOf(good.drop(1)).isEmpty)               // missing version line
+    val badLen = new String(good, "ISO-8859-1")
+      .replaceFirst("Content-Length: ", "Content-Length: 9").getBytes("ISO-8859-1")
+    assert(recsOf(badLen).isEmpty)                     // wrong length desyncs framing
+    val badHdr = new String(good, "ISO-8859-1")
+      .replaceFirst("WARC-Type: ", "WARC-Type ").getBytes("ISO-8859-1")
+    assert(recsOf(badHdr).isEmpty)                     // header without colon
+    val gz = Multimodal.buildSyntheticWarc(3L)
+    assert(recsOf(gz.dropRight(3)).isEmpty)            // corrupt gzip stream
+    assert(recsOf(Array[Byte](0x1f, 0x8b.toByte, 1, 2)).isEmpty)
+    // unknown headers pass through harmlessly
+    val extra = new String(good, "ISO-8859-1")
+      .replaceFirst("WARC-Type: response", "WARC-Type: response\r\nWARC-Date: 2026-01-01")
+      .getBytes("ISO-8859-1")
+    assert(recsOf(extra).get.length == 4)
+  }
+
   test("crossSurprisal: frozen reference LM, smoothed unseen bigrams counted") {
     // ref "a b a b": c(a b)=2, c(b a)=1; contexts a·=2, b·=1 ⇒ both surp 0
     // N = 3 ⇒ unseen surprisal = bitlen(4) = 3
