@@ -139,6 +139,21 @@ object PipelineQueries {
       // 64-token windows every 48 tokens (16-token overlap; last chunk short)
       Chunking.chunk(docs(s, d), "doc_id", "text", chunkSize = 64, stride = 48)),
 
+    "q_html_extract" -> ((s, d) =>
+      // HTML → text: wrap each doc in a full page (head/title, script,
+      // style, comment, entities, markup splitting the body) and extract;
+      // the oracle builds the EXPECTED text analytically from doc_id +
+      // text — never by replaying the regex chain
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.htmlToText(concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><script>var x = 1 &amp;&amp; 2;\nif (x < 3) { x = 4; }</script>"),
+          lit("<style>p { color: red; }\n.a > .b { margin: 0; }</style></head>"),
+          lit("<body><!-- boilerplate\n comment --><h1 class=\"t\">Doc "), col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><div>3 &lt; 4 &amp;&amp; 5 &gt; 2, a &quot;quoted&#39; tail</div></body></html>")
+        )).as("extracted"))),
+
     "q_multimodal_warc" -> ((s, d) =>
       // REAL container parse: a synthetic WARC per doc (2 + id%3 records,
       // analytic headers/payloads; odd ids ship whole-container gzip — the
@@ -681,6 +696,15 @@ object PipelineQueries {
     // the oracle never decodes: it recomputes the decoded stats from the
     // same analytic pixel/sample formulas the blob was built from — a
     // mismatch means the DECODER misparsed real bytes
+    // expected text built ANALYTICALLY (title + h1 + body + decoded div
+    // tail), with only the final whitespace collapse shared with the
+    // operator; the tag/entity machinery itself is never replayed
+    "q_html_extract" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text ||
+        |  ' 3 < 4 && 5 > 2, a "quoted'' tail', '\s+', ' ', 'g')) AS extracted
+        |FROM documents""".stripMargin,
+
     // record k of doc id: 5 + (id+k)%4 tokens "tok<(id*31+k*7+t*13)%100>";
     // content_length = token byte lengths + separating spaces
     "q_multimodal_warc" ->

@@ -153,6 +153,27 @@ object TextAnalysis {
   def stripEncodingDamage(text: Column): Column =
     regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F�]", "")
 
+  /** HTML → text extraction — the stage between a WARC response payload
+    * and the curation chain (the trafilatura/jusText slot, as a
+    * deterministic tag-level extractor): script/style/comment blocks are
+    * removed whole, remaining tags become spaces, the five core entities
+    * decode (`&amp;` LAST — decoding it first would double-decode
+    * `&amp;lt;`), and whitespace collapses. A per-row codegen'd
+    * `regexp_replace`/`replace` chain — no parser state, no UDF, streams
+    * at any scale; patterns avoid lookarounds so any RE2-class engine
+    * reproduces them byte-identically. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = Seq("script", "style").foldLeft(html) { (c, t) =>
+      regexp_replace(c, s"(?s)<$t[^>]*>.*?</$t>", " ")
+    }
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Gopher-style quality RULE BREAKDOWN (Rae et al. 2021 §A1.1, the
     * standard pre-model document filter) — each rule as a named boolean
     * column plus the conjunction, so a pipeline can both FILTER on `pass`

@@ -798,6 +798,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 500000L, 1L)))
   }
 
+  test("htmlToText: blocks removed whole, entities decode exactly once") {
+    val cases = Seq(
+      ("<p>a</p><script>if (x<y) {}</script><p>b</p>", "a b"),
+      ("&amp;lt;", "&lt;"), // &amp; decodes LAST: once, not twice
+      ("<style>a{} .x>y{}</style>text", "text"),
+      ("<!-- c\nmulti --> x  \n y", "x y"),
+      ("<b>bold</b>&quot;q&quot; &#39;s&#39; 1 &lt; 2 &amp; 3 &gt; 2",
+        "bold \"q\" 's' 1 < 2 & 3 > 2"))
+    cases.toDF("h", "want")
+      .select(TextAnalysis.htmlToText(col("h")).as("got"), col("want"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1),
+        s"got <${r.getString(0)}> want <${r.getString(1)}>"))
+  }
+
   test("WARC parse: round-trip both layouts, mutation sweep drops whole blobs") {
     // plain (id 2: 2 + 2%3 = 4 records) and whole-container gzip
     // (id 3: 2 + 3%3 = 2 records)
