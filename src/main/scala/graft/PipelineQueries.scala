@@ -139,6 +139,19 @@ object PipelineQueries {
       // 64-token windows every 48 tokens (16-token overlap; last chunk short)
       Chunking.chunk(docs(s, d), "doc_id", "text", chunkSize = 64, stride = 48)),
 
+    "q_ingest_e2e" -> ((s, d) => {
+      // the full crawl ingest composed: WARC containers (HTML payloads,
+      // odd ids gzipped) → record explode → HTML-to-text → token stats.
+      // The oracle only knows the original text — every byte-level stage
+      // must round-trip for the hash to match
+      val recs = Multimodal.parseWarcPayloads(
+        Multimodal.syntheticHtmlWarcs(docs(s, d), "doc_id", "text"))
+      recs.select(col("media_id").as("doc_id"), col("target_uri"),
+          TextAnalysis.htmlToText(col("payload")).as("extracted"))
+        .select(col("doc_id"), col("target_uri"), col("extracted"),
+          TextAnalysis.tokenCount(col("extracted")).cast("long").as("tok_ws"))
+    }),
+
     "q_html_extract" -> ((s, d) =>
       // HTML → text: wrap each doc in a full page (head/title, script,
       // style, comment, entities, markup splitting the body) and extract;

@@ -627,7 +627,7 @@ object Multimodal {
     * the reference has no container format; WARC is the training-pipeline
     * entry point this library adds. */
   private[graft] def parseWarcBytes(
-      raw: Array[Byte]): Option[Vector[(Long, String, String, Long, Long)]] = {
+      raw: Array[Byte]): Option[Vector[(Long, String, String, Long, String)]] = {
     val data =
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
         gunzip(raw).getOrElse(return None)
@@ -638,7 +638,7 @@ object Multimodal {
       if (i + 1 >= data.length) None
       else Some((new String(data, from, i - from, "ISO-8859-1"), i + 2))
     }
-    val out = Vector.newBuilder[(Long, String, String, Long, Long)]
+    val out = Vector.newBuilder[(Long, String, String, Long, String)]
     var pos = 0
     var idx = 0L
     while (pos < data.length) {
@@ -671,9 +671,7 @@ object Multimodal {
       if (!(data(p) == '\r' && data(p + 1) == '\n' &&
             data(p + 2) == '\r' && data(p + 3) == '\n')) return None
       p += 4
-      val trimmed = payload.trim
-      val nTok = if (trimmed.isEmpty) 0L else trimmed.split("\\s+").length.toLong
-      out += ((idx, typ, uri, clen, nTok))
+      out += ((idx, typ, uri, clen, payload))
       idx += 1
       pos = p
     }
@@ -686,10 +684,32 @@ object Multimodal {
     idAndBytes(media).mapPartitions { it =>
       it.flatMap { r =>
         decodeRow(r, parseWarcBytes).toSeq.flatten.map {
-          case (i, t, u, cl, nt) => Row(r.getLong(0), i, t, u, cl, nt)
+          case (i, t, u, cl, payload) =>
+            val trimmed = payload.trim
+            val nTok = if (trimmed.isEmpty) 0L else trimmed.split("\\s+").length.toLong
+            Row(r.getLong(0), i, t, u, cl, nTok)
         }
       }
     }(Encoders.row(warcSchema))
+
+  /** [[parseWarcPayloads]] row shape: the record PAYLOAD itself — the
+    * ingest path's real output (feed it `TextAnalysis.htmlToText` and the
+    * curation chain). */
+  val warcPayloadSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("rec_idx", LongType, nullable = false),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("payload", StringType, nullable = false)))
+
+  def parseWarcPayloads(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, parseWarcBytes).toSeq.flatten.map {
+          case (i, t, u, _, payload) => Row(r.getLong(0), i, t, u, payload)
+        }
+      }
+    }(Encoders.row(warcPayloadSchema))
 
   /** A VALID synthetic WARC per id: `2 + id%3` records, record k typed
     * response/request by parity with target URI
@@ -722,6 +742,39 @@ object Multimodal {
       out.write(plain); out.close()
       gz.toByteArray
     } else plain
+  }
+
+  /** A one-record WARC per row whose payload is the document's text
+    * wrapped as an HTML page — the realistic crawl layout for the
+    * bytes → records → [[TextAnalysis.htmlToText]] → curation composition.
+    * Odd ids gzip the container like [[buildSyntheticWarc]]. */
+  def syntheticHtmlWarcs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticHtmlWarcs needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("t"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val html = s"<html><head><title>D$id</title></head><body><p>" +
+            Option(r.getString(1)).getOrElse("") + "</p></body></html>"
+          val pb = html.getBytes("US-ASCII")
+          val hdr = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://example.com/$id\r\n" +
+            s"Content-Length: ${pb.length}\r\n\r\n"
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write(hdr.getBytes("US-ASCII")); bos.write(pb)
+          bos.write("\r\n\r\n".getBytes("US-ASCII"))
+          val plain = bos.toByteArray
+          val blob = if (id % 2 == 1) {
+            val gz = new java.io.ByteArrayOutputStream()
+            val out = new java.util.zip.GZIPOutputStream(gz)
+            out.write(plain); out.close()
+            gz.toByteArray
+          } else plain
+          Row(id, blob)
+        }
+      }(Encoders.row(syntheticBlobSchema))
   }
 
   def syntheticWarcs(df: DataFrame, idCol: String): DataFrame = {
