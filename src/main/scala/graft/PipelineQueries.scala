@@ -718,6 +718,20 @@ object PipelineQueries {
         |  ' 3 < 4 && 5 > 2, a "quoted'' tail', '\s+', ' ', 'g')) AS extracted
         |FROM documents""".stripMargin,
 
+    // the composed ingest chain: the oracle rebuilds the expected EXTRACTED
+    // text analytically from doc_id + text (the synthetic page is
+    // '<title>D<id></title>…<p>text</p>'; title + body survive extraction)
+    // and the target URI from the WARC framing formula — so a hash match
+    // proves WARC framing, gzip round-trip, HTML extraction, and token
+    // stats all composed correctly, without replaying any byte-level stage
+    "q_ingest_e2e" ->
+      """WITH e AS (SELECT doc_id,
+        |  trim(regexp_replace('D' || doc_id || ' ' || text, '\s+', ' ', 'g')) AS extracted
+        |  FROM documents)
+        |SELECT doc_id, 'http://example.com/' || doc_id AS target_uri, extracted,
+        |  CAST(len(regexp_split_to_array(extracted, '\s+')) AS BIGINT) AS tok_ws
+        |FROM e""".stripMargin,
+
     // record k of doc id: 5 + (id+k)%4 tokens "tok<(id*31+k*7+t*13)%100>";
     // content_length = token byte lengths + separating spaces
     "q_multimodal_warc" ->
@@ -867,8 +881,8 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tok,
          |  ${duckMd5Long("'budget:' || doc_id")} % 1000000 AS h
          |  FROM documents WHERE source IN ('src1', 'src2', 'src3') AND doc_id IS NOT NULL),
-         |c AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+         |c AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)
          |SELECT doc_id, source, n_tok, cum_before FROM c
          |WHERE cum_before < CASE source WHEN 'src1' THEN 800
          |                               WHEN 'src2' THEN 5000
