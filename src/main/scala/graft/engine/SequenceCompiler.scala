@@ -132,13 +132,20 @@ object SequenceCompiler {
     // LIMIT caps matched sequences; order by (head time, then every output
     // column) for fully deterministic pagination — the reference's group
     // ordering (`matcher.rs:96-130` sort-by-earliest-timestamp) is only
-    // deterministic per shard layout.
+    // deterministic per shard layout. Ordering resolves by POSITION via
+    // unique internal names: a RETURNed payload field may shadow a step's
+    // timestamp, duplicating '<prefix>_timestamp' in the output schema,
+    // and a name-based orderBy would then throw an ambiguous-reference
+    // AnalysisException (and silently drop the duplicate from the
+    // tie-break column list).
     q.limit match {
       case Some(n) =>
-        matched
-          .orderBy((col(outFields(1).name) +: outSchema.fieldNames
-            .filterNot(_ == outFields(1).name).map(col).toIndexedSeq): _*)
+        val names = outSchema.fieldNames.toIndexedSeq
+        val uniq = names.indices.map(i => s"__ord$i")
+        matched.toDF(uniq: _*)
+          .orderBy((uniq(1) +: uniq.patch(1, Nil, 1)).map(col): _*)
           .limit(n)
+          .toDF(names: _*)
       case None => matched
     }
   }

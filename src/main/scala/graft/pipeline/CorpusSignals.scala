@@ -445,11 +445,13 @@ object CorpusSignals {
       s"basePpm must be in [0, 1e6], got $basePpm")
     val s = col(scoreCol).cast("long")
     // SQL-function spelling: the Scala shiftleft/shiftright helpers take a
-    // literal bit count, and the shift here is the (capped) score column
-    val sc = s"cast(`$scoreCol` as bigint)"
-    val pPpm = least(lit(1000000L),
-      when(s >= 0, expr(s"shiftleft(${basePpm}L, cast(least($sc, 20L) as int))"))
-        .otherwise(expr(s"shiftright(${basePpm}L, cast(least(-$sc, 20L) as int))")))
+    // literal bit count, and the shift here is the (capped) score column.
+    // A NULL score is an explicit REJECTED decision (p_ppm 0 ⇒ accepted
+    // false), not a NULL row — the "one decision row per scored document"
+    // contract stays total under filtering on `accepted`.
+    val pPpm = when(s.isNull, lit(0L)).otherwise(least(lit(1000000L),
+      when(s >= 0, expr(s"shiftleft(${basePpm}L, cast(least(cast(`$scoreCol` as bigint), 20L) as int))"))
+        .otherwise(expr(s"shiftright(${basePpm}L, cast(least(-cast(`$scoreCol` as bigint), 20L) as int))"))))
     scored.select(col(idCol).as("id"), col(scoreCol),
       pPpm.as("p_ppm"), (DataMix.coin(col(idCol), salt) < pPpm).as("accepted"))
   }

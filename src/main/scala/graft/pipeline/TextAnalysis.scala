@@ -190,25 +190,27 @@ object TextAnalysis {
     */
   def gopherRules(text: Column, minWords: Int = 50,
       maxWords: Int = 100000): Seq[(String, Column)] = {
-    val t = text.toString
-    val w = s"split(trim($t), '\\\\s+')"
-    val n = expr(s"size($w)")
+    // typed Column construction throughout (not expr() over text.toString):
+    // a COMPOSED input column — concat with quoted literals, say — would
+    // stringify into unparseable SQL, while typed functions compose with
+    // any Column the caller passes
+    val w = split(trim(text), "\\s+")
+    val n = size(w)
     val nd = n.cast("double")
-    val lines = s"split($t, '\\n')"
-    val nLines = expr(s"size($lines)").cast("double")
-    val meanWord = expr(s"length(array_join($w, ''))").cast("double") / nd
-    val hashCount = length(text) - length(expr(s"replace($t, '#', '')"))
-    val ell3 = (length(text) - length(expr(s"replace($t, '...', '')"))).cast("double") / 3.0
-    val ellU = length(text) - length(expr(s"replace($t, '…', '')"))
-    val bulletLines = expr(
-      s"size(filter($lines, x -> startswith(ltrim(x), '•') or " +
-        s"startswith(ltrim(x), '-') or startswith(ltrim(x), '*')))").cast("double")
-    val ellipsisLines = expr(
-      s"size(filter($lines, x -> endswith(rtrim(x), '...') or endswith(rtrim(x), '…')))")
-      .cast("double")
-    val alphaWords = expr(s"size(filter($w, x -> x rlike '[a-zA-Z]'))").cast("double")
-    val stopList = stopwords("en").map(s => s"'$s'").mkString(", ")
-    val distinctStops = expr(s"size(array_intersect(array_distinct($w), array($stopList)))")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val meanWord = length(array_join(w, "")).cast("double") / nd
+    val hashCount = length(text) - length(replace(text, lit("#"), lit("")))
+    val ell3 = (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3.0
+    val ellU = length(text) - length(replace(text, lit("…"), lit("")))
+    val bulletLines = size(filter(lines, x =>
+      startswith(ltrim(x), lit("•")) || startswith(ltrim(x), lit("-")) ||
+        startswith(ltrim(x), lit("*")))).cast("double")
+    val ellipsisLines = size(filter(lines, x =>
+      endswith(rtrim(x), lit("...")) || endswith(rtrim(x), lit("…")))).cast("double")
+    val alphaWords = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double")
+    val distinctStops = size(array_intersect(
+      array_distinct(w), array(stopwords("en").map(lit): _*)))
     val rules = Seq(
       "r_words" -> n.between(minWords, maxWords),
       "r_word_len" -> (n > 0 && meanWord.between(3.0, 10.0)),

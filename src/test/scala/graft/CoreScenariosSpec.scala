@@ -76,6 +76,17 @@ class CoreScenariosSpec extends AnyFunSuite {
     val all2 = p.send("QUERY sq_a FOLLOWED BY sq_b")
     assertIncludes(all2, "\"sq_a_timestamp\"", "\"sq_a_v\"", "\"sq_b_w\"")
     assertExcludes(all2, "p$")
+    // LIMIT forces the deterministic orderBy: with the duplicate
+    // '<prefix>_timestamp' columns in the schema, a name-based orderBy
+    // threw an ambiguous-reference AnalysisException — ordering must
+    // resolve by POSITION (SequenceCompiler renames to unique internal
+    // names around the sort)
+    val lim = p.send("QUERY sq_a FOLLOWED BY sq_b RETURN [sq_a.timestamp, sq_b.w] LIMIT 5")
+    assertIncludes(lim, "\"sq_a_timestamp\"", "111", "\"sq_b_w\"", "\"row_count\":1")
+    assertExcludes(lim, "p$", "AnalysisException", "ambiguous")
+    val limAll = p.send("QUERY sq_a FOLLOWED BY sq_b LIMIT 5")
+    assertIncludes(limAll, "\"sq_a_timestamp\"", "\"sq_a_v\"", "\"sq_b_w\"", "\"row_count\":1")
+    assertExcludes(limAll, "p$", "ambiguous")
   }
 
   // ---- since_* ----

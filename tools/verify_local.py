@@ -27,7 +27,7 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io", "java
 
 cmd = ["java"] + ADD_OPENS + [
     "-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-    "-cp", CP, "graft.Verify", SF, OUT]
+    "-cp", CP, "graft.Verify", SF, OUT] + ([",".join(sorted(ONLY))] if ONLY else [])
 env = dict(os.environ, SPARK_GRAFT_CPUS="8")
 r = subprocess.run(cmd, capture_output=True, text=True, env=env)
 if r.returncode != 0:
