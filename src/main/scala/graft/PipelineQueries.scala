@@ -208,6 +208,15 @@ object PipelineQueries {
           round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"), col("tl_r"))),
 
+    "q_multimodal_jpeg" -> ((s, d) =>
+      // REAL perceptual-codec decode: a valid grayscale JPEG per doc via
+      // the JDK's ImageIO write+read cycle; quality-1.0 + per-8×8-block
+      // constants make the DCT round-trip bit-exact, so dims, the exact
+      // power-of-two-divided mean, and the two corner witnesses all come
+      // from the generation formula — the oracle never touches the codec
+      Multimodal.decodeJpegs(Multimodal.syntheticJpegs(
+        docs(s, d).select(col("doc_id")), "doc_id"))),
+
     "q_multimodal_wav" -> ((s, d) =>
       // REAL audio decode: valid PCM16 WAV per doc — sample i's unsigned
       // word is u = (id*13 + i*97) % 65536, little-endian, so the int16
@@ -244,6 +253,32 @@ object PipelineQueries {
         .unionByName(all.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
       Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+    }),
+
+    "q_dedup_incr_update" -> ((s, d) => {
+      // the persisted-artifact nightly cycle: build artifacts once, decide
+      // night-1's batch against them, fold the admitted docs back in
+      // (insert-only), then decide night-2's batch — a re-submission of
+      // night 1 under fresh ids, so every night-1 admission must now read
+      // dup_exact_corpus and every near_dup_batch loser's key (admitted
+      // via its smaller-id holder) must flip to a corpus rejection
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+      val batch1 = all.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .unionByName(all.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(all.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      // materialize() between nights, exactly as production would persist
+      // the artifact tables: without the lineage cut, night 2's plan
+      // re-inlines the whole night-1 decision computation per artifact
+      // frame and the analyzer melts down (observed: GC-bound driver)
+      val art = Dedup.buildDedupArtifacts(corpus, "doc_id", "text").materialize()
+      val dec1 = Dedup.incrementalDedup(batch1, art, "doc_id", "text", 3, 32, 2, 0.5)
+        .localCheckpoint()
+      val art2 = Dedup.updateDedupArtifacts(art, batch1, dec1, "doc_id", "text").materialize()
+      val batch2 = batch1.select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      Dedup.incrementalDedup(batch2, art2, "doc_id", "text", 3, 32, 2, 0.5)
     }),
 
     "q_dedup_cluster" -> ((s, d) =>
@@ -525,7 +560,10 @@ object PipelineQueries {
   private val bpeModels =
     new java.util.concurrent.ConcurrentHashMap[String, pipeline.Bpe.BpeModel]()
   private def bpeModel(s: SparkSession, d: String): pipeline.Bpe.BpeModel =
-    bpeModels.computeIfAbsent(d, _ => Bpe.train(docs(s, d), "text", merges = 8))
+    // mergeBatch = 4 deliberately ON: the sequential DuckDB oracle then
+    // hash-verifies the batcher's order-equivalence proof every round
+    bpeModels.computeIfAbsent(d, _ =>
+      Bpe.train(docs(s, d), "text", merges = 8, mergeBatch = 4))
 
   private def bpeOracle(k: Int, select: String): String = {
     val rounds = (1 to k).map { r =>
@@ -780,6 +818,25 @@ object PipelineQueries {
         |  CAST(doc_id * 31 % 256 AS INTEGER) AS tl_r
         |FROM v GROUP BY doc_id""".stripMargin,
 
+    // same logical-formula strategy through a REAL perceptual codec: block
+    // (bx, by) of the grayscale JPEG is constant (id*31+bx*7+by*13)%256,
+    // the block grid is (1<<id%3)×(1<<id%2) so the mean is an exact
+    // power-of-two division, and the corners witness block orientation
+    "q_multimodal_jpeg" ->
+      """WITH dims AS (SELECT doc_id,
+        |  CAST(1 << (doc_id % 3) AS BIGINT) AS bw,
+        |  CAST(1 << (doc_id % 2) AS BIGINT) AS bh FROM documents),
+        |px AS (SELECT doc_id, bw, bh, unnest(range(0, bw * bh)) AS j FROM dims),
+        |v AS (SELECT doc_id, bw, bh,
+        |  (doc_id * 31 + (j % bw) * 7 + (j // bw) * 13) % 256 AS val FROM px)
+        |SELECT doc_id AS media_id,
+        |  CAST(bw * 8 AS INTEGER) AS width, CAST(bh * 8 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_bands,
+        |  CAST(sum(val) AS DOUBLE) / count(*) AS mean_b0,
+        |  CAST(doc_id * 31 % 256 AS INTEGER) AS tl_b0,
+        |  CAST((doc_id * 31 + (bw - 1) * 7 + (bh - 1) * 13) % 256 AS INTEGER) AS br_b0
+        |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
+
     "q_multimodal_wav" ->
       """WITH s AS (SELECT doc_id, unnest(range(0, 256)) AS i FROM documents),
         |u AS (SELECT doc_id, (doc_id * 13 + i * 97) % 65536 AS w FROM s),
@@ -986,6 +1043,76 @@ object PipelineQueries {
          |       WHEN e.doc_id IN (SELECT doc_id FROM nearb) THEN 'near_dup_batch'
          |       ELSE 'admitted' END) AS status
          |FROM exact e""".stripMargin,
+
+    // the two-night artifact cycle: night 1 = q_dedup_incremental's rules
+    // verbatim, then corpus2 = corpus + night-1 admissions, and night 2
+    // replays the same rules for the re-submitted batch against corpus2
+    "q_dedup_incr_update" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |bk AS (SELECT doc_id, text,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck FROM batch),
+         |ckeys AS (SELECT DISTINCT
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck FROM corpus),
+         |flagged AS (SELECT bk.*, bk.ck IN (SELECT ck FROM ckeys) AS in_corpus FROM bk),
+         |keepers AS (SELECT ck, min(doc_id) AS keep_id FROM flagged WHERE NOT in_corpus GROUP BY ck),
+         |exact AS (SELECT f.doc_id, f.text,
+         |    CASE WHEN f.in_corpus THEN 'dup_exact_corpus'
+         |         WHEN f.doc_id != k.keep_id THEN 'dup_exact_batch' END AS es
+         |  FROM flagged f LEFT JOIN keepers k USING (ck)),
+         |survt AS (SELECT doc_id, $toks AS w FROM (SELECT doc_id, text FROM exact WHERE es IS NULL)),
+         |sgg AS (SELECT doc_id, $duckShingles3 AS s FROM survt),
+         |corpt AS (SELECT doc_id, $toks AS w FROM corpus),
+         |cgg AS (SELECT doc_id, $duckShingles3 AS s FROM corpt),
+         |nearc AS (SELECT DISTINCT a.doc_id FROM sgg a JOIN cgg b
+         |  ON len(a.s) > 0 AND len(b.s) > 0 AND
+         |     len(list_intersect(a.s, b.s)) * 1.0 /
+         |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |standing AS (SELECT * FROM sgg WHERE doc_id NOT IN (SELECT doc_id FROM nearc)),
+         |nearb AS (SELECT DISTINCT b.doc_id FROM standing a JOIN standing b
+         |  ON a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0 AND
+         |     len(list_intersect(a.s, b.s)) * 1.0 /
+         |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |dec1 AS (SELECT e.doc_id, COALESCE(e.es,
+         |  CASE WHEN e.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup_corpus'
+         |       WHEN e.doc_id IN (SELECT doc_id FROM nearb) THEN 'near_dup_batch'
+         |       ELSE 'admitted' END) AS status FROM exact e),
+         |admitted1 AS (SELECT b.doc_id, b.text FROM batch b
+         |  JOIN dec1 d USING (doc_id) WHERE d.status = 'admitted'),
+         |corpus2 AS (SELECT doc_id, text FROM corpus
+         |  UNION ALL SELECT doc_id, text FROM admitted1),
+         |batch2 AS (SELECT doc_id + 300000 AS doc_id, text FROM batch),
+         |bk2 AS (SELECT doc_id, text,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck FROM batch2),
+         |ckeys2 AS (SELECT DISTINCT
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck FROM corpus2),
+         |flagged2 AS (SELECT bk2.*, bk2.ck IN (SELECT ck FROM ckeys2) AS in_corpus FROM bk2),
+         |keepers2 AS (SELECT ck, min(doc_id) AS keep_id FROM flagged2 WHERE NOT in_corpus GROUP BY ck),
+         |exact2 AS (SELECT f.doc_id, f.text,
+         |    CASE WHEN f.in_corpus THEN 'dup_exact_corpus'
+         |         WHEN f.doc_id != k.keep_id THEN 'dup_exact_batch' END AS es
+         |  FROM flagged2 f LEFT JOIN keepers2 k USING (ck)),
+         |survt2 AS (SELECT doc_id, $toks AS w FROM (SELECT doc_id, text FROM exact2 WHERE es IS NULL)),
+         |sgg2 AS (SELECT doc_id, $duckShingles3 AS s FROM survt2),
+         |corpt2 AS (SELECT doc_id, $toks AS w FROM corpus2),
+         |cgg2 AS (SELECT doc_id, $duckShingles3 AS s FROM corpt2),
+         |nearc2 AS (SELECT DISTINCT a.doc_id FROM sgg2 a JOIN cgg2 b
+         |  ON len(a.s) > 0 AND len(b.s) > 0 AND
+         |     len(list_intersect(a.s, b.s)) * 1.0 /
+         |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |standing2 AS (SELECT * FROM sgg2 WHERE doc_id NOT IN (SELECT doc_id FROM nearc2)),
+         |nearb2 AS (SELECT DISTINCT b.doc_id FROM standing2 a JOIN standing2 b
+         |  ON a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0 AND
+         |     len(list_intersect(a.s, b.s)) * 1.0 /
+         |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+         |SELECT e.doc_id, COALESCE(e.es,
+         |  CASE WHEN e.doc_id IN (SELECT doc_id FROM nearc2) THEN 'near_dup_corpus'
+         |       WHEN e.doc_id IN (SELECT doc_id FROM nearb2) THEN 'near_dup_batch'
+         |       ELSE 'admitted' END) AS status
+         |FROM exact2 e""".stripMargin,
 
     // connected components over the near-dup pair graph: recursive CTE
     // propagating every smaller reachable label, then min per node — equals

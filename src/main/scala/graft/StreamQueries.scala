@@ -63,6 +63,27 @@ object StreamQueries {
         StreamingPipeline.admitStream(batch, corpusKeys, "doc_id", "text", "ets").toDF())
     }),
 
+    "q_stream_admit_near" -> ((s, d) => {
+      // streaming near-dup admission against PERSISTED dedup artifacts —
+      // the q_dedup_incremental corpus/batch split; within the single
+      // AvailableNow micro-batch, cross-key batch near-dups are admitted
+      // (near_dup_batch stays on the batch path), every other status
+      // matches the batch rules exactly
+      val src = new TestDataSource(s, d)
+      def shifted(m: Int, off: Long) = src.documentsStream
+        .filter(col("doc_id") % m === (if (m == 7) 3 else 0))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val batch = shifted(5, 0L)
+        .unionByName(shifted(7, 100000L))
+        .unionByName(shifted(10, 200000L))
+        .withColumn("ets", col("doc_id") + lit(86400L))
+      val corpus = src.table("documents")
+        .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+      val art = graft.pipeline.Dedup.buildDedupArtifacts(corpus, "doc_id", "text")
+      StreamingReplay.run(
+        StreamingPipeline.admitStreamNear(batch, art, "doc_id", "text", "ets").toDF())
+    }),
+
     "q_stream_score" -> ((s, d) => {
       // nightly-model split: DSIR weights trained batch-side on the corpus
       // at rest, tonight's stream scored + resampled against them — every
@@ -148,6 +169,44 @@ object StreamQueries {
         |                      WHEN f.doc_id != k.keep_id THEN 'dup_exact_batch'
         |                      ELSE 'admitted' END AS status
         |FROM flagged f LEFT JOIN keepers k USING (ck)""".stripMargin,
+
+    // q_dedup_incremental's rules with the near_dup_batch branch removed
+    // (cross-key stream near-dups are admitted — batch-path concern); the
+    // near-corpus stage uses exact all-pairs Jaccard in place of the LSH
+    // candidates, the same justification as q_dedup_minhash's oracle
+    "q_stream_admit_near" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |bk AS (SELECT doc_id, text,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ck FROM batch),
+        |ckeys AS (SELECT DISTINCT
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ck FROM corpus),
+        |flagged AS (SELECT bk.*, bk.ck IN (SELECT ck FROM ckeys) AS in_corpus FROM bk),
+        |keepers AS (SELECT ck, min(doc_id) AS keep_id FROM flagged WHERE NOT in_corpus GROUP BY ck),
+        |exact AS (SELECT f.doc_id, f.text,
+        |    CASE WHEN f.in_corpus THEN 'dup_exact_corpus'
+        |         WHEN f.doc_id != k.keep_id THEN 'dup_exact_batch' END AS es
+        |  FROM flagged f LEFT JOIN keepers k USING (ck)),
+        |survt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM (SELECT doc_id, text FROM exact WHERE es IS NULL)),
+        |sgg AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM survt),
+        |corpt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus),
+        |cgg AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM corpt),
+        |nearc AS (SELECT DISTINCT a.doc_id FROM sgg a JOIN cgg b
+        |  ON len(a.s) > 0 AND len(b.s) > 0 AND
+        |     len(list_intersect(a.s, b.s)) * 1.0 /
+        |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+        |SELECT e.doc_id, COALESCE(e.es,
+        |  CASE WHEN e.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup_corpus'
+        |       ELSE 'admitted' END) AS status
+        |FROM exact e""".stripMargin,
 
     // tumbling 1-day windows anchored at the epoch == integer day floor
     "q_stream_windowed" ->

@@ -49,10 +49,23 @@ object Bpe {
     * symbol becomes l+r ≠ l (r is never empty), so an overlapping re-merge
     * cannot fire — the same non-overlap rule as the reference BPE loop. */
   private[graft] def applyMerge(s: Column, l: String, r: String): Column =
-    aggregate(s, array().cast("array<string>"), (acc, x) =>
-      when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(x))))
+    applyMerges(s, Seq((l, r)))
+
+  /** [[applyMerge]] for a BATCH of pairwise symbol-disjoint pairs in one
+    * pass. Disjointness (plus every merged symbol being a FRESH string —
+    * both enforced by the [[train]] batcher) makes the simultaneous pass
+    * positionally identical to applying the merges one-at-a-time: no two
+    * pairs can match overlapping positions, and a just-merged symbol can
+    * never be the left element of another batched pair. */
+  private[graft] def applyMerges(s: Column, pairs: Seq[(String, String)]): Column =
+    aggregate(s, array().cast("array<string>"), (acc, x) => {
+      val last = try_element_at(acc, lit(-1))
+      val hit = pairs.foldLeft(lit(null).cast("string")) { case (e, (l, r)) =>
+        when(last === lit(l) && x === lit(r), lit(l + r)).otherwise(e)
+      }
+      when(hit.isNotNull, concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+        .otherwise(concat(acc, array(x)))
+    })
 
   /** Train `merges` BPE merges on the corpus text column. Stops early when
     * no pair is left to merge (every word fused to one symbol).
@@ -66,10 +79,33 @@ object Bpe {
     *                      executor loss; stale rounds are deleted as the
     *                      job advances, the final round's table backs the
     *                      returned frames); when None, rounds
-    *                      `localCheckpoint` to executor block storage. */
+    *                      `localCheckpoint` to executor block storage.
+    * @param mergeBatch    apply up to this many merges per Spark round,
+    *                      PROVABLY order-equivalent to one-at-a-time
+    *                      training (the default 1 — exact classic
+    *                      scheduling). Per round the top `mergeBatch + 1`
+    *                      pair rows are collected (bounded aggregate rows,
+    *                      never data) and the batch is the longest
+    *                      contiguous rank-prefix such that (a) pairs are
+    *                      pairwise symbol-disjoint, (b) every batched
+    *                      merged symbol is a FRESH string (tracked against
+    *                      the full driver-side symbol universe — initial
+    *                      characters + all merges so far), and (c) the
+    *                      last batched count strictly exceeds the first
+    *                      non-batched count. Under (a)+(b) a merge cannot
+    *                      change any other batched pair's count, every
+    *                      pair it creates or inflates is bounded by some
+    *                      non-batched pair's old count, and (c) keeps all
+    *                      of those strictly below every batched rank —
+    *                      so the sequential trainer provably picks exactly
+    *                      this prefix in this order. A 32k-merge vocab
+    *                      drops from 32k sequential Spark jobs to
+    *                      ~merges/mergeBatch, the scheduling ceiling
+    *                      VERDICT r6 flagged. */
   def train(df: DataFrame, textCol: String, merges: Int,
-      checkpointDir: Option[String] = None): BpeModel = {
+      checkpointDir: Option[String] = None, mergeBatch: Int = 1): BpeModel = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
+    require(mergeBatch >= 1, s"mergeBatch must be >= 1, got $mergeBatch")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -92,28 +128,64 @@ object Bpe {
         .groupBy("word").agg(count(lit(1)).as("wc"))
         .withColumn("s", split(col("word"), "")), 0)
 
+    // the full symbol universe, maintained driver-side: initial characters
+    // (one bounded distinct over the symbol table — charset-sized) plus
+    // every merged symbol so far. Only the batcher needs it (freshness
+    // guard (b)); the classic mergeBatch=1 path skips the extra job.
+    var allSymbols: Set[String] =
+      if (mergeBatch == 1) Set.empty
+      else vocab.select(explode(col("s")).as("sym")).distinct()
+        .as[String].collect().toSet
+
     val learned = Seq.newBuilder[(Long, String, String, String, Long)]
     var round = 1
     var exhausted = false
+    var matRound = 0
     while (round <= merges && !exhausted) {
+      val want = math.min(mergeBatch, merges - round + 1)
       val top = vocab
         .select(col("wc"), explode(Dedup.wordGrams(col("s"), 2)).as("p"))
         .groupBy("p").agg(sum(col("wc")).as("pc"))
         .orderBy(col("pc").desc, col("p").asc)
-        .limit(1).collect()
+        .limit(want + 1).collect()
+        .map(t => (t.getString(0), t.getLong(1)))
       if (top.isEmpty) exhausted = true
       else {
-        val (p, pc) = (top(0).getString(0), top(0).getLong(1))
-        val Array(l, r) = p.split(" ", 2)
-        learned += ((round.toLong, l, r, l + r, pc))
+        // longest contiguous rank-prefix satisfying the batch conditions;
+        // position 1 is unconditionally safe (it IS the sequential pick)
+        var k = 1
+        var used = { val Array(l, r) = top(0)._1.split(" ", 2); Set(l, r) }
+        var extendable = mergeBatch > 1 && {
+          val Array(l, r) = top(0)._1.split(" ", 2)
+          !allSymbols.contains(l + r) // (b) for p1, else batch stays {p1}
+        }
+        while (extendable && k < want && k < top.length) {
+          val Array(l, r) = top(k)._1.split(" ", 2)
+          if ((used & Set(l, r)).nonEmpty || allSymbols.contains(l + r))
+            extendable = false // (a) or (b) violated — contiguity: stop here
+          else { used ++= Set(l, r); k += 1 }
+        }
+        // (c): strict count descent at the batch boundary — a non-batched
+        // pair (or one created/inflated by the batch, bounded by a
+        // non-batched old count) must never tie a batched rank
+        while (k >= 2 && k < top.length && top(k - 1)._2 == top(k)._2) k -= 1
+        val batch = top.take(k).map { case (p, pc) =>
+          val Array(l, r) = p.split(" ", 2); (l, r, pc)
+        }
+        batch.zipWithIndex.foreach { case ((l, r, pc), i) =>
+          learned += (((round + i).toLong, l, r, l + r, pc))
+        }
+        allSymbols ++= batch.map { case (l, r, _) => l + r }
         val prev = vocab
-        vocab = materialize(vocab.withColumn("s", applyMerge(col("s"), l, r)), round)
+        matRound += 1
+        vocab = materialize(vocab.withColumn("s",
+          applyMerges(col("s"), batch.map { case (l, r, _) => (l, r) })), matRound)
         // release the superseded round's blocks/table eagerly (the
         // Clustering pattern) — at a billion-row word table, letting nine
         // pinned copies wait for the ContextCleaner is eviction pressure
         prev.unpersist(false): Unit
-        dropRound(round - 1)
-        round += 1
+        dropRound(matRound - 1)
+        round += k
       }
     }
 

@@ -106,7 +106,7 @@ object Dedup {
     * each band's `rowsPerBand` values pack into one i64 without overflow
     * (values < P, P^2 < 2^62). Band rows carry ONLY the three narrow
     * columns — large shingle arrays are joined back for CANDIDATES only. */
-  private def bandTable(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  private[graft] def bandTable(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val packed = (0 until rowsPerBand)
         .map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -115,6 +115,33 @@ object Dedup {
     }
     sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
       .select(col("id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Per-row LSH band hashes — the `bands` packed band hashes as ONE array
+    * column (index = band_idx), value-identical to the explode + groupBy
+    * [[minhashColumns]]/band-table spelling (pinned in PipelineSpec). No
+    * explode, no groupBy, no shuffle: the shape a STREAMING plan needs,
+    * where the batch spelling would put a stateful aggregation in front of
+    * the admission operator. The higher-order lambdas run interpreted, but
+    * `sh` is a column REFERENCE (not re-expanded per permutation), so
+    * per-row work is O(perms × |sh|) — the same arithmetic the batch path
+    * does, partition-parallel at any scale. Documents with no shingles get
+    * all-null band hashes (which match nothing in a band join).
+    *
+    * `sh` must be a plain column reference to the shingle-hash array (the
+    * string-expr spelling does not round-trip composed Columns). */
+  private[graft] def bandHashesExpr(sh: Column, bands: Int, rowsPerBand: Int): Column = {
+    val perms = bands * rowsPerBand
+    val pa = (0 until perms).map(i => s"${permA(i)}L").mkString("array(", ", ", ")")
+    val pb = (0 until perms).map(i => s"${permB(i)}L").mkString("array(", ", ", ")")
+    def mh(r: Int) =
+      s"array_min(transform(${sh.toString}, h -> " +
+        s"pmod(element_at($pa, cast(b * $rowsPerBand + ${r + 1} as int)) * pmod(h, ${P}L) + " +
+        s"element_at($pb, cast(b * $rowsPerBand + ${r + 1} as int)), ${P}L)))"
+    val packed = (1 until rowsPerBand).foldLeft(mh(0)) { (acc, r) =>
+      s"($acc) * ${P}L + ${mh(r)}"
+    }
+    expr(s"transform(sequence(0, ${bands - 1}), b -> $packed)")
   }
 
   /** Near-duplicate pairs via MinHash + banded LSH, confirmed by exact
@@ -220,17 +247,88 @@ object Dedup {
     * 100 TB shape: the corpus contributes only (a) its distinct content
     * keys (partial-aggregated, one shuffle) and (b) its narrow LSH band
     * rows — full corpus text is never joined against the batch; exact
-    * Jaccard touches LSH candidates only. In production the corpus band
-    * table and key set would be PERSISTED and incrementally maintained
-    * (they are insert-only under admission), making the per-batch cost
-    * proportional to the batch, not the corpus. */
+    * Jaccard touches LSH candidates only. This overload derives those
+    * artifacts from the corpus text in-plan (a corpus-sized job); the
+    * [[DedupArtifacts]] overload consumes PERSISTED artifacts instead,
+    * making the per-batch cost proportional to the batch, not the corpus. */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    incrementalDedup(batch,
+      buildDedupArtifacts(corpus, idCol, textCol, ngram, bands, rowsPerBand),
+      idCol, textCol, ngram, bands, rowsPerBand, threshold)
+
+  /** The persisted corpus state [[incrementalDedup]] needs — three narrow
+    * frames, each writable as a parquet table and incrementally maintained
+    * ([[updateDedupArtifacts]] is insert-only under admission):
+    *
+    *  - `keys`:     distinct corpus content keys `(ck)`;
+    *  - `bands`:    LSH band rows `(cid, band_idx, band_hash)`;
+    *  - `shingles`: per-document shingle hash sets `(cid, sh)` — joined
+    *    only against LSH CANDIDATES for the exact-Jaccard confirm.
+    *
+    * With these at rest, a nightly batch never touches corpus text: the
+    * per-batch job reads batch text plus three batch-∝ or candidate-∝
+    * joins against the artifact tables. */
+  final case class DedupArtifacts(keys: DataFrame, bands: DataFrame, shingles: DataFrame) {
+    /** Materialize the three frames and truncate their lineage (eager
+      * local checkpoint) — the single-process analog of writing the
+      * artifact tables to storage and reading them back. Chained
+      * [[updateDedupArtifacts]] cycles MUST cross this boundary between
+      * nights: night N's decisions are otherwise a live subtree of night
+      * N+1's plan (referenced once per artifact frame per join), so the
+      * un-truncated plan grows multiplicatively with nights — at depth 2
+      * the analyzer alone is a GC-bound driver job. In production the
+      * same boundary is the nightly parquet write of the artifacts. */
+    def materialize(): DedupArtifacts =
+      DedupArtifacts(keys.localCheckpoint(), bands.localCheckpoint(),
+        shingles.localCheckpoint())
+  }
+
+  /** Build [[DedupArtifacts]] from a corpus — the one corpus-sized job,
+    * run once (then maintained incrementally, not recomputed). */
+  def buildDedupArtifacts(corpus: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2): DedupArtifacts = {
+    val perms = bands * rowsPerBand
+    val keys = corpus.select(contentKey(col(textCol)).as("ck")).distinct()
+    val cH = corpus.select(col(idCol).as("cid"), shingleHashes(col(textCol), ngram).as("sh"))
+    val cBand = bandTable(minhashColumns(cH, col("cid"), col("sh"), perms), bands, rowsPerBand)
+      .withColumnRenamed("id", "cid")
+    DedupArtifacts(keys, cBand, cH)
+  }
+
+  /** Append the ADMITTED documents of a decided batch to the artifacts.
+    * Plain insert-only unions — no distinct/re-dedup shuffle is needed
+    * because admission guarantees novelty: an admitted key is absent from
+    * the corpus (else `dup_exact_corpus`) and unique within its batch
+    * (else `dup_exact_batch`), so every appended row is new. `decisions`
+    * is [[incrementalDedup]]'s output for `batch`. */
+  def updateDedupArtifacts(artifacts: DedupArtifacts, batch: DataFrame,
+      decisions: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2): DedupArtifacts = {
+    val admitted = batch.join(
+      decisions.filter(col("status") === "admitted").select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val add = buildDedupArtifacts(admitted, idCol, textCol, ngram, bands, rowsPerBand)
+    DedupArtifacts(
+      artifacts.keys.unionByName(add.keys),
+      artifacts.bands.unionByName(add.bands),
+      artifacts.shingles.unionByName(add.shingles))
+  }
+
+  /** [[incrementalDedup]] against persisted [[DedupArtifacts]] — the form
+    * whose per-batch plan contains NO corpus text scan (pinned in
+    * PlanAuditSpec): corpus participation is three joins against the
+    * artifact tables (key set, band rows, candidate shingle sets). */
+  def incrementalDedup(batch: DataFrame, artifacts: DedupArtifacts,
+      idCol: String, textCol: String, ngram: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
     val perms = bands * rowsPerBand
     val b = batch.select(col(idCol).as("id"), col(textCol).as("text"),
       contentKey(col(textCol)).as("ck"))
-    val ckeys = corpus.select(contentKey(col(textCol)).as("ck")).distinct()
+    // distinct defensively: a duplicated artifact key would multiply batch
+    // rows through the join (a freshly-built artifact is already distinct)
+    val ckeys = artifacts.keys.select(col("ck")).distinct()
       .withColumn("in_corpus", lit(true))
     val flagged = b.join(ckeys, Seq("ck"), "left")
       .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
@@ -246,15 +344,12 @@ object Dedup {
 
     // near-dup vs corpus: batch bands join corpus bands, exact-Jaccard confirm
     val bH = surv.select(col("id"), shingleHashes(col("text"), ngram).as("sh"))
-    val cH = corpus.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
     val bBand = bandTable(minhashColumns(bH, col("id"), col("sh"), perms), bands, rowsPerBand)
-    val cBand = bandTable(minhashColumns(cH, col("id"), col("sh"), perms), bands, rowsPerBand)
-      .withColumnRenamed("id", "cid")
-    val candIds = bBand.join(cBand, Seq("band_idx", "band_hash"))
+    val candIds = bBand.join(artifacts.bands, Seq("band_idx", "band_hash"))
       .select("id", "cid").dropDuplicates("id", "cid")
     val nearCorpus = candIds
       .join(bH.select(col("id"), col("sh").as("sh_b")), Seq("id"))
-      .join(cH.select(col("id").as("cid"), col("sh").as("sh_c")), Seq("cid"))
+      .join(artifacts.shingles.select(col("cid"), col("sh").as("sh_c")), Seq("cid"))
       .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
       .filter(col("inter") / (size(col("sh_b")) + size(col("sh_c")) - col("inter")) >= threshold)
       .select("id").distinct().withColumn("near_corpus", lit(true))

@@ -598,6 +598,116 @@ object Multimodal {
     }(Encoders.row(syntheticBlobSchema))
   }
 
+  // ---- JPEG (via the JDK's ImageIO — a real perceptual codec) ----
+
+  /** [[decodeJpeg]] row shape: dims + band count + band-0 stats with two
+    * positional witnesses (top-left and bottom-right). */
+  val jpegSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bands", IntegerType, nullable = false),
+    StructField("mean_b0", DoubleType, nullable = false),
+    StructField("tl_b0", IntegerType, nullable = false),
+    StructField("br_b0", IntegerType, nullable = false)))
+
+  /** Decode a JPEG via `javax.imageio` (public JDK, no external libraries):
+    * SOI-magic check, full entropy decode, then band-0 statistics read from
+    * the RASTER — `getRGB` would push grayscale through a gray→sRGB color
+    * transform and destroy the values under test. Returns
+    * (width, height, n_bands, mean_b0, tl_b0, br_b0); None on anything
+    * ImageIO rejects or non-JPEG magic.
+    *
+    * JPEG is lossy in general, so exactness claims live with the SYNTHETIC
+    * side ([[buildSyntheticJpeg]]): grayscale + quality 1.0 + per-8×8-block
+    * constant values make the DCT round-trip bit-exact (DC-only blocks,
+    * all-ones quant tables), which is what lets the oracle recompute the
+    * decoded stats from the generation formula. */
+  def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Int, Double, Int, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None // SOI magic
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val raster = img.getRaster
+    val nb = raster.getNumBands
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    Some((w, h, nb, s.toDouble / (w.toLong * h),
+      raster.getSample(0, 0, 0), raster.getSample(w - 1, h - 1, 0)))
+  }
+
+  /** Decode every `bytes` blob as a JPEG (malformed rows dropped). */
+  def decodeJpegs(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeJpeg)
+          .map { case (w, h, nb, m, tl, br) => Row(r.getLong(0), w, h, nb, m, tl, br) }
+      }
+    }(Encoders.row(jpegSchema))
+
+  /** A VALID grayscale JPEG whose decode is ANALYTIC: `(1 << id%3)` ×
+    * `(1 << id%2)` 8×8 blocks (so the pixel count is a power of two and
+    * the mean divides exactly), block (bx, by) filled with the constant
+    * `(id*31 + bx*7 + by*13) % 256`, written at quality 1.0. Constant
+    * blocks quantize DC-only against all-ones tables, so ImageIO's decode
+    * reproduces every sample bit-exactly (verified empirically) — the
+    * same oracle-from-formula strategy as the PNG/BMP/PPM paths, now
+    * through a real perceptual codec's write+read cycle. Grayscale is
+    * essential: an RGB JPEG would round-trip YCbCr and break exactness. */
+  private[graft] def buildSyntheticJpeg(id: Long): Array[Byte] = {
+    val bw = 1 << (id % 3).toInt; val bh = 1 << (id % 2).toInt
+    val w = bw * 8; val h = bh * 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val v = ((id * 31 + bx * 7 + by * 13) % 256).toInt
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { raster.setSample(bx * 8 + x, by * 8 + y, 0, v); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try {
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally wr.dispose()
+    bos.toByteArray
+  }
+
+  /** [[buildSyntheticJpeg]] over a corpus: one (media_id, bytes) row per
+    * input id (a `mapPartitions` generator like [[syntheticPngs]] — the
+    * DECODE side under test has the identical batch shape either way). */
+  def syntheticJpegs(df: DataFrame, idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticJpegs needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, buildSyntheticJpeg(id)) }
+    }(Encoders.row(syntheticBlobSchema))
+  }
+
   // ---- WARC (the CommonCrawl container) ----
 
   /** [[parseWarc]] row shape: one row per WARC record. */

@@ -81,8 +81,12 @@ object StreamingPipeline {
       .withWatermark("__event_time", watermarkDelay)
       .withColumn("ck", Dedup.contentKey(col(textCol)))
       // distinct defensively: a duplicated corpus key would MULTIPLY stream
-      // rows through the join, emitting duplicate decisions per document
-      .join(corpusKeys.select(col("ck")).distinct().withColumn("in_corpus", lit(true)),
+      // rows through the join, emitting duplicate decisions per document.
+      // persist(): Spark re-plans stream-static sides EVERY micro-batch —
+      // without the cache each trigger re-runs the corpus-sized distinct;
+      // with it, one job at first trigger, cache reads after (caller may
+      // unpersist after stopping the query)
+      .join(corpusKeys.select(col("ck")).distinct().withColumn("in_corpus", lit(true)).persist(),
         Seq("ck"), "left")
       .select(col("ck"), col(idCol).cast("long").as("id"),
         coalesce(col("in_corpus"), lit(false)).as("inCorpus"),
@@ -109,6 +113,131 @@ object StreamingPipeline {
               val base = math.max(fresh.iterator.map(_.et.getTime).max,
                 state.getCurrentWatermarkMs())
               state.setTimeoutTimestamp(base + horizonMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** One keyed row heading into near-dup admission: a document carrier row
+    * (`confirm` false) or an LSH-candidate confirmation row (`confirm`
+    * true). `et` carries the watermarked event-time attribute. */
+  case class AdmitNearInput(ck: String, id: Long, inCorpus: Boolean,
+      confirm: Boolean, et: java.sql.Timestamp)
+
+  /** Streaming NEAR-DUP admission — [[admitStream]] extended with the
+    * corpus near-dup stage, consuming the PERSISTED
+    * [[graft.pipeline.Dedup.DedupArtifacts]] (key set + band table +
+    * shingle sets) so the per-trigger plan never touches corpus text.
+    * Statuses follow the batch [[graft.pipeline.Dedup.incrementalDedup]]
+    * rule order exactly:
+    *
+    *  - `dup_exact_corpus` — content key in the corpus key set;
+    *  - `dup_exact_batch`  — key already admitted from this stream, or a
+    *    smaller id in the same micro-batch holds it;
+    *  - `near_dup_corpus`  — novel key whose exact n-gram Jaccard ≥
+    *    `threshold` against some corpus document (candidates from the
+    *    stream-static band join against the artifact band table);
+    *  - `admitted`         — first holder of a novel, non-near key.
+    *
+    * `near_dup_batch` (near-dup between two NOVEL stream documents with
+    * different keys) stays on the batch path: stream state is keyed by
+    * exact content, and cross-key near-dup needs a corpus-wide signature
+    * exchange no per-key state can express. Artifacts are FROZEN at query
+    * start (the stream-static contract); refresh them batch-side with
+    * [[graft.pipeline.Dedup.updateDedupArtifacts]] and restart.
+    *
+    * Plan shape: band hashes are computed PER ROW
+    * ([[graft.pipeline.Dedup.bandHashesExpr]] — the batch explode+groupBy
+    * spelling would put a stateful aggregation in front of the admission
+    * operator), candidate rows come from a stateless stream-static equi
+    * join on (band_idx, band_hash), the exact-Jaccard confirm joins
+    * shingle sets for CANDIDATES only, and confirmation rows are unioned
+    * with one carrier row per document into a single
+    * `flatMapGroupsWithState` keyed on the content key — the only stateful
+    * operator, one boolean per ADMITTED key, evicted `horizonMs` past the
+    * key's last event time. All three artifact frames are persisted
+    * (stream-static sides re-plan per trigger). */
+  def admitStreamNear(stream: DataFrame, artifacts: Dedup.DedupArtifacts,
+      idCol: String, textCol: String, eventTimeCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 3600000L): Dataset[AdmitDecision] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+
+    val ckeys = artifacts.keys.select(col("ck")).distinct()
+      .withColumn("in_corpus", lit(true)).persist()
+    val cBands = artifacts.bands.select("cid", "band_idx", "band_hash").persist()
+    val cSh = artifacts.shingles.select(col("cid"), col("sh").as("sh_c")).persist()
+
+    val base = stream
+      .withColumn("__event_time", timestamp_seconds(col(eventTimeCol).cast("long")))
+      .withWatermark("__event_time", watermarkDelay)
+      .withColumn("ck", Dedup.contentKey(col(textCol)))
+      .select(col("ck"), col(idCol).cast("long").as("id"),
+        col(textCol).as("__text"), col("__event_time"))
+
+    // one carrier row per document: exact-key corpus flag, no confirm
+    val docRows = base
+      .join(ckeys, Seq("ck"), "left")
+      .select(col("ck"), col("id"),
+        coalesce(col("in_corpus"), lit(false)).as("inCorpus"),
+        lit(false).as("confirm"), col("__event_time").as("et"))
+
+    // LSH candidates that CONFIRM: per-row band hashes → band equi-join →
+    // shingle join (candidates only) → exact Jaccard ≥ threshold
+    val withSh = base.select(col("ck"), col("id"), col("__event_time"),
+      Dedup.shingleHashes(col("__text"), ngram).as("sh_b"))
+    val banded = withSh.select(col("ck"), col("id"), col("__event_time"), col("sh_b"),
+      posexplode(Dedup.bandHashesExpr(col("sh_b"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+    val confirmRows = banded
+      .join(cBands, Seq("band_idx", "band_hash"))
+      .join(cSh, Seq("cid"))
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
+      .filter(col("inter") / (size(col("sh_b")) + size(col("sh_c")) - col("inter")) >= threshold)
+      .select(col("ck"), col("id"), lit(false).as("inCorpus"),
+        lit(true).as("confirm"), col("__event_time").as("et"))
+
+    docRows.unionByName(confirmRows)
+      .as[AdmitNearInput]
+      .groupByKey(_.ck)
+      .flatMapGroupsWithState[Boolean, AdmitDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[AdmitNearInput], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toArray
+            // collapse confirmation rows into per-document flags
+            val docs = rows.groupBy(_.id).iterator.map { case (id, rs) =>
+              (id, rs.exists(_.inCorpus), rs.exists(_.confirm))
+            }.toArray
+            val out = scala.collection.mutable.ArrayBuffer.empty[AdmitDecision]
+            val (corp, fresh) = docs.partition(_._2)
+            corp.foreach { case (id, _, _) => out += AdmitDecision(id, "dup_exact_corpus") }
+            if (fresh.nonEmpty) {
+              if (state.exists)
+                fresh.foreach { case (id, _, _) => out += AdmitDecision(id, "dup_exact_batch") }
+              else {
+                val minId = fresh.iterator.map(_._1).min
+                fresh.foreach { case (id, _, near) =>
+                  out += AdmitDecision(id,
+                    if (id != minId) "dup_exact_batch"
+                    else if (near) "near_dup_corpus"
+                    else "admitted")
+                }
+                // state marks ADMITTED keys only: a near-dup min-holder
+                // leaves no state, so a re-submitted copy re-evaluates
+                // against the frozen artifacts — the batch re-run semantics
+                val anyAdmitted = fresh.exists { case (id, _, near) => id == minId && !near }
+                if (anyAdmitted) state.update(true)
+              }
+              if (state.exists) {
+                val base = math.max(rows.iterator.map(_.et.getTime).max,
+                  state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(base + horizonMs)
+              }
             }
             out.iterator
           }
@@ -159,12 +288,17 @@ object StreamingPipeline {
     val deduped =
       if (dedupWithinWatermark) watermarked.dropDuplicatesWithinWatermark(idCol)
       else watermarked
+    // persist(): the weight table's LINEAGE is the whole training chain
+    // over the corpus; stream-static sides re-plan per micro-batch, so an
+    // uncached table would retrain every trigger. One job at first trigger,
+    // broadcast from cache after.
+    val frozenW = weights.select(col("fb"), col("w")).persist()
     val feats = deduped
       .select(col(idCol).as("id"), col("__event_time"),
         CorpusSignals.bigramsOf(col(textCol)).as("bg"))
       .select(col("id"), col("__event_time"),
         CorpusSignals.featureBucket(col("bg"), buckets).as("fb"))
-      .join(broadcast(weights.select(col("fb"), col("w"))), Seq("fb"), "left")
+      .join(broadcast(frozenW), Seq("fb"), "left")
     val scored = feats
       .groupBy(window(col("__event_time"), windowWidth), col("id"))
       .agg(sum(coalesce(col("w"), lit(0L))).as("dsir_score"))

@@ -170,6 +170,51 @@ class PipelineSpec extends AnyFunSuite {
       7L -> "admitted"))
   }
 
+  test("bandHashesExpr equals the explode+groupBy band-table spelling") {
+    // the streaming per-row spelling must be value-identical to the batch
+    // minhashColumns → bandTable path: same permutations, same packing
+    val d = docs
+    val sh = d.select($"doc_id".as("id"), Dedup.shingleHashes($"text", 3).as("sh"))
+    val batchBands = Dedup.bandTable(
+      Dedup.minhashColumns(sh, col("id"), col("sh"), 16), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exprBands = sh.select(col("id"),
+      posexplode(Dedup.bandHashesExpr(col("sh"), 8, 2)).as(Seq("band_idx", "band_hash")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exprBands == batchBands)
+  }
+
+  test("persisted-artifact incremental dedup: same decisions, insert-only update cycle") {
+    val other = "yet another entirely separate paragraph describing shuffle partitioning strategies in detail"
+    val otherNear = other.replace("detail", "depth")
+    val novel = "short text here totally novel content nothing else shares these words at all"
+    val corpus = Seq((100L, base), (101L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base), (2L, base.toUpperCase), (3L, other), (4L, other),
+      (5L, nearDup), (6L, otherNear), (7L, novel)).toDF("doc_id", "text")
+    // night 1 through frozen artifacts == the corpus-overload decisions
+    val art = Dedup.buildDedupArtifacts(corpus, "doc_id", "text").materialize()
+    val dec1 = Dedup.incrementalDedup(batch, art, "doc_id", "text", 3, 32, 2, 0.5)
+      .localCheckpoint()
+    assert(dec1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == Map(
+      1L -> "dup_exact_corpus", 2L -> "dup_exact_corpus",
+      3L -> "admitted", 4L -> "dup_exact_batch",
+      5L -> "near_dup_corpus", 6L -> "near_dup_batch",
+      7L -> "admitted"))
+    // fold night 1's admissions in (3 and 7), resubmit the batch as night 2:
+    // admitted keys flip to dup_exact_corpus (3', 4', 7'), the near-dup of a
+    // now-admitted doc flips near_dup_batch → near_dup_corpus (6')
+    val art2 = Dedup.updateDedupArtifacts(art, batch, dec1, "doc_id", "text").materialize()
+    val batch2 = batch.select(($"doc_id" + 300000L).as("doc_id"), $"text")
+    val dec2 = Dedup.incrementalDedup(batch2, art2, "doc_id", "text", 3, 32, 2, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec2 == Map(
+      300001L -> "dup_exact_corpus", 300002L -> "dup_exact_corpus",
+      300003L -> "dup_exact_corpus", 300004L -> "dup_exact_corpus",
+      300005L -> "near_dup_corpus", 300006L -> "near_dup_corpus",
+      300007L -> "dup_exact_corpus"))
+  }
+
   test("simhash of near-dups differs in few bits; unrelated differs in many") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("s")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -617,6 +662,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG synth/decode: bit-exact round-trip through ImageIO, malformed rejected") {
+    // grayscale + quality 1.0 + per-8×8-block constants ⇒ DC-only blocks
+    // against all-ones quant tables ⇒ the decode must reproduce every
+    // sample exactly; check dims, the power-of-two-exact mean, and both
+    // corner witnesses against the generation formula for ids covering
+    // all (bw, bh) grid shapes
+    for (id <- 0L to 11L) {
+      val bw = 1 << (id % 3).toInt; val bh = 1 << (id % 2).toInt
+      val bytes = Multimodal.buildSyntheticJpeg(id)
+      val got = Multimodal.decodeJpeg(bytes)
+      def blockVal(bx: Int, byy: Int) = ((id * 31 + bx * 7 + byy * 13) % 256).toInt
+      val mean = (for (byy <- 0 until bh; bx <- 0 until bw) yield blockVal(bx, byy))
+        .sum.toDouble / (bw * bh)
+      assert(got.contains((bw * 8, bh * 8, 1, mean, blockVal(0, 0), blockVal(bw - 1, bh - 1))),
+        s"id=$id got=$got")
+      // mutation discipline: truncations and single-byte flips never throw
+      assert(Multimodal.decodeJpeg(bytes.take(1)).isEmpty)
+      assert(Multimodal.decodeJpeg("nope".getBytes).isEmpty)
+      (0 until bytes.length by 37).foreach { i =>
+        val m = bytes.clone(); m(i) = (m(i) ^ 0xff).toByte
+        Multimodal.decodeJpeg(m) // must not throw
+      }
+    }
+  }
+
   test("export shards write path: partitionBy(shard) round-trips with dense seq") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
     val out = DataMix.exportShards((1L to 200L).map(Tuple1(_)).toDF("doc_id"), "doc_id", 4)
@@ -949,6 +1019,33 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(enc(1L) == ((4L, 3 * 1L + 2L)))
     assert(enc(2L) == ((2L, 2L + 6L)))
+  }
+
+  test("BPE multi-merge batching == sequential training, including collision corpora") {
+    // property: for every corpus and batch width, batched training must
+    // produce the EXACT sequential merge table and vocabulary — the
+    // order-equivalence proof, checked empirically. Corpora chosen to
+    // exercise the batcher's guards: symbol overlap between top pairs
+    // (contiguity stop), merged-symbol collisions with existing symbols
+    // (freshness stop), and count ties at the batch boundary (strict
+    // descent shrink).
+    val corpora = Seq(
+      Seq((1L, "low low low lower"), (2L, "lower newest")),
+      Seq((1L, "aa ab ba bb aa ab"), (2L, "abab abab baba"), (3L, "a b ab ba")),
+      Seq((1L, "xy xz yz zy xx"), (2L, "xy xy xz yz"), (3L, "wv wu uv vw wv")),
+      Seq((1L, "the cat sat on the mat"), (2L, "the bat sat on the hat"),
+        (3L, "rat cat bat mat")))
+    for ((rows, ci) <- corpora.zipWithIndex; m <- Seq(2, 4, 8)) {
+      val d = rows.toDF("doc_id", "text")
+      val seqModel = Bpe.train(d, "text", merges = 10)
+      val batModel = Bpe.train(d, "text", merges = 10, mergeBatch = m)
+      assert(batModel.merges.collect().map(_.toSeq).toSeq ==
+        seqModel.merges.collect().map(_.toSeq).toSeq,
+        s"merge-table drift: corpus $ci, mergeBatch $m")
+      assert(batModel.vocab.collect().map(_.toSeq).toSet ==
+        seqModel.vocab.collect().map(_.toSeq).toSet,
+        s"vocab drift: corpus $ci, mergeBatch $m")
+    }
   }
 
   test("BPE applyMerge fold == positional greedy scan on adversarial symbol runs") {

@@ -146,6 +146,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinSection.isEmpty, s"corpus text leaked into a join:\n$p")
   }
 
+  test("persisted-artifact incremental dedup: per-batch plan never scans corpus text") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val d = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val c = org.apache.spark.sql.functions.col("doc_id")
+    val art = graft.pipeline.Dedup
+      .buildDedupArtifacts(d.filter(c % 5 =!= 0).select("doc_id", "text"), "doc_id", "text")
+      .materialize()
+    // batch synthesized OFF parquet: any parquet scan in the per-batch
+    // plan is then by construction a corpus leak. The nightly promise —
+    // per-batch cost ∝ batch — means corpus participation is exactly the
+    // three checkpointed-artifact RDD scans.
+    import org.apache.spark.sql.functions.{col => fcol, concat_ws, lit}
+    val batch = spark.range(0, 50)
+      .select(fcol("id").as("doc_id"), concat_ws(" ", lit("synthetic"), lit("body"),
+        (fcol("id") % 7).cast("string"), (fcol("id") % 11).cast("string")).as("text"))
+    val p = plan(graft.pipeline.Dedup.incrementalDedup(
+      batch, art, "doc_id", "text", 3, 32, 2, 0.5))
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"),
+      s"corpus-sized scan leaked into the per-batch plan:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan RDD"),
+      s"artifact sides should be lineage-cut RDD scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("export sharding: bucketed offsets + local counter, never a shard window") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val d = new graft.sources.TestDataSource(spark, dir).table("documents")

@@ -198,4 +198,40 @@ class StreamingStatefulSpec extends AnyFunSuite {
       7L -> "dup_exact_batch", // blocked by batch-1 state
       8L -> "admitted"))
   }
+
+  test("streaming near-dup admission: frozen artifacts, exact + near statuses, no state for near losers") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base.replace("runs", "walks")
+    val novel = "a brand new paragraph nobody has stored before anywhere in this corpus"
+    val art = graft.pipeline.Dedup
+      .buildDedupArtifacts(Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .materialize()
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = StreamingPipeline
+      .admitStreamNear(stream, art, "doc_id", "text", "ts")
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("admit_near").start()
+
+    // batch 1: exact corpus dup, near-dup vs corpus, novel ×2 (min id wins)
+    mem.addData((1L, base.toUpperCase, 100L), (2L, nearDup, 101L),
+      (3L, novel, 102L), (4L, novel, 103L))
+    q.processAllAvailable()
+    // batch 2: novel again (admitted state blocks), near-dup again — the
+    // near loser left NO state, so it re-evaluates against the frozen
+    // artifacts and is near_dup_corpus again, not dup_exact_batch
+    mem.addData((7L, novel, 104L), (8L, nearDup, 105L))
+    q.processAllAvailable()
+    val out = spark.table("admit_near").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    q.stop()
+    assert(out == Map(
+      1L -> "dup_exact_corpus",
+      2L -> "near_dup_corpus",
+      3L -> "admitted", 4L -> "dup_exact_batch",
+      7L -> "dup_exact_batch",
+      8L -> "near_dup_corpus"))
+  }
 }
