@@ -217,6 +217,14 @@ object PipelineQueries {
       Multimodal.decodeJpegs(Multimodal.syntheticJpegs(
         docs(s, d).select(col("doc_id")), "doc_id"))),
 
+    "q_multimodal_avi" -> ((s, d) =>
+      // REAL video decode: an MJPEG AVI per doc (RIFF container walk +
+      // per-frame ImageIO decode); 2 + id%3 frames, frame f =
+      // syntheticJpeg(id + 6f), so every frame stat is on the same
+      // generation formula as q_multimodal_jpeg
+      Multimodal.decodeAviMjpeg(Multimodal.syntheticAvis(
+        docs(s, d).select(col("doc_id")), "doc_id"))),
+
     "q_multimodal_wav" -> ((s, d) =>
       // REAL audio decode: valid PCM16 WAV per doc — sample i's unsigned
       // word is u = (id*13 + i*97) % 65536, little-endian, so the int16
@@ -836,6 +844,23 @@ object PipelineQueries {
         |  CAST(doc_id * 31 % 256 AS INTEGER) AS tl_b0,
         |  CAST((doc_id * 31 + (bw - 1) * 7 + (bh - 1) * 13) % 256 AS INTEGER) AS br_b0
         |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
+
+    // the q_multimodal_jpeg formula per (doc, frame): frame f's JPEG id is
+    // doc_id + 6f (same block grid, advanced block values)
+    "q_multimodal_avi" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS fi FROM documents),
+        |d AS (SELECT doc_id, fi, doc_id + 6 * fi AS jid,
+        |  CAST(1 << (doc_id % 3) AS BIGINT) AS bw,
+        |  CAST(1 << (doc_id % 2) AS BIGINT) AS bh FROM f),
+        |px AS (SELECT doc_id, fi, jid, bw, bh, unnest(range(0, bw * bh)) AS j FROM d),
+        |v AS (SELECT doc_id, fi, jid, bw, bh,
+        |  (jid * 31 + (j % bw) * 7 + (j // bw) * 13) % 256 AS val FROM px)
+        |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(bw * 8 AS INTEGER) AS width, CAST(bh * 8 AS INTEGER) AS height,
+        |  CAST(sum(val) AS DOUBLE) / count(*) AS mean_b0,
+        |  CAST(jid * 31 % 256 AS INTEGER) AS tl_b0
+        |FROM v GROUP BY doc_id, fi, jid, bw, bh""".stripMargin,
 
     "q_multimodal_wav" ->
       """WITH s AS (SELECT doc_id, unnest(range(0, 256)) AS i FROM documents),

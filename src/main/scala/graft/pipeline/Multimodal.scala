@@ -708,6 +708,167 @@ object Multimodal {
     }(Encoders.row(syntheticBlobSchema))
   }
 
+  // ---- AVI / MJPEG (a real video container over a real codec) ----
+
+  /** [[decodeAviMjpeg]] row shape: one row per frame, with the container's
+    * frame count and per-frame band-0 stats (the [[decodeJpeg]] shape). */
+  val aviSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_b0", DoubleType, nullable = false),
+    StructField("tl_b0", IntegerType, nullable = false)))
+
+  /** Parse an AVI (RIFF) container carrying an MJPEG video stream and
+    * decode every frame through [[decodeJpeg]] — real video decode, built
+    * from the JDK only: the container walk is a strict RIFF chunk scan
+    * (the [[decodeWavPcm16]] discipline: long-arithmetic cursors, every
+    * malformed shape → None for the WHOLE blob), the per-frame codec is
+    * ImageIO. Requires: `RIFF…AVI ` magic, a `LIST hdrl` whose `avih`
+    * declares plausible dims and a frame count matching the `movi` chunk
+    * count exactly, a `vids`/`MJPG` stream header, and every `00dc` frame
+    * decoding to the declared dimensions. H.264/H.265 remain out of scope
+    * (patent-encumbered codecs with no JDK decoder) — MJPEG is the
+    * container-parsing + frame-pipeline shape at full fidelity.
+    *
+    * Returns (nFrames, frames = Seq(width, height, mean, topLeft)). */
+  def parseAviMjpeg(bytes: Array[Byte]): Option[(Int, Seq[(Int, Int, Double, Int)])] = {
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var declFrames = -1; var declW = -1; var declH = -1
+    var sawMjpg = false
+    val frames = Seq.newBuilder[Array[Byte]]
+    var nFrames = 0
+    // one flat walk over the outer chunks plus the LISTs we care about —
+    // nesting in AVI is fixed (hdrl holds avih+strl, movi holds frames)
+    def walk(from: Long, to: Long, depth: Int): Boolean = { // false = malformed
+      var o = from
+      while (o + 8 <= to) {
+        val oi = o.toInt
+        val id = tag(oi); val sz = u32(oi + 4)
+        val payload = o + 8
+        if (payload + sz > to) return false
+        id match {
+          case "LIST" =>
+            if (sz < 4 || depth >= 3) return false
+            val listType = tag(payload.toInt)
+            // descend into the structural lists; skip unknown ones whole
+            if (listType == "hdrl" || listType == "movi" || listType == "strl") {
+              if (!walk(payload + 4, payload + sz, depth + 1)) return false
+            }
+          case "avih" =>
+            if (sz < 56) return false
+            val p = payload.toInt
+            declFrames = u32(p + 16).toInt
+            declW = u32(p + 32).toInt; declH = u32(p + 36).toInt
+            // plausibility caps BEFORE any frame decode: a crafted header
+            // must not buy giant allocations downstream
+            if (declFrames < 0 || declFrames > 4096 ||
+              declW <= 0 || declH <= 0 || declW > (1 << 14) || declH > (1 << 14))
+              return false
+          case "strh" =>
+            if (sz < 8) return false
+            val p = payload.toInt
+            if (tag(p) == "vids") {
+              if (tag(p + 4) != "MJPG") return false // only codec we decode
+              sawMjpg = true
+            }
+          case "00dc" | "00db" =>
+            nFrames += 1
+            if (nFrames > 4096) return false
+            frames += java.util.Arrays.copyOfRange(bytes, payload.toInt, (payload + sz).toInt)
+          case _ => () // strf, idx1, JUNK, … — skipped whole
+        }
+        o = payload + sz + (sz & 1L) // word-aligned; strictly advances ≥ 8
+      }
+      o == to || to - o < 8 // trailing sub-8-byte slack only
+    }
+    if (!walk(12L, math.min(bytes.length.toLong, 8L + u32(4)), 0)) return None
+    if (!sawMjpg || declFrames < 0 || nFrames != declFrames) return None
+    val decoded = frames.result().map(decodeJpeg)
+    // strict whole-blob drop: every frame must decode AND match the
+    // container's declared dimensions
+    if (decoded.exists(d => d.isEmpty ||
+      d.exists { case (w, h, _, _, _, _) => w != declW || h != declH })) return None
+    Some((nFrames, decoded.map(_.get).map { case (w, h, _, m, tl, _) => (w, h, m, tl) }))
+  }
+
+  /** Decode every `bytes` blob as an MJPEG AVI: one row per frame
+    * (malformed blobs dropped WHOLE — a container with any bad frame
+    * contributes nothing). */
+  def decodeAviMjpeg(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, parseAviMjpeg).toSeq.flatMap { case (n, fs) =>
+          fs.zipWithIndex.map { case ((w, h, m, tl), i) =>
+            Row(r.getLong(0), i.toLong, n, w, h, m, tl)
+          }
+        }
+      }
+    }(Encoders.row(aviSchema))
+
+  /** A VALID MJPEG AVI per id whose decode is ANALYTIC: `2 + id%3` frames,
+    * frame f being [[buildSyntheticJpeg]]`(id + 6·f)` — the +6 stride keeps
+    * every frame's block grid (and so the video dimensions) constant within
+    * one container while the per-block values advance per frame, all still
+    * on the generation formula. Container: RIFF/AVI with `hdrl` (avih +
+    * one `vids`/`MJPG` strl), `movi` of `00dc` frames, word-aligned. */
+  private[graft] def buildSyntheticAvi(id: Long): Array[Byte] = {
+    val nf = 2 + (id % 3).toInt
+    val frames = (0 until nf).map(f => buildSyntheticJpeg(id + 6L * f))
+    val w = 8 * (1 << (id % 3).toInt); val h = 8 * (1 << (id % 2).toInt)
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id4.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(type4: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", type4.getBytes("US-ASCII") ++ body)
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(33333).putInt(0).putInt(0).putInt(0) // usec/frame, bps, pad, flags
+      bb.putInt(nf).putInt(0).putInt(1).putInt(0) //    frames, initial, streams, bufsz
+      bb.putInt(w).putInt(h)
+      bb.array() // trailing reserved dwords stay zero
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      bb.putInt(0).putInt(0).putInt(0) //          flags, prio+lang, initial
+      bb.putInt(1).putInt(30).putInt(0).putInt(nf) // scale, rate, start, length
+      bb.array()
+    }
+    val strf = { // BITMAPINFOHEADER
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      bb.put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    bb.array()
+  }
+
+  /** [[buildSyntheticAvi]] over a corpus ([[syntheticJpegs]] shape). */
+  def syntheticAvis(df: DataFrame, idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticAvis needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, buildSyntheticAvi(id)) }
+    }(Encoders.row(syntheticBlobSchema))
+  }
+
   // ---- WARC (the CommonCrawl container) ----
 
   /** [[parseWarc]] row shape: one row per WARC record. */

@@ -687,6 +687,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI/MJPEG: container walk + per-frame decode round-trip, strict whole-blob drop") {
+    for (id <- 0L to 6L) {
+      val nf = 2 + (id % 3).toInt
+      val bw = 1 << (id % 3).toInt; val bh = 1 << (id % 2).toInt
+      val bytes = Multimodal.buildSyntheticAvi(id)
+      val got = Multimodal.parseAviMjpeg(bytes)
+      assert(got.isDefined && got.get._1 == nf, s"id=$id")
+      got.get._2.zipWithIndex.foreach { case ((w, h, mean, tl), f) =>
+        val jid = id + 6L * f
+        def blockVal(bx: Int, byy: Int) = ((jid * 31 + bx * 7 + byy * 13) % 256).toInt
+        val exp = (for (byy <- 0 until bh; bx <- 0 until bw) yield blockVal(bx, byy))
+          .sum.toDouble / (bw * bh)
+        assert((w, h, mean, tl) == ((bw * 8, bh * 8, exp, blockVal(0, 0))), s"id=$id f=$f")
+      }
+      // whole-blob strictness: flipping the declared frame count, the
+      // codec fourcc, or a frame byte drops the container entirely
+      // dwTotalFrames LSB: RIFF hdr 12 + LIST hdr 8 + 'hdrl' 4 + avih hdr 8 + 16
+      val badCount = bytes.clone(); badCount(48) = 99
+      assert(Multimodal.parseAviMjpeg(badCount).isEmpty, s"id=$id frame-count")
+      assert(Multimodal.parseAviMjpeg(bytes.take(bytes.length / 2)).isEmpty)
+      assert(Multimodal.parseAviMjpeg("RIFFxxxxWAVE".getBytes).isEmpty)
+      (0 until bytes.length by 53).foreach { i =>
+        val m = bytes.clone(); m(i) = (m(i) ^ 0xff).toByte
+        Multimodal.parseAviMjpeg(m) // must not throw
+      }
+    }
+  }
+
   test("export shards write path: partitionBy(shard) round-trips with dense seq") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
     val out = DataMix.exportShards((1L to 200L).map(Tuple1(_)).toDF("doc_id"), "doc_id", 4)
