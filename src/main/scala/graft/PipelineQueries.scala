@@ -346,6 +346,25 @@ object PipelineQueries {
           col("source") === "src0", buckets = 512),
         "id", "dsir_score", basePpm = 250000L)),
 
+    "q_nb_train" -> ((s, d) =>
+      // supervised multinomial Naive-Bayes (the fastText-style classifier
+      // stage): language-ID model trained on the even-doc_id half with
+      // lang labels — dense 5-label x 512-bucket integer weight table
+      CorpusSignals.trainNbModel(
+        docs(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "lang", buckets = 512)),
+
+    "q_nb_classify" -> ((s, d) => {
+      // the inference half: classify the held-out odd-doc_id split with
+      // the frozen even-split model — argmax label, ties to the
+      // lexicographically greatest label
+      val d0 = docs(s, d)
+      CorpusSignals.classifyNb(
+        CorpusSignals.trainNbModel(d0.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", "lang", buckets = 512),
+        d0.filter(col("doc_id") % 2 === 1), "doc_id", "text", buckets = 512)
+    }),
+
     "q_bpe_merges" -> ((s, d) =>
       // BPE vocabulary training on the word-frequency table: 8 exact
       // merge rounds, ties broken on the pair string (model memoized per
@@ -1293,6 +1312,68 @@ object PipelineQueries {
          |SELECT doc_id AS id, is_target, CAST(sum(cnt) AS BIGINT) AS n_feats,
          |  CAST(sum(cnt * w) AS BIGINT) AS dsir_score
          |FROM o JOIN ww USING (fb) GROUP BY 1, 2""".stripMargin,
+
+    // Naive-Bayes training replicated exactly: add-one-smoothed
+    // class-conditional bucket counts over the dense label x bucket grid,
+    // bit-length log2 weights, doc-count priors; per-label totals as
+    // windows over the aggregate rows
+    "q_nb_train" ->
+      s"""WITH lab AS (SELECT lang AS label, $toks AS w FROM documents
+         |    WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0),
+         |pw AS (SELECT label,
+         |    CAST(length(bin(d)) - length(bin(sum(d) OVER ())) AS BIGINT) AS prior_w
+         |  FROM (SELECT label, CAST(count(*) AS BIGINT) AS d FROM lab GROUP BY 1)),
+         |o AS (SELECT label, ${duckMd5Long("bg")} % 512 AS fb,
+         |    CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT label, unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS bg FROM lab)
+         |  GROUP BY 1, 2),
+         |m AS (SELECT g.label, g.fb, COALESCE(o.c, 0) AS c, g.prior_w
+         |  FROM (SELECT label, prior_w, r.fb FROM pw
+         |        CROSS JOIN (SELECT unnest(range(512)) AS fb) r) g
+         |  LEFT JOIN o ON g.label = o.label AND g.fb = o.fb)
+         |SELECT label, CAST(fb AS BIGINT) AS fb,
+         |  CAST(length(bin(c + 1)) -
+         |       length(bin(sum(c) OVER (PARTITION BY label) + 512)) AS BIGINT) AS w,
+         |  prior_w
+         |FROM m""".stripMargin,
+
+    // the inference half: same model CTEs, held-out split scored as
+    // prior + sum(cnt * w) per label, argmax via (score DESC, label DESC)
+    // row_number — identical to Spark's max(struct(score, label))
+    "q_nb_classify" ->
+      s"""WITH lab AS (SELECT lang AS label, $toks AS w FROM documents
+         |    WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0),
+         |pw AS (SELECT label,
+         |    CAST(length(bin(d)) - length(bin(sum(d) OVER ())) AS BIGINT) AS prior_w
+         |  FROM (SELECT label, CAST(count(*) AS BIGINT) AS d FROM lab GROUP BY 1)),
+         |o AS (SELECT label, ${duckMd5Long("bg")} % 512 AS fb,
+         |    CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT label, unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS bg FROM lab)
+         |  GROUP BY 1, 2),
+         |mdl AS (SELECT label, fb,
+         |    CAST(length(bin(c + 1)) -
+         |         length(bin(sum(c) OVER (PARTITION BY label) + 512)) AS BIGINT) AS w,
+         |    prior_w
+         |  FROM (SELECT g.label, g.fb, COALESCE(o.c, 0) AS c, g.prior_w
+         |    FROM (SELECT label, prior_w, r.fb FROM pw
+         |          CROSS JOIN (SELECT unnest(range(512)) AS fb) r) g
+         |    LEFT JOIN o ON g.label = o.label AND g.fb = o.fb)),
+         |tgt AS (SELECT doc_id, $toks AS w FROM documents
+         |    WHERE doc_id IS NOT NULL AND doc_id % 2 = 1),
+         |ot AS (SELECT doc_id, ${duckMd5Long("bg")} % 512 AS fb,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS bg FROM tgt)
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, label,
+         |    CAST(max(prior_w) + sum(cnt * w) AS BIGINT) AS nb_score,
+         |    CAST(sum(cnt) AS BIGINT) AS n_feats
+         |  FROM ot JOIN mdl USING (fb) GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY nb_score DESC, label DESC) AS rn FROM sc)
+         |SELECT doc_id AS id, label, nb_score, n_feats FROM r WHERE rn = 1""".stripMargin,
 
     // grams joined as strings ≡ Spark's collision-free md5long gram hashes
     // (the q_decontaminate justification)

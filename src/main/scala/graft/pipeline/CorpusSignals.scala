@@ -455,4 +455,105 @@ object CorpusSignals {
     scored.select(col(idCol).as("id"), col(scoreCol),
       pPpm.as("p_ppm"), (DataMix.coin(col(idCol), salt) < pPpm).as("accepted"))
   }
+
+  /** Supervised multinomial Naive-Bayes TRAINING over the frozen
+    * hashed-bigram featurization ([[bigramsOf]] ∘ [[featureBucket]]) — the
+    * fastText-style classifier stage real curation pipelines train on
+    * labeled reference data (wiki-vs-crawl quality, language ID, domain
+    * routing) and then run over the whole crawl. Input: one row per
+    * LABELED document. Output, the DENSE model — one row per
+    * (label × bucket), so fresh-vocabulary buckets score by the model's
+    * add-one smoothing rather than silently vanishing (the
+    * [[importanceWeights]] density argument):
+    *
+    * {{{ label | fb | w | prior_w }}}
+    *
+    *  - `w = bitlen(c(label,fb) + 1) − bitlen(N(label) + buckets)` — the
+    *    integer log2 of the add-one-smoothed class-conditional feature
+    *    probability (c = occurrences of bucket fb under label, N(label) =
+    *    all feature occurrences under label);
+    *  - `prior_w = bitlen(d(label)) − bitlen(d_total)` — the integer log2
+    *    class prior from document counts, repeated per row so the model is
+    *    one self-contained joinable table.
+    *
+    * Everything is [[bitLen]] integer arithmetic — bit-exact on any engine,
+    * and the weights compose additively with [[classifyNb]]'s sum exactly
+    * like the DSIR ratios do. NULL ids / NULL labels are excluded (a
+    * training example needs both).
+    *
+    * 100 TB shape: the feature pass is one labeled-corpus scan into a
+    * partial+final aggregate on (label, fb) — aggregate rows out, never
+    * documents; the prior pass re-scans only the pruned label column
+    * (count of rows, no explode); the dense grid is labels × `buckets`
+    * crossJoin'd from two aggregate frames, and the per-label totals are
+    * windows over those aggregate rows. Nothing is collected. */
+  def trainNbModel(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val base = labeled
+      .filter(col(idCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"), col(textCol).as("__t"))
+    // class priors: label-cardinality aggregate rows; the global total is
+    // a window over them (never a driver collect)
+    val allW = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val priors = base.groupBy("label").agg(count(lit(1)).as("d"))
+      .withColumn("dt", sum(col("d")).over(allW))
+      .select(col("label"),
+        (bitLen(col("d")) - bitLen(col("dt"))).as("prior_w"))
+    val counts = base
+      .select(col("label"), bigramsOf(col("__t")).as("bg"))
+      .select(col("label"), featureBucket(col("bg"), buckets).as("fb"))
+      .filter(col("fb").isNotNull)
+      .groupBy("label", "fb").agg(count(lit(1)).as("c"))
+    val spark = labeled.sparkSession
+    val grid = priors.select(col("label"), col("prior_w"))
+      .crossJoin(spark.range(buckets).select(col("id").as("fb")))
+    val byLabel = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    grid.join(counts, Seq("label", "fb"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("nl", sum(col("c")).over(byLabel))
+      .select(col("label"), col("fb"),
+        (bitLen(col("c") + 1) - bitLen(col("nl") + buckets)).as("w"),
+        col("prior_w"))
+  }
+
+  /** Naive-Bayes CLASSIFICATION with a frozen [[trainNbModel]] model — the
+    * inference half of the nightly-train / corpus-classify split. `buckets`
+    * MUST equal the training value (the frozen-featurization contract: both
+    * halves hash with the one [[featureBucket]] spelling). Output, one row
+    * per document with ≥ 1 bigram (the [[crossSurprisal]] contract —
+    * a featureless document has no likelihood term to rank on):
+    *
+    * {{{ id | label | nb_score | n_feats }}}
+    *
+    * where `nb_score(id, l) = prior_w(l) + Σ_occ w(l, fb(occ))` and the
+    * emitted label is the argmax; ties break to the lexicographically
+    * GREATEST label (the max-of-struct order), deterministically.
+    *
+    * 100 TB shape: one corpus scan → map-side-combined (id, fb, cnt)
+    * collapse (occurrence multiplicity never crosses the wire) → a
+    * BROADCAST join against the labels × buckets model (aggregate-sized by
+    * construction) → two aggregate-row reductions, (id, label) then the
+    * argmax on (id). No windows over documents, nothing driver-side. */
+  def classifyNb(model: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val occ = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), bigramsOf(col(textCol)).as("bg"))
+      .select(col("id"), featureBucket(col("bg"), buckets).as("fb"))
+      .filter(col("fb").isNotNull)
+      .groupBy("id", "fb").agg(count(lit(1)).as("cnt"))
+    // every (id, fb) row fans out to one row per label here — k is the
+    // label count, so the pre-collapse above keeps the fan-out on
+    // doc-distinct rows, not raw occurrences
+    val scores = occ.join(broadcast(model), Seq("fb"))
+      .groupBy("id", "label")
+      .agg((max(col("prior_w")) + sum(col("cnt") * col("w"))).as("nb_score"),
+        sum(col("cnt")).as("n_feats"))
+    scores.groupBy("id")
+      .agg(max(struct(col("nb_score"), col("label"))).as("top"),
+        max(col("n_feats")).as("n_feats"))
+      .select(col("id"), col("top.label").as("label"),
+        col("top.nb_score").as("nb_score"), col("n_feats"))
+  }
 }

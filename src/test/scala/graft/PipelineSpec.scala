@@ -1186,4 +1186,44 @@ class PipelineSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](Multimodal.decodeAudio(strIds))
     assert(e2.getMessage.contains("integral media_id"))
   }
+
+  test("naive bayes: published weight formula, dense model, argmax + tie-break") {
+    def bitLen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val buckets = 4096
+    // disjoint vocabularies per class: X = {aa bb}, Y = {cc dd}
+    val labeled = Seq(
+      (1L, "aa bb aa bb", "X"), // bigrams: "aa bb"x2, "bb aa"x1 -> N_X = 3
+      (2L, "cc dd", "Y"),       // "cc dd"x1
+      (3L, "cc dd cc", "Y"))    // "cc dd","dd cc" -> N_Y = 3
+      .toDF("doc_id", "text", "lang")
+    val model = CorpusSignals.trainNbModel(labeled, "doc_id", "text", "lang", buckets)
+    val rows = model.collect()
+    assert(rows.length == 2 * buckets) // dense: every label x bucket
+    // priors from doc counts: d_X=1, d_Y=2, dt=3
+    val priors = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(priors == Map("X" -> (bitLen(1) - bitLen(3)), "Y" -> (bitLen(2) - bitLen(3))))
+    // seen-bucket weight: bitlen(c+1) - bitlen(N_label + buckets); the
+    // dominant (unseen) weight is the c=0 smoothing value
+    val wX = rows.filter(_.getString(0) == "X").map(_.getLong(2))
+    val unseen = bitLen(1) - bitLen(3 + buckets)
+    assert(wX.count(_ == unseen) == buckets - 2) // all but "aa bb","bb aa"
+    assert(wX.count(_ == bitLen(2 + 1) - bitLen(3 + buckets)) >= 1) // c=2
+    // classification: likelihood beats the prior on held-out text
+    val tgt = Seq((10L, "cc dd"), (11L, "aa bb aa"), (12L, "solo")).toDF("doc_id", "text")
+    val out = CorpusSignals.classifyNb(model, tgt, "doc_id", "text", buckets)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(10L, 11L)) // doc 12: no bigrams, no row
+    assert(out(10L)._1 == "Y" && out(11L)._1 == "X")
+    assert(out(11L)._3 == 2L) // n_feats = bigram occurrences
+    // hand-check doc 11's winning score: prior_X + w_X("aa bb") + w_X("bb aa")
+    val exp11 = (bitLen(1) - bitLen(3)) +
+      (bitLen(2 + 1) - bitLen(3 + buckets)) + (bitLen(1 + 1) - bitLen(3 + buckets))
+    assert(out(11L)._2 == exp11)
+    // exact score tie: symmetric training -> lexicographically greatest label
+    val sym = Seq((1L, "p q", "A"), (2L, "p q", "B")).toDF("doc_id", "text", "lang")
+    val symModel = CorpusSignals.trainNbModel(sym, "doc_id", "text", "lang", buckets)
+    val tie = CorpusSignals.classifyNb(symModel, Seq((9L, "p q")).toDF("doc_id", "text"),
+      "doc_id", "text", buckets).collect()
+    assert(tie.length == 1 && tie.head.getString(1) == "B")
+  }
 }

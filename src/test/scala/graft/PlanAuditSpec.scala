@@ -288,6 +288,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("naive bayes inference: doc-distinct collapse, broadcast model, no window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val model = graft.pipeline.CorpusSignals.trainNbModel(
+      docs, "doc_id", "text", "lang", buckets = 512)
+    val p = plan(graft.pipeline.CorpusSignals.classifyNb(
+      model, docs, "doc_id", "text", buckets = 512))
+    // the label fan-out must ride a BROADCAST of the aggregate-sized model
+    // — a shuffled join would exchange the corpus occurrences on fb
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    // the one allowed nested-loop is the model-side labels x buckets grid
+    // crossJoin — aggregate-cardinality by construction; anything touching
+    // the corpus side must hash-join or fail here
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bad join strategy:\n$p")
+    // formatted explain names each node twice (tree line + detail block)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2 &&
+      !p.contains("BroadcastNestedLoopJoin Inner"),
+      s"nested-loop beyond the model grid:\n$p")
+    // (id, fb) partial+final collapse before the fan-out, and the argmax is
+    // an aggregate — never a per-document Window on the CLASSIFY side (the
+    // model side's per-label totals window over bucket rows is fine)
+    assert(p.split("HashAggregate").length >= 5,
+      s"missing partial+final occurrence collapse:\n$p")
+    assert("Window".r.findAllIn(p).length <= 4, // 2 nodes x 2 mentions
+      s"per-document window crept into inference:\n$p")
+  }
+
   test("selection chain v3 plans no pair space and a bounded scan count") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val f = graft.PipelineQueries.queries("q_pipeline_v3")(spark, dir)
