@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline._
 import graft.sources.TestDataSource
@@ -17,6 +17,34 @@ object PipelineQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     new TestDataSource(spark, dir).table("documents")
+
+  /** Deterministic synthetic URL per doc_id for the q_url_* gates — built
+    * IDENTICALLY by the DuckDB oracle, which then derives the expected
+    * parse analytically from the same formulas (never re-running the
+    * operator's regex machinery). Exercises: scheme/host case folding,
+    * default-port stripping (https:443) vs kept ports (http:443, :8080),
+    * missing paths, tracking-parameter stripping around kept parameters,
+    * fragments, IP hosts, co.uk-style suffixes, and two invalid shapes
+    * (no scheme; userinfo). */
+  private def synthUrl(id: Column): Column = {
+    val scheme = when(id % 3 === 0, lit("HTTPS")).otherwise(lit("http"))
+    val host = element_at(array(
+      lit("News.Example.COM"), lit("example.com"), lit("blog.example.co.uk"),
+      lit("cdn.assets.example.org"), lit("192.168.0.1"), lit("spam.click"),
+      lit("shop.example.com")), (id % 7 + 1).cast("int"))
+    val port = when(id % 4 === 0, lit(":443"))
+      .when(id % 4 === 1, lit(":8080")).otherwise(lit(""))
+    val path = when(id % 5 === 4, lit(""))
+      .otherwise(concat(lit("/p/"), (id % 50).cast("string")))
+    val query = when(id % 2 === 0,
+        concat(lit("?utm_source=feed&q="), (id % 10).cast("string"), lit("&gclid=abc")))
+      .when(id % 5 === 0, lit("?ref=tw")).otherwise(lit(""))
+    val frag = when(id % 5 === 0, concat(lit("#sec-"), (id % 3).cast("string")))
+      .otherwise(lit(""))
+    when(id % 29 === 0, lit("banana"))
+      .when(id % 23 === 0, lit("http://alice@example.com/private"))
+      .otherwise(concat(scheme, lit("://"), host, port, path, query, frag))
+  }
   private def embs(spark: SparkSession, dir: String): DataFrame =
     new TestDataSource(spark, dir).table("embeddings")
 
@@ -365,6 +393,23 @@ object PipelineQueries {
         d0.filter(col("doc_id") % 2 === 1), "doc_id", "text", buckets = 512)
     }),
 
+    "q_url_parse" -> ((s, d) =>
+      // C4-style URL normalization: case folding, fragment + default-port
+      // + tracking-param stripping, registrable-domain heuristic — checked
+      // against an analytic oracle on the synthesized URL corpus
+      UrlCuration.parseUrls(
+        docs(s, d).select(col("doc_id"), synthUrl(col("doc_id")).as("url")),
+        "doc_id", "url")),
+
+    "q_url_curate" -> ((s, d) => {
+      // the composed URL gate: parse -> drop invalid -> blocklist
+      // anti-join -> deterministic 15-per-domain cap
+      import s.implicits._
+      UrlCuration.curate(
+        docs(s, d).select(col("doc_id"), synthUrl(col("doc_id")).as("url")),
+        "doc_id", "url", Seq("spam.click").toDF("domain"), perDomainCap = 15)
+    }),
+
     "q_bpe_merges" -> ((s, d) =>
       // BPE vocabulary training on the word-frequency table: 8 exact
       // merge rounds, ties broken on the pair string (model memoized per
@@ -557,6 +602,33 @@ object PipelineQueries {
 
   // DuckDB fragments mirroring the Spark expressions exactly.
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** The q_url_* oracles' analytic derivation of [[synthUrl]]'s expected
+    * parse — same per-doc_id formulas, never the operator's regexes. */
+  private val urlDerived =
+    """b AS (SELECT doc_id AS id,
+      |    NOT (doc_id % 29 = 0 OR doc_id % 23 = 0) AS valid,
+      |    (doc_id % 3 = 0) AS https, CAST(doc_id % 7 AS INT) AS hi,
+      |    doc_id % 4 AS pm, doc_id % 5 AS fm, doc_id % 2 AS qm,
+      |    doc_id % 50 AS pn, doc_id % 10 AS qn
+      |  FROM documents),
+      |u AS (SELECT id, valid,
+      |    CASE WHEN https THEN 'https' ELSE 'http' END AS scheme,
+      |    (['news.example.com','example.com','blog.example.co.uk',
+      |      'cdn.assets.example.org','192.168.0.1','spam.click',
+      |      'shop.example.com'])[hi + 1] AS host,
+      |    (['example.com','example.com','example.co.uk','example.org',
+      |      '192.168.0.1','spam.click','example.com'])[hi + 1] AS reg_domain,
+      |    CAST(CASE WHEN pm = 0 AND NOT https THEN 443
+      |              WHEN pm = 1 THEN 8080 END AS BIGINT) AS port,
+      |    CASE WHEN fm = 4 THEN '/' ELSE '/p/' || pn END AS path,
+      |    CASE WHEN qm = 0 THEN 'q=' || qn ELSE '' END AS query_clean
+      |  FROM b),
+      |cu AS (SELECT *, scheme || '://' || host ||
+      |    (CASE WHEN port IS NULL THEN '' ELSE ':' || port END) || path ||
+      |    (CASE WHEN query_clean = '' THEN '' ELSE '?' || query_clean END)
+      |    AS clean_url
+      |  FROM u)""".stripMargin
   private def duckStop(lang: String): String = {
     val list = Map(
       "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
@@ -1374,6 +1446,34 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY nb_score DESC, label DESC) AS rn FROM sc)
          |SELECT doc_id AS id, label, nb_score, n_feats FROM r WHERE rn = 1""".stripMargin,
+
+    // URL normalization checked analytically: every expected field derives
+    // from the synthesis formulas (the operator's regex machinery never
+    // runs oracle-side)
+    "q_url_parse" ->
+      s"""WITH $urlDerived
+         |SELECT id, valid,
+         |  CASE WHEN valid THEN scheme END AS scheme,
+         |  CASE WHEN valid THEN host END AS host,
+         |  CASE WHEN valid THEN port END AS port,
+         |  CASE WHEN valid THEN reg_domain END AS reg_domain,
+         |  CASE WHEN valid THEN path END AS path,
+         |  CASE WHEN valid THEN query_clean END AS query_clean,
+         |  CASE WHEN valid THEN clean_url END AS clean_url
+         |FROM cu""".stripMargin,
+
+    // the composed gate: valid rows, blocklist drop, then the
+    // samplePerGroup coin replicated as (md5 coin ASC, id ASC) row_number
+    "q_url_curate" ->
+      s"""WITH $urlDerived,
+         |v AS (SELECT id, reg_domain, clean_url,
+         |    ${duckMd5Long("'url:' || CAST(id AS VARCHAR)")} AS h
+         |  FROM cu WHERE valid AND reg_domain <> 'spam.click'),
+         |r AS (SELECT id, reg_domain, clean_url,
+         |    row_number() OVER (PARTITION BY reg_domain ORDER BY h, id) - 1 AS rk
+         |  FROM v)
+         |SELECT id, reg_domain, clean_url, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk < 15""".stripMargin,
 
     // grams joined as strings ≡ Spark's collision-free md5long gram hashes
     // (the q_decontaminate justification)

@@ -1187,6 +1187,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("integral media_id"))
   }
 
+  test("url curation: normalization edge cases, blocklist, deterministic cap") {
+    val urls = Seq(
+      (1L, "HTTPS://News.Example.COM:443/Path/One?utm_source=a&q=1&gclid=x#frag"),
+      (2L, "http://example.com:443/x"),         // 443 NOT default for http
+      (3L, "http://example.com:80"),            // default port + no path
+      (4L, "https://blog.example.co.uk/a?b=1&&c=2"), // && run collapses
+      (5L, "http://192.168.0.1:8080/api?ref=tw"),
+      (6L, "http://alice@example.com/private"), // userinfo -> invalid
+      (7L, "not a url"),                        // no scheme -> invalid
+      (8L, "http://sub.deep.example.net/p?fbclid=z&msclkid=y")
+    ).toDF("doc_id", "url")
+    val out = UrlCuration.parseUrls(urls, "doc_id", "url").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_url") == "https://news.example.com/Path/One?q=1")
+    assert(out(1L).getAs[String]("reg_domain") == "example.com")
+    assert(out(2L).getAs[String]("clean_url") == "http://example.com:443/x")
+    assert(out(3L).getAs[String]("clean_url") == "http://example.com/")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("port")))
+    assert(out(4L).getAs[String]("clean_url") == "https://blog.example.co.uk/a?b=1&c=2")
+    assert(out(4L).getAs[String]("reg_domain") == "example.co.uk")
+    assert(out(5L).getAs[String]("reg_domain") == "192.168.0.1")
+    assert(out(5L).getAs[Long]("port") == 8080L)
+    assert(out(5L).getAs[String]("query_clean") == "")
+    assert(!out(6L).getAs[Boolean]("valid") && !out(7L).getAs[Boolean]("valid"))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("clean_url")))
+    assert(out(8L).getAs[String]("reg_domain") == "example.net")
+    assert(out(8L).getAs[String]("clean_url") == "http://sub.deep.example.net/p")
+    // curate: blocklist (case-folded) + cap; invalid rows never surface
+    val blocked = Seq("Example.CO.uk").toDF("domain")
+    val kept = UrlCuration.curate(urls, "doc_id", "url", blocked, perDomainCap = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(4L) && !kept.contains(6L) && !kept.contains(7L))
+    assert(kept.contains(5L) && kept.contains(8L)) // singleton domains survive
+    // example.com has 3 valid docs {1,2,3}; cap 2 keeps a deterministic 2
+    assert(Set(1L, 2L, 3L).intersect(kept).size == 2)
+    val again = UrlCuration.curate(urls, "doc_id", "url", blocked, perDomainCap = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("naive bayes: published weight formula, dense model, argmax + tie-break") {
     def bitLen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
     val buckets = 4096

@@ -288,6 +288,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("url parse is one codegen'd projection; curate caps without a domain window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    import org.apache.spark.sql.functions.{col => fcol, concat, lit}
+    val withUrl = docs.select(fcol("doc_id"),
+      concat(lit("http://h"), (fcol("doc_id") % 9).cast("string"),
+        lit(".example.com/p/"), fcol("doc_id").cast("string")).as("url"))
+    val pp = plan(graft.pipeline.UrlCuration.parseUrls(withUrl, "doc_id", "url"))
+    assert(!pp.contains("Exchange") && !pp.contains("Join") && !pp.contains("Window"),
+      s"parseUrls must stay map-side:\n$pp")
+    // formatted explain stars codegen'd nodes; an un-starred Project means
+    // a CodegenFallback expression (e.g. a higher-order filter) crept in
+    assert(pp.contains("* Project"), s"parseUrls fell out of codegen:\n$pp")
+    val spark2 = spark
+    import spark2.implicits._
+    val pc = plan(graft.pipeline.UrlCuration.curate(withUrl, "doc_id", "url",
+      Seq("blocked.example").toDF("domain"), perDomainCap = 3))
+    // the cap must ride the bounded TopKByDot aggregate, never a
+    // per-domain Window; the blocklist must broadcast
+    assert(!pc.contains("Window"), s"per-domain window crept into curate:\n$pc")
+    assert(pc.contains("BroadcastExchange"), s"blocklist not broadcast:\n$pc")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"), pc)
+  }
+
   test("naive bayes inference: doc-distinct collapse, broadcast model, no window") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
