@@ -30,10 +30,22 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
 
   private val eventTypeNames = Seq("click", "error", "purchase", "signup", "view")
 
-  // The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-  // refuses to read as a timestamp; read it as raw nanos with an explicit
-  // schema and truncate to epoch seconds with integer division (a double
-  // round-trip would lose precision at 1e18 magnitudes).
+  // The events table stores `ts` as a parquet INT64 timestamp whose unit has
+  // varied across driver testdata generations (NANOS — which Spark 4 refuses
+  // to read as a timestamp — then MICROS). Read it as a raw long with an
+  // explicit schema and normalize to epoch seconds with the reference's own
+  // digit-count unit inference (`normalize_integer_epoch`, sneldb
+  // `src/shared/time.rs:83-101`, mirrored in [[graft.time.TimeParser]]):
+  // ≤11 digits seconds, ≤14 millis, ≤16 micros, else nanos. Integer `div`
+  // keeps full precision at 1e18 magnitudes (a double round-trip would not),
+  // and the CASE is a codegen'd scalar so the parquet scan still prunes and
+  // pushes down around it.
+  private val tsEpochSec = expr(
+    "CASE WHEN abs(ts) < 100000000000 THEN ts" +            // ≤11 digits: s
+    " WHEN abs(ts) < 100000000000000 THEN ts div 1000" +    // ≤14 digits: ms
+    " WHEN abs(ts) < 10000000000000000 THEN ts div 1000000" + // ≤16: us
+    " ELSE ts div 1000000000 END")                          // ns
+
   private val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
@@ -54,7 +66,7 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
         .select(
           col("user_id").cast("string").as(EventSchema.ContextId),
           col("event_type"),
-          expr("ts div 1000000000").as(EventSchema.Timestamp),
+          tsEpochSec.as(EventSchema.Timestamp),
           col("event_id"),
           col("value"),
           col("props"))
@@ -106,7 +118,7 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
       .select(
         col("user_id").cast("string").as(EventSchema.ContextId),
         col("event_type"),
-        expr("ts div 1000000000").as(EventSchema.Timestamp),
+        tsEpochSec.as(EventSchema.Timestamp),
         col("event_id"),
         col("value"),
         col("props"))
