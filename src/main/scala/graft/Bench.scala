@@ -81,21 +81,58 @@ object Bench {
     val pass1 = pass()
     val pass2 = pass()
     val results = pass1.zip(pass2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // `value` is a best-of composite (sum of per-query minima across the two
     // passes) — it corresponds to no single measured run. `best_pass_total`
     // is the fastest single pass as actually measured; `total_kind` labels
     // the composite so a reader of `value` alone is not misled.
     val total = results.map(_._2).sum
     val bestPass = math.min(pass1.map(_._2).sum, pass2.map(_._2).sum)
-    val calStats = s"""{"min":${cals.min},"max":${cals.max},""" +
-      s""""mean":${cals.sum / cals.size},"retried":$retried,""" +
-      s""""pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}]}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val calStats = s"""{"min":${r3(cals.min)},"max":${r3(cals.max)},""" +
+      s""""mean":${r3(cals.sum / cals.size)},"retried":$retried,""" +
+      s""""pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}]}"""
+
+    // Full-precision line: printed FIRST (it survives in full logs) and
+    // persisted to BENCH_FULL.json in the working directory, because the
+    // driver records only the last 2000 chars of stdout — every prior
+    // round's full line exceeded that cap and arrived truncated mid-JSON
+    // (BENCH_r01–r07 all have parsed:null).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_kind":"per_query_min_composite","best_pass_total":$bestPass,""" +
-      s""""queries":$qs,""" +
-      s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}""")
+      s""""queries":$fullQs,""" +
+      s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}"""
+    println(fullLine)
+    scala.util.Try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+      try w.println(fullLine) finally w.close()
+    }
+
+    // Compact FINAL line, kept under the 2000-char tail budget so the driver
+    // can actually parse it: summary stats plus per-query timings (3 dp,
+    // slowest first — the queries that matter for drift tracking) until the
+    // budget is reached; the remainder is counted, not silently dropped, and
+    // lives in full in BENCH_FULL.json / the earlier stdout line.
+    val budget = 1880
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""total_kind":"per_query_min_composite","best_pass_total":${r3(bestPass)},""" +
+      s""""n_queries":${results.size},"calibration_s":${r3(cals.max)},""" +
+      s""""calibration":$calStats,"sf":"$sfDir",""" +
+      s""""queries_full":"BENCH_FULL.json","queries":{"""
+    val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val kept = new StringBuilder(head)
+    var nKept = 0
+    val tailReserve = 40 // "},"queries_omitted":NNN}" + slack
+    entries.foreach { e =>
+      val sep = if (nKept == 0) 0 else 1
+      if (kept.length + sep + e.length + tailReserve <= budget) {
+        if (nKept > 0) kept.append(',')
+        kept.append(e); nKept += 1
+      }
+    }
+    kept.append(s"""},"queries_omitted":${results.size - nKept}}""")
+    println(kept.toString)
     spark.stop()
   }
 }
