@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.sources.TestDataSource
+
+/** Round-8 analytics operators with DuckDB oracles: event sessionization +
+  * cohort retention (beyond the reference's funnel surface), C4-style
+  * global line dedup, scalar embedding quantization, and perceptual image
+  * dHash + banded near-dup.
+  *
+  * Oracle discipline matches [[PipelineQueries]]: the SQL recomputes each
+  * result from first principles (window formulations and brute-force pair
+  * scans ARE allowed in oracles — they define the semantics the scaled
+  * Spark plans must reproduce byte-identically).
+  */
+object AnalyticsQueries {
+  import Hashing.duckMd5Long
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    new TestDataSource(spark, dir).table("documents")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    new TestDataSource(spark, dir).table("embeddings")
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    new TestDataSource(spark, dir).allEvents
+
+  /** Multi-line doc synthesis for the line-dedup gate (the testdata has no
+    * newlines of its own — same trick as q_strip_lines): a corpus-wide
+    * header, a `para-(id%50)` line shared by ~10 docs, a blank line for
+    * every 4th doc, the doc's own (unique) text, and a `tail-(id%7)` line
+    * shared by ~70. */
+  private def multiLineDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
+      lit("SHARED HEADER\n"),
+      lit("para-"), (col("doc_id") % 50).cast("string"), lit("\n"),
+      when(col("doc_id") % 4 === 0, lit("\n")).otherwise(lit("")),
+      col("text"),
+      lit("\ntail-"), (col("doc_id") % 7).cast("string")).as("text"))
+
+  private def pngHashes(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageDHashes(Multimodal.syntheticPngs(docs(s, d), "doc_id", 5, 6))
+
+  // ---------------- queries ----------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> ((s, d) =>
+      // 6h-inactivity-gap sessions over ALL event types; one shuffle on the
+      // context, windows and the session aggregate reuse its partitioning
+      EventAnalytics.sessionize(events(s, d),
+        "context_id", "timestamp", "event_id", gapSec = 21600L)),
+
+    "q_retention" -> ((s, d) =>
+      // first-active-week cohorts × weekly activity; collect_set bounded by
+      // weeks-per-user
+      EventAnalytics.retentionCohorts(events(s, d), "context_id", "timestamp")),
+
+    "q_line_dedup" -> ((s, d) =>
+      // C4-style global line dedup: keep only the first (doc, pos)
+      // occurrence of every non-blank line corpus-wide; groupBy-min winner
+      // (map-side combinable), never a per-line row_number window
+      CorpusSignals.dedupLinesGlobal(multiLineDocs(docs(s, d)), "doc_id", "text")),
+
+    "q_embed_quantize" -> ((s, d) =>
+      // int8-style scalar quantization: per-dim min/max (bounded collect) +
+      // one codegen'd encode pass, fingerprint over all 64 codes
+      Similarity.scalarQuantize(embs(s, d), "vec_id", "embedding")),
+
+    "q_image_dhash" -> ((s, d) =>
+      // perceptual fingerprint through the REAL PNG codec: decode (CRC +
+      // inflate + unfilter) then 9×8 nearest-neighbor gray dHash
+      pngHashes(s, d)),
+
+    "q_image_neardup" -> ((s, d) =>
+      // banded Hamming near-dup: 4×16-bit bands, pigeonhole-exact for
+      // dist<=3, so the banded plan must equal the oracle's brute force
+      Multimodal.nearDupImages(pngHashes(s, d), maxDist = 3))
+  )
+
+  // ---------------- oracles ----------------
+
+  private val eventsView =
+    """SELECT CAST(user_id AS VARCHAR) AS context_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid
+      |FROM events""".stripMargin
+
+  /** The dHash oracle recomputes the DECODED gray grid analytically from
+    * the synthetic-PNG formula (channel c of pixel p is
+    * `(id*31 + (p*3+c)*7) % 256`, image 5×6) — the codec itself is never
+    * run by the oracle, same strategy as q_multimodal_png. */
+  private val dhashOracle =
+    """WITH ys AS (SELECT doc_id, unnest(range(0, 8)) AS y FROM documents),
+      |pts AS (SELECT doc_id, y, unnest(range(0, 9)) AS x FROM ys),
+      |g AS (SELECT doc_id, y, x,
+      |  (((doc_id*31 + ((((y*6)//8)*5 + (x*5)//9)*3 + 0)*7) % 256)
+      | + ((doc_id*31 + ((((y*6)//8)*5 + (x*5)//9)*3 + 1)*7) % 256)
+      | + ((doc_id*31 + ((((y*6)//8)*5 + (x*5)//9)*3 + 2)*7) % 256)) // 3 AS gv
+      |  FROM pts),
+      |bits AS (SELECT l.doc_id, l.y, l.x,
+      |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS bit
+      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+      |  WHERE l.x < 8)
+      |SELECT doc_id AS media_id,
+      |  CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS hash_lo
+      |FROM bits GROUP BY doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS ($eventsView),
+         |s AS (SELECT context_id, t, eid,
+         |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
+         |x AS (SELECT context_id, t,
+         |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
+         |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+         |  FROM s)
+         |SELECT context_id, session_idx, min(t) AS start_ts, max(t) AS end_ts,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  max(t) - min(t) AS duration_s
+         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+         |w AS (SELECT DISTINCT ctx, wk FROM e),
+         |c AS (SELECT ctx, min(wk) AS cw FROM w GROUP BY ctx)
+         |SELECT c.cw * 604800 AS cohort_week, w.wk - c.cw AS week_offset,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM w JOIN c ON w.ctx = c.ctx GROUP BY 1, 2""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH injected AS (SELECT doc_id,
+        |  'SHARED HEADER' || chr(10) || 'para-' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+        |  CASE WHEN doc_id % 4 = 0 THEN chr(10) ELSE '' END || text ||
+        |  chr(10) || 'tail-' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected),
+        |l1 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM l0),
+        |l AS (SELECT doc_id, pos, ls[pos] AS line FROM l1),
+        |k AS (SELECT doc_id, pos, line,
+        |    trim(line) = '' OR
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM l)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH e1 AS (SELECT vec_id, embedding AS em, len(embedding) AS nd,
+         |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+         |x AS (SELECT vec_id, nd, CAST(i AS BIGINT) AS i,
+         |    CAST(em[i] AS DOUBLE) AS v FROM e1),
+         |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+         |q AS (SELECT vec_id, nd, x.i,
+         |    CASE WHEN mx = mn THEN 0
+         |         ELSE CAST(least(greatest(floor((v - mn) * 255 / (mx - mn)), 0), 255) AS BIGINT)
+         |    END AS c
+         |  FROM x JOIN mm ON x.i = mm.i)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+         |  min(CASE WHEN i = 1 THEN c END) AS q_first,
+         |  min(CASE WHEN i = nd THEN c END) AS q_last,
+         |  CAST(sum(c) AS BIGINT) AS q_sum,
+         |  ${duckMd5Long("string_agg(CAST(c AS VARCHAR), ',' ORDER BY i)")} AS fp
+         |FROM q GROUP BY vec_id, nd""".stripMargin,
+
+    "q_image_dhash" ->
+      s"""WITH h AS ($dhashOracle)
+         |SELECT media_id, CAST(5 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+         |  hash_hi, hash_lo FROM h""".stripMargin,
+
+    "q_image_neardup" ->
+      s"""WITH h AS ($dhashOracle)
+         |SELECT a.media_id AS a, b.media_id AS b,
+         |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS dist
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3""".stripMargin
+  )
+}

@@ -54,7 +54,8 @@ object SparkEntry {
     s"""SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = '$t'"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    engineQueries ++ PipelineQueries.queries ++ StoreQueries.queries ++ StreamQueries.queries
+    engineQueries ++ PipelineQueries.queries ++ StoreQueries.queries ++
+      StreamQueries.queries ++ AnalyticsQueries.queries
 
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- selection / filtering (SURVEY §3.2: P1-P6) ----
@@ -108,7 +109,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql ++ StreamQueries.oracleSql
+    engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql ++
+      StreamQueries.oracleSql ++ AnalyticsQueries.oracleSql
 
   private def engineOracles: Map[String, String] = Map(
     "q_select_where_gt" ->

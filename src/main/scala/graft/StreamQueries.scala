@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ast.{AggSpec, TimeGranularity}
 import graft.sources.TestDataSource
-import graft.streaming.{StreamingAggregates, StreamingPipeline, StreamingReplay, StreamingSequence}
+import graft.streaming.{StreamingAggregates, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions}
 
 /** CORRECTNESS rows for the Structured Streaming operators: each one is
   * batch-replayed over the testdata via [[streaming.StreamingReplay]]
@@ -102,6 +102,19 @@ object StreamQueries {
           // the replayed source is exactly-once, so the dedup guard is moot
           dedupWithinWatermark = false),
         mode = "complete")
+    }),
+
+    "q_stream_sessions" -> ((s, d) => {
+      // streaming gap sessionization (flatMapGroupsWithState): a session
+      // row is emitted when a LATER event of the context closes it, or when
+      // the event-time timeout fires — the replay's final no-data batch
+      // advances the watermark to max(event time) - 10min delay and fires
+      // every timeout behind it, exactly as an idle production stream
+      // would. The oracle models both closure paths; a context's session
+      // still open behind the final watermark is (correctly) unemitted
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(
+        StreamingSessions.sessions(src.eventsStream, gapSec = 21600L).toDF())
     }),
 
     "q_stream_windowed" -> ((s, d) => {
@@ -207,6 +220,30 @@ object StreamQueries {
         |  CASE WHEN e.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup_corpus'
         |       ELSE 'admitted' END) AS status
         |FROM exact e""".stripMargin,
+
+    // the batch q_sessionize oracle restricted to CLOSED sessions: closed
+    // by a later event (session_idx < the context's max) OR by the
+    // event-time timeout — due when end + gap passed the replay's final
+    // watermark max(t) - 600s (10min delay), strict <, matching Spark's
+    // strict timeout-vs-watermark comparison
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid FROM events),
+        |s AS (SELECT context_id, t, eid,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
+        |x AS (SELECT context_id, t,
+        |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM s),
+        |g AS (SELECT context_id, session_idx, min(t) AS start_ts, max(t) AS end_ts,
+        |    CAST(count(*) AS BIGINT) AS n_events, max(t) - min(t) AS duration_s
+        |  FROM x GROUP BY 1, 2)
+        |SELECT context_id, session_idx, start_ts, end_ts, n_events, duration_s
+        |FROM (SELECT g.*, max(session_idx) OVER (PARTITION BY context_id) AS mx,
+        |        (SELECT max(t) FROM e) AS maxt FROM g)
+        |WHERE session_idx < mx OR end_ts + 21600 < maxt - 600""".stripMargin,
 
     // tumbling 1-day windows anchored at the epoch == integer day floor
     "q_stream_windowed" ->

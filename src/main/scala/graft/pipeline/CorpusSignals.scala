@@ -177,6 +177,49 @@ object CorpusSignals {
         col("n_stripped"))
   }
 
+  /** C4-style GLOBAL line deduplication (Raffel et al., "Exploring the
+    * Limits of Transfer Learning…", §2.2's line-level dedup): every
+    * non-blank line that occurs in multiple places corpus-wide is kept only
+    * at its FIRST occurrence — smallest (doc, position) — and dropped
+    * everywhere else; blank lines always survive. Documents are then
+    * reassembled from their surviving lines in order.
+    *
+    * Scale shape: winners are `groupBy(line).agg(min(struct(id, pos)))` —
+    * partial map-side min collapses even a billion-occurrence boilerplate
+    * line to one row per task BEFORE the exchange, and the join back is a
+    * plain equi-join AQE can skew-split; deliberately NOT a per-line
+    * `row_number` window, which would funnel each hot line through a single
+    * task. Blank lines bypass the winner machinery entirely (they are the
+    * most duplicated string in any corpus and carry no signal).
+    *
+    * Output: one row per doc — `idCol`, rebuilt `textCol`, `n_lines`
+    * (original), `n_dropped` (lines removed as non-first duplicates).
+    */
+  def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val blank = trim(col("line")) === ""
+    val nonBlank = lines.filter(!blank)
+    val winners = nonBlank
+      .groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("first_at"))
+    val kept = nonBlank
+      .join(winners, Seq("line"))
+      .withColumn("keep", struct(col("id"), col("pos")) === col("first_at"))
+      .select(col("id"), col("pos"), col("line"), col("keep"))
+      .unionByName(lines.filter(blank).withColumn("keep", lit(true)))
+    kept
+      .groupBy("id")
+      .agg(
+        array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("line"))))).as("kept_lines"),
+        count(lit(1)).as("n_lines"),
+        count(when(!col("keep"), lit(1))).as("n_dropped"))
+      .select(col("id").as(idCol),
+        concat_ws("\n", expr("transform(kept_lines, x -> x.line)")).as(textCol),
+        col("n_lines"), col("n_dropped"))
+  }
+
   /** Integer bit-length `floor(log2(x)) + 1` for a positive long column —
     * the engine-portable log2 every surprisal score here is built from
     * (`length(bin(x))`: pure string ops, no FP log whose last-ulp rounding

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics beyond the reference's command surface:
+  * gap-based sessionization and cohort retention. The reference stops at
+  * funnels (FOLLOWED BY, `docs/src/design/query_replay.md`); these are the
+  * two next operators every event-analytics user reaches for, built
+  * Spark-first.
+  *
+  * Scale notes (100 TB): both operators shuffle ONCE on the context key and
+  * stay partitioned on it for every later step. Per-context state (a
+  * session's events, a user's active weeks) is bounded by a single entity's
+  * activity, never by corpus size, so no per-query global window or
+  * driver-side pass exists anywhere.
+  */
+object EventAnalytics {
+
+  /** Gap-based sessionization: a new session starts when a context's
+    * inter-event gap exceeds `gapSec` (industry-standard inactivity
+    * sessioning, e.g. the 30-minute web-analytics default).
+    *
+    * One shuffle on `ctxCol`: the lag + running-sum windows and the final
+    * per-(context, session) aggregate all reuse that partitioning (Spark's
+    * EnsureRequirements accepts hash(ctx) for the (ctx, session_idx)
+    * aggregate because the partitioning keys are a subset of the grouping
+    * keys).
+    *
+    * Output: one row per session — context, 0-based `session_idx` in
+    * (timestamp, event_id) order, start/end timestamps, event count,
+    * duration in seconds.
+    */
+  def sessionize(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, gapSec: Long): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val byCtx = Window.partitionBy(col(ctxCol)).orderBy(col(tsCol), col(idCol))
+    val run = byCtx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(byCtx))
+      .withColumn("_new_session",
+        (col("_prev_ts").isNull || col(tsCol) - col("_prev_ts") > gapSec).cast("long"))
+      .withColumn("session_idx", sum(col("_new_session")).over(run) - 1)
+      .groupBy(col(ctxCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_s", col("end_ts") - col("start_ts"))
+  }
+
+  /** Cohort retention: bucket activity into fixed-width weeks (naive
+    * epoch-floor buckets, the engine's PER WEEK naive semantics), cohort
+    * each context by its FIRST active week, and count contexts active at
+    * each (cohort, week-offset) cell.
+    *
+    * Two shuffles: one groupBy on the context (map-side-combined
+    * `collect_set` of a user's active weeks — bounded by weeks-per-user,
+    * not corpus size), one on the (cohort, offset) cell. No distinct-then-
+    * window double pass.
+    *
+    * Output: `cohort_week` (epoch seconds of the cohort's first week),
+    * `week_offset` (0 = the cohort week itself), `n_users`.
+    */
+  def retentionCohorts(events: DataFrame, ctxCol: String, tsCol: String,
+      weekSec: Long = 604800L): DataFrame = {
+    require(weekSec > 0, s"weekSec must be positive, got $weekSec")
+    val wk = floor(col(tsCol).cast("double") / weekSec).cast("long")
+    events
+      .select(col(ctxCol).as("_ctx"), wk.as("_wk"))
+      .groupBy("_ctx")
+      .agg(min(col("_wk")).as("_cohort"), collect_set(col("_wk")).as("_wks"))
+      .select(col("_cohort"), explode(col("_wks")).as("_wk"))
+      .groupBy(col("_cohort"), (col("_wk") - col("_cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        (col("_cohort") * weekSec).as("cohort_week"),
+        col("week_offset"),
+        col("n_users"))
+  }
+}

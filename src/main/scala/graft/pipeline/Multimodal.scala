@@ -228,7 +228,19 @@ object Multimodal {
     * Paeth). Same output shape as [[decodeBmp24]]; None on any malformed
     * shape — bad signature, CRC mismatch, wrong color mode, truncated or
     * over-long compressed stream, unknown filter type. */
-  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Int)] = {
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Int)] =
+    decodePngPixels(bytes).map { case (w, h, px) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0
+      while (p < px.length) { sr += px(p); sg += px(p + 1); sb += px(p + 2); p += 3 }
+      val n = w * h
+      (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, px(0))
+    }
+
+  /** The full [[decodePng]] walk, returning the reconstructed RGB pixel
+    * array (top-down, 3 ints per pixel) instead of summary stats — the
+    * input for pixel-level features ([[dHash64]]). */
+  def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (bytes.length < 8) return None
     var i = 0
     while (i < 8) { if (bytes(i) != pngSig(i)) return None; i += 1 }
@@ -287,38 +299,60 @@ object Multimodal {
       if (got < raw.length || !inf.finished()) return None // short or over-long
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // unfilter scanline by scanline; `prev`/`cur` hold reconstructed rows
-    val prev = new Array[Int](stride)
-    val cur = new Array[Int](stride)
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var tlR = -1
+    // unfilter scanline by scanline, reconstructing rows in place; row y
+    // lives at px[y*stride ..< (y+1)*stride] so `a`/`b`/`c` predictors read
+    // the already-reconstructed current and previous rows directly
+    val px = new Array[Int](h * stride)
     var y = 0
     while (y < h) {
       val base = y * (1 + stride)
+      val rowOff = y * stride
       val ft = raw(base) & 0xff
       if (ft > 4) return None
       var k = 0
       while (k < stride) {
-        val a = if (k >= 3) cur(k - 3) else 0
-        val b = prev(k)
+        val a = if (k >= 3) px(rowOff + k - 3) else 0
+        val b = if (y > 0) px(rowOff - stride + k) else 0
         val pred = ft match {
           case 0 => 0
           case 1 => a
           case 2 => b
           case 3 => (a + b) / 2
-          case 4 => paeth(a, b, if (k >= 3) prev(k - 3) else 0)
+          case 4 => paeth(a, b, if (k >= 3 && y > 0) px(rowOff - stride + k - 3) else 0)
         }
-        cur(k) = ((raw(base + 1 + k) & 0xff) + pred) & 0xff
+        px(rowOff + k) = ((raw(base + 1 + k) & 0xff) + pred) & 0xff
         k += 1
       }
-      var p = 0
-      while (p < stride) { sr += cur(p); sg += cur(p + 1); sb += cur(p + 2); p += 3 }
-      if (y == 0) tlR = cur(0)
-      System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    val n = w * h
-    Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, tlR))
+    Some((w, h, px))
+  }
+
+  /** Difference-hash (dHash) of a decoded RGB image: nearest-neighbor
+    * sample a 9×8 grayscale grid (`gray = (r+g+b)/3`, integer), set bit
+    * `y*8+x` when `gray(x,y) > gray(x+1,y)`. The standard perceptual
+    * near-dup fingerprint (64 bits, robust to re-encode/resize). Returned
+    * as two non-negative 32-bit halves `(hi, lo)` so downstream SQL — and
+    * the DuckDB oracle — never touches the BIGINT sign bit. */
+  def dHash64(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    def gray(gx: Int, gy: Int): Int = {
+      val o = ((gy * h / 8) * w + (gx * w / 9)) * 3
+      (px(o) + px(o + 1) + px(o + 2)) / 3
+    }
+    var lo = 0L; var hi = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gx, gy) > gray(gx + 1, gy)) {
+          val j = gy * 8 + gx
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (hi, lo)
   }
 
   /** Decoded audio summary: rate + sample count + amplitude stats. */
@@ -438,6 +472,60 @@ object Multimodal {
           .map { case (w, h, mr, mg, mb, tl) => Row(r.getLong(0), w, h, mr, mg, mb, tl) }
       }
     }(Encoders.row(pngSchema))
+
+  /** [[imageDHashes]] row shape: dims + the 64-bit dHash as two unsigned
+    * 32-bit halves. */
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("hash_hi", LongType, nullable = false),
+    StructField("hash_lo", LongType, nullable = false)))
+
+  /** Perceptual fingerprint of every PNG blob: full decode →
+    * [[dHash64]] (malformed rows dropped). One mapPartitions pass,
+    * per-row memory bounded by the decode cap. */
+  def imageDHashes(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodePngPixels)
+          .map { case (w, h, px) =>
+            val (hi, lo) = dHash64(w, h, px)
+            Row(r.getLong(0), w, h, hi, lo)
+          }
+      }
+    }(Encoders.row(dhashSchema))
+
+  /** Image near-duplicate pairs by dHash Hamming distance, via LSH-style
+    * banding: the 64-bit hash splits into four 16-bit bands; only pairs
+    * sharing at least one band value are compared. For `maxDist < 4` the
+    * pigeonhole principle makes this EXACT (a pair within distance 3 cannot
+    * differ in all 4 bands), so the banded plan — candidate space ∝ band
+    * collisions, never all-pairs — returns byte-identically what a
+    * brute-force cross join would, at 100 TB candidate-join cost instead of
+    * O(n²). Output: (a, b, dist) with a < b, one row per pair. */
+  def nearDupImages(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"banding over 4 bands is exact only for maxDist < 4, got $maxDist")
+    val banded = hashes.select(
+      col("media_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("hash_hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xffffL)))).as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"), col("media_id").as("a"),
+      col("hash_hi").as("_ha"), col("hash_lo").as("_la"))
+    val b = banded.select(col("band"), col("bv"), col("media_id").as("b"),
+      col("hash_hi").as("_hb"), col("hash_lo").as("_lb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(_ha ^ _hb)") + expr("bit_count(_la ^ _lb)"))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 
   /** Decode every `bytes` blob as a PCM16 WAV (malformed rows dropped). */
   def decodeAudio(media: DataFrame): DataFrame =

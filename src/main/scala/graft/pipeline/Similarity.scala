@@ -204,6 +204,55 @@ object Similarity {
       .select(col(idCol), col("best.cid").as("cid"), (-col("best.nd")).as("dot"))
   }
 
+  /** Scalar (per-dimension min/max) embedding quantization — the int8-style
+    * compression every large vector store applies before ANN (e.g. FAISS
+    * `ScalarQuantizer`): dimension i of every vector is linearly mapped from
+    * the corpus-wide [min_i, max_i] onto `levels` integer codes.
+    *
+    * Two phases, both scale-safe: (1) per-dim min/max is ONE map-side-
+    * combined aggregation whose result is `dims` rows — a bounded collect
+    * (same discipline as the IVF centroid collect); (2) encoding is a
+    * single codegen'd projection with the bounds inlined as array literals —
+    * no join, no shuffle, no second scan of the vectors.
+    *
+    * The code formula `floor((v - mn) * (levels-1) / (mx - mn))`, clamped to
+    * [0, levels-1], is evaluated in IEEE double with this exact association
+    * on both engines, so results are bit-reproducible.
+    *
+    * Output: id, `n_dims`, first/last codes as witnesses, `q_sum` (sum of
+    * codes), and `fp` — md5-fingerprint of the comma-joined code string, so
+    * an oracle mismatch anywhere in any vector is visible. */
+  def scalarQuantize(embs: DataFrame, idCol: String, vecCol: String,
+      levels: Int = 256): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2, got $levels")
+    val bounds = embs
+      .select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy("i").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("i")
+      .collect() // bounded: one row per embedding DIMENSION, not per vector
+    require(bounds.nonEmpty, "scalarQuantize needs at least one vector")
+    val mnLit = array(bounds.map(r => lit(r.getFloat(1).toDouble)): _*)
+    val mxLit = array(bounds.map(r => lit(r.getFloat(2).toDouble)): _*)
+    val top = lit((levels - 1).toDouble)
+    val codes = transform(col(vecCol), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0L)).otherwise(
+        least(greatest(
+          floor((x.cast("double") - mn) * top / (mx - mn)),
+          lit(0L)), lit((levels - 1).toLong)))
+    })
+    embs
+      .withColumn("_codes", codes)
+      .select(col(idCol),
+        size(col("_codes")).cast("long").as("n_dims"),
+        element_at(col("_codes"), 1).as("q_first"),
+        element_at(col("_codes"), size(col("_codes"))).as("q_last"),
+        aggregate(col("_codes"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        Hashing.md5Long(concat_ws(",",
+          transform(col("_codes"), _.cast("string")))).as("fp"))
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `nClusters` cells around centroid vectors; a query exact-ranks only the
     * cells its `nProbe` closest centroids own — candidates ∝ corpus/nClusters

@@ -98,6 +98,18 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
   /** Raw table access for the data-pipeline operators (documents/embeddings). */
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** ALL events (every type) with the engine's core columns — the input for
+    * cross-type analytics (sessionization, retention) that scope wider than
+    * one event type. Same normalization as [[frame]]. */
+  def allEvents: DataFrame =
+    eventsRaw.select(
+      col("user_id").cast("string").as(EventSchema.ContextId),
+      col("event_type"),
+      tsEpochSec.as(EventSchema.Timestamp),
+      col("event_id"),
+      col("value"),
+      col("props"))
+
   /** STREAMING (file-source) view of the events table with the same core
     * columns as [[frame]] — for batch-replaying the streaming operators
     * ([[graft.streaming.StreamingReplay]]) over the same data the batch

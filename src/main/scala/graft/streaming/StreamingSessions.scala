@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.schema.EventSchema
+
+/** Streaming gap-based sessionization — the unbounded-stream sibling of
+  * [[graft.pipeline.EventAnalytics.sessionize]], via
+  * `flatMapGroupsWithState` (the canonical Spark custom-state shape for
+  * sessionization).
+  *
+  * Emission contract: a session row is emitted the moment the session is
+  * CLOSED — either by a later event of the same context arriving more than
+  * `gapSec` past the session's end (closed in-line), or by the event-time
+  * timeout when the watermark passes `end + gapSec` (no event can extend
+  * the session once every input at or before that point has arrived). A
+  * context's still-open session is never emitted — it may yet grow. A
+  * bounded replay (`Trigger.AvailableNow`) therefore emits exactly the
+  * sessions a later event closed, which is what the oracle expresses.
+  *
+  * Scale shape: state per live context is ONE session summary (4 longs) —
+  * no event buffering; the only shuffle is the hash partition on the
+  * context key, and eviction is strictly watermark-driven.
+  */
+object StreamingSessions {
+
+  case class SessEvent(ctx: String, ts: Long, eid: Long, et: java.sql.Timestamp)
+
+  /** The open session of one context. */
+  case class SessState(idx: Long, start: Long, end: Long, n: Long)
+
+  case class SessionRow(context_id: String, session_idx: Long, start_ts: Long,
+      end_ts: Long, n_events: Long, duration_s: Long)
+
+  def sessions(events: DataFrame, gapSec: Long,
+      linkCol: String = EventSchema.ContextId,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionRow] = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val prepared = events
+      .withColumn("__event_time", timestamp_seconds(col(EventSchema.Timestamp).cast("long")))
+      .withWatermark("__event_time", watermarkDelay)
+      .select(col(linkCol).cast("string").as("ctx"),
+        col(EventSchema.Timestamp).cast("long").as("ts"),
+        col(EventSchema.EventId).cast("long").as("eid"),
+        col("__event_time").as("et"))
+      .as[SessEvent]
+
+    def emit(ctx: String, s: SessState): SessionRow =
+      SessionRow(ctx, s.idx, s.start, s.end, s.n, s.end - s.start)
+
+    prepared.groupByKey(_.ctx)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ctx: String, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: nothing can extend this session
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(ctx, s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var st = state.getOption.orNull
+            // (ts, eid) order within the batch — the batch operator's order
+            it.toArray.sortBy(e => (e.ts, e.eid)).foreach { e =>
+              if (st == null) st = SessState(0L, e.ts, e.ts, 1L)
+              else if (e.ts - st.end > gapSec) {
+                out += emit(ctx, st)
+                st = SessState(st.idx + 1, e.ts, e.ts, 1L)
+              } else st = SessState(st.idx, st.start, math.max(st.end, e.ts), st.n + 1L)
+            }
+            state.update(st)
+            // due once the watermark passes end + gap; the +1 keeps the
+            // timestamp strictly ahead of the current watermark (Spark
+            // rejects a timeout at or behind it)
+            state.setTimeoutTimestamp(math.max(
+              (st.end + gapSec) * 1000L, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- sessionization ----
+
+  private def sess(rows: Seq[(String, Long, Long)], gap: Long) =
+    EventAnalytics.sessionize(rows.toDF("context_id", "timestamp", "event_id"),
+      "context_id", "timestamp", "event_id", gap)
+      .collect()
+      .map(r => (r.getAs[String]("context_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"), r.getAs[Long]("n_events")))
+      .toSet
+
+  test("sessionize splits on gap strictly greater than gapSec") {
+    val out = sess(Seq(
+      ("u", 100L, 1L), ("u", 200L, 2L), // gap 100 == gapSec → same session
+      ("u", 301L, 3L),                  // gap 101 > 100 → new session
+      ("v", 50L, 4L)), gap = 100L)
+    assert(out == Set(
+      ("u", 0L, 100L, 200L, 2L),
+      ("u", 1L, 301L, 301L, 1L),
+      ("v", 0L, 50L, 50L, 1L)))
+  }
+
+  test("sessionize orders ties by event_id and never crosses contexts") {
+    val out = sess(Seq(
+      ("u", 100L, 2L), ("u", 100L, 1L), // same ts: ordered by id, one session
+      ("w", 100L, 3L)), gap = 10L)
+    assert(out == Set(("u", 0L, 100L, 100L, 2L), ("w", 0L, 100L, 100L, 1L)))
+  }
+
+  // ---- retention ----
+
+  test("retention cohorts count users at each week offset from first activity") {
+    val wk = 604800L
+    val events = Seq(
+      ("a", 0L), ("a", wk + 1), ("a", 3 * wk),  // cohort 0, offsets {0,1,3}
+      ("b", 5L), ("b", 3 * wk + 7),             // cohort 0, offsets {0,3}
+      ("c", wk), ("c", 2 * wk)                  // cohort 1, offsets {0,1}
+    ).toDF("context_id", "timestamp")
+    val out = EventAnalytics.retentionCohorts(events, "context_id", "timestamp")
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_users"))).toSet
+    assert(out == Set(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 2L),
+      (wk, 0L, 1L), (wk, 1L, 1L)))
+  }
+
+  // ---- global line dedup ----
+
+  test("dedupLinesGlobal keeps first occurrence, blanks always survive") {
+    val docs = Seq(
+      (1L, "header\nalpha\n\nbeta"),
+      (2L, "header\ngamma\n\nbeta"), // header+beta duplicate doc 1's
+      (3L, "gamma")                  // duplicates doc 2's gamma
+    ).toDF("doc_id", "text")
+    val out = CorpusSignals.dedupLinesGlobal(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_lines"), r.getAs[Long]("n_dropped"))))
+      .toMap
+    assert(out(1L) == (("header\nalpha\n\nbeta", 4L, 0L)))
+    assert(out(2L) == (("gamma\n", 4L, 2L))) // header+beta dropped, blank kept
+    assert(out(3L) == (("", 1L, 1L)))        // its only line lost to doc 2
+  }
+
+  // ---- scalar quantization ----
+
+  test("scalarQuantize maps corpus min->0 and max->levels-1 per dimension") {
+    val embs = Seq(
+      (1L, Array(0.0f, 10.0f)),
+      (2L, Array(5.0f, 20.0f)),
+      (3L, Array(10.0f, 30.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(embs, "vec_id", "embedding")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("q_first"), r.getAs[Long]("q_last"), r.getAs[Long]("n_dims"))))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 2L)))     // both dims at corpus min
+    assert(out(2L) == ((127L, 127L, 2L))) // floor(0.5 * 255)
+    assert(out(3L) == ((255L, 255L, 2L))) // both dims at corpus max
+  }
+
+  test("scalarQuantize is constant-safe (mx == mn dimension codes to 0)") {
+    val embs = Seq((1L, Array(7.0f)), (2L, Array(7.0f))).toDF("vec_id", "embedding")
+    val codes = Similarity.scalarQuantize(embs, "vec_id", "embedding")
+      .collect().map(_.getAs[Long]("q_first")).toSet
+    assert(codes == Set(0L))
+  }
+
+  // ---- dHash + near-dup ----
+
+  test("dHash64 sets exactly the bits where left gray exceeds right") {
+    // 9x8 image, gray strictly decreasing along x → every comparison true
+    val w = 9; val h = 8
+    val px = Array.tabulate(w * h * 3)(i => ((w - 1 - (i / 3) % w) * 20) + (i % 3 - 1))
+    val (hi, lo) = Multimodal.dHash64(w, h, px)
+    assert(hi == 0xffffffffL && lo == 0xffffffffL)
+    // constant image → no bit set
+    val flat = Array.fill(w * h * 3)(128)
+    assert(Multimodal.dHash64(w, h, flat) == ((0L, 0L)))
+  }
+
+  test("nearDupImages banding finds all pairs within distance 3 and none beyond") {
+    val hashes = Seq(
+      // a/b differ by 2 bits (both in band 0) → dist 2, caught via bands 1-3
+      (1L, 5, 6, 0L, 0x3L),
+      (2L, 5, 6, 0L, 0x0L),
+      // c differs from b by 4 bits, one per band → excluded (dist 4)
+      (3L, 5, 6, (1L | (1L << 16)), (1L | (1L << 16)))
+    ).toDF("media_id", "width", "height", "hash_hi", "hash_lo")
+    val pairs = Multimodal.nearDupImages(hashes, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("dist")))
+      .toSet
+    assert(pairs == Set((1L, 2L, 2L)))
+  }
+}
