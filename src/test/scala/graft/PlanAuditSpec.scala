@@ -393,4 +393,62 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(cp.split("== Initial Plan ==")(0)).length == 2,
       s"crossSurprisal scans a corpus more than once:\n$cp")
   }
+
+  test("sessionize: one exchange on the context key reused by windows + aggregate") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.sessionize(
+      ev, "context_id", "timestamp", "event_id", 21600L)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // lag + running-sum windows and the (ctx, session) aggregate must share
+    // the hash(context_id) partitioning: exactly ONE shuffle in the plan
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"sessionize must shuffle once on the context key:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sessionize must never funnel through one partition:\n$p")
+  }
+
+  test("retention: two bounded aggregations, no distinct-then-window double pass") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.retentionCohorts(
+      ev, "context_id", "timestamp")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window"), s"retention must not use a window:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n >= 1 && n <= 2,
+      s"retention needs one or two exchanges (user, cohort cell), got $n:\n$p")
+  }
+
+  test("global line dedup: groupBy-min winners with partial agg, never a per-line window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.CorpusSignals.dedupLinesGlobal(docs, "doc_id", "text"))
+    // a per-line row_number would funnel every occurrence of a hot
+    // boilerplate line through one task; the min(struct) winner combines
+    // map-side
+    assert(!p.contains("Window"), s"line dedup must not rank with a window:\n$p")
+    assert(p.contains("partial_min") || p.split("HashAggregate").length >= 3,
+      s"winner selection must partial-aggregate map-side:\n$p")
+  }
+
+  test("scalar quantization encodes in one projection: no join/window in phase 2") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    val p = plan(graft.pipeline.Similarity.scalarQuantize(e, "vec_id", "embedding"))
+    // the bounds are inlined literals — the encode pass must not join or
+    // shuffle the vectors (the bounds aggregation ran at plan-build time)
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Exchange"),
+      s"quantization encode must stay map-side:\n$p")
+  }
+
+  test("image near-dup: banded candidate join, never a cartesian pair space") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val h = graft.pipeline.Multimodal.imageDHashes(
+      graft.pipeline.Multimodal.syntheticPngs(docs, "doc_id", 5, 6))
+    val p = plan(graft.pipeline.Multimodal.nearDupImages(h))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must join on band buckets, not all pairs:\n$p")
+  }
 }
