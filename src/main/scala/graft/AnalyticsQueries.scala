@@ -57,6 +57,13 @@ object AnalyticsQueries {
       // weeks-per-user
       EventAnalytics.retentionCohorts(events(s, d), "context_id", "timestamp")),
 
+    "q_top_events_per_ctx" -> ((s, d) =>
+      // each user's 3 biggest purchases: bounded two-phase top-k per group
+      // (TopKByDot), never a per-context row_number window
+      EventAnalytics.topEventsPerContext(
+        events(s, d).filter(col("event_type") === "purchase"),
+        "context_id", "event_id", "value", "timestamp", k = 3)),
+
     "q_line_dedup" -> ((s, d) =>
       // C4-style global line dedup: keep only the first (doc, pos)
       // occurrence of every non-blank line corpus-wide; groupBy-min winner
@@ -131,6 +138,21 @@ object AnalyticsQueries {
          |SELECT c.cw * 604800 AS cohort_week, w.wk - c.cw AS week_offset,
          |  CAST(count(*) AS BIGINT) AS n_users
          |FROM w JOIN c ON w.ctx = c.ctx GROUP BY 1, 2""".stripMargin,
+
+    // the oracle MAY use the per-context window — it defines the ranking
+    // semantics the bounded two-phase aggregate must reproduce
+    "q_top_events_per_ctx" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS vq,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT context_id, event_id, vq, t,
+        |    row_number() OVER (PARTITION BY context_id
+        |      ORDER BY vq DESC, event_id) AS rank
+        |  FROM e)
+        |SELECT context_id, CAST(rank AS BIGINT) AS rank, event_id,
+        |  vq AS value_milli, t AS "timestamp"
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q_line_dedup" ->
       """WITH injected AS (SELECT doc_id,

@@ -50,6 +50,37 @@ object EventAnalytics {
       .withColumn("duration_s", col("end_ts") - col("start_ts"))
   }
 
+  /** Top-k events per context by value — "each user's k biggest purchases",
+    * the per-group ranking every analytics surface needs. Ranks by
+    * (milli-quantized value DESC, event_id ASC) through the bounded
+    * [[graft.functions.TopKByDot]] aggregate: map-side partial state ≤ k
+    * per (context, partition), an exchange of ≤ partitions×k rows per
+    * context, k-way final merge — NEVER the `row_number` window that
+    * funnels every event of a hot context through one task.
+    *
+    * Output: context, 1-based `rank`, event id, `value_milli` (the ranking
+    * key — quantization IS the documented tie semantics), event timestamp.
+    */
+  def topEventsPerContext(events: DataFrame, ctxCol: String, idCol: String,
+      valueCol: String, tsCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    val ranked = events.select(col(ctxCol).as("_ctx"),
+      expr(s"cast(round($valueCol * 1000) as bigint)").as("_vq"),
+      col(idCol).cast("long").as("_eid"),
+      col(tsCol).cast("double").as("_ts")) // ts ≪ 2^53: exact in the payload
+    val tk = columnOf(graft.functions.TopKByDot(
+      expressionOf(col("_vq")), expressionOf(col("_eid")),
+      expressionOf(col("_ts")), k).toAggregateExpression())
+    ranked.groupBy(col("_ctx")).agg(tk.as("tk"))
+      .select(col("_ctx"), posexplode(col("tk")).as(Seq("_r0", "_e")))
+      .select(col("_ctx").as(ctxCol),
+        (col("_r0") + 1).cast("long").as("rank"),
+        col("_e.id").as(idCol),
+        col("_e.dot").as("value_milli"),
+        col("_e.payload").cast("long").as(tsCol))
+  }
+
   /** Cohort retention: bucket activity into fixed-width weeks (naive
     * epoch-floor buckets, the engine's PER WEEK naive semantics), cohort
     * each context by its FIRST active week, and count contexts active at

@@ -56,6 +56,27 @@ class AnalyticsSpec extends AnyFunSuite {
       (wk, 0L, 1L), (wk, 1L, 1L)))
   }
 
+  // ---- top-k per group ----
+
+  test("topEventsPerContext ranks by value desc with event_id tie-break, k-bounded") {
+    val events = Seq(
+      ("u", 1L, 5.0, 100L), ("u", 2L, 9.0, 200L), ("u", 3L, 9.0, 300L),
+      ("u", 4L, 1.0, 400L), // rank 4 → cut at k=3
+      ("v", 5L, 2.0, 500L)
+    ).toDF("context_id", "event_id", "value", "timestamp")
+    val out = EventAnalytics.topEventsPerContext(
+      events, "context_id", "event_id", "value", "timestamp", k = 3)
+      .collect()
+      .map(r => (r.getAs[String]("context_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("value_milli"), r.getAs[Long]("timestamp")))
+      .toSet
+    assert(out == Set(
+      ("u", 1L, 2L, 9000L, 200L), // tie on 9.0 → smaller event_id first
+      ("u", 2L, 3L, 9000L, 300L),
+      ("u", 3L, 1L, 5000L, 100L),
+      ("v", 1L, 5L, 2000L, 500L)))
+  }
+
   // ---- global line dedup ----
 
   test("dedupLinesGlobal keeps first occurrence, blanks always survive") {

@@ -442,6 +442,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quantization encode must stay map-side:\n$p")
   }
 
+  test("top-k per context is the bounded two-phase aggregate, never a window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = plan(graft.pipeline.EventAnalytics.topEventsPerContext(
+      ev, "context_id", "event_id", "value", "timestamp", 3))
+    assert(!p.contains("Window"), s"per-group top-k must not rank with a window:\n$p")
+    assert(p.contains("topk_by_dot"), s"expected the bounded TopKByDot aggregate:\n$p")
+    // partial (ObjectHashAggregate partial) + final phases present
+    assert(p.split("Aggregate").length >= 3, s"expected partial+final aggregate:\n$p")
+  }
+
   test("image near-dup: banded candidate join, never a cartesian pair space") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
