@@ -57,6 +57,12 @@ object AnalyticsQueries {
       // weeks-per-user
       EventAnalytics.retentionCohorts(events(s, d), "context_id", "timestamp")),
 
+    "q_value_percentiles" -> ((s, d) =>
+      // exact p50/p90/p99 value distribution per event type — identical
+      // interpolation definition (h = p·(n−1)) on both engines over
+      // quantized integers
+      EventAnalytics.valuePercentiles(events(s, d), "event_type", "value")),
+
     "q_top_events_per_ctx" -> ((s, d) =>
       // each user's 3 biggest purchases: bounded two-phase top-k per group
       // (TopKByDot), never a per-context row_number window
@@ -138,6 +144,15 @@ object AnalyticsQueries {
          |SELECT c.cw * 604800 AS cohort_week, w.wk - c.cw AS week_offset,
          |  CAST(count(*) AS BIGINT) AS n_users
          |FROM w JOIN c ON w.ctx = c.ctx GROUP BY 1, 2""".stripMargin,
+
+    "q_value_percentiles" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(CAST(round(value * 1000) AS BIGINT)) AS v_min,
+        |  max(CAST(round(value * 1000) AS BIGINT)) AS v_max,
+        |  round(quantile_cont(CAST(round(value * 1000) AS BIGINT), 0.5), 6) AS p50,
+        |  round(quantile_cont(CAST(round(value * 1000) AS BIGINT), 0.9), 6) AS p90,
+        |  round(quantile_cont(CAST(round(value * 1000) AS BIGINT), 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the oracle MAY use the per-context window — it defines the ranking
     // semantics the bounded two-phase aggregate must reproduce

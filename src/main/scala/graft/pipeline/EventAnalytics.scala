@@ -81,6 +81,32 @@ object EventAnalytics {
         col("_e.payload").cast("long").as(tsCol))
   }
 
+  /** Exact per-group value percentiles (p50/p90/p99) over the
+    * milli-quantized value — the latency-style distribution summary the
+    * reference's 7 aggregates lack. Spark's exact `percentile` aggregate
+    * and DuckDB's `quantile_cont` share the same definition (rank
+    * `h = p·(n−1)`, linear interpolation between the adjacent order
+    * statistics), and quantized BIGINT inputs make the interpolation
+    * arithmetic reproducible; results round to 6 dp on both engines.
+    *
+    * Scale shape: one hash aggregation on the group key. Exact percentile
+    * state is the group's value multiset — acceptable when groups are
+    * bounded (event types, tenants); for unbounded groups switch to
+    * `approx_percentile` and drop the oracle to rows-only. */
+  def valuePercentiles(events: DataFrame, byCol: String, valueCol: String): DataFrame = {
+    val vq = expr(s"cast(round($valueCol * 1000) as bigint)")
+    events
+      .select(col(byCol), vq.as("_vq"))
+      .groupBy(col(byCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("_vq")).as("v_min"),
+        max(col("_vq")).as("v_max"),
+        round(percentile(col("_vq"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("_vq"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("_vq"), lit(0.99)), 6).as("p99"))
+  }
+
   /** Cohort retention: bucket activity into fixed-width weeks (naive
     * epoch-floor buckets, the engine's PER WEEK naive semantics), cohort
     * each context by its FIRST active week, and count contexts active at

@@ -514,15 +514,20 @@ object Multimodal {
         shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
         col("hash_hi").bitwiseAND(lit(0xffffL)),
         shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xffffL)))).as(Seq("band", "bv")))
-    val a = banded.select(col("band"), col("bv"), col("media_id").as("a"),
-      col("hash_hi").as("_ha"), col("hash_lo").as("_la"))
-    val b = banded.select(col("band"), col("bv"), col("media_id").as("b"),
-      col("hash_hi").as("_hb"), col("hash_lo").as("_lb"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (expr("bit_count(_ha ^ _hb)") + expr("bit_count(_la ^ _lb)"))
-          .cast("long").as("dist"))
+    // self-join with BOTH sides the identical subplan (aliases applied
+    // above the join, not below) and a merge-join hint: the two (band, bv)
+    // shuffle exchanges canonicalize equal, so the decode pipeline runs
+    // ONCE and the second side is a ReusedExchange. Without the hint Spark
+    // broadcasts one side (typed decode pipelines carry no size stats), a
+    // corpus-sized driver OOM at scale AND a second full decode of every
+    // blob — both plan-pinned against.
+    val l = banded.alias("l").hint("merge")
+    val r = banded.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+        col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("a"), col("r.media_id").as("b"),
+        (expr("bit_count(l.hash_hi ^ r.hash_hi)") +
+          expr("bit_count(l.hash_lo ^ r.hash_lo)")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
   }

@@ -77,6 +77,24 @@ class AnalyticsSpec extends AnyFunSuite {
       ("v", 1L, 5L, 2000L, 500L)))
   }
 
+  // ---- percentiles ----
+
+  test("valuePercentiles interpolates h = p(n-1) over quantized values") {
+    val events = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 7.0)
+    ).toDF("event_type", "value")
+    val out = EventAnalytics.valuePercentiles(events, "event_type", "value")
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("v_min"), r.getAs[Long]("v_max"),
+          r.getAs[Double]("p50"), r.getAs[Double]("p90"))))
+      .toMap
+    // n=4: h50 = 1.5 → 2000 + 0.5·1000; h90 = 2.7 → 3000 + 0.7·1000
+    assert(out("a") == ((4L, 1000L, 4000L, 2500.0, 3700.0)))
+    assert(out("b") == ((1L, 7000L, 7000L, 7000.0, 7000.0)))
+  }
+
   // ---- global line dedup ----
 
   test("dedupLinesGlobal keeps first occurrence, blanks always survive") {

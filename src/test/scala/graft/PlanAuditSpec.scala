@@ -453,13 +453,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("Aggregate").length >= 3, s"expected partial+final aggregate:\n$p")
   }
 
-  test("image near-dup: banded candidate join, never a cartesian pair space") {
+  test("image near-dup: banded candidate join, decode-once, never broadcast/cartesian") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
     val h = graft.pipeline.Multimodal.imageDHashes(
       graft.pipeline.Multimodal.syntheticPngs(docs, "doc_id", 5, 6))
-    val p = plan(graft.pipeline.Multimodal.nearDupImages(h))
+    val nd = graft.pipeline.Multimodal.nearDupImages(h)
+    val p = plan(nd)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"near-dup must join on band buckets, not all pairs:\n$p")
+    // the decode pipeline has no size stats — an unguarded join broadcasts
+    // a corpus-sized side (driver OOM at scale) and decodes every blob
+    // twice; the merge-hinted self-join must shuffle both sides instead
+    assert(!p.contains("BroadcastHashJoin"),
+      s"near-dup must not broadcast the banded corpus:\n$p")
+    // executed: the second shuffle must reuse the first (ONE decode pass)
+    nd.collect()
+    val ep = nd.queryExecution.executedPlan.toString
+    assert("MapPartitions".r.findAllIn(ep.split("== Initial Plan ==")(0)).length == 2,
+      s"near-dup must synthesize+decode exactly once:\n$ep")
   }
 }
