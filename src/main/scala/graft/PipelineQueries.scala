@@ -322,8 +322,10 @@ object PipelineQueries {
       Clustering.nearDupClusters(docs(s, d), "doc_id", "text")),
 
     "q_dedup_embed" -> ((s, d) =>
-      // the operator's DEFAULT is now the 100 TB path (SRP-LSH candidates +
-      // exact confirm) — approximate recall by design, so rows-only check
+      // the operator's DEFAULT is the 100 TB path (SRP-LSH candidates +
+      // exact confirm); the hyperplanes are deterministic md5-derived
+      // integers, so the oracle inlines them and reproduces the candidate
+      // set EXACTLY — hash-checked, not rows-only
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4)),
 
     "q_dedup_embed_exact" -> ((s, d) =>
@@ -543,7 +545,9 @@ object PipelineQueries {
     }),
 
     "q_sim_lsh_topk" -> ((s, d) => {
-      // approximate variant — no oracle (recall<1 by design); rows-only check
+      // approximate recall vs the exact sibling BY DESIGN, but exactly
+      // reproducible: the oracle inlines the deterministic hyperplanes and
+      // derives the same candidate set — hash-checked
       val e = embs(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", 5, dims = 64, planes = 4)
     }),
@@ -693,7 +697,68 @@ object PipelineQueries {
        |$select""".stripMargin
   }
 
+  /** The quantized-vector CTE shared by every embedding oracle. */
+  private val qvCte =
+    "SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings"
+
+  /** SRP bucket table as SQL: one row per (vector, hash table) with the
+    * packed sign-bit bucket — the SAME deterministic md5-derived hyperplanes
+    * as [[Similarity.srpBuckets]], inlined as integer-array literals, so the
+    * "approximate" LSH paths are exactly reproducible by the oracle (the
+    * planes are data-independent; only the CANDIDATE set depends on them,
+    * and both engines derive it from identical integer dot-product signs —
+    * magnitudes ≤ 64·500·|qv| ≪ 2^53, exact in DuckDB's double). */
+  private def srpBucketsSql(tables: Int, planes: Int, dims: Int): String =
+    (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val w = Similarity.planeWeights(t, p, dims).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(qv, $w) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bkt FROM v"
+    }.mkString("\nUNION ALL ")
+
   def oracleSql: Map[String, String] = Map(
+    // the SRP-LSH default path, exactly reproduced: identical inlined
+    // hyperplanes → identical candidate set → exact confirm
+    "q_dedup_embed" ->
+      s"""WITH v AS ($qvCte),
+         |bk AS (${srpBucketsSql(16, 4, 64)}),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_1, id_2,
+         |    CAST(list_dot_product(va.qv, vb.qv) AS BIGINT) AS dot,
+         |    list_dot_product(va.qv, vb.qv) /
+         |      (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) AS cos
+         |  FROM cand JOIN v va ON va.vec_id = cand.id_1 JOIN v vb ON vb.vec_id = cand.id_2)
+         |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
+
+    "q_dedup_embed_lsh" ->
+      s"""WITH v AS ($qvCte),
+         |bk AS (${srpBucketsSql(16, 4, 64)}),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_1, id_2,
+         |    CAST(list_dot_product(va.qv, vb.qv) AS BIGINT) AS dot,
+         |    list_dot_product(va.qv, vb.qv) /
+         |      (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) AS cos
+         |  FROM cand JOIN v va ON va.vec_id = cand.id_1 JOIN v vb ON vb.vec_id = cand.id_2)
+         |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
+
+    // lshTopK with 8 tables: bucket-co-occurrence candidates (query side
+    // restricted to vec_id < 50), exact rank, top-5 per query
+    "q_sim_lsh_topk" ->
+      s"""WITH v AS ($qvCte),
+         |bk AS (${srpBucketsSql(8, 4, 64)}),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bkt = c.bkt
+         |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |j AS (SELECT query_id, neighbor_id,
+         |    CAST(list_dot_product(vq.qv, vc.qv) AS BIGINT) AS dot
+         |  FROM cand JOIN v vq ON vq.vec_id = cand.query_id
+         |    JOIN v vc ON vc.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, dot FROM j
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
     "q_bpe_merges" -> bpeOracle(8,
       "SELECT * FROM (" + (1 to 8).map(r =>
         s"SELECT CAST($r AS BIGINT) AS merge_rank, split_part(p, ' ', 1) AS l_sym, " +

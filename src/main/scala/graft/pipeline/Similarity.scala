@@ -102,7 +102,10 @@ object Similarity {
     expr(bitExprs.mkString(" + "))
   }
 
-  private def planeWeights(table: Int, p: Int, dims: Int): Seq[Long] =
+  /** Exposed within the project so the DuckDB oracles can inline the SAME
+    * deterministic hyperplanes as SQL literals — the LSH paths are exactly
+    * reproducible, not just approximately. */
+  private[graft] def planeWeights(table: Int, p: Int, dims: Int): Seq[Long] =
     (0 until dims).map(j => Math.floorMod(Hashing.md5LongJvm(s"plane_$table-$p-$j"), 1001L) - 500L)
 
   /** All `tables` bucket ids in ONE expression returning
