@@ -552,6 +552,15 @@ object PipelineQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", 5, dims = 64, planes = 4)
     }),
 
+    "q_sim_lsh_recall" -> ((s, d) => {
+      // ANN acceptance metric: per-query recall of the LSH ranking against
+      // the exact ground truth, integer ppm — both sides run their normal
+      // scale paths and the metric itself is oracle-checked
+      val e = embs(s, d)
+      Similarity.lshRecall(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, dims = 64, planes = 4)
+    }),
+
     "q_classify_embed" -> ((s, d) => {
       // nearest-centroid domain tagging: 8 labeled centroids inlined as
       // literals, one codegen'd pass over the corpus — no join, no window
@@ -743,6 +752,30 @@ object PipelineQueries {
          |      (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) AS cos
          |  FROM cand JOIN v va ON va.vec_id = cand.id_1 JOIN v vb ON vb.vec_id = cand.id_2)
          |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
+
+    // exact top-5 truth vs the LSH top-5 (both reproduced from first
+    // principles), counted per query
+    "q_sim_lsh_recall" ->
+      s"""WITH v AS ($qvCte),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+         |    FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5),
+         |bk AS (${srpBucketsSql(8, 4, 64)}),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bkt = c.bkt
+         |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT cand.query_id, cand.neighbor_id,
+         |      CAST(list_dot_product(vq.qv, vc.qv) AS BIGINT) AS dot
+         |    FROM cand JOIN v vq ON vq.vec_id = cand.query_id
+         |      JOIN v vc ON vc.vec_id = cand.neighbor_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5)
+         |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST((count(ap.neighbor_id) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1""".stripMargin,
 
     // lshTopK with 8 tables: bucket-co-occurrence candidates (query side
     // restricted to vec_id < 50), exact rank, top-5 per query

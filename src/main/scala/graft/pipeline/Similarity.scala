@@ -314,6 +314,28 @@ object Similarity {
     topKPerQuery(cand, k, corpus.schema(idCol).dataType, withCosine = false)
   }
 
+  /** ANN quality evaluation: per-query RECALL of the LSH top-k against the
+    * exact top-k ground truth — the acceptance metric every approximate
+    * index deployment is judged by. Both rankings run their normal scale
+    * paths; the comparison is a join on (query, neighbor) and a per-query
+    * count, integer ppm so the metric is engine-exact.
+    *
+    * Output: query_id, `n_exact` (truth size ≤ k), `n_hit` (truth rows the
+    * LSH ranking also returned), `recall_ppm` = n_hit · 1e6 / n_exact
+    * (truncated). */
+  def lshRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int,
+      planes: Int = 4, tables: Int = 8): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopK(corpus, queries, idCol, vecCol, k, dims, planes, tables)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_exact"))
+  }
+
   /** LSH-bucketed approximate top-k with `tables` independent hash tables
     * (standard SRP-LSH): each side is exploded to (table, bucket) keys, a
     * query's candidates are the union of its buckets across tables, then
