@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
 
 import graft.pipeline.CorpusSignals
-import graft.streaming.{StreamingPipeline, StreamingSequence}
+import graft.streaming.{StreamingPipeline, StreamingSequence, StreamingSessions}
 
 /** Stateful Structured Streaming operators: the flatMapGroupsWithState
   * funnel (streaming FOLLOWED BY) and watermark-bounded streaming curation
@@ -59,6 +59,48 @@ class StreamingStatefulSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("link"), r.getAs[Seq[Long]]("stepTs")))
     q.stop()
     assert(rows.toSeq == Seq(("u1", Seq(10L, 20L, 30L))))
+  }
+
+  test("streaming sessions: open session spans batches, closes by event or timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "timestamp", "event_id")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("e"))
+      .withColumn("value", org.apache.spark.sql.functions.lit(0.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit(""))
+    val q = StreamingSessions.sessions(events, gapSec = 100L,
+      watermarkDelay = "0 seconds")
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+
+    mem.addData(("u", 1000L, 1L), ("u", 1050L, 2L))
+    q.processAllAvailable()
+    // session still open — nothing emitted
+    assert(spark.table("sess").isEmpty)
+
+    // next batch: an in-gap event EXTENDS the session across the batch
+    // boundary, then a far event closes it and opens session 1
+    mem.addData(("u", 1100L, 3L), ("u", 1500L, 4L))
+    q.processAllAvailable()
+    val closed = spark.table("sess").collect()
+      .map(r => (r.getAs[String]("context_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"), r.getAs[Long]("n_events")))
+    assert(closed.toSeq == Seq(("u", 0L, 1000L, 1100L, 3L)))
+
+    // a late-timestamped event from ANOTHER context pushes the watermark
+    // past 1500 + gap → u's open session 1 times out and flushes
+    mem.addData(("w", 2000L, 5L))
+    q.processAllAvailable()
+    mem.addData(("w", 2001L, 6L)) // one more batch so the new watermark applies
+    q.processAllAvailable()
+    val all = spark.table("sess").collect()
+      .map(r => (r.getAs[String]("context_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"), r.getAs[Long]("n_events")))
+      .toSet
+    q.stop()
+    assert(all.contains(("u", 1L, 1500L, 1500L, 1L)),
+      s"open session must flush via event-time timeout, got: $all")
   }
 
   test("streaming funnel: abandoned partial state is dropped by the event-time timeout") {
