@@ -103,7 +103,7 @@ object AnalyticsQueries {
     * the synthetic-PNG formula (channel c of pixel p is
     * `(id*31 + (p*3+c)*7) % 256`, image 5×6) — the codec itself is never
     * run by the oracle, same strategy as q_multimodal_png. */
-  private val dhashOracle =
+  private[graft] val dhashOracle =
     """WITH ys AS (SELECT doc_id, unnest(range(0, 8)) AS y FROM documents),
       |pts AS (SELECT doc_id, y, unnest(range(0, 9)) AS x FROM ys),
       |g AS (SELECT doc_id, y, x,

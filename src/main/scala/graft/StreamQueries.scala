@@ -104,6 +104,21 @@ object StreamQueries {
         mode = "complete")
     }),
 
+    "q_stream_image_admit" -> ((s, d) => {
+      // streaming perceptual admission: stream-side PNGs (doc_id % 5 == 0)
+      // decoded + dHashed per row, checked against the static corpus hash
+      // table (the other docs) by banded Hamming <= 3 — banding is
+      // pigeonhole-exact there, so the oracle is a brute-force pair scan
+      val src = new TestDataSource(s, d)
+      val corpusHashes = graft.pipeline.Multimodal.imageDHashes(
+        graft.pipeline.Multimodal.syntheticPngs(
+          src.table("documents").filter(col("doc_id") % 5 =!= 0), "doc_id", 5, 6))
+      val stream = graft.pipeline.Multimodal.syntheticPngs(
+        src.documentsStream.filter(col("doc_id") % 5 === 0), "doc_id", 5, 6)
+      StreamingReplay.run(
+        StreamingPipeline.admitImagesStream(stream, corpusHashes).toDF())
+    }),
+
     "q_stream_sessions" -> ((s, d) => {
       // streaming gap sessionization (flatMapGroupsWithState): a session
       // row is emitted when a LATER event of the context closes it, or when
@@ -220,6 +235,18 @@ object StreamQueries {
         |  CASE WHEN e.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup_corpus'
         |       ELSE 'admitted' END) AS status
         |FROM exact e""".stripMargin,
+
+    // dHash-from-formula for every doc (q_image_dhash's oracle), split into
+    // corpus/stream halves, brute-force Hamming pair scan for the verdicts
+    "q_stream_image_admit" ->
+      s"""WITH h AS (${AnalyticsQueries.dhashOracle}),
+         |c AS (SELECT * FROM h WHERE media_id % 5 != 0),
+         |s AS (SELECT * FROM h WHERE media_id % 5 = 0),
+         |m AS (SELECT DISTINCT s.media_id FROM s JOIN c ON
+         |  bit_count(xor(s.hash_hi, c.hash_hi)) + bit_count(xor(s.hash_lo, c.hash_lo)) <= 3)
+         |SELECT s.media_id,
+         |  CASE WHEN m.media_id IS NOT NULL THEN 'dup_image_corpus' ELSE 'admitted' END AS status
+         |FROM s LEFT JOIN m USING (media_id)""".stripMargin,
 
     // the batch q_sessionize oracle restricted to CLOSED sessions: closed
     // by a later event (session_idx < the context's max) OR by the

@@ -504,16 +504,22 @@ object Multimodal {
     * collisions, never all-pairs — returns byte-identically what a
     * brute-force cross join would, at 100 TB candidate-join cost instead of
     * O(n²). Output: (a, b, dist) with a < b, one row per pair. */
-  def nearDupImages(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 4,
-      s"banding over 4 bands is exact only for maxDist < 4, got $maxDist")
-    val banded = hashes.select(
+  /** Explode a dHash frame into its four 16-bit LSH bands: one row per
+    * (image, band) with the band's value — the candidate key both the batch
+    * near-dup join and the streaming image admission bucket on. */
+  def dhashBands(hashes: DataFrame): DataFrame =
+    hashes.select(
       col("media_id"), col("hash_hi"), col("hash_lo"),
       posexplode(array(
         col("hash_lo").bitwiseAND(lit(0xffffL)),
         shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
         col("hash_hi").bitwiseAND(lit(0xffffL)),
         shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xffffL)))).as(Seq("band", "bv")))
+
+  def nearDupImages(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"banding over 4 bands is exact only for maxDist < 4, got $maxDist")
+    val banded = dhashBands(hashes)
     // self-join with BOTH sides the identical subplan (aliases applied
     // above the join, not below) and a merge-join hint: the two (band, bv)
     // shuffle exchanges canonicalize equal, so the decode pipeline runs

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
 
 /** Streaming training-data curation — the unbounded-ingest sibling of
   * [[graft.pipeline.TrainingPipeline]]: language filter → quality filter →
@@ -304,5 +304,61 @@ object StreamingPipeline {
       .agg(sum(coalesce(col("w"), lit(0L))).as("dsir_score"))
       .drop("window")
     CorpusSignals.importanceResample(scored, "id", "dsir_score", basePpm, salt)
+  }
+
+  /** Admission decision for one streamed image. */
+  case class ImageAdmit(media_id: Long, status: String)
+
+  /** One membership probe row for [[admitImagesStream]]'s group collapse
+    * (public: encoder codegen cannot access a private case class). */
+  case class ImageProbe(media_id: Long, m: Boolean)
+
+  /** Streaming PERCEPTUAL image admission — the multimodal sibling of
+    * [[admitStream]]: every arriving image blob is decoded (real PNG path),
+    * dHashed, and checked against a STATIC corpus hash table by banded
+    * Hamming distance; `dup_image_corpus` when any corpus image is within
+    * `maxDist`, `admitted` otherwise. Banding over 4×16-bit bands is
+    * pigeonhole-exact for `maxDist < 4` ([[graft.pipeline.Multimodal
+    * .nearDupImages]]), so the streaming verdicts equal a brute-force scan.
+    *
+    * Scale shape: decode + hash are stateless per-row; the corpus check is
+    * a stream-static LEFT SEMI join on (band, value) — at most 4 matched
+    * rows per image survive, NEVER one row per (image, corpus-match) pair —
+    * and the per-image verdict is a per-batch group collapse (an image's ≤5
+    * probe rows all live in its own micro-batch, so NO state is kept across
+    * batches). The corpus band table is persisted once per query: Spark
+    * re-plans stream-static sides every trigger.
+    *
+    * Malformed blobs decode to nothing and get NO decision row (the
+    * [[Multimodal.imageDHashes]] drop-malformed contract). */
+  def admitImagesStream(streamMedia: DataFrame, corpusHashes: DataFrame,
+      maxDist: Int = 3): Dataset[ImageAdmit] = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"banding over 4 bands is exact only for maxDist < 4, got $maxDist")
+    val spark = streamMedia.sparkSession
+    import spark.implicits._
+    val hashes = Multimodal.imageDHashes(streamMedia)
+    val corpusBands = Multimodal.dhashBands(corpusHashes)
+      .select(col("band").as("c_band"), col("bv").as("c_bv"),
+        col("hash_hi").as("c_hi"), col("hash_lo").as("c_lo"))
+      .persist()
+    val matched = Multimodal.dhashBands(hashes)
+      .join(corpusBands,
+        col("band") === col("c_band") && col("bv") === col("c_bv") &&
+          (expr("bit_count(hash_hi ^ c_hi)") + expr("bit_count(hash_lo ^ c_lo)")) <= maxDist,
+        "left_semi")
+      .select(col("media_id"), lit(true).as("m"))
+    hashes.select(col("media_id"), lit(false).as("m"))
+      .unionByName(matched)
+      .as[ImageProbe]
+      .groupByKey(_.media_id)
+      .flatMapGroupsWithState[Boolean, ImageAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[ImageProbe], _: GroupState[Boolean]) =>
+          // stateless collapse: both union branches of a micro-batch carry
+          // the same source offsets, so an image's probe rows co-batch
+          Iterator.single(ImageAdmit(id,
+            if (it.exists(_.m)) "dup_image_corpus" else "admitted"))
+      }
   }
 }
