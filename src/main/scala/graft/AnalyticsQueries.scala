@@ -81,6 +81,17 @@ object AnalyticsQueries {
       // one codegen'd encode pass, fingerprint over all 64 codes
       Similarity.scalarQuantize(embs(s, d), "vec_id", "embedding")),
 
+    "q_audio_frames" -> ((s, d) =>
+      // windowed audio QC through the REAL WAV chunk walk: 256 samples cut
+      // into four 64-sample frames, per-frame sum/peak/zero-crossings/RMS
+      // (round(rms, 6) — the sum of squares is an exact integer, so both
+      // engines compute the identical double)
+      Multimodal.audioFrames(docs(s, d).select(
+          col("doc_id").as("media_id"),
+          Multimodal.syntheticWav(col("doc_id"), 256, 16000).as("bytes")),
+        frameSize = 64)
+        .withColumn("rms", round(col("rms"), 6))),
+
     "q_image_dhash" -> ((s, d) =>
       // perceptual fingerprint through the REAL PNG codec: decode (CRC +
       // inflate + unfilter) then 9×8 nearest-neighbor gray dHash
@@ -205,6 +216,22 @@ object AnalyticsQueries {
          |  CAST(sum(c) AS BIGINT) AS q_sum,
          |  ${duckMd5Long("string_agg(CAST(c AS VARCHAR), ',' ORDER BY i)")} AS fp
          |FROM q GROUP BY vec_id, nd""".stripMargin,
+
+    // the q_multimodal_wav formula (int16 of u = (id*13 + i*97) % 65536)
+    // re-aggregated per 64-sample frame; zero counted non-negative
+    "q_audio_frames" ->
+      """WITH s AS (SELECT doc_id, unnest(range(0, 256)) AS i FROM documents),
+        |v AS (SELECT doc_id, i, CAST(i // 64 AS INTEGER) AS frame_idx,
+        |    CASE WHEN (doc_id*13 + i*97) % 65536 < 32768 THEN (doc_id*13 + i*97) % 65536
+        |         ELSE (doc_id*13 + i*97) % 65536 - 65536 END AS x FROM s),
+        |z AS (SELECT doc_id, frame_idx, i, x,
+        |    lag(x) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS px FROM v)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  CAST(sum(x) AS BIGINT) AS sum_amp,
+        |  CAST(max(abs(x)) AS BIGINT) AS peak_abs,
+        |  CAST(count(CASE WHEN px IS NOT NULL AND ((x >= 0) != (px >= 0)) THEN 1 END) AS BIGINT) AS zero_crossings,
+        |  round(sqrt(sum(x * x) / 64.0), 6) AS rms
+        |FROM z GROUP BY 1, 2""".stripMargin,
 
     "q_image_dhash" ->
       s"""WITH h AS ($dhashOracle)

@@ -409,6 +409,84 @@ object Multimodal {
     else Some((rate, n, sum.toDouble / n, peak))
   }
 
+  /** Windowed audio features over a PCM16 WAV: the stream is cut into
+    * consecutive FULL frames of `frameSize` samples (a trailing partial
+    * frame is dropped) and each frame yields the standard audio-QC
+    * measures — amplitude sum, peak, frame-local zero crossings
+    * (sign(s[i]) ≠ sign(s[i-1]), zero counted non-negative), and RMS
+    * (`sqrt(Σx²/frameSize)` — the sum of squares is an exact integer, so
+    * the double is reproducible). Returns one tuple per frame:
+    * (frame_idx, sum_amp, peak_abs, zero_crossings, rms). */
+  def decodeWavFrames(bytes: Array[Byte], frameSize: Int): Option[Seq[(Int, Long, Long, Long, Double)]] = {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var rate = -1
+    var dataOff = -1; var dataLen = -1L
+    var o = 12L // same strict chunk walk as decodeWavPcm16
+    while (o + 8 <= bytes.length) {
+      val oi = o.toInt
+      val id = tag(oi); val sz = u32(oi + 4)
+      val payload = o + 8
+      if (id == "fmt ") {
+        if (sz < 16 || payload + 16 > bytes.length) return None
+        val p = payload.toInt
+        if (u16(p) != 1 || u16(p + 2) != 1 || u16(p + 14) != 16) return None
+        rate = u32(p + 4).toInt
+      } else if (id == "data") {
+        if (payload + sz > bytes.length) return None
+        dataOff = payload.toInt; dataLen = sz
+      }
+      o = payload + sz + (sz & 1L)
+    }
+    if (rate <= 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return None
+    val n = (dataLen / 2).toInt
+    val nFrames = n / frameSize
+    val out = Vector.newBuilder[(Int, Long, Long, Long, Double)]
+    var f = 0
+    while (f < nFrames) {
+      val base = dataOff + f * frameSize * 2
+      var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+      var prevNonNeg = false
+      var i = 0
+      while (i < frameSize) {
+        val v = u16(base + i * 2).toShort.toLong
+        sum += v; sumSq += v * v
+        val a = math.abs(v); if (a > peak) peak = a
+        val nonNeg = v >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      out += ((f, sum, peak, zc, math.sqrt(sumSq.toDouble / frameSize)))
+      f += 1
+    }
+    Some(out.result())
+  }
+
+  /** [[audioFrames]] row shape. */
+  val audioFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("sum_amp", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** Per-frame audio features for every PCM16 WAV blob (malformed rows
+    * dropped) — one mapPartitions pass, frames generated per row. */
+  def audioFrames(media: DataFrame, frameSize: Int): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeWavFrames(_, frameSize)).toSeq.flatten.map {
+          case (f, sum, peak, zc, rms) => Row(r.getLong(0), f, sum, peak, zc, rms)
+        }
+      }
+    }(Encoders.row(audioFrameSchema))
+
   /** Decode every `bytes` blob as a PPM image (malformed rows dropped) —
     * batch-shaped like [[extractFeaturesWithDecoder]]: per-partition setup,
     * rows streamed, blobs never leave the executor. */

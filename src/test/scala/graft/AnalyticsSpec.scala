@@ -138,6 +138,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(codes == Set(0L))
   }
 
+  // ---- audio frames ----
+
+  test("decodeWavFrames: full frames only, frame-local zero crossings, exact rms") {
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val out = Multimodal.decodeWavFrames(
+      wav(Seq[Short](10, -10, 20, -20, 5, 5, 0, -1)), frameSize = 3).get
+    assert(out == Seq( // trailing 2-sample partial frame dropped
+      (0, 20L, 20L, 2L, math.sqrt(600.0 / 3)),
+      (1, -10L, 20L, 1L, math.sqrt(450.0 / 3))))
+    assert(Multimodal.decodeWavFrames("x".getBytes, 3).isEmpty)
+  }
+
   // ---- dHash + near-dup ----
 
   test("dHash64 sets exactly the bits where left gray exceeds right") {
