@@ -97,6 +97,13 @@ object AnalyticsQueries {
       // inflate + unfilter) then 9×8 nearest-neighbor gray dHash
       pngHashes(s, d)),
 
+    "q_video_dhash" -> ((s, d) =>
+      // per-frame perceptual fingerprints through the REAL video path
+      // (RIFF/AVI walk + ImageIO JPEG decode + grayscale dHash) — what
+      // video near-dup and scene matching key on
+      Multimodal.videoFrameDHashes(Multimodal.syntheticAvis(
+        docs(s, d).select(col("doc_id")), "doc_id"))),
+
     "q_image_neardup" -> ((s, d) =>
       // banded Hamming near-dup: 4×16-bit bands, pigeonhole-exact for
       // dist<=3, so the banded plan must equal the oracle's brute force
@@ -237,6 +244,30 @@ object AnalyticsQueries {
       s"""WITH h AS ($dhashOracle)
          |SELECT media_id, CAST(5 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
          |  hash_hi, hash_lo FROM h""".stripMargin,
+
+    // frame f of video id is the quality-1.0 block-constant JPEG of
+    // id' = id + 6f (bit-exact DCT round trip, the q_multimodal_jpeg
+    // argument): pixel (x,y) = (id'*31 + (x//8)*7 + (y//8)*13) % 256 on an
+    // (8·2^(id%3)) × (8·2^(id%2)) canvas — the oracle recomputes the
+    // NN-sampled gray grid from that formula
+    "q_video_dhash" ->
+      """WITH dims AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS nf,
+        |    8 * (1 << (doc_id % 3)) AS w, 8 * (1 << (doc_id % 2)) AS h FROM documents),
+        |fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fi FROM dims),
+        |ys AS (SELECT doc_id, nf, w, h, fi, unnest(range(0, 8)) AS y FROM fr),
+        |pts AS (SELECT doc_id, nf, w, h, fi, y, unnest(range(0, 9)) AS x FROM ys),
+        |g AS (SELECT doc_id, nf, w, h, fi, y, x,
+        |    ((doc_id + 6*fi)*31 + (((x*w)//9)//8)*7 + (((y*h)//8)//8)*13) % 256 AS gv
+        |  FROM pts),
+        |bits AS (SELECT l.doc_id, l.fi, l.nf, l.w, l.h, l.y, l.x,
+        |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS bit
+        |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.fi = r.fi AND l.y = r.y AND r.x = l.x + 1
+        |  WHERE l.x < 8)
+        |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx, nf AS n_frames,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |  CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS hash_lo
+        |FROM bits GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q_image_neardup" ->
       s"""WITH h AS ($dhashOracle)

@@ -911,7 +911,21 @@ object Multimodal {
     * container-parsing + frame-pipeline shape at full fidelity.
     *
     * Returns (nFrames, frames = Seq(width, height, mean, topLeft)). */
-  def parseAviMjpeg(bytes: Array[Byte]): Option[(Int, Seq[(Int, Int, Double, Int)])] = {
+  def parseAviMjpeg(bytes: Array[Byte]): Option[(Int, Seq[(Int, Int, Double, Int)])] =
+    parseAviFrames(bytes).flatMap { case (declW, declH, fs) =>
+      val decoded = fs.map(decodeJpeg)
+      // strict whole-blob drop: every frame must decode AND match the
+      // container's declared dimensions
+      if (decoded.exists(d => d.isEmpty ||
+        d.exists { case (w, h, _, _, _, _) => w != declW || h != declH })) None
+      else Some((fs.size, decoded.map(_.get).map { case (w, h, _, m, tl, _) => (w, h, m, tl) }))
+    }
+
+  /** The container half of [[parseAviMjpeg]]: the strict RIFF/AVI walk,
+    * returning the declared dimensions and the raw bytes of every `00dc`
+    * frame (frame count already cross-checked against `avih`). Callers
+    * choose the per-frame decode (stats, pixels, hashes). */
+  def parseAviFrames(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
     def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
@@ -966,13 +980,80 @@ object Multimodal {
     }
     if (!walk(12L, math.min(bytes.length.toLong, 8L + u32(4)), 0)) return None
     if (!sawMjpg || declFrames < 0 || nFrames != declFrames) return None
-    val decoded = frames.result().map(decodeJpeg)
-    // strict whole-blob drop: every frame must decode AND match the
-    // container's declared dimensions
-    if (decoded.exists(d => d.isEmpty ||
-      d.exists { case (w, h, _, _, _, _) => w != declW || h != declH })) return None
-    Some((nFrames, decoded.map(_.get).map { case (w, h, _, m, tl, _) => (w, h, m, tl) }))
+    Some((declW, declH, frames.result()))
   }
+
+  /** Band-0 pixels of a JPEG (the grayscale plane for the MJPEG frames):
+    * (width, height, samples row-major). Same guards as [[decodeJpeg]]. */
+  def decodeJpegPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** [[dHash64]] over a single-channel (grayscale) pixel plane. */
+  def dHash64Gray(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    def gray(gx: Int, gy: Int): Int = px((gy * h / 8) * w + (gx * w / 9))
+    var lo = 0L; var hi = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gx, gy) > gray(gx + 1, gy)) {
+          val j = gy * 8 + gx
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (hi, lo)
+  }
+
+  /** [[videoFrameDHashes]] row shape. */
+  val videoDhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("hash_hi", LongType, nullable = false),
+    StructField("hash_lo", LongType, nullable = false)))
+
+  /** Perceptual fingerprint of every MJPEG-AVI frame: container walk →
+    * per-frame JPEG decode → grayscale dHash — the video analog of
+    * [[imageDHashes]] (frame hashes are what video near-dup, scene cuts,
+    * and content matching key on). Same strict whole-blob drop as
+    * [[decodeAviMjpeg]]: any undecodable or dimension-mismatched frame
+    * drops the container. */
+  def videoFrameDHashes(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, parseAviFrames).toSeq.flatMap { case (dw, dh, fs) =>
+          val decoded = fs.map(decodeJpegPixels)
+          if (decoded.exists(d => d.isEmpty ||
+            d.exists { case (w, h, _) => w != dw || h != dh })) Seq.empty
+          else decoded.map(_.get).zipWithIndex.map { case ((w, h, px), i) =>
+            val (hhi, hlo) = dHash64Gray(w, h, px)
+            Row(r.getLong(0), i.toLong, fs.size, w, h, hhi, hlo)
+          }
+        }
+      }
+    }(Encoders.row(videoDhashSchema))
 
   /** Decode every `bytes` blob as an MJPEG AVI: one row per frame
     * (malformed blobs dropped WHOLE — a container with any bad frame
