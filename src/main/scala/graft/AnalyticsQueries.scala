@@ -104,6 +104,14 @@ object AnalyticsQueries {
       Multimodal.videoFrameDHashes(Multimodal.syntheticAvis(
         docs(s, d).select(col("doc_id")), "doc_id"))),
 
+    "q_video_neardup" -> ((s, d) =>
+      // videos sharing frame fingerprints (the +6 frame stride makes id and
+      // id+6 genuinely overlapping videos): equi-join on the hash value,
+      // never an all-pairs space
+      Multimodal.nearDupVideos(
+        Multimodal.videoFrameDHashes(Multimodal.syntheticAvis(
+          docs(s, d).select(col("doc_id")), "doc_id")), minShared = 1)),
+
     "q_image_neardup" -> ((s, d) =>
       // banded Hamming near-dup: 4×16-bit bands, pigeonhole-exact for
       // dist<=3, so the banded plan must equal the oracle's brute force
@@ -137,6 +145,36 @@ object AnalyticsQueries {
       |  CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS hash_hi,
       |  CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS hash_lo
       |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** The per-frame video fingerprint derivation (perceptual dHash from the
+    * NN-sampled gray grid + exact content key over ALL pixels), shared by
+    * q_video_dhash and the q_video_neardup pair scan. */
+  private val videoDhashOracle =
+    s"""WITH dims AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS nf,
+      |    8 * (1 << (doc_id % 3)) AS w, 8 * (1 << (doc_id % 2)) AS h FROM documents),
+      |fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fi FROM dims),
+      |ys AS (SELECT doc_id, nf, w, h, fi, unnest(range(0, 8)) AS y FROM fr),
+      |pts AS (SELECT doc_id, nf, w, h, fi, y, unnest(range(0, 9)) AS x FROM ys),
+      |g AS (SELECT doc_id, nf, w, h, fi, y, x,
+      |    ((doc_id + 6*fi)*31 + (((x*w)//9)//8)*7 + (((y*h)//8)//8)*13) % 256 AS gv
+      |  FROM pts),
+      |bits AS (SELECT l.doc_id, l.fi, l.nf, l.w, l.h, l.y, l.x,
+      |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS bit
+      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.fi = r.fi AND l.y = r.y AND r.x = l.x + 1
+      |  WHERE l.x < 8),
+      |dh AS (SELECT doc_id, fi, nf, w, h,
+      |    CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY 1, 2, 3, 4, 5),
+      |py AS (SELECT doc_id, fi, w, h, unnest(range(0, h)) AS y2 FROM fr),
+      |px AS (SELECT doc_id, fi, w, h, y2, unnest(range(0, w)) AS x2 FROM py),
+      |pk AS (SELECT doc_id, fi,
+      |    ${Hashing.duckMd5Long("string_agg(CAST(((doc_id + 6*fi)*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS frame_key
+      |  FROM px GROUP BY 1, 2)
+      |SELECT dh.doc_id AS media_id, CAST(dh.fi AS BIGINT) AS frame_idx, dh.nf AS n_frames,
+      |  CAST(dh.w AS INTEGER) AS width, CAST(dh.h AS INTEGER) AS height,
+      |  dh.hash_hi, dh.hash_lo, pk.frame_key
+      |FROM dh JOIN pk ON dh.doc_id = pk.doc_id AND dh.fi = pk.fi""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_sessionize" ->
@@ -250,24 +288,22 @@ object AnalyticsQueries {
     // argument): pixel (x,y) = (id'*31 + (x//8)*7 + (y//8)*13) % 256 on an
     // (8·2^(id%3)) × (8·2^(id%2)) canvas — the oracle recomputes the
     // NN-sampled gray grid from that formula
-    "q_video_dhash" ->
-      """WITH dims AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS nf,
-        |    8 * (1 << (doc_id % 3)) AS w, 8 * (1 << (doc_id % 2)) AS h FROM documents),
-        |fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fi FROM dims),
-        |ys AS (SELECT doc_id, nf, w, h, fi, unnest(range(0, 8)) AS y FROM fr),
-        |pts AS (SELECT doc_id, nf, w, h, fi, y, unnest(range(0, 9)) AS x FROM ys),
-        |g AS (SELECT doc_id, nf, w, h, fi, y, x,
-        |    ((doc_id + 6*fi)*31 + (((x*w)//9)//8)*7 + (((y*h)//8)//8)*13) % 256 AS gv
-        |  FROM pts),
-        |bits AS (SELECT l.doc_id, l.fi, l.nf, l.w, l.h, l.y, l.x,
-        |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS bit
-        |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.fi = r.fi AND l.y = r.y AND r.x = l.x + 1
-        |  WHERE l.x < 8)
-        |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx, nf AS n_frames,
-        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-        |  CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS hash_hi,
-        |  CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS hash_lo
-        |FROM bits GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_video_dhash" -> videoDhashOracle,
+
+    // distinct (video, frame-content-key) sets intersected per pair;
+    // candidates from the key equi-join, same as the Spark plan
+    "q_video_neardup" ->
+      s"""WITH vd AS ($videoDhashOracle),
+         |vh AS (SELECT DISTINCT media_id, frame_key FROM vd),
+         |pv AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nh FROM vh GROUP BY 1),
+         |p AS (SELECT a.media_id AS a, b.media_id AS b, CAST(count(*) AS BIGINT) AS shared
+         |  FROM vh a JOIN vh b ON a.frame_key = b.frame_key
+         |    AND a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.shared,
+         |  CAST((p.shared * 1000000) // least(pa.nh, pb.nh) AS BIGINT) AS sim_ppm
+         |FROM p JOIN pv pa ON pa.media_id = p.a JOIN pv pb ON pb.media_id = p.b
+         |WHERE p.shared >= 1""".stripMargin,
 
     "q_image_neardup" ->
       s"""WITH h AS ($dhashOracle)

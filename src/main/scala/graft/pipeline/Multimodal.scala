@@ -616,6 +616,40 @@ object Multimodal {
       .distinct()
   }
 
+  /** Video near-duplicate pairs by SHARED FRAME FINGERPRINTS: two videos
+    * match on every distinct frame key they have in common (the CDN /
+    * content-matching shape — trimmed or shifted copies share most frame
+    * keys). `keyCols` picks the fingerprint: the exact content key
+    * (default — matches pixel-identical frames only) or the perceptual
+    * dHash halves (tolerates re-encoding, but near-featureless frames
+    * collide and densify the candidate space). Candidates come from an
+    * equi-join on the key — cost ∝ key collisions, never all video pairs —
+    * and the per-pair overlap is one aggregation. `sim_ppm` = shared
+    * distinct keys · 1e6 / min(distinct keys of either side), truncated.
+    *
+    * Input: a [[videoFrameDHashes]] frame. Output: (a, b, shared,
+    * sim_ppm) for pairs with `shared >= minShared`, a < b. */
+  def nearDupVideos(frameHashes: DataFrame, minShared: Int = 1,
+      keyCols: Seq[String] = Seq("frame_key")): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(keyCols.nonEmpty, "nearDupVideos needs at least one key column")
+    // distinct (video, key): a frame repeated WITHIN a video must not
+    // multiply the pair count
+    val vh = frameHashes.select((col("media_id") +: keyCols.map(col)): _*).distinct()
+    val perVideo = vh.groupBy("media_id").agg(count(lit(1)).as("n_hashes"))
+    val l = vh.alias("l").hint("merge") // identical-subplan reuse, no broadcast guess
+    val r = vh.alias("r")
+    l.join(r, keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
+        .reduce(_ && _) && col("l.media_id") < col("r.media_id"))
+      .groupBy(col("l.media_id").as("a"), col("r.media_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(perVideo.select(col("media_id").as("a"), col("n_hashes").as("na")), Seq("a"))
+      .join(perVideo.select(col("media_id").as("b"), col("n_hashes").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("shared"),
+        expr("(shared * 1000000) div least(na, nb)").as("sim_ppm"))
+  }
+
   /** Decode every `bytes` blob as a PCM16 WAV (malformed rows dropped). */
   def decodeAudio(media: DataFrame): DataFrame =
     idAndBytes(media).mapPartitions { it =>
@@ -1032,7 +1066,8 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("hash_hi", LongType, nullable = false),
-    StructField("hash_lo", LongType, nullable = false)))
+    StructField("hash_lo", LongType, nullable = false),
+    StructField("frame_key", LongType, nullable = false)))
 
   /** Perceptual fingerprint of every MJPEG-AVI frame: container walk →
     * per-frame JPEG decode → grayscale dHash — the video analog of
@@ -1049,7 +1084,12 @@ object Multimodal {
             d.exists { case (w, h, _) => w != dw || h != dh })) Seq.empty
           else decoded.map(_.get).zipWithIndex.map { case ((w, h, px), i) =>
             val (hhi, hlo) = dHash64Gray(w, h, px)
-            Row(r.getLong(0), i.toLong, fs.size, w, h, hhi, hlo)
+            // exact content key: md5 of the row-major pixel list — the
+            // discriminative sibling of the PERCEPTUAL dHash (64-bit
+            // dHashes of near-featureless frames collide; the content key
+            // matches only pixel-identical frames)
+            val key = graft.pipeline.Hashing.md5LongJvm(px.mkString(","))
+            Row(r.getLong(0), i.toLong, fs.size, w, h, hhi, hlo, key)
           }
         }
       }
