@@ -112,6 +112,13 @@ object AnalyticsQueries {
         Multimodal.videoFrameDHashes(Multimodal.syntheticAvis(
           docs(s, d).select(col("doc_id")), "doc_id")), minShared = 1)),
 
+    "q_video_scenes" -> ((s, d) =>
+      // scene-cut detection: frame-to-frame perceptual (dHash Hamming)
+      // distance over each video's fingerprint stream, cut when > 8 bits
+      Multimodal.sceneCuts(
+        Multimodal.videoFrameDHashes(Multimodal.syntheticAvis(
+          docs(s, d).select(col("doc_id")), "doc_id")), cutDist = 8)),
+
     "q_image_neardup" -> ((s, d) =>
       // banded Hamming near-dup: 4×16-bit bands, pigeonhole-exact for
       // dist<=3, so the banded plan must equal the oracle's brute force
@@ -289,6 +296,24 @@ object AnalyticsQueries {
     // (8·2^(id%3)) × (8·2^(id%2)) canvas — the oracle recomputes the
     // NN-sampled gray grid from that formula
     "q_video_dhash" -> videoDhashOracle,
+
+    // lag over each video's per-frame hashes (from the synthesis formula),
+    // Hamming to the previous frame, running cut count
+    "q_video_scenes" ->
+      s"""WITH vd AS ($videoDhashOracle),
+         |z AS (SELECT media_id, frame_idx, hash_hi, hash_lo,
+         |    lag(hash_hi) OVER w AS phi, lag(hash_lo) OVER w AS plo
+         |  FROM vd WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+         |d AS (SELECT media_id, frame_idx,
+         |    CASE WHEN phi IS NULL THEN 0
+         |         ELSE bit_count(xor(hash_hi, phi)) + bit_count(xor(hash_lo, plo)) END AS dist,
+         |    phi IS NULL OR
+         |      bit_count(xor(hash_hi, phi)) + bit_count(xor(hash_lo, plo)) > 8 AS is_cut
+         |  FROM z)
+         |SELECT media_id, frame_idx, CAST(dist AS BIGINT) AS dist, is_cut,
+         |  CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY media_id ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS scene_idx
+         |FROM d""".stripMargin,
 
     // distinct (video, frame-content-key) sets intersected per pair;
     // candidates from the key equi-join, same as the Spark plan

@@ -650,6 +650,32 @@ object Multimodal {
         expr("(shared * 1000000) div least(na, nb)").as("sim_ppm"))
   }
 
+  /** Scene-cut detection over a [[videoFrameDHashes]] frame: a frame opens
+    * a new scene when its perceptual distance to the PREVIOUS frame
+    * exceeds `cutDist` (frame 0 always does). The window partitions by
+    * video and orders by frame index — per-video state, bounded by one
+    * video's frame count, the standard shape for per-asset sequence
+    * features (a video's frames must co-locate anyway).
+    *
+    * Output: one row per frame — media_id, frame_idx, `dist` (Hamming to
+    * the previous frame, 0 for frame 0), `is_cut`, and `scene_idx` (0-based
+    * running count of cuts up to and including this frame, minus one). */
+  def sceneCuts(frameHashes: DataFrame, cutDist: Int = 8): DataFrame = {
+    require(cutDist >= 0, s"cutDist must be non-negative, got $cutDist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    frameHashes
+      .select(col("media_id"), col("frame_idx"), col("hash_hi"), col("hash_lo"))
+      .withColumn("_phi", lag(col("hash_hi"), 1).over(w))
+      .withColumn("_plo", lag(col("hash_lo"), 1).over(w))
+      .withColumn("dist", when(col("_phi").isNull, lit(0L)).otherwise(
+        (expr("bit_count(hash_hi ^ _phi)") + expr("bit_count(hash_lo ^ _plo)")).cast("long")))
+      .withColumn("is_cut", col("_phi").isNull || col("dist") > cutDist)
+      .withColumn("scene_idx", sum(col("is_cut").cast("long")).over(run) - 1)
+      .select(col("media_id"), col("frame_idx"), col("dist"), col("is_cut"), col("scene_idx"))
+  }
+
   /** Decode every `bytes` blob as a PCM16 WAV (malformed rows dropped). */
   def decodeAudio(media: DataFrame): DataFrame =
     idAndBytes(media).mapPartitions { it =>
