@@ -173,6 +173,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Multimodal.dHash64(w, h, flat) == ((0L, 0L)))
   }
 
+  test("nearDupVideos counts shared distinct frame keys, sim over the smaller side") {
+    val frames = Seq(
+      // video 1: keys {10, 11, 11} (distinct {10, 11}); video 2: {11, 12};
+      // video 3: {99} — no overlap
+      (1L, 0L, 3, 8, 8, 0L, 0L, 10L), (1L, 1L, 3, 8, 8, 0L, 0L, 11L),
+      (1L, 2L, 3, 8, 8, 0L, 0L, 11L),
+      (2L, 0L, 2, 8, 8, 0L, 0L, 11L), (2L, 1L, 2, 8, 8, 0L, 0L, 12L),
+      (3L, 0L, 1, 8, 8, 0L, 0L, 99L)
+    ).toDF("media_id", "frame_idx", "n_frames", "width", "height",
+      "hash_hi", "hash_lo", "frame_key")
+    val out = Multimodal.nearDupVideos(frames)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("shared"), r.getAs[Long]("sim_ppm")))
+      .toSet
+    // one shared distinct key (11) over min(2, 2) distinct keys = 0.5
+    assert(out == Set((1L, 2L, 1L, 500000L)))
+  }
+
+  test("sceneCuts: frame 0 always cuts, distance vs previous frame, scene index runs") {
+    val frames = Seq(
+      (1L, 0L, 0L, 0L),           // cut (first): scene 0
+      (1L, 1L, 0L, 1L),           // dist 1 <= 2: scene 0
+      (1L, 2L, 0xffL, 1L),        // dist 8 > 2: cut, scene 1
+      (2L, 0L, 0L, 0L)            // other video: its own scene 0
+    ).toDF("media_id", "frame_idx", "hash_hi", "hash_lo")
+    val out = Multimodal.sceneCuts(frames, cutDist = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("dist"), r.getAs[Boolean]("is_cut"), r.getAs[Long]("scene_idx")))
+      .toSet
+    assert(out == Set(
+      (1L, 0L, 0L, true, 0L),
+      (1L, 1L, 1L, false, 0L),
+      (1L, 2L, 8L, true, 1L), // 8 hi bits flipped vs frame 1, lo unchanged
+      (2L, 0L, 0L, true, 0L)))
+  }
+
   test("nearDupImages banding finds all pairs within distance 3 and none beyond") {
     val hashes = Seq(
       // a/b differ by 2 bits (both in band 0) → dist 2, caught via bands 1-3
