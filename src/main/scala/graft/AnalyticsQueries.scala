@@ -52,6 +52,13 @@ object AnalyticsQueries {
       EventAnalytics.sessionize(events(s, d),
         "context_id", "timestamp", "event_id", gapSec = 21600L)),
 
+    "q_session_funnel" -> ((s, d) =>
+      // within-session signup → purchase conversion, first-touch, strict
+      // (ts, event_id) order — the session-scoped funnel report
+      EventAnalytics.sessionFunnel(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type",
+        gapSec = 21600L, stepA = "signup", stepB = "purchase")),
+
     "q_retention" -> ((s, d) =>
       // first-active-week cohorts × weekly activity; collect_set bounded by
       // weeks-per-user
@@ -198,6 +205,36 @@ object AnalyticsQueries {
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  max(t) - min(t) AS duration_s
          |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // session assignment replayed, then first-touch stepA via row_number
+    // and the earliest strictly-later stepB, LEFT-joined so unconverted
+    // sessions stay visible
+    "q_session_funnel" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
+        |s AS (SELECT context_id, t, eid, event_type,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
+        |x AS (SELECT context_id, t, eid, event_type,
+        |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM s),
+        |g AS (SELECT context_id, session_idx, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM x GROUP BY 1, 2),
+        |a AS (SELECT context_id, session_idx, t AS a_ts, eid AS a_eid FROM (
+        |    SELECT context_id, session_idx, t, eid,
+        |      row_number() OVER (PARTITION BY context_id, session_idx ORDER BY t, eid) AS rn
+        |    FROM x WHERE event_type = 'signup') WHERE rn = 1),
+        |b AS (SELECT x.context_id, x.session_idx, min(x.t) AS b_ts
+        |  FROM x JOIN a ON x.context_id = a.context_id AND x.session_idx = a.session_idx
+        |  WHERE x.event_type = 'purchase'
+        |    AND (x.t > a.a_ts OR (x.t = a.a_ts AND x.eid > a.a_eid))
+        |  GROUP BY 1, 2)
+        |SELECT g.context_id, g.session_idx, g.n_events, a.a_ts, b.b_ts,
+        |  b.b_ts IS NOT NULL AS converted
+        |FROM g LEFT JOIN a ON g.context_id = a.context_id AND g.session_idx = a.session_idx
+        |  LEFT JOIN b ON g.context_id = b.context_id AND g.session_idx = b.session_idx""".stripMargin,
 
     "q_retention" ->
       s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,

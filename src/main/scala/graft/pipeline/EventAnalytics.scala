@@ -32,7 +32,11 @@ object EventAnalytics {
     * (timestamp, event_id) order, start/end timestamps, event count,
     * duration in seconds.
     */
-  def sessionize(events: DataFrame, ctxCol: String, tsCol: String,
+  /** Per-EVENT session assignment: the input rows plus a 0-based
+    * `session_idx` (the gap rule of [[sessionize]]). One shuffle on the
+    * context; everything downstream that groups by (context, session)
+    * reuses the partitioning. */
+  def assignSessions(events: DataFrame, ctxCol: String, tsCol: String,
       idCol: String, gapSec: Long): DataFrame = {
     require(gapSec > 0, s"gapSec must be positive, got $gapSec")
     val byCtx = Window.partitionBy(col(ctxCol)).orderBy(col(tsCol), col(idCol))
@@ -42,12 +46,54 @@ object EventAnalytics {
       .withColumn("_new_session",
         (col("_prev_ts").isNull || col(tsCol) - col("_prev_ts") > gapSec).cast("long"))
       .withColumn("session_idx", sum(col("_new_session")).over(run) - 1)
+      .drop("_prev_ts", "_new_session")
+  }
+
+  def sessionize(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, gapSec: Long): DataFrame = {
+    assignSessions(events, ctxCol, tsCol, idCol, gapSec)
       .groupBy(col(ctxCol), col("session_idx"))
       .agg(
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"),
         count(lit(1)).as("n_events"))
       .withColumn("duration_s", col("end_ts") - col("start_ts"))
+  }
+
+  /** Within-session two-step funnel: for every session, the FIRST-TOUCH
+    * completion of `stepA` → `stepB` (stepB strictly after stepA in
+    * (timestamp, event_id) order, both inside the session) — the
+    * session-scoped conversion measure web analytics reports. Sessions
+    * without a stepA (or with no stepB after it) appear unconverted, so
+    * conversion rates are computable directly from the output.
+    *
+    * Every stage — session assignment, the stepA minimum, the stepB
+    * minimum, the session roll-up — aggregates or windows on (context,
+    * session) keys, so the single hash(context) exchange from
+    * [[assignSessions]] serves the whole plan.
+    *
+    * Output: context, session_idx, n_events, nullable `{a,b}_ts`,
+    * `converted`. */
+  def sessionFunnel(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long,
+      stepA: String, stepB: String): DataFrame = {
+    val se = assignSessions(events, ctxCol, tsCol, idCol, gapSec)
+    val keys = Seq(col(ctxCol), col("session_idx"))
+    val sessions = se.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(when(col(typeCol) === stepA,
+          struct(col(tsCol).as("t"), col(idCol).as("i")))).as("_a"))
+    val b = se
+      .join(sessions.select((keys :+ col("_a")): _*), Seq(ctxCol, "session_idx"))
+      .filter(col(typeCol) === stepB && col("_a").isNotNull &&
+        struct(col(tsCol).as("t"), col(idCol).as("i")) > col("_a"))
+      .groupBy(keys: _*)
+      .agg(min(col(tsCol)).as("b_ts"))
+    sessions
+      .join(b, Seq(ctxCol, "session_idx"), "left")
+      .select(col(ctxCol), col("session_idx"), col("n_events"),
+        col("_a.t").as("a_ts"), col("b_ts"),
+        col("b_ts").isNotNull.as("converted"))
   }
 
   /** Top-k events per context by value — "each user's k biggest purchases",

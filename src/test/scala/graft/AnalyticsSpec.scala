@@ -38,6 +38,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == Set(("u", 0L, 100L, 100L, 2L), ("w", 0L, 100L, 100L, 1L)))
   }
 
+  // ---- session funnel ----
+
+  test("sessionFunnel: first-touch within session, cross-session steps never convert") {
+    val events = Seq(
+      // session 0 of u: signup then purchase → converted
+      ("u", 100L, 1L, "signup"), ("u", 150L, 2L, "purchase"),
+      // session 1 of u: purchase BEFORE signup → unconverted
+      ("u", 1000L, 3L, "purchase"), ("u", 1010L, 4L, "signup"),
+      // v: signup in session 0, purchase in session 1 → neither converts
+      ("v", 100L, 5L, "signup"), ("v", 1000L, 6L, "purchase")
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.sessionFunnel(events,
+      "context_id", "timestamp", "event_id", "event_type",
+      gapSec = 100L, stepA = "signup", stepB = "purchase")
+      .collect()
+      .map(r => ((r.getAs[String]("context_id"), r.getAs[Long]("session_idx")),
+        (r.getAs[Long]("n_events"), Option(r.getAs[Any]("a_ts")),
+          Option(r.getAs[Any]("b_ts")), r.getAs[Boolean]("converted"))))
+      .toMap
+    assert(out(("u", 0L)) == ((2L, Some(100L), Some(150L), true)))
+    assert(out(("u", 1L)) == ((2L, Some(1010L), None, false)))
+    assert(out(("v", 0L)) == ((1L, Some(100L), None, false)))
+    assert(out(("v", 1L)) == ((1L, None, None, false)))
+  }
+
   // ---- retention ----
 
   test("retention cohorts count users at each week offset from first activity") {
