@@ -59,6 +59,17 @@ object AnalyticsQueries {
         "context_id", "timestamp", "event_id", "event_type",
         gapSec = 21600L, stepA = "signup", stepB = "purchase")),
 
+    "q_event_gaps" -> ((s, d) =>
+      // idle-time distribution before each action type: exact p50/p90 over
+      // integer second gaps
+      EventAnalytics.interEventGaps(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type")),
+
+    "q_engagement" -> ((s, d) =>
+      // DAU / trailing-7-day WAU / stickiness — rolling distinct via
+      // map-side window-end explosion of deduplicated (user, day) pairs
+      EventAnalytics.engagement(events(s, d), "context_id", "timestamp")),
+
     "q_retention" -> ((s, d) =>
       // first-active-week cohorts × weekly activity; collect_set bounded by
       // weeks-per-user
@@ -235,6 +246,26 @@ object AnalyticsQueries {
         |  b.b_ts IS NOT NULL AS converted
         |FROM g LEFT JOIN a ON g.context_id = a.context_id AND g.session_idx = a.session_idx
         |  LEFT JOIN b ON g.context_id = b.context_id AND g.session_idx = b.session_idx""".stripMargin,
+
+    "q_event_gaps" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
+        |g AS (SELECT event_type, t - lag(t) OVER (PARTITION BY ctx ORDER BY t, eid) AS gap FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  min(gap) AS g_min, max(gap) AS g_max,
+        |  round(quantile_cont(gap, 0.5), 6) AS p50,
+        |  round(quantile_cont(gap, 0.9), 6) AS p90
+        |FROM g WHERE gap IS NOT NULL GROUP BY event_type""".stripMargin,
+
+    "q_engagement" ->
+      """WITH ud AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |cov AS (SELECT DISTINCT ctx, day + o AS day FROM ud, unnest(range(0, 7)) AS t(o)),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY 1)
+        |SELECT dau.day * 86400 AS day, dau.dau, wau.wau,
+        |  CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
 
     "q_retention" ->
       s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,

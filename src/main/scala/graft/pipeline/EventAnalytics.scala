@@ -153,6 +153,56 @@ object EventAnalytics {
         round(percentile(col("_vq"), lit(0.99)), 6).as("p99"))
   }
 
+  /** Inter-event gap distribution: for every event with a predecessor in
+    * its context's (timestamp, event_id) order, the gap in seconds —
+    * aggregated per the FOLLOWING event's type (how long users idle before
+    * each action). Exact percentiles over integer gaps, same engine-parity
+    * argument as [[valuePercentiles]].
+    *
+    * Output per type: `n_gaps`, min/max, p50/p90 (6 dp). */
+  def interEventGaps(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val byCtx = Window.partitionBy(col(ctxCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_gap", col(tsCol) - lag(col(tsCol), 1).over(byCtx))
+      .filter(col("_gap").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("_gap")).as("g_min"),
+        max(col("_gap")).as("g_max"),
+        round(percentile(col("_gap"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("_gap"), lit(0.9)), 6).as("p90"))
+  }
+
+  /** Engagement (stickiness): per active day, DAU, trailing-`windowDays`
+    * WAU, and their ratio in ppm. The rolling distinct is computed WITHOUT
+    * a per-day corpus scan: distinct (user, day) pairs explode to the ≤
+    * `windowDays` window-end days they count toward (map-side ×7 on
+    * already-deduplicated pairs), then one distinct + count per day — two
+    * keyed shuffles, no self-join of the activity table against itself.
+    *
+    * Output: `day` (epoch seconds of day start), `dau`, `wau`,
+    * `stickiness_ppm` = dau·1e6/wau (truncated); only days with activity
+    * appear. */
+  def engagement(events: DataFrame, ctxCol: String, tsCol: String,
+      daySec: Long = 86400L, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events
+      .select(col(ctxCol).as("_ctx"),
+        floor(col(tsCol).cast("double") / daySec).cast("long").as("_day"))
+      .distinct()
+    val dau = ud.groupBy("_day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("_ctx"),
+        explode(sequence(col("_day"), col("_day") + (windowDays - 1))).as("_day"))
+      .distinct()
+      .groupBy("_day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("_day"))
+      .select((col("_day") * daySec).as("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+  }
+
   /** Cohort retention: bucket activity into fixed-width weeks (naive
     * epoch-floor buckets, the engine's PER WEEK naive semantics), cohort
     * each context by its FIRST active week, and count contexts active at

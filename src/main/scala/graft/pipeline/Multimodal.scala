@@ -634,8 +634,12 @@ object Multimodal {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(keyCols.nonEmpty, "nearDupVideos needs at least one key column")
     // distinct (video, key): a frame repeated WITHIN a video must not
-    // multiply the pair count
-    val vh = frameHashes.select((col("media_id") +: keyCols.map(col)): _*).distinct()
+    // multiply the pair count. persist(): the frame is consumed by THREE
+    // branches (both join sides + the per-video totals) — exchange reuse
+    // covers the join sides, but without the cache the totals branch
+    // re-runs the whole decode pipeline (caller may unpersist)
+    val vh = frameHashes.select((col("media_id") +: keyCols.map(col)): _*)
+      .distinct().persist()
     val perVideo = vh.groupBy("media_id").agg(count(lit(1)).as("n_hashes"))
     val l = vh.alias("l").hint("merge") // identical-subplan reuse, no broadcast guess
     val r = vh.alias("r")

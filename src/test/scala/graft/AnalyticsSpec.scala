@@ -102,6 +102,41 @@ class AnalyticsSpec extends AnyFunSuite {
       ("v", 1L, 5L, 2000L, 500L)))
   }
 
+  // ---- gaps + engagement ----
+
+  test("interEventGaps buckets each gap under the FOLLOWING event's type") {
+    val events = Seq(
+      ("u", 100L, 1L, "view"), ("u", 160L, 2L, "buy"),  // gap 60 → buy
+      ("u", 170L, 3L, "view"),                          // gap 10 → view
+      ("w", 500L, 4L, "buy")                            // no predecessor
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.interEventGaps(events,
+      "context_id", "timestamp", "event_id", "event_type")
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("g_min"), r.getAs[Double]("p50"))))
+      .toMap
+    assert(out == Map("buy" -> ((1L, 60L, 60.0)), "view" -> ((1L, 10L, 10.0))))
+  }
+
+  test("engagement: trailing-window WAU counts a user once per covered day") {
+    val day = 86400L
+    val events = Seq(
+      ("a", 0L), ("a", 10L),        // a active day 0 (twice — one distinct)
+      ("b", day), ("a", 2 * day)    // b day 1, a day 2
+    ).toDF("context_id", "timestamp")
+    val out = EventAnalytics.engagement(events, "context_id", "timestamp",
+      daySec = day, windowDays = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("day") / day,
+        r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("stickiness_ppm")))
+      .toSet
+    assert(out == Set(
+      (0L, 1L, 1L, 1000000L),  // day 0: a
+      (1L, 1L, 2L, 500000L),   // day 1: b active; window {day0 a, day1 b}
+      (2L, 1L, 2L, 500000L)))  // day 2: a active; window {day1 b, day2 a}
+  }
+
   // ---- percentiles ----
 
   test("valuePercentiles interpolates h = p(n-1) over quantized values") {
