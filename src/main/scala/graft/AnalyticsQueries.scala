@@ -59,6 +59,12 @@ object AnalyticsQueries {
         "context_id", "timestamp", "event_id", "event_type",
         gapSec = 21600L, stepA = "signup", stepB = "purchase")),
 
+    "q_event_transitions" -> ((s, d) =>
+      // Markov transition matrix over each context's event order, row
+      // probabilities in ppm
+      EventAnalytics.eventTransitions(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type")),
+
     "q_event_gaps" -> ((s, d) =>
       // idle-time distribution before each action type: exact p50/p90 over
       // integer second gaps
@@ -246,6 +252,17 @@ object AnalyticsQueries {
         |  b.b_ts IS NOT NULL AS converted
         |FROM g LEFT JOIN a ON g.context_id = a.context_id AND g.session_idx = a.session_idx
         |  LEFT JOIN b ON g.context_id = b.context_id AND g.session_idx = b.session_idx""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY ctx ORDER BY t, eid) AS from_type,
+        |    event_type AS to_type FROM e),
+        |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
+        |FROM m""".stripMargin,
 
     "q_event_gaps" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,

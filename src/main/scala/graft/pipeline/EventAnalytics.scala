@@ -203,6 +203,30 @@ object EventAnalytics {
         expr("(dau * 1000000) div wau").as("stickiness_ppm"))
   }
 
+  /** Event transition matrix: counts of consecutive (from → to) event-type
+    * pairs in each context's (timestamp, event_id) order, with the row-
+    * conditional probability in ppm (`n · 1e6 / Σ n over the from-type`,
+    * truncated) — the Markov "what happens next" report. One context-keyed
+    * window pass + one small aggregation; the per-from totals ride on a
+    * type-keyed window over the AGGREGATED matrix (≤ types² rows), never
+    * over the events.
+    *
+    * Output: `from_type`, `to_type`, `n`, `p_ppm`. */
+  def eventTransitions(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val byCtx = Window.partitionBy(col(ctxCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_from", lag(col(typeCol), 1).over(byCtx))
+      .filter(col("_from").isNotNull)
+      .groupBy(col("_from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("_tot", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div _tot").as("p_ppm"))
+  }
+
   /** Cohort retention: bucket activity into fixed-width weeks (naive
     * epoch-floor buckets, the engine's PER WEEK naive semantics), cohort
     * each context by its FIRST active week, and count contexts active at

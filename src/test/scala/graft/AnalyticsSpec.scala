@@ -137,6 +137,24 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 1L, 2L, 500000L)))  // day 2: a active; window {day1 b, day2 a}
   }
 
+  test("eventTransitions: per-context order, row-conditional ppm") {
+    val events = Seq(
+      ("u", 1L, 1L, "a"), ("u", 2L, 2L, "b"), ("u", 3L, 3L, "a"),
+      ("v", 1L, 4L, "a"), ("v", 2L, 5L, "c")
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.eventTransitions(events,
+      "context_id", "timestamp", "event_id", "event_type")
+      .collect()
+      .map(r => ((r.getAs[String]("from_type"), r.getAs[String]("to_type")),
+        (r.getAs[Long]("n"), r.getAs[Long]("p_ppm"))))
+      .toMap
+    // from a: b once, c once (500000 each); from b: a once (1000000)
+    assert(out == Map(
+      ("a", "b") -> ((1L, 500000L)),
+      ("a", "c") -> ((1L, 500000L)),
+      ("b", "a") -> ((1L, 1000000L))))
+  }
+
   // ---- percentiles ----
 
   test("valuePercentiles interpolates h = p(n-1) over quantized values") {
