@@ -59,6 +59,23 @@ object AnalyticsQueries {
         "context_id", "timestamp", "event_id", "event_type",
         gapSec = 21600L, stepA = "signup", stepB = "purchase")),
 
+    "q_time_to_convert" -> ((s, d) => {
+      // conversion-latency distribution: exact percentiles of
+      // (purchase_ts - signup_ts) over CONVERTED sessions only
+      val sf = EventAnalytics.sessionFunnel(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type",
+        gapSec = 21600L, stepA = "signup", stepB = "purchase")
+        .filter(col("converted"))
+        .select(lit("signup_to_purchase").as("funnel"),
+          (col("b_ts") - col("a_ts")).as("_lat"))
+      sf.groupBy("funnel").agg(
+        count(lit(1)).as("n"),
+        min(col("_lat")).as("lat_min"),
+        max(col("_lat")).as("lat_max"),
+        round(percentile(col("_lat"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("_lat"), lit(0.9)), 6).as("p90"))
+    }),
+
     "q_event_transitions" -> ((s, d) =>
       // Markov transition matrix over each context's event order, row
       // probabilities in ppm
@@ -207,6 +224,35 @@ object AnalyticsQueries {
       |  dh.hash_hi, dh.hash_lo, pk.frame_key
       |FROM dh JOIN pk ON dh.doc_id = pk.doc_id AND dh.fi = pk.fi""".stripMargin
 
+  /** The full within-session funnel derivation (q_session_funnel's
+    * oracle), reused by the q_time_to_convert latency rollup. */
+  private val sessionFunnelOracle =
+    """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
+      |s AS (SELECT context_id, t, eid, event_type,
+      |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
+      |x AS (SELECT context_id, t, eid, event_type,
+      |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
+      |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+      |  FROM s),
+      |g AS (SELECT context_id, session_idx, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM x GROUP BY 1, 2),
+      |a AS (SELECT context_id, session_idx, t AS a_ts, eid AS a_eid FROM (
+      |    SELECT context_id, session_idx, t, eid,
+      |      row_number() OVER (PARTITION BY context_id, session_idx ORDER BY t, eid) AS rn
+      |    FROM x WHERE event_type = 'signup') WHERE rn = 1),
+      |b AS (SELECT x.context_id, x.session_idx, min(x.t) AS b_ts
+      |  FROM x JOIN a ON x.context_id = a.context_id AND x.session_idx = a.session_idx
+      |  WHERE x.event_type = 'purchase'
+      |    AND (x.t > a.a_ts OR (x.t = a.a_ts AND x.eid > a.a_eid))
+      |  GROUP BY 1, 2)
+      |SELECT g.context_id, g.session_idx, g.n_events, a.a_ts, b.b_ts,
+      |  b.b_ts IS NOT NULL AS converted
+      |FROM g LEFT JOIN a ON g.context_id = a.context_id AND g.session_idx = a.session_idx
+      |  LEFT JOIN b ON g.context_id = b.context_id AND g.session_idx = b.session_idx""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_sessionize" ->
       s"""WITH e AS ($eventsView),
@@ -226,32 +272,16 @@ object AnalyticsQueries {
     // session assignment replayed, then first-touch stepA via row_number
     // and the earliest strictly-later stepB, LEFT-joined so unconverted
     // sessions stay visible
-    "q_session_funnel" ->
-      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
-        |s AS (SELECT context_id, t, eid, event_type,
-        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
-        |         THEN 1 ELSE 0 END AS ns
-        |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
-        |x AS (SELECT context_id, t, eid, event_type,
-        |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
-        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
-        |  FROM s),
-        |g AS (SELECT context_id, session_idx, CAST(count(*) AS BIGINT) AS n_events
-        |  FROM x GROUP BY 1, 2),
-        |a AS (SELECT context_id, session_idx, t AS a_ts, eid AS a_eid FROM (
-        |    SELECT context_id, session_idx, t, eid,
-        |      row_number() OVER (PARTITION BY context_id, session_idx ORDER BY t, eid) AS rn
-        |    FROM x WHERE event_type = 'signup') WHERE rn = 1),
-        |b AS (SELECT x.context_id, x.session_idx, min(x.t) AS b_ts
-        |  FROM x JOIN a ON x.context_id = a.context_id AND x.session_idx = a.session_idx
-        |  WHERE x.event_type = 'purchase'
-        |    AND (x.t > a.a_ts OR (x.t = a.a_ts AND x.eid > a.a_eid))
-        |  GROUP BY 1, 2)
-        |SELECT g.context_id, g.session_idx, g.n_events, a.a_ts, b.b_ts,
-        |  b.b_ts IS NOT NULL AS converted
-        |FROM g LEFT JOIN a ON g.context_id = a.context_id AND g.session_idx = a.session_idx
-        |  LEFT JOIN b ON g.context_id = b.context_id AND g.session_idx = b.session_idx""".stripMargin,
+    "q_session_funnel" -> sessionFunnelOracle,
+
+    // conversion latency over the funnel's converted sessions
+    "q_time_to_convert" ->
+      s"""WITH sf AS ($sessionFunnelOracle)
+         |SELECT 'signup_to_purchase' AS funnel, CAST(count(*) AS BIGINT) AS n,
+         |  min(b_ts - a_ts) AS lat_min, max(b_ts - a_ts) AS lat_max,
+         |  round(quantile_cont(b_ts - a_ts, 0.5), 6) AS p50,
+         |  round(quantile_cont(b_ts - a_ts, 0.9), 6) AS p90
+         |FROM sf WHERE converted""".stripMargin,
 
     "q_event_transitions" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
