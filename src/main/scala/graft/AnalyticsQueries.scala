@@ -117,6 +117,13 @@ object AnalyticsQueries {
       // (map-side combinable), never a per-line row_number window
       CorpusSignals.dedupLinesGlobal(multiLineDocs(docs(s, d)), "doc_id", "text")),
 
+    "q_hybrid_search" -> ((s, d) =>
+      // lexical + dense hybrid retrieval: inverse-df term score (x1000) +
+      // exact integer dot against doc 0's embedding, global top-15
+      Search.hybridTopK(docs(s, d), embs(s, d).withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "text", "embedding", Seq("dup", "vector"), queryId = 0L,
+        k = 15, wTerm = 1000L, wVec = 1L)),
+
     "q_embed_quantize" -> ((s, d) =>
       // int8-style scalar quantization: per-dim min/max (bounded collect) +
       // one codegen'd encode pass, fingerprint over all 64 codes
@@ -365,6 +372,27 @@ object AnalyticsQueries {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_dropped
         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // both retrieval halves reproduced from first principles and blended
+    // with the same integer weights
+    "q_hybrid_search" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |q AS (SELECT qv FROM v WHERE vec_id = 0),
+        |dfs AS (SELECT
+        |  (SELECT count(*) FROM t WHERE list_contains(w, 'dup')) AS df_dup,
+        |  (SELECT count(*) FROM t WHERE list_contains(w, 'vector')) AS df_vector),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x = 'dup'))
+        |    * (CASE WHEN df_dup > 0 THEN 1000000 // df_dup ELSE 0 END) +
+        |  len(list_filter(w, x -> x = 'vector'))
+        |    * (CASE WHEN df_vector > 0 THEN 1000000 // df_vector ELSE 0 END) AS term_score
+        |  FROM t, dfs),
+        |j AS (SELECT s.doc_id AS id, CAST(s.term_score AS BIGINT) AS term_score,
+        |    CAST(list_dot_product(v.qv, q.qv) AS BIGINT) AS dot
+        |  FROM s JOIN v ON v.vec_id = s.doc_id, q WHERE s.doc_id <> 0)
+        |SELECT id, term_score * 1000 + dot AS score, term_score, dot FROM j
+        |ORDER BY score DESC, id LIMIT 15""".stripMargin,
 
     "q_embed_quantize" ->
       s"""WITH e1 AS (SELECT vec_id, embedding AS em, len(embedding) AS nd,

@@ -90,4 +90,50 @@ object Search {
       .select(col("tok").as("token"), col("df"), col("tf"),
         expr("transform(tk, e -> e.id)").as("head_ids"))
   }
+
+  /** HYBRID retrieval: the inverse-df term score blended with exact vector
+    * similarity against one query embedding — `score = term_score·wTerm +
+    * dot·wVec`, all integer, ranked (score DESC, id ASC) top-k. The modern
+    * retrieval default (lexical + dense) as one deterministic operator.
+    *
+    * Scale shape: the term score is the same map-side expression as
+    * [[searchTopK]] (df lookups collected bounded, one row per query
+    * term); the query vector is ONE collected row inlined as a literal, so
+    * the dense side is a codegen'd dot per document — no join against the
+    * query, no candidate shuffle; the embedding join is a plain id
+    * equi-join; ranking is global bounded top-k (TakeOrdered). The query
+    * document itself is excluded.
+    *
+    * Output: id, `score`, `term_score`, `dot` — k rows. */
+  def hybridTopK(docs: DataFrame, embs: DataFrame, idCol: String,
+      textCol: String, vecCol: String, terms: Seq[String], queryId: Long,
+      k: Int, wTerm: Long = 1L, wVec: Long = 1L): DataFrame = {
+    require(terms.nonEmpty, "hybridTopK needs at least one term")
+    require(k > 0, s"k must be > 0, got $k")
+    val qTerms = terms.distinct
+    val toks = TextAnalysis.tokens(col(textCol))
+    val dfMap = docs
+      .select(explode(array_distinct(toks)).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val termScore = qTerms.map { t =>
+      val w = dfMap.get(t).map(1000000L / _).getOrElse(0L)
+      size(filter(toks, x => x === lit(t))).cast("long") * lit(w)
+    }.reduce(_ + _)
+    val qv = embs.filter(col(idCol) === queryId)
+      .select(Similarity.quantize(col(vecCol))).collect()
+    require(qv.nonEmpty, s"query id $queryId has no embedding")
+    val qvLit = typedLit(qv(0).getSeq[Long](0))
+    docs.select(col(idCol).as("id"), termScore.as("term_score"))
+      .join(embs.select(col(idCol).as("id"),
+        Similarity.quantize(col(vecCol)).as("cv")), Seq("id"))
+      .filter(col("id") =!= queryId)
+      .withColumn("dot", Similarity.dotLong(col("cv"), qvLit))
+      .select(col("id"),
+        (col("term_score") * wTerm + col("dot") * wVec).as("score"),
+        col("term_score"), col("dot"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
 }
