@@ -234,8 +234,8 @@ object Similarity {
       .orderBy("i")
       .collect() // bounded: one row per embedding DIMENSION, not per vector
     require(bounds.nonEmpty, "scalarQuantize needs at least one vector")
-    val mnLit = array(bounds.map(r => lit(r.getFloat(1).toDouble)): _*)
-    val mxLit = array(bounds.map(r => lit(r.getFloat(2).toDouble)): _*)
+    val mnLit = array(bounds.toSeq.map(r => lit(r.getFloat(1).toDouble)): _*)
+    val mxLit = array(bounds.toSeq.map(r => lit(r.getFloat(2).toDouble)): _*)
     val top = lit((levels - 1).toDouble)
     val codes = transform(col(vecCol), (x, i) => {
       val mn = element_at(mnLit, i + 1)

@@ -216,6 +216,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(codes == Set(0L))
   }
 
+  // ---- hybrid retrieval ----
+
+  test("hybridTopK blends lexical and dense scores, excludes the query doc") {
+    val docs = Seq(
+      (0L, "query doc"), (1L, "dup dup x"), (2L, "y"), (3L, "dup")
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.5f, 0.0f))
+    ).toDF("doc_id", "embedding")
+    // df(dup)=2 → weight 500000; dots vs (1000,0): d1=0, d2=1e6, d3=5e5
+    val out = Search.hybridTopK(docs, embs, "doc_id", "text", "embedding",
+      Seq("dup"), queryId = 0L, k = 3, wTerm = 1L, wVec = 1L)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("score"),
+        r.getAs[Long]("term_score"), r.getAs[Long]("dot")))
+    // all three tie at 1e6 → ranked purely by id ASC
+    assert(out.toSeq == Seq(
+      (1L, 1000000L, 1000000L, 0L),       // lexical-only (2 hits × 5e5)
+      (2L, 1000000L, 0L, 1000000L),       // dense-only
+      (3L, 1000000L, 500000L, 500000L)))  // blended halves
+  }
+
   // ---- audio frames ----
 
   test("decodeWavFrames: full frames only, frame-local zero crossings, exact rms") {
