@@ -64,8 +64,13 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         def run(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          // a FAILED query must never record a (deceptively fast) wall
+          // time: a mid-run environment fault once poisoned the per-query
+          // minima with near-zero "timings" of exception paths. Infinity
+          // loses every min() against a real measurement and is reported
+          // as failed if no pass succeeded.
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.PositiveInfinity }
         }
         var t = run()
         val c = calibrate()
@@ -80,13 +85,19 @@ object Bench {
       }
     val pass1 = pass()
     val pass2 = pass()
-    val results = pass1.zip(pass2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
+    val rawResults = pass1.zip(pass2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
+    // queries that failed BOTH passes carry Infinity: excluded from totals,
+    // emitted as -1, and counted loudly
+    val failed = rawResults.collect { case (k, v) if v.isInfinite => k }
+    val results = rawResults.map { case (k, v) => k -> (if (v.isInfinite) -1.0 else v) }
     // `value` is a best-of composite (sum of per-query minima across the two
     // passes) — it corresponds to no single measured run. `best_pass_total`
     // is the fastest single pass as actually measured; `total_kind` labels
     // the composite so a reader of `value` alone is not misled.
-    val total = results.map(_._2).sum
-    val bestPass = math.min(pass1.map(_._2).sum, pass2.map(_._2).sum)
+    def finiteSum(xs: Seq[(String, Double)]): Double =
+      xs.collect { case (_, v) if !v.isInfinite && v >= 0 => v }.sum
+    val total = finiteSum(results)
+    val bestPass = math.min(finiteSum(pass1), finiteSum(pass2))
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val calStats = s"""{"min":${r3(cals.min)},"max":${r3(cals.max)},""" +
       s""""mean":${r3(cals.sum / cals.size)},"retried":$retried,""" +
@@ -99,9 +110,10 @@ object Bench {
     // (BENCH_r01–r07 all have parsed:null).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_kind":"per_query_min_composite","best_pass_total":$bestPass,""" +
-      s""""queries":$fullQs,""" +
+      s""""failed_queries":$failedJson,"queries":$fullQs,""" +
       s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}"""
     println(fullLine)
     scala.util.Try {
@@ -117,7 +129,8 @@ object Bench {
     val budget = 1880
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""total_kind":"per_query_min_composite","best_pass_total":${r3(bestPass)},""" +
-      s""""n_queries":${results.size},"calibration_s":${r3(cals.max)},""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""calibration_s":${r3(cals.max)},""" +
       s""""calibration":$calStats,"sf":"$sfDir",""" +
       s""""queries_full":"BENCH_FULL.json","queries":{"""
     val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
