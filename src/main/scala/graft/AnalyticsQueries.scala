@@ -76,6 +76,20 @@ object AnalyticsQueries {
         round(percentile(col("_lat"), lit(0.9)), 6).as("p90"))
     }),
 
+    "q_funnel_dropoff" -> ((s, d) =>
+      // the funnel report card: sessions → reached signup → converted,
+      // with exact ppm conversion rates at each stage
+      EventAnalytics.sessionFunnel(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type",
+        gapSec = 21600L, stepA = "signup", stepB = "purchase")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          count(col("a_ts")).as("reached_a"),
+          count(col("b_ts")).as("converted"))
+        .select(col("n_sessions"), col("reached_a"), col("converted"),
+          expr("(converted * 1000000) div n_sessions").as("conv_ppm"),
+          expr("case when reached_a = 0 then 0 else (converted * 1000000) div reached_a end").as("conv_of_a_ppm"))),
+
     "q_event_transitions" -> ((s, d) =>
       // Markov transition matrix over each context's event order, row
       // probabilities in ppm
@@ -289,6 +303,16 @@ object AnalyticsQueries {
          |  round(quantile_cont(b_ts - a_ts, 0.5), 6) AS p50,
          |  round(quantile_cont(b_ts - a_ts, 0.9), 6) AS p90
          |FROM sf WHERE converted""".stripMargin,
+
+    "q_funnel_dropoff" ->
+      s"""WITH sf AS ($sessionFunnelOracle)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(count(a_ts) AS BIGINT) AS reached_a,
+         |  CAST(count(b_ts) AS BIGINT) AS converted,
+         |  CAST((count(b_ts) * 1000000) // count(*) AS BIGINT) AS conv_ppm,
+         |  CAST(CASE WHEN count(a_ts) = 0 THEN 0
+         |       ELSE (count(b_ts) * 1000000) // count(a_ts) END AS BIGINT) AS conv_of_a_ppm
+         |FROM sf""".stripMargin,
 
     "q_event_transitions" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,

@@ -61,6 +61,27 @@ object PipelineQueries {
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    "q_corpus_report" -> ((s, d) => {
+      // the per-source corpus report card: doc/token counts, mean quality
+      // (micro-units — per-doc quality scores are 6-dp doubles rounded to
+      // exact integers BEFORE summing, so aggregation order cannot move
+      // the result), and Gopher pass rate in ppm
+      val quality = TextAnalysis.qualityScore(col("text"))
+      val pass = TextAnalysis.gopherRules(col("text"), minWords = 50).last._2
+      docs(s, d)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"),
+          round(quality * 1000000).cast("long").as("qm"),
+          pass.cast("long").as("gp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_total"),
+          sum(col("qm")).as("_qs"), sum(col("gp")).as("gopher_pass"))
+        .select(col("source"), col("n_docs"), col("tok_total"),
+          expr("_qs div n_docs").as("quality_mean_micro"),
+          col("gopher_pass"),
+          expr("(gopher_pass * 1000000) div n_docs").as("gopher_pass_ppm"))
+    }),
+
     "q_text_langid" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
       TextAnalysis.languageId(col("text")).as("lang_pred"))),
@@ -871,6 +892,37 @@ object PipelineQueries {
          |  (CASE WHEN length(text)*1.0/len($toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
          |  least(${duckStop("en")} * 10.0 / len($toks), 1.0) * 0.2, 6) AS quality
          |FROM documents""".stripMargin,
+
+    // quality micro-units and the Gopher conjunction aggregated per source
+    // — exact integers before summation, so order-independent
+    "q_corpus_report" ->
+      s"""WITH t AS (SELECT source, text, $toks AS w,
+         |    string_split(text, chr(10)) AS ln FROM documents),
+         |q AS (SELECT source, CAST(len(w) AS BIGINT) AS tok,
+         |  CAST(round(round(
+         |    least(len(w) / 50.0, 1.0) * 0.4 +
+         |    (CASE WHEN length(text)*1.0/len(w) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+         |    least(${duckStop("en")} * 10.0 / len(w), 1.0) * 0.2, 6) * 1000000) AS BIGINT) AS qm,
+         |  CAST((len(w) BETWEEN 50 AND 100000)
+         |    AND (len(w) > 0 AND len(array_to_string(w, '')) * 1.0 / len(w) BETWEEN 3 AND 10)
+         |    AND (len(w) > 0 AND ((len(text) - len(replace(text, '#', ''))) * 1.0
+         |      + (len(text) - len(replace(text, '...', ''))) / 3.0
+         |      + (len(text) - len(replace(text, '…', '')))) / len(w) <= 0.1)
+         |    AND (len(list_filter(ln, x -> starts_with(ltrim(x), '•') or starts_with(ltrim(x), '-')
+         |      or starts_with(ltrim(x), '*'))) * 1.0 / len(ln) <= 0.9)
+         |    AND (len(list_filter(ln, x -> ends_with(rtrim(x), '...') or ends_with(rtrim(x), '…')))
+         |      * 1.0 / len(ln) <= 0.3)
+         |    AND (len(w) > 0 AND len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+         |      * 1.0 / len(w) >= 0.8)
+         |    AND (len(list_intersect(list_distinct(w),
+         |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'])) >= 2) AS BIGINT) AS gp
+         |  FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS tok_total,
+         |  CAST(sum(qm) // count(*) AS BIGINT) AS quality_mean_micro,
+         |  CAST(sum(gp) AS BIGINT) AS gopher_pass,
+         |  CAST((sum(gp) * 1000000) // count(*) AS BIGINT) AS gopher_pass_ppm
+         |FROM q GROUP BY source""".stripMargin,
 
     "q_text_langid" -> {
       val langs = Seq("de", "en", "es", "fr")
