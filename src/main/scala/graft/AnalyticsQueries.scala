@@ -181,6 +181,16 @@ object AnalyticsQueries {
         Multimodal.videoFrameDHashes(Multimodal.syntheticAvis(
           docs(s, d).select(col("doc_id")), "doc_id")), cutDist = 8)),
 
+    "q_image_clusters" -> ((s, d) =>
+      // image dedup's terminal shape: the banded Hamming pair graph
+      // collapsed into connected components, min-id survivor per cluster —
+      // the same O(log n) large-star/small-star machinery as text clusters
+      Clustering.connectedComponents(
+        Multimodal.nearDupImages(pngHashes(s, d), maxDist = 3),
+        idCol1 = "a", idCol2 = "b")
+        .select(col("id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_survivor"))),
+
     "q_image_neardup" -> ((s, d) =>
       // banded Hamming near-dup: 4×16-bit bands, pigeonhole-exact for
       // dist<=3, so the banded plan must equal the oracle's brute force
@@ -496,6 +506,22 @@ object AnalyticsQueries {
          |  CAST((p.shared * 1000000) // least(pa.nh, pb.nh) AS BIGINT) AS sim_ppm
          |FROM p JOIN pv pa ON pa.media_id = p.a JOIN pv pb ON pb.media_id = p.b
          |WHERE p.shared >= 1""".stripMargin,
+
+    // brute-force pair graph from the formula hashes → recursive min-label
+    // walk (the q_dedup_cluster oracle pattern)
+    "q_image_clusters" ->
+      s"""WITH RECURSIVE h AS ($dhashOracle),
+         |p AS (SELECT a.media_id AS id_1, b.media_id AS id_2
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+         |e AS (SELECT id_1 AS u, id_2 AS v FROM p UNION SELECT id_2, id_1 FROM p),
+         |n AS (SELECT DISTINCT u AS id FROM e),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.id WHERE w.label < e.v)
+         |SELECT id, min(label) AS cluster_id, id = min(label) AS is_survivor
+         |FROM walk GROUP BY id""".stripMargin,
 
     "q_image_neardup" ->
       s"""WITH h AS ($dhashOracle)
