@@ -453,6 +453,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("Aggregate").length >= 3, s"expected partial+final aggregate:\n$p")
   }
 
+  test("session funnel: context-keyed throughout, no single-partition funnel") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.sessionFunnel(
+      ev, "context_id", "timestamp", "event_id", "event_type", 21600L,
+      "signup", "purchase")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"session funnel must never funnel through one partition:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("engagement: window-free rolling distinct, bounded exchanges") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.engagement(ev, "context_id", "timestamp")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the rolling WAU must come from the map-side window-end explode, not
+    // a per-day self-join of the activity table or a rolling window
+    assert(!p.contains("Window"), s"engagement must not use a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hybrid retrieval: dense side is a map-side dot, ranking is TakeOrdered") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val src = new graft.sources.TestDataSource(spark, dir)
+    val p = graft.pipeline.Search.hybridTopK(
+      src.table("documents"),
+      src.table("embeddings").withColumnRenamed("vec_id", "doc_id"),
+      "doc_id", "text", "embedding", Seq("dup"), 0L, 5)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the query vector is a literal: no join against it, no window rank,
+    // global top-k via TakeOrdered
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hybrid ranking must be a bounded global top-k:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("image near-dup: banded candidate join, decode-once, never broadcast/cartesian") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
