@@ -115,8 +115,11 @@ object StreamQueries {
           src.table("documents").filter(col("doc_id") % 5 =!= 0), "doc_id", 5, 6))
       val stream = graft.pipeline.Multimodal.syntheticPngs(
         src.documentsStream.filter(col("doc_id") % 5 === 0), "doc_id", 5, 6)
-      StreamingReplay.run(
-        StreamingPipeline.admitImagesStream(stream, corpusHashes).toDF())
+      val (decisions, staticSide) =
+        StreamingPipeline.admitImagesStreamCached(stream, corpusHashes)
+      val out = StreamingReplay.run(decisions.toDF())
+      staticSide.unpersist(blocking = false) // replay done: release the corpus cache
+      out
     }),
 
     "q_stream_sessions" -> ((s, d) => {

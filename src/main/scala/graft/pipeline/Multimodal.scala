@@ -637,13 +637,13 @@ object Multimodal {
     // multiply the pair count. persist(): the frame is consumed by THREE
     // branches (both join sides + the per-video totals) — exchange reuse
     // covers the join sides, but without the cache the totals branch
-    // re-runs the whole decode pipeline (caller may unpersist)
+    // re-runs the whole decode pipeline
     val vh = frameHashes.select((col("media_id") +: keyCols.map(col)): _*)
       .distinct().persist()
     val perVideo = vh.groupBy("media_id").agg(count(lit(1)).as("n_hashes"))
     val l = vh.alias("l").hint("merge") // identical-subplan reuse, no broadcast guess
     val r = vh.alias("r")
-    l.join(r, keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
+    val pairs = l.join(r, keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
         .reduce(_ && _) && col("l.media_id") < col("r.media_id"))
       .groupBy(col("l.media_id").as("a"), col("r.media_id").as("b"))
       .agg(count(lit(1)).as("shared"))
@@ -652,6 +652,13 @@ object Multimodal {
       .join(perVideo.select(col("media_id").as("b"), col("n_hashes").as("nb")), Seq("b"))
       .select(col("a"), col("b"), col("shared"),
         expr("(shared * 1000000) div least(na, nb)").as("sim_ppm"))
+    // materialize the (small, collision-bounded) pair table eagerly via
+    // localCheckpoint, then release the frame cache — repeated invocations
+    // must not accumulate decoded-frame blocks (the checkpoint blocks are
+    // pair-sized and ContextCleaner-reclaimed once the result is dropped)
+    val out = pairs.localCheckpoint()
+    vh.unpersist(blocking = false)
+    out
   }
 
   /** Scene-cut detection over a [[videoFrameDHashes]] frame: a frame opens

@@ -230,12 +230,15 @@ object Similarity {
     require(levels >= 2, s"levels must be >= 2, got $levels")
     val bounds = embs
       .select(posexplode(col(vecCol)).as(Seq("i", "v")))
-      .groupBy("i").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      // cast up front so the collected rows are doubles for ANY numeric
+      // element type (array<float>, array<double>, array<int>)
+      .groupBy("i").agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
       .orderBy("i")
       .collect() // bounded: one row per embedding DIMENSION, not per vector
     require(bounds.nonEmpty, "scalarQuantize needs at least one vector")
-    val mnLit = array(bounds.toSeq.map(r => lit(r.getFloat(1).toDouble)): _*)
-    val mxLit = array(bounds.toSeq.map(r => lit(r.getFloat(2).toDouble)): _*)
+    val mnLit = array(bounds.toSeq.map(r => lit(r.getDouble(1))): _*)
+    val mxLit = array(bounds.toSeq.map(r => lit(r.getDouble(2))): _*)
     val top = lit((levels - 1).toDouble)
     val codes = transform(col(vecCol), (x, i) => {
       val mn = element_at(mnLit, i + 1)

@@ -332,7 +332,16 @@ object StreamingPipeline {
     * Malformed blobs decode to nothing and get NO decision row (the
     * [[Multimodal.imageDHashes]] drop-malformed contract). */
   def admitImagesStream(streamMedia: DataFrame, corpusHashes: DataFrame,
-      maxDist: Int = 3): Dataset[ImageAdmit] = {
+      maxDist: Int = 3): Dataset[ImageAdmit] =
+    admitImagesStreamCached(streamMedia, corpusHashes, maxDist)._1
+
+  /** [[admitImagesStream]] plus the persisted static-side handle: the corpus
+    * band table must stay cached for the LIFETIME of the streaming query
+    * (Spark re-plans stream-static sides every trigger), so only the caller
+    * knows when to release it — unpersist the returned frame after the
+    * query stops. */
+  def admitImagesStreamCached(streamMedia: DataFrame, corpusHashes: DataFrame,
+      maxDist: Int = 3): (Dataset[ImageAdmit], DataFrame) = {
     require(maxDist >= 0 && maxDist < 4,
       s"banding over 4 bands is exact only for maxDist < 4, got $maxDist")
     val spark = streamMedia.sparkSession
@@ -348,7 +357,7 @@ object StreamingPipeline {
           (expr("bit_count(hash_hi ^ c_hi)") + expr("bit_count(hash_lo ^ c_lo)")) <= maxDist,
         "left_semi")
       .select(col("media_id"), lit(true).as("m"))
-    hashes.select(col("media_id"), lit(false).as("m"))
+    val decisions = hashes.select(col("media_id"), lit(false).as("m"))
       .unionByName(matched)
       .as[ImageProbe]
       .groupByKey(_.media_id)
@@ -360,5 +369,6 @@ object StreamingPipeline {
           Iterator.single(ImageAdmit(id,
             if (it.exists(_.m)) "dup_image_corpus" else "admitted"))
       }
+    (decisions, corpusBands)
   }
 }

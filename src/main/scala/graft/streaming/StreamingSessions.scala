@@ -71,14 +71,32 @@ object StreamingSessions {
               else if (e.ts - st.end > gapSec) {
                 out += emit(ctx, st)
                 st = SessState(st.idx + 1, e.ts, e.ts, 1L)
-              } else st = SessState(st.idx, st.start, math.max(st.end, e.ts), st.n + 1L)
+              } else {
+                // a late-but-within-watermark event from an earlier batch may
+                // precede the open session's start: extend BOTH bounds so
+                // start_ts/duration stay correct (the batch sibling sorts
+                // globally). Limitation: such an event always merges into the
+                // open session — it cannot retroactively split it or reopen
+                // an already-emitted one.
+                st = SessState(st.idx, math.min(st.start, e.ts),
+                  math.max(st.end, e.ts), st.n + 1L)
+              }
             }
-            state.update(st)
-            // due once the watermark passes end + gap; the +1 keeps the
-            // timestamp strictly ahead of the current watermark (Spark
-            // rejects a timeout at or behind it)
-            state.setTimeoutTimestamp(math.max(
-              (st.end + gapSec) * 1000L, state.getCurrentWatermarkMs() + 1L))
+            if ((st.end + gapSec) * 1000L < state.getCurrentWatermarkMs()) {
+              // already due: the watermark has passed end + gap, so no
+              // in-watermark event can extend this session. A deferred
+              // timeout clamped to watermark+1 would never fire if the
+              // watermark never advances again (idle stream) — emit now.
+              out += emit(ctx, st)
+              state.remove()
+            } else {
+              state.update(st)
+              // due once the watermark passes end + gap; the +1 keeps the
+              // timestamp strictly ahead of the current watermark (Spark
+              // rejects a timeout at or behind it)
+              state.setTimeoutTimestamp(math.max(
+                (st.end + gapSec) * 1000L, state.getCurrentWatermarkMs() + 1L))
+            }
             out.iterator
           }
       }

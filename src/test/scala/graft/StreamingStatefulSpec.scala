@@ -103,6 +103,36 @@ class StreamingStatefulSpec extends AnyFunSuite {
       s"open session must flush via event-time timeout, got: $all")
   }
 
+  test("streaming sessions: late in-watermark event lowers the open session's start_ts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "timestamp", "event_id")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("e"))
+      .withColumn("value", org.apache.spark.sql.functions.lit(0.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit(""))
+    val q = StreamingSessions.sessions(events, gapSec = 100L,
+      watermarkDelay = "600 seconds")
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sess_late").start()
+
+    // batch 1 opens u's session at 2000; watermark after the batch = 1400
+    mem.addData(("u", 2000L, 1L), ("x", 2000L, 99L))
+    q.processAllAvailable()
+    // batch 2: ts 1900 is LATE but within the watermark (1900 >= 1400) — it
+    // must extend the session BACKWARD (start 2000 → 1900), then 2500 closes
+    // it (gap 100 exceeded)
+    mem.addData(("u", 1900L, 2L), ("u", 2500L, 3L))
+    q.processAllAvailable()
+    val rows = spark.table("sess_late").collect()
+      .map(r => (r.getAs[String]("context_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
+    q.stop()
+    assert(rows.toSeq == Seq(("u", 0L, 1900L, 2000L, 2L, 100L)),
+      s"late event must lower start_ts, got: ${rows.toSeq}")
+  }
+
   test("streaming funnel: abandoned partial state is dropped by the event-time timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
