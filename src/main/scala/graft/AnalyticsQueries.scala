@@ -59,6 +59,19 @@ object AnalyticsQueries {
         "context_id", "timestamp", "event_id", "event_type",
         gapSec = 21600L, stepA = "signup", stepB = "purchase")),
 
+    "q_session_funnel_k" -> ((s, d) =>
+      // k-step within-session funnel (view → click → purchase): greedy
+      // first-touch chain walk over each session's sorted step events —
+      // ONE (context)-keyed exchange, no per-step join
+      EventAnalytics.sessionFunnelK(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type",
+        gapSec = 21600L, steps = Seq("view", "click", "purchase"))
+        .select(col("context_id"), col("session_idx"), col("n_events"),
+          try_element_at(col("step_ts"), lit(1)).as("s1_ts"),
+          try_element_at(col("step_ts"), lit(2)).as("s2_ts"),
+          try_element_at(col("step_ts"), lit(3)).as("s3_ts"),
+          col("steps_done"), col("converted"))),
+
     "q_time_to_convert" -> ((s, d) => {
       // conversion-latency distribution: exact percentiles of
       // (purchase_ts - signup_ts) over CONVERTED sessions only
@@ -284,7 +297,51 @@ object AnalyticsQueries {
       |FROM g LEFT JOIN a ON g.context_id = a.context_id AND g.session_idx = a.session_idx
       |  LEFT JOIN b ON g.context_id = b.context_id AND g.session_idx = b.session_idx""".stripMargin
 
+  /** k-step funnel oracle, composing the 2-step derivation once per step:
+    * step 1 is the session's first-touch of its type; step i+1 is the
+    * earliest event of its type STRICTLY after step i in (t, eid) order —
+    * the recurrence [[graft.pipeline.EventAnalytics.sessionFunnelK]]'s
+    * greedy fold implements in one pass. */
+  private def sessionFunnelKOracle(steps: Seq[String]): String = {
+    val k = steps.size
+    val stepCtes = steps.zipWithIndex.map { case (ty, ix) =>
+      val n = ix + 1
+      val src = if (ix == 0) "x"
+        else s"""x JOIN s$ix ON x.context_id = s$ix.context_id AND x.session_idx = s$ix.session_idx"""
+      val after = if (ix == 0) ""
+        else s" AND (x.t > s$ix.t$ix OR (x.t = s$ix.t$ix AND x.eid > s$ix.i$ix))"
+      s"""s$n AS (SELECT context_id, session_idx, t AS t$n, eid AS i$n FROM (
+         |    SELECT x.context_id, x.session_idx, x.t, x.eid,
+         |      row_number() OVER (PARTITION BY x.context_id, x.session_idx ORDER BY x.t, x.eid) AS rn
+         |    FROM $src WHERE x.event_type = '$ty'$after) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to k)
+      .map(n => s"LEFT JOIN s$n USING (context_id, session_idx)").mkString("\n  ")
+    val tsCols = (1 to k).map(n => s"t$n AS s${n}_ts").mkString(", ")
+    val doneCases = (k to 1 by -1)
+      .map(n => s"WHEN t$n IS NOT NULL THEN $n").mkString(" ")
+    s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
+       |s AS (SELECT context_id, t, eid, event_type,
+       |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
+       |x AS (SELECT context_id, t, eid, event_type,
+       |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
+       |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+       |  FROM s),
+       |g AS (SELECT context_id, session_idx, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM x GROUP BY 1, 2),
+       |$stepCtes
+       |SELECT context_id, session_idx, n_events, $tsCols,
+       |  CAST(CASE $doneCases ELSE 0 END AS BIGINT) AS steps_done,
+       |  t$k IS NOT NULL AS converted
+       |FROM g $joins""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_session_funnel_k" -> sessionFunnelKOracle(Seq("view", "click", "purchase")),
+
     "q_sessionize" ->
       s"""WITH e AS ($eventsView),
          |s AS (SELECT context_id, t, eid,

@@ -116,10 +116,17 @@ object Bench {
       s""""failed_queries":$failedJson,"queries":$fullQs,""" +
       s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}"""
     println(fullLine)
-    scala.util.Try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+    // Never clobber a previously recorded full table: every run writes a
+    // timestamp-stamped file, and the unstamped BENCH_FULL.json convenience
+    // name is only created when absent (a judge's believability re-run must
+    // not destroy the round's recorded data — it did in r8).
+    val stamped = s"BENCH_FULL_${System.currentTimeMillis / 1000}.json"
+    def writeFull(path: String): Unit = scala.util.Try {
+      val w = new java.io.PrintWriter(path, "UTF-8")
       try w.println(fullLine) finally w.close()
     }
+    writeFull(stamped)
+    if (!new java.io.File("BENCH_FULL.json").exists()) writeFull("BENCH_FULL.json")
 
     // Compact FINAL line, kept under the 2000-char tail budget so the driver
     // can actually parse it: summary stats plus per-query timings (3 dp,
@@ -132,7 +139,7 @@ object Bench {
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""calibration_s":${r3(cals.max)},""" +
       s""""calibration":$calStats,"sf":"$sfDir",""" +
-      s""""queries_full":"BENCH_FULL.json","queries":{"""
+      s""""queries_full":"$stamped","queries":{"""
     val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
     val kept = new StringBuilder(head)
     var nKept = 0

@@ -96,6 +96,51 @@ object EventAnalytics {
         col("b_ts").isNotNull.as("converted"))
   }
 
+  /** Multi-step (k-step) session funnel: within every session, the
+    * FIRST-TOUCH strictly-ordered completion of the `steps` chain — the
+    * k-step generalization of [[sessionFunnel]] (reference analog: PlotQL's
+    * `a -> b -> c` chains, `commands/plotql.rs:579-610`, session-scoped).
+    * Step i+1 matches the earliest event of its type strictly after the
+    * matched step i in (timestamp, event_id) order; the scan is the
+    * greedy forward pass, so `steps` may repeat a type (`view -> view`).
+    *
+    * Scale shape: ONE aggregation on (context, session) after
+    * [[assignSessions]] — the single hash(context) exchange serves the
+    * whole plan (grouping keys are a superset of the partitioning key).
+    * Per-session state is the session's OWN step-typed events (bounded by
+    * one entity's activity in one session, the same bound sessionization
+    * itself needs); the chain walk is a codegen'd `aggregate` fold over
+    * that sorted array — no per-step join, no k-pass scan.
+    *
+    * Output: context, session_idx, n_events, `step_ts` (array of matched
+    * step timestamps, length = steps completed), `steps_done`,
+    * `converted` (all k steps matched). */
+  def sessionFunnelK(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got ${steps.size}")
+    val k = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val se = assignSessions(events, ctxCol, tsCol, idCol, gapSec)
+    val g = se.groupBy(col(ctxCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(when(col(typeCol).isin(steps: _*),
+          struct(col(tsCol).cast("long").as("t"),
+            col(idCol).cast("long").as("i"),
+            col(typeCol).as("y"))))).as("_evs"))
+    // greedy forward chain walk: acc = timestamps of steps matched so far;
+    // the array is (t, i)-sorted, so "strictly after the previous match"
+    // is exactly "later in the fold"
+    val chain = aggregate(col("_evs"), expr("cast(array() as array<bigint>)"),
+      (acc, e) => when(size(acc) < k &&
+          e.getField("y") === element_at(stepArr, size(acc) + 1),
+        concat(acc, array(e.getField("t")))).otherwise(acc))
+    g.withColumn("step_ts", chain)
+      .select(col(ctxCol), col("session_idx"), col("n_events"), col("step_ts"),
+        size(col("step_ts")).cast("long").as("steps_done"),
+        (size(col("step_ts")) === k).as("converted"))
+  }
+
   /** Top-k events per context by value — "each user's k biggest purchases",
     * the per-group ranking every analytics surface needs. Ranks by
     * (milli-quantized value DESC, event_id ASC) through the bounded

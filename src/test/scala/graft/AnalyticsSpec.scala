@@ -63,6 +63,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("v", 1L)) == ((1L, None, None, false)))
   }
 
+  test("sessionFunnelK: greedy first-touch chain, out-of-order steps skipped, repeats allowed") {
+    val events = Seq(
+      // u session 0: full a→b→c chain, with an early c (eid 1) that must
+      // NOT satisfy step 3 (it precedes the matched b) and a later c that does
+      ("u", 90L, 1L, "c"), ("u", 100L, 2L, "a"), ("u", 110L, 3L, "b"),
+      ("u", 120L, 4L, "c"),
+      // u session 1: a then c but no b → stops at 1 step
+      ("u", 1000L, 5L, "a"), ("u", 1010L, 6L, "c"),
+      // v: b before a — only the a (and the later b) count, no c
+      ("v", 100L, 7L, "b"), ("v", 110L, 8L, "a"), ("v", 120L, 9L, "b")
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.sessionFunnelK(events,
+      "context_id", "timestamp", "event_id", "event_type",
+      gapSec = 100L, steps = Seq("a", "b", "c"))
+      .collect()
+      .map(r => ((r.getAs[String]("context_id"), r.getAs[Long]("session_idx")),
+        (r.getAs[scala.collection.Seq[Long]]("step_ts").toSeq, r.getAs[Long]("steps_done"),
+          r.getAs[Boolean]("converted"))))
+      .toMap
+    assert(out(("u", 0L)) == ((Seq(100L, 110L, 120L), 3L, true)))
+    assert(out(("u", 1L)) == ((Seq(1000L), 1L, false)))
+    assert(out(("v", 0L)) == ((Seq(110L, 120L), 2L, false)))
+
+    // repeated step types: the chain needs two distinct 'a's in order
+    val rep = EventAnalytics.sessionFunnelK(
+      Seq(("w", 10L, 1L, "a"), ("w", 20L, 2L, "a"), ("w", 30L, 3L, "x"))
+        .toDF("context_id", "timestamp", "event_id", "event_type"),
+      "context_id", "timestamp", "event_id", "event_type",
+      gapSec = 100L, steps = Seq("a", "a"))
+      .collect().head
+    assert(rep.getAs[scala.collection.Seq[Long]]("step_ts").toSeq == Seq(10L, 20L) &&
+      rep.getAs[Boolean]("converted"))
+  }
+
   // ---- retention ----
 
   test("retention cohorts count users at each week offset from first activity") {

@@ -465,6 +465,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("k-step session funnel: one context exchange, no per-step join explosion") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.sessionFunnelK(
+      ev, "context_id", "timestamp", "event_id", "event_type", 21600L,
+      Seq("view", "click", "purchase"))
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the chain walk is a fold over each session's collected step events:
+    // the session-assignment windows and the (ctx, session) aggregate share
+    // ONE hash(context) exchange, and adding steps must not add joins
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"k-step funnel must shuffle once on the context key:\n$p")
+    assert(!p.contains("Join"), s"k-step funnel must not join per step:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"k-step funnel must never funnel through one partition:\n$p")
+  }
+
   test("engagement: window-free rolling distinct, bounded exchanges") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val ev = new graft.sources.TestDataSource(spark, dir).allEvents
