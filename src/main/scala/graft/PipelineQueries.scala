@@ -582,6 +582,15 @@ object PipelineQueries {
         k = 5, dims = 64, planes = 4)
     }),
 
+    "q_sim_ivf_recall" -> ((s, d) => {
+      // the same acceptance metric for the IVF family: per-query recall of
+      // the cell-probe ranking vs exact truth — deterministic end to end,
+      // so unlike LSH the ranking AND the metric are both oracle-exact
+      val e = embs(s, d)
+      Similarity.ivfRecall(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, nClusters = 16, nProbe = 4)
+    }),
+
     "q_classify_embed" -> ((s, d) => {
       // nearest-centroid domain tagging: 8 labeled centroids inlined as
       // literals, one codegen'd pass over the corpus — no join, no window
@@ -1816,6 +1825,35 @@ object PipelineQueries {
         |      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, dot, round(cos, 6) AS cosine FROM j
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
+    // exact top-5 truth vs the IVF cell-probe top-5 (the q_sim_ivf_topk
+    // derivation), counted per query — the LSH recall harness pointed at
+    // the deterministic IVF ranking
+    "q_sim_ivf_recall" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+        |    FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5),
+        |c AS (SELECT vec_id AS cid, qv AS centroid FROM v ORDER BY vec_id LIMIT 16),
+        |cells AS (SELECT vec_id AS neighbor_id, qv AS cv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM v CROSS JOIN c) WHERE rk = 1),
+        |probes AS (SELECT vec_id AS query_id, qv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM v CROSS JOIN c WHERE v.vec_id < 50) WHERE rk <= 4),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, CAST(list_dot_product(p.qv, cells.cv) AS BIGINT) AS dot
+        |    FROM probes p JOIN cells USING (cid)
+        |    WHERE neighbor_id <> query_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5)
+        |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+        |  CAST((count(ap.neighbor_id) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+        |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1""".stripMargin,
 
     "q_sim_ivf_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),

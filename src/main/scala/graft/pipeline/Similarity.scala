@@ -328,11 +328,24 @@ object Similarity {
     * (truncated). */
   def lshRecall(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dims: Int,
-      planes: Int = 4, tables: Int = 8): DataFrame = {
-    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = lshTopK(corpus, queries, idCol, vecCol, k, dims, planes, tables)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      planes: Int = 4, tables: Int = 8): DataFrame =
+    recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      lshTopK(corpus, queries, idCol, vecCol, k, dims, planes, tables))
+
+  /** [[lshRecall]]'s harness pointed at the IVF ranking: per-query recall
+    * of [[ivfTopK]] against the exact top-k, integer ppm — both index
+    * families carry the same acceptance metric. */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nClusters: Int = 16,
+      nProbe: Int = 4, lloydIters: Int = 0): DataFrame =
+    recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      ivfTopK(corpus, queries, idCol, vecCol, k, nClusters, nProbe, lloydIters))
+
+  /** Grade ANY approximate (query_id, neighbor_id) ranking against the
+    * exact one: per-query `n_exact`, `n_hit`, truncated-ppm recall. */
+  private def recallVsExact(exactRank: DataFrame, approxRank: DataFrame): DataFrame = {
+    val exact = exactRank.select(col("query_id"), col("neighbor_id"))
+    val approx = approxRank.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
