@@ -125,6 +125,21 @@ object AnalyticsQueries {
       // weeks-per-user
       EventAnalytics.retentionCohorts(events(s, d), "context_id", "timestamp")),
 
+    "q_retention_cal" -> ((s, d) =>
+      // CALENDAR-week cohorts in a DST-observing zone over the multi-year
+      // lineitem history (suppliers as the entity): a week is local
+      // Mon-00:00..Mon-00:00 even when it spans the spring/fall transition
+      new TestDataSource(s, d).frame("lineitem").transform(li =>
+        EventAnalytics.retentionCohortsCalendar(li, "l_suppkey", "timestamp",
+          zone = "America/New_York"))),
+
+    "q_engagement_cal" -> ((s, d) =>
+      // NY-local calendar-day DAU / trailing-7-calendar-day WAU over the
+      // same DST-crossing history
+      new TestDataSource(s, d).frame("lineitem").transform(li =>
+        EventAnalytics.engagementCalendar(li, "l_suppkey", "timestamp",
+          zone = "America/New_York"))),
+
     "q_value_percentiles" -> ((s, d) =>
       // exact p50/p90/p99 value distribution per event type — identical
       // interpolation definition (h = p·(n−1)) on both engines over
@@ -420,6 +435,35 @@ object AnalyticsQueries {
          |SELECT c.cw * 604800 AS cohort_week, w.wk - c.cw AS week_offset,
          |  CAST(count(*) AS BIGINT) AS n_users
          |FROM w JOIN c ON w.ctx = c.ctx GROUP BY 1, 2""".stripMargin,
+
+    // NY-local calendar weeks (Monday start): UTC instant → NY wall time →
+    // date_trunc('week') → back to a UTC epoch; offsets are local-calendar
+    // week differences
+    "q_retention_cal" ->
+      """WITH e AS (SELECT l_suppkey AS ctx,
+        |    date_trunc('week', timezone('America/New_York',
+        |      l_shipdate::TIMESTAMPTZ))::DATE AS wk
+        |  FROM lineitem),
+        |w AS (SELECT DISTINCT ctx, wk FROM e),
+        |c AS (SELECT ctx, min(wk) AS cw FROM w GROUP BY ctx)
+        |SELECT CAST(floor(epoch(timezone('America/New_York', cw::TIMESTAMP))) AS BIGINT) AS cohort_week,
+        |  CAST((w.wk - c.cw) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM w JOIN c ON w.ctx = c.ctx GROUP BY 1, 2""".stripMargin,
+
+    "q_engagement_cal" ->
+      """WITH ud AS (SELECT DISTINCT l_suppkey AS ctx,
+        |    date_trunc('day', timezone('America/New_York',
+        |      l_shipdate::TIMESTAMPTZ))::DATE AS d
+        |  FROM lineitem),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |cov AS (SELECT DISTINCT ctx, d + CAST(o AS INTEGER) AS d
+        |  FROM ud, unnest(range(0, 7)) AS t(o)),
+        |wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY 1)
+        |SELECT CAST(floor(epoch(timezone('America/New_York', dau.d::TIMESTAMP))) AS BIGINT) AS day,
+        |  dau.dau, wau.wau,
+        |  CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
 
     "q_value_percentiles" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

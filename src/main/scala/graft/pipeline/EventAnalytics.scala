@@ -285,6 +285,57 @@ object EventAnalytics {
     * Output: `cohort_week` (epoch seconds of the cohort's first week),
     * `week_offset` (0 = the cohort week itself), `n_users`.
     */
+  /** Calendar-aware cohort retention: weeks are CALENDAR weeks in `zone`
+    * with the configured week start (reference
+    * `shared/datetime/time_bucketing.rs:6-107` semantics via
+    * [[graft.time.TimeBucketing]]) — the frame real cohort reports use,
+    * where a week is Mon-00:00..Mon-00:00 LOCAL time and a DST-crossing
+    * week (167/169 wall-clock hours) is still exactly one week.
+    *
+    * `week_offset` counts calendar weeks between LOCAL week-start dates
+    * (always a multiple of 7 days in the local calendar, so the integer
+    * division is exact); `cohort_week` is the epoch instant of the
+    * cohort's local week-start midnight. Same two-shuffle shape and
+    * bounded collect_set as the naive [[retentionCohorts]]. */
+  def retentionCohortsCalendar(events: DataFrame, ctxCol: String, tsCol: String,
+      zone: String = "UTC", weekStart: Int = 0): DataFrame = {
+    import graft.time.TimeBucketing
+    val wk = TimeBucketing.localWeekStartDate(col(tsCol).cast("long"), zone, weekStart)
+    events
+      .select(col(ctxCol).as("_ctx"), wk.as("_wk"))
+      .groupBy("_ctx")
+      .agg(min(col("_wk")).as("_cohort"), collect_set(col("_wk")).as("_wks"))
+      .select(col("_cohort"), explode(col("_wks")).as("_wk"))
+      .groupBy(col("_cohort"),
+        (datediff(col("_wk"), col("_cohort")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        TimeBucketing.localDateToEpoch(col("_cohort"), zone).as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
+  /** Calendar-aware engagement: [[engagement]] with activity bucketed on
+    * LOCAL calendar days in `zone` and the WAU window covering trailing
+    * CALENDAR days (a DST-short day still counts as one day). Same
+    * window-free map-side explosion shape. */
+  def engagementCalendar(events: DataFrame, ctxCol: String, tsCol: String,
+      zone: String = "UTC", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    import graft.time.TimeBucketing
+    val d = TimeBucketing.localDate(col(tsCol).cast("long"), zone)
+    val ud = events.select(col(ctxCol).as("_ctx"), d.as("_day")).distinct()
+    val dau = ud.groupBy("_day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("_ctx"),
+        explode(sequence(col("_day"), date_add(col("_day"), windowDays - 1))).as("_day"))
+      .distinct()
+      .groupBy("_day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("_day"))
+      .select(TimeBucketing.localDateToEpoch(col("_day"), zone).as("day"),
+        col("dau"), col("wau"),
+        expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+  }
+
   def retentionCohorts(events: DataFrame, ctxCol: String, tsCol: String,
       weekSec: Long = 604800L): DataFrame = {
     require(weekSec > 0, s"weekSec must be positive, got $weekSec")

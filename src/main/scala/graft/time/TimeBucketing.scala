@@ -73,6 +73,34 @@ object TimeBucketing {
     (if (utc) truncated else to_utc_timestamp(truncated, zone)).cast("long")
   }
 
+  private def isUtc(zone: String): Boolean =
+    zone == "UTC" || zone == "Etc/UTC" || zone == "Z"
+
+  /** LOCAL calendar date of an epoch-seconds instant in `zone` — the date
+    * frame cohort/engagement reports bucket in (reference
+    * `time_bucketing.rs:24-55`: convert → truncate local). */
+  def localDate(epochSec: Column, zone: String = "UTC"): Column = {
+    val ts = timestamp_seconds(epochSec)
+    to_date(if (isUtc(zone)) ts else from_utc_timestamp(ts, zone))
+  }
+
+  /** LOCAL date of the calendar week start (`weekStart` days-from-Monday,
+    * the reference's `week_start`) containing an epoch-seconds instant. */
+  def localWeekStartDate(epochSec: Column, zone: String = "UTC",
+      weekStart: Int = 0): Column = {
+    val d = localDate(epochSec, zone)
+    date_sub(d, pmod(dayofweek(d) + lit(5) - lit(weekStart), lit(7)))
+  }
+
+  /** Epoch seconds of local midnight of a LOCAL date column — the inverse
+    * frame shift of [[localDate]]. Local midnights are never ambiguous or
+    * skipped in real zones (DST transitions happen away from 00:00), so the
+    * mapping is well-defined. */
+  def localDateToEpoch(dateCol: Column, zone: String = "UTC"): Column = {
+    val ts = dateCol.cast("timestamp")
+    (if (isUtc(zone)) ts else to_utc_timestamp(ts, zone)).cast("long")
+  }
+
   /** Parse a week-start day name (reference accepts chrono `Weekday` names)
     * to days-from-Monday. */
   def parseWeekStart(s: String): Int = s.trim.toLowerCase match {

@@ -115,6 +115,46 @@ class AnalyticsSpec extends AnyFunSuite {
       (wk, 0L, 1L), (wk, 1L, 1L)))
   }
 
+  test("calendar retention: NY weeks hold across DST, Sunday-night NY stays in its local week") {
+    // 2024-03-10 02:00 NY is the spring-forward transition; the Mar-11 week
+    // has 167 wall-clock hours yet must count as exactly one week offset
+    val mar4wk = 1709528400L   // Mon 2024-03-04 00:00 NY (EST, UTC-5)
+    val events = Seq(
+      ("a", 1709658000L), // Tue Mar 5 12:00 NY → cohort week Mar 4
+      ("a", 1710259200L), // Tue Mar 12 12:00 NY (EDT) → offset 1, not 604800-based
+      // Sun Mar 10 23:00 NY = Mon Mar 11 03:00 UTC: the UTC date is Monday
+      // but the LOCAL week is still Mar 4's → offset 0, same cell as Mar 5
+      ("b", 1710126000L),
+      // fall-back coverage: Mon Oct 28 week then the 169-hour Nov 4 week
+      ("c", 1730088000L), ("c", 1730692800L) // Sun Nov 3 23:00 NY → Oct 28 week
+    ).toDF("context_id", "timestamp")
+    val out = EventAnalytics.retentionCohortsCalendar(
+      events, "context_id", "timestamp", zone = "America/New_York")
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_users"))).toSet
+    assert(out == Set(
+      (mar4wk, 0L, 2L),        // a's first week + b's Sunday-night event
+      (mar4wk, 1L, 1L),        // a crosses spring-forward: one calendar week
+      (1730088000L, 0L, 1L)))  // c: both events in the Oct 28 NY week
+  }
+
+  test("calendar engagement: activity buckets on NY-local days") {
+    val events = Seq(
+      ("a", 1710126000L), // Sun Mar 10 23:00 NY = Mon Mar 11 03:00 UTC → NY day Mar 10
+      ("b", 1710129600L)  // Mon Mar 11 00:00 NY → NY day Mar 11
+    ).toDF("context_id", "timestamp")
+    val out = EventAnalytics.engagementCalendar(
+      events, "context_id", "timestamp", zone = "America/New_York", windowDays = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+      .toSet
+    // Mar 10 NY midnight = 1710046800 (EST); Mar 11 NY midnight = 1710129600 (EDT)
+    assert(out == Set(
+      (1710046800L, 1L, 1L),       // day Mar 10: a only
+      (1710129600L, 1L, 2L)))      // day Mar 11: b active, window covers a's Mar 10
+  }
+
   // ---- top-k per group ----
 
   test("topEventsPerContext ranks by value desc with event_id tie-break, k-bounded") {

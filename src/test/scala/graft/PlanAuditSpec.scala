@@ -418,6 +418,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(n >= 1 && n <= 2,
       s"retention needs one or two exchanges (user, cohort cell), got $n:\n$p")
+    // the calendar mode must keep the same shape: tz/week-start math is
+    // pure codegen'd projection, never a join or window
+    val pc = graft.pipeline.EventAnalytics.retentionCohortsCalendar(
+      ev, "context_id", "timestamp", zone = "America/New_York")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!pc.contains("Window") && !pc.contains("Join"),
+      s"calendar retention must stay join/window-free:\n$pc")
+    val nc = "Exchange hashpartitioning".r.findAllIn(pc).length
+    assert(nc >= 1 && nc <= 2,
+      s"calendar retention needs one or two exchanges, got $nc:\n$pc")
   }
 
   test("global line dedup: groupBy-min winners with partial agg, never a per-line window") {
