@@ -560,13 +560,21 @@ object Multimodal {
     StructField("hash_hi", LongType, nullable = false),
     StructField("hash_lo", LongType, nullable = false)))
 
-  /** Perceptual fingerprint of every PNG blob: full decode →
-    * [[dHash64]] (malformed rows dropped). One mapPartitions pass,
-    * per-row memory bounded by the decode cap. */
+  /** Decode the RGB pixel plane of a PNG or GIF blob, dispatched on the
+    * magic bytes — the multi-format entry the perceptual pipeline hashes
+    * through. */
+  def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == pngSig(i)))
+      decodePngPixels(bytes)
+    else decodeGifPixels(bytes)
+
+  /** Perceptual fingerprint of every image blob (PNG or GIF, by magic):
+    * full decode → [[dHash64]] (malformed rows dropped). One mapPartitions
+    * pass, per-row memory bounded by the decode cap. */
   def imageDHashes(media: DataFrame): DataFrame =
     idAndBytes(media).mapPartitions { it =>
       it.flatMap { r =>
-        decodeRow(r, decodePngPixels)
+        decodeRow(r, decodeImagePixels)
           .map { case (w, h, px) =>
             val (hi, lo) = dHash64(w, h, px)
             Row(r.getLong(0), w, h, hi, lo)
@@ -953,6 +961,100 @@ object Multimodal {
       s"syntheticJpegs needs an integral id column, got ${idType.simpleString}")
     df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticJpeg(id)) }
+    }(Encoders.row(syntheticBlobSchema))
+  }
+
+  // ---- GIF (via the JDK's ImageIO — LZW over a ≤256-color palette) ----
+
+  /** Decode a GIF via `javax.imageio`, returning the RGB pixel array
+    * (top-down, 3 ints per pixel — the [[decodePngPixels]] shape, so
+    * [[dHash64]] applies unchanged). Magic check `GIF87a`/`GIF89a`; None
+    * on anything ImageIO rejects. GIF is LOSSLESS (LZW over palette
+    * indices) and `getRGB` on an `IndexColorModel` is a pure palette
+    * lookup — no color transform — so decoded values are exact. */
+  def decodeGifPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != '8' || (bytes(4) != '7' && bytes(4) != '9') || bytes(5) != 'a')
+      return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        px(o) = (rgb >> 16) & 0xff
+        px(o + 1) = (rgb >> 8) & 0xff
+        px(o + 2) = rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Decoded GIF summary — the [[decodePng]] stats over the palette-looked-
+    * up RGB plane. */
+  def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Int)] =
+    decodeGifPixels(bytes).map { case (w, h, px) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0
+      while (p < px.length) { sr += px(p); sg += px(p + 1); sb += px(p + 2); p += 3 }
+      val n = w * h
+      (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, px(0))
+    }
+
+  /** [[decodeGif]] shares the BMP/PNG row shape. */
+  val gifSchema: StructType = bmpSchema
+
+  /** Decode every `bytes` blob as a GIF (malformed rows dropped). */
+  def decodeGifs(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeGif)
+          .map { case (w, h, mr, mg, mb, tl) => Row(r.getLong(0), w, h, mr, mg, mb, tl) }
+      }
+    }(Encoders.row(gifSchema))
+
+  /** A VALID grayscale GIF whose decode is ANALYTIC: `5 + id%3` ×
+    * `6 + id%2` pixels, pixel (x, y) = `(id*37 + x*11 + y*17) % 256` —
+    * gray fits any 256-entry palette, LZW is lossless, and the JDK writer
+    * preserves gray sample values exactly (unit-verified), so the oracle
+    * recomputes the decoded stats from the formula. The same
+    * oracle-from-formula strategy as the PNG/BMP/PPM/JPEG paths, through
+    * the one JDK-decodable crawl format that was still uncovered. */
+  private[graft] def buildSyntheticGif(id: Long): Array[Byte] = {
+    val w = 5 + (id % 3).toInt; val h = 6 + (id % 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 37 + x * 11 + y * 17) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  /** [[buildSyntheticGif]] over a corpus: one (media_id, bytes) row per id. */
+  def syntheticGifs(df: DataFrame, idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticGifs needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, buildSyntheticGif(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
 

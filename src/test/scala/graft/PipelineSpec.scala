@@ -687,6 +687,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF synth/decode: lossless palette round-trip, dHash dispatch, malformed rejected") {
+    for (id <- 0L to 11L) {
+      val w = 5 + (id % 3).toInt; val h = 6 + (id % 2).toInt
+      def v(x: Int, y: Int) = ((id * 37 + x * 11 + y * 17) % 256).toInt
+      val bytes = Multimodal.buildSyntheticGif(id)
+      // pixel-exact: GIF is LZW over a palette, the JDK writer keeps gray
+      // sample values, and getRGB on an IndexColorModel is a pure lookup
+      val px = Multimodal.decodeGifPixels(bytes)
+      assert(px.isDefined && px.get._1 == w && px.get._2 == h, s"id=$id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(px.get._3((y * w + x) * 3 + c) == v(x, y), s"id=$id px($x,$y,$c)")
+      // summary stats from the formula
+      val mean = (for (y <- 0 until h; x <- 0 until w) yield v(x, y)).sum.toDouble / (w * h)
+      assert(Multimodal.decodeGif(bytes).contains((w, h, mean, mean, mean, v(0, 0))))
+      // the multi-format dHash entry must dispatch GIF (and still PNG)
+      val viaDispatch = Multimodal.decodeImagePixels(bytes)
+      assert(viaDispatch.isDefined && viaDispatch.get._1 == w &&
+        viaDispatch.get._2 == h && viaDispatch.get._3.sameElements(px.get._3))
+      // malformed: truncations and flips never throw, wrong magic rejected
+      assert(Multimodal.decodeGif(bytes.take(3)).isEmpty)
+      assert(Multimodal.decodeGif("GIF00a-not-a-gif".getBytes).isEmpty)
+      (0 until bytes.length by 17).foreach { i =>
+        val m = bytes.clone(); m(i) = (m(i) ^ 0xff).toByte
+        Multimodal.decodeGif(m) // must not throw
+      }
+    }
+  }
+
   test("AVI/MJPEG: container walk + per-frame decode round-trip, strict whole-blob drop") {
     for (id <- 0L to 6L) {
       val nf = 2 + (id % 3).toInt
