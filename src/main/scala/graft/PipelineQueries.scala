@@ -340,14 +340,21 @@ object PipelineQueries {
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))
         .unionByName(all.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      // materialize() between nights, exactly as production would persist
-      // the artifact tables: without the lineage cut, night 2's plan
-      // re-inlines the whole night-1 decision computation per artifact
-      // frame and the analyzer melts down (observed: GC-bound driver)
-      val art = Dedup.buildDedupArtifacts(corpus, "doc_id", "text").materialize()
+      // the REAL storage boundary between nights: write the artifact
+      // tables to parquet and read them back (DedupArtifacts.write /
+      // Dedup.readArtifacts) — the lineage cut materialize() only
+      // simulates. Night 2's decision plan scans ONLY the read-back
+      // artifact tables + the batch (plan-pinned).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_art_").toString
+      val params = Map("ngram" -> 3L, "bands" -> 32L, "rowsPerBand" -> 2L)
+      Dedup.buildDedupArtifacts(corpus, "doc_id", "text").write(s"$tmp/night1", params)
+      val art = Dedup.readArtifacts(s, s"$tmp/night1")
+      require(Dedup.readArtifactParams(s, s"$tmp/night1") == params,
+        "artifact build parameters must round-trip through the manifest")
       val dec1 = Dedup.incrementalDedup(batch1, art, "doc_id", "text", 3, 32, 2, 0.5)
         .localCheckpoint()
-      val art2 = Dedup.updateDedupArtifacts(art, batch1, dec1, "doc_id", "text").materialize()
+      Dedup.updateDedupArtifacts(art, batch1, dec1, "doc_id", "text").write(s"$tmp/night2", params)
+      val art2 = Dedup.readArtifacts(s, s"$tmp/night2")
       val batch2 = batch1.select((col("doc_id") + 300000).as("doc_id"), col("text"))
       Dedup.incrementalDedup(batch2, art2, "doc_id", "text", 3, 32, 2, 0.5)
     }),

@@ -283,6 +283,64 @@ object Dedup {
     def materialize(): DedupArtifacts =
       DedupArtifacts(keys.localCheckpoint(), bands.localCheckpoint(),
         shingles.localCheckpoint())
+
+    /** The REAL nightly boundary: persist the three artifact tables as
+      * parquet under `dir` (`keys/`, `bands/`, `shingles/`) plus a
+      * `MANIFEST.json` recording the layout version and the build
+      * parameters, so the next night's [[Dedup.readArtifacts]] (or a
+      * different process entirely) resumes from storage. `params` should
+      * carry the (ngram, bands, rowsPerBand) the artifacts were built
+      * with — a mismatched rebuild would silently change the candidate
+      * space. Writes go through the Hadoop FileSystem of `dir`, so any
+      * Spark-supported storage (HDFS/S3/local) works unchanged. */
+    def write(dir: String, params: Map[String, Long] = Map.empty): Unit = {
+      val spark = keys.sparkSession
+      keys.write.mode("overwrite").parquet(s"$dir/keys")
+      bands.write.mode("overwrite").parquet(s"$dir/bands")
+      shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+      val pjson = params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val manifest =
+        s"""{"version":1,"tables":["keys","bands","shingles"],"params":$pjson}"""
+      val path = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(path, true)
+      try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"no dedup artifact manifest at $dir")
+    val len = fs.getFileStatus(path).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(path)
+    try in.readFully(0L, buf) finally in.close()
+    new String(buf, "UTF-8")
+  }
+
+  /** Load [[DedupArtifacts]] previously persisted by
+    * [[DedupArtifacts.write]] — the other half of the storage contract.
+    * Fails fast on a missing/alien directory (no manifest) or an
+    * unsupported layout version rather than mis-joining partial tables. */
+  def readArtifacts(spark: org.apache.spark.sql.SparkSession, dir: String): DedupArtifacts = {
+    val manifest = readManifest(spark, dir)
+    require(manifest.contains("\"version\":1"),
+      s"unsupported dedup artifact layout at $dir: $manifest")
+    DedupArtifacts(
+      spark.read.parquet(s"$dir/keys"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"))
+  }
+
+  /** The `params` map recorded by [[DedupArtifacts.write]] (empty if none
+    * were provided) — callers verify build-parameter compatibility before
+    * deciding a batch against read-back artifacts. */
+  def readArtifactParams(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, Long] = {
+    """"([A-Za-z]+)":(-?\d+)""".r.findAllMatchIn(readManifest(spark, dir))
+      .filterNot(_.group(1) == "version")
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
   /** Build [[DedupArtifacts]] from a corpus — the one corpus-sized job,

@@ -170,6 +170,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("written-artifact incremental dedup: per-batch plan scans only the read-back tables") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val d = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val c = org.apache.spark.sql.functions.col("doc_id")
+    val artDir = java.nio.file.Files.createTempDirectory("graft_art_pin_").toString
+    graft.pipeline.Dedup
+      .buildDedupArtifacts(d.filter(c % 5 =!= 0).select("doc_id", "text"), "doc_id", "text")
+      .write(artDir)
+    val art = graft.pipeline.Dedup.readArtifacts(spark, artDir)
+    // batch synthesized OFF parquet: every parquet scan in the per-batch
+    // plan must then be one of the three artifact tables — corpus text
+    // participation through storage only, cost ∝ batch + artifacts
+    import org.apache.spark.sql.functions.{col => fcol, concat_ws, lit}
+    val batch = spark.range(0, 50)
+      .select(fcol("id").as("doc_id"), concat_ws(" ", lit("synthetic"), lit("body"),
+        (fcol("id") % 7).cast("string"), (fcol("id") % 11).cast("string")).as("text"))
+    val p = plan(graft.pipeline.Dedup.incrementalDedup(
+      batch, art, "doc_id", "text", 3, 32, 2, 0.5))
+    // every parquet Location in the per-batch plan must point into the
+    // artifact dir (the artifact tables are referenced by several joins —
+    // each reference is artifact-sized, never corpus text)
+    val locs = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(locs.nonEmpty, s"expected artifact-table scans:\n$p")
+    assert(locs.forall(_.contains(artDir)),
+      s"a parquet scan outside the artifact dir leaked in:\n${locs.mkString("\n")}")
+    assert(!p.contains("documents.parquet"),
+      s"corpus text leaked into the per-batch plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("export sharding: bucketed offsets + local counter, never a shard window") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val d = new graft.sources.TestDataSource(spark, dir).table("documents")
