@@ -166,6 +166,21 @@ object AnalyticsQueries {
         "doc_id", "text", "embedding", Seq("dup", "vector"), queryId = 0L,
         k = 15, wTerm = 1000L, wVec = 1L)),
 
+    "q_hybrid_search_batch" -> ((s, d) => {
+      // BATCHED hybrid retrieval: 3 queries (terms + vectors as table
+      // rows) through ONE job — amortized driver collects, map-side
+      // per-query scoring, bounded TopKByDot per query
+      import s.implicits._
+      val qt = Seq(
+        (0L, Seq("dup", "vector")),
+        (1L, Seq("data", "sample")),
+        (2L, Seq("unique", "hash"))).toDF("query_id", "terms")
+      Search.hybridTopKBatch(docs(s, d),
+        embs(s, d).withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "text", "embedding", qt, "query_id", "terms",
+        k = 5, wTerm = 1000L, wVec = 1L)
+    }),
+
     "q_embed_quantize" -> ((s, d) =>
       // int8-style scalar quantization: per-dim min/max (bounded collect) +
       // one codegen'd encode pass, fingerprint over all 64 codes
@@ -528,6 +543,33 @@ object AnalyticsQueries {
         |  FROM s JOIN v ON v.vec_id = s.doc_id, q WHERE s.doc_id <> 0)
         |SELECT id, term_score * 1000 + dot AS score, term_score, dot FROM j
         |ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // every (query, doc) pair scored from first principles: per-token df
+    // over the corpus, tf per doc, blended with the exact integer dot,
+    // per-query top-5 by (score DESC, id)
+    "q_hybrid_search_batch" ->
+      """WITH qterms AS (SELECT CAST(c0 AS BIGINT) AS query_id, c1 AS tok
+        |  FROM (VALUES (0, 'dup'), (0, 'vector'), (1, 'data'), (1, 'sample'),
+        |               (2, 'unique'), (2, 'hash')) x(c0, c1)),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |toks AS (SELECT DISTINCT tok FROM qterms),
+        |dfs AS (SELECT tok, (SELECT count(*) FROM t WHERE list_contains(t.w, toks.tok)) AS df FROM toks),
+        |tfx AS (SELECT t.doc_id, dfs.tok,
+        |    len(list_filter(t.w, x -> x = dfs.tok)) AS n,
+        |    CASE WHEN dfs.df > 0 THEN 1000000 // dfs.df ELSE 0 END AS wt
+        |  FROM t CROSS JOIN dfs),
+        |ts AS (SELECT qt.query_id, tfx.doc_id, CAST(SUM(tfx.n * tfx.wt) AS BIGINT) AS term_score
+        |  FROM qterms qt JOIN tfx ON tfx.tok = qt.tok GROUP BY 1, 2),
+        |j AS (SELECT ts.query_id, ts.doc_id AS id,
+        |    ts.term_score * 1000 + CAST(list_dot_product(vd.qv, vq.qv) AS BIGINT) AS score,
+        |    ts.term_score,
+        |    CAST(list_dot_product(vd.qv, vq.qv) AS BIGINT) AS dot
+        |  FROM ts JOIN v vd ON vd.vec_id = ts.doc_id
+        |    JOIN v vq ON vq.vec_id = ts.query_id
+        |  WHERE ts.doc_id <> ts.query_id)
+        |SELECT query_id, id, score, term_score, dot FROM j
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) <= 5""".stripMargin,
 
     "q_embed_quantize" ->
       s"""WITH e1 AS (SELECT vec_id, embedding AS em, len(embedding) AS nd,

@@ -105,6 +105,84 @@ object Search {
     * document itself is excluded.
     *
     * Output: id, `score`, `term_score`, `dot` — k rows. */
+  /** BATCHED hybrid retrieval: [[hybridTopK]] over a TABLE of queries —
+    * `queries` rows are `(queryIdCol, termsCol: array<string>)`, each
+    * query's vector joined from `embs` by id. Scores and ranking are
+    * per-query identical to [[hybridTopK]] (integer-exact, self excluded).
+    *
+    * Scale shape — the driver collects are AMORTIZED across the batch, not
+    * per query: ONE bounded collect of the query table (a row per query —
+    * the batch analog of the single query-vector collect) and ONE df
+    * aggregate over the UNION vocabulary. Per-term tfs are projected once
+    * per document and shared by every query's score expression; each doc
+    * then emits its (query, score) rows MAP-SIDE (an explode of a
+    * per-query struct array), and the per-query top-k is the bounded
+    * two-phase [[graft.functions.TopKByDot]] aggregate — one job, one
+    * k-bounded exchange keyed by query, never a row_number window and
+    * never a per-query driver loop.
+    *
+    * Output: query_id, id, `score`, `term_score`, `dot` — k rows per
+    * query. `wVec` must divide every blended score exactly for the dot
+    * back-out, which holds for any integer weights (dot is recovered as
+    * `(score - term_score·wTerm) / wVec`). */
+  def hybridTopKBatch(docs: DataFrame, embs: DataFrame, idCol: String,
+      textCol: String, vecCol: String, queries: DataFrame,
+      queryIdCol: String, termsCol: String, k: Int,
+      wTerm: Long = 1L, wVec: Long = 1L): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(wVec != 0L, "wVec must be non-zero")
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    // ONE bounded collect: a row per query (id, distinct terms, vector)
+    val qRows = queries
+      .join(embs.select(col(idCol).cast("long").as("__qid"),
+        Similarity.quantize(col(vecCol)).as("__qv")),
+        queries(queryIdCol).cast("long") === col("__qid"))
+      .select(col("__qid"), col(termsCol), col("__qv"))
+      .collect()
+    require(qRows.nonEmpty, "hybridTopKBatch needs at least one query with an embedding")
+    val qs = qRows.map(r => (r.getLong(0),
+      r.getSeq[String](1).distinct, r.getSeq[Long](2)))
+    val vocab = qs.flatMap(_._2).distinct
+    require(vocab.nonEmpty, "hybridTopKBatch needs at least one query term")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // ONE df aggregate over the union vocabulary (≤ vocab rows collected)
+    val dfMap = docs
+      .select(explode(array_distinct(toks)).as("tok"))
+      .filter(col("tok").isin(vocab: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tfIdx = vocab.zipWithIndex.toMap
+    val tfCols = vocab.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"_tf_$i")
+    }
+    val scored = docs.select((col(idCol).cast("long").as("id") +: tfCols): _*)
+      .join(embs.select(col(idCol).cast("long").as("id"),
+        Similarity.quantize(col(vecCol)).as("cv")), Seq("id"))
+    // per-doc map-side emission of every query's blended score
+    val perQuery = qs.map { case (qid, terms, qv) =>
+      val termScore = terms.map { t =>
+        val w = dfMap.get(t).map(1000000L / _).getOrElse(0L)
+        col(s"_tf_${tfIdx(t)}") * lit(w)
+      }.reduceOption[org.apache.spark.sql.Column](_ + _).getOrElse(lit(0L))
+      struct(lit(qid).as("qid"),
+        (termScore * wTerm + Similarity.dotLong(col("cv"), typedLit(qv)) * wVec).as("score"),
+        termScore.as("ts"))
+    }
+    val ex = scored
+      .select(col("id"), explode(array(perQuery: _*)).as("q"))
+      .filter(col("q.qid") =!= col("id"))
+      .select(col("q.qid").as("query_id"), col("id"),
+        col("q.score").as("score"), col("q.ts").as("ts"))
+    val tk = columnOf(graft.functions.TopKByDot(
+      expressionOf(col("score")), expressionOf(col("id")),
+      expressionOf(col("ts").cast("double")), k).toAggregateExpression())
+    ex.groupBy(col("query_id")).agg(tk.as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"), col("e.dot").as("score"),
+        col("e.payload").cast("long").as("term_score"),
+        ((col("e.dot") - col("e.payload").cast("long") * wTerm) / wVec).cast("long").as("dot"))
+  }
+
   def hybridTopK(docs: DataFrame, embs: DataFrame, idCol: String,
       textCol: String, vecCol: String, terms: Seq[String], queryId: Long,
       k: Int, wTerm: Long = 1L, wVec: Long = 1L): DataFrame = {

@@ -548,6 +548,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("batched hybrid retrieval: one job, map-side scoring, bounded per-query top-k") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val src = new graft.sources.TestDataSource(spark, dir)
+    import spark.implicits._
+    val qt = Seq((0L, Seq("dup")), (1L, Seq("vector"))).toDF("query_id", "terms")
+    val p = plan(graft.pipeline.Search.hybridTopKBatch(
+      src.table("documents"),
+      src.table("embeddings").withColumnRenamed("vec_id", "doc_id"),
+      "doc_id", "text", "embedding", qt, "query_id", "terms", 5))
+    // query vectors are literals in the per-doc explode: no join against
+    // the query table, no per-query window rank — the per-query top-k is
+    // the bounded two-phase TopKByDot aggregate
+    assert(!p.contains("Window"), s"batched retrieval must not rank with a window:\n$p")
+    assert(p.contains("topk_by_dot"), s"expected the bounded TopKByDot aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("image near-dup: banded candidate join, decode-once, never broadcast/cartesian") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
