@@ -55,7 +55,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     engineQueries ++ PipelineQueries.queries ++ StoreQueries.queries ++
-      StreamQueries.queries ++ AnalyticsQueries.queries
+      StreamQueries.queries ++ AnalyticsQueries.queries ++ SketchQueries.queries
 
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- selection / filtering (SURVEY §3.2: P1-P6) ----
@@ -110,7 +110,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     engineOracles ++ PipelineQueries.oracleSql ++ StoreQueries.oracleSql ++
-      StreamQueries.oracleSql ++ AnalyticsQueries.oracleSql
+      StreamQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ SketchQueries.oracleSql
 
   private def engineOracles: Map[String, String] = Map(
     "q_select_where_gt" ->

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, explode}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression guards: the properties that make these operators
@@ -563,6 +564,62 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"batched retrieval must not rank with a window:\n$p")
     assert(p.contains("topk_by_dot"), s"expected the bounded TopKByDot aggregate:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("KMV sketch: one partial+final aggregation, bounded bottom-k state, no expand") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).table("events")
+    val p = plan(graft.pipeline.Sketches.kmvDistinct(
+      ev, "event_type", col("user_id").cast("string"), 32))
+    assert(p.contains("bottom_k"), s"expected the bounded BottomKLongs aggregate:\n$p")
+    // partial + final ObjectHashAggregate phases; exactly one exchange
+    assert(p.split("Aggregate").length >= 3, s"expected partial+final aggregate:\n$p")
+    assert(p.split("Exchange").length - 1 <= 2, s"expected one group exchange:\n$p")
+    // the exact spelling's distinct-expand must NOT appear
+    assert(!p.contains("Expand"), s"KMV must not plan a count-distinct expand:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("KMV overlap: both sketches in ONE scan/aggregation, no self-join") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val g = docs.select((col("doc_id") % 2).as("side"),
+      explode(graft.pipeline.Dedup.shingles(col("text"), 3)).as("sh"))
+    val p = plan(graft.pipeline.Sketches.kmvOverlap(
+      g, col("side") === 0, col("side") === 1, col("sh"), 256))
+    assert(!p.contains("Join"), s"overlap must not self-join the corpus:\n$p")
+    // one documents scan only — both conditional sketches share the pass
+    // (each physical scan contributes exactly one Location: detail line)
+    assert(p.split("Location:").length - 1 == 1, s"expected exactly one scan:\n$p")
+  }
+
+  test("CMS: counter table broadcasts to the candidate side, partial agg absorbs the explode") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val t = docs.select(col("doc_id"),
+      explode(graft.pipeline.Dedup.shingles(col("text"), 3)).as("sh"))
+    val counters = graft.pipeline.Sketches.cmsCounters(t, col("sh"), 4, 512)
+    val p = plan(graft.pipeline.Sketches.cmsEstimate(
+      counters, t.select("sh").distinct(), col("sh"), 4, 512))
+    assert(p.contains("BroadcastHashJoin"), s"counters must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // counter build: generate (explode) feeds partial+final hash aggregation
+    assert(p.contains("Generate"), p)
+  }
+
+  test("bloom probe: literal-bitmask filter, no join or exchange on the probe side") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val src = new graft.sources.TestDataSource(spark, dir)
+    val build = src.table("part").select(col("p_partkey").cast("long").as("key"))
+      .filter(col("key") % 97 === 0)
+    val mask = graft.pipeline.Sketches.bloomMask(build, col("key"), 512, 3)
+    val probe = src.table("lineitem")
+      .filter(graft.pipeline.Sketches.bloomTest(mask, col("l_partkey").cast("long"), 512, 3))
+      .select("l_partkey")
+    val p = plan(probe)
+    assert(!p.contains("Join"), s"bloom test must be join-free:\n$p")
+    assert(!p.contains("Exchange"), s"bloom test must be shuffle-free:\n$p")
+    assert(p.contains("codegen id"), s"bloom test must stay in whole-stage codegen:\n$p")
   }
 
   test("image near-dup: banded candidate join, decode-once, never broadcast/cartesian") {
