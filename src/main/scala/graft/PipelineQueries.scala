@@ -503,6 +503,13 @@ object PipelineQueries {
       Search.searchTopK(docs(s, d), "doc_id", "text",
         Seq("dup", "vector", "slow"), k = 15)),
 
+    "q_search_bm25" -> ((s, d) =>
+      // Okapi BM25 (k1=1.2, b=0.75 as exact rationals): tf saturation +
+      // doc-length normalization over the inverse-df weights, all-integer
+      // scoring, global top-15 via TakeOrdered
+      Search.bm25TopK(docs(s, d), "doc_id", "text",
+        Seq("dup", "vector", "slow"), k = 15)),
+
     "q_postings" -> ((s, d) =>
       // capped inverted index (df, tf, first-8 posting head per token),
       // flattened to one row per (token, rank) for the hash compare
@@ -1713,6 +1720,31 @@ object PipelineQueries {
          |  FROM t, dfs)
          |SELECT doc_id AS id, CAST(score AS BIGINT) AS score FROM s
          |WHERE score > 0 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // BM25 in exact rationals: sat = 22·tf·avgdl·1e6 // (10·tf·avgdl +
+    // 3·avgdl + 9·dl), per-term score = sat·floor(1e6/df) // 1e6
+    "q_search_bm25" -> {
+      def term(t: String) =
+        s"""(((tf_$t * (22000000 * avgdl)) // (tf_$t * 10 * avgdl + 3 * avgdl + 9 * dl))
+           |    * (CASE WHEN df_$t > 0 THEN 1000000 // df_$t ELSE 0 END)) // 1000000""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |st AS (SELECT greatest(CAST(sum(len(w)) AS BIGINT) // count(*), 1) AS avgdl FROM t),
+         |dfs AS (SELECT
+         |  (SELECT count(*) FROM t WHERE list_contains(w, 'dup')) AS df_dup,
+         |  (SELECT count(*) FROM t WHERE list_contains(w, 'vector')) AS df_vector,
+         |  (SELECT count(*) FROM t WHERE list_contains(w, 'slow')) AS df_slow),
+         |tf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |  CAST(len(list_filter(w, x -> x = 'dup')) AS BIGINT) AS tf_dup,
+         |  CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+         |  CAST(len(list_filter(w, x -> x = 'slow')) AS BIGINT) AS tf_slow FROM t),
+         |s AS (SELECT doc_id,
+         |  ${term("dup")} +
+         |  ${term("vector")} +
+         |  ${term("slow")} AS score
+         |  FROM tf, st, dfs)
+         |SELECT doc_id AS id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE score > 0 ORDER BY score DESC, id LIMIT 15""".stripMargin
+    },
 
     // the bounded head agg ranks (-id DESC, id ASC) ≡ id ASC — the window
     // spelling is the oracle, not the plan

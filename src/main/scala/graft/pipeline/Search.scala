@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Term search over a document corpus: inverse-document-frequency weighted
@@ -50,6 +50,58 @@ object Search {
     val score = qTerms.map { t =>
       val w = dfMap.get(t).map(1000000L / _).getOrElse(0L)
       size(filter(toks, x => x === lit(t))).cast("long") * lit(w)
+    }.reduce(_ + _)
+
+    df.select(col(idCol).as("id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Okapi BM25 top-k with the two properties [[searchTopK]]'s linear tf
+    * lacks — TERM-FREQUENCY SATURATION (the 50th occurrence of a term adds
+    * almost nothing) and DOCUMENT-LENGTH NORMALIZATION (a match in a short
+    * doc outranks the same match buried in a long one) — computed in exact
+    * integer rational arithmetic so the oracle reproduces every score:
+    *
+    * {{{ score(doc) = Σ_t floor( idf_w(t) · sat(t, doc) / 1e6 )
+    *     sat = floor( 22·tf·avgdl·1e6 / (10·tf·avgdl + 3·avgdl + 9·dl) ) }}}
+    *
+    * with k1 = 6/5, b = 3/4 (the classic 1.2/0.75 as exact rationals):
+    * multiplying numerator and denominator by 10·avgdl turns
+    * `tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)` into
+    * `22·tf·avgdl·1e6 / (10·tf·avgdl + 3·avgdl + 9·dl)` — pure i64 ops
+    * (safe to ~400k-token documents). `idf_w(t) = floor(1e6/df)` keeps the
+    * deterministic inverse-df weighting (vs log-idf, which would drag
+    * libm into the contract); `avgdl = floor(Σdl / N) ≥ 1`.
+    *
+    * 100 TB shape: identical to [[searchTopK]] — df per term and the ONE
+    * (Σdl, N) stats row are bounded collects; scoring is map-side codegen'd
+    * expression work; ranking is TakeOrderedAndProject. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    require(terms.size <= 64, s"bm25TopK supports at most 64 terms, got ${terms.size}")
+    require(k > 0, s"k must be > 0, got $k")
+    val qTerms = terms.distinct
+    val toks = TextAnalysis.tokens(col(textCol))
+
+    val dfMap = df
+      .select(explode(array_distinct(toks)).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = df.agg(sum(size(toks)).cast("long"), count(lit(1))).head
+    val avgdl = math.max(stats.getLong(0) / stats.getLong(1), 1L)
+
+    val dl = size(toks).cast("long")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val score = qTerms.map { t =>
+      val wIdf = dfMap.get(t).map(1000000L / _).getOrElse(0L)
+      val tf = size(filter(toks, x => x === lit(t))).cast("long")
+      val sat = idiv(tf * lit(22L * avgdl * 1000000L),
+        tf * lit(10L * avgdl) + lit(3L * avgdl) + lit(9L) * dl)
+      idiv(sat * lit(wIdf), lit(1000000L))
     }.reduce(_ + _)
 
     df.select(col(idCol).as("id"), score.as("score"))

@@ -313,6 +313,24 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 1000000L, 500000L, 500000L)))  // blended halves
   }
 
+  test("bm25TopK saturates term frequency and rewards short documents") {
+    // 4 docs of equal length 4: tf(dup) = 1, 2, 3, 0  → saturation means
+    // score gaps shrink as tf grows; equal tf in a shorter doc wins
+    val docs = Seq(
+      (0L, "dup a b c"), (1L, "dup dup b c"), (2L, "dup dup dup c"),
+      (3L, "x y z w"), (4L, "dup a")
+    ).toDF("doc_id", "text")
+    val out = Search.bm25TopK(docs, "doc_id", "text", Seq("dup"), k = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("score")).toMap
+    assert(!out.contains(3L), "no-match doc must not score")
+    // monotone in tf at equal length...
+    assert(out(2L) > out(1L) && out(1L) > out(0L))
+    // ...but saturating: the 2→3 gain is strictly smaller than 1→2
+    assert(out(2L) - out(1L) < out(1L) - out(0L))
+    // same tf=1, shorter doc (len 2 vs 4) ranks higher
+    assert(out(4L) > out(0L))
+  }
+
   // ---- audio frames ----
 
   test("decodeWavFrames: full frames only, frame-local zero crossings, exact rms") {
