@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ast.{AggSpec, TimeGranularity}
 import graft.sources.TestDataSource
-import graft.streaming.{StreamingAggregates, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions}
+import graft.streaming.{StreamingAggregates, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
 
 /** CORRECTNESS rows for the Structured Streaming operators: each one is
   * batch-replayed over the testdata via [[streaming.StreamingReplay]]
@@ -133,6 +133,20 @@ object StreamQueries {
       val src = new TestDataSource(s, d)
       StreamingReplay.run(
         StreamingSessions.sessions(src.eventsStream, gapSec = 21600L).toDF())
+    }),
+
+    "q_stream_sketch" -> ((s, d) => {
+      // streaming KMV distinct-user estimate per event type: bounded
+      // 32-long sketch state per group (vs exact streaming distinct whose
+      // state grows with the key set); the sketch is a pure set function,
+      // so the replayed final estimate equals the batch operator's — the
+      // oracle is the same SQL as q_sketch_distinct
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(
+        StreamingSketches.kmvDistinct(src.eventsStream, "event_type",
+          col(graft.schema.EventSchema.ContextId), 32).toDF(),
+        mode = "update")
+        .withColumnRenamed("group_key", "event_type")
     }),
 
     "q_stream_windowed" -> ((s, d) => {
@@ -276,6 +290,16 @@ object StreamQueries {
         |WHERE session_idx < mx OR end_ts + 21600 < maxt - 600""".stripMargin,
 
     // tumbling 1-day windows anchored at the epoch == integer day floor
+    // the streaming sketch's final state is a pure set function of the
+    // input, so the oracle is the batch KMV derivation verbatim
+    "q_stream_sketch" ->
+      s"""WITH h AS (SELECT event_type, ${graft.pipeline.Hashing.duckMd5Long("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+         |sk AS (SELECT event_type, (list_sort(list(DISTINCT hv)))[1:32] AS sk FROM h GROUP BY event_type)
+         |SELECT event_type, CAST(len(sk) AS BIGINT) AS sketch_size,
+         |  CAST(CASE WHEN len(sk) = 0 THEN 0 ELSE sk[least(len(sk), 32)] END AS BIGINT) AS kth_hash,
+         |  ${graft.pipeline.Sketches.duckKmvEstimate("sk", 32)} AS est_distinct
+         |FROM sk""".stripMargin,
+
     "q_stream_windowed" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS bucket,
         |  CAST(count(*) AS BIGINT) AS "count",

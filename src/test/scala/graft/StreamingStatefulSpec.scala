@@ -306,4 +306,34 @@ class StreamingStatefulSpec extends AnyFunSuite {
       7L -> "dup_exact_batch",
       8L -> "near_dup_corpus"))
   }
+
+  test("streaming KMV sketch: batching-invariant state, bounded, re-emits refreshed estimates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val events = mem.toDF.toDF("grp", "v")
+    val q = graft.streaming.StreamingSketches
+      .kmvDistinct(events, "grp", col("v"), k = 8).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("kmv").start()
+
+    // batch 1: 5 distinct values (below k → exact), duplicates ignored
+    mem.addData(("a", "v1"), ("a", "v2"), ("a", "v3"), ("a", "v1"), ("a", "v4"), ("a", "v5"))
+    q.processAllAvailable()
+    // batch 2: 7 more distinct → 12 total, sketch saturates at k=8
+    mem.addData((6 to 12).map(i => ("a", s"v$i")): _*)
+    q.processAllAvailable()
+    val rows = spark.table("kmv").collect()
+      .map(r => (r.getAs[Long]("sketch_size"), r.getAs[Long]("est_distinct")))
+    q.stop()
+    assert(rows.length == 2, "one refreshed estimate per touched batch")
+    assert(rows(0) == ((5L, 5L)), "below-k sketch is exact")
+    assert(rows(1)._1 == 8L, "state bounded at k")
+
+    // the final estimate must equal a single-batch (batch-operator) run of
+    // the same 12-value set: the sketch is a pure set function
+    val batchEst = graft.pipeline.Sketches.kmvDistinct(
+      (1 to 12).map(i => ("a", s"v$i")).toDF("grp", "v"), "grp", col("v"), 8)
+      .head.getAs[Long]("est_distinct")
+    assert(rows(1)._2 == batchEst, "streaming estimate == batch estimate")
+  }
 }
