@@ -56,6 +56,16 @@ object SketchQueries {
           (col("cms_est") - col("exact_count")).as("overcount"))
     }),
 
+    "q_sketch_hist" -> ((s, d) => {
+      // histogram p50/p90/p99 of milli-quantized event values per type:
+      // 64 equi-width bins over [0, 512000) — bounded mergeable counters
+      // vs the exact sibling q_value_percentiles' full value sets
+      val ev = new TestDataSource(s, d).table("events")
+      Sketches.histogramQuantiles(ev, "event_type",
+        round(col("value") * 1000).cast("long"),
+        lo = 0L, hi = 512000L, bins = 64, qs = Seq(50, 90, 99))
+    }),
+
     "q_sketch_bloom" -> ((s, d) => {
       // bloom-probe pruning: lineitem filtered by a 512-bit bloom of the
       // flagged partkeys (p_partkey % 97 = 0) — the mask is deliberately
@@ -109,6 +119,23 @@ object SketchQueries {
          |  WHERE sh IN (SELECT sh FROM cand) GROUP BY sh)
          |SELECT est.sh AS shingle, cms_est, exact_count, cms_est - exact_count AS overcount
          |FROM est JOIN ex ON est.sh = ex.sh""".stripMargin,
+
+    "q_sketch_hist" -> {
+      def pq(q: Int) =
+        s"(0 + (min(CASE WHEN cum >= (n * $q + 99) // 100 THEN bin END) + 1) * 512000 // 64)"
+      s"""WITH v AS (SELECT event_type,
+         |  least(63, greatest(0, (CAST(round(value * 1000) AS BIGINT) * 64) // 512000)) AS bin
+         |  FROM events),
+         |c AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+         |cum AS (SELECT event_type, bin,
+         |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM c)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(${pq(50)} AS BIGINT) AS p50_est,
+         |  CAST(${pq(90)} AS BIGINT) AS p90_est,
+         |  CAST(${pq(99)} AS BIGINT) AS p99_est
+         |FROM cum GROUP BY event_type""".stripMargin
+    },
 
     "q_sketch_bloom" -> {
       def pos(j: Int, keyExpr: String) =

@@ -122,6 +122,56 @@ object Sketches {
         idiv(col("matches") * col("union_est"), col("kp")).as("inter_est"))
   }
 
+  // ---------------- histogram quantiles ----------------
+
+  /** Fixed-bin histogram quantile estimation — the mergeable bounded-state
+    * sibling of [[EventAnalytics.valuePercentiles]]' exact interpolation:
+    * at 100 TB an exact per-group percentile needs the group's full sorted
+    * value set somewhere; the histogram needs `bins` counters, merged by
+    * addition (= ordinary partial aggregation), at the cost of quantizing
+    * each estimate to a bin edge.
+    *
+    * `value` must already be an integral column; values are clamped into
+    * `[lo, hi)` and binned equi-width. The q-th percentile estimate is the
+    * UPPER EDGE of the first bin whose cumulative count reaches
+    * `ceil(n·q/100)` — all-integer, so the oracle reproduces it exactly.
+    *
+    * Two bounded aggregations: (group, bin) counts (≤ bins rows per group
+    * exchanged), then a per-group fold over the ≤ bins-entry histogram
+    * array — the cumulative walk is a codegen'd `aggregate` lambda, never
+    * a window over data rows.
+    *
+    * Output: group, `n`, and one `p{q}_est` column per requested q.
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String, value: Column,
+      lo: Long, hi: Long, bins: Int, qs: Seq[Int]): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(bins > 0 && bins <= 4096, s"bins must be in 1..4096, got $bins")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100), s"quantiles must be in 1..100: $qs")
+    val width = hi - lo
+    val bin = least(lit(bins - 1L),
+      greatest(lit(0L), idiv((value.cast("long") - lit(lo)) * lit(bins.toLong), lit(width))))
+    val hist = df.groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(groupCol)
+      .agg(sort_array(collect_list(struct(col("bin"), col("cnt")))).as("h"),
+        sum(col("cnt")).as("n"))
+    val qCols = qs.map { q =>
+      // first bin whose cumulative count reaches ceil(n*q/100), as a fold
+      // over the ≤ bins histogram entries; -1 can only remain if n = 0
+      val target = s"(n * $q + 99) div 100"
+      val found = expr(
+        s"""aggregate(h, named_struct('c', 0L, 'f', -1L),
+           |  (acc, s) -> named_struct(
+           |    'c', acc.c + s.cnt,
+           |    'f', CASE WHEN acc.f >= 0 THEN acc.f
+           |              WHEN acc.c + s.cnt >= $target THEN s.bin
+           |              ELSE -1L END)).f""".stripMargin)
+      (lit(lo) + idiv((found + 1) * lit(width), lit(bins.toLong))).as(s"p${q}_est")
+    }
+    hist.select(col(groupCol) +: col("n") +: qCols: _*)
+  }
+
   // ---------------- Count-Min ----------------
 
   /** Count-Min counter table over `value` occurrences: `depth` salted

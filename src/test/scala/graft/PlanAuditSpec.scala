@@ -607,6 +607,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("histogram quantiles: two bounded aggregations, cumulative walk is a fold not a window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).table("events")
+    val p = plan(graft.pipeline.Sketches.histogramQuantiles(ev, "event_type",
+      org.apache.spark.sql.functions.round(col("value") * 1000).cast("long"),
+      0L, 512000L, 64, Seq(50, 90, 99)))
+    assert(!p.contains("Window"), s"cumulative walk must not be a window over rows:\n$p")
+    assert(!p.contains("Join"), p)
+    // (group, bin) partial+final then per-group histogram assembly
+    assert(p.split("Aggregate").length >= 3, s"expected partial+final aggregation:\n$p")
+  }
+
   test("bloom probe: literal-bitmask filter, no join or exchange on the probe side") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val src = new graft.sources.TestDataSource(spark, dir)

@@ -73,6 +73,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(exact.count { case (v, n) => est(v) == n } >= 35)
   }
 
+  test("histogram quantiles: exact bin-edge answers on a uniform distribution") {
+    val df = (0 until 1000).map(_.toLong).toDF("v").withColumn("g", lit("a"))
+    val r = Sketches.histogramQuantiles(df, "g", col("v"), 0L, 1000L, 10, Seq(50, 90, 99)).head
+    assert(r.getAs[Long]("n") == 1000)
+    // ceil(1000*q/100) falls exactly on a bin boundary for q=50/90; p99
+    // lands inside the last bin whose upper edge is hi
+    assert(r.getAs[Long]("p50_est") == 500)
+    assert(r.getAs[Long]("p90_est") == 900)
+    assert(r.getAs[Long]("p99_est") == 1000)
+  }
+
+  test("histogram quantiles clamp out-of-range values into edge bins") {
+    val df = Seq(-50L, -1L, 5L, 6L, 2000L).toDF("v").withColumn("g", lit("a"))
+    val r = Sketches.histogramQuantiles(df, "g", col("v"), 0L, 100L, 10, Seq(50, 99)).head
+    // 3 of 5 values are in/below bin 0 → p50 target 3 reached at bin 0
+    assert(r.getAs[Long]("p50_est") == 10)
+    // the 2000 clamps into the last bin → p99 = hi
+    assert(r.getAs[Long]("p99_est") == 100)
+  }
+
   test("bloom probe has no false negatives and bounded mask") {
     val build = (0 until 100).map(_ * 7L).toDF("key")
     val probe = (0 until 1000).map(_.toLong).toDF("key")
