@@ -52,6 +52,22 @@ object AnalyticsQueries {
       EventAnalytics.sessionize(events(s, d),
         "context_id", "timestamp", "event_id", gapSec = 21600L)),
 
+    "q_asof_join" -> ((s, d) => {
+      // temporal AS-OF join: every purchase matched to the user's latest
+      // view at or before it (the "current profile version" question) —
+      // one key shuffle + sorted carry-forward, oracle is DuckDB's native
+      // ASOF LEFT JOIN; dims pre-deduped per (user, ts) via max_by so the
+      // match is deterministic on both engines
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("context_id"), col("event_id"), col("timestamp"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("context_id"), col("timestamp"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      AsOfJoin.asOf(purchases, views, "context_id", "timestamp", "timestamp",
+        dimPrefix = "view_")
+    }),
+
     "q_session_funnel" -> ((s, d) =>
       // within-session signup → purchase conversion, first-touch, strict
       // (ts, event_id) order — the session-scoped funnel report
@@ -371,6 +387,20 @@ object AnalyticsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_session_funnel_k" -> sessionFunnelKOracle(Seq("view", "click", "purchase")),
+
+    // native DuckDB ASOF LEFT JOIN defines the semantics the carry-forward
+    // pass must reproduce (match: latest view with view_ts <= purchase ts)
+    "q_asof_join" ->
+      s"""WITH v AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS vt, arg_max(value, event_id) AS vv
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |p AS (SELECT CAST(user_id AS VARCHAR) AS context_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.context_id, p.event_id, p.t AS "timestamp", p.value,
+         |  v.vt AS view_timestamp, v.vv AS view_value
+         |FROM p ASOF LEFT JOIN v
+         |  ON p.context_id = v.context_id AND p.t >= v.vt""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS ($eventsView),

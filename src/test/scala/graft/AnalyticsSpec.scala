@@ -331,6 +331,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(4L) > out(0L))
   }
 
+  test("asOf join: latest-at-or-before match, equal-ts visibility, tolerance, no-match nulls") {
+    val facts = Seq(
+      ("u1", 1L, 100L, "f1"), ("u1", 2L, 50L, "f2"), ("u1", 3L, 10L, "f3"),
+      ("u2", 4L, 100L, "f4")
+    ).toDF("k", "fid", "t", "fp")
+    val dims = Seq(
+      ("u1", 20L, "dA"), ("u1", 50L, "dB"), ("u1", 80L, "dC")
+    ).toDF("k", "t", "dp")
+    def run(tol: Option[Long]) = graft.pipeline.AsOfJoin
+      .asOf(facts, dims, "k", "t", "t", dimPrefix = "d_", toleranceSec = tol)
+      .collect().map(r => r.getAs[Long]("fid") ->
+        (Option(r.getAs[Any]("d_t")), Option(r.getAs[String]("d_dp")))).toMap
+
+    val out = run(None)
+    assert(out(1L) == ((Some(80L), Some("dC"))), "latest at-or-before wins")
+    assert(out(2L) == ((Some(50L), Some("dB"))), "equal-ts dim is visible to the fact")
+    assert(out(3L) == ((None, None)), "fact before every dim matches nothing")
+    assert(out(4L) == ((None, None)), "no dim for the key matches nothing")
+
+    val tight = run(Some(10L))
+    assert(tight(1L) == ((None, None)), "match older than the tolerance is dropped")
+    assert(tight(2L) == ((Some(50L), Some("dB"))), "zero-age match survives any tolerance")
+  }
+
   // ---- audio frames ----
 
   test("decodeWavFrames: full frames only, frame-local zero crossings, exact rms") {

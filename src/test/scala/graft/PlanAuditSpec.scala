@@ -607,6 +607,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("asOf join: one key exchange, no SQL join node, no window") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("context_id"), col("event_id"), col("timestamp"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("context_id"), col("timestamp"), col("value"))
+    val p = plan(graft.pipeline.AsOfJoin.asOf(
+      purchases, views, "context_id", "timestamp", "timestamp", dimPrefix = "view_"))
+    // (the operator's own class name contains "Join" — pin the node names)
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "CartesianProduct", "BroadcastNestedLoopJoin").foreach(n =>
+      assert(!p.contains(n), s"asOf must not plan an n^2/range join ($n):\n$p"))
+    assert(!p.contains("Window"), p)
+    // exactly one shuffle: the group-by-key exchange shared by both sides
+    assert(p.split("Exchange").length - 1 <= 2, s"expected one key exchange:\n$p")
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"), p)
+  }
+
   test("histogram quantiles: two bounded aggregations, cumulative walk is a fold not a window") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val ev = new graft.sources.TestDataSource(spark, dir).table("events")
