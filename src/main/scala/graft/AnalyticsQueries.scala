@@ -52,6 +52,25 @@ object AnalyticsQueries {
       EventAnalytics.sessionize(events(s, d),
         "context_id", "timestamp", "event_id", gapSec = 21600L)),
 
+    "q_range_join" -> ((s, d) => {
+      // band join: lineitem prices (cents) matched into 10 deterministic
+      // price tiers + one wide overlapping promo band — non-equi predicate
+      // rewritten as bucket equi-join + residual filter, never a
+      // nested-loop; a price outside every band drops (inner), promo
+      // prices match twice
+      val li = new TestDataSource(s, d).table("lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val tiers = s.range(10).select(
+        (col("id") * 1000000L).as("lo"),
+        (col("id") * 1000000L + 500000L + (col("id") % 3) * 250000L).as("hi"),
+        concat(lit("tier"), col("id").cast("string")).as("tier"))
+      val bands = tiers.unionByName(s.range(1).select(
+        lit(2500000L).as("lo"), lit(7500000L).as("hi"), lit("promo").as("tier")))
+      RangeJoin.bandJoin(li, col("price_c"), bands, "lo", "hi", bucketWidth = 250000L)
+        .select(col("id"), col("price_c"), col("lo"), col("hi"), col("tier"))
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // temporal AS-OF join: every purchase matched to the user's latest
       // view at or before it (the "current profile version" question) —
@@ -387,6 +406,18 @@ object AnalyticsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_session_funnel_k" -> sessionFunnelKOracle(Seq("view", "click", "purchase")),
+
+    // the oracle IS the naive inequality join — it defines the semantics
+    // the bucket-chopped equi-join must reproduce exactly
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT i*1000000 AS lo, i*1000000 + 500000 + (i%3)*250000 AS hi,
+        |    'tier' || CAST(i AS VARCHAR) AS tier FROM range(10) t(i)
+        |  UNION ALL SELECT 2500000, 7500000, 'promo'),
+        |li AS (SELECT l_orderkey*10 + l_linenumber AS id,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c FROM lineitem)
+        |SELECT id, price_c, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, tier
+        |FROM li JOIN bands ON price_c >= lo AND price_c < hi""".stripMargin,
 
     // native DuckDB ASOF LEFT JOIN defines the semantics the carry-forward
     // pass must reproduce (match: latest view with view_ts <= purchase ts)

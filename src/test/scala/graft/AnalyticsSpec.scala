@@ -355,6 +355,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(tight(2L) == ((Some(50L), Some("dB"))), "zero-age match survives any tolerance")
   }
 
+  test("bandJoin: boundary inclusivity, overlap multi-match, empty band, no-band drop") {
+    val facts = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 25L), (5L, 99L)).toDF("id", "v")
+    val bands = Seq(
+      (10L, 20L, "a"),   // [10,20): matches 10, 19; NOT 20
+      (15L, 30L, "b"),   // overlaps a: 19 matches both
+      (40L, 40L, "e"),   // empty band: matches nothing
+      (50L, 45L, "w")    // inverted band: matches nothing
+    ).toDF("lo", "hi", "name")
+    val out = graft.pipeline.RangeJoin.bandJoin(facts, col("v"), bands, "lo", "hi", 8L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSet
+    assert(out == Set(
+      (1L, "a"),            // lo inclusive
+      (2L, "a"), (2L, "b"), // overlap → two rows
+      (3L, "b"),            // hi exclusive for a, inside b
+      (4L, "b")))           // 5/99 out of every band → dropped
+  }
+
   // ---- audio frames ----
 
   test("decodeWavFrames: full frames only, frame-local zero crossings, exact rms") {

@@ -626,6 +626,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FlatMapGroups") || p.contains("MapGroups"), p)
   }
 
+  test("range join: bucket equi-join, never a nested-loop over bands") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val li = new graft.sources.TestDataSource(spark, dir).table("lineitem")
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        org.apache.spark.sql.functions.round(col("l_extendedprice") * 100)
+          .cast("long").as("price_c"))
+    val bands = spark.range(10).select(
+      (col("id") * 1000000L).as("lo"), (col("id") * 1000000L + 750000L).as("hi"),
+      col("id").cast("string").as("tier"))
+    val p = plan(graft.pipeline.RangeJoin.bandJoin(
+      li, col("price_c"), bands, "lo", "hi", 250000L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"non-equi predicate must become an equi-join:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join on the bucket:\n$p")
+  }
+
   test("histogram quantiles: two bounded aggregations, cumulative walk is a fold not a window") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val ev = new graft.sources.TestDataSource(spark, dir).table("events")
