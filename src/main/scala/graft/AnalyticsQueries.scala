@@ -52,6 +52,14 @@ object AnalyticsQueries {
       EventAnalytics.sessionize(events(s, d),
         "context_id", "timestamp", "event_id", gapSec = 21600L)),
 
+    "q_anomaly_days" -> ((s, d) =>
+      // volume anomalies: (type, day) counts deviating >= 20% from the
+      // trailing 7-day mean; zero days densified so craters flag too; all
+      // scoring on day-grain rows, window-free (map-side window-end
+      // explosion, the engagement pattern)
+      EventAnalytics.anomalousDays(events(s, d), "event_type", "timestamp",
+        windowDays = 7, thresholdPpm = 200000L)),
+
     "q_range_join" -> ((s, d) => {
       // band join: lineitem prices (cents) matched into 10 deterministic
       // price tiers + one wide overlapping promo band — non-equi predicate
@@ -406,6 +414,27 @@ object AnalyticsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_session_funnel_k" -> sessionFunnelKOracle(Seq("view", "click", "purchase")),
+
+    // window formulation over densified day-grain rows; deviation division
+    // truncates toward zero (CASE) to match Spark's integral div
+    "q_anomaly_days" ->
+      """WITH c AS (SELECT event_type AS et, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |sp AS (SELECT et, min(day) AS d0, max(day) AS d1 FROM c GROUP BY 1),
+        |dense AS (SELECT sp.et, sp.d0, gs.day
+        |  FROM sp, LATERAL (SELECT unnest(generate_series(sp.d0, sp.d1)) AS day) gs),
+        |dc AS (SELECT dense.et, dense.d0, dense.day, coalesce(c.cnt, 0) AS cnt
+        |  FROM dense LEFT JOIN c ON dense.et = c.et AND dense.day = c.day),
+        |tr AS (SELECT et, d0, day, cnt,
+        |    sum(cnt) OVER (PARTITION BY et ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail FROM dc),
+        |dev AS (SELECT et, day, cnt, trail, (cnt * 7 - trail) * 1000000 AS nn FROM tr
+        |  WHERE day >= d0 + 7 AND trail > 0)
+        |SELECT et AS event_type, CAST(day * 86400 AS BIGINT) AS day_start, cnt,
+        |  CAST(trail AS BIGINT) AS trail_total,
+        |  CAST(CASE WHEN nn >= 0 THEN nn // trail ELSE -((-nn) // trail) END AS BIGINT) AS dev_ppm
+        |FROM dev
+        |WHERE abs(CASE WHEN nn >= 0 THEN nn // trail ELSE -((-nn) // trail) END) >= 200000""".stripMargin,
 
     // the oracle IS the naive inequality join — it defines the semantics
     // the bucket-chopped equi-join must reproduce exactly

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -351,5 +351,55 @@ object EventAnalytics {
         (col("_cohort") * weekSec).as("cohort_week"),
         col("week_offset"),
         col("n_users"))
+  }
+
+  /** Volume-anomaly detection on daily event counts: flag (type, day)
+    * pairs whose count deviates from the trailing `windowDays`-day mean by
+    * at least `thresholdPpm` (signed, truncated toward zero) — the ops
+    * question "did any event type spike or crater today".
+    *
+    * Days with NO events are densified to zero counts (per-type
+    * `sequence(min_day, max_day)` — bounded by the type's span), so a
+    * crater to zero is flagged, not silently absent. The first
+    * `windowDays` days of each type have no full trailing window and are
+    * not scored.
+    *
+    * Scale shape: raw events collapse to day grain in ONE partial+final
+    * aggregation; everything after runs on (type, day) rows — bounded by
+    * types × span, millions of times smaller than the input. The trailing
+    * sum is the [[engagement]] map-side explosion (each day contributes to
+    * its next `windowDays` window-ends), never a self-join of the raw
+    * table and never a window over event rows.
+    *
+    * Output: type, `day_start` (epoch sec), `cnt`, `trail_total`,
+    * `dev_ppm` — flagged rows only. */
+  def anomalousDays(events: DataFrame, typeCol: String, tsCol: String,
+      windowDays: Int, thresholdPpm: Long): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    require(thresholdPpm >= 0, s"thresholdPpm must be >= 0, got $thresholdPpm")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val day = idiv(col(tsCol).cast("long"), lit(86400L))
+    val counts = events.groupBy(col(typeCol).as("_et"), day.as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+    val span = counts.groupBy("_et").agg(min("_day").as("_d0"), max("_day").as("_d1"))
+    val dense = span
+      .select(col("_et"), col("_d0"), explode(sequence(col("_d0"), col("_d1"))).as("_day"))
+      .join(counts, Seq("_et", "_day"), "left_outer")
+      .select(col("_et"), col("_d0"), col("_day"),
+        coalesce(col("_cnt"), lit(0L)).as("_cnt"))
+    val trailing = counts // zero days contribute nothing to any window
+      .select(col("_et"),
+        explode(sequence(col("_day") + 1, col("_day") + windowDays)).as("_day"),
+        col("_cnt"))
+      .groupBy("_et", "_day").agg(sum("_cnt").as("_trail"))
+    dense.join(trailing, Seq("_et", "_day"), "left_outer")
+      .select(col("_et"), col("_d0"), col("_day"), col("_cnt"),
+        coalesce(col("_trail"), lit(0L)).as("_trail"))
+      .filter(col("_day") >= col("_d0") + windowDays && col("_trail") > 0)
+      .withColumn("dev_ppm",
+        idiv((col("_cnt") * windowDays - col("_trail")) * 1000000L, col("_trail")))
+      .filter(abs(col("dev_ppm")) >= thresholdPpm)
+      .select(col("_et").as(typeCol), (col("_day") * 86400).as("day_start"),
+        col("_cnt").as("cnt"), col("_trail").as("trail_total"), col("dev_ppm"))
   }
 }

@@ -372,6 +372,22 @@ class AnalyticsSpec extends AnyFunSuite {
       (4L, "b")))           // 5/99 out of every band → dropped
   }
 
+  test("anomalousDays flags spikes and densified zero-day craters, skips the warmup window") {
+    // days 0-6: 10/day baseline; day 7: 30 (spike); day 8: NO ROWS (crater,
+    // must come from densification); day 9: 10 (back to normal)
+    val rows = (0 to 6).flatMap(d => Seq.fill(10)(("a", d * 86400L))) ++
+      Seq.fill(30)(("a", 7 * 86400L)) ++
+      Seq.fill(10)(("a", 9 * 86400L))
+    val out = graft.pipeline.EventAnalytics.anomalousDays(
+      rows.toDF("event_type", "timestamp"), "event_type", "timestamp",
+      windowDays = 7, thresholdPpm = 500000L)
+      .collect().map(r => r.getAs[Long]("day_start") / 86400 ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("dev_ppm"))).toMap
+    // day 7: trail 70 → dev (210-70)/70 = +2.0; day 8: trail 90 → dev -1.0
+    assert(out == Map(7L -> ((30L, 2000000L)), 8L -> ((0L, -1000000L))),
+      s"got $out")
+  }
+
   // ---- audio frames ----
 
   test("decodeWavFrames: full frames only, frame-local zero crossings, exact rms") {
