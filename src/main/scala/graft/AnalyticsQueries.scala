@@ -52,6 +52,19 @@ object AnalyticsQueries {
       EventAnalytics.sessionize(events(s, d),
         "context_id", "timestamp", "event_id", gapSec = 21600L)),
 
+    "q_scd2" -> ((s, d) => {
+      // SCD-2 intervals from the view-event version feed: each user's
+      // profile versions become [valid_from, valid_to) rows (null = open);
+      // the asOf match at t is exactly the interval containing t
+      val ev = events(s, d)
+      val versions = ev.filter(col("event_type") === "view")
+        .groupBy(col("context_id"), col("timestamp"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      AsOfJoin.scd2(versions, "context_id", "timestamp")
+        .select(col("context_id"), col("valid_from").cast("long").as("valid_from"),
+          col("valid_to"), col("value"))
+    }),
+
     "q_anomaly_days" -> ((s, d) =>
       // volume anomalies: (type, day) counts deviating >= 20% from the
       // trailing 7-day mean; zero days densified so craters flag too; all
@@ -414,6 +427,14 @@ object AnalyticsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_session_funnel_k" -> sessionFunnelKOracle(Seq("view", "click", "purchase")),
+
+    "q_scd2" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS vt, arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT context_id, vt AS valid_from,
+        |  lead(vt) OVER (PARTITION BY context_id ORDER BY vt) AS valid_to, value
+        |FROM v""".stripMargin,
 
     // window formulation over densified day-grain rows; deviation division
     // truncates toward zero (CASE) to match Spark's integral div

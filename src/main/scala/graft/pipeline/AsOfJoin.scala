@@ -82,4 +82,26 @@ object AsOfJoin {
       }(Encoders.row(outSchema))
       .toDF()
   }
+
+  /** SCD-2 interval builder — the inverse view of [[asOf]]: turn a feed of
+    * versioned dimension rows into `[valid_from, valid_to)` intervals
+    * (`valid_to` null for the current version). An [[asOf]] match at time t
+    * is exactly the interval containing t.
+    *
+    * The `lead` window runs over VERSION rows (per-key version counts are
+    * small by construction — this is the dimension, not the fact table),
+    * partitioned on the key: one shuffle, bounded per-key state. Rows must
+    * be unique per (key, ts) — same determinism precondition as [[asOf]].
+    *
+    * Output: all input columns with `tsCol` renamed `valid_from`, plus
+    * `valid_to`. */
+  def scd2(dims: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    require(dims.columns.contains(keyCol) && dims.columns.contains(tsCol),
+      s"dims must carry $keyCol and $tsCol")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).cast("long"))
+    dims
+      .withColumn("valid_to", lead(col(tsCol).cast("long"), 1).over(w))
+      .withColumnRenamed(tsCol, "valid_from")
+  }
 }

@@ -355,6 +355,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(tight(2L) == ((Some(50L), Some("dB"))), "zero-age match survives any tolerance")
   }
 
+  test("scd2 intervals are the dual of asOf: the match at t is the interval containing t") {
+    val dims = Seq(("u1", 20L, "dA"), ("u1", 50L, "dB"), ("u1", 80L, "dC"))
+      .toDF("k", "t", "dp")
+    val iv = graft.pipeline.AsOfJoin.scd2(dims, "k", "t")
+      .collect().map(r => (r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")), r.getAs[String]("dp"))).toSet
+    assert(iv == Set((20L, Some(50L), "dA"), (50L, Some(80L), "dB"), (80L, None, "dC")))
+
+    // every asOf match falls inside its version's [valid_from, valid_to)
+    val facts = Seq(("u1", 1L, 35L), ("u1", 2L, 50L), ("u1", 3L, 200L)).toDF("k", "fid", "t")
+    val matched = graft.pipeline.AsOfJoin.asOf(facts, dims, "k", "t", "t", "d_")
+      .collect().map(r => r.getAs[Long]("t") -> r.getAs[Long]("d_t"))
+    matched.foreach { case (ft, from) =>
+      val (f, to, _) = iv.find(_._1 == from).get
+      assert(ft >= f && to.forall(hi => ft < hi.asInstanceOf[Long]))
+    }
+  }
+
   test("bandJoin: boundary inclusivity, overlap multi-match, empty band, no-band drop") {
     val facts = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 25L), (5L, 99L)).toDF("id", "v")
     val bands = Seq(
