@@ -201,6 +201,18 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("extracted")).cast("long").as("tok_ws"))
     }),
 
+    "q_jsonl_ingest" -> ((s, d) => {
+      // JSONL intake with quarantine: real to_json escaping, %13 lines
+      // truncated mid-record (malformed), %19 missing the required text
+      // field — parse + disposition are one map-side projection; the
+      // oracle only knows the id rules and the original text
+      val lines = JsonIngest.syntheticJsonl(docs(s, d), "doc_id", "text", "lang")
+      JsonIngest.parseJsonl(lines, "line")
+        .select(col("orig_id"), col("status"),
+          when(col("status") === "ok",
+            TextAnalysis.tokenCount(col("text")).cast("long")).as("tok"))
+    }),
+
     "q_html_extract" -> ((s, d) =>
       // HTML → text: wrap each doc in a full page (head/title, script,
       // style, comment, entities, markup splitting the body) and extract;
@@ -1048,6 +1060,18 @@ object PipelineQueries {
     // and the target URI from the WARC framing formula — so a hash match
     // proves WARC framing, gzip round-trip, HTML extraction, and token
     // stats all composed correctly, without replaying any byte-level stage
+    // disposition from the id rules alone; token count from the original
+    // text — the JSON round-trip (escape → truncate/omit → parse) must
+    // reproduce both for the hash to match
+    "q_jsonl_ingest" ->
+      s"""SELECT doc_id AS orig_id,
+         |  CASE WHEN doc_id % 13 = 0 THEN 'malformed'
+         |       WHEN doc_id % 19 = 0 THEN 'missing_field'
+         |       ELSE 'ok' END AS status,
+         |  CASE WHEN doc_id % 13 = 0 OR doc_id % 19 = 0 THEN NULL
+         |       ELSE CAST(len($toks) AS BIGINT) END AS tok
+         |FROM documents""".stripMargin,
+
     "q_ingest_e2e" ->
       """WITH e AS (SELECT doc_id,
         |  trim(regexp_replace('D' || doc_id || ' ' || text, '\s+', ' ', 'g')) AS extracted

@@ -406,6 +406,21 @@ class AnalyticsSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("parseJsonl routes malformed / missing-field / ok, tolerates unknown fields") {
+    val lines = Seq(
+      (1L, """{"doc_id": 1, "text": "hello world", "lang": "en"}"""),
+      (2L, """{"doc_id": 2, "lang": "en"}"""),                       // no text
+      (3L, """{"doc_id": 3, "text": "x", "extra": [1, 2]}"""),       // unknown field ok
+      (4L, """{"doc_id": 4, "text": "unterminated"""),               // malformed
+      (5L, """not json at all"""),                                   // malformed
+      (6L, """{"text": "orphan"}""")                                 // no doc_id
+    ).toDF("orig_id", "line")
+    val out = graft.pipeline.JsonIngest.parseJsonl(lines, "line")
+      .collect().map(r => r.getAs[Long]("orig_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "ok", 2L -> "missing_field", 3L -> "ok",
+      4L -> "malformed", 5L -> "malformed", 6L -> "missing_field"))
+  }
+
   // ---- audio frames ----
 
   test("decodeWavFrames: full frames only, frame-local zero crossings, exact rms") {
