@@ -315,6 +315,14 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d), "doc_id", "text")),
 
+    "q_dedup_editdist" -> ((s, d) =>
+      // LSH-banded candidates confirmed by exact LEVENSHTEIN (≤10% of the
+      // longer text) — the right verifier for small in-place edits; the
+      // quadratic distance is paid only on band collisions, and Spark's
+      // and DuckDB's codegen'd edit distances agree exactly
+      Dedup.editDistanceNearDups(docs(s, d), "doc_id", "text",
+        maxLen = 2000, maxDistPpm = 100000L)),
+
     "q_dedup_simhash" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
       Dedup.simhash(col("text")).as("simhash"))),
@@ -1351,6 +1359,19 @@ object PipelineQueries {
     // exact all-pairs 3-gram Jaccard >= 0.5: equals the MinHash+LSH output
     // when no pair above threshold is missed (32 bands x 2 rows → miss
     // probability ~1e-4 at J=0.5; verified empirically on this data).
+    // brute-force pair scan defines the semantics; the banded plan must
+    // reproduce it exactly (recall property of the 32x2 scheme at <=10%
+    // edits on this corpus)
+    "q_dedup_editdist" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) <= 2000)
+        |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |  CAST(levenshtein(a.text, b.text) * 1000000 //
+        |       greatest(len(a.text), len(b.text)) AS BIGINT) AS rel_ppm
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) * 1000000 //
+        |      greatest(len(a.text), len(b.text)) <= 100000""".stripMargin,
+
     "q_dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
          |g AS (SELECT doc_id, $duckShingles3 AS s FROM t)

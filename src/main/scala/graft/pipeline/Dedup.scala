@@ -178,6 +178,49 @@ object Dedup {
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Edit-distance-confirmed near-dups: the [[minhashNearDups]] banded
+    * candidate generation with a LEVENSHTEIN confirmation tier instead of
+    * shingle Jaccard — the right verifier for small in-place edits (typo
+    * variants, template fills) where token-set overlap over- or
+    * under-reports. A pair survives when
+    * `levenshtein(a, b) · 1e6 / max(len(a), len(b)) <= maxDistPpm`.
+    *
+    * Levenshtein is O(len²) per pair, so BOTH texts must be ≤ `maxLen`
+    * chars (longer records belong to the Jaccard tier); the candidate
+    * space is still banded — the quadratic cost is paid only on LSH
+    * collisions, never corpus×corpus. Spark's codegen'd `levenshtein`
+    * and DuckDB's agree (unit-cost DP over characters), so the distances
+    * themselves are oracle-exact.
+    *
+    * Output: `id_1 | id_2 | dist | rel_ppm`. */
+  def editDistanceNearDups(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      maxLen: Int = 2000, maxDistPpm: Long = 100000L): DataFrame = {
+    require(maxLen > 0 && maxDistPpm >= 0, s"bad bounds ($maxLen, $maxDistPpm)")
+    val perms = bands * rowsPerBand
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      shingleHashes(col(textCol), ngram).as("sh"))
+    val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms),
+      bands, rowsPerBand)
+    val l = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
+    val r = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_2"))
+    val candIds = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2")
+      .dropDuplicates("id_1", "id_2")
+    val texts = hashed.select(col("id"), col("t"))
+    candIds
+      .join(texts.select(col("id").as("id_1"), col("t").as("t_1")), Seq("id_1"))
+      .join(texts.select(col("id").as("id_2"), col("t").as("t_2")), Seq("id_2"))
+      .filter(length(col("t_1")) <= maxLen && length(col("t_2")) <= maxLen)
+      .withColumn("dist", levenshtein(col("t_1"), col("t_2")).cast("long"))
+      .withColumn("rel_ppm", org.apache.spark.sql.functions.call_function("div",
+        col("dist") * lit(1000000L),
+        greatest(length(col("t_1")), length(col("t_2"))).cast("long")))
+      .filter(col("rel_ppm") <= maxDistPpm)
+      .select(col("id_1"), col("id_2"), col("dist"), col("rel_ppm"))
+  }
+
   /** 60-bit SimHash signature over word-token md5 hashes: bit j is set iff
     * the sum of (+1/-1) votes from each token's bit j is positive. Pure
     * per-row expressions; 60 bits (not 64) to stay within a signed i64.

@@ -421,6 +421,23 @@ class AnalyticsSpec extends AnyFunSuite {
       4L -> "malformed", 5L -> "malformed", 6L -> "missing_field"))
   }
 
+  test("editDistanceNearDups: confirms small edits, drops unrelated and over-length pairs") {
+    val base = "quick brown fox jumps over the lazy dog now"
+    val long60 = "a" * 30 + " bb cc dd ee ff gg " + "z" * 11 // > 50 chars
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(3) + "nov"),   // 1-char edit
+      (3L, "completely different words about searching corpora daily"),
+      (4L, long60), (5L, long60)          // identical but over maxLen
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.editDistanceNearDups(
+      docs, "doc_id", "text", maxLen = 50, maxDistPpm = 100000L)
+      .collect().map(r => (r.getAs[Long]("id_1"), r.getAs[Long]("id_2"),
+        r.getAs[Long]("dist"))).toSet
+    assert(out == Set((1L, 2L, 1L)),
+      s"only the small-edit pair within maxLen survives: $out")
+  }
+
   // ---- audio frames ----
 
   test("decodeWavFrames: full frames only, frame-local zero crossings, exact rms") {
