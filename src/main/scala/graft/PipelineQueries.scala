@@ -201,6 +201,18 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("extracted")).cast("long").as("tok_ws"))
     }),
 
+    "q_corpus_rollup" -> ((s, d) =>
+      // multi-granularity report in ONE pass: (source, lang) cells +
+      // per-source subtotals + grand total via ROLLUP (Expand feeding one
+      // partial+final aggregation — never three scans); grouping_id
+      // disambiguates subtotal nulls from data nulls
+      docs(s, d)
+        .rollup(col("source"), col("lang"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tok_total"))
+        .select(col("source"), col("lang"), col("gid"),
+          col("n_docs"), col("tok_total"))),
+
     "q_jsonl_ingest" -> ((s, d) => {
       // JSONL intake with quarantine: real to_json escaping, %13 lines
       // truncated mid-record (malformed), %19 missing the required text
@@ -1068,6 +1080,12 @@ object PipelineQueries {
     // and the target URI from the WARC framing formula — so a hash match
     // proves WARC framing, gzip round-trip, HTML extraction, and token
     // stats all composed correctly, without replaying any byte-level stage
+    "q_corpus_rollup" ->
+      s"""SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($toks)) AS BIGINT) AS tok_total
+         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
     // disposition from the id rules alone; token count from the original
     // text — the JSON round-trip (escape → truncate/omit → parse) must
     // reproduce both for the hash to match
