@@ -642,6 +642,15 @@ object PipelineQueries {
         k = 5, dims = 64, planes = 4)
     }),
 
+    "q_sim_prefix_recall" -> ((s, d) => {
+      // matryoshka eval: top-5 on the FIRST 16 of 64 dims vs full-dim
+      // truth — 4× cheaper serving, and this row says what recall it buys;
+      // both rankings deterministic so the metric is oracle-exact
+      val e = embs(s, d)
+      Similarity.prefixDimRecall(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 5, prefixDims = 16)
+    }),
+
     "q_sim_ivf_recall" -> ((s, d) => {
       // the same acceptance metric for the IVF family: per-query recall of
       // the cell-probe ranking vs exact truth — deterministic end to end,
@@ -1973,6 +1982,25 @@ object PipelineQueries {
     // exact top-5 truth vs the IVF cell-probe top-5 (the q_sim_ivf_topk
     // derivation), counted per query — the LSH recall harness pointed at
     // the deterministic IVF ranking
+    // full-dim exact top-5 vs the same search on qv[1:16] — hit-counted
+    "q_sim_prefix_recall" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+        |    FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      CAST(list_dot_product(q.qv[1:16], c.qv[1:16]) AS BIGINT) AS dot
+        |    FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5)
+        |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+        |  (count(ap.neighbor_id) * 1000000) // count(*) AS recall_ppm
+        |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+        |GROUP BY ex.query_id""".stripMargin,
+
     "q_sim_ivf_recall" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
         |ex AS (SELECT query_id, neighbor_id FROM (

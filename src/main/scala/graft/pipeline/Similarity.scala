@@ -341,6 +341,22 @@ object Similarity {
     recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
       ivfTopK(corpus, queries, idCol, vecCol, k, nClusters, nProbe, lloydIters))
 
+  /** Matryoshka / prefix-dimension evaluation: recall of the top-k ranking
+    * computed on only the FIRST `prefixDims` coordinates against the
+    * full-dimension exact truth — the "can we serve truncated vectors"
+    * question (Kusupati et al., Matryoshka Representation Learning,
+    * NeurIPS'22). Both rankings are deterministic quantized-dot exact
+    * searches, so the metric itself is oracle-exact; serving cost drops
+    * ∝ prefixDims/dims and this row says what recall that buys. */
+  def prefixDimRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, prefixDims: Int): DataFrame = {
+    require(prefixDims > 0, s"prefixDims must be positive, got $prefixDims")
+    def trunc(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, prefixDims))
+    recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      bruteForceTopK(trunc(corpus), trunc(queries), idCol, vecCol, k))
+  }
+
   /** Grade ANY approximate (query_id, neighbor_id) ranking against the
     * exact one: per-query `n_exact`, `n_hit`, truncated-ppm recall. */
   private def recallVsExact(exactRank: DataFrame, approxRank: DataFrame): DataFrame = {
