@@ -327,6 +327,19 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d), "doc_id", "text")),
 
+    "q_snapshot_diff" -> ((s, d) => {
+      // crawl-refresh diff: prev = docs except %11 (those are "new" in
+      // cur... removed from prev's view), cur drops %13 (removed) and
+      // rewrites %7 (changed); keys computed map-side, one id equi-join
+      val all = docs(s, d)
+      val prev = all.filter(col("doc_id") % 11 =!= 0).select("doc_id", "text")
+      val cur = all.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" refreshed")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDiff(prev, cur, "doc_id", "text")
+    }),
+
     "q_dedup_editdist" -> ((s, d) =>
       // LSH-banded candidates confirmed by exact LEVENSHTEIN (≤10% of the
       // longer text) — the right verifier for small in-place edits; the
@@ -1386,6 +1399,17 @@ object PipelineQueries {
     // exact all-pairs 3-gram Jaccard >= 0.5: equals the MinHash+LSH output
     // when no pair above threshold is missed (32 bands x 2 rows → miss
     // probability ~1e-4 at J=0.5; verified empirically on this data).
+    // disposition from the id rules alone — the content-key compare must
+    // agree (the %7 rewrite MUST flip the normalized key, and only it)
+    "q_snapshot_diff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'added'
+        |       WHEN doc_id % 13 = 0 THEN 'removed'
+        |       WHEN doc_id % 7 = 0 THEN 'changed'
+        |       ELSE 'same' END AS status
+        |FROM documents
+        |WHERE NOT (doc_id % 11 = 0 AND doc_id % 13 = 0)""".stripMargin,
+
     // brute-force pair scan defines the semantics; the banded plan must
     // reproduce it exactly (recall property of the 32x2 scheme at <=10%
     // edits on this corpus)

@@ -30,6 +30,31 @@ object Dedup {
     df.groupBy(contentKey(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Snapshot diff: per-id disposition between two corpus snapshots by
+    * normalized content key — the crawl-refresh question "what actually
+    * changed since the last snapshot" (and the precise input to an
+    * incremental re-process: only `added` + `changed` need work).
+    *
+    * Status: `added` (id only in `cur`), `removed` (only in `prev`),
+    * `changed` (both, different content key), `same` (both, equal key).
+    *
+    * One full-outer equi-join on the id; content keys are computed
+    * map-side before the join so text never crosses the shuffle — at
+    * 100 TB the exchange carries (id, 32-char key) rows, not documents.
+    *
+    * Output: `doc_id | status`. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val p = prev.select(col(idCol).as("doc_id"), contentKey(col(textCol)).as("_pk"))
+    val c = cur.select(col(idCol).as("doc_id"), contentKey(col(textCol)).as("_ck"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_pk").isNull, lit("added"))
+          .when(col("_ck").isNull, lit("removed"))
+          .when(col("_pk") === col("_ck"), lit("same"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Word n-gram shingle array (distinct), as strings.
     *
     * Built from `slice` + `zip_with` rather than an index-lambda
