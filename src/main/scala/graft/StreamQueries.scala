@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ast.{AggSpec, TimeGranularity}
 import graft.sources.TestDataSource
-import graft.streaming.{StreamingAggregates, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
+import graft.streaming.{StreamingAggregates, StreamingAnomaly, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
 
 /** CORRECTNESS rows for the Structured Streaming operators: each one is
   * batch-replayed over the testdata via [[streaming.StreamingReplay]]
@@ -133,6 +133,17 @@ object StreamQueries {
       val src = new TestDataSource(s, d)
       StreamingReplay.run(
         StreamingSessions.sessions(src.eventsStream, gapSec = 21600L).toDF())
+    }),
+
+    "q_stream_anomaly" -> ((s, d) => {
+      // streaming volume anomalies: a day is scored the moment a later
+      // event of the same type closes it (zero gap days included) — each
+      // type's last day stays open, so the oracle is the batch derivation
+      // with `day < max_day` per type
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(
+        StreamingAnomaly.anomalies(src.eventsStream,
+          windowDays = 7, thresholdPpm = 200000L).toDF())
     }),
 
     "q_stream_sketch" -> ((s, d) => {
@@ -290,6 +301,26 @@ object StreamQueries {
         |WHERE session_idx < mx OR end_ts + 21600 < maxt - 600""".stripMargin,
 
     // tumbling 1-day windows anchored at the epoch == integer day floor
+    // the batch anomaly derivation minus each type's still-open max day
+    "q_stream_anomaly" ->
+      """WITH c AS (SELECT event_type AS et, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |sp AS (SELECT et, min(day) AS d0, max(day) AS d1 FROM c GROUP BY 1),
+        |dense AS (SELECT sp.et, sp.d0, sp.d1, gs.day
+        |  FROM sp, LATERAL (SELECT unnest(generate_series(sp.d0, sp.d1)) AS day) gs),
+        |dc AS (SELECT dense.et, dense.d0, dense.d1, dense.day, coalesce(c.cnt, 0) AS cnt
+        |  FROM dense LEFT JOIN c ON dense.et = c.et AND dense.day = c.day),
+        |tr AS (SELECT et, d0, d1, day, cnt,
+        |    sum(cnt) OVER (PARTITION BY et ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail FROM dc),
+        |dev AS (SELECT et, day, cnt, trail, (cnt * 7 - trail) * 1000000 AS nn FROM tr
+        |  WHERE day >= d0 + 7 AND day < d1 AND trail > 0)
+        |SELECT et AS event_type, CAST(day * 86400 AS BIGINT) AS day_start, cnt,
+        |  CAST(trail AS BIGINT) AS trail_total,
+        |  CAST(CASE WHEN nn >= 0 THEN nn // trail ELSE -((-nn) // trail) END AS BIGINT) AS dev_ppm
+        |FROM dev
+        |WHERE abs(CASE WHEN nn >= 0 THEN nn // trail ELSE -((-nn) // trail) END) >= 200000""".stripMargin,
+
     // the streaming sketch's final state is a pure set function of the
     // input, so the oracle is the batch KMV derivation verbatim
     "q_stream_sketch" ->

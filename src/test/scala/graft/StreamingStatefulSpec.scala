@@ -307,6 +307,36 @@ class StreamingStatefulSpec extends AnyFunSuite {
       8L -> "near_dup_corpus"))
   }
 
+  test("streaming anomaly: later-day closure across batches scores spikes and zero gap days") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF.toDF("event_type", "timestamp")
+    val q = graft.streaming.StreamingAnomaly
+      .anomalies(events, windowDays = 2, thresholdPpm = 500000L).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+
+    def day(d: Long, n: Int): Seq[(String, Long)] =
+      (0 until n).map(i => ("a", d * 86400L + i))
+    // batch 1: day0 ×2, day1 ×1, day2 ×5 — day2 stays open, nothing scored
+    // yet (day0/day1 are warmup)
+    mem.addData(day(0, 2) ++ day(1, 1) ++ day(2, 5): _*)
+    q.processAllAvailable()
+    assert(spark.table("anom").count() == 0, "open/warmup days must not be scored")
+    // batch 2: one event at day5 closes day2 (spike) and the zero days 3, 4
+    mem.addData(day(5, 1): _*)
+    q.processAllAvailable()
+    val rows = spark.table("anom").collect()
+      .map(r => (r.getAs[Long]("day_start") / 86400, r.getAs[Long]("cnt"),
+        r.getAs[Long]("trail_total"), r.getAs[Long]("dev_ppm"))).toSet
+    q.stop()
+    assert(rows == Set(
+      (2L, 5L, 3L, 2333333L),   // (5*2-3)/3 = +2.33
+      (3L, 0L, 6L, -1000000L),  // zero gap day vs trail {d1:1, d2:5}
+      (4L, 0L, 5L, -1000000L)), // zero gap day vs trail {d2:5, d3:0}
+      s"got $rows")
+  }
+
   test("streaming KMV sketch: batching-invariant state, bounded, re-emits refreshed estimates") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
