@@ -689,6 +689,21 @@ object PipelineQueries {
         k = 5, nClusters = 16, nProbe = 4)
     }),
 
+    "q_sim_ivf_persisted" -> ((s, d) => {
+      // the ANN nightly-build/query-time boundary: build the IVF index,
+      // write centroids + inverted lists to parquet, read them back, and
+      // answer through the read-back artifacts ONLY — identical ranking
+      // to the inline path, so the oracle is the same derivation
+      val e = embs(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", nClusters = 16),
+        tmp, Map("nClusters" -> 16L, "lloydIters" -> 0L))
+      val idx = Similarity.readIvfIndex(s, tmp)
+      Similarity.ivfTopKIndexed(idx, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
     "q_sim_ivf_lloyd" -> ((s, d) => {
       // one k-means (Lloyd) refinement round — exact integer arithmetic
       // (truncated integer cell means), so the refined path is oracle-checked
@@ -2050,6 +2065,24 @@ object PipelineQueries {
         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
         |  CAST((count(ap.neighbor_id) * 1000000) // count(*) AS BIGINT) AS recall_ppm
         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1""".stripMargin,
+
+    // the persisted path answers EXACTLY as the inline path: same oracle
+    // derivation as q_sim_ivf_topk (parquet round-trip must be lossless)
+    "q_sim_ivf_persisted" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS cid, qv AS centroid FROM v ORDER BY vec_id LIMIT 16),
+        |cells AS (SELECT vec_id AS neighbor_id, qv AS cv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM v CROSS JOIN c) WHERE rk = 1),
+        |probes AS (SELECT vec_id AS query_id, qv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM v CROSS JOIN c WHERE v.vec_id < 50) WHERE rk <= 4)
+        |SELECT query_id, neighbor_id, CAST(list_dot_product(p.qv, cells.cv) AS BIGINT) AS dot
+        |FROM probes p JOIN cells USING (cid)
+        |WHERE neighbor_id <> query_id
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
 
     "q_sim_ivf_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),

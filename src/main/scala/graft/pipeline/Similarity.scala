@@ -317,6 +317,97 @@ object Similarity {
     topKPerQuery(cand, k, corpus.schema(idCol).dataType, withCosine = false)
   }
 
+  /** Persisted IVF index: centroids + inverted lists as parquet with a
+    * MANIFEST.json — the nightly-build / query-time boundary for the ANN
+    * path, the same production shape as [[Dedup.DedupArtifacts]]: the
+    * index is built ONCE over the corpus, and every query-time probe scans
+    * only the artifact directory (centroids are a bounded collect of
+    * nClusters rows; candidates come from the postings table), never the
+    * raw embedding table. */
+  final case class IvfIndex(centroids: DataFrame, postings: DataFrame)
+
+  /** Build the index frames: `centroids(cid, centroid)` and
+    * `postings(cid, neighbor_id, cv)` — identical centroid/assignment
+    * derivation as [[ivfTopK]] (lowest-id seeds + optional Lloyd), so a
+    * persisted index answers queries exactly as the inline path does. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, lloydIters: Int = 0): IvfIndex = {
+    val v = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"))
+    var cents = collectCentroids(
+      v.orderBy(col("neighbor_id")).limit(nClusters)
+        .select(col("neighbor_id"), col("cv")))
+    (0 until lloydIters).foreach { _ =>
+      val assigned = v.select(
+        element_at(nearestCells(col("cv"), cents, 1), 1).getField("cid").as("cid"),
+        col("cv"))
+      cents = collectCentroids(assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x")) / count(lit(1))).cast("long").as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, e -> e.m)").as("centroid")))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidsDf = cents.toDF("cid", "centroid")
+    val postings = v.withColumn("cid",
+      element_at(nearestCells(col("cv"), cents, 1), 1).getField("cid"))
+      .select(col("cid"), col("neighbor_id"), col("cv"))
+    IvfIndex(centroidsDf, postings)
+  }
+
+  /** Persist the index (two parquet tables + manifest with layout version
+    * and build params; fail-fast on read for alien layouts). */
+  def writeIvfIndex(index: IvfIndex, dir: String,
+      params: Map[String, Long] = Map.empty): Unit = {
+    val spark = index.centroids.sparkSession
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    val pjson = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val manifest =
+      s"""{"version":1,"tables":["centroids","postings"],"params":$pjson}"""
+    val path = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"not an IVF index directory (no MANIFEST.json): $dir")
+    val manifest = {
+      val len = fs.getFileStatus(path).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(path)
+      try in.readFully(0L, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }
+    require(manifest.contains("\"version\":1") && manifest.contains("\"centroids\""),
+      s"unrecognized IVF index layout in $dir: $manifest")
+    IvfIndex(spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/postings"))
+  }
+
+  /** Query a (possibly read-back) [[IvfIndex]]: identical ranking to
+    * [[ivfTopK]] but the corpus side is the POSTINGS table — probes
+    * (queries × nProbe rows) broadcast against it; the raw embedding
+    * table is never touched at query time. */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = collectCentroids(index.centroids.select(col("cid"), col("centroid")))
+    val qv = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val probes = qv
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nProbe)))
+      .select(col("query_id"), col("qv"), col("cell.cid").as("cid"))
+    val cand = index.postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dotLong(col("qv"), col("cv")))
+    topKPerQuery(cand, k, queries.schema(idCol).dataType, withCosine = false)
+  }
+
   /** ANN quality evaluation: per-query RECALL of the LSH top-k against the
     * exact top-k ground truth — the acceptance metric every approximate
     * index deployment is judged by. Both rankings run their normal scale

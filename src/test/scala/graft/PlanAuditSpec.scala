@@ -626,6 +626,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FlatMapGroups") || p.contains("MapGroups"), p)
   }
 
+  test("persisted IVF index: the query-time plan scans only the artifact directory") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_pin_").toString
+    graft.pipeline.Similarity.writeIvfIndex(
+      graft.pipeline.Similarity.buildIvfIndex(e, "vec_id", "embedding", nClusters = 8),
+      idxDir)
+    val idx = graft.pipeline.Similarity.readIvfIndex(spark, idxDir)
+    // queries synthesized OFF parquet so the one allowed scan source is
+    // the index itself; centroids are a bounded collect, probes broadcast
+    import org.apache.spark.sql.functions.{col => fcol, transform => ftransform, sequence => fsequence, lit}
+    val queries = spark.range(0, 5).select(fcol("id").as("vec_id"),
+      ftransform(fsequence(lit(1), lit(64)),
+        x => (x * (fcol("id") + 1) % 7).cast("float") / 1000f).as("embedding"))
+    val p = plan(graft.pipeline.Similarity.ivfTopKIndexed(
+      idx, queries, "vec_id", "embedding", k = 3, nProbe = 2))
+    val locs = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(locs.nonEmpty, s"expected postings-table scans:\n$p")
+    assert(locs.forall(_.contains(idxDir)),
+      s"a scan outside the index dir leaked into the query plan:\n${locs.mkString("\n")}")
+    assert(!p.contains("embeddings.parquet"),
+      s"raw embeddings leaked into the query-time plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n$p")
+  }
+
   test("range join: bucket equi-join, never a nested-loop over bands") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val li = new graft.sources.TestDataSource(spark, dir).table("lineitem")
