@@ -52,6 +52,21 @@ object AnalyticsQueries {
       EventAnalytics.sessionize(events(s, d),
         "context_id", "timestamp", "event_id", gapSec = 21600L)),
 
+    "q_pivot_daily" -> ((s, d) =>
+      // wide daily report: per-day event counts pivoted into one column
+      // per type — Spark's pivot with an EXPLICIT value list stays a
+      // single partial+final aggregation (no second pass to discover
+      // values); the oracle is conditional aggregation
+      events(s, d)
+        .groupBy(call_function("div", col("timestamp"), lit(86400L)).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        // a (day, type) cell with no events pivots to null; the report
+        // (and the oracle's conditional count) says 0
+        .select(col("day") * 86400 +: Seq("click", "error", "purchase", "signup", "view")
+          .map(c => coalesce(col(c), lit(0L))): _*)
+        .toDF("day_start", "click", "error", "purchase", "signup", "view")),
+
     "q_scd2" -> ((s, d) => {
       // SCD-2 intervals from the view-event version feed: each user's
       // profile versions become [valid_from, valid_to) rows (null = open);
@@ -427,6 +442,15 @@ object AnalyticsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_session_funnel_k" -> sessionFunnelKOracle(Seq("view", "click", "purchase")),
+
+    "q_pivot_daily" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_scd2" ->
       """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
