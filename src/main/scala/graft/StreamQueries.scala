@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ast.{AggSpec, TimeGranularity}
 import graft.sources.TestDataSource
-import graft.streaming.{StreamingAggregates, StreamingAnomaly, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
+import graft.streaming.{StreamingAggregates, StreamingAnomaly, StreamingEnrich, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
 
 /** CORRECTNESS rows for the Structured Streaming operators: each one is
   * batch-replayed over the testdata via [[streaming.StreamingReplay]]
@@ -133,6 +133,30 @@ object StreamQueries {
       val src = new TestDataSource(s, d)
       StreamingReplay.run(
         StreamingSessions.sessions(src.eventsStream, gapSec = 21600L).toDF())
+    }),
+
+    "q_stream_asof" -> ((s, d) => {
+      // stream-static AS-OF: purchases enriched in-stream with the profile
+      // version (SCD2 interval frame from view events) current at each
+      // purchase's event time — stateless stream side, broadcast dims;
+      // same semantics as the batch q_asof_join, same DuckDB ASOF oracle
+      val src = new TestDataSource(s, d)
+      val views = src.allEvents.filter(col("event_type") === "view")
+        .groupBy(col(graft.schema.EventSchema.ContextId), col("timestamp"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val iv = graft.pipeline.AsOfJoin.scd2(views,
+          graft.schema.EventSchema.ContextId, "timestamp")
+        .select(col(graft.schema.EventSchema.ContextId), col("valid_from"),
+          col("valid_to"), col("value").as("view_value"))
+      val purchases = src.eventsStream.filter(col("event_type") === "purchase")
+        .select(col(graft.schema.EventSchema.ContextId), col("event_id"),
+          col("timestamp"), col("value"))
+      StreamingReplay.run(
+        StreamingEnrich.asOfEnrich(purchases, iv,
+          graft.schema.EventSchema.ContextId, "timestamp")
+          .select(col(graft.schema.EventSchema.ContextId), col("event_id"),
+            col("timestamp"), col("value"),
+            col("valid_from").as("view_timestamp"), col("view_value")))
     }),
 
     "q_stream_anomaly" -> ((s, d) => {
@@ -301,6 +325,19 @@ object StreamQueries {
         |WHERE session_idx < mx OR end_ts + 21600 < maxt - 600""".stripMargin,
 
     // tumbling 1-day windows anchored at the epoch == integer day floor
+    // DuckDB's native ASOF LEFT JOIN — the batch q_asof_join oracle
+    "q_stream_asof" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS vt, arg_max(value, event_id) AS vv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT CAST(user_id AS VARCHAR) AS context_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.context_id, p.event_id, p.t AS "timestamp", p.value,
+        |  v.vt AS view_timestamp, v.vv AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.context_id = v.context_id AND p.t >= v.vt""".stripMargin,
+
     // the batch anomaly derivation minus each type's still-open max day
     "q_stream_anomaly" ->
       """WITH c AS (SELECT event_type AS et, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
