@@ -52,6 +52,18 @@ object AnalyticsQueries {
       EventAnalytics.sessionize(events(s, d),
         "context_id", "timestamp", "event_id", gapSec = 21600L)),
 
+    "q_media_crossdup" -> ((s, d) => {
+      // cross-media exact dedup: which standalone JPEGs appear
+      // pixel-identically as frames inside the MJPEG videos — both sides
+      // collapse to the shared content key map-side, then ONE key
+      // equi-join; the oracle derives every key analytically from the
+      // generation formulas, so decode + keying must round-trip exactly
+      val dd = docs(s, d)
+      Multimodal.crossMediaDups(
+        Multimodal.syntheticJpegs(dd, "doc_id"),
+        Multimodal.syntheticAvis(dd, "doc_id"))
+    }),
+
     "q_pivot_daily" -> ((s, d) =>
       // wide daily report: per-day event counts pivoted into one column
       // per type — Spark's pivot with an EXPLICIT value list stays a
@@ -442,6 +454,28 @@ object AnalyticsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_session_funnel_k" -> sessionFunnelKOracle(Seq("view", "click", "purchase")),
+
+    // both key families derived analytically: frame pixels are
+    // ((v + 6·fi)·31 + bx·7 + by·13) % 256 on the VIDEO's grid, image
+    // pixels K·31 + … on the IMAGE's own grid — a pair matches iff the
+    // grids AND every block value coincide (incl. mod-256 aliases)
+    "q_media_crossdup" ->
+      s"""WITH dims AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS nf,
+         |    8 * (1 << (doc_id % 3)) AS w, 8 * (1 << (doc_id % 2)) AS h FROM documents),
+         |fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fi FROM dims),
+         |py AS (SELECT doc_id, fi, w, h, unnest(range(0, h)) AS y2 FROM fr),
+         |px AS (SELECT doc_id, fi, w, h, y2, unnest(range(0, w)) AS x2 FROM py),
+         |pk AS (SELECT doc_id, fi,
+         |    ${Hashing.duckMd5Long("string_agg(CAST(((doc_id + 6*fi)*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS frame_key
+         |  FROM px GROUP BY 1, 2),
+         |idm AS (SELECT doc_id, 8 * (1 << (doc_id % 3)) AS w, 8 * (1 << (doc_id % 2)) AS h FROM documents),
+         |iy AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y2 FROM idm),
+         |ix AS (SELECT doc_id, w, h, y2, unnest(range(0, w)) AS x2 FROM iy),
+         |ik AS (SELECT doc_id,
+         |    ${Hashing.duckMd5Long("string_agg(CAST((doc_id*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS img_key
+         |  FROM ix GROUP BY 1)
+         |SELECT ik.doc_id AS image_id, pk.doc_id AS video_id, CAST(pk.fi AS BIGINT) AS frame_idx
+         |FROM ik JOIN pk ON ik.img_key = pk.frame_key""".stripMargin,
 
     "q_pivot_daily" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,

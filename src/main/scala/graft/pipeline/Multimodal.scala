@@ -1234,6 +1234,39 @@ object Multimodal {
       }
     }(Encoders.row(videoDhashSchema))
 
+  /** [[imageContentKeys]] row shape. */
+  val imageKeySchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("img_key", LongType, nullable = false)))
+
+  /** Exact content key per JPEG image blob: the SAME md5-over-gray-pixels
+    * key as [[videoFrameDHashes]]' `frame_key`, so images and video frames
+    * share one content-key space — the cross-media join key. */
+  def imageContentKeys(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeJpegPixels).map { case (w, h, px) =>
+          Row(r.getLong(0), w, h, graft.pipeline.Hashing.md5LongJvm(px.mkString(",")))
+        }
+      }
+    }(Encoders.row(imageKeySchema))
+
+  /** Cross-media exact dedup: which standalone images appear
+    * PIXEL-IDENTICALLY as frames inside videos — "is this picture a still
+    * from footage we already hold". Both sides reduce to 64-bit content
+    * keys map-side (decode never crosses the shuffle), and the match is a
+    * key equi-join whose cost is ∝ collisions, never images × frames.
+    * Output: `image_id | video_id | frame_idx`. */
+  def crossMediaDups(images: DataFrame, videos: DataFrame): DataFrame =
+    imageContentKeys(images)
+      .select(col("media_id").as("image_id"), col("img_key"))
+      .join(videoFrameDHashes(videos)
+          .select(col("media_id").as("video_id"), col("frame_idx"), col("frame_key")),
+        col("img_key") === col("frame_key"))
+      .select(col("image_id"), col("video_id"), col("frame_idx"))
+
   /** Decode every `bytes` blob as an MJPEG AVI: one row per frame
     * (malformed blobs dropped WHOLE — a container with any bad frame
     * contributes nothing). */
