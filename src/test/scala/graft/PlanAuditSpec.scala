@@ -626,6 +626,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FlatMapGroups") || p.contains("MapGroups"), p)
   }
 
+  test("bucketed storage: co-located equi-join plans ZERO exchanges") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_pin_").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the M8 layout: both sides bucketed + sorted on the join key at
+      // WRITE time, so the join is map-side at READ time — the shuffle is
+      // paid once at ingest, not once per query
+      ev.filter(col("event_type") === "purchase")
+        .write.option("path", s"$tmp/a").bucketBy(8, "context_id")
+        .sortBy("context_id").mode("overwrite").saveAsTable("graft_bucket_pin_a")
+      ev.filter(col("event_type") === "view")
+        .groupBy("context_id").count()
+        .write.option("path", s"$tmp/b").bucketBy(8, "context_id")
+        .sortBy("context_id").mode("overwrite").saveAsTable("graft_bucket_pin_b")
+      val joined = spark.table("graft_bucket_pin_a")
+        .join(spark.table("graft_bucket_pin_b"), "context_id")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"bucketed-by-key sides must join without any shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_pin_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_pin_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("persisted IVF index: the query-time plan scans only the artifact directory") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
