@@ -56,6 +56,25 @@ object SketchQueries {
           (col("cms_est") - col("exact_count")).as("overcount"))
     }),
 
+    "q_sketch_rollup" -> ((s, d) => {
+      // the sketch ROLLUP property in production shape: per-(type, day)
+      // sketches built once, weekly distinct-user estimates derived by
+      // MERGING the ≤7 daily sketches — bit-identical to sketching the
+      // week directly (the oracle computes the direct form), because
+      // bottom-k(union of bottom-ks) = bottom-k(union)
+      val ev = new TestDataSource(s, d).allEvents
+      val idiv = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        call_function("div", a, b)
+      val day = idiv(col("timestamp").cast("long"), lit(86400L))
+      val daily = ev.groupBy(col("event_type"), day.as("day"))
+        .agg(Sketches.bottomK(
+          graft.pipeline.Hashing.md5Long(col("context_id")), 32).as("sk"))
+      daily.groupBy(col("event_type"), idiv(col("day"), lit(7L)).as("wk"))
+        .agg(collect_list(col("sk")).as("sks"))
+        .select(col("event_type"), (col("wk") * 7L * 86400L).as("week_start"),
+          Sketches.kmvMergeEstimate(col("sks"), 32).as("est_distinct"))
+    }),
+
     "q_sketch_hist" -> ((s, d) => {
       // histogram p50/p90/p99 of milli-quantized event values per type:
       // 64 equi-width bins over [0, 512000) — bounded mergeable counters
@@ -119,6 +138,18 @@ object SketchQueries {
          |  WHERE sh IN (SELECT sh FROM cand) GROUP BY sh)
          |SELECT est.sh AS shingle, cms_est, exact_count, cms_est - exact_count AS overcount
          |FROM est JOIN ex ON est.sh = ex.sh""".stripMargin,
+
+    // the DIRECT weekly sketch — the rollup from daily sketches must be
+    // bit-identical to it
+    "q_sketch_rollup" ->
+      s"""WITH h AS (SELECT event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS wk,
+         |    ${duckMd5Long("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+         |sk AS (SELECT event_type, wk, (list_sort(list(DISTINCT hv)))[1:32] AS sk
+         |  FROM h GROUP BY 1, 2)
+         |SELECT event_type, CAST(wk * 7 * 86400 AS BIGINT) AS week_start,
+         |  ${Sketches.duckKmvEstimate("sk", 32)} AS est_distinct
+         |FROM sk""".stripMargin,
 
     "q_sketch_hist" -> {
       def pq(q: Int) =

@@ -122,6 +122,17 @@ object Sketches {
         idiv(col("matches") * col("union_est"), col("kp")).as("inter_est"))
   }
 
+  /** Estimate from a MERGED set of bottom-k sketches (an
+    * `array<array<bigint>>` column) — the sketch ROLLUP property: the k
+    * smallest hashes of a union are all among each part's k smallest, so
+    * bottom-k(union of bottom-ks) EQUALS bottom-k(union) and a weekly
+    * distinct count derived from persisted daily sketches is EXACTLY the
+    * directly-computed weekly sketch. Pre-aggregate once, roll up to any
+    * coarser grain without rescanning — the entire point of sketch
+    * storage at 100 TB. */
+  def kmvMergeEstimate(skArrays: Column, k: Int): Column =
+    kmvEstimate(slice(array_sort(array_distinct(flatten(skArrays))), 1, k), k)
+
   // ---------------- histogram quantiles ----------------
 
   /** Fixed-bin histogram quantile estimation — the mergeable bounded-state

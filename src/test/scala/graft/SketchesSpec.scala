@@ -73,6 +73,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(exact.count { case (v, n) => est(v) == n } >= 35)
   }
 
+  test("sketch rollup is lossless: merged part-sketches equal the direct sketch") {
+    // 1000 values split into 13 arbitrary parts: bottom-k(union of
+    // bottom-ks) must equal bottom-k(union)
+    val df = (0 until 3000).map(i => (i % 13, s"v${i % 1000}")).toDF("part", "v")
+    val h = Hashing.md5Long(col("v"))
+    val direct = df.agg(Sketches.bottomK(h, 64)).head.getSeq[Long](0)
+    val merged = df.groupBy("part").agg(Sketches.bottomK(h, 64).as("sk"))
+      .agg(collect_list(col("sk")).as("sks"))
+      .select(slice(array_sort(array_distinct(flatten(col("sks")))), 1, 64))
+      .head.getSeq[Long](0)
+    assert(merged == direct)
+  }
+
   test("histogram quantiles: exact bin-edge answers on a uniform distribution") {
     val df = (0 until 1000).map(_.toLong).toDF("v").withColumn("g", lit("a"))
     val r = Sketches.histogramQuantiles(df, "g", col("v"), 0L, 1000L, 10, Seq(50, 90, 99)).head
