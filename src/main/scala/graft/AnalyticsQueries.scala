@@ -320,7 +320,59 @@ object AnalyticsQueries {
     "q_image_neardup" -> ((s, d) =>
       // banded Hamming near-dup: 4×16-bit bands, pigeonhole-exact for
       // dist<=3, so the banded plan must equal the oracle's brute force
-      Multimodal.nearDupImages(pngHashes(s, d), maxDist = 3))
+      Multimodal.nearDupImages(pngHashes(s, d), maxDist = 3)),
+
+    "q_ab_lift" -> ((s, d) =>
+      // A/B readout: 3 hash-assigned arms, conversion = any purchase,
+      // integer ppm rates + lift vs arm 0 — one user-grain aggregate,
+      // then arm-cardinality rows only
+      EventAnalytics.experimentLift(events(s, d),
+        "context_id", "event_type", convType = "purchase", nVariants = 3)),
+
+    "q_top_paths" -> ((s, d) =>
+      // top-25 session journeys (first 5 steps, 6h gap sessions) — path
+      // strings bounded at maxLen, counting is an ordinary aggregate,
+      // ranking a bounded TakeOrdered
+      EventAnalytics.topPaths(events(s, d), "context_id", "timestamp",
+        "event_id", "event_type", gapSec = 21600L, maxLen = 5, topN = 25)),
+
+    "q_funnel_within" -> ((s, d) =>
+      // k-step funnel with a conversion time budget: the chain must
+      // complete within 2h of the first matched step — same greedy fold,
+      // one extra predicate, no new exchange
+      EventAnalytics.sessionFunnelK(events(s, d), "context_id", "timestamp",
+        "event_id", "event_type", gapSec = 21600L,
+        steps = Seq("view", "click", "purchase"), withinSec = 7200L)
+        .select(col("context_id"), col("session_idx"), col("n_events"),
+          try_element_at(col("step_ts"), lit(1)).as("s1_ts"),
+          try_element_at(col("step_ts"), lit(2)).as("s2_ts"),
+          try_element_at(col("step_ts"), lit(3)).as("s3_ts"),
+          col("steps_done"), col("converted"))),
+
+    "q_weighted_sample" -> ((s, d) =>
+      // priority sampling (Duffield-Lund-Thorup): 20 docs per source,
+      // inclusion ∝ n_chars, rank = integer u div w over the salted md5
+      // coin — bounded two-phase top-k, never a per-group window
+      DataMix.weightedSamplePerGroup(docs(s, d),
+        "source", "doc_id", "n_chars", n = 20)),
+
+    "q_attribution" -> ((s, d) => {
+      // last-touch marketing attribution: every purchase credits the
+      // latest non-purchase touch within a 7-day lookback (AS-OF with
+      // tolerance), then revenue rolls up per touch channel — the asOf
+      // carry-forward plus a channel-cardinality aggregate
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("context_id"), col("event_id"), col("timestamp"), col("value"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("context_id"), col("timestamp"))
+        .agg(max_by(col("event_type"), col("event_id")).as("channel"))
+      AsOfJoin.asOf(purchases, touches, "context_id", "timestamp", "timestamp",
+          dimPrefix = "touch_", toleranceSec = Some(604800L))
+        .groupBy(coalesce(col("touch_channel"), lit("unattributed")).as("channel"))
+        .agg(count(lit(1)).as("purchases"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("revenue_cents"))
+    })
   )
 
   // ---------------- oracles ----------------
@@ -415,16 +467,22 @@ object AnalyticsQueries {
     * earliest event of its type STRICTLY after step i in (t, eid) order —
     * the recurrence [[graft.pipeline.EventAnalytics.sessionFunnelK]]'s
     * greedy fold implements in one pass. */
-  private def sessionFunnelKOracle(steps: Seq[String]): String = {
+  private def sessionFunnelKOracle(steps: Seq[String], withinSec: Long = 0L): String = {
     val k = steps.size
     val stepCtes = steps.zipWithIndex.map { case (ty, ix) =>
       val n = ix + 1
       val src = if (ix == 0) "x"
         else s"""x JOIN s$ix ON x.context_id = s$ix.context_id AND x.session_idx = s$ix.session_idx"""
+      // the budget anchor (step 1's ts) rides along as b1 so every later
+      // step can enforce the withinSec conversion window
+      val anchor = if (ix == 1) s"s$ix.t1" else s"s$ix.b1"
       val after = if (ix == 0) ""
-        else s" AND (x.t > s$ix.t$ix OR (x.t = s$ix.t$ix AND x.eid > s$ix.i$ix))"
-      s"""s$n AS (SELECT context_id, session_idx, t AS t$n, eid AS i$n FROM (
-         |    SELECT x.context_id, x.session_idx, x.t, x.eid,
+        else s" AND (x.t > s$ix.t$ix OR (x.t = s$ix.t$ix AND x.eid > s$ix.i$ix))" +
+          (if (withinSec > 0) s" AND x.t <= $anchor + $withinSec" else "")
+      val anchorSel = if (withinSec == 0 || ix == 0) "" else s", $anchor AS b1"
+      val anchorOut = if (withinSec == 0 || ix == 0) "" else ", b1"
+      s"""s$n AS (SELECT context_id, session_idx, t AS t$n, eid AS i$n$anchorOut FROM (
+         |    SELECT x.context_id, x.session_idx, x.t, x.eid$anchorSel,
          |      row_number() OVER (PARTITION BY x.context_id, x.session_idx ORDER BY x.t, x.eid) AS rn
          |    FROM $src WHERE x.event_type = '$ty'$after) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
@@ -454,6 +512,82 @@ object AnalyticsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_session_funnel_k" -> sessionFunnelKOracle(Seq("view", "click", "purchase")),
+
+    "q_funnel_within" ->
+      sessionFunnelKOracle(Seq("view", "click", "purchase"), withinSec = 7200L),
+
+    // hash-assigned arms; all rate math in truncate-toward-zero integer
+    // division (DuckDB // floors, so negative lifts spell the truncation
+    // with a CASE — the q_anomaly_days convention)
+    "q_ab_lift" ->
+      s"""WITH u AS (SELECT ${Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")} % 3 AS variant,
+         |    user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS users,
+         |    CAST(sum(conv) AS BIGINT) AS converters FROM u GROUP BY 1),
+         |r AS (SELECT variant, users, converters,
+         |    converters * 1000000 // users AS conv_ppm FROM a)
+         |SELECT r.variant, r.users, r.converters, r.conv_ppm,
+         |  CASE WHEN r.conv_ppm >= c.conv_ppm
+         |       THEN (r.conv_ppm - c.conv_ppm) * 1000000 // c.conv_ppm
+         |       ELSE -((c.conv_ppm - r.conv_ppm) * 1000000 // c.conv_ppm) END AS lift_ppm
+         |FROM r, (SELECT conv_ppm FROM r WHERE variant = 0) c""".stripMargin,
+
+    // sessionized journeys: the funnel oracle's session assembly, paths as
+    // the first-5-step string_agg, top-25 by (count DESC, path ASC)
+    "q_top_paths" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
+        |s AS (SELECT context_id, t, eid, event_type,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
+        |x AS (SELECT context_id, t, eid, event_type,
+        |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM s),
+        |p AS (SELECT context_id, session_idx,
+        |    string_agg(event_type, '>' ORDER BY t, eid) AS path
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY context_id, session_idx
+        |          ORDER BY t, eid) AS rn FROM x)
+        |  WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC LIMIT 25""".stripMargin,
+
+    // priority sampling: rank = u div w, both operands non-negative so
+    // DuckDB's flooring // IS truncation; window formulation defines the
+    // semantics the bounded two-phase aggregate must reproduce
+    "q_weighted_sample" ->
+      s"""WITH w AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS wt,
+         |    ${Hashing.duckMd5Long("'wmix:' || CAST(doc_id AS VARCHAR)")} AS u
+         |  FROM documents WHERE n_chars > 0),
+         |k AS (SELECT source, doc_id, wt,
+         |    row_number() OVER (PARTITION BY source ORDER BY u // wt, doc_id) AS rn
+         |  FROM w)
+         |SELECT source, doc_id, CAST(rn - 1 AS BIGINT) AS rk, wt AS weight
+         |FROM k WHERE rn <= 20""".stripMargin,
+
+    // last-touch attribution: per purchase, the latest deduped touch in
+    // the 7-day lookback (inclusive both ends, ties impossible after the
+    // (context, ts) dedup), then revenue per channel in exact cents
+    "q_attribution" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS context_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tt,
+        |    arg_max(event_type, event_id) AS channel
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |m AS (SELECT p.context_id, p.event_id, p.value,
+        |    arg_max(tc.channel, tc.tt) AS channel
+        |  FROM p LEFT JOIN tc ON tc.context_id = p.context_id
+        |    AND tc.tt <= p.t AND tc.tt >= p.t - 604800
+        |  GROUP BY 1, 2, 3)
+        |SELECT coalesce(channel, 'unattributed') AS channel,
+        |  CAST(count(*) AS BIGINT) AS purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM m GROUP BY 1""".stripMargin,
 
     // both key families derived analytically: frame pixels are
     // ((v + 6·fi)·31 + bx·7 + by·13) % 256 on the VIDEO's grid, image

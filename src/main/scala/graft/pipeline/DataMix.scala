@@ -100,6 +100,48 @@ object DataMix {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Weighted sample of (at most) `n` rows per group, inclusion probability
+    * increasing with `weightCol` — PRIORITY SAMPLING (Duffield, Lund &
+    * Thorup, JACM 2007): each row draws a uniform hash u and is ranked by
+    * u/w (equivalently priority w/u descending); the n smallest ranks per
+    * group are the sample. Deterministic: u is the salted-id md5 hash, the
+    * rank is the INTEGER quotient u div w (documented floor semantics —
+    * u spans 60 bits, so the quotient resolves weights to ~2^60/w
+    * distinct levels), ties break to the smaller id. Rows with
+    * non-positive or null weights are excluded (they can never be
+    * sampled; documented rather than silently hashed).
+    *
+    * Same 100 TB shape as [[samplePerGroup]]: the bounded TopKByDot
+    * aggregate (map-side state ≤ n per (group, partition)), never a
+    * per-group window rank.
+    *
+    * Output: (groupCol, idCol, rk, weight) — rk is the 0-based rank in
+    * (u div w ASC, id ASC) order. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, n: Int, salt: String = "wmix"): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(idType),
+      s"weightedSamplePerGroup needs an integral id column, got $idCol: ${idType.simpleString}")
+    val w = col(weightCol).cast("long")
+    val u = Hashing.md5Long(concat(lit(s"$salt:"), col(idCol).cast("string")))
+    // TopKByDot keeps the n LARGEST dots; negate the rank to keep the n
+    // SMALLEST u div w (ties → smaller id inside the aggregate)
+    val rank = -call_function("div", u, w)
+    val tk = columnOf(graft.functions.TopKByDot(
+      expressionOf(rank), expressionOf(col(idCol).cast("long")),
+      expressionOf(w.cast("double")), n).toAggregateExpression())
+    df.filter(w > 0)
+      .groupBy(col(groupCol)).agg(tk.as("tk"))
+      .select(col(groupCol), posexplode(col("tk")).as(Seq("rk", "e")))
+      .select(col(groupCol), col("e.id").cast(idType).as(idCol),
+        col("rk").cast("long").as("rk"),
+        col("e.payload").cast("long").as("weight"))
+  }
+
   /** TOKEN-BUDGET mixture — "take exactly `budget` tokens per domain", the
     * shape published LLM data recipes are specified in (token shares, not
     * document counts): documents are ordered by their salted-hash coin

@@ -117,8 +117,9 @@ object EventAnalytics {
     * `converted` (all k steps matched). */
   def sessionFunnelK(events: DataFrame, ctxCol: String, tsCol: String,
       idCol: String, typeCol: String, gapSec: Long,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], withinSec: Long = 0L): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least 2 steps, got ${steps.size}")
+    require(withinSec >= 0, s"withinSec must be >= 0 (0 = unbounded), got $withinSec")
     val k = steps.size
     val stepArr = array(steps.map(lit): _*)
     val se = assignSessions(events, ctxCol, tsCol, idCol, gapSec)
@@ -130,10 +131,17 @@ object EventAnalytics {
             col(typeCol).as("y"))))).as("_evs"))
     // greedy forward chain walk: acc = timestamps of steps matched so far;
     // the array is (t, i)-sorted, so "strictly after the previous match"
-    // is exactly "later in the fold"
+    // is exactly "later in the fold". With `withinSec > 0` a step only
+    // matches while the chain stays inside the first-step time budget
+    // (t − step1_ts ≤ withinSec) — events are scanned in time order, so
+    // the first qualifying event is still the earliest qualifying event.
+    val inBudget = (acc: Column, e: Column) =>
+      if (withinSec == 0L) lit(true)
+      else size(acc) === 0 || e.getField("t") - element_at(acc, 1) <= withinSec
     val chain = aggregate(col("_evs"), expr("cast(array() as array<bigint>)"),
       (acc, e) => when(size(acc) < k &&
-          e.getField("y") === element_at(stepArr, size(acc) + 1),
+          e.getField("y") === element_at(stepArr, size(acc) + 1) &&
+          inBudget(acc, e),
         concat(acc, array(e.getField("t")))).otherwise(acc))
     g.withColumn("step_ts", chain)
       .select(col(ctxCol), col("session_idx"), col("n_events"), col("step_ts"),
@@ -401,5 +409,75 @@ object EventAnalytics {
       .filter(abs(col("dev_ppm")) >= thresholdPpm)
       .select(col("_et").as(typeCol), (col("_day") * 86400).as("day_start"),
         col("_cnt").as("cnt"), col("_trail").as("trail_total"), col("dev_ppm"))
+  }
+
+  /** A/B experiment readout: contexts are hash-assigned to `nVariants`
+    * arms (deterministic salted md5 of the context id — the standard
+    * stable-bucketing assignment, reproducible by any engine), and each
+    * arm reports its user count, converter count (contexts with ≥ 1
+    * `convType` event), conversion rate in ppm, and lift vs the control
+    * arm (variant 0) in ppm of the control's rate. All rate arithmetic is
+    * integer (truncated toward zero), so an independent engine reproduces
+    * every ppm bit-for-bit.
+    *
+    * Scale shape: ONE context-grain aggregation collapses the corpus
+    * (map-side partials absorb per-user event counts), then an
+    * arm-cardinality aggregate; the control row joins back as a
+    * single-row broadcast. No window, nothing corpus-sized past the first
+    * exchange.
+    *
+    * Output: variant, users, converters, conv_ppm, lift_ppm (0 for the
+    * control arm). */
+  def experimentLift(events: DataFrame, ctxCol: String, typeCol: String,
+      convType: String, nVariants: Int, salt: String = "ab"): DataFrame = {
+    require(nVariants >= 2, s"an experiment needs >= 2 variants, got $nVariants")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val variant = pmod(Hashing.md5Long(
+      concat(lit(s"$salt:"), col(ctxCol).cast("string"))), lit(nVariants.toLong))
+    val perUser = events
+      .select(variant.as("variant"), col(ctxCol).as("_ctx"),
+        (col(typeCol) === convType).cast("long").as("_conv"))
+      .groupBy(col("variant"), col("_ctx"))
+      .agg(max(col("_conv")).as("_conv"))
+    val arms = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("users"), sum(col("_conv")).as("converters"))
+      .withColumn("conv_ppm", idiv(col("converters") * 1000000L, col("users")))
+    val control = arms.filter(col("variant") === 0)
+      .select(col("conv_ppm").as("_ctl_ppm"))
+    arms.crossJoin(broadcast(control))
+      .withColumn("lift_ppm",
+        idiv((col("conv_ppm") - col("_ctl_ppm")) * 1000000L, col("_ctl_ppm")))
+      .select(col("variant"), col("users"), col("converters"),
+        col("conv_ppm"), col("lift_ppm"))
+  }
+
+  /** Top-N session paths: each session's journey as the `maxLen`-prefix of
+    * its event-type sequence in (timestamp, event_id) order, joined with
+    * `>`, counted across all sessions, top `topN` by (count DESC, path
+    * ASC) — the "what do users actually do" flow report.
+    *
+    * Scale shape: session assembly reuses the single hash(context)
+    * exchange of [[assignSessions]]; per-session state is one session's
+    * events (the sessionization bound) and the emitted path string is
+    * capped at `maxLen` steps regardless of session length. Path counting
+    * is an ordinary partial+final aggregate on the path string (distinct
+    * paths ≪ sessions), and the final ranking is a bounded
+    * TakeOrderedAndProject — no global sort.
+    *
+    * Output: path, n_sessions. */
+  def topPaths(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long,
+      maxLen: Int, topN: Int): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val se = assignSessions(events, ctxCol, tsCol, idCol, gapSec)
+    val path = se.groupBy(col(ctxCol), col("session_idx"))
+      .agg(sort_array(collect_list(struct(col(tsCol).cast("long").as("t"),
+        col(idCol).cast("long").as("i"), col(typeCol).as("y")))).as("_evs"))
+      .select(concat_ws(">",
+        expr(s"transform(slice(_evs, 1, $maxLen), e -> e.y)")).as("path"))
+    path.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topN)
   }
 }

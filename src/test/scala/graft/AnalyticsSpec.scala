@@ -524,4 +524,67 @@ class AnalyticsSpec extends AnyFunSuite {
       .toSet
     assert(pairs == Set((1L, 2L, 2L)))
   }
+
+  test("sessionFunnelK withinSec: chain completes only inside the first-step budget") {
+    val events = Seq(
+      // u: a at 100, b at 150, c at 190 → all within 100s of a → converted
+      ("u", 100L, 1L, "a"), ("u", 150L, 2L, "b"), ("u", 190L, 3L, "c"),
+      // v: a at 100, b at 150, c at 250 → c exceeds the budget → 2 steps
+      ("v", 100L, 4L, "a"), ("v", 150L, 5L, "b"), ("v", 250L, 6L, "c"),
+      // w: first b arrives past budget, but no later b exists → 1 step;
+      // greedy first-touch anchors on the FIRST a even though a later a
+      // (at 300) would have allowed the chain
+      ("w", 100L, 7L, "a"), ("w", 300L, 8L, "a"), ("w", 350L, 9L, "b")
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.sessionFunnelK(events, "context_id", "timestamp",
+        "event_id", "event_type", gapSec = 10000L, steps = Seq("a", "b", "c"),
+        withinSec = 100L)
+      .collect().map(r => (r.getAs[String]("context_id"),
+        r.getAs[Long]("steps_done"), r.getAs[Boolean]("converted"))).toSet
+    assert(out == Set(("u", 3L, true), ("v", 2L, false), ("w", 1L, false)))
+  }
+
+  test("experimentLift: per-arm integer ppm rates, lift vs control truncates toward zero") {
+    // hand-build assignment by reusing the same hash the operator uses
+    val users = (1 to 60).map(_.toString)
+    val byArm = users.groupBy(u =>
+      Math.floorMod(Hashing.md5LongJvm(s"ab:$u"), 2L))
+    // every user gets a view; users with even int id also convert
+    val rows = users.flatMap { u =>
+      Seq((u, "view")) ++ (if (u.toInt % 2 == 0) Seq((u, "purchase")) else Nil)
+    }
+    val out = EventAnalytics.experimentLift(
+        rows.toDF("context_id", "event_type"), "context_id", "event_type",
+        convType = "purchase", nVariants = 2)
+      .collect().map(r => r.getAs[Long]("variant") ->
+        ((r.getAs[Long]("users"), r.getAs[Long]("converters"),
+          r.getAs[Long]("conv_ppm"), r.getAs[Long]("lift_ppm")))).toMap
+    (0L to 1L).foreach { arm =>
+      val us = byArm(arm)
+      val conv = us.count(_.toInt % 2 == 0).toLong
+      val ppm = conv * 1000000L / us.size
+      assert(out(arm)._1 == us.size.toLong && out(arm)._2 == conv &&
+        out(arm)._3 == ppm, s"arm $arm: ${out(arm)}")
+    }
+    assert(out(0L)._4 == 0L)
+    val expLift = (out(1L)._3 - out(0L)._3) * 1000000L / out(0L)._3
+    assert(out(1L)._4 == expLift)
+  }
+
+  test("topPaths: (ts, id)-ordered prefix paths, count desc / path asc ranking") {
+    val events = Seq(
+      ("u", 100L, 1L, "view"), ("u", 110L, 2L, "click"),
+      ("v", 100L, 3L, "view"), ("v", 110L, 4L, "click"),
+      // w: 3 steps but maxLen 2 truncates to view>click
+      ("w", 100L, 5L, "view"), ("w", 110L, 6L, "click"), ("w", 120L, 7L, "buy"),
+      // x alone: singleton path, ties with nothing
+      ("x", 100L, 8L, "buy"),
+      // y: same count as x's path but later alphabetically
+      ("y", 100L, 9L, "view")
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.topPaths(events, "context_id", "timestamp",
+        "event_id", "event_type", gapSec = 10000L, maxLen = 2, topN = 2)
+      .collect().map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions")))
+    assert(out.toSeq == Seq(("view>click", 3L), ("buy", 1L)))
+  }
 }

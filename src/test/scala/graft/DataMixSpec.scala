@@ -77,4 +77,27 @@ class DataMixSpec extends AnyFunSuite {
       .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
     assert(nullSplit(None) == "test")
   }
+
+  test("weightedSamplePerGroup: priority order u div w, non-positive weights excluded") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => ("g", i, i)) ++ // weight = id
+      Seq(("g", 51L, 0L), ("g", 52L, -3L), // never sampled
+        ("h", 60L, 1L)) // small group: all rows survive
+    val df = rows.toSeq.toDF("grp", "id", "w")
+    val out = DataMix.weightedSamplePerGroup(df, "grp", "id", "w", n = 10)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"),
+        r.getAs[Long]("rk"), r.getAs[Long]("weight")))
+    // expected: rank by (md5('wmix:'+id) div w, id), 10 smallest of group g
+    val exp = (1L to 50L).map { i =>
+      (i, Math.floorMod(graft.pipeline.Hashing.md5LongJvm(s"wmix:$i"),
+        1L << 60) / i)
+    }.sortBy { case (i, r) => (r, i) }.take(10).zipWithIndex
+      .map { case ((i, _), rk) => ("g", i, rk.toLong, i) }
+    assert(out.filter(_._1 == "g").sortBy(_._3).toSeq == exp)
+    assert(out.filter(_._1 == "h").toSeq == Seq(("h", 60L, 0L, 1L)))
+    // determinism: a repartitioned input samples the identical set
+    val again = DataMix.weightedSamplePerGroup(df.repartition(7), "grp", "id", "w", n = 10)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toSet
+    assert(again == out.map(t => (t._1, t._2)).toSet)
+  }
 }

@@ -523,6 +523,52 @@ class PlanAuditSpec extends AnyFunSuite {
       s"k-step funnel must never funnel through one partition:\n$p")
   }
 
+  test("time-budget funnel keeps the single-exchange join-free shape") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.sessionFunnelK(
+      ev, "context_id", "timestamp", "event_id", "event_type", 21600L,
+      Seq("view", "click", "purchase"), withinSec = 7200L)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"budgeted funnel must still shuffle once on the context key:\n$p")
+    assert(!p.contains("Join"), s"budgeted funnel must not join:\n$p")
+  }
+
+  test("experimentLift: user-grain collapse, no window, control joins as broadcast") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.experimentLift(
+      ev, "context_id", "event_type", "purchase", nVariants = 3)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window"), s"experimentLift must not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the 1-row control side must broadcast, never shuffle the arms:\n$p")
+  }
+
+  test("topPaths: bounded TakeOrdered ranking, no join, no single-partition funnel") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.topPaths(
+      ev, "context_id", "timestamp", "event_id", "event_type", 21600L,
+      maxLen = 5, topN = 25)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"topPaths must rank via bounded TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("Join"), s"topPaths must not join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"topPaths must never funnel through one partition:\n$p")
+  }
+
+  test("weightedSamplePerGroup never plans a per-group window rank") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val p = plan(graft.pipeline.DataMix.weightedSamplePerGroup(
+      docs, "source", "doc_id", "n_chars", 20))
+    assert(!p.contains("Window"),
+      s"weightedSamplePerGroup plans a per-group window rank:\n$p")
+  }
+
   test("engagement: window-free rolling distinct, bounded exchanges") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val ev = new graft.sources.TestDataSource(spark, dir).allEvents
