@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ast.{AggSpec, TimeGranularity}
 import graft.sources.TestDataSource
-import graft.streaming.{StreamingAggregates, StreamingAnomaly, StreamingEnrich, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
+import graft.streaming.{StreamingAggregates, StreamingAnomaly, StreamingEnrich, StreamingJoins, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
 
 /** CORRECTNESS rows for the Structured Streaming operators: each one is
   * batch-replayed over the testdata via [[streaming.StreamingReplay]]
@@ -194,6 +194,19 @@ object StreamQueries {
         StreamingAggregates.windowed(purchases, TimeGranularity.Day,
           Seq(AggSpec.Count, AggSpec.Avg("value")), watermarkDelay = None),
         mode = "complete")
+    }),
+
+    "q_stream_join" -> ((s, d) => {
+      // stream-stream windowed INNER join: clicks correlated with the same
+      // user's purchases within the following hour — both sides are live
+      // streams (no static table), co-partitioned into watermark-evicted
+      // join state; inner matches emit as they form, so the AvailableNow
+      // replay's result is exactly the batch inequality join (the oracle)
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(StreamingJoins.windowJoin(
+        src.eventsStream.filter(col("event_type") === "click"),
+        src.eventsStream.filter(col("event_type") === "purchase"),
+        "context_id", "timestamp", "event_id", windowSec = 3600L))
     })
   )
 
@@ -372,6 +385,20 @@ object StreamQueries {
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS bucket,
         |  CAST(count(*) AS BIGINT) AS "count",
         |  avg(CAST(trunc(value) AS BIGINT)) AS avg_value
-        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    // inner stream-stream matches are emission-order-free and complete
+    // (the watermark only evicts state), so the oracle is the batch
+    // inequality join with the same inclusive window bounds
+    "q_stream_join" ->
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS left_ts, event_id AS left_id
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS right_ts, event_id AS right_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.key, l.left_id, l.left_ts, r.right_id, r.right_ts
+        |FROM l JOIN r ON l.key = r.key
+        |  AND r.right_ts >= l.left_ts AND r.right_ts <= l.left_ts + 3600""".stripMargin
   )
 }

@@ -366,4 +366,33 @@ class StreamingStatefulSpec extends AnyFunSuite {
       .head.getAs[Long]("est_distinct")
     assert(rows(1)._2 == batchEst, "streaming estimate == batch estimate")
   }
+
+  test("stream-stream window join: cross-batch match, inclusive bounds, window cut-off") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lMem = MemoryStream[(String, Long, Long)]
+    val rMem = MemoryStream[(String, Long, Long)]
+    val cols = Seq("context_id", "timestamp", "event_id")
+    val joined = graft.streaming.StreamingJoins.windowJoin(
+      lMem.toDF.toDF(cols: _*), rMem.toDF.toDF(cols: _*),
+      "context_id", "timestamp", "event_id", windowSec = 100L,
+      watermarkDelay = "10 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("sjoin").start()
+
+    // batch 1: left rows only — no matches yet, state held
+    lMem.addData(("u", 1000L, 1L), ("u", 2000L, 2L), ("v", 1000L, 3L))
+    q.processAllAvailable()
+    assert(spark.table("sjoin").count() == 0)
+    // batch 2: right rows — u@1100 matches left u@1000 (boundary, inclusive)
+    // from the PREVIOUS batch; u@2101 is 101s after left u@2000 → no match;
+    // w has no left side at all
+    rMem.addData(("u", 1100L, 10L), ("u", 2101L, 11L), ("w", 1000L, 12L))
+    q.processAllAvailable()
+    val rows = spark.table("sjoin").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("left_id"),
+        r.getAs[Long]("right_id"))).toSet
+    q.stop()
+    assert(rows == Set(("u", 1L, 10L)))
+  }
 }
