@@ -689,6 +689,23 @@ object PipelineQueries {
         k = 5, nClusters = 16, nProbe = 4)
     }),
 
+    "q_sim_pq_topk" -> ((s, d) => {
+      // product-quantization ADC: 8 subspaces × 16 seed centroids, corpus
+      // compressed to 8 codes/vector, queries ranked by m lookup-table
+      // reads per candidate — deterministic integer arithmetic end to end
+      val e = embs(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16)
+    }),
+
+    "q_sim_pq_recall" -> ((s, d) => {
+      // the PQ family's acceptance row: per-query recall of the ADC
+      // ranking vs exact truth, integer ppm
+      val e = embs(s, d)
+      Similarity.pqRecall(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16)
+    }),
+
     "q_sim_ivf_persisted" -> ((s, d) => {
       // the ANN nightly-build/query-time boundary: build the IVF index,
       // write centroids + inverted lists to parquet, read them back, and
@@ -803,6 +820,30 @@ object PipelineQueries {
     // hash-verifies the batcher's order-equivalence proof every round
     bpeModels.computeIfAbsent(d, _ =>
       Bpe.train(docs(s, d), "text", merges = 8, mergeBatch = 4))
+
+  /** The PQ/ADC top-5 derivation (q_sim_pq_topk), reused as the approx
+    * ranking inside q_sim_pq_recall. Slices spelled with list_slice so the
+    * subspace bounds can be computed from the unnested j. */
+  private val pqTopKOracle =
+    """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, qv AS cv
+      |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 16)),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |costs AS (SELECT v.vec_id, js.j, cb.cidx,
+      |    list_dot_product(list_slice(cb.cv, js.j*8+1, js.j*8+8), list_slice(cb.cv, js.j*8+1, js.j*8+8))
+      |    - 2*list_dot_product(list_slice(v.qv, js.j*8+1, js.j*8+8), list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS cost
+      |  FROM v CROSS JOIN js CROSS JOIN cb),
+      |codes AS (SELECT vec_id AS neighbor_id, j, cidx AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY cost, cidx) AS rk
+      |    FROM costs) WHERE rk = 1),
+      |luts AS (SELECT v.vec_id AS query_id, js.j, cb.cidx,
+      |    CAST(list_dot_product(list_slice(v.qv, js.j*8+1, js.j*8+8), list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS BIGINT) AS lval
+      |  FROM v CROSS JOIN js CROSS JOIN cb WHERE v.vec_id < 50)
+      |SELECT query_id, neighbor_id, approx_dot FROM (
+      |  SELECT query_id, neighbor_id, CAST(sum(lval) AS BIGINT) AS approx_dot
+      |  FROM codes JOIN luts ON codes.j = luts.j AND codes.code = luts.cidx
+      |  WHERE neighbor_id <> query_id GROUP BY 1, 2)
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) <= 5""".stripMargin
 
   private def bpeOracle(k: Int, select: String): String = {
     val rounds = (1 to k).map { r =>
@@ -2099,6 +2140,25 @@ object PipelineQueries {
         |FROM probes p JOIN cells USING (cid)
         |WHERE neighbor_id <> query_id
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
+    // PQ/ADC: sub-codebooks are subspace slices of the 16 lowest-id
+    // vectors; code = argmin |c|²−2·x·c per (vector, subspace) with
+    // smaller-index tie-break; approx dot = sum of the query's 8
+    // lut reads on the codes — all integer-exact in doubles < 2^53
+    "q_sim_pq_topk" -> pqTopKOracle,
+
+    "q_sim_pq_recall" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+         |    FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5),
+         |ap AS (SELECT query_id, neighbor_id FROM ($pqTopKOracle))
+         |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST((count(ap.neighbor_id) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1""".stripMargin,
 
     // seed assignment, then ONE Lloyd round: cell = argmax dot (ties → low
     // cid), refined centroid = per-dim truncated integer mean of the cell

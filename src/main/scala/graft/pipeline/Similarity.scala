@@ -408,6 +408,108 @@ object Similarity {
     topKPerQuery(cand, k, queries.schema(idCol).dataType, withCosine = false)
   }
 
+  // ---------------- product quantization (ADC) ----------------
+
+  /** PQ sub-codebooks (Jégou/Douze/Schmid, "Product quantization for
+    * nearest neighbor search", PAMI 2011): the vector space splits into
+    * `m` contiguous subspaces of dims/m coordinates; sub-codebook j is the
+    * j-th slice of the `ksub` lowest-id corpus vectors (the deterministic
+    * IVF seeding convention — a Lloyd refinement per subspace would reuse
+    * [[ivfTopK]]'s integer k-means machinery verbatim; seeds keep the
+    * oracle derivation closed-form and the recall row quantifies what
+    * they give up). Returns `codebooks(j)(c)` = centroid c of subspace j,
+    * in quantized integer coordinates. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Seq[Seq[Seq[Long]]] = {
+    require(m > 0 && ksub > 0, s"m and ksub must be positive, got $m, $ksub")
+    val seeds = collectCentroids(
+      corpus.orderBy(col(idCol)).limit(ksub)
+        .select(col(idCol).cast("long"), quantize(col(vecCol))))
+    require(seeds.size == ksub, s"corpus has ${seeds.size} < ksub=$ksub vectors")
+    val dims = seeds.head._2.size
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    (0 until m).map(j => seeds.map { case (_, v) => v.slice(j * sub, j * sub + sub) })
+  }
+
+  /** Encode every corpus vector as `m` one-byte-scale codes: code j is the
+    * sub-codebook entry minimizing exact integer L2 distance on subspace j
+    * (spelled `|c|² − 2·x·c` — the `|x|²` term is constant per subspace —
+    * ties → smaller centroid index). ONE codegen'd projection over the
+    * corpus with the codebooks inlined as literals: m×ksub native DotLong
+    * products per row, no join, no shuffle. The codes table is the
+    * m-bytes-per-vector representation the 100 TB ANN serving path scans
+    * instead of raw embeddings (a 64-dim float vector compresses 32×).
+    *
+    * Output: (neighbor_id, codes array<int> of length m). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val m = codebooks.size
+    val codeExprs = (0 until m).map { j =>
+      val sub = codebooks(j).head.size
+      val xj = slice(col("__cv"), j * sub + 1, sub)
+      val costs = codebooks(j).zipWithIndex.map { case (c, ci) =>
+        val norm = c.map(x => x * x).sum
+        struct((lit(norm) - lit(2L) * dotLong(xj, typedLit(c))).as("cost"),
+          lit(ci).as("idx"))
+      }
+      element_at(slice(sort_array(array(costs: _*)), 1, 1), 1)
+        .getField("idx").cast("int")
+    }
+    corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
+      .select(col("neighbor_id"), array(codeExprs: _*).as("codes"))
+  }
+
+  /** PQ approximate top-k by ASYMMETRIC DISTANCE COMPUTATION: the query
+    * stays un-quantized; its per-subspace dot products against every
+    * sub-codebook entry form an m×ksub lookup table (computed driver-side
+    * in exact integer arithmetic — queries are a bounded set, the
+    * [[graft.pipeline.Search.hybridTopK]] contract), and a corpus
+    * vector's approximate dot is m table lookups on its CODES — the
+    * serving scan never touches raw embeddings. The LUT frame
+    * (queries × m·ksub longs) broadcasts against the codes scan; ranking
+    * is the bounded two-phase top-k. Approximation quality is graded by
+    * [[pqRecall]].
+    *
+    * Output: query_id, neighbor_id, `approx_dot` (the ADC estimate of the
+    * quantized dot product). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
+    val qs = queries.select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSeq
+    val luts = qs.map { case (qid, qv) =>
+      val flat = (0 until m).flatMap { j =>
+        val sub = codebooks(j).head.size
+        val qj = qv.slice(j * sub, j * sub + sub)
+        codebooks(j).map(c => qj.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum)
+      }
+      (qid, flat)
+    }
+    val lutDf = luts.toDF("query_id", "__lut")
+    // approximate dot = m codegen'd element_at lookups, summed
+    val approx = (0 until m)
+      .map(j => element_at(col("__lut"),
+        lit(j * ksub + 1) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+    val cand = codes.crossJoin(broadcast(lutDf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", approx)
+    topKPerQuery(cand, k, queries.schema(idCol).dataType, withCosine = false)
+      .withColumnRenamed("dot", "approx_dot")
+  }
+
+  /** [[lshRecall]]'s harness pointed at the PQ/ADC ranking — the metric
+    * that decides whether m×ksub is enough codebook for the corpus. */
+  def pqRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int = 8, ksub: Int = 16): DataFrame =
+    recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      pqTopK(corpus, queries, idCol, vecCol, k, m, ksub))
+
   /** ANN quality evaluation: per-query RECALL of the LSH top-k against the
     * exact top-k ground truth — the acceptance metric every approximate
     * index deployment is judged by. Both rankings run their normal scale

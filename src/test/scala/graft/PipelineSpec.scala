@@ -338,6 +338,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(refined.head.getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("PQ: codebook vectors encode to their own index; ADC is exact on codebook points") {
+    val dims = 16
+    def ivals(seed: Long): Array[Long] =
+      Array.tabulate(dims)(j => Math.floorMod(Hashing.md5LongJvm(s"pq$seed-$j"), 2001L) - 1000L)
+    def vec(seed: Long): Array[Float] = ivals(seed).map(_ / 1000.0f)
+    // corpus = 4 seed vectors (the codebook sources) + copies of them
+    val seeds = (1L to 4L).map(i => (i, vec(i)))
+    val copies = seeds.map { case (i, v) => (i + 100L, v) }
+    val e = (seeds ++ copies).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 4)
+    assert(cb.size == 4 && cb.forall(_.size == 4) && cb.forall(_.forall(_.size == 4)))
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getSeq[Int](1)).toMap
+    // seed i sliced into its own subvectors is centroid i-1 in EVERY
+    // subspace, and its copy encodes identically
+    (1L to 4L).foreach { i =>
+      assert(codes(i) == Seq.fill(4)((i - 1).toInt), s"seed $i: ${codes(i)}")
+      assert(codes(i + 100L) == codes(i))
+    }
+    // ADC against a codebook-aligned corpus is the exact quantized dot:
+    // querying with seed 1 must rank its exact copy (id 101) first, with
+    // approx_dot == the true quantized self-dot
+    val out = Similarity.pqTopK(e, e.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, m = 4, ksub = 4).collect()
+    assert(out.head.getAs[Long]("neighbor_id") == 101L)
+    val selfDot = ivals(1L).map(x => x * x).sum
+    assert(out.head.getAs[Long]("approx_dot") == selfDot)
+  }
+
   test("LSH-default embed dedup: perfect precision, high recall vs exact at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))

@@ -117,6 +117,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: encode is one shuffle-free projection; ADC never joins the raw embeddings") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val cb = graft.pipeline.Similarity.pqCodebooks(e, "vec_id", "embedding", 8, 16)
+    val pe = plan(graft.pipeline.Similarity.pqEncode(e, "vec_id", "embedding", cb))
+    assert(!pe.contains("Exchange") && !pe.contains("Join"),
+      s"pqEncode must be a single map-side projection:\n$pe")
+    val pt = plan(graft.pipeline.Similarity.pqTopK(e, q, "vec_id", "embedding", 5))
+    // the LUT frame broadcasts onto the codes scan; the ranking is the
+    // bounded two-phase top-k — no window, no shuffled join
+    assert(!pt.contains("Window"), s"PQ plans a per-query window rank:\n$pt")
+    assert(!pt.contains("SortMergeJoin") && !pt.contains("ShuffledHashJoin") &&
+      !pt.contains("CartesianProduct"), s"the LUT side must broadcast:\n$pt")
+    assert(pt.split("ObjectHashAggregate").length >= 3,
+      s"PQ missing partial+final bounded top-k agg:\n$pt")
+  }
+
   test("IVF assignment is map-side: no centroid join, no row inflation") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
