@@ -706,6 +706,23 @@ object PipelineQueries {
         k = 5, m = 8, ksub = 16)
     }),
 
+    "q_sim_ivfpq_topk" -> ((s, d) => {
+      // IVF-PQ (the FAISS production composition): coarse cell probe
+      // prunes candidates, ADC codes rank them — cell + codes computed in
+      // ONE map-side pass, probes broadcast with their LUTs
+      val e = embs(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, nClusters = 16, nProbe = 4, m = 8, ksub = 16)
+    }),
+
+    "q_sim_ivfpq_recall" -> ((s, d) => {
+      // acceptance row for the composed index: what the double
+      // approximation (cell pruning + code quantization) costs in recall
+      val e = embs(s, d)
+      Similarity.ivfPqRecall(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, nClusters = 16, nProbe = 4, m = 8, ksub = 16)
+    }),
+
     "q_sim_ivf_persisted" -> ((s, d) => {
       // the ANN nightly-build/query-time boundary: build the IVF index,
       // write centroids + inverted lists to parquet, read them back, and
@@ -821,11 +838,12 @@ object PipelineQueries {
     bpeModels.computeIfAbsent(d, _ =>
       Bpe.train(docs(s, d), "text", merges = 8, mergeBatch = 4))
 
-  /** The PQ/ADC top-5 derivation (q_sim_pq_topk), reused as the approx
-    * ranking inside q_sim_pq_recall. Slices spelled with list_slice so the
+  /** Shared PQ CTE chain: quantized vectors, sub-codebooks (subspace
+    * slices of the 16 lowest-id vectors), per-(vector, subspace) argmin
+    * codes, and per-query LUTs. Slices spelled with list_slice so the
     * subspace bounds can be computed from the unnested j. */
-  private val pqTopKOracle =
-    """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+  private val pqCtes =
+    """v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, qv AS cv
       |  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 16)),
       |js AS (SELECT unnest(range(0, 8)) AS j),
@@ -838,11 +856,37 @@ object PipelineQueries {
       |    FROM costs) WHERE rk = 1),
       |luts AS (SELECT v.vec_id AS query_id, js.j, cb.cidx,
       |    CAST(list_dot_product(list_slice(v.qv, js.j*8+1, js.j*8+8), list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS BIGINT) AS lval
-      |  FROM v CROSS JOIN js CROSS JOIN cb WHERE v.vec_id < 50)
+      |  FROM v CROSS JOIN js CROSS JOIN cb WHERE v.vec_id < 50)""".stripMargin
+
+  /** The PQ/ADC top-5 derivation (q_sim_pq_topk), reused as the approx
+    * ranking inside q_sim_pq_recall. */
+  private val pqTopKOracle =
+    s"""WITH $pqCtes
       |SELECT query_id, neighbor_id, approx_dot FROM (
       |  SELECT query_id, neighbor_id, CAST(sum(lval) AS BIGINT) AS approx_dot
       |  FROM codes JOIN luts ON codes.j = luts.j AND codes.code = luts.cidx
       |  WHERE neighbor_id <> query_id GROUP BY 1, 2)
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) <= 5""".stripMargin
+
+  /** IVF-PQ top-5 (q_sim_ivfpq_topk): the IVF home-cell/probe CTEs prune
+    * the candidate space, the PQ code/LUT CTEs rank it by ADC. */
+  private val ivfPqTopKOracle =
+    s"""WITH $pqCtes,
+      |c AS (SELECT vec_id AS cid, qv AS centroid FROM v ORDER BY vec_id LIMIT 16),
+      |cells AS (SELECT vec_id AS neighbor_id, cid FROM (
+      |  SELECT v.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+      |  FROM v CROSS JOIN c) WHERE rk = 1),
+      |probes AS (SELECT vec_id AS query_id, cid FROM (
+      |  SELECT v.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+      |  FROM v CROSS JOIN c WHERE v.vec_id < 50) WHERE rk <= 4)
+      |SELECT query_id, neighbor_id, approx_dot FROM (
+      |  SELECT p.query_id, cl.neighbor_id, CAST(sum(l.lval) AS BIGINT) AS approx_dot
+      |  FROM probes p JOIN cells cl USING (cid)
+      |  JOIN codes co ON co.neighbor_id = cl.neighbor_id
+      |  JOIN luts l ON l.query_id = p.query_id AND l.j = co.j AND l.cidx = co.code
+      |  WHERE cl.neighbor_id <> p.query_id GROUP BY 1, 2)
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) <= 5""".stripMargin
 
   private def bpeOracle(k: Int, select: String): String = {
@@ -2146,6 +2190,21 @@ object PipelineQueries {
     // smaller-index tie-break; approx dot = sum of the query's 8
     // lut reads on the codes — all integer-exact in doubles < 2^53
     "q_sim_pq_topk" -> pqTopKOracle,
+
+    "q_sim_ivfpq_topk" -> ivfPqTopKOracle,
+
+    "q_sim_ivfpq_recall" ->
+      s"""WITH vv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+         |    FROM vv q JOIN vv c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5),
+         |ap AS (SELECT query_id, neighbor_id FROM ($ivfPqTopKOracle))
+         |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST((count(ap.neighbor_id) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1""".stripMargin,
 
     "q_sim_pq_recall" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),

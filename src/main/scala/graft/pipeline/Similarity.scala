@@ -443,23 +443,10 @@ object Similarity {
     *
     * Output: (neighbor_id, codes array<int> of length m). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Seq[Seq[Seq[Long]]]): DataFrame = {
-    val m = codebooks.size
-    val codeExprs = (0 until m).map { j =>
-      val sub = codebooks(j).head.size
-      val xj = slice(col("__cv"), j * sub + 1, sub)
-      val costs = codebooks(j).zipWithIndex.map { case (c, ci) =>
-        val norm = c.map(x => x * x).sum
-        struct((lit(norm) - lit(2L) * dotLong(xj, typedLit(c))).as("cost"),
-          lit(ci).as("idx"))
-      }
-      element_at(slice(sort_array(array(costs: _*)), 1, 1), 1)
-        .getField("idx").cast("int")
-    }
+      codebooks: Seq[Seq[Seq[Long]]]): DataFrame =
     corpus
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
-      .select(col("neighbor_id"), array(codeExprs: _*).as("codes"))
-  }
+      .select(col("neighbor_id"), pqCodeArray(codebooks).as("codes"))
 
   /** PQ approximate top-k by ASYMMETRIC DISTANCE COMPUTATION: the query
     * stays un-quantized; its per-subspace dot products against every
@@ -509,6 +496,86 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, m: Int = 8, ksub: Int = 16): DataFrame =
     recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
       pqTopK(corpus, queries, idCol, vecCol, k, m, ksub))
+
+  /** IVF-PQ: the production ANN composition (the FAISS `IVFx,PQy` shape) —
+    * the IVF coarse quantizer prunes the corpus to the probed cells'
+    * postings, and the PQ codes rank those candidates by ADC, so query
+    * cost is `(corpus/nClusters × nProbe)` candidates × m table lookups
+    * and the serving scan touches only (cid, codes) rows — never a raw
+    * embedding. Cell assignment and PQ encoding happen in the SAME
+    * map-side projection over the corpus (both are pure expressions on
+    * the quantized vector with plan-time-literal centroids); probes carry
+    * their query's LUT, so after the ONE broadcast join everything is a
+    * lookup. Codes quantize the vector itself (not the cell residual —
+    * residual codebooks would need per-cell training; the recall row
+    * prices the simplification).
+    *
+    * Output: query_id, neighbor_id, `approx_dot`. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(
+      corpus.orderBy(col(idCol)).limit(nClusters)
+        .select(col(idCol).cast("long"), quantize(col(vecCol))))
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    // one pass: home cell + PQ codes, both map-side expressions on __cv
+    val cellsOnePass = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
+      .withColumn("cid",
+        element_at(nearestCells(col("__cv"), cents, 1), 1).getField("cid"))
+      .withColumn("codes", pqCodeArray(codebooks))
+      .select(col("cid"), col("neighbor_id"), col("codes"))
+    val qs = queries.select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSeq
+    val probeRows = qs.flatMap { case (qid, qv) =>
+      val lut = (0 until m).flatMap { j =>
+        val sub = codebooks(j).head.size
+        val qj = qv.slice(j * sub, j * sub + sub)
+        codebooks(j).map(c => qj.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum)
+      }
+      cents.map { case (cid, cv) =>
+        (qid, cid, cv.iterator.zip(qv.iterator).map { case (a, b) => a * b }.sum, lut)
+      }.sortBy { case (_, cid, d, _) => (-d, cid) }.take(nProbe)
+        .map { case (q, cid, _, lut0) => (q, cid, lut0) }
+    }
+    val probes = probeRows.toDF("query_id", "cid", "__lut")
+    val approx = (0 until m)
+      .map(j => element_at(col("__lut"),
+        lit(j * ksub + 1) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+    val cand = cellsOnePass.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", approx)
+    topKPerQuery(cand, k, queries.schema(idCol).dataType, withCosine = false)
+      .withColumnRenamed("dot", "approx_dot")
+  }
+
+  /** The PQ code array as one expression (shared by [[pqEncode]] and the
+    * fused cell+code pass of [[ivfPqTopK]]); expects the quantized vector
+    * bound as `__cv`. */
+  private def pqCodeArray(codebooks: Seq[Seq[Seq[Long]]]): Column = {
+    val m = codebooks.size
+    array((0 until m).map { j =>
+      val sub = codebooks(j).head.size
+      val xj = slice(col("__cv"), j * sub + 1, sub)
+      val costs = codebooks(j).zipWithIndex.map { case (c, ci) =>
+        val norm = c.map(x => x * x).sum
+        struct((lit(norm) - lit(2L) * dotLong(xj, typedLit(c))).as("cost"),
+          lit(ci).as("idx"))
+      }
+      element_at(slice(sort_array(array(costs: _*)), 1, 1), 1)
+        .getField("idx").cast("int")
+    }: _*)
+  }
+
+  /** [[lshRecall]]'s harness pointed at the IVF-PQ ranking. */
+  def ivfPqRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nClusters: Int = 16,
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16): DataFrame =
+    recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      ivfPqTopK(corpus, queries, idCol, vecCol, k, nClusters, nProbe, m, ksub))
 
   /** ANN quality evaluation: per-query RECALL of the LSH top-k against the
     * exact top-k ground truth — the acceptance metric every approximate

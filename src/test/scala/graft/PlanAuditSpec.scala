@@ -133,6 +133,14 @@ class PlanAuditSpec extends AnyFunSuite {
       !pt.contains("CartesianProduct"), s"the LUT side must broadcast:\n$pt")
     assert(pt.split("ObjectHashAggregate").length >= 3,
       s"PQ missing partial+final bounded top-k agg:\n$pt")
+    // IVF-PQ: cell + codes fused in one map-side pass, probes (with LUTs)
+    // broadcast — exactly ONE join, and it's the broadcast hash join on cid
+    val pc = plan(graft.pipeline.Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5))
+    assert("""BroadcastHashJoin""".r.findAllIn(pc).length >= 1 &&
+      !pc.contains("SortMergeJoin") && !pc.contains("ShuffledHashJoin") &&
+      !pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ must join candidates only via the cid broadcast:\n$pc")
+    assert(!pc.contains("Window"), s"IVF-PQ plans a window rank:\n$pc")
   }
 
   test("IVF assignment is map-side: no centroid join, no row inflation") {
