@@ -207,6 +207,19 @@ object StreamQueries {
         src.eventsStream.filter(col("event_type") === "click"),
         src.eventsStream.filter(col("event_type") === "purchase"),
         "context_id", "timestamp", "event_id", windowSec = 3600L))
+    }),
+
+    "q_stream_join_outer" -> ((s, d) => {
+      // LEFT OUTER stream-stream join: unconverted clicks surface as
+      // null-joined rows once the watermark proves no purchase can still
+      // arrive; clicks whose hour is not yet watermark-closed at replay
+      // end remain in state (the oracle excludes exactly those)
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(StreamingJoins.windowJoin(
+        src.eventsStream.filter(col("event_type") === "click"),
+        src.eventsStream.filter(col("event_type") === "purchase"),
+        "context_id", "timestamp", "event_id", windowSec = 3600L,
+        joinType = "left_outer"))
     })
   )
 
@@ -399,6 +412,30 @@ object StreamQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT l.key, l.left_id, l.left_ts, r.right_id, r.right_ts
         |FROM l JOIN r ON l.key = r.key
-        |  AND r.right_ts >= l.left_ts AND r.right_ts <= l.left_ts + 3600""".stripMargin
+        |  AND r.right_ts >= l.left_ts AND r.right_ts <= l.left_ts + 3600""".stripMargin,
+
+    // matched pairs are the batch join; a null-joined row appears for an
+    // unmatched click only once its whole window sits below the final
+    // watermark (min of the two sources' max event time, minus the
+    // 10-minute delay) — later unmatched clicks are still held in state
+    "q_stream_join_outer" ->
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS left_ts, event_id AS left_id
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS right_ts, event_id AS right_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(left_ts) FROM l),
+        |                    (SELECT max(right_ts) FROM r)) - 600 AS w)
+        |SELECT l.key, l.left_id, l.left_ts, r.right_id, r.right_ts
+        |FROM l JOIN r ON l.key = r.key
+        |  AND r.right_ts >= l.left_ts AND r.right_ts <= l.left_ts + 3600
+        |UNION ALL
+        |SELECT l.key, l.left_id, l.left_ts,
+        |  CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS BIGINT) AS right_ts
+        |FROM l, wm
+        |WHERE l.left_ts + 3600 < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM r WHERE r.key = l.key
+        |    AND r.right_ts >= l.left_ts AND r.right_ts <= l.left_ts + 3600)""".stripMargin
   )
 }

@@ -30,11 +30,22 @@ object StreamingJoins {
     * and join state is evicted.
     *
     * Output: key, `left_id`, `left_ts`, `right_id`, `right_ts` — one row
-    * per qualifying pair. */
+    * per qualifying pair.
+    *
+    * `joinType = "left_outer"` additionally emits a null-joined row for
+    * every left row that can no longer match: its window must be entirely
+    * below the global watermark before the state store releases it — so an
+    * unmatched left row near the head of the stream (within
+    * window + delay of the last event) is still HELD, not emitted. That
+    * is the correct streaming answer ("this click may yet convert"), and
+    * the replay oracle models it by excluding exactly those rows. */
   def windowJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, idCol: String, windowSec: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.select(col(keyCol).as("key"),
         col(tsCol).cast("long").as("left_ts"), col(idCol).as("left_id"))
       .withColumn("__l_time", timestamp_seconds(col("left_ts")))
@@ -46,7 +57,8 @@ object StreamingJoins {
     l.join(r,
         col("key") === col("__rk") &&
           col("__r_time") >= col("__l_time") &&
-          col("__r_time") <= col("__l_time") + expr(s"INTERVAL $windowSec SECONDS"))
+          col("__r_time") <= col("__l_time") + expr(s"INTERVAL $windowSec SECONDS"),
+        joinType)
       .select(col("key"), col("left_id"), col("left_ts"),
         col("right_id"), col("right_ts"))
   }

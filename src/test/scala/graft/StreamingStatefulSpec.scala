@@ -395,4 +395,41 @@ class StreamingStatefulSpec extends AnyFunSuite {
     q.stop()
     assert(rows == Set(("u", 1L, 10L)))
   }
+
+  test("stream-stream LEFT OUTER join: null row only after the watermark closes the window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lMem = MemoryStream[(String, Long, Long)]
+    val rMem = MemoryStream[(String, Long, Long)]
+    val cols = Seq("context_id", "timestamp", "event_id")
+    val joined = graft.streaming.StreamingJoins.windowJoin(
+      lMem.toDF.toDF(cols: _*), rMem.toDF.toDF(cols: _*),
+      "context_id", "timestamp", "event_id", windowSec = 100L,
+      watermarkDelay = "10 seconds", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("sjoin_outer").start()
+
+    // batch 1: one matched pair and one unmatched left
+    lMem.addData(("u", 1000L, 1L), ("v", 1000L, 2L))
+    rMem.addData(("u", 1050L, 10L))
+    q.processAllAvailable()
+    val afterB1 = spark.table("sjoin_outer").collect()
+      .map(r => (r.getAs[Long]("left_id"), Option(r.get(3)))).toSet
+    // v@1000 is unmatched but its window [1000,1100] is NOT below the
+    // watermark (1050-10) yet → held, no null row
+    assert(afterB1 == Set((1L, Some(10L))))
+    // batch 2: far-future rows on BOTH sides push the global watermark
+    // past 1100 → v's null row flushes
+    lMem.addData(("z", 5000L, 3L)); rMem.addData(("z", 9000L, 11L))
+    q.processAllAvailable()
+    // one more batch so the eviction-then-emit cycle definitely runs
+    lMem.addData(("z2", 6000L, 4L)); rMem.addData(("z2", 9500L, 12L))
+    q.processAllAvailable()
+    val rows = spark.table("sjoin_outer").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("left_id"),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    q.stop()
+    assert(rows.contains(("v", 2L, None)), s"unmatched left must flush: $rows")
+    assert(rows.contains(("u", 1L, Some(10L))))
+  }
 }
