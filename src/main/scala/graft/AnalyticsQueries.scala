@@ -208,6 +208,12 @@ object AnalyticsQueries {
       // weeks-per-user
       EventAnalytics.retentionCohorts(events(s, d), "context_id", "timestamp")),
 
+    "q_retention_rolling" -> ((s, d) =>
+      // rolling retention ("active at or after week w"): per-user
+      // (cohort, last-week) row expanded to its offsets — monotone in w,
+      // window-free
+      EventAnalytics.retentionRolling(events(s, d), "context_id", "timestamp")),
+
     "q_retention_cal" -> ((s, d) =>
       // CALENDAR-week cohorts in a DST-observing zone over the multi-year
       // lineitem history (suppliers as the entity): a week is local
@@ -321,6 +327,24 @@ object AnalyticsQueries {
       // banded Hamming near-dup: 4×16-bit bands, pigeonhole-exact for
       // dist<=3, so the banded plan must equal the oracle's brute force
       Multimodal.nearDupImages(pngHashes(s, d), maxDist = 3)),
+
+    "q_sessionize_incr" -> ((s, d) => {
+      // incremental sessionization across a nightly boundary: night 1
+      // (Jan 1–15) is sessionized and distilled to per-context carry
+      // state; night 2's events fold in WITHOUT rescanning history. The
+      // oracle is the full-corpus batch derivation restricted to night-2
+      // events — incremental must equal batch exactly
+      val ev = events(s, d)
+      val t0 = 1705363200L // 2024-01-16T00:00:00Z
+      val state = EventAnalytics.sessionState(
+        EventAnalytics.sessionize(ev.filter(col("timestamp") < t0),
+          "context_id", "timestamp", "event_id", gapSec = 21600L), "context_id")
+      EventAnalytics.assignSessionsIncremental(
+          ev.filter(col("timestamp") >= t0), state,
+          "context_id", "timestamp", "event_id", gapSec = 21600L)
+        .select(col("context_id"), col("timestamp"), col("event_id"),
+          col("session_idx"))
+    }),
 
     "q_ab_lift" -> ((s, d) =>
       // A/B readout: 3 hash-assigned arms, conversion = any purchase,
@@ -515,6 +539,23 @@ object AnalyticsQueries {
 
     "q_funnel_within" ->
       sessionFunnelKOracle(Seq("view", "click", "purchase"), withinSec = 7200L),
+
+    // the incremental path must reproduce the batch gap rule bit-for-bit:
+    // the oracle is the FULL-corpus per-event session assignment, filtered
+    // to the night-2 slice the incremental operator actually processed
+    "q_sessionize_incr" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid FROM events),
+        |s AS (SELECT context_id, t, eid,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
+        |x AS (SELECT context_id, t, eid,
+        |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM s)
+        |SELECT context_id, t AS "timestamp", eid AS event_id, session_idx
+        |FROM x WHERE t >= 1705363200""".stripMargin,
 
     // hash-assigned arms; all rate math in truncate-toward-zero integer
     // division (DuckDB // floors, so negative lifts spell the truncation
@@ -753,6 +794,17 @@ object AnalyticsQueries {
          |SELECT c.cw * 604800 AS cohort_week, w.wk - c.cw AS week_offset,
          |  CAST(count(*) AS BIGINT) AS n_users
          |FROM w JOIN c ON w.ctx = c.ctx GROUP BY 1, 2""".stripMargin,
+
+    // retained-at-or-after: each user contributes one row per offset up to
+    // their LAST active week
+    "q_retention_rolling" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |u AS (SELECT ctx, min(wk) AS cw, max(wk) AS lw FROM e GROUP BY ctx),
+        |o AS (SELECT cw, unnest(range(0, lw - cw + 1)) AS week_offset FROM u)
+        |SELECT cw * 604800 AS cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_retained
+        |FROM o GROUP BY 1, 2""".stripMargin,
 
     // NY-local calendar weeks (Monday start): UTC instant → NY wall time →
     // date_trunc('week') → back to a UTC epoch; offsets are local-calendar

@@ -715,6 +715,14 @@ object PipelineQueries {
         k = 5, nClusters = 16, nProbe = 4, m = 8, ksub = 16)
     }),
 
+    "q_sim_ivf_stats" -> ((s, d) => {
+      // the IVF maintenance row: per-cell posting counts + corpus share
+      // ppm — the imbalance report that triggers index re-training
+      val e = embs(s, d)
+      Similarity.ivfCellStats(
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", nClusters = 16))
+    }),
+
     "q_sim_ivfpq_recall" -> ((s, d) => {
       // acceptance row for the composed index: what the double
       // approximation (cell pruning + code quantization) costs in recall
@@ -2192,6 +2200,17 @@ object PipelineQueries {
     "q_sim_pq_topk" -> pqTopKOracle,
 
     "q_sim_ivfpq_topk" -> ivfPqTopKOracle,
+
+    "q_sim_ivf_stats" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS cid, qv AS centroid FROM v ORDER BY vec_id LIMIT 16),
+        |cells AS (SELECT vec_id, cid FROM (
+        |  SELECT v.vec_id, c.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM v CROSS JOIN c) WHERE rk = 1)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  (count(*) * 1000000) // (SELECT count(*) FROM cells) AS share_ppm
+        |FROM cells GROUP BY cid""".stripMargin,
 
     "q_sim_ivfpq_recall" ->
       s"""WITH vv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),

@@ -361,6 +361,35 @@ object EventAnalytics {
         col("n_users"))
   }
 
+  /** ROLLING retention: a cohort user counts as retained at offset w if
+    * active at ANY week offset ≥ w ("came back at or after week w") — the
+    * other standard retention read (classic/N-day retention is
+    * [[retentionCohorts]]'s exact-week membership). Monotonically
+    * non-increasing in w by construction, which is why growth teams
+    * prefer it for trend lines.
+    *
+    * Scale shape: the corpus collapses to one (cohort, max_offset) row
+    * per user (two bounded aggregations), then each user expands to
+    * max_offset+1 rows — bounded by weeks-per-user, same as the
+    * collect_set in the classic variant. No window.
+    *
+    * Output: cohort_week, week_offset, n_retained. */
+  def retentionRolling(events: DataFrame, ctxCol: String, tsCol: String,
+      weekSec: Long = 604800L): DataFrame = {
+    require(weekSec > 0, s"weekSec must be positive, got $weekSec")
+    val wk = floor(col(tsCol).cast("double") / weekSec).cast("long")
+    events
+      .select(col(ctxCol).as("_ctx"), wk.as("_wk"))
+      .groupBy("_ctx")
+      .agg(min(col("_wk")).as("_cohort"), max(col("_wk")).as("_last"))
+      .select(col("_cohort"),
+        explode(sequence(lit(0L), col("_last") - col("_cohort"))).as("week_offset"))
+      .groupBy(col("_cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_retained"))
+      .select((col("_cohort") * weekSec).as("cohort_week"),
+        col("week_offset"), col("n_retained"))
+  }
+
   /** Volume-anomaly detection on daily event counts: flag (type, day)
     * pairs whose count deviates from the trailing `windowDays`-day mean by
     * at least `thresholdPpm` (signed, truncated toward zero) — the ops
@@ -409,6 +438,52 @@ object EventAnalytics {
       .filter(abs(col("dev_ppm")) >= thresholdPpm)
       .select(col("_et").as(typeCol), (col("_day") * 86400).as("day_start"),
         col("_cnt").as("cnt"), col("_trail").as("trail_total"), col("dev_ppm"))
+  }
+
+  /** Per-context carry state for INCREMENTAL sessionization: the last
+    * session's 0-based index and final event timestamp, distilled from a
+    * [[sessionize]] output (or a previous incremental round). One
+    * max-struct aggregate — rows = live contexts. */
+  def sessionState(sessions: DataFrame, ctxCol: String): DataFrame =
+    sessions.groupBy(col(ctxCol))
+      .agg(max(struct(col("session_idx"), col("end_ts"))).as("_m"))
+      .select(col(ctxCol), col("_m.session_idx").as("last_idx"),
+        col("_m.end_ts").as("last_ts"))
+
+  /** Incremental (nightly) sessionization: assign session indexes to a NEW
+    * batch of events given the carry state of everything already
+    * sessionized — the production shape where the event history is never
+    * rescanned (the [[graft.pipeline.Dedup.DedupArtifacts]] boundary for
+    * sessions). A batch event continues its context's last open session
+    * when its gap from the carried `last_ts` is within `gapSec`, otherwise
+    * starts session `last_idx + 1`; contexts absent from the state start
+    * at 0. Batch events must not predate the state's `last_ts` (the same
+    * append-only contract the batch gap rule assumes).
+    *
+    * Correctness contract (oracle-checked): for any split of the corpus
+    * at a time boundary, `assignSessionsIncremental(night2,
+    * sessionState(sessionize(night1)))` equals the full-corpus
+    * [[assignSessions]] restricted to night-2 events.
+    *
+    * Scale shape: ONE shuffle on the context key shared by the state join
+    * and the windows (state is context-grain — orders of magnitude
+    * smaller than history); the batch is typically a day, not the corpus.
+    *
+    * Output: the batch rows + `session_idx`. */
+  def assignSessionsIncremental(newEvents: DataFrame, state: DataFrame,
+      ctxCol: String, tsCol: String, idCol: String, gapSec: Long): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val byCtx = Window.partitionBy(col(ctxCol)).orderBy(col(tsCol), col(idCol))
+    val run = byCtx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    newEvents
+      .join(state.select(col(ctxCol), col("last_idx"), col("last_ts")),
+        Seq(ctxCol), "left")
+      .withColumn("_prev_ts", coalesce(lag(col(tsCol), 1).over(byCtx), col("last_ts")))
+      .withColumn("_new_session",
+        (col("_prev_ts").isNull || col(tsCol) - col("_prev_ts") > gapSec).cast("long"))
+      .withColumn("session_idx",
+        coalesce(col("last_idx"), lit(-1L)) + sum(col("_new_session")).over(run))
+      .drop("_prev_ts", "_new_session", "last_idx", "last_ts")
   }
 
   /** A/B experiment readout: contexts are hash-assigned to `nVariants`

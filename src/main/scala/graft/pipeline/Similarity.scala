@@ -570,6 +570,21 @@ object Similarity {
     }: _*)
   }
 
+  /** IVF maintenance report: per-cell posting counts and corpus share in
+    * ppm — cell IMBALANCE is the operational risk of an inverted-file
+    * index (a hot cell makes every probe touching it scan a corpus-scale
+    * posting list; the fix is re-training or splitting, and this row is
+    * what triggers it). One count aggregate over the postings plus a
+    * 1-row total broadcast; integer ppm so the report is engine-exact. */
+  def ivfCellStats(index: IvfIndex): DataFrame = {
+    val counts = index.postings.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum(col("n_vectors")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_vectors"),
+        expr("(n_vectors * 1000000) div _total").as("share_ppm"))
+  }
+
   /** [[lshRecall]]'s harness pointed at the IVF-PQ ranking. */
   def ivfPqRecall(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nClusters: Int = 16,

@@ -525,6 +525,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 2L)))
   }
 
+  test("incremental sessionization equals batch on every split shape") {
+    val events = Seq(
+      // u: session 0 = {100, 150}, session 1 = {400}; split at 120 puts
+      // 150 (continues session 0) and 400 (new session) in the batch
+      ("u", 100L, 1L), ("u", 150L, 2L), ("u", 400L, 3L),
+      // v: entirely night-1
+      ("v", 100L, 4L),
+      // w: brand-new context appearing only in night-2
+      ("w", 500L, 5L)
+    ).toDF("context_id", "timestamp", "event_id")
+    val full = EventAnalytics.assignSessions(events, "context_id", "timestamp",
+        "event_id", gapSec = 100L)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("session_idx"))).toMap
+    Seq(120L, 200L, 450L).foreach { t0 =>
+      val state = EventAnalytics.sessionState(
+        EventAnalytics.sessionize(events.filter(col("timestamp") < t0),
+          "context_id", "timestamp", "event_id", 100L), "context_id")
+      val inc = EventAnalytics.assignSessionsIncremental(
+          events.filter(col("timestamp") >= t0), state,
+          "context_id", "timestamp", "event_id", 100L)
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("session_idx"))).toMap
+      inc.foreach { case (eid, idx) =>
+        assert(idx == full(eid), s"split $t0, event $eid: incremental $idx != batch ${full(eid)}")
+      }
+      assert(inc.keySet == full.keySet.filter(e =>
+        events.filter(col("event_id") === e).head.getAs[Long]("timestamp") >= t0))
+    }
+  }
+
   test("sessionFunnelK withinSec: chain completes only inside the first-step budget") {
     val events = Seq(
       // u: a at 100, b at 150, c at 190 → all within 100s of a → converted

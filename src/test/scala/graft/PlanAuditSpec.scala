@@ -561,6 +561,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"budgeted funnel must not join:\n$p")
   }
 
+  test("incremental sessionization: state joins on the context key, no extra corpus shuffle") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val state = graft.pipeline.EventAnalytics.sessionState(
+      graft.pipeline.EventAnalytics.sessionize(
+        ev.filter(org.apache.spark.sql.functions.col("timestamp") < 1705363200L),
+        "context_id", "timestamp", "event_id", 21600L), "context_id")
+    val p = graft.pipeline.EventAnalytics.assignSessionsIncremental(
+      ev.filter(org.apache.spark.sql.functions.col("timestamp") >= 1705363200L),
+      state, "context_id", "timestamp", "event_id", 21600L)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"state must equi-join on the context key:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"incremental sessionization must never funnel through one partition:\n$p")
+  }
+
   test("experimentLift: user-grain collapse, no window, control joins as broadcast") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val ev = new graft.sources.TestDataSource(spark, dir).allEvents
