@@ -346,6 +346,15 @@ object AnalyticsQueries {
           col("session_idx"))
     }),
 
+    "q_profile_table" -> ((s, d) =>
+      // ANALYZE-style snapshot QC: one pass, one wide agg row unpivoted to
+      // a per-column report; value profiled milli-quantized so min/max
+      // strings are engine-portable
+      Profile.profile(
+        events(s, d).withColumn("value_milli",
+          expr("cast(round(value * 1000) as bigint)")),
+        Seq("context_id", "event_type", "timestamp", "value_milli"))),
+
     "q_ab_lift" -> ((s, d) =>
       // A/B readout: 3 hash-assigned arms, conversion = any purchase,
       // integer ppm rates + lift vs arm 0 — one user-grain aggregate,
@@ -556,6 +565,22 @@ object AnalyticsQueries {
         |  FROM s)
         |SELECT context_id, t AS "timestamp", eid AS event_id, session_idx
         |FROM x WHERE t >= 1705363200""".stripMargin,
+
+    "q_profile_table" -> {
+      val eCte = """SELECT CAST(user_id AS VARCHAR) AS context_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+        |    CAST(round(value * 1000) AS BIGINT) AS value_milli FROM events""".stripMargin
+      def row(name: String, c: String) =
+        s"""SELECT '$name' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM e""".stripMargin
+      s"""WITH e AS ($eCte)
+         |${Seq("context_id" -> "context_id", "event_type" -> "event_type",
+                "timestamp" -> "ets", "value_milli" -> "value_milli")
+           .map { case (n, c) => row(n, c) }.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // hash-assigned arms; all rate math in truncate-toward-zero integer
     // division (DuckDB // floors, so negative lifts spell the truncation

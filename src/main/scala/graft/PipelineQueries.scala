@@ -327,6 +327,12 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d), "doc_id", "text")),
 
+    "q_dedup_minhash_eval" -> ((s, d) =>
+      // the banding acceptance row: candidate precision (wasted confirms)
+      // and recall (missed true pairs) of the 32×2 LSH vs brute force —
+      // the oracle reproduces the 64 permutations and band packing
+      Dedup.minhashEval(docs(s, d), "doc_id", "text")),
+
     "q_snapshot_diff" -> ((s, d) => {
       // crawl-refresh diff: prev = docs except %11 (those are "new" in
       // cur... removed from prev's view), cur drops %13 (removed) and
@@ -826,6 +832,39 @@ object PipelineQueries {
 
   private val duckShingleHashes =
     s"list_transform(s, g -> ${duckMd5Long("g")} % $P)"
+
+  /** q_dedup_minhash_eval's oracle: the 64 MinHash permutations and 32
+    * packed bands reproduced literally (the [[graft.pipeline.Hashing]]
+    * perm constants inlined), candidates = pairs sharing ANY band, truth =
+    * brute-force Jaccard ≥ 0.5. */
+  private val minhashEvalOracle: String = {
+    val bands = 32
+    def mh(i: Int) =
+      s"list_min(list_transform(h, x -> (${Hashing.permA(i)} * x + ${Hashing.permB(i)}) % $P))"
+    val bhCols = (0 until bands)
+      .map(b => s"${mh(2 * b)} * $P + ${mh(2 * b + 1)} AS bh$b").mkString(",\n    ")
+    val orClause = (0 until bands).map(b => s"a.bh$b = b.bh$b").mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+       |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
+       |hl AS (SELECT doc_id, s, $duckShingleHashes AS h FROM g),
+       |sig AS (SELECT doc_id, s,
+       |    $bhCols
+       |  FROM hl),
+       |jac AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       |    len(list_intersect(a.s, b.s)) * 1.0 /
+       |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j,
+       |    ($orClause) AS cand
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+       |SELECT CAST(count(*) FILTER (WHERE j >= 0.5) AS BIGINT) AS n_truth,
+       |  CAST(count(*) FILTER (WHERE cand) AS BIGINT) AS n_candidates,
+       |  CAST(count(*) FILTER (WHERE cand AND j >= 0.5) AS BIGINT) AS n_hits,
+       |  count(*) FILTER (WHERE cand AND j >= 0.5) * 1000000
+       |    // count(*) FILTER (WHERE cand) AS precision_ppm,
+       |  count(*) FILTER (WHERE cand AND j >= 0.5) * 1000000
+       |    // count(*) FILTER (WHERE j >= 0.5) AS recall_ppm
+       |FROM jac""".stripMargin
+  }
 
   /** `k` unrolled BPE merge rounds as chained CTEs, independently
     * re-implementing [[pipeline.Bpe.train]]: per round, pair counts over
@@ -1530,6 +1569,8 @@ object PipelineQueries {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) * 1000000 //
         |      greatest(len(a.text), len(b.text)) <= 100000""".stripMargin,
+
+    "q_dedup_minhash_eval" -> minhashEvalOracle,
 
     "q_dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),

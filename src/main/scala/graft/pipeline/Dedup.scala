@@ -203,6 +203,54 @@ object Dedup {
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Banding acceptance row — the dedup family's analog of the ANN recall
+    * metrics: grade the LSH candidate generation against the exact
+    * brute-force truth (all pairs with Jaccard ≥ `threshold`).
+    * `recall_ppm` says what the bands MISS (pairs the banded join never
+    * surfaces — the (1−J^r)^b risk priced in [[minhashNearDups]]'s doc);
+    * `precision_ppm` says what they WASTE (candidate collisions the exact
+    * confirm then rejects — the knob for tuning bands × rowsPerBand).
+    *
+    * The truth side is O(n²) by definition — run this eval on a bounded
+    * sample (the [[graft.pipeline.Similarity.lshRecall]] contract); the
+    * candidate side is the production banded path unchanged.
+    *
+    * Output: one row — n_truth, n_candidates, n_hits, precision_ppm,
+    * recall_ppm (truncated integer ppm). */
+  def minhashEval(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val perms = bands * rowsPerBand
+    val hashed = df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+    val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms), bands, rowsPerBand)
+    val l = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
+    val r = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_2"))
+    val candIds = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2")
+      .dropDuplicates("id_1", "id_2")
+    def jaccard(a: Column, b: Column): Column = {
+      val inter = size(array_intersect(a, b)).cast("double")
+      inter / (size(a) + size(b) - inter)
+    }
+    val sets = hashed
+    val cand = candIds
+      .join(sets.select(col("id").as("id_1"), col("sh").as("sh_1")), Seq("id_1"))
+      .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")), Seq("id_2"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum((jaccard(col("sh_1"), col("sh_2")) >= threshold).cast("long")).as("n_hits"))
+    val truth = sets.select(col("id").as("id_1"), col("sh").as("sh_1"))
+      .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")),
+        col("id_1") < col("id_2"))
+      .filter(size(col("sh_1")) > 0 && size(col("sh_2")) > 0 &&
+        jaccard(col("sh_1"), col("sh_2")) >= threshold)
+      .agg(count(lit(1)).as("n_truth"))
+    cand.crossJoin(broadcast(truth))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        expr("(n_hits * 1000000) div n_candidates").as("precision_ppm"),
+        expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
+  }
+
   /** Edit-distance-confirmed near-dups: the [[minhashNearDups]] banded
     * candidate generation with a LEVENSHTEIN confirmation tier instead of
     * shingle Jaccard — the right verifier for small in-place edits (typo
