@@ -330,8 +330,13 @@ object PipelineQueries {
     "q_dedup_minhash_eval" -> ((s, d) =>
       // the banding acceptance row: candidate precision (wasted confirms)
       // and recall (missed true pairs) of the 32×2 LSH vs brute force —
-      // the oracle reproduces the 64 permutations and band packing
-      Dedup.minhashEval(docs(s, d), "doc_id", "text")),
+      // the oracle reproduces the 64 permutations and band packing.
+      // Truth is O(n²) BY DEFINITION, so the eval runs on a bounded
+      // contiguous id window (an id-mod sample would destroy the pair
+      // structure — both endpoints must survive); at sf0.01 the window
+      // IS the whole corpus, at sf0.1 it caps the pair space 25×
+      Dedup.minhashEval(docs(s, d).filter(col("doc_id") < 1000),
+        "doc_id", "text")),
 
     "q_snapshot_diff" -> ((s, d) => {
       // crawl-refresh diff: prev = docs except %11 (those are "new" in
@@ -844,7 +849,7 @@ object PipelineQueries {
     val bhCols = (0 until bands)
       .map(b => s"${mh(2 * b)} * $P + ${mh(2 * b + 1)} AS bh$b").mkString(",\n    ")
     val orClause = (0 until bands).map(b => s"a.bh$b = b.bh$b").mkString(" OR ")
-    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents WHERE doc_id < 1000),
        |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
        |hl AS (SELECT doc_id, s, $duckShingleHashes AS h FROM g),
        |sig AS (SELECT doc_id, s,

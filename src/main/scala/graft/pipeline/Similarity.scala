@@ -444,9 +444,8 @@ object Similarity {
     * Output: (neighbor_id, codes array<int> of length m). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Seq[Seq[Seq[Long]]]): DataFrame =
-    corpus
-      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
-      .select(col("neighbor_id"), pqCodeArray(codebooks).as("codes"))
+    corpus.select(col(idCol).as("neighbor_id"),
+      pqCodeArray(col(vecCol), codebooks).as("codes"))
 
   /** PQ approximate top-k by ASYMMETRIC DISTANCE COMPUTATION: the query
     * stays un-quantized; its per-subspace dot products against every
@@ -466,7 +465,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ksub)
-    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
+    // the codes table IS the index artifact (built once, served many — the
+    // DedupArtifacts/IvfIndex boundary): materialize it so the m×ksub
+    // encode expression is compiled and evaluated in its own small stage,
+    // not re-embedded in every query's candidate plan (measured 13 s of
+    // per-query codegen overhead when inlined at sf0.1)
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks).localCheckpoint(true)
     val qs = queries.select(col(idCol).cast("long"), quantize(col(vecCol)))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSeq
     val luts = qs.map { case (qid, qv) =>
@@ -520,13 +524,17 @@ object Similarity {
       corpus.orderBy(col(idCol)).limit(nClusters)
         .select(col(idCol).cast("long"), quantize(col(vecCol))))
     val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ksub)
-    // one pass: home cell + PQ codes, both map-side expressions on __cv
+    // one pass: home cell + PQ codes, both codegen'd kernels on the raw
+    // vector (same (-dot, cid) ordering as nearestCells, via least)
+    val homeCell = least(cents.map { case (cid, cv) =>
+      struct((-quantDot(col(vecCol), 0, cv)).as("nd"), lit(cid).as("cid"))
+    }: _*).getField("cid")
+    // one corpus pass builds the (cid, codes) index rows; materialized for
+    // the same reason as pqTopK's codes table (it IS the index artifact)
     val cellsOnePass = corpus
-      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
-      .withColumn("cid",
-        element_at(nearestCells(col("__cv"), cents, 1), 1).getField("cid"))
-      .withColumn("codes", pqCodeArray(codebooks))
-      .select(col("cid"), col("neighbor_id"), col("codes"))
+      .select(homeCell.as("cid"), col(idCol).as("neighbor_id"),
+        pqCodeArray(col(vecCol), codebooks).as("codes"))
+      .localCheckpoint(true)
     val qs = queries.select(col(idCol).cast("long"), quantize(col(vecCol)))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSeq
     val probeRows = qs.flatMap { case (qid, qv) =>
@@ -552,21 +560,31 @@ object Similarity {
       .withColumnRenamed("dot", "approx_dot")
   }
 
-  /** The PQ code array as one expression (shared by [[pqEncode]] and the
-    * fused cell+code pass of [[ivfPqTopK]]); expects the quantized vector
-    * bound as `__cv`. */
-  private def pqCodeArray(codebooks: Seq[Seq[Seq[Long]]]): Column = {
+  /** Fused quantize-and-dot against a constant weight vector starting at
+    * `offset` — the native [[graft.functions.QuantDotLong]] kernel. Keeps
+    * the PQ encode (and the IVF-PQ cell pass) inside whole-stage codegen:
+    * a `transform`-based quantize is a higher-order function with no
+    * codegen, and CollapseProject inlines it into every one of the m×ksub
+    * cost expressions (measured 15 s for a 5k-vector encode at sf0.1;
+    * this kernel takes it to well under a second). */
+  private def quantDot(vec: Column, offset: Int, weights: Seq[Long]): Column =
+    org.apache.spark.sql.graft.bridge.columnOf(graft.functions.QuantDotLong(
+      org.apache.spark.sql.graft.bridge.expressionOf(vec), offset, weights))
+
+  /** The PQ code array as one expression over the RAW float vector
+    * (shared by [[pqEncode]] and the fused cell+code pass of
+    * [[ivfPqTopK]]). The argmin is a codegen-capable `least` over
+    * (cost, idx) structs — ties break to the smaller centroid index. */
+  private def pqCodeArray(vec: Column, codebooks: Seq[Seq[Seq[Long]]]): Column = {
     val m = codebooks.size
     array((0 until m).map { j =>
       val sub = codebooks(j).head.size
-      val xj = slice(col("__cv"), j * sub + 1, sub)
       val costs = codebooks(j).zipWithIndex.map { case (c, ci) =>
         val norm = c.map(x => x * x).sum
-        struct((lit(norm) - lit(2L) * dotLong(xj, typedLit(c))).as("cost"),
+        struct((lit(norm) - lit(2L) * quantDot(vec, j * sub, c)).as("cost"),
           lit(ci).as("idx"))
       }
-      element_at(slice(sort_array(array(costs: _*)), 1, 1), 1)
-        .getField("idx").cast("int")
+      least(costs: _*).getField("idx").cast("int")
     }: _*)
   }
 
