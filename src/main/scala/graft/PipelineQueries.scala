@@ -726,6 +726,23 @@ object PipelineQueries {
         k = 5, nClusters = 16, nProbe = 4, m = 8, ksub = 16)
     }),
 
+    "q_sim_ivfpq_res_topk" -> ((s, d) => {
+      // residual IVF-PQ (IVFADC): codes quantize x − centroid(cell); the
+      // residual is algebraically folded into per-cell literal constants,
+      // so the corpus pass stays one codegen'd projection
+      val e = embs(s, d)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 50), "vec_id",
+        "embedding", k = 5, nClusters = 16, nProbe = 4, m = 8, ksub = 16)
+    }),
+
+    "q_sim_ivfpq_res_recall" -> ((s, d) => {
+      // the acceptance row that prices residual quantization against the
+      // plain-vector codes of q_sim_ivfpq_recall
+      val e = embs(s, d)
+      Similarity.ivfPqResidualRecall(e, e.filter(col("vec_id") < 50), "vec_id",
+        "embedding", k = 5, nClusters = 16, nProbe = 4, m = 8, ksub = 16)
+    }),
+
     "q_sim_ivf_stats" -> ((s, d) => {
       // the IVF maintenance row: per-cell posting counts + corpus share
       // ppm — the imbalance report that triggers index re-training
@@ -939,6 +956,47 @@ object PipelineQueries {
       |  JOIN codes co ON co.neighbor_id = cl.neighbor_id
       |  JOIN luts l ON l.query_id = p.query_id AND l.j = co.j AND l.cidx = co.code
       |  WHERE cl.neighbor_id <> p.query_id GROUP BY 1, 2)
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) <= 5""".stripMargin
+
+  /** Residual IVF-PQ top-5 (q_sim_ivfpq_res_topk): home cells as in the
+    * IVF oracles, residuals computed DIRECTLY (the SQL side has no reason
+    * to fold them into constants), codebooks = subspace slices of the 16
+    * lowest-id vectors' residuals, ADC = q·centroid(cell) + Σ LUT. */
+  private val ivfPqResTopKOracle =
+    """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+      |c AS (SELECT vec_id AS cid, qv AS centroid FROM v ORDER BY vec_id LIMIT 16),
+      |cells AS (SELECT vec_id, cid FROM (
+      |  SELECT v.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+      |  FROM v CROSS JOIN c) WHERE rk = 1),
+      |res AS (SELECT v.vec_id, v.qv,
+      |    list_transform(range(1, len(v.qv) + 1), i -> v.qv[i] - cc.centroid[i]) AS r
+      |  FROM v JOIN cells cl ON cl.vec_id = v.vec_id JOIN c cc ON cc.cid = cl.cid),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, r AS cv
+      |  FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16 OFFSET 16)),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |costs AS (SELECT res.vec_id, js.j, cb.cidx,
+      |    list_dot_product(list_slice(cb.cv, js.j*8+1, js.j*8+8), list_slice(cb.cv, js.j*8+1, js.j*8+8))
+      |    - 2*list_dot_product(list_slice(res.r, js.j*8+1, js.j*8+8), list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS cost
+      |  FROM res CROSS JOIN js CROSS JOIN cb),
+      |codes AS (SELECT vec_id AS neighbor_id, j, cidx AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY cost, cidx) AS rk
+      |    FROM costs) WHERE rk = 1),
+      |probes AS (SELECT vec_id AS query_id, cid, base FROM (
+      |  SELECT v.vec_id, c.cid,
+      |         CAST(list_dot_product(v.qv, c.centroid) AS BIGINT) AS base,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+      |  FROM v CROSS JOIN c WHERE v.vec_id < 50) WHERE rk <= 4),
+      |luts AS (SELECT v.vec_id AS query_id, js.j, cb.cidx,
+      |    CAST(list_dot_product(list_slice(v.qv, js.j*8+1, js.j*8+8), list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS BIGINT) AS lval
+      |  FROM v CROSS JOIN js CROSS JOIN cb WHERE v.vec_id < 50)
+      |SELECT query_id, neighbor_id, approx_dot FROM (
+      |  SELECT p.query_id, cl.vec_id AS neighbor_id,
+      |    p.base + CAST(sum(l.lval) AS BIGINT) AS approx_dot
+      |  FROM probes p JOIN cells cl USING (cid)
+      |  JOIN codes co ON co.neighbor_id = cl.vec_id
+      |  JOIN luts l ON l.query_id = p.query_id AND l.j = co.j AND l.cidx = co.code
+      |  WHERE cl.vec_id <> p.query_id GROUP BY 1, 2, p.base)
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) <= 5""".stripMargin
 
   private def bpeOracle(k: Int, select: String): String = {
@@ -2246,6 +2304,21 @@ object PipelineQueries {
     "q_sim_pq_topk" -> pqTopKOracle,
 
     "q_sim_ivfpq_topk" -> ivfPqTopKOracle,
+
+    "q_sim_ivfpq_res_topk" -> ivfPqResTopKOracle,
+
+    "q_sim_ivfpq_res_recall" ->
+      s"""WITH vv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+         |    FROM vv q JOIN vv c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5),
+         |ap AS (SELECT query_id, neighbor_id FROM ($ivfPqResTopKOracle))
+         |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST((count(ap.neighbor_id) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1""".stripMargin,
 
     "q_sim_ivf_stats" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),

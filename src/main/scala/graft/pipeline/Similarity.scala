@@ -610,6 +610,128 @@ object Similarity {
     recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
       ivfPqTopK(corpus, queries, idCol, vecCol, k, nClusters, nProbe, m, ksub))
 
+  /** RESIDUAL IVF-PQ — the actual IVFADC of Jégou et al. (PAMI 2011,
+    * §IV-B): codes quantize the RESIDUAL `x − centroid(cell)` instead of
+    * the vector itself, so the codebook only has to cover the
+    * within-cell spread. On clustered corpora this is the standard
+    * quality upgrade over plain [[ivfPqTopK]]; on the UNIFORM synthetic
+    * test embeddings the acceptance rows show it does NOT pay (mean
+    * recall@5 0.18 vs plain 0.22 at sf0.01) — residuals of a uniform
+    * cloud are as spread as the vectors themselves, and under
+    * inner-product ranking the centroid-base term dominates. That is
+    * exactly what the side-by-side recall rows are for: measure on YOUR
+    * corpus before switching.
+    *
+    * The Spark-first trick: the residual is NEVER materialized. Encoding
+    * argmin needs `|c|² − 2·(x−cent)·c = (|c|² + 2·cent·c) − 2·x·c`, and
+    * `cent·c` is a constant per (cell, codebook entry) — folded at
+    * plan-build time into a per-cell literal array indexed by the row's
+    * cell ordinal. Query-time ADC likewise: `x ≈ cent + c` gives
+    * `q·x ≈ q·cent + Σ_j q_j·c_j` — a per-(query, cell) base constant
+    * plus the usual LUT reads. Everything stays inside the ONE codegen'd
+    * corpus pass ([[graft.functions.QuantDotLong]] kernels + literal
+    * lookups), and the candidate join is still the single cid broadcast.
+    *
+    * Residual codebooks seed from the residuals of the `ksub` lowest-id
+    * vectors (each against its own home cell) — the [[pqCodebooks]]
+    * convention applied to residual space.
+    *
+    * Output: query_id, neighbor_id, `approx_dot`. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(
+      corpus.orderBy(col(idCol)).limit(nClusters)
+        .select(col(idCol).cast("long"), quantize(col(vecCol))))
+    // codebook seeds start AFTER the centroid seeds: a vector that is its
+    // own centroid has a ZERO residual, so a residual codebook seeded
+    // from the same ids as the coarse quantizer is mostly null entries
+    // (measured recall 0.12 vs plain IVF-PQ's 0.22 — worse than no
+    // residuals at all; disjoint seeds flip it)
+    val seeds = collectCentroids(
+      corpus.orderBy(col(idCol)).limit(nClusters + ksub)
+        .select(col(idCol).cast("long"), quantize(col(vecCol))))
+      .drop(nClusters)
+    require(seeds.size == ksub, s"corpus has < ${nClusters + ksub} vectors")
+    val dims = seeds.head._2.size
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    // home cell: max dot, ties to the smaller cid (the nearestCells rule)
+    def homeIdx(v: Seq[Long]): Int =
+      cents.indices.minBy(i => (-dot(v, cents(i)._2), cents(i)._1))
+
+    // residual codebooks: seed residuals against their own home cells
+    val seedRes = seeds.map { case (_, v) =>
+      val c = cents(homeIdx(v))._2
+      v.iterator.zip(c.iterator).map { case (x, y) => x - y }.toVector
+    }
+    val codebooks: Seq[Seq[Seq[Long]]] =
+      (0 until m).map(j => seedRes.map(_.slice(j * sub, j * sub + sub)))
+
+    // one corpus pass: cell ORDINAL (position in cents) + residual codes.
+    // cost_c = (|c|² + 2·cent·c)[cellOrdinal] − 2·x·c — the first term is
+    // a per-entry literal array indexed by the row's cell ordinal
+    val cellOrd = least(cents.zipWithIndex.map { case ((cid, cv), i) =>
+      struct((-quantDot(col(vecCol), 0, cv)).as("nd"), lit(cid).as("cid"),
+        lit(i).as("ord"))
+    }: _*).getField("ord")
+    val codeExprs = (0 until m).map { j =>
+      val costs = codebooks(j).zipWithIndex.map { case (c, ci) =>
+        val constByCell = cents.map { case (_, cv) =>
+          c.map(x => x * x).sum + 2L * dot(cv.slice(j * sub, j * sub + sub), c)
+        }
+        struct((element_at(typedLit(constByCell), col("__ord") + 1) -
+          lit(2L) * quantDot(col(vecCol), j * sub, c)).as("cost"),
+          lit(ci).as("idx"))
+      }
+      least(costs: _*).getField("idx").cast("int")
+    }
+    val cellsCodes = corpus
+      .withColumn("__ord", cellOrd)
+      .select(col("__ord"), col(idCol).as("neighbor_id"),
+        array(codeExprs: _*).as("codes"))
+      .localCheckpoint(true)
+
+    // probes: per query, nProbe best cells; each probe row carries the
+    // per-cell base (q·cent) and the residual LUT (cell-independent)
+    val qs = queries.select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSeq
+    val probeRows = qs.flatMap { case (qid, qv) =>
+      val lut = (0 until m).flatMap { j =>
+        val qj = qv.slice(j * sub, j * sub + sub)
+        codebooks(j).map(c => dot(qj, c))
+      }
+      cents.zipWithIndex
+        .map { case ((cid, cv), i) => (qid, i, dot(qv, cv), cid) }
+        .sortBy { case (_, _, d, cid) => (-d, cid) }.take(nProbe)
+        .map { case (q, ord, base, _) => (q, ord, base, lut) }
+    }
+    val probes = probeRows.toDF("query_id", "__ord", "__base", "__lut")
+    val approx = col("__base") + (0 until m)
+      .map(j => element_at(col("__lut"),
+        lit(j * ksub + 1) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+    val cand = cellsCodes.join(broadcast(probes), Seq("__ord"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", approx)
+    topKPerQuery(cand, k, queries.schema(idCol).dataType, withCosine = false)
+      .withColumnRenamed("dot", "approx_dot")
+  }
+
+  /** [[lshRecall]]'s harness pointed at the residual IVF-PQ ranking —
+    * side by side with [[ivfPqRecall]] it prices what residual
+    * quantization buys. */
+  def ivfPqResidualRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nClusters: Int = 16,
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16): DataFrame =
+    recallVsExact(bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      ivfPqResidualTopK(corpus, queries, idCol, vecCol, k, nClusters, nProbe, m, ksub))
+
   /** ANN quality evaluation: per-query RECALL of the LSH top-k against the
     * exact top-k ground truth — the acceptance metric every approximate
     * index deployment is judged by. Both rankings run their normal scale
