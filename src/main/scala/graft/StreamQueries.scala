@@ -209,6 +209,18 @@ object StreamQueries {
         "context_id", "timestamp", "event_id", windowSec = 3600L))
     }),
 
+    "q_stream_embed_admit" -> ((s, d) => {
+      // streaming SEMANTIC admission: arriving vectors blocked by their
+      // IVF home cell against the static corpus postings, confirmed by
+      // exact quantized cosine — stateless semi/anti joins, no state store
+      val src = new TestDataSource(s, d)
+      val corpus = src.table("embeddings").filter(col("vec_id") % 3 =!= 0)
+      val (decisions, postings) = StreamingPipeline.admitEmbedsStreamCached(
+        src.embeddingsStream, corpus, "vec_id", "embedding")
+      try StreamingReplay.run(decisions)
+      finally { postings.unpersist(); () }
+    }),
+
     "q_stream_join_outer" -> ((s, d) => {
       // LEFT OUTER stream-stream join: unconverted clicks surface as
       // null-joined rows once the watermark proves no purchase can still
@@ -413,6 +425,27 @@ object StreamQueries {
         |SELECT l.key, l.left_id, l.left_ts, r.right_id, r.right_ts
         |FROM l JOIN r ON l.key = r.key
         |  AND r.right_ts >= l.left_ts AND r.right_ts <= l.left_ts + 3600""".stripMargin,
+
+    // cell-blocked semantic admission: a stream vector is a dup iff some
+    // SAME-CELL corpus vector reaches the cosine threshold (the cell rule
+    // is part of the contract — the oracle models it, not global cosine)
+    "q_stream_embed_admit" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |corpus AS (SELECT * FROM v WHERE vec_id % 3 != 0),
+        |c AS (SELECT vec_id AS cid, qv AS centroid FROM corpus ORDER BY vec_id LIMIT 16),
+        |pc AS (SELECT vec_id, qv, cid FROM (
+        |  SELECT corpus.vec_id, corpus.qv, c.cid,
+        |         row_number() OVER (PARTITION BY corpus.vec_id ORDER BY list_dot_product(corpus.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM corpus CROSS JOIN c) WHERE rk = 1),
+        |sc AS (SELECT vec_id, qv, cid FROM (
+        |  SELECT v.vec_id, v.qv, c.cid,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.qv, c.centroid) DESC, c.cid ASC) AS rk
+        |  FROM v CROSS JOIN c) WHERE rk = 1)
+        |SELECT sc.vec_id, CASE WHEN EXISTS (SELECT 1 FROM pc
+        |    WHERE pc.cid = sc.cid AND list_dot_product(sc.qv, pc.qv) /
+        |      (sqrt(list_dot_product(sc.qv, sc.qv)) * sqrt(list_dot_product(pc.qv, pc.qv))) >= 0.4)
+        |  THEN 'dup_semantic_corpus' ELSE 'admitted' END AS status
+        |FROM sc""".stripMargin,
 
     // matched pairs are the batch join; a null-joined row appears for an
     // unmatched click only once its whole window sits below the final

@@ -180,12 +180,12 @@ object Similarity {
     * argmax window (`nd` is the negated dot, so lexicographic struct sort
     * ranks directly). The centroid list is tiny (nClusters × dims longs) and
     * known at plan time, so inlining beats broadcasting a join side. */
-  private def nearestCells(vec: Column, cents: Seq[(Long, Seq[Long])], keep: Int): Column =
+  private[graft] def nearestCells(vec: Column, cents: Seq[(Long, Seq[Long])], keep: Int): Column =
     slice(sort_array(array(cents.map { case (cid, cv) =>
       struct((-dotLong(vec, typedLit(cv))).as("nd"), lit(cid).as("cid"))
     }: _*)), 1, keep)
 
-  private def collectCentroids(df: DataFrame): Seq[(Long, Seq[Long])] =
+  private[graft] def collectCentroids(df: DataFrame): Seq[(Long, Seq[Long])] =
     df.collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).sortBy(_._1)
 

@@ -140,4 +140,10 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     spark.readStream.schema(schema).parquet(streamDir("documents"))
   }
+
+  /** STREAMING view of the embeddings table. */
+  def embeddingsStream: DataFrame = {
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema).parquet(streamDir("embeddings"))
+  }
 }

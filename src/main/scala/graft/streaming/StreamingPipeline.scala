@@ -371,4 +371,56 @@ object StreamingPipeline {
       }
     (decisions, corpusBands)
   }
+
+  /** Streaming SEMANTIC admission — the embedding-space sibling of
+    * [[admitStreamNear]] (lexical) and [[admitImagesStream]] (perceptual),
+    * closing the dedup-modality set: an arriving vector is rejected when
+    * the static corpus holds a semantically near-identical one.
+    *
+    * Blocking is the IVF home cell (the [[graft.pipeline.Similarity]]
+    * coarse quantizer with plan-time-literal centroids): the stream row's
+    * cell is one codegen'd expression, and the only join is a
+    * stream-static equi-join on `cid` against the corpus postings — each
+    * arrival is compared to one cell's posting list, never the corpus.
+    * Confirmation is the exact quantized cosine at `cosThreshold` (the
+    * [[graft.pipeline.Similarity.cosineNearDups]] regime). Entirely
+    * STATELESS (semi + anti joins, no aggregation): no watermark, no
+    * state store, per-batch cost ∝ arrivals × cell size.
+    *
+    * Cell blocking is approximate by design — a near-identical pair can
+    * straddle a cell boundary (the same trade [[ivfTopK]] makes); the
+    * oracle models the same cell rule, and the batch `cosineNearDups`
+    * remains the exact global pass.
+    *
+    * Returns (decisions, postings): the postings frame stays cached for
+    * the query's lifetime (stream-static sides re-plan every trigger) —
+    * unpersist it after the query stops. */
+  def admitEmbedsStreamCached(streamEmbeds: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cosThreshold: Double = 0.4,
+      nClusters: Int = 16): (DataFrame, DataFrame) = {
+    import graft.pipeline.Similarity
+    val index = Similarity.buildIvfIndex(corpus, idCol, vecCol, nClusters)
+    val cents = Similarity.collectCentroids(
+      index.centroids.select(col("cid"), col("centroid")))
+    val postings = index.postings
+      .select(col("cid").as("c_cid"), col("cv")).persist()
+    val s = streamEmbeds
+      .select(col(idCol).as("vec_id"), Similarity.quantize(col(vecCol)).as("qv"))
+      .withColumn("cid",
+        element_at(Similarity.nearestCells(col("qv"), cents, 1), 1).getField("cid"))
+    val cond = col("cid") === col("c_cid") &&
+      Similarity.cosineQ(col("qv"), col("cv")) >= cosThreshold
+    val dups = s.join(postings, cond, "left_semi")
+      .select(col("vec_id"), lit("dup_semantic_corpus").as("status"))
+    val admits = s.join(postings, cond, "left_anti")
+      .select(col("vec_id"), lit("admitted").as("status"))
+    (dups.unionByName(admits), postings)
+  }
+
+  /** [[admitEmbedsStreamCached]] without the cache handle. */
+  def admitEmbedsStream(streamEmbeds: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cosThreshold: Double = 0.4,
+      nClusters: Int = 16): DataFrame =
+    admitEmbedsStreamCached(streamEmbeds, corpus, idCol, vecCol,
+      cosThreshold, nClusters)._1
 }
