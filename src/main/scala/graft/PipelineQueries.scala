@@ -440,6 +440,11 @@ object PipelineQueries {
       // corpus heavy hitters: vocabulary-sized exchange + global top-k
       TextAnalysis.topTokens(docs(s, d), "text", k = 20)),
 
+    "q_collocations" -> ((s, d) =>
+      // phrase detection: top bigrams + integer bit-length PMI signal —
+      // vocabulary-sized aggregates, broadcast totals, bounded TakeOrdered
+      TextAnalysis.collocations(docs(s, d), "text", topN = 20, minCount = 5L)),
+
     "q_rare_tokens" -> ((s, d) =>
       // corpus-relative token rarity (integer inverse-df weights) — the
       // exact analog of an LM/CCNet noise screen; df <= 50 marks "rare"
@@ -1801,6 +1806,28 @@ object PipelineQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest($toks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // bigram PMI in bit lengths: bl(C_ab) + 2·bl(T) − bl(B) − bl(C_a) −
+    // bl(C_b); totals computed before the min-count cut
+    "q_collocations" ->
+      s"""WITH w AS (SELECT $toks AS w FROM documents),
+         |u AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(w) AS t FROM w) WHERE t <> '' GROUP BY t),
+         |bp AS (SELECT p FROM (SELECT unnest([{'a': w[i], 'b': w[i+1]}
+         |    for i in range(1, len(w))]) AS p FROM w)
+         |  WHERE p.a <> '' AND p.b <> ''),
+         |ba AS (SELECT p.a AS word_a, p.b AS word_b,
+         |    CAST(count(*) AS BIGINT) AS n_pair FROM bp GROUP BY 1, 2),
+         |tt AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM u) AS t_total,
+         |           (SELECT CAST(sum(n_pair) AS BIGINT) FROM ba) AS b_total)
+         |SELECT ba.word_a, ba.word_b, ba.n_pair, ua.n AS n_a, ub.n AS n_b,
+         |  CAST(length(bin(ba.n_pair)) + 2 * length(bin(tt.t_total))
+         |    - length(bin(tt.b_total)) - length(bin(ua.n))
+         |    - length(bin(ub.n)) AS BIGINT) AS pmi_bits
+         |FROM ba JOIN u ua ON ua.t = ba.word_a JOIN u ub ON ub.t = ba.word_b
+         |  CROSS JOIN tt
+         |WHERE ba.n_pair >= 5
+         |ORDER BY ba.n_pair DESC, ba.word_a, ba.word_b LIMIT 20""".stripMargin,
 
     // same (doc, token, count) collapse, df over doc-distinct pairs, and
     // integer floor weights as the Spark plan

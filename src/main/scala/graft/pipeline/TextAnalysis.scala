@@ -235,6 +235,54 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Collocation mining: the `topN` most frequent word BIGRAMS with an
+    * integer pointwise-mutual-information signal — the classic corpus
+    * phrase detector (Church & Hanks 1990). PMI =
+    * log₂ p(ab)/(p(a)p(b)); here spelled entirely in BIT LENGTHS
+    * (`length(bin(x))` — the [[CorpusSignals]] surprisal convention):
+    * `pmi_bits = bl(C_ab) + 2·bl(T) − bl(B) − bl(C_a) − bl(C_b)`
+    * where T/B are corpus token/bigram totals. Bit lengths add where
+    * logs add, cannot overflow (no products are formed), and are exact
+    * on both engines — the ±couple-bit quantization is fine for the
+    * screening signal this is.
+    *
+    * Scale shape: bigram and unigram counts are vocabulary-sized
+    * partial+final aggregates; totals are two 1-row broadcasts; the
+    * ranking is a bounded TakeOrderedAndProject. `minCount` drops the
+    * hapax tail BEFORE the join (rare bigrams have wild PMI — the
+    * published caveat).
+    *
+    * Output: word_a, word_b, n_pair, n_a, n_b, pmi_bits — topN by
+    * (n_pair DESC, word_a ASC, word_b ASC). */
+  def collocations(df: DataFrame, textCol: String, topN: Int,
+      minCount: Long = 5L): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val bitLen = (c: Column) => length(bin(c)).cast("long")
+    val toks = df.select(tokens(col(textCol)).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val biAll = toks
+      .select(explode(expr(
+        "filter(transform(w, (x, i) -> struct(x as a, try_element_at(w, i + 2) as b)), " +
+          "p -> p.b is not null and p.a <> '' and p.b <> '')")).as("p"))
+      .select(col("p.a").as("word_a"), col("p.b").as("word_b"))
+      .groupBy("word_a", "word_b").agg(count(lit(1)).as("n_pair"))
+    // totals BEFORE the minCount cut — p(ab) is relative to all bigrams
+    val totals = broadcast(uni.agg(sum(col("n")).as("__t"))
+      .crossJoin(biAll.agg(sum(col("n_pair")).as("__b"))))
+    biAll
+      .filter(col("n_pair") >= minCount)
+      .join(uni.select(col("t").as("word_a"), col("n").as("n_a")), Seq("word_a"))
+      .join(uni.select(col("t").as("word_b"), col("n").as("n_b")), Seq("word_b"))
+      .crossJoin(totals)
+      .select(col("word_a"), col("word_b"), col("n_pair"), col("n_a"), col("n_b"),
+        (bitLen(col("n_pair")) + lit(2L) * bitLen(col("__t")) -
+          bitLen(col("__b")) - bitLen(col("n_a")) - bitLen(col("n_b"))).as("pmi_bits"))
+      .orderBy(col("n_pair").desc, col("word_a"), col("word_b"))
+      .limit(topN)
+  }
+
   /** 60-bit document fingerprint: minimum md5-hash over word 5-gram shingles
     * (winnowing-style robust fingerprint; falls back to whole-text hash for
     * docs shorter than 5 words). */

@@ -495,6 +495,49 @@ final class EventStore(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Right-to-erasure purge: physically remove EVERY event of one context
+    * across all event types — the GDPR/CCPA deletion a production event
+    * store must answer, which log-structured engines (the reference
+    * included) cannot do without a rewrite. Built on the same
+    * flush-rewrite-swap discipline as [[compact]]: the WAL is truncated by
+    * the flush first (so a crash replay cannot resurrect purged rows),
+    * only event types that actually hold the context are rewritten (the
+    * existence probe is a pushed-down predicate — with the
+    * context-sorted segment layout it prunes on row-group stats), and
+    * ingest commit markers are carried so the exactly-once window stays
+    * closed.
+    *
+    * Scope: the event log. Derived artifacts (REMEMBER materializations,
+    * snapshot exports) are separate retention surfaces — re-materialize
+    * or re-export after a purge, as any warehouse erasure runbook does.
+    *
+    * Returns the number of events removed. */
+  def purgeContext(contextId: String): Long = {
+    flush()
+    var removed = 0L
+    listCommittedTypes().filter(schemas.contains).foreach { t =>
+      val dir = dataDir.resolve(t)
+      val hits = committedFrame(t)
+        .filter(col(EventSchema.ContextId) === contextId).count()
+      if (hits > 0) {
+        removed += hits
+        val tmp = dataDir.resolve(s"$t.purge.tmp")
+        committedFrame(t)
+          .filter(col(EventSchema.ContextId) =!= contextId)
+          .sortWithinPartitions(EventSchema.ContextId, EventSchema.Timestamp, EventSchema.EventId)
+          .write.mode("overwrite").parquet(tmp.toString)
+        EventStore.listDir(dir)
+          .filter(_.getFileName.toString.startsWith("_ingest_"))
+          .foreach(m => Files.copy(m, tmp.resolve(m.getFileName.toString)))
+        val old = dataDir.resolve(s"$t.old")
+        Files.move(dir, old)
+        Files.move(tmp, dir)
+        deleteRecursively(old)
+      }
+    }
+    removed
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       EventStore.listDir(p).foreach(deleteRecursively)

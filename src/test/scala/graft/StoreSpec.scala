@@ -149,4 +149,30 @@ class StoreSpec extends AnyFunSuite {
     q.awaitTermination(60000)
     assert(s.frame("se").count() == 2)
   }
+
+  test("purgeContext erases one context across types, survives reopen, flushes pending rows") {
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE a FIELDS { v: "int" }""")
+    s.execute("""DEFINE b FIELDS { v: "int" }""")
+    s.execute("""STORE a FOR u1 PAYLOAD {"v": 1}""")
+    s.execute("""STORE a FOR u2 PAYLOAD {"v": 2}""")
+    s.execute("""STORE b FOR u1 PAYLOAD {"v": 3}""")
+    s.execute("FLUSH")
+    // a pending (unflushed) row of the purged context must also go
+    s.execute("""STORE a FOR u1 PAYLOAD {"v": 4}""")
+    assert(s.purgeContext("u1") == 3L)
+    assert(frame(s.execute("QUERY a")).collect().map(_.getAs[String]("context_id")).toSeq == Seq("u2"))
+    assert(frame(s.execute("QUERY b")).count() == 0)
+    // idempotent: nothing left to remove
+    assert(s.purgeContext("u1") == 0L)
+    // reopen: the purge is durable, untouched contexts remain
+    val s2 = new EventStore(spark, dir)
+    assert(frame(s2.execute("QUERY a FOR u2")).count() == 1)
+    assert(frame(s2.execute("QUERY a FOR u1")).count() == 0)
+    // the store still ingests normally after the rewrite
+    s2.execute("""STORE a FOR u1 PAYLOAD {"v": 5}""")
+    s2.execute("FLUSH")
+    assert(frame(s2.execute("QUERY a FOR u1")).count() == 1)
+  }
 }
