@@ -440,6 +440,16 @@ object PipelineQueries {
       // corpus heavy hitters: vocabulary-sized exchange + global top-k
       TextAnalysis.topTokens(docs(s, d), "text", k = 20)),
 
+    "q_zorder" -> ((s, d) => {
+      // Morton z-values over (doc_id, n_chars): the multi-column
+      // clustering key — scaling bounds are one bounded collect, the
+      // interleave is pure codegen'd bit arithmetic (oracle replays the
+      // identical mask-spread chain)
+      val dd = docs(s, d)
+      dd.select(col("doc_id"),
+        graft.sources.ZOrder.zValue(dd, "doc_id", "n_chars").as("z"))
+    }),
+
     "q_collocations" -> ((s, d) =>
       // phrase detection: top bigrams + integer bit-length PMI signal —
       // vocabulary-sized aggregates, broadcast totals, bounded TakeOrdered
@@ -1806,6 +1816,23 @@ object PipelineQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest($toks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // the mask-spread interleave replayed stepwise in CTE columns — the
+    // same masks/shifts as ZOrder.spread16, operands all non-negative so
+    // DuckDB // equals Spark div in the scaling
+    "q_zorder" ->
+      """WITH b AS (SELECT min(doc_id) AS a0, max(doc_id) AS a1,
+        |    min(n_chars) AS b0, max(n_chars) AS b1 FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN a1 <= a0 THEN 0 ELSE ((doc_id - a0) * 65536) // (a1 - a0 + 1) END AS sa,
+        |    CASE WHEN b1 <= b0 THEN 0 ELSE ((n_chars - b0) * 65536) // (b1 - b0 + 1) END AS sb
+        |  FROM documents, b),
+        |p1 AS (SELECT doc_id, sa & 65535 AS xa, sb & 65535 AS xb FROM s),
+        |p2 AS (SELECT doc_id, (xa | (xa << 8)) & 16711935 AS xa, (xb | (xb << 8)) & 16711935 AS xb FROM p1),
+        |p3 AS (SELECT doc_id, (xa | (xa << 4)) & 252645135 AS xa, (xb | (xb << 4)) & 252645135 AS xb FROM p2),
+        |p4 AS (SELECT doc_id, (xa | (xa << 2)) & 858993459 AS xa, (xb | (xb << 2)) & 858993459 AS xb FROM p3),
+        |p5 AS (SELECT doc_id, (xa | (xa << 1)) & 1431655765 AS xa, (xb | (xb << 1)) & 1431655765 AS xb FROM p4)
+        |SELECT doc_id, CAST(xa | (xb << 1) AS BIGINT) AS z FROM p5""".stripMargin,
 
     // bigram PMI in bit lengths: bl(C_ab) + 2·bl(T) − bl(B) − bl(C_a) −
     // bl(C_b); totals computed before the min-count cut
