@@ -355,6 +355,11 @@ object AnalyticsQueries {
           expr("cast(round(value * 1000) as bigint)")),
         Seq("context_id", "event_type", "timestamp", "value_milli"))),
 
+    "q_ab_srm" -> ((s, d) =>
+      // the experimentation guardrail: per-arm observed vs expected users
+      // + chi-square contributions in exact integer micro-units
+      EventAnalytics.srmCheck(events(s, d), "context_id", nVariants = 3)),
+
     "q_ab_lift" -> ((s, d) =>
       // A/B readout: 3 hash-assigned arms, conversion = any purchase,
       // integer ppm rates + lift vs arm 0 — one user-grain aggregate,
@@ -581,6 +586,20 @@ object AnalyticsQueries {
                 "timestamp" -> "ets", "value_milli" -> "value_milli")
            .map { case (n, c) => row(n, c) }.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // per-arm chi-square contributions in HUGEINT (the decimal(38,0)
+    // twin), truncated to micro-units; operands non-negative so // = div
+    "q_ab_srm" ->
+      s"""WITH u AS (SELECT DISTINCT ${Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")} % 3 AS variant,
+         |    user_id FROM events),
+         |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS users FROM u GROUP BY 1),
+         |t AS (SELECT CAST(sum(users) AS BIGINT) AS total FROM a)
+         |SELECT a.variant, a.users,
+         |  (t.total * 1000) // 3 AS exp_users_milli,
+         |  CAST((CAST(a.users * 3 - t.total AS HUGEINT) *
+         |        CAST(a.users * 3 - t.total AS HUGEINT) * 1000000)
+         |    // (3 * t.total) AS BIGINT) AS chi2_micro
+         |FROM a, t""".stripMargin,
 
     // hash-assigned arms; all rate math in truncate-toward-zero integer
     // division (DuckDB // floors, so negative lifts spell the truncation

@@ -209,6 +209,18 @@ object StreamQueries {
         "context_id", "timestamp", "event_id", windowSec = 3600L))
     }),
 
+    "q_stream_cms" -> ((s, d) => {
+      // live Count-Min counter table over streaming document shingles:
+      // counters are additive, so the streaming aggregation's final
+      // complete-mode emission equals the batch counter table exactly
+      val src = new TestDataSource(s, d)
+      val sh = src.documentsStream.select(
+        explode(graft.pipeline.Dedup.shingles(col("text"), 3)).as("sh"))
+      StreamingReplay.run(
+        StreamingSketches.cmsCounters(sh, col("sh"), depth = 4, width = 512),
+        mode = "complete")
+    }),
+
     "q_stream_embed_admit" -> ((s, d) => {
       // streaming SEMANTIC admission: arriving vectors blocked by their
       // IVF home cell against the static corpus postings, confirmed by
@@ -425,6 +437,16 @@ object StreamQueries {
         |SELECT l.key, l.left_id, l.left_ts, r.right_id, r.right_ts
         |FROM l JOIN r ON l.key = r.key
         |  AND r.right_ts >= l.left_ts AND r.right_ts <= l.left_ts + 3600""".stripMargin,
+
+    // additive counters: the replayed complete-mode table IS the batch
+    // counter table (the q_sketch_cms counters CTE)
+    "q_stream_cms" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |o AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh FROM t),
+         |js AS (SELECT unnest([0, 1, 2, 3]) AS j)
+         |SELECT j, ${graft.pipeline.Hashing.duckMd5Long("('cms' || CAST(j AS VARCHAR) || '|' || sh)")} % 512 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS c
+         |FROM o CROSS JOIN js GROUP BY 1, 2""".stripMargin,
 
     // cell-blocked semantic admission: a stream vector is a dup iff some
     // SAME-CELL corpus vector reaches the cosine threshold (the cell rule

@@ -526,6 +526,39 @@ object EventAnalytics {
         col("conv_ppm"), col("lift_ppm"))
   }
 
+  /** Sample-ratio-mismatch (SRM) guardrail for [[experimentLift]]: the
+    * FIRST thing an experimentation platform checks — if the hash
+    * assignment didn't land users on the expected equal split, every
+    * downstream lift number is suspect (bots, filtering bias, a broken
+    * salt). Per arm: observed users, expected users (milli-units), and
+    * the arm's chi-square contribution `(obs·k − total)² / (k·total)` in
+    * micro-units — the reader sums contributions and compares against the
+    * χ²(k−1) critical value. Arithmetic runs in decimal(38,0) so the
+    * squared term cannot overflow at billions of users, then truncates to
+    * integer micro-units (engine-exact).
+    *
+    * Scale shape: one user-grain collapse (the [[experimentLift]]
+    * exchange), arm-cardinality rows after, totals a 1-row broadcast. */
+  def srmCheck(events: DataFrame, ctxCol: String, nVariants: Int,
+      salt: String = "ab"): DataFrame = {
+    require(nVariants >= 2, s"an experiment needs >= 2 variants, got $nVariants")
+    val variant = pmod(Hashing.md5Long(
+      concat(lit(s"$salt:"), col(ctxCol).cast("string"))), lit(nVariants.toLong))
+    val arms = events.select(variant.as("variant"), col(ctxCol).as("_ctx"))
+      .groupBy("variant", "_ctx").agg(lit(1))
+      .groupBy("variant").agg(count(lit(1)).as("users"))
+    val total = broadcast(arms.agg(sum(col("users")).as("_total")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    arms.crossJoin(total)
+      .select(col("variant"), col("users"),
+        call_function("div", col("_total") * 1000L, lit(nVariants.toLong))
+          .as("exp_users_milli"),
+        (dec(col("users") * nVariants - col("_total")) *
+          dec(col("users") * nVariants - col("_total")) * dec(lit(1000000L)) /
+          dec(lit(nVariants.toLong) * col("_total"))).cast("bigint")
+          .as("chi2_micro"))
+  }
+
   /** Top-N session paths: each session's journey as the `maxLen`-prefix of
     * its event-type sequence in (timestamp, event_id) order, joined with
     * `>`, counted across all sessions, top `topN` by (count DESC, path

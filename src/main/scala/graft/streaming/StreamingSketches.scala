@@ -74,4 +74,17 @@ object StreamingSketches {
             estimate(sk, k))
       }
   }
+
+  /** Streaming Count-Min counters — the heavy-hitter / frequency sketch
+    * maintained live: counters are ADDITIVE, so the streaming form is
+    * literally the batch [[graft.pipeline.Sketches.cmsCounters]]
+    * aggregation run as a streaming aggregation (state = the depth×width
+    * counter table, FIXED-SIZE forever — the whole point vs an exact
+    * per-key count whose state grows with the key space). Complete-mode
+    * output re-emits the refreshed table each trigger; additivity makes
+    * the replayed table equal the batch table exactly (same oracle).
+    * Estimates stay the batch-side [[graft.pipeline.Sketches.cmsEstimate]]
+    * over the latest emitted table. */
+  def cmsCounters(stream: DataFrame, value: Column, depth: Int, width: Int): DataFrame =
+    graft.pipeline.Sketches.cmsCounters(stream, value, depth, width)
 }
