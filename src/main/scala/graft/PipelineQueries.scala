@@ -589,6 +589,19 @@ object PipelineQueries {
           posexplode(col("head_ids")).as(Seq("rank", "head_id")))
         .withColumn("rank", col("rank").cast("long"))),
 
+    "q_postings_incr" -> ((s, d) => {
+      // nightly index refresh: 3/4 of the corpus indexed, the last quarter
+      // folded in via one token-keyed merge — the result must equal the
+      // full rebuild bit-for-bit (same oracle as q_postings)
+      val dd = docs(s, d)
+      Search.updatePostings(
+          Search.buildPostings(dd.filter(col("doc_id") % 4 =!= 0), "doc_id", "text"),
+          dd.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+        .select(col("token"), col("df"), col("tf"),
+          posexplode(col("head_ids")).as(Seq("rank", "head_id")))
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     "q_embed_stats" -> ((s, d) =>
       // embedding QC per label: count, dim, quantized-norm² range/mean —
       // the degenerate-embedding detector (all-zero / exploded vectors show
@@ -2111,6 +2124,20 @@ object PipelineQueries {
     // the bounded head agg ranks (-id DESC, id ASC) ≡ id ASC — the window
     // spelling is the oracle, not the plan
     "q_postings" ->
+      s"""WITH o AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1, 2),
+         |r AS (SELECT tok, doc_id, cnt,
+         |        row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY tok) AS df,
+         |        sum(cnt) OVER (PARTITION BY tok) AS tf
+         |      FROM occ)
+         |SELECT tok AS token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+         |  CAST(rn - 1 AS BIGINT) AS rank, doc_id AS head_id
+         |FROM r WHERE rn <= 8""".stripMargin,
+
+    // incremental == rebuild: the oracle is q_postings' full-corpus
+    // derivation verbatim
+    "q_postings_incr" ->
       s"""WITH o AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
          |occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1, 2),
          |r AS (SELECT tok, doc_id, cnt,

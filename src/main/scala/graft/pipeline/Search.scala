@@ -143,6 +143,38 @@ object Search {
         expr("transform(tk, e -> e.id)").as("head_ids"))
   }
 
+  /** Incremental (nightly) index refresh: fold a batch of NEW documents
+    * into an existing [[buildPostings]] table without rescanning the
+    * indexed corpus — the search-index sibling of
+    * [[Dedup.updateDedupArtifacts]] and
+    * [[EventAnalytics.assignSessionsIncremental]]. Batch ids must be
+    * disjoint from already-indexed ids (the admission gate's insert-only
+    * contract — re-indexing an id would double-count df/tf).
+    *
+    * Correctness contract (oracle-checked): `updatePostings(build(A), B)`
+    * equals `build(A ∪ B)` exactly — df/tf are additive, and the merged
+    * head is the smallest-`cap` of the two heads' union, which contains
+    * the union corpus's true head (top-k-merge losslessness).
+    *
+    * Scale shape: the batch builds its own postings (batch-sized work),
+    * then ONE token-keyed full-outer join against the index — the per-row
+    * head merge is an O(cap) array op. */
+  def updatePostings(postings: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, cap: Int = 8): DataFrame = {
+    val b = buildPostings(newDocs, idCol, textCol, cap)
+    val emptyHeads = expr("cast(array() as array<bigint>)")
+    postings
+      .select(col("token"), col("df").as("_df_o"), col("tf").as("_tf_o"),
+        col("head_ids").as("_h_o"))
+      .join(b.select(col("token"), col("df").as("_df_b"), col("tf").as("_tf_b"),
+        col("head_ids").as("_h_b")), Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("_df_o"), lit(0L)) + coalesce(col("_df_b"), lit(0L))).as("df"),
+        (coalesce(col("_tf_o"), lit(0L)) + coalesce(col("_tf_b"), lit(0L))).as("tf"),
+        slice(array_sort(concat(coalesce(col("_h_o"), emptyHeads),
+          coalesce(col("_h_b"), emptyHeads))), 1, cap).as("head_ids"))
+  }
+
   /** HYBRID retrieval: the inverse-df term score blended with exact vector
     * similarity against one query embedding — `score = term_score·wTerm +
     * dot·wVec`, all integer, ranked (score DESC, id ASC) top-k. The modern
