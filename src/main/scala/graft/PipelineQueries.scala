@@ -327,6 +327,12 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d), "doc_id", "text")),
 
+    "q_dedup_prefix_join" -> ((s, d) =>
+      // EXACT similarity join via prefix filtering: word-set Jaccard >= 0.5
+      // with zero false negatives — the oracle is the brute-force truth,
+      // which the lemma guarantees the filtered join equals byte-for-byte
+      Dedup.prefixJaccardJoin(docs(s, d), "doc_id", "text")),
+
     "q_dedup_minhash_eval" -> ((s, d) =>
       // the banding acceptance row: candidate precision (wasted confirms)
       // and recall (missed true pairs) of the 32×2 LSH vs brute force —
@@ -1662,6 +1668,20 @@ object PipelineQueries {
         |      greatest(len(a.text), len(b.text)) <= 100000""".stripMargin,
 
     "q_dedup_minhash_eval" -> minhashEvalOracle,
+
+    // shingle-set Jaccard brute force — the prefix-filter lemma says the
+    // filtered join must equal this exactly (no false negatives); same
+    // truth as q_dedup_minhash's oracle
+    "q_dedup_prefix_join" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS s FROM t WHERE len(w) >= 3)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  round(len(list_intersect(a.s, b.s)) * 1.0 /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE len(a.s) > 0 AND len(b.s) > 0 AND
+         |      len(list_intersect(a.s, b.s)) * 1.0 /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
