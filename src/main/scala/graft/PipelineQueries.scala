@@ -777,6 +777,23 @@ object PipelineQueries {
         "embedding", k = 5, nClusters = 16, nProbe = 4, m = 8, ksub = 16)
     }),
 
+    "q_hard_negatives" -> ((s, d) => {
+      // contrastive-training negatives: each query's 5 most similar
+      // DIFFERENT-label vectors — wrong-label candidates filtered in the
+      // join predicate, never ranked
+      val e = embs(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 50), "vec_id",
+        "embedding", "label", k = 5)
+    }),
+
+    "q_knn_eval" -> ((s, d) => {
+      // embedding-quality acceptance: kNN majority-vote label recovery
+      // (self excluded, vote ties to the smaller label)
+      val e = embs(s, d)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 50), "vec_id",
+        "embedding", "label", k = 5)
+    }),
+
     "q_sim_ivf_stats" -> ((s, d) => {
       // the IVF maintenance row: per-cell posting counts + corpus share
       // ppm — the imbalance report that triggers index re-training
@@ -2420,6 +2437,34 @@ object PipelineQueries {
          |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
          |  CAST((count(ap.neighbor_id) * 1000000) // count(*) AS BIGINT) AS recall_ppm
          |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)
+        |SELECT query_id, neighbor_id, dot, neg_label FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot,
+        |    c.label AS neg_label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY CAST(list_dot_product(q.qv, c.qv) AS BIGINT) DESC, c.vec_id) AS rk
+        |  FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+        |    AND c.label <> q.label) WHERE rk <= 5""".stripMargin,
+
+    // majority vote over the exact top-5 (self excluded); vote ties break
+    // to the SMALLER label
+    "q_knn_eval" ->
+      """WITH v AS (SELECT vec_id, label, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |nn AS (SELECT query_id, nl FROM (
+        |  SELECT q.vec_id AS query_id, CAST(c.label AS BIGINT) AS nl,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY CAST(list_dot_product(q.qv, c.qv) AS BIGINT) DESC, c.vec_id) AS rk
+        |  FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id) WHERE rk <= 5),
+        |votes AS (SELECT query_id, nl, count(*) AS n FROM nn GROUP BY 1, 2),
+        |pred AS (SELECT query_id, nl AS predicted_label FROM (
+        |  SELECT query_id, nl, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY n DESC, nl ASC) AS rk FROM votes) WHERE rk = 1)
+        |SELECT p.query_id, CAST(v.label AS BIGINT) AS true_label, p.predicted_label,
+        |  CAST(v.label AS BIGINT) = p.predicted_label AS correct
+        |FROM pred p JOIN v ON v.vec_id = p.query_id""".stripMargin,
 
     "q_sim_ivf_stats" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),

@@ -86,6 +86,56 @@ object Similarity {
     topKPerQuery(joined, k, corpus.schema(idCol).dataType, withCosine = true)
   }
 
+  /** HARD-NEGATIVE mining for contrastive/metric training: each query's k
+    * most similar vectors with a DIFFERENT label — the "nearest wrong
+    * answer" set that contrastive losses need (random negatives are too
+    * easy; these are the ones the model confuses). Same broadcast-query /
+    * corpus-stream shape as [[bruteForceTopK]] with the label inequality
+    * fused into the join predicate, so wrong-label candidates are never
+    * even ranked; swap the candidate source for the PQ/IVF paths at
+    * corpus scale.
+    *
+    * Output: query_id, neighbor_id, dot, `neg_label`. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"), col(labelCol).as("__ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"), col(labelCol).as("__cl"))
+    val cand = c.join(q,
+        col("neighbor_id") =!= col("query_id") && col("__cl") =!= col("__ql"))
+      .withColumn("dot", dotLong(col("qv"), col("cv")))
+    val ranked = topKPerQuery(
+      cand.select(col("query_id"), col("neighbor_id"), col("dot")),
+      k, corpus.schema(idCol).dataType, withCosine = false)
+    ranked.join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neg_label")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("neg_label"))
+  }
+
+  /** kNN CLASSIFICATION eval: predict each query's label by majority vote
+    * of its k nearest neighbors (self excluded; vote ties → smaller
+    * label — deterministic), reported against the query's own label. The
+    * standard embedding-quality acceptance row: if kNN can't recover the
+    * labels, no downstream classifier will.
+    *
+    * Output: query_id, true_label, predicted_label, `correct`. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val ranked = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("__nl")), Seq("neighbor_id"))
+    val votes = ranked.groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("__votes"), -col("__nl"))).as("__best"))
+      .select(col("query_id"), (-col("__best.col2")).as("predicted_label"))
+    votes.join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("predicted_label"),
+        (col("true_label") === col("predicted_label")).as("correct"))
+  }
+
   /** Sign-random-projection bucket id for hash table `table` over `planes`
     * deterministic hyperplanes. Plane p's component j is an md5-derived value
     * in [-500, 500] — fixed by (table, p, j), engine-portable. The planes are
