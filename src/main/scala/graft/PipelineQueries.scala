@@ -777,6 +777,11 @@ object PipelineQueries {
         "embedding", k = 5, nClusters = 16, nProbe = 4, m = 8, ksub = 16)
     }),
 
+    "q_quality_strata" -> ((s, d) =>
+      // curriculum view: corpus-relative quality deciles with exact
+      // integer per-stratum stats; bounds one bounded percentile collect
+      CorpusSignals.qualityStrata(docs(s, d), "doc_id", "text")),
+
     "q_hard_negatives" -> ((s, d) => {
       // contrastive-training negatives: each query's 5 most similar
       // DIFFERENT-label vectors — wrong-label candidates filtered in the
@@ -2437,6 +2442,26 @@ object PipelineQueries {
          |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
          |  CAST((count(ap.neighbor_id) * 1000000) // count(*) AS BIGINT) AS recall_ppm
          |FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1""".stripMargin,
+
+    // stratum = count of interior decile bounds strictly below the score
+    // (boundary ties fall down); bounds = quantile_cont rounded 6dp — the
+    // valuePercentiles parity regime
+    "q_quality_strata" ->
+      s"""WITH q AS (SELECT CAST(round(round(
+         |    least(len($toks) / 50.0, 1.0) * 0.4 +
+         |    (CASE WHEN length(text)*1.0/len($toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+         |    least(${duckStop("en")} * 10.0 / len($toks), 1.0) * 0.2, 6) * 1000) AS BIGINT) AS qm,
+         |    CAST(len($toks) AS BIGINT) AS nt
+         |  FROM documents),
+         |b AS (SELECT list_transform(quantile_cont(qm, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         |    x -> round(x, 6)) AS bs FROM q),
+         |s AS (SELECT qm, nt,
+         |    CAST(len(list_filter(b.bs, x -> qm > x)) AS BIGINT) AS stratum
+         |  FROM q, b)
+         |SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |  (CAST(sum(nt) AS BIGINT) * 1000000) // count(*) AS mean_tokens_micro,
+         |  min(qm) AS q_min, max(qm) AS q_max
+         |FROM s GROUP BY 1""".stripMargin,
 
     "q_hard_negatives" ->
       """WITH v AS (SELECT vec_id, label, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)

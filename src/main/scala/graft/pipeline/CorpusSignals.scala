@@ -599,4 +599,40 @@ object CorpusSignals {
       .select(col("id"), col("top.label").as("label"),
         col("top.nb_score").as("nb_score"), col("n_feats"))
   }
+
+  /** Quality-stratified corpus report — the curriculum/mixing view: docs
+    * bucketed into `nStrata` corpus-relative quality strata (bounds = the
+    * exact interior percentiles of the milli-quantized quality score,
+    * collected bounded and inlined; a doc's stratum = number of bounds
+    * strictly below its score, so boundary ties fall DOWN — documented,
+    * deterministic). Per stratum: doc count, exact mean tokens in
+    * micro-units, and the score range — the table a quality-curriculum
+    * schedule or quality-weighted mixture is specified against.
+    *
+    * Scale shape: one exact-percentile aggregate over the milli scores
+    * (bounds row ≤ nStrata−1 values), then a map-side stratum expression
+    * and one stratum-cardinality aggregate. Bounds round to 6 dp — the
+    * [[graft.pipeline.EventAnalytics.valuePercentiles]] engine-parity
+    * regime. */
+  def qualityStrata(df: DataFrame, idCol: String, textCol: String,
+      nStrata: Int = 10): DataFrame = {
+    require(nStrata >= 2, s"nStrata must be >= 2, got $nStrata")
+    val qm = round(TextAnalysis.qualityScore(col(textCol)) * 1000).cast("long")
+    val scored = df.select(qm.as("q_milli"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"))
+    val fracs = (1 until nStrata).map(_.toDouble / nStrata)
+    val bounds = scored
+      .agg(transform(percentile(col("q_milli"), array(fracs.map(lit): _*)),
+        b => round(b, 6)).as("bs"))
+      .head.getSeq[Double](0)
+    val stratum = bounds.foldLeft(lit(0L): Column) { (acc, b) =>
+      acc + (col("q_milli") > lit(b)).cast("long")
+    }
+    scored.withColumn("stratum", stratum)
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        call_function("div", sum(col("n_toks")) * 1000000L, count(lit(1)))
+          .as("mean_tokens_micro"),
+        min(col("q_milli")).as("q_min"), max(col("q_milli")).as("q_max"))
+  }
 }
