@@ -355,6 +355,12 @@ object AnalyticsQueries {
           expr("cast(round(value * 1000) as bigint)")),
         Seq("context_id", "event_type", "timestamp", "value_milli"))),
 
+    "q_rfm" -> ((s, d) =>
+      // customer-value grid: recency/frequency/monetary quintiles per
+      // user over purchases, exact integer stats, map-side scoring
+      EventAnalytics.rfmSegments(events(s, d), "context_id", "timestamp",
+        "event_type", "value", purchaseType = "purchase")),
+
     "q_ab_srm" -> ((s, d) =>
       // the experimentation guardrail: per-arm observed vs expected users
       // + chi-square contributions in exact integer micro-units
@@ -586,6 +592,35 @@ object AnalyticsQueries {
                 "timestamp" -> "ets", "value_milli" -> "value_milli")
            .map { case (n, c) => row(n, c) }.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // quintile bounds via quantile_cont rounded 6dp; bin = 1 + bounds
+    // strictly below; R inverted (5 = most recent)
+    "q_rfm" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT max(t) AS anchor FROM p),
+        |u AS (SELECT context_id,
+        |    (a.anchor - max(t)) // 86400 AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM p, a GROUP BY context_id, a.anchor),
+        |b AS (SELECT
+        |    list_transform(quantile_cont(recency_days, [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS rb,
+        |    list_transform(quantile_cont(frequency, [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS fb,
+        |    list_transform(quantile_cont(monetary_cents, [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS mb
+        |  FROM u),
+        |s AS (SELECT u.*,
+        |    6 - (1 + len(list_filter(b.rb, x -> recency_days > x))) AS r_score,
+        |    1 + len(list_filter(b.fb, x -> frequency > x)) AS f_score,
+        |    1 + len(list_filter(b.mb, x -> monetary_cents > x)) AS m_score
+        |  FROM u, b)
+        |SELECT context_id, recency_days, frequency, monetary_cents,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+        |FROM s""".stripMargin,
 
     // per-arm chi-square contributions in HUGEINT (the decimal(38,0)
     // twin), truncated to micro-units; operands non-negative so // = div

@@ -526,6 +526,48 @@ object EventAnalytics {
         col("conv_ppm"), col("lift_ppm"))
   }
 
+  /** RFM segmentation — the classic customer-value grid: per context,
+    * Recency (days since last `purchaseType` event, measured from the
+    * corpus's own max timestamp), Frequency (event count), Monetary
+    * (exact revenue cents), each scored into `nBins` corpus-relative
+    * quantile bins (bounds = exact interior percentiles, 6 dp parity
+    * regime, collected bounded; ties fall to the lower bin). R inverts so
+    * R=`nBins` means MOST recent — the marketing convention; the segment
+    * label concatenates the three scores ("R5F4M3").
+    *
+    * Scale shape: one context-grain aggregate collapses the corpus, one
+    * bounded percentile row per dimension, scoring map-side — no window,
+    * nothing context-cardinality ever sorts globally. */
+  def rfmSegments(events: DataFrame, ctxCol: String, tsCol: String,
+      typeCol: String, valueCol: String, purchaseType: String,
+      nBins: Int = 5): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val p = events.filter(col(typeCol) === purchaseType)
+    val anchor = p.agg(max(col(tsCol).cast("long"))).head.getLong(0)
+    val perUser = p.groupBy(col(ctxCol))
+      .agg(
+        call_function("div", lit(anchor) - max(col(tsCol).cast("long")), lit(86400L))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(expr(s"cast(round($valueCol * 100) as bigint)")).as("monetary_cents"))
+    val fracs = (1 until nBins).map(_.toDouble / nBins)
+    def boundsOf(c: String): Seq[Double] = perUser
+      .agg(transform(percentile(col(c), array(fracs.map(lit): _*)),
+        b => round(b, 6)).as("bs"))
+      .head.getSeq[Double](0)
+    def binUp(c: String, bs: Seq[Double]): Column =
+      bs.foldLeft(lit(1L): Column) { (acc, b) => acc + (col(c) > lit(b)).cast("long") }
+    val rB = boundsOf("recency_days")
+    val fB = boundsOf("frequency")
+    val mB = boundsOf("monetary_cents")
+    perUser
+      .withColumn("r_score", lit(nBins.toLong + 1) - binUp("recency_days", rB))
+      .withColumn("f_score", binUp("frequency", fB))
+      .withColumn("m_score", binUp("monetary_cents", mB))
+      .withColumn("segment", concat(lit("R"), col("r_score"),
+        lit("F"), col("f_score"), lit("M"), col("m_score")))
+  }
+
   /** Sample-ratio-mismatch (SRM) guardrail for [[experimentLift]]: the
     * FIRST thing an experimentation platform checks — if the hash
     * assignment didn't land users on the expected equal split, every
