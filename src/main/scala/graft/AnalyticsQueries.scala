@@ -355,6 +355,13 @@ object AnalyticsQueries {
           expr("cast(round(value * 1000) as bigint)")),
         Seq("context_id", "event_type", "timestamp", "value_milli"))),
 
+    "q_steady_mix" -> ((s, d) =>
+      // stationary event mix: 32 integer-ppm power iterations over the
+      // type-cardinality transition matrix (collected bounded, iterated
+      // driver-side — the corpus is scanned once, by the transitions agg)
+      EventAnalytics.steadyStateEventMix(events(s, d), "context_id",
+        "timestamp", "event_id", "event_type")),
+
     "q_rfm" -> ((s, d) =>
       // customer-value grid: recency/frequency/monetary quintiles per
       // user over purchases, exact integer stats, map-side scoring
@@ -844,6 +851,31 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n,
         |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
         |FROM m""".stripMargin,
+
+    // per-term truncating ppm products summed each iteration — the exact
+    // integer map the driver-side power iteration applies
+    "q_steady_mix" ->
+      """WITH RECURSIVE e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY ctx ORDER BY t, eid) AS from_type,
+        |    event_type AS to_type FROM e),
+        |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |pr AS (SELECT from_type, to_type,
+        |    CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
+        |  FROM m),
+        |ty AS (SELECT DISTINCT ty FROM (
+        |  SELECT from_type AS ty FROM pr UNION SELECT to_type FROM pr)),
+        |it AS (
+        |  SELECT 0 AS iter, ty, CAST(1000000 // (SELECT count(*) FROM ty) AS BIGINT) AS v FROM ty
+        |  UNION ALL
+        |  SELECT it.iter + 1, tj.ty,
+        |    CAST(coalesce(sum((it.v * coalesce(pr.p_ppm, 0)) // 1000000), 0) AS BIGINT)
+        |  FROM it CROSS JOIN ty tj
+        |  LEFT JOIN pr ON pr.from_type = it.ty AND pr.to_type = tj.ty
+        |  WHERE it.iter < 32
+        |  GROUP BY it.iter, tj.ty)
+        |SELECT ty AS event_type, v AS steady_ppm FROM it WHERE iter = 32""".stripMargin,
 
     "q_event_gaps" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,

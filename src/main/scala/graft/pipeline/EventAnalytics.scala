@@ -280,6 +280,40 @@ object EventAnalytics {
         expr("(n * 1000000) div _tot").as("p_ppm"))
   }
 
+  /** Steady-state event mix: the stationary distribution of the
+    * [[eventTransitions]] Markov chain by power iteration — "if user
+    * behavior keeps its current transition structure, what share of
+    * activity does each event type converge to". The PageRank-style read
+    * of the transition matrix, in EXACT integer ppm so an independent
+    * engine replays every iteration bit-for-bit: v′_j = Σ_i v_i·p_ij
+    * div 1e6 (truncating — mass leaks a few ppm per step and at types
+    * with no outgoing transitions; the result is the fixed point of this
+    * integer map, documented rather than renormalized).
+    *
+    * Scale shape: the matrix is TYPE-cardinality (the transition
+    * aggregate's output), collected bounded; the iteration is driver-side
+    * arithmetic on a k×k array — the corpus is touched exactly once, by
+    * [[eventTransitions]] itself. */
+  def steadyStateEventMix(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String, iters: Int = 32): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val trans = eventTransitions(events, ctxCol, tsCol, idCol, typeCol)
+      .select(col("from_type"), col("to_type"), col("p_ppm"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val types = trans.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val n = types.size
+    var v = Array.fill(n)(1000000L / n)
+    (0 until iters).foreach { _ =>
+      v = Array.tabulate(n) { j =>
+        types.indices.map(i =>
+          v(i) * trans.getOrElse((types(i), types(j)), 0L) / 1000000L).sum
+      }
+    }
+    types.zip(v).toSeq.toDF(typeCol, "steady_ppm")
+  }
+
   /** Cohort retention: bucket activity into fixed-width weeks (naive
     * epoch-floor buckets, the engine's PER WEEK naive semantics), cohort
     * each context by its FIRST active week, and count contexts active at
