@@ -407,6 +407,33 @@ object AnalyticsQueries {
       DataMix.weightedSamplePerGroup(docs(s, d),
         "source", "doc_id", "n_chars", n = 20)),
 
+    "q_attribution_linear" -> ((s, d) => {
+      // LINEAR multi-touch attribution: every touch in the 7-day lookback
+      // shares the purchase's revenue equally (micro-cents, truncating) —
+      // the other standard model beside last-touch q_attribution. The
+      // touch join is per-context (user-grain bounded), credits are
+      // map-side integer splits, the rollup channel-cardinality
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("context_id"), col("event_id").as("p_eid"),
+          col("timestamp").as("p_ts"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("context_id"), col("timestamp").as("t_ts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("channel"))
+      val matched = purchases.join(touches, Seq("context_id"))
+        .filter(col("t_ts") <= col("p_ts") && col("t_ts") >= col("p_ts") - 604800L)
+      val withN = matched
+        .withColumn("n_touches",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("context_id"), col("p_eid"))))
+      withN
+        .groupBy(col("channel"))
+        .agg(countDistinct(col("p_eid")).as("touched_purchases"),
+          sum(call_function("div", col("cents") * 1000000L, col("n_touches")))
+            .as("credit_microcents"))
+    }),
+
     "q_attribution" -> ((s, d) => {
       // last-touch marketing attribution: every purchase credits the
       // latest non-purchase touch within a 7-day lookback (AS-OF with
@@ -694,6 +721,25 @@ object AnalyticsQueries {
          |  FROM w)
          |SELECT source, doc_id, CAST(rn - 1 AS BIGINT) AS rk, wt AS weight
          |FROM k WHERE rn <= 20""".stripMargin,
+
+    // equal split of each purchase's cents across its window touches in
+    // truncating micro-cents (operands non-negative so // = div)
+    "q_attribution_linear" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS context_id, event_id AS p_eid,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t_ts,
+        |    arg_max(event_type, event_id) AS channel
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |m AS (SELECT p.context_id, p.p_eid, p.cents, tc.channel,
+        |    count(*) OVER (PARTITION BY p.context_id, p.p_eid) AS n
+        |  FROM p JOIN tc ON tc.context_id = p.context_id
+        |    AND tc.t_ts <= p.p_ts AND tc.t_ts >= p.p_ts - 604800)
+        |SELECT channel, CAST(count(DISTINCT p_eid) AS BIGINT) AS touched_purchases,
+        |  CAST(sum((cents * 1000000) // n) AS BIGINT) AS credit_microcents
+        |FROM m GROUP BY 1""".stripMargin,
 
     // last-touch attribution: per purchase, the latest deduped touch in
     // the 7-day lookback (inclusive both ends, ties impossible after the
