@@ -355,6 +355,12 @@ object AnalyticsQueries {
           expr("cast(round(value * 1000) as bigint)")),
         Seq("context_id", "event_type", "timestamp", "value_milli"))),
 
+    "q_growth_accounting" -> ((s, d) =>
+      // DAU decomposition: new/retained/resurrected per active day plus
+      // churn rows on first inactive days — one context exchange, then
+      // day-grain rows
+      EventAnalytics.growthAccounting(events(s, d), "context_id", "timestamp")),
+
     "q_steady_mix" -> ((s, d) =>
       // stationary event mix: 32 integer-ppm power iterations over the
       // type-cardinality transition matrix (collected bounded, iterated
@@ -897,6 +903,29 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n,
         |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
         |FROM m""".stripMargin,
+
+    // identity: actives(d) = new + retained + resurrected; churned(d) =
+    // actives(d-1) - retained(d); runs ending at the corpus edge churn on
+    // their last-day + 1
+    "q_growth_accounting" ->
+      """WITH e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+        |m AS (SELECT ctx, d,
+        |    lag(d) OVER (PARTITION BY ctx ORDER BY d) AS pd,
+        |    lead(d) OVER (PARTITION BY ctx ORDER BY d) AS nd
+        |  FROM e),
+        |act AS (SELECT d,
+        |    CAST(count(*) FILTER (WHERE pd IS NULL) AS BIGINT) AS n_new,
+        |    CAST(count(*) FILTER (WHERE d - pd = 1) AS BIGINT) AS n_retained,
+        |    CAST(count(*) FILTER (WHERE pd IS NOT NULL AND d - pd > 1) AS BIGINT) AS n_resurrected
+        |  FROM m GROUP BY d),
+        |ch AS (SELECT d + 1 AS d, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM m WHERE nd IS NULL OR nd > d + 1 GROUP BY 1)
+        |SELECT coalesce(act.d, ch.d) * 86400 AS day_start,
+        |  coalesce(n_new, 0) AS n_new, coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM act FULL OUTER JOIN ch ON act.d = ch.d""".stripMargin,
 
     // per-term truncating ppm products summed each iteration — the exact
     // integer map the driver-side power iteration applies

@@ -172,6 +172,20 @@ object PipelineQueries {
       // streaming counter, never a shard-cardinality window
       DataMix.exportShards(docs(s, d), "doc_id", nShards = 8)),
 
+    "q_shard_manifest" -> ((s, d) => {
+      // the export data card: per shard, doc/token totals and an order-
+      // sensitive content fingerprint (md5 of the seq-ordered id list) —
+      // what a training job checks before trusting a shard set
+      val sh = DataMix.exportShards(docs(s, d), "doc_id", nShards = 8)
+      sh.join(docs(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt")), Seq("doc_id"))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          Hashing.md5Long(concat_ws(",",
+            expr("transform(sort_array(collect_list(struct(seq, doc_id))), e -> cast(e.doc_id as string))")))
+            .as("content_fp"))
+    }),
+
     "q_text_gopher" -> ((s, d) => {
       // Gopher rule breakdown: per-rule booleans + the conjunction, so the
       // oracle checks every individual threshold, not just the final verdict
@@ -1623,6 +1637,21 @@ object PipelineQueries {
          |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
          |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS seq
          |FROM h""".stripMargin,
+
+    // per-shard totals + md5 fingerprint of the seq-ordered id list — the
+    // q_export_shards derivation rolled up
+    "q_shard_manifest" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${duckMd5Long("'shard:' || doc_id")} % 1000000 AS h
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |s AS (SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS seq
+         |  FROM h),
+         |t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS nt FROM documents)
+         |SELECT s.shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t.nt) AS BIGINT) AS n_tokens,
+         |  ${duckMd5Long("string_agg(CAST(s.doc_id AS VARCHAR), ',' ORDER BY s.seq)")} AS content_fp
+         |FROM s JOIN t USING (doc_id) GROUP BY s.shard""".stripMargin,
 
     // every Gopher rule replicated arithmetically; booleans hash-compared
     "q_text_gopher" ->

@@ -560,6 +560,52 @@ object EventAnalytics {
         col("conv_ppm"), col("lift_ppm"))
   }
 
+  /** GROWTH ACCOUNTING — the standard DAU decomposition: every active
+    * (context, day) is classified `new` (first day ever), `retained`
+    * (also active the previous day), or `resurrected` (returning after a
+    * gap), and every lapse produces a `churned` row on the first inactive
+    * day (the day after the last activity of a run — including the run
+    * ending at the corpus edge, which is the correct churn date for it).
+    * By construction: actives(d) = new + retained + resurrected, and
+    * retained(d+1) + churned(d+1) = actives(d).
+    *
+    * Scale shape: the corpus collapses to distinct (context, day) rows,
+    * then ONE context-keyed exchange serves the lag/lead windows
+    * (per-user state = that user's active-day list), and the output is a
+    * day-grain aggregate. No self-joins, no corpus-sized windows.
+    *
+    * Output: day_start, n_new, n_retained, n_resurrected, n_churned. */
+  def growthAccounting(events: DataFrame, ctxCol: String, tsCol: String): DataFrame = {
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val days = events
+      .select(col(ctxCol).as("_ctx"),
+        idiv(col(tsCol).cast("long"), lit(86400L)).as("_day"))
+      .distinct()
+    val byCtx = Window.partitionBy(col("_ctx")).orderBy(col("_day"))
+    val marked = days
+      .withColumn("_prev", lag(col("_day"), 1).over(byCtx))
+      .withColumn("_next", lead(col("_day"), 1).over(byCtx))
+      .withColumn("_kind",
+        when(col("_prev").isNull, "new")
+          .when(col("_day") - col("_prev") === 1, "retained")
+          .otherwise("resurrected"))
+    val active = marked.groupBy(col("_day"))
+      .agg(
+        sum((col("_kind") === "new").cast("long")).as("n_new"),
+        sum((col("_kind") === "retained").cast("long")).as("n_retained"),
+        sum((col("_kind") === "resurrected").cast("long")).as("n_resurrected"))
+    val churn = marked
+      .filter(col("_next").isNull || col("_next") > col("_day") + 1)
+      .groupBy((col("_day") + 1).as("_day"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("_day"), "full_outer")
+      .select((col("_day") * 86400).as("day_start"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** RFM segmentation — the classic customer-value grid: per context,
     * Recency (days since last `purchaseType` event, measured from the
     * corpus's own max timestamp), Frequency (event count), Monetary
