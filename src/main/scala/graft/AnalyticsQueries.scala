@@ -346,6 +346,16 @@ object AnalyticsQueries {
           col("session_idx"))
     }),
 
+    "q_drift_check" -> ((s, d) => {
+      // nightly drift row: n_chars distribution of the refreshed snapshot
+      // (the q_snapshot_diff cur side) vs the previous one, chi-square per
+      // reference-decile bin in exact micro-units
+      val all = docs(s, d)
+      val prev = all.filter(col("doc_id") % 11 =!= 0)
+      val cur = all.filter(col("doc_id") % 13 =!= 0)
+      Profile.driftCheck(prev, cur, "n_chars")
+    }),
+
     "q_profile_table" -> ((s, d) =>
       // ANALYZE-style snapshot QC: one pass, one wide agg row unpivoted to
       // a per-column report; value profiled milli-quantized so min/max
@@ -616,6 +626,29 @@ object AnalyticsQueries {
         |  FROM s)
         |SELECT context_id, t AS "timestamp", eid AS event_id, session_idx
         |FROM x WHERE t >= 1705363200""".stripMargin,
+
+    // bins from the reference's deciles (quantile_cont, 6dp); chi-square
+    // in HUGEINT micro-units, NULL where the reference bin is empty
+    "q_drift_check" ->
+      """WITH pv AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE doc_id % 11 <> 0),
+        |cv AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE doc_id % 13 <> 0),
+        |b AS (SELECT list_transform(quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 6)) AS bs FROM pv),
+        |rb AS (SELECT CAST(len(list_filter(b.bs, x -> v > x)) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS ref_n FROM pv, b GROUP BY 1),
+        |cb AS (SELECT CAST(len(list_filter(b.bs, x -> v > x)) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cur_n FROM cv, b GROUP BY 1),
+        |j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+        |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+        |t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt, CAST(sum(cur_n) AS BIGINT) AS ct FROM j)
+        |SELECT j.bin, j.ref_n, j.cur_n,
+        |  (j.ref_n * t.ct * 1000) // t.rt AS exp_cur_milli,
+        |  CASE WHEN j.ref_n = 0 THEN NULL ELSE
+        |    CAST((CAST(j.cur_n * t.rt - j.ref_n * t.ct AS HUGEINT) *
+        |          CAST(j.cur_n * t.rt - j.ref_n * t.ct AS HUGEINT) * 1000000)
+        |      // (CAST(t.rt AS HUGEINT) * j.ref_n * t.ct) AS BIGINT) END AS chi2_micro
+        |FROM j, t""".stripMargin,
 
     "q_profile_table" -> {
       val eCte = """SELECT CAST(user_id AS VARCHAR) AS context_id, event_type,

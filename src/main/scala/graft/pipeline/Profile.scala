@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the ANALYZE-style data-quality report every pipeline
@@ -20,6 +20,57 @@ import org.apache.spark.sql.functions._
   * are engine-portable.
   */
 object Profile {
+
+  /** DISTRIBUTION-DRIFT check between two snapshots of a numeric column —
+    * the monitoring row a nightly refresh runs before publishing: bin
+    * edges are the REFERENCE snapshot's interior `nBins`-quantiles (one
+    * bounded percentile collect, 6 dp parity regime; bin = count of edges
+    * strictly below, ties down — the
+    * [[CorpusSignals.qualityStrata]] convention), both snapshots count
+    * into those fixed bins, and each bin reports its chi-square
+    * contribution `(obs − exp)²/exp` (exp = the reference share scaled to
+    * the current total) in exact integer micro-units via decimal(38,0) —
+    * sum the contributions against χ²(nBins−1) to alarm. A bin the
+    * reference holds but the current snapshot lost (or vice versa) shows
+    * up as its full contribution, not an error.
+    *
+    * Scale shape: two bin-cardinality aggregates plus 1-row totals
+    * broadcast; binning is map-side.
+    *
+    * Output: bin, ref_n, cur_n, exp_cur_milli, chi2_micro. */
+  def driftCheck(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val fracs = (1 until nBins).map(_.toDouble / nBins)
+    val edges = ref
+      .agg(transform(percentile(col(valueCol).cast("long"),
+        array(fracs.map(lit): _*)), b => round(b, 6)).as("bs"))
+      .head.getSeq[Double](0)
+    def binned(df: DataFrame, out: String): DataFrame = {
+      val bin = edges.foldLeft(lit(0L): Column) { (acc, b) =>
+        acc + (col(valueCol).cast("long") > lit(b)).cast("long")
+      }
+      df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as(out))
+    }
+    val r = binned(ref, "ref_n")
+    val c = binned(cur, "cur_n")
+    val joined = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = broadcast(joined.agg(sum(col("ref_n")).as("_rt"),
+      sum(col("cur_n")).as("_ct")))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    joined.crossJoin(totals)
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        call_function("div", col("ref_n") * col("_ct") * 1000L, col("_rt"))
+          .as("exp_cur_milli"),
+        when(col("ref_n") === 0, lit(null).cast("long")).otherwise(
+          (dec(col("cur_n") * col("_rt") - col("ref_n") * col("_ct")) *
+            dec(col("cur_n") * col("_rt") - col("ref_n") * col("_ct")) *
+            dec(lit(1000000L)) /
+            (dec(col("_rt")) * dec(col("ref_n")) * dec(col("_ct"))))
+            .cast("bigint")).as("chi2_micro"))
+  }
 
   /** Output: column, n_rows, n_nulls, n_distinct, min_value, max_value. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
