@@ -346,6 +346,16 @@ object AnalyticsQueries {
           col("session_idx"))
     }),
 
+    "q_corr_matrix" -> ((s, d) => {
+      // one-pass Pearson matrix over milli-quantized lineitem measures —
+      // exact integer moments, decimal assembly, 6dp doubles
+      val li = new TestDataSource(s, d).table("lineitem")
+        .select(expr("cast(round(l_quantity * 1000) as bigint)").as("qty_milli"),
+          expr("cast(round(l_extendedprice * 1000) as bigint)").as("price_milli"),
+          expr("cast(round(l_discount * 1000) as bigint)").as("disc_milli"))
+      Profile.correlations(li, Seq("qty_milli", "price_milli", "disc_milli"))
+    }),
+
     "q_drift_check" -> ((s, d) => {
       // nightly drift row: n_chars distribution of the refreshed snapshot
       // (the q_snapshot_diff cur side) vs the previous one, chi-square per
@@ -395,6 +405,12 @@ object AnalyticsQueries {
       // then arm-cardinality rows only
       EventAnalytics.experimentLift(events(s, d),
         "context_id", "event_type", convType = "purchase", nVariants = 3)),
+
+    "q_top_sequences" -> ((s, d) =>
+      // within-session 3-step motifs, counted across all sessions —
+      // map-side gram generation, bounded TakeOrdered ranking
+      EventAnalytics.topSequences(events(s, d), "context_id", "timestamp",
+        "event_id", "event_type", gapSec = 21600L, n = 3, topN = 25)),
 
     "q_top_paths" -> ((s, d) =>
       // top-25 session journeys (first 5 steps, 6h gap sessions) — path
@@ -627,6 +643,25 @@ object AnalyticsQueries {
         |SELECT context_id, t AS "timestamp", eid AS event_id, session_idx
         |FROM x WHERE t >= 1705363200""".stripMargin,
 
+    // exact HUGEINT moments assembled to doubles, 6dp — the same
+    // arithmetic order as the Spark decimal expressions
+    "q_corr_matrix" -> {
+      val cols = Seq("qty_milli" -> "l_quantity", "price_milli" -> "l_extendedprice",
+        "disc_milli" -> "l_discount")
+      val sel = cols.map { case (n, c) => s"CAST(round($c * 1000) AS BIGINT) AS $n" }.mkString(", ")
+      val pairs = cols.map(_._1).combinations(2).map { case Seq(a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(count(*) AS BIGINT) AS n,
+           |  round(CAST(CAST(count(*) AS HUGEINT) * sum(CAST($a AS HUGEINT) * $b)
+           |      - CAST(sum($a) AS HUGEINT) * sum($b) AS DOUBLE) /
+           |    (sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST($a AS HUGEINT) * $a)
+           |        - CAST(sum($a) AS HUGEINT) * sum($a) AS DOUBLE)) *
+           |     sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST($b AS HUGEINT) * $b)
+           |        - CAST(sum($b) AS HUGEINT) * sum($b) AS DOUBLE))), 6) AS corr
+           |FROM t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH t AS (SELECT $sel FROM lineitem)\n$pairs"
+    },
+
     // bins from the reference's deciles (quantile_cont, 6dp); chi-square
     // in HUGEINT micro-units, NULL where the reference bin is empty
     "q_drift_check" ->
@@ -726,6 +761,27 @@ object AnalyticsQueries {
          |       THEN (r.conv_ppm - c.conv_ppm) * 1000000 // c.conv_ppm
          |       ELSE -((c.conv_ppm - r.conv_ppm) * 1000000 // c.conv_ppm) END AS lift_ppm
          |FROM r, (SELECT conv_ppm FROM r WHERE variant = 0) c""".stripMargin,
+
+    // per-session ordered type lists → contiguous trigram comprehension →
+    // count, (count DESC, pattern ASC) top-25
+    "q_top_sequences" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type FROM events),
+        |s AS (SELECT context_id, t, eid, event_type,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY context_id ORDER BY t, eid)),
+        |x AS (SELECT context_id, t, eid, event_type,
+        |    CAST(SUM(ns) OVER (PARTITION BY context_id ORDER BY t, eid
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM s),
+        |p AS (SELECT context_id, session_idx,
+        |    list(event_type ORDER BY t, eid) AS ys
+        |  FROM x GROUP BY 1, 2),
+        |g AS (SELECT unnest([ys[i] || '>' || ys[i+1] || '>' || ys[i+2]
+        |    for i in range(1, len(ys) - 1)]) AS pattern FROM p)
+        |SELECT pattern, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY 1 ORDER BY n_occurrences DESC, pattern ASC LIMIT 25""".stripMargin,
 
     // sessionized journeys: the funnel oracle's session assembly, paths as
     // the first-5-step string_agg, top-25 by (count DESC, path ASC)

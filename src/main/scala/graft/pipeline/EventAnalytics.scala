@@ -560,6 +560,34 @@ object EventAnalytics {
         col("conv_ppm"), col("lift_ppm"))
   }
 
+  /** Frequent behavioral n-grams: the top contiguous `n`-step event-type
+    * sequences across all sessions — sequential-pattern mining's bread
+    * and butter ("what 3-step motifs dominate"), complementing
+    * [[topPaths]] (whole-journey prefixes) with within-journey motifs.
+    * Same single context exchange; per-session n-grams are a map-side
+    * generator over the session's own (bounded) event list; counting is
+    * an ordinary aggregate and the ranking a bounded TakeOrdered.
+    *
+    * Output: pattern (types joined by `>`), n_occurrences — `topN` by
+    * (count DESC, pattern ASC). */
+  def topSequences(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long,
+      n: Int, topN: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val se = assignSessions(events, ctxCol, tsCol, idCol, gapSec)
+    se.groupBy(col(ctxCol), col("session_idx"))
+      .agg(expr("transform(sort_array(collect_list(struct(" +
+        s"cast($tsCol as long) as t, cast($idCol as long) as i, $typeCol as y" +
+        "))), e -> e.y)").as("_ys"))
+      .select(explode(Dedup.wordGrams(col("_ys"), n)).as("_g"))
+      // wordGrams joins with spaces; the report convention is '>'
+      .select(regexp_replace(col("_g"), " ", ">").as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pattern").asc)
+      .limit(topN)
+  }
+
   /** GROWTH ACCOUNTING — the standard DAU decomposition: every active
     * (context, day) is classified `new` (first day ever), `retained`
     * (also active the previous day), or `resurrected` (returning after a

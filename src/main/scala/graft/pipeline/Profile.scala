@@ -72,6 +72,43 @@ object Profile {
             .cast("bigint")).as("chi2_micro"))
   }
 
+  /** Pairwise Pearson CORRELATIONS over integral columns in ONE pass: all
+    * moment sums (Σx, Σx², Σxy) are exact integer aggregates in a single
+    * wide row, the correlation assembles from them in decimal(38,0) (no
+    * long overflow at any n) and divides as deterministic doubles rounded
+    * to 6 dp — engine-exact given exact moments, no second scan, no
+    * per-pair job. Quantize doubles to integer units first (the
+    * engine-parity discipline everywhere else).
+    *
+    * Output: one row per unordered pair — col_a, col_b, n, corr. */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlations needs at least two columns")
+    // second moments sum in decimal(38,0): a milli-quantized 1e8-scale
+    // column squares to 1e16 per row — a long sum overflows within 1k rows
+    val d38 = (c: Column) => c.cast("long").cast("decimal(38,0)")
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(c).cast("long")).as(s"__s_$c"),
+        sum(d38(col(c)) * d38(col(c))).as(s"__q_$c"))) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(d38(col(a)) * d38(col(b))).as(s"__p_${a}_$b")
+      }.toSeq
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      val num = dec(col("__n")) * dec(col(s"__p_${a}_$b")) -
+        dec(col(s"__s_$a")) * dec(col(s"__s_$b"))
+      def varOf(c: String) =
+        (dec(col("__n")) * dec(col(s"__q_$c")) -
+          dec(col(s"__s_$c")) * dec(col(s"__s_$c"))).cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        round(num.cast("double") / (sqrt(varOf(a)) * sqrt(varOf(b))), 6).as("corr"))
+    }.toSeq
+    wide.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.n").as("n"), col("p.corr").as("corr"))
+  }
+
   /** Output: column, n_rows, n_nulls, n_distinct, min_value, max_value. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
