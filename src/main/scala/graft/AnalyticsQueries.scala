@@ -375,6 +375,11 @@ object AnalyticsQueries {
           expr("cast(round(value * 1000) as bigint)")),
         Seq("context_id", "event_type", "timestamp", "value_milli"))),
 
+    "q_power_curve" -> ((s, d) =>
+      // activity concentration: per-user event counts into deciles, each
+      // decile's event share in ppm
+      EventAnalytics.powerCurve(events(s, d), "context_id")),
+
     "q_growth_accounting" -> ((s, d) =>
       // DAU decomposition: new/retained/resurrected per active day plus
       // churn rows on first inactive days — one context exchange, then
@@ -393,6 +398,33 @@ object AnalyticsQueries {
       // user over purchases, exact integer stats, map-side scoring
       EventAnalytics.rfmSegments(events(s, d), "context_id", "timestamp",
         "event_type", "value", purchaseType = "purchase")),
+
+    "q_ab_z" -> ((s, d) => {
+      // two-proportion z statistic per treatment arm vs control (unpooled
+      // SE, 6dp deterministic doubles over exact integer counts) — the
+      // significance read on top of q_ab_lift's point estimates
+      val ev = events(s, d)
+      val variant = pmod(Hashing.md5Long(
+        concat(lit("ab:"), col("context_id").cast("string"))), lit(3L))
+      // conversion = a HIGH-VALUE purchase (value > 180): over a month of
+      // activity nearly every user purchases at least once, so the plain
+      // definition saturates p at 1.0 and the SE at 0 — the z-test needs
+      // an event rare enough to vary (measured 39/150 users at sf0.01)
+      val arms = ev.select(variant.as("variant"), col("context_id").as("_ctx"),
+          (col("event_type") === "purchase" && col("value") > 180).cast("long").as("_c"))
+        .groupBy("variant", "_ctx").agg(max(col("_c")).as("_c"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("users"), sum(col("_c")).as("converters"))
+      val ctl = arms.filter(col("variant") === 0)
+        .select(col("users").as("_u0"), col("converters").as("_c0"))
+      arms.filter(col("variant") =!= 0).crossJoin(broadcast(ctl))
+        .withColumn("_p", col("converters").cast("double") / col("users"))
+        .withColumn("_p0", col("_c0").cast("double") / col("_u0"))
+        .select(col("variant"), col("users"), col("converters"),
+          round((col("_p") - col("_p0")) /
+            sqrt(col("_p") * (lit(1.0) - col("_p")) / col("users") +
+              col("_p0") * (lit(1.0) - col("_p0")) / col("_u0")), 6).as("z_score"))
+    }),
 
     "q_ab_srm" -> ((s, d) =>
       // the experimentation guardrail: per-arm observed vs expected users
@@ -730,6 +762,20 @@ object AnalyticsQueries {
         |  'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
         |FROM s""".stripMargin,
 
+    // unpooled two-proportion z over exact counts, 6dp doubles
+    "q_ab_z" ->
+      s"""WITH u AS (SELECT ${Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")} % 3 AS variant,
+         |    user_id, max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS users,
+         |    CAST(sum(conv) AS BIGINT) AS converters FROM u GROUP BY 1),
+         |c AS (SELECT users AS u0, converters AS c0 FROM a WHERE variant = 0)
+         |SELECT a.variant, a.users, a.converters,
+         |  round(((a.converters * 1.0 / a.users) - (c.c0 * 1.0 / c.u0)) /
+         |    sqrt((a.converters * 1.0 / a.users) * (1 - a.converters * 1.0 / a.users) / a.users
+         |       + (c.c0 * 1.0 / c.u0) * (1 - c.c0 * 1.0 / c.u0) / c.u0), 6) AS z_score
+         |FROM a, c WHERE a.variant <> 0""".stripMargin,
+
     // per-arm chi-square contributions in HUGEINT (the decimal(38,0)
     // twin), truncated to micro-units; operands non-negative so // = div
     "q_ab_srm" ->
@@ -992,6 +1038,19 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n,
         |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
         |FROM m""".stripMargin,
+
+    "q_power_curve" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS ctx, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT list_transform(quantile_cont(n, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 6)) AS bs FROM u),
+        |s AS (SELECT CAST(len(list_filter(b.bs, x -> n > x)) AS BIGINT) AS decile, n
+        |  FROM u, b),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(n) AS BIGINT) AS n_events FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tt FROM g)
+        |SELECT decile, n_users, n_events, (n_events * 1000000) // t.tt AS share_ppm
+        |FROM g, t""".stripMargin,
 
     // identity: actives(d) = new + retained + resurrected; churned(d) =
     // actives(d-1) - retained(d); runs ending at the corpus edge churn on

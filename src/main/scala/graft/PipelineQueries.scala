@@ -560,6 +560,17 @@ object PipelineQueries {
       // BPE-token counts via the segmented-vocab lookup join
       Bpe.encode(docs(s, d), "doc_id", "text", bpeModel(s, d).vocab)),
 
+    "q_bpe_fertility" -> ((s, d) =>
+      // tokenizer FERTILITY by source (BPE tokens per word, ppm) — the
+      // acceptance read for "does this tokenizer suit this source mix";
+      // per-doc encode rolled up source-cardinality
+      Bpe.encode(docs(s, d), "doc_id", "text", bpeModel(s, d).vocab)
+        .join(docs(s, d).select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy("source")
+        .agg(sum("n_words").as("n_words"), sum("n_bpe_tokens").as("n_bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("(n_bpe_tokens * 1000000) div n_words"))),
+
     "q_pipeline_v3" -> ((s, d) => {
       // the model-based selection chain composed end-to-end: quality gate →
       // bigram-LM surprisal band (CCNet's perplexity band: drop BOTH tails)
@@ -1193,6 +1204,14 @@ object PipelineQueries {
     "q_bpe_vocab" -> bpeOracle(8,
       "SELECT word, wc, CAST(len(s) AS BIGINT) AS n_symbols, " +
       "array_to_string(s, ' ') AS seg FROM v8"),
+
+    // per-source fertility from the same 8-round segmentation chain
+    "q_bpe_fertility" -> bpeOracle(8,
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(s)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST((sum(len(s)) * 1000000) // count(*) AS BIGINT) AS fertility_ppm
+         |FROM (SELECT source, unnest($toks) AS word FROM documents) o
+         |JOIN v8 USING (word) WHERE word <> '' GROUP BY source""".stripMargin),
 
     // per-doc encode = segmented-vocab lookup join, same 8-round chain
     "q_bpe_encode" -> bpeOracle(8,

@@ -560,6 +560,35 @@ object EventAnalytics {
         col("conv_ppm"), col("lift_ppm"))
   }
 
+  /** POWER-USER CURVE: users bucketed into activity deciles (bounds = the
+    * exact interior percentiles of per-user event counts, ties down — the
+    * strata convention), each decile reporting its user count, event
+    * count, and share of ALL events in ppm — the concentration read
+    * ("the top decile drives X% of activity") behind every engagement
+    * strategy. One user-grain collapse, one bounded percentile row,
+    * decile-cardinality output.
+    *
+    * Output: decile (0 = least active), n_users, n_events, share_ppm. */
+  def powerCurve(events: DataFrame, ctxCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val perUser = events.groupBy(col(ctxCol)).agg(count(lit(1)).as("_n"))
+    val fracs = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = perUser
+      .agg(transform(percentile(col("_n"), array(fracs.map(lit): _*)),
+        b => round(b, 6)).as("bs"))
+      .head.getSeq[Double](0)
+    val decile = bounds.foldLeft(lit(0L): Column) { (acc, b) =>
+      acc + (col("_n") > lit(b)).cast("long")
+    }
+    val byDecile = perUser.withColumn("decile", decile)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("_n")).as("n_events"))
+    val total = broadcast(byDecile.agg(sum(col("n_events")).as("_t")))
+    byDecile.crossJoin(total)
+      .select(col("decile"), col("n_users"), col("n_events"),
+        expr("(n_events * 1000000) div _t").as("share_ppm"))
+  }
+
   /** Frequent behavioral n-grams: the top contiguous `n`-step event-type
     * sequences across all sessions — sequential-pattern mining's bread
     * and butter ("what 3-step motifs dominate"), complementing
