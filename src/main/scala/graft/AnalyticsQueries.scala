@@ -346,6 +346,51 @@ object AnalyticsQueries {
           col("session_idx"))
     }),
 
+    "q_integrity_check" -> ((s, d) => {
+      // referential-integrity audit over the star schema: orphan child
+      // rows per relationship in ppm — the DQ gate a warehouse runs after
+      // every load; each check is one LEFT ANTI join (child-keyed
+      // shuffle, parent side broadcastable)
+      val src = new TestDataSource(s, d)
+      def check(name: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String): DataFrame = {
+        val totalDf = child.agg(count(lit(1)).as("n_child"))
+        val orphans = child.join(
+            parent.select(col(parentKey).as(childKey)).distinct(),
+            Seq(childKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        totalDf.crossJoin(orphans)
+          .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"),
+            expr("(n_orphans * 1000000) div n_child").as("orphan_ppm"))
+      }
+      check("lineitem->orders", src.table("lineitem"), "l_orderkey",
+          src.table("orders").withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+        .unionByName(check("orders->customer",
+          src.table("orders").withColumnRenamed("o_custkey", "c_custkey"), "c_custkey",
+          src.table("customer"), "c_custkey"))
+        .unionByName(check("customer->nation",
+          src.table("customer").withColumnRenamed("c_nationkey", "n_nationkey"), "n_nationkey",
+          src.table("nation"), "n_nationkey"))
+    }),
+
+    "q_revenue_by_nation" -> ((s, d) => {
+      // the classic 4-table warehouse rollup: discounted lineitem revenue
+      // in exact cents per customer nation — dims broadcast, one fact
+      // shuffle on the join keys, group count = nations
+      val src = new TestDataSource(s, d)
+      val li = src.table("lineitem").select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_cents"))
+      li.join(src.table("orders").select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey")), Seq("l_orderkey"))
+        .join(broadcast(src.table("customer").select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey"))), Seq("o_custkey"))
+        .join(broadcast(src.table("nation").select(col("n_nationkey").as("c_nationkey"),
+          col("n_name"))), Seq("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lineitems"), sum(col("rev_cents")).as("revenue_cents"))
+    }),
+
     "q_corr_matrix" -> ((s, d) => {
       // one-pass Pearson matrix over milli-quantized lineitem measures —
       // exact integer moments, decimal assembly, 6dp doubles
@@ -674,6 +719,40 @@ object AnalyticsQueries {
         |  FROM s)
         |SELECT context_id, t AS "timestamp", eid AS event_id, session_idx
         |FROM x WHERE t >= 1705363200""".stripMargin,
+
+    "q_integrity_check" ->
+      """SELECT 'lineitem->orders' AS relationship,
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+        |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+        |  ((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) * 1000000)
+        |    // (SELECT count(*) FROM lineitem) AS orphan_ppm
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |  ((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) * 1000000)
+        |    // (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT),
+        |  CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+        |  ((SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) * 1000000)
+        |    // (SELECT count(*) FROM customer)""".stripMargin,
+
+    "q_revenue_by_nation" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lineitems,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY n.n_name""".stripMargin,
 
     // exact HUGEINT moments assembled to doubles, 6dp — the same
     // arithmetic order as the Spark decimal expressions

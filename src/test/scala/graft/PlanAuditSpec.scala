@@ -561,6 +561,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"budgeted funnel must not join:\n$p")
   }
 
+  test("revenue rollup: dimension joins broadcast, no cartesian") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val p = plan(AnalyticsQueries.queries("q_revenue_by_nation")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"customer and nation must broadcast onto the fact side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("incremental sessionization: state joins on the context key, no extra corpus shuffle") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val ev = new graft.sources.TestDataSource(spark, dir).allEvents
