@@ -420,6 +420,21 @@ object AnalyticsQueries {
           expr("cast(round(value * 1000) as bigint)")),
         Seq("context_id", "event_type", "timestamp", "value_milli"))),
 
+    "q_anomaly_rate" -> ((s, d) =>
+      // conversion-RATE anomalies vs the trailing-7-day ratio-of-sums
+      // baseline, threshold 5% (50000 ppm)
+      EventAnalytics.anomalousRates(events(s, d), "context_id", "timestamp",
+        "event_type", convType = "purchase", windowDays = 7,
+        thresholdPpm = 50000L)),
+
+    "q_activity_heatmap" -> ((s, d) =>
+      // the classic (weekday × hour) activity grid — pure integer epoch
+      // arithmetic (day 0 = Thursday), one partial+final aggregate
+      events(s, d).groupBy(
+          ((call_function("div", col("timestamp"), lit(86400L)) + 4) % 7).as("dow"),
+          (call_function("div", pmod(col("timestamp"), lit(86400L)), lit(3600L))).as("hour"))
+        .agg(count(lit(1)).as("n_events"))),
+
     "q_power_curve" -> ((s, d) =>
       // activity concentration: per-user event counts into deciles, each
       // decile's event share in ppm
@@ -1117,6 +1132,36 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n,
         |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
         |FROM m""".stripMargin,
+
+    // ratio-of-sums trailing baseline; truncate-toward-zero deviation via
+    // CASE (DuckDB // floors negatives)
+    "q_anomaly_rate" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c FROM events),
+        |ud AS (SELECT ctx, d, CAST(max(c) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |pd AS (SELECT d, CAST(count(*) AS BIGINT) AS act, CAST(sum(c) AS BIGINT) AS cv
+        |  FROM ud GROUP BY d),
+        |tr AS (SELECT d + o AS d, act, cv FROM pd, (SELECT unnest(range(1, 8)) AS o)),
+        |tw AS (SELECT d, CAST(sum(act) AS BIGINT) AS tact, CAST(sum(cv) AS BIGINT) AS tcv
+        |  FROM tr GROUP BY d),
+        |j AS (SELECT pd.d, pd.act, pd.cv,
+        |    (pd.cv * 1000000) // pd.act AS rate_ppm,
+        |    (tw.tcv * 1000000) // tw.tact AS trail_rate_ppm
+        |  FROM pd JOIN tw ON tw.d = pd.d WHERE tw.tact > 0),
+        |k AS (SELECT *, CASE WHEN rate_ppm >= trail_rate_ppm
+        |      THEN (rate_ppm - trail_rate_ppm) * 1000000 // trail_rate_ppm
+        |      ELSE -((trail_rate_ppm - rate_ppm) * 1000000 // trail_rate_ppm) END AS dev_ppm
+        |  FROM j WHERE trail_rate_ppm > 0)
+        |SELECT d * 86400 AS day_start, act AS n_active, cv AS n_conv,
+        |  rate_ppm, trail_rate_ppm, dev_ppm
+        |FROM k WHERE abs(dev_ppm) >= 50000""".stripMargin,
+
+    "q_activity_heatmap" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+        |  (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_power_curve" ->
       """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS ctx, CAST(count(*) AS BIGINT) AS n

@@ -280,6 +280,53 @@ object EventAnalytics {
         expr("(n * 1000000) div _tot").as("p_ppm"))
   }
 
+  /** RATE anomalies — the ratio sibling of [[anomalousDays]]: flag days
+    * whose CONVERSION RATE (distinct contexts with a `convType` event ÷
+    * distinct active contexts, in ppm) deviates from the trailing
+    * `windowDays` rate by ≥ `thresholdPpm` (signed, truncated toward
+    * zero). The trailing baseline is the RATIO OF SUMS (total converters
+    * ÷ total actives over the window), not the mean of daily ratios —
+    * low-traffic days would otherwise swing the baseline (the standard
+    * rate-metric discipline). Days with no actives carry no rate and are
+    * neither scored nor counted into baselines.
+    *
+    * Scale shape: the corpus collapses to distinct (context, day[, conv])
+    * rows, then day-grain counts; trailing sums via the [[engagement]]
+    * map-side window-end explosion — never a self-join.
+    *
+    * Output (flagged days only): day_start, n_active, n_conv, rate_ppm,
+    * trail_rate_ppm, dev_ppm. */
+  def anomalousRates(events: DataFrame, ctxCol: String, tsCol: String,
+      typeCol: String, convType: String, windowDays: Int,
+      thresholdPpm: Long): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val day = idiv(col(tsCol).cast("long"), lit(86400L))
+    val perDay = events
+      .select(col(ctxCol).as("_ctx"), day.as("_day"),
+        (col(typeCol) === convType).cast("long").as("_c"))
+      .groupBy("_ctx", "_day").agg(max(col("_c")).as("_c"))
+      .groupBy("_day")
+      .agg(count(lit(1)).as("_act"), sum(col("_c")).as("_cv"))
+    val trailing = perDay
+      .select(explode(sequence(col("_day") + 1, col("_day") + windowDays)).as("_day"),
+        col("_act"), col("_cv"))
+      .groupBy("_day")
+      .agg(sum(col("_act")).as("_tact"), sum(col("_cv")).as("_tcv"))
+    perDay.join(trailing, Seq("_day"))
+      .filter(col("_tact") > 0)
+      .withColumn("rate_ppm", idiv(col("_cv") * 1000000L, col("_act")))
+      .withColumn("trail_rate_ppm", idiv(col("_tcv") * 1000000L, col("_tact")))
+      .filter(col("trail_rate_ppm") > 0)
+      .withColumn("dev_ppm",
+        idiv((col("rate_ppm") - col("trail_rate_ppm")) * 1000000L,
+          col("trail_rate_ppm")))
+      .filter(abs(col("dev_ppm")) >= thresholdPpm)
+      .select((col("_day") * 86400).as("day_start"),
+        col("_act").as("n_active"), col("_cv").as("n_conv"),
+        col("rate_ppm"), col("trail_rate_ppm"), col("dev_ppm"))
+  }
+
   /** Steady-state event mix: the stationary distribution of the
     * [[eventTransitions]] Markov chain by power iteration — "if user
     * behavior keeps its current transition structure, what share of
