@@ -346,6 +346,12 @@ object AnalyticsQueries {
           col("session_idx"))
     }),
 
+    "q_key_skew" -> ((s, d) =>
+      // the pre-join skew audit on lineitem's shuffle keys: hottest key
+      // share + hot/mean ratio — what decides salting vs AQE skew-join
+      Profile.keySkew(new TestDataSource(s, d).table("lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+
     "q_integrity_check" -> ((s, d) => {
       // referential-integrity audit over the star schema: orphan child
       // rows per relationship in ppm — the DQ gate a warehouse runs after
@@ -510,6 +516,23 @@ object AnalyticsQueries {
       // ranking a bounded TakeOrdered
       EventAnalytics.topPaths(events(s, d), "context_id", "timestamp",
         "event_id", "event_type", gapSec = 21600L, maxLen = 5, topN = 25)),
+
+    "q_funnel_step_times" -> ((s, d) =>
+      // per-transition latency percentiles for the k-step funnel: exact
+      // integer gaps between consecutive matched steps, the
+      // valuePercentiles parity regime — "which step stalls users"
+      EventAnalytics.sessionFunnelK(events(s, d), "context_id", "timestamp",
+          "event_id", "event_type", gapSec = 21600L,
+          steps = Seq("view", "click", "purchase"))
+        .select(posexplode(expr(
+          "transform(slice(step_ts, 2, size(step_ts)), (t, i) -> t - element_at(step_ts, i + 1))"))
+          .as(Seq("_i", "_gap")))
+        .select((col("_i") + 1).cast("long").as("step"), col("_gap"))
+        .groupBy("step")
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("_gap"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("_gap"), lit(0.9)), 6).as("p90"),
+          max(col("_gap")).as("max_gap"))),
 
     "q_funnel_within" -> ((s, d) =>
       // k-step funnel with a conversion time budget: the chain must
@@ -718,6 +741,17 @@ object AnalyticsQueries {
     "q_funnel_within" ->
       sessionFunnelKOracle(Seq("view", "click", "purchase"), withinSec = 7200L),
 
+    // consecutive-step gaps from the k-step derivation, quantile_cont 6dp
+    "q_funnel_step_times" ->
+      s"""WITH f AS (${sessionFunnelKOracle(Seq("view", "click", "purchase"))}),
+         |g AS (SELECT 1 AS step, s2_ts - s1_ts AS gap FROM f WHERE s2_ts IS NOT NULL
+         |  UNION ALL SELECT 2, s3_ts - s2_ts FROM f WHERE s3_ts IS NOT NULL)
+         |SELECT CAST(step AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n,
+         |  round(quantile_cont(gap, 0.5), 6) AS p50,
+         |  round(quantile_cont(gap, 0.9), 6) AS p90,
+         |  CAST(max(gap) AS BIGINT) AS max_gap
+         |FROM g GROUP BY step""".stripMargin,
+
     // the incremental path must reproduce the batch gap rule bit-for-bit:
     // the oracle is the FULL-corpus per-event session assignment, filtered
     // to the night-2 slice the incremental operator actually processed
@@ -734,6 +768,19 @@ object AnalyticsQueries {
         |  FROM s)
         |SELECT context_id, t AS "timestamp", eid AS event_id, session_idx
         |FROM x WHERE t >= 1705363200""".stripMargin,
+
+    // hottest key by (count DESC, key-string DESC) — the max(struct) tie
+    // rule — then share/ratio in integer units
+    "q_key_skew" -> Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      s"""SELECT '$k' AS key_column, t.n_rows, t.n_keys, h.k AS hot_key,
+         |  h.n AS hot_n, (h.n * 1000000) // t.n_rows AS hot_share_ppm,
+         |  (h.n * t.n_keys * 1000) // t.n_rows AS hot_over_mean_milli
+         |FROM (SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys
+         |      FROM (SELECT CAST($k AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
+         |            FROM lineitem GROUP BY 1)) t,
+         |     (SELECT k, n FROM (SELECT CAST($k AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
+         |            FROM lineitem GROUP BY 1) ORDER BY n DESC, k DESC LIMIT 1) h""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "q_integrity_check" ->
       """SELECT 'lineitem->orders' AS relationship,

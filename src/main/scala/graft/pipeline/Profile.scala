@@ -72,6 +72,32 @@ object Profile {
             .cast("bigint")).as("chi2_micro"))
   }
 
+  /** JOIN-KEY SKEW audit — the pre-join check that decides salting/AQE
+    * strategy at scale: per key column, the total row count, distinct key
+    * count, the HOTTEST key's share in ppm, and the ratio of the hottest
+    * key's count to the mean per-key count (milli-units). A hot-share in
+    * the percents (or hot/mean ≫ 1000 milli) on a shuffle key is the
+    * skew that strands a reducer at 100 TB.
+    *
+    * One partial+final count per key column (key-cardinality exchange),
+    * the hottest key via max(struct) — no window, no sort.
+    *
+    * Output: key_column, n_rows, n_keys, hot_key, hot_n, hot_share_ppm,
+    * hot_over_mean_milli. */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew needs at least one key column")
+    keyCols.map { k =>
+      df.groupBy(col(k).cast("string").as("_k"))
+        .agg(count(lit(1)).as("_n"))
+        .agg(sum(col("_n")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(struct(col("_n"), col("_k"))).as("_hot"))
+        .select(lit(k).as("key_column"), col("n_rows"), col("n_keys"),
+          col("_hot._k").as("hot_key"), col("_hot._n").as("hot_n"),
+          expr("(_hot._n * 1000000) div n_rows").as("hot_share_ppm"),
+          expr("(_hot._n * n_keys * 1000) div n_rows").as("hot_over_mean_milli"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Pairwise Pearson CORRELATIONS over integral columns in ONE pass: all
     * moment sums (Σx, Σx², Σxy) are exact integer aggregates in a single
     * wide row, the correlation assembles from them in decimal(38,0) (no
