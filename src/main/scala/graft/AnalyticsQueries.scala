@@ -433,6 +433,18 @@ object AnalyticsQueries {
         "event_type", convType = "purchase", windowDays = 7,
         thresholdPpm = 50000L)),
 
+    "q_props_profile" -> ((s, d) =>
+      // per-type numeric profiling of the JSON props payload: extract
+      // $.k per row (one codegen'd path-extract, no UDF), exact integer
+      // stats + milli mean — the payload-field analog of q_profile_table
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("_k"))
+        .groupBy("event_type")
+        .agg(count(col("_k")).as("n_with_k"),
+          min(col("_k")).as("k_min"), max(col("_k")).as("k_max"),
+          expr("(sum(_k) * 1000) div count(_k)").as("k_mean_milli"))),
+
     "q_activity_heatmap" -> ((s, d) =>
       // the classic (weekday × hour) activity grid — pure integer epoch
       // arithmetic (day 0 = Thursday), one partial+final aggregate
@@ -1203,6 +1215,14 @@ object AnalyticsQueries {
         |SELECT d * 86400 AS day_start, act AS n_active, cv AS n_conv,
         |  rate_ppm, trail_rate_ppm, dev_ppm
         |FROM k WHERE abs(dev_ppm) >= 50000""".stripMargin,
+
+    "q_props_profile" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k,
+        |  min(k) AS k_min, max(k) AS k_max,
+        |  CAST((sum(k) * 1000) // count(k) AS BIGINT) AS k_mean_milli
+        |FROM e GROUP BY event_type""".stripMargin,
 
     "q_activity_heatmap" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,

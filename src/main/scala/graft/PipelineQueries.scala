@@ -341,6 +341,30 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d), "doc_id", "text")),
 
+    "q_dedup_yield" -> ((s, d) => {
+      // the curation YIELD CARD: per source, docs in → exact-dedup
+      // survivors → near-dup cluster survivors, with the final yield in
+      // ppm — the ops row that says what each source actually contributes
+      // after the dedup stack
+      val dd = docs(s, d)
+      val exact = dd.join(
+        Dedup.exactDedup(dd, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val dropped = Clustering.connectedComponents(
+          Dedup.minhashNearDups(exact, "doc_id", "text"), "id_1", "id_2")
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val near = exact.join(dropped, Seq("doc_id"), "left_anti")
+      val nIn = dd.groupBy("source").agg(count(lit(1)).as("n_in"))
+      val nEx = exact.groupBy("source").agg(count(lit(1)).as("n_after_exact"))
+      val nNr = near.groupBy("source").agg(count(lit(1)).as("n_after_near"))
+      nIn.join(nEx, Seq("source"), "left").join(nNr, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_after_exact"), lit(0L)).as("n_after_exact"),
+          coalesce(col("n_after_near"), lit(0L)).as("n_after_near"),
+          expr("(coalesce(n_after_near, 0) * 1000000) div n_in").as("yield_ppm"))
+    }),
+
     "q_dedup_prefix_join" -> ((s, d) =>
       // EXACT similarity join via prefix filtering: word-set Jaccard >= 0.5
       // with zero false negatives — the oracle is the brute-force truth,
@@ -1738,6 +1762,35 @@ object PipelineQueries {
         |      greatest(len(a.text), len(b.text)) <= 100000""".stripMargin,
 
     "q_dedup_minhash_eval" -> minhashEvalOracle,
+
+    // exact keep-min per normalized content key, then min-label CC
+    // survivors over exact-Jaccard pairs among the exact survivors
+    "q_dedup_yield" ->
+      s"""WITH RECURSIVE ck AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k,
+         |    min(doc_id) AS keep FROM documents GROUP BY 1),
+         |sv AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN ck ON ck.keep = d.doc_id),
+         |t AS (SELECT doc_id, $toks AS w FROM sv),
+         |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
+         |p AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+         |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |e AS (SELECT id_1 AS u, id_2 AS v FROM p UNION SELECT id_2, id_1 FROM p),
+         |n AS (SELECT DISTINCT u AS id FROM e),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.id WHERE w.label < e.v),
+         |dr AS (SELECT id FROM walk GROUP BY id HAVING min(label) <> id),
+         |i AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in FROM documents GROUP BY 1),
+         |x AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after_exact FROM sv GROUP BY 1),
+         |nr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after_near FROM sv
+         |  WHERE doc_id NOT IN (SELECT id FROM dr) GROUP BY 1)
+         |SELECT i.source, i.n_in,
+         |  coalesce(x.n_after_exact, 0) AS n_after_exact,
+         |  coalesce(nr.n_after_near, 0) AS n_after_near,
+         |  (coalesce(nr.n_after_near, 0) * 1000000) // i.n_in AS yield_ppm
+         |FROM i LEFT JOIN x USING (source) LEFT JOIN nr USING (source)""".stripMargin,
 
     // shingle-set Jaccard brute force — the prefix-filter lemma says the
     // filtered join must equal this exactly (no false negatives); same
