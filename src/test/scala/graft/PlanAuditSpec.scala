@@ -561,6 +561,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"budgeted funnel must not join:\n$p")
   }
 
+  test("part-6/7 analytics keep their scale shapes (no window-rank, no single-partition funnel)") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    import graft.pipeline.EventAnalytics
+    def sp(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // growth accounting: per-user windows on the context key only
+    val g = sp(EventAnalytics.growthAccounting(ev, "context_id", "timestamp"))
+    assert(!g.contains("Exchange SinglePartition"), s"growthAccounting funnels:\n$g")
+    assert(!g.contains("CartesianProduct"), g)
+    // power curve / RFM: percentile bounds collected, scoring map-side —
+    // the OUTPUT plan must be window-free
+    val pc = sp(EventAnalytics.powerCurve(ev, "context_id"))
+    assert(!pc.contains("Window"), s"powerCurve plans a window:\n$pc")
+    val rfm = sp(EventAnalytics.rfmSegments(ev, "context_id", "timestamp",
+      "event_type", "value", "purchase"))
+    assert(!rfm.contains("Window"), s"rfmSegments plans a window:\n$rfm")
+    // rate anomalies: day-grain explosion, never a corpus self-join or window
+    val ar = sp(EventAnalytics.anomalousRates(ev, "context_id", "timestamp",
+      "event_type", "purchase", 7, 50000L))
+    assert(!ar.contains("Window") && !ar.contains("CartesianProduct"),
+      s"anomalousRates must stay window- and cartesian-free:\n$ar")
+    // behavioral trigrams: bounded TakeOrdered ranking
+    val ts = sp(EventAnalytics.topSequences(ev, "context_id", "timestamp",
+      "event_id", "event_type", 21600L, 3, 25))
+    assert(ts.contains("TakeOrderedAndProject"), s"topSequences must TakeOrdered:\n$ts")
+    // key skew: one aggregate per key, no window, no global sort
+    val ks = sp(graft.pipeline.Profile.keySkew(
+      new graft.sources.TestDataSource(spark, dir).table("lineitem"), Seq("l_orderkey")))
+    assert(!ks.contains("Window") && !ks.contains("Sort "), s"keySkew must not sort:\n$ks")
+  }
+
   test("revenue rollup: dimension joins broadcast, no cartesian") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val p = plan(AnalyticsQueries.queries("q_revenue_by_nation")(spark, dir))
