@@ -43,6 +43,21 @@ object AnalyticsQueries {
   private def pngHashes(s: SparkSession, d: String): DataFrame =
     Multimodal.imageDHashes(Multimodal.syntheticPngs(docs(s, d), "doc_id", 5, 6))
 
+  /** 5-frame (320-sample) synthetic WAV corpus for the audio-fingerprint
+    * gates — long enough that a 3-frame probe trimmed from the middle has
+    * landmark pairs on both sides of its cut. */
+  private def whtWavs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id").as("media_id"),
+      Multimodal.syntheticWav(col("doc_id"), 320, 16000).as("bytes"))
+
+  /** 5-frame Walsh-tone corpus for the fingerprint/match gates: per-frame
+    * spectral peaks are analytically `K(id, g)` and DISTINCT across
+    * tracks, so matching is demonstrably discriminative (the ramp corpus
+    * is spectrally degenerate — every track peaks alike). */
+  private def walshWavs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id").as("media_id"),
+      Multimodal.syntheticWalshWav(col("doc_id"), 320, 16000).as("bytes"))
+
   // ---------------- queries ----------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -285,6 +300,62 @@ object AnalyticsQueries {
           Multimodal.syntheticWav(col("doc_id"), 256, 16000).as("bytes")),
         frameSize = 64)
         .withColumn("rms", round(col("rms"), 6))),
+
+    "q_audio_wht" -> ((s, d) =>
+      // per-frame spectral peak through the REAL WAV walk + an EXACT-
+      // INTEGER Walsh–Hadamard transform (integer sums are associative,
+      // so the oracle replays the spectrum bit-for-bit via bit_count)
+      Multimodal.audioWhtPeaks(whtWavs(s, d), frameSize = 64)),
+
+    "q_audio_fp" -> ((s, d) =>
+      // Shazam-shape landmark fingerprints over the Walsh-tone corpus:
+      // (anchor peak, target peak, Δframes) packed into one key — ONE
+      // per-media window pass computes every Δ lead, then a map-side
+      // explode; no peak-table self-join. The decode side runs the full
+      // WAV walk + WHT; the oracle reads the peaks off the tone formula
+      Multimodal.audioFingerprints(
+        Multimodal.audioWhtPeaks(walshWavs(s, d), frameSize = 64), maxDelta = 2)),
+
+    "q_audio_match" -> ((s, d) => {
+      // offset-histogram audio matching: probes are 3-frame TRIMMED COPIES
+      // (one-frame phase shift) of every 4th corpus track; candidates come
+      // from the fp_key equi-join (cost ∝ key collisions, never probes ×
+      // corpus), votes bucket on (media, offset), best bucket wins — every
+      // probe resolves to its true source at offset +1 with all 3 votes
+      // (peak sequences are distinct across tracks by construction)
+      val corpus = Multimodal.audioFingerprints(
+        Multimodal.audioWhtPeaks(walshWavs(s, d), frameSize = 64), maxDelta = 2)
+      val probes = Multimodal.audioFingerprints(
+        Multimodal.audioWhtPeaks(docs(s, d).filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.syntheticWalshWav(col("doc_id"), 192, 16000, startSample = 64)
+              .as("bytes")),
+          frameSize = 64), maxDelta = 2)
+      Multimodal.matchAudioFingerprints(probes, corpus)
+    }),
+
+    "q_entry_exit" -> ((s, d) =>
+      // landing/exit report over 6h-gap sessions: entry/exit types ride a
+      // struct min/max on the (context, session) aggregate — the
+      // assignSessions exchange serves every stage, then one tiny
+      // (entry, exit) matrix aggregation
+      EventAnalytics.sessionEntryExit(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type", gapSec = 21600L)),
+
+    "q_churn_hazard" -> ((s, d) =>
+      // discrete Kaplan–Meier life table: per-context lifetimes (one
+      // context-keyed aggregation), churn = silent for >7 days before the
+      // corpus's last active day, risk sets via a window over the
+      // aggregated table only — all columns exact integers
+      EventAnalytics.churnLifeTable(events(s, d),
+        "context_id", "timestamp", horizonDays = 7L)),
+
+    "q_cohort_ltv" -> ((s, d) =>
+      // weekly revenue cohorts: milli-quantized BEFORE summing, cumulative
+      // LTV via a window over the (cohort, offset) matrix, per-user LTV
+      // against the cohort's offset-0 size
+      EventAnalytics.cohortLtv(events(s, d),
+        "context_id", "timestamp", "value", bucketSec = 604800L)),
 
     "q_image_dhash" -> ((s, d) =>
       // perceptual fingerprint through the REAL PNG codec: decode (CRC +
@@ -618,6 +689,58 @@ object AnalyticsQueries {
     """SELECT CAST(user_id AS VARCHAR) AS context_id,
       |  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid
       |FROM events""".stripMargin
+
+  /** WHT spectral peaks recomputed from the synthetic-WAV formula: sample
+    * i of track id is int16 of `(id*13 + (start+i)*97) mod 65536`;
+    * coefficient k of 64-sample frame f is `Σ_j x·(−1)^bit_count(j&k)` —
+    * exact integer sums, so the peak (max |c| over k=1..63, ties to the
+    * SMALLEST k) is engine-independent by construction. Emits
+    * (doc_id, f, k, a) rows; `filter` restricts the doc set. */
+  private def whtPeaksSql(nSamples: Int, start: Int, filter: String): String =
+    s"""SELECT doc_id, f, k, a FROM (
+       |  SELECT doc_id, f, k, abs(c) AS a,
+       |    row_number() OVER (PARTITION BY doc_id, f ORDER BY abs(c) DESC, k) AS rn
+       |  FROM (
+       |    SELECT v.doc_id AS doc_id, v.f AS f, kk.k AS k,
+       |      sum(v.x * CASE WHEN bit_count(v.j & kk.k) % 2 = 0 THEN 1 ELSE -1 END) AS c
+       |    FROM (
+       |      SELECT doc_id, CAST(i // 64 AS INTEGER) AS f, i % 64 AS j,
+       |        CASE WHEN (doc_id*13 + ($start + i)*97) % 65536 >= 32768
+       |             THEN (doc_id*13 + ($start + i)*97) % 65536 - 65536
+       |             ELSE (doc_id*13 + ($start + i)*97) % 65536 END AS x
+       |      FROM (SELECT doc_id, unnest(range(0, $nSamples)) AS i
+       |            FROM documents$filter) base
+       |    ) v CROSS JOIN (SELECT unnest(range(1, 64)) AS k) kk
+       |    GROUP BY 1, 2, 3
+       |  ) spec
+       |) rk WHERE rn = 1""".stripMargin
+
+  /** Walsh-tone peaks in closed form: frame g of track id is the pure
+    * Walsh function `K(id, g) = 1 + (id·5 + ((2g) mod 5)·(7 + id mod
+    * 11)) mod 63` (amplitude 1000), whose 64-point WHT is a delta — so
+    * the decoded spectral peak is K itself with |c| = 64000, no
+    * transform replay needed (the WHT mechanics are oracle-checked by
+    * q_audio_wht). `gFrom`/`gUntil` are GLOBAL frame indices; emitted f
+    * is the blob-local frame (g − gFrom), matching a trim that starts at
+    * sample 64·gFrom. */
+  private def walshPeaksSql(gFrom: Int, gUntil: Int, filter: String): String =
+    s"""SELECT doc_id, CAST(g - $gFrom AS INTEGER) AS f,
+       |  1 + (doc_id*5 + ((g*2) % 5)*(7 + doc_id%11)) % 63 AS k
+       |FROM (SELECT doc_id, unnest(range($gFrom, $gUntil)) AS g
+       |      FROM documents$filter) wt""".stripMargin
+
+  /** Landmark fingerprints over a named peaks CTE — the Δ=1 and Δ=2 leads
+    * in each track's frame order, packed `((p1·4096 + p2)·64 + Δ)`. */
+  private def whtFpSql(peaksCte: String): String =
+    s"""SELECT doc_id, f, (k * 4096 + k1) * 64 + 1 AS fp_key
+       |FROM (SELECT doc_id, f, k,
+       |    lead(k, 1) OVER (PARTITION BY doc_id ORDER BY f) AS k1 FROM $peaksCte) d1
+       |WHERE k1 IS NOT NULL
+       |UNION ALL
+       |SELECT doc_id, f, (k * 4096 + k2) * 64 + 2 AS fp_key
+       |FROM (SELECT doc_id, f, k,
+       |    lead(k, 2) OVER (PARTITION BY doc_id ORDER BY f) AS k2 FROM $peaksCte) d2
+       |WHERE k2 IS NOT NULL""".stripMargin
 
   /** The dHash oracle recomputes the DECODED gray grid analytically from
     * the synthetic-PNG formula (channel c of pixel p is
@@ -1484,6 +1607,102 @@ object AnalyticsQueries {
         |  CAST(count(CASE WHEN px IS NOT NULL AND ((x >= 0) != (px >= 0)) THEN 1 END) AS BIGINT) AS zero_crossings,
         |  round(sqrt(sum(x * x) / 64.0), 6) AS rms
         |FROM z GROUP BY 1, 2""".stripMargin,
+
+    // the 320-sample WAV corpus's per-frame Walsh–Hadamard peaks, replayed
+    // bit-for-bit from the generation formula via bit_count
+    "q_audio_wht" ->
+      s"""WITH pk AS (${whtPeaksSql(320, 0, "")})
+         |SELECT doc_id AS media_id, f AS frame_idx, CAST(k AS INTEGER) AS peak_k,
+         |  CAST(a AS BIGINT) AS peak_abs
+         |FROM pk""".stripMargin,
+
+    "q_audio_fp" ->
+      s"""WITH pk AS (${walshPeaksSql(0, 5, "")}),
+         |fp AS (${whtFpSql("pk")})
+         |SELECT doc_id AS media_id, f AS frame_idx, CAST(fp_key AS BIGINT) AS fp_key
+         |FROM fp""".stripMargin,
+
+    // probes: every 4th track, global frames 1..3 (a one-frame-shifted
+    // 3-frame trim); the match joins on fp_key, votes on (media, offset),
+    // and keeps the (votes DESC, media ASC, offset ASC) best per probe
+    "q_audio_match" ->
+      s"""WITH cp AS (${walshPeaksSql(0, 5, "")}),
+         |pp AS (${walshPeaksSql(1, 4, " WHERE doc_id % 4 = 0")}),
+         |cf AS (${whtFpSql("cp")}),
+         |pf AS (${whtFpSql("pp")}),
+         |j AS (SELECT pf.doc_id AS probe_id, cf.doc_id AS media_id,
+         |    cf.f - pf.f AS off
+         |  FROM pf JOIN cf ON pf.fp_key = cf.fp_key),
+         |v AS (SELECT probe_id, media_id, off, CAST(count(*) AS BIGINT) AS votes
+         |  FROM j GROUP BY 1, 2, 3),
+         |r AS (SELECT v.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY votes DESC, media_id, off) AS rn FROM v)
+         |SELECT probe_id, media_id, CAST(off AS BIGINT) AS offset_frames, votes
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // sessionization replayed, entry/exit from the per-session first/last
+    // rows, bounce = single-event session
+    "q_entry_exit" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY ctx ORDER BY t, eid)),
+        |x AS (SELECT *, SUM(ns) OVER (PARTITION BY ctx ORDER BY t, eid
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM s),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY ctx, sid ORDER BY t, eid) AS rf,
+        |    row_number() OVER (PARTITION BY ctx, sid ORDER BY t DESC, eid DESC) AS rl
+        |  FROM x),
+        |ss AS (SELECT ctx, sid,
+        |    min(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+        |    min(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+        |    count(*) AS n, max(t) - min(t) AS dur
+        |  FROM o GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS bounce_ppm,
+        |  CAST(sum(dur) AS BIGINT) AS total_duration_s
+        |FROM ss GROUP BY 1, 2""".stripMargin,
+
+    // per-context lifetimes, churn = silent >7 days before the corpus's
+    // last active day, risk sets by descending-cumulative count
+    "q_churn_hazard" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+        |p AS (SELECT ctx, min(d) AS fd, max(d) AS ld FROM e GROUP BY 1),
+        |m AS (SELECT max(ld) AS endd FROM p),
+        |lv AS (SELECT ld - fd AS t_days,
+        |    CASE WHEN ld + 7 < endd THEN 1 ELSE 0 END AS ch FROM p, m),
+        |g AS (SELECT t_days, CAST(count(*) AS BIGINT) AS n_end,
+        |    CAST(sum(ch) AS BIGINT) AS n_churn FROM lv GROUP BY 1)
+        |SELECT t_days, n_end, n_churn, n_end - n_churn AS n_censored,
+        |  CAST(sum(n_end) OVER dw AS BIGINT) AS n_risk,
+        |  CAST((n_churn * 1000000) // sum(n_end) OVER dw AS BIGINT) AS hazard_ppm
+        |FROM g WINDOW dw AS (ORDER BY t_days DESC ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    // weekly revenue cohorts: milli-quantized before summing, cumulative
+    // via a window over the (cohort, offset) matrix
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bk,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+        |pb AS (SELECT ctx, bk, sum(vm) AS rev FROM e GROUP BY 1, 2),
+        |ch AS (SELECT ctx, min(bk) AS cohort FROM pb GROUP BY 1),
+        |cells AS (SELECT cohort, bk - cohort AS bucket_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active, CAST(sum(rev) AS BIGINT) AS revenue_milli
+        |  FROM pb JOIN ch USING (ctx) GROUP BY 1, 2),
+        |w AS (SELECT cells.*,
+        |    CAST(sum(revenue_milli) OVER (PARTITION BY cohort ORDER BY bucket_offset
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_milli,
+        |    CAST(max(CASE WHEN bucket_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size
+        |  FROM cells)
+        |SELECT cohort * 604800 AS cohort_start, bucket_offset, n_active,
+        |  revenue_milli, cum_revenue_milli, cohort_size,
+        |  CAST(CASE WHEN cum_revenue_milli >= 0 THEN cum_revenue_milli // cohort_size
+        |       ELSE -((-cum_revenue_milli) // cohort_size) END AS BIGINT) AS ltv_milli
+        |FROM w""".stripMargin,
 
     "q_image_dhash" ->
       s"""WITH h AS ($dhashOracle)

@@ -318,6 +318,21 @@ object PipelineQueries {
           .select(col("media_id"), col("hash_hi"), col("hash_lo")), Seq("media_id"))
     }),
 
+    "q_multimodal_tiff" -> ((s, d) => {
+      // REAL TIFF decode with an asymmetric round-trip: the container is
+      // serialized BY HAND (header | strip | 9-tag baseline IFD), ImageIO
+      // only READS it — decoder and writer share no library. Stats + the
+      // perceptual dHash both go through the same multi-format dispatch
+      // the image dedup pipeline uses; the oracle derives everything from
+      // the generation formula
+      val tiffs = Multimodal.syntheticTiffs(docs(s, d).select(col("doc_id")), "doc_id")
+      Multimodal.decodeTiffs(tiffs)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_gray"), col("tl_r").as("tl_gray"))
+        .join(Multimodal.imageDHashes(tiffs)
+          .select(col("media_id"), col("hash_hi"), col("hash_lo")), Seq("media_id"))
+    }),
+
     "q_multimodal_avi" -> ((s, d) =>
       // REAL video decode: an MJPEG AVI per doc (RIFF container walk +
       // per-frame ImageIO decode); 2 + id%3 frames, frame f =
@@ -1522,6 +1537,34 @@ object PipelineQueries {
         |st AS (SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |    round(sum(val) * 1.0 / (w * h), 6) AS mean_gray,
         |    CAST(doc_id * 37 % 256 AS INTEGER) AS tl_gray
+        |  FROM v GROUP BY doc_id, w, h)
+        |SELECT st.doc_id AS media_id, st.width, st.height, st.mean_gray, st.tl_gray,
+        |  dh.hash_hi, dh.hash_lo
+        |FROM st JOIN dh ON st.doc_id = dh.doc_id""".stripMargin,
+
+    // gray TIFF formula v(x,y) = (id*41 + x*13 + y*19) % 256 on a
+    // (5 + id%3) × (6 + id%2) canvas — the q_multimodal_gif oracle shape
+    // with the TIFF generation constants
+    "q_multimodal_tiff" ->
+      """WITH dims AS (SELECT doc_id, 5 + doc_id % 3 AS w, 6 + doc_id % 2 AS h FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS y FROM dims),
+        |pts AS (SELECT doc_id, w, h, y, unnest(range(0, 9)) AS x FROM ys),
+        |g AS (SELECT doc_id, y, x,
+        |    (doc_id*41 + ((x*w)//9)*13 + ((y*h)//8)*19) % 256 AS gv FROM pts),
+        |bits AS (SELECT l.doc_id, l.y, l.x,
+        |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS bit
+        |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |dh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM bits GROUP BY doc_id),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w*h)) AS j FROM dims),
+        |v AS (SELECT doc_id, w, h,
+        |    (doc_id*41 + (j % w)*13 + (j // w)*19) % 256 AS val FROM px),
+        |st AS (SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |    round(sum(val) * 1.0 / (w * h), 6) AS mean_gray,
+        |    CAST(doc_id * 41 % 256 AS INTEGER) AS tl_gray
         |  FROM v GROUP BY doc_id, w, h)
         |SELECT st.doc_id AS media_id, st.width, st.height, st.mean_gray, st.tl_gray,
         |  dh.hash_hi, dh.hash_lo

@@ -814,4 +814,135 @@ object EventAnalytics {
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(topN)
   }
+
+  /** Session entry/exit (landing/exit-page) report: each session's entry
+    * type (first event in (timestamp, event_id) order), exit type (last
+    * event), bounce flag (single-event session), rolled up per
+    * (entry, exit) pair — the landing-page performance table web
+    * analytics leads with.
+    *
+    * One aggregation on (context, session) after [[assignSessions]] (the
+    * hash(context) exchange serves it), then one small aggregation on the
+    * (entry, exit) matrix (≤ types² rows). Entry/exit come from struct
+    * min/max over (ts, id, type) — (ts, id) is unique per event, so the
+    * type rides along deterministically; no window, no self-join.
+    *
+    * Output: entry_type, exit_type, n_sessions, n_bounces, bounce_ppm
+    * (truncated), total_duration_s. */
+  def sessionEntryExit(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long): DataFrame = {
+    val se = assignSessions(events, ctxCol, tsCol, idCol, gapSec)
+    val ev = struct(col(tsCol).cast("long").as("t"),
+      col(idCol).cast("long").as("i"), col(typeCol).as("y"))
+    val sessions = se.groupBy(col(ctxCol), col("session_idx"))
+      .agg(min(ev).as("_in"), max(ev).as("_out"), count(lit(1)).as("_n"))
+    sessions
+      .groupBy(col("_in.y").as("entry_type"), col("_out.y").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("_n") === 1).cast("long")).as("n_bounces"),
+        sum(col("_out.t") - col("_in.t")).as("total_duration_s"))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        col("n_bounces"),
+        expr("(n_bounces * 1000000) div n_sessions").as("bounce_ppm"),
+        col("total_duration_s"))
+  }
+
+  /** Churn life table (the discrete Kaplan–Meier risk sets, in exact
+    * integers): each context's lifetime is `last_day − first_day` (days,
+    * epoch-floor); a context has CHURNED if its last activity is more
+    * than `horizonDays` before the corpus's last active day, else it is
+    * CENSORED (still alive at observation end). For every observed
+    * lifetime t: `n_risk` = contexts with lifetime ≥ t, `n_churn` /
+    * `n_censored` = contexts ending at exactly t, and the discrete hazard
+    * `n_churn·1e6 div n_risk` — the life table a survival curve is read
+    * from. Kept at the table (hazard) grain: the KM product is a
+    * float cumulative product with engine-dependent rounding, while every
+    * column here is exact.
+    *
+    * Scale shape: ONE corpus scan — the per-context rows AND the
+    * corpus-end scalar come out of a single GROUPING SETS aggregation
+    * ((context), ()), so the 1-row global branch is a ReusedExchange of
+    * the per-context shuffle instead of a second scan-and-shuffle of the
+    * corpus. The scalar cross-joins back (broadcast); the life table
+    * itself is ≤ distinct-lifetime rows, and the descending-cumulative
+    * n_risk is a window over THAT aggregated table, never over events.
+    *
+    * Output: t_days, n_end, n_churn, n_censored, n_risk, hazard_ppm. */
+  def churnLifeTable(events: DataFrame, ctxCol: String, tsCol: String,
+      horizonDays: Long): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val day = idiv(col(tsCol).cast("long"), lit(86400L))
+    val perCtxAll = events
+      .select(col(ctxCol).as("_ctx"), day.as("_day"))
+      .groupingSets(Seq(Seq(col("_ctx")), Seq.empty), col("_ctx"))
+      .agg(min(col("_day")).as("_first"), max(col("_day")).as("_last"),
+        grouping_id().as("_gid"))
+    val perCtx = perCtxAll.filter(col("_gid") === 0)
+      .select(col("_first"), col("_last"))
+    val corpusEnd = perCtxAll.filter(col("_gid") =!= 0)
+      .select(col("_last").as("_end"))
+    val lives = perCtx.crossJoin(corpusEnd) // 1-row side: broadcast NL join
+      .select((col("_last") - col("_first")).as("t_days"),
+        (col("_last") + horizonDays < col("_end")).cast("long").as("_churn"))
+      .groupBy("t_days")
+      .agg(count(lit(1)).as("n_end"), sum(col("_churn")).as("n_churn"))
+    val riskW = Window.orderBy(col("t_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // single-partition window over the AGGREGATED life table (≤ distinct
+    // lifetimes rows) — the corpus never flows through it
+    lives
+      .withColumn("n_risk", sum(col("n_end")).over(riskW))
+      .select(col("t_days"), col("n_end"), col("n_churn"),
+        (col("n_end") - col("n_churn")).as("n_censored"), col("n_risk"),
+        idiv(col("n_churn") * 1000000L, col("n_risk")).as("hazard_ppm"))
+  }
+
+  /** Cohort LTV: revenue retention by first-activity cohort — per
+    * (cohort bucket, bucket offset): active contexts, period revenue, the
+    * cohort's cumulative revenue through that offset, and cumulative
+    * revenue per cohort user. Revenue is milli-quantized BEFORE summing
+    * (the corpus-report discipline: aggregation-order-proof integers);
+    * `ltv_milli` divides by the cohort's size (its offset-0 active count —
+    * every cohort member is active in their first bucket by definition).
+    *
+    * Scale shape: the corpus collapses map-side-combined to
+    * (context, bucket) revenue rows, then ONE context-keyed aggregation
+    * pins each context's cohort alongside its bucket list (bounded by
+    * buckets-per-context — the retention collect_set bound), exploding
+    * straight to (cohort, offset) cells: no cohort join, no re-shuffle of
+    * the bucket table. The cumulative sum is a window over the
+    * (cohort, offset) MATRIX (≤ buckets² rows), never over events.
+    *
+    * Output: cohort_start (epoch sec), bucket_offset, n_active,
+    * revenue_milli, cum_revenue_milli, cohort_size, ltv_milli. */
+  def cohortLtv(events: DataFrame, ctxCol: String, tsCol: String,
+      valueCol: String, bucketSec: Long = 604800L): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val bk = idiv(col(tsCol).cast("long"), lit(bucketSec))
+    val perCtxBucket = events
+      .select(col(ctxCol).as("_ctx"), bk.as("_bk"),
+        expr(s"cast(round($valueCol * 1000) as bigint)").as("_vm"))
+      .groupBy("_ctx", "_bk")
+      .agg(sum(col("_vm")).as("_rev"))
+    val cells = perCtxBucket
+      .groupBy("_ctx")
+      .agg(min(col("_bk")).as("_cohort"),
+        collect_list(struct(col("_bk"), col("_rev"))).as("_bks"))
+      .select(col("_cohort"), explode(col("_bks")).as("_e"))
+      .groupBy(col("_cohort"), (col("_e._bk") - col("_cohort")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_active"), sum(col("_e._rev")).as("revenue_milli"))
+    val cumW = Window.partitionBy(col("_cohort")).orderBy(col("bucket_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sizeW = Window.partitionBy(col("_cohort"))
+    cells
+      .withColumn("cum_revenue_milli", sum(col("revenue_milli")).over(cumW))
+      .withColumn("cohort_size",
+        max(when(col("bucket_offset") === 0, col("n_active"))).over(sizeW))
+      .select((col("_cohort") * bucketSec).as("cohort_start"),
+        col("bucket_offset"), col("n_active"), col("revenue_milli"),
+        col("cum_revenue_milli"), col("cohort_size"),
+        idiv(col("cum_revenue_milli"), col("cohort_size")).as("ltv_milli"))
+  }
 }

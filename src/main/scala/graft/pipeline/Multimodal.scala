@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -487,6 +488,181 @@ object Multimodal {
       }
     }(Encoders.row(audioFrameSchema))
 
+  // ---- Audio spectral fingerprinting (Walsh–Hadamard constellation) ----
+
+  /** In-place fast Walsh–Hadamard transform (natural/Hadamard order):
+    * `c(k) = Σ_i x(i) · (−1)^popcount(i AND k)` — the EXACT-INTEGER
+    * "spectrum" the audio fingerprint peaks on. Integer addition is
+    * associative, so the coefficients are bit-identical on any engine and
+    * any evaluation order (the property a float DFT cannot give an
+    * oracle); |c| ≤ n·32768 keeps everything far inside a long. */
+  private[graft] def fwht(c: Array[Long]): Unit = {
+    val n = c.length
+    var len = 1
+    while (len < n) {
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < i + len) {
+          val a = c(j); val b = c(j + len)
+          c(j) = a + b; c(j + len) = a - b
+          j += 1
+        }
+        i += len * 2
+      }
+      len *= 2
+    }
+  }
+
+  /** Per-frame spectral peak of a PCM16 WAV: the stream is cut into FULL
+    * `frameSize`-sample frames (trailing partial dropped, the
+    * [[decodeWavFrames]] rule), each frame is Walsh–Hadamard transformed,
+    * and the peak is the non-DC coefficient k (1 ≤ k < frameSize)
+    * maximizing |c(k)|, ties to the SMALLEST k. `frameSize` must be a
+    * power of two. Returns (frame_idx, peak_k, peak_abs) per frame. */
+  def decodeWavWhtPeaks(bytes: Array[Byte], frameSize: Int): Option[Seq[(Int, Int, Long)]] = {
+    require(frameSize > 1 && (frameSize & (frameSize - 1)) == 0 && frameSize <= 4096,
+      s"frameSize must be a power of two in [2, 4096], got $frameSize")
+    decodeWavFramesRaw(bytes, frameSize).map { frames =>
+      frames.zipWithIndex.map { case (smp, f) =>
+        val c = new Array[Long](frameSize)
+        var i = 0
+        while (i < frameSize) { c(i) = smp(i).toLong; i += 1 }
+        fwht(c)
+        var bestK = 1; var bestA = math.abs(c(1))
+        var k = 2
+        while (k < frameSize) {
+          val a = math.abs(c(k))
+          if (a > bestA) { bestA = a; bestK = k }
+          k += 1
+        }
+        (f, bestK, bestA)
+      }
+    }
+  }
+
+  /** The WAV chunk walk of [[decodeWavFrames]] factored to raw per-frame
+    * sample arrays (full frames only, trailing partial dropped). */
+  private def decodeWavFramesRaw(bytes: Array[Byte], frameSize: Int): Option[Seq[Array[Short]]] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var rate = -1
+    var dataOff = -1; var dataLen = -1L
+    var o = 12L
+    while (o + 8 <= bytes.length) {
+      val oi = o.toInt
+      val id = tag(oi); val sz = u32(oi + 4)
+      val payload = o + 8
+      if (id == "fmt ") {
+        if (sz < 16 || payload + 16 > bytes.length) return None
+        val p = payload.toInt
+        if (u16(p) != 1 || u16(p + 2) != 1 || u16(p + 14) != 16) return None
+        rate = u32(p + 4).toInt
+      } else if (id == "data") {
+        if (payload + sz > bytes.length) return None
+        dataOff = payload.toInt; dataLen = sz
+      }
+      o = payload + sz + (sz & 1L)
+    }
+    if (rate <= 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return None
+    val n = (dataLen / 2).toInt
+    val nFrames = n / frameSize
+    val out = Vector.newBuilder[Array[Short]]
+    var f = 0
+    while (f < nFrames) {
+      val base = dataOff + f * frameSize * 2
+      val smp = new Array[Short](frameSize)
+      var i = 0
+      while (i < frameSize) { smp(i) = u16(base + i * 2).toShort; i += 1 }
+      out += smp
+      f += 1
+    }
+    Some(out.result())
+  }
+
+  /** [[audioWhtPeaks]] row shape. */
+  val whtPeakSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("peak_k", IntegerType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false)))
+
+  /** Per-frame Walsh–Hadamard spectral peaks for every PCM16 WAV blob
+    * (malformed rows dropped) — one mapPartitions codec pass, the audio
+    * analog of [[imageDHashes]]: the peak sequence is the compact
+    * perceptual summary fingerprinting and matching build on. */
+  def audioWhtPeaks(media: DataFrame, frameSize: Int): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeWavWhtPeaks(_, frameSize)).toSeq.flatten.map {
+          case (f, k, a) => Row(r.getLong(0), f, k, a)
+        }
+      }
+    }(Encoders.row(whtPeakSchema))
+
+  /** Landmark (constellation) fingerprints from a [[audioWhtPeaks]] frame —
+    * the Shazam shape (Wang 2003): each anchor frame pairs its spectral
+    * peak with the peaks of the next `maxDelta` frames, and the triple
+    * (anchor peak, target peak, Δframes) packs into one integer key
+    * `((p1·4096 + p2)·64 + Δ)`. A trimmed or time-shifted copy shares
+    * most keys with its source at a constant frame offset, which is what
+    * [[matchAudioFingerprints]] votes on.
+    *
+    * Scale shape: ONE window pass per media (all `maxDelta` leads computed
+    * in the same per-media frame ordering — per-entity state, bounded by
+    * one media's frame count), then a map-side posexplode. No self-join of
+    * the peak table. */
+  def audioFingerprints(peaks: DataFrame, maxDelta: Int = 2): DataFrame = {
+    require(maxDelta >= 1 && maxDelta < 64, s"maxDelta must be in [1, 64), got $maxDelta")
+    val byMedia = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val leads = array((1 to maxDelta).map(d =>
+      lead(col("peak_k"), d).over(byMedia)): _*)
+    peaks
+      // windows first, generator second: Spark disallows a generator over
+      // window expressions inside one projection
+      .select(col("media_id"), col("frame_idx"), col("peak_k").as("_p1"),
+        leads.as("_leads"))
+      .select(col("media_id"), col("frame_idx"), col("_p1"),
+        posexplode(col("_leads")).as(Seq("_dm1", "_p2")))
+      .filter(col("_p2").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        ((col("_p1").cast("long") * 4096L + col("_p2")) * 64L +
+          col("_dm1") + 1L).as("fp_key"))
+  }
+
+  /** Shazam-style offset-histogram matching: probe fingerprints equi-join
+    * corpus fingerprints on `fp_key` (candidate cost ∝ key collisions,
+    * NEVER probes × corpus), each hit votes for (corpus media, frame
+    * offset), and the best (votes DESC, media ASC, offset ASC) bucket per
+    * probe wins. A true trimmed copy concentrates all its votes at one
+    * constant offset — random collisions scatter.
+    *
+    * Both aggregations are map-side combinable; the per-probe argmax is a
+    * bounded struct-max aggregate, not a window. Output: (probe_id,
+    * media_id, offset_frames, votes). */
+  def matchAudioFingerprints(probeFps: DataFrame, corpusFps: DataFrame): DataFrame = {
+    // shuffle_hash on the probe side: both inputs are typed decode
+    // pipelines with no size stats, and Spark's fallback guess would
+    // BROADCAST the corpus fingerprint table — a corpus-sized driver OOM
+    // at scale (the nearDupImages lesson). The hash join shuffles both
+    // sides on fp_key and builds from the (small) probe partitions.
+    val p = probeFps.select(col("media_id").as("probe_id"),
+      col("frame_idx").as("_pf"), col("fp_key")).hint("shuffle_hash")
+    val c = corpusFps.select(col("media_id"), col("frame_idx").as("_cf"), col("fp_key"))
+    p.join(c, Seq("fp_key"))
+      .groupBy(col("probe_id"), col("media_id"),
+        (col("_cf") - col("_pf")).as("offset_frames"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("probe_id"))
+      .agg(max(struct(col("votes"), (-col("media_id")).as("_m"),
+        (-col("offset_frames")).as("_o"))).as("_best"))
+      .select(col("probe_id"), (-col("_best._m")).as("media_id"),
+        (-col("_best._o")).cast("long").as("offset_frames"), col("_best.votes").as("votes"))
+  }
+
   /** Decode every `bytes` blob as a PPM image (malformed rows dropped) —
     * batch-shaped like [[extractFeaturesWithDecoder]]: per-partition setup,
     * rows streamed, blobs never leave the executor. */
@@ -560,15 +736,18 @@ object Multimodal {
     StructField("hash_hi", LongType, nullable = false),
     StructField("hash_lo", LongType, nullable = false)))
 
-  /** Decode the RGB pixel plane of a PNG or GIF blob, dispatched on the
-    * magic bytes — the multi-format entry the perceptual pipeline hashes
-    * through. */
+  /** Decode the RGB pixel plane of a PNG, GIF, or TIFF blob, dispatched on
+    * the magic bytes — the multi-format entry the perceptual pipeline
+    * hashes through. */
   def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     if (bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == pngSig(i)))
       decodePngPixels(bytes)
+    else if (bytes.length >= 4 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M')))
+      decodeTiffPixels(bytes)
     else decodeGifPixels(bytes)
 
-  /** Perceptual fingerprint of every image blob (PNG or GIF, by magic):
+  /** Perceptual fingerprint of every image blob (PNG, GIF, or TIFF, by magic):
     * full decode → [[dHash64]] (malformed rows dropped). One mapPartitions
     * pass, per-row memory bounded by the decode cap. */
   def imageDHashes(media: DataFrame): DataFrame =
@@ -749,10 +928,15 @@ object Multimodal {
   }
 
   /** A VALID PCM16 mono WAV blob per row: sample i's unsigned word is
-    * `u = (id*13 + i*97) mod 65536`, written little-endian — its int16
-    * (two's-complement) value is `u` when u < 32768, else `u - 65536`.
-    * Same analytic construction as [[syntheticPpm]]. */
-  def syntheticWav(id: Column, nSamples: Int, sampleRate: Int): Column = {
+    * `u = (id*13 + (startSample + i)*97) mod 65536`, written little-endian —
+    * its int16 (two's-complement) value is `u` when u < 32768, else
+    * `u - 65536`. Same analytic construction as [[syntheticPpm]].
+    * `startSample` phase-shifts the stream: the blob carries samples
+    * `startSample until startSample + nSamples` of the id's infinite
+    * sample sequence, so a shifted blob is a TRIMMED COPY of a longer one
+    * — the probe shape audio fingerprint matching must recognize. */
+  def syntheticWav(id: Column, nSamples: Int, sampleRate: Int,
+      startSample: Int = 0): Column = {
     val dataLen = nSamples * 2
     val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
@@ -764,7 +948,50 @@ object Multimodal {
     val body = unhex(concat_ws("", transform(
       sequence(lit(0L), lit(nSamples.toLong - 1)),
       i => {
-        val u = pmod(id.cast("long") * 13 + i * 97, lit(65536L))
+        val u = pmod(id.cast("long") * 13 + (i + lit(startSample.toLong)) * 97, lit(65536L))
+        concat(hexByte(pmod(u, lit(256L))), hexByte(shiftright(u, 8)))
+      })))
+    concat(header, body)
+  }
+
+  /** A VALID PCM16 mono WAV whose 64-sample frames are pure WALSH TONES:
+    * global sample t (= startSample + i) of track id is
+    * `1000 · (−1)^popcount((t mod 64) AND K)` with the per-frame tone
+    * `K(id, g) = 1 + (id·5 + ((2g) mod 5)·(7 + id mod 11)) mod 63`,
+    * g = t div 64. The 64-point WHT of a Walsh function is a delta, so
+    * frame g's spectral peak is EXACTLY K(id, g) (|c| = 64000) — an
+    * analytically-known peak sequence that is DISTINCT across tracks at
+    * every alignment: same-position collisions need id ≡ id′ (mod 693),
+    * and the PERMUTED stride positions `(2g) mod 5` (not g itself — an
+    * arithmetic-in-g sequence would make every same-stride track a
+    * shifted copy of every other) make cross-offset aliasing require
+    * `5·stride ≡ 0 (mod 63)`, impossible for strides 7..17. That is what
+    * makes fingerprint matching demonstrably discriminative (the ramp
+    * [[syntheticWav]] is spectrally degenerate — every track peaks
+    * alike). `startSample` must be a multiple of 64 so probe frames stay
+    * tone-aligned trims of the source. */
+  def syntheticWalshWav(id: Column, nSamples: Int, sampleRate: Int,
+      startSample: Int = 0): Column = {
+    require(startSample % 64 == 0, s"startSample must be a multiple of 64, got $startSample")
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val header = lit(bb.array())
+    val idL = id.cast("long")
+    val body = unhex(concat_ws("", transform(
+      sequence(lit(0L), lit(nSamples.toLong - 1)),
+      i => {
+        val t = i + lit(startSample.toLong)
+        val g = floor(t / 64).cast("long")
+        val j = pmod(t, lit(64L))
+        val k = lit(1L) + pmod(
+          idL * 5 + pmod(g * 2, lit(5L)) * (lit(7L) + pmod(idL, lit(11L))), lit(63L))
+        val x = lit(1000L) - lit(2000L) * pmod(bit_count(j.bitwiseAND(k)).cast("long"), lit(2L))
+        val u = pmod(x, lit(65536L))
         concat(hexByte(pmod(u, lit(256L))), hexByte(shiftright(u, 8)))
       })))
     concat(header, body)
@@ -1055,6 +1282,126 @@ object Multimodal {
       s"syntheticGifs needs an integral id column, got ${idType.simpleString}")
     df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticGif(id)) }
+    }(Encoders.row(syntheticBlobSchema))
+  }
+
+  // ---- TIFF (hand-built baseline container, decoded by the JDK's ImageIO) ----
+
+  /** Decode a baseline TIFF via `javax.imageio`, returning the RGB pixel
+    * array ([[decodePngPixels]] shape — gray samples tripled r=g=b through
+    * the RASTER, never `getRGB`, whose gray→sRGB conversion is not
+    * identity). Magic check `II*\0` (little-endian) or `MM\0*`
+    * (big-endian); None on anything ImageIO rejects. Uncompressed baseline
+    * TIFF is LOSSLESS, so decoded samples are exact. */
+  def decodeTiffPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val leMagic = bytes.length >= 4 && bytes(0) == 'I' && bytes(1) == 'I' &&
+      bytes(2) == 42 && bytes(3) == 0
+    val beMagic = bytes.length >= 4 && bytes(0) == 'M' && bytes(1) == 'M' &&
+      bytes(2) == 0 && bytes(3) == 42
+    if (!leMagic && !beMagic) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        if (bands >= 3) {
+          px(o) = raster.getSample(x, y, 0)
+          px(o + 1) = raster.getSample(x, y, 1)
+          px(o + 2) = raster.getSample(x, y, 2)
+        } else {
+          val g = raster.getSample(x, y, 0)
+          px(o) = g; px(o + 1) = g; px(o + 2) = g
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Decoded TIFF summary — the [[decodePng]] stats shape. */
+  def decodeTiff(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Int)] =
+    decodeTiffPixels(bytes).map { case (w, h, px) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0
+      while (p < px.length) { sr += px(p); sg += px(p + 1); sb += px(p + 2); p += 3 }
+      val n = w * h
+      (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, px(0))
+    }
+
+  /** [[decodeTiff]] shares the BMP/PNG/GIF row shape. */
+  val tiffSchema: StructType = bmpSchema
+
+  /** Decode every `bytes` blob as a TIFF (malformed rows dropped). */
+  def decodeTiffs(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeTiff)
+          .map { case (w, h, mr, mg, mb, tl) => Row(r.getLong(0), w, h, mr, mg, mb, tl) }
+      }
+    }(Encoders.row(tiffSchema))
+
+  /** A VALID little-endian baseline TIFF, serialized BY HAND (header |
+    * pixel strip | IFD with the 9 baseline-gray tags in ascending order) —
+    * unlike the GIF path, the writer shares no library with the ImageIO
+    * READER, so the decode genuinely exercises a foreign byte stream.
+    * Canvas `5 + id%3` × `6 + id%2`, pixel (x, y) =
+    * `(id*41 + x*13 + y*19) % 256` (grayscale, uncompressed, single
+    * strip); the oracle recomputes the decoded stats from the formula. */
+  private[graft] def buildSyntheticTiff(id: Long): Array[Byte] = {
+    val w = 5 + (id % 3).toInt; val h = 6 + (id % 2).toInt
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = Math.floorMod(id * 41 + x * 13 + y * 19, 256L).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val nTags = 9
+    val ifdOff = 8 + px.length
+    val bb = java.nio.ByteBuffer.allocate(ifdOff + 2 + nTags * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    bb.put(px)
+    bb.putShort(nTags.toShort)
+    def tagShort(tag: Int, v: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(3).putInt(1).putShort(v.toShort).putShort(0)
+    }
+    def tagLong(tag: Int, v: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(4).putInt(1).putInt(v)
+    }
+    tagShort(256, w) // ImageWidth
+    tagShort(257, h) // ImageLength
+    tagShort(258, 8) // BitsPerSample
+    tagShort(259, 1) // Compression = none
+    tagShort(262, 1) // PhotometricInterpretation = BlackIsZero
+    tagLong(273, 8) // StripOffsets (pixels sit right after the header)
+    tagShort(277, 1) // SamplesPerPixel
+    tagShort(278, h) // RowsPerStrip (single strip)
+    tagLong(279, px.length) // StripByteCounts
+    bb.putInt(0) // next-IFD terminator
+    bb.array()
+  }
+
+  /** [[buildSyntheticTiff]] over a corpus: one (media_id, bytes) row per id. */
+  def syntheticTiffs(df: DataFrame, idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticTiffs needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, buildSyntheticTiff(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
 

@@ -82,7 +82,10 @@ object StreamingSessions {
                   math.max(st.end, e.ts), st.n + 1L)
               }
             }
-            if ((st.end + gapSec) * 1000L < state.getCurrentWatermarkMs()) {
+            if ((st.end + gapSec) * 1000L <= state.getCurrentWatermarkMs()) {
+              // <=: at equality no in-watermark event can extend either — an
+              // extender needs ts <= end+gap AND ts*1000 > watermarkMs, which
+              // is unsatisfiable when (end+gap)*1000 == watermarkMs.
               // already due: the watermark has passed end + gap, so no
               // in-watermark event can extend this session. A deferred
               // timeout clamped to watermark+1 would never fire if the

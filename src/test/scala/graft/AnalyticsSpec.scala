@@ -616,4 +616,60 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions")))
     assert(out.toSeq == Seq(("view>click", 3L), ("buy", 1L)))
   }
+
+  test("sessionEntryExit: first/last by (ts, id), bounce = single-event session") {
+    val events = Seq(
+      // u session 0: home → buy, duration 50
+      ("u", 100L, 1L, "home"), ("u", 150L, 2L, "buy"),
+      // u session 1: lone home → bounce
+      ("u", 1000L, 3L, "home"),
+      // v: lone search → bounce; ties on ts broken by id for entry/exit
+      ("v", 100L, 5L, "search"),
+      ("w", 100L, 7L, "a"), ("w", 100L, 6L, "b") // same ts: entry=b(6), exit=a(7)
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.sessionEntryExit(events,
+        "context_id", "timestamp", "event_id", "event_type", gapSec = 100L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("home", "buy")) == ((1L, 0L, 0L, 50L)))
+    assert(out(("home", "home")) == ((1L, 1L, 1000000L, 0L)))
+    assert(out(("search", "search")) == ((1L, 1L, 1000000L, 0L)))
+    assert(out(("b", "a")) == ((1L, 0L, 0L, 0L)))
+    assert(out.size == 4)
+  }
+
+  test("churnLifeTable: lifetimes, censoring at the horizon, descending risk sets") {
+    val day = 86400L
+    val events = Seq(
+      // a: days 0..2 → lifetime 2, last=2, churned (2+7 < 10)
+      ("a", 0L, 1L), ("a", 2 * day, 2L),
+      // b: day 0 only → lifetime 0, churned
+      ("b", 0L, 3L),
+      // c: day 10 only → lifetime 0, last=10 = corpus end → censored
+      ("c", 10 * day, 4L)
+    ).toDF("context_id", "timestamp", "event_id")
+    val out = EventAnalytics.churnLifeTable(events, "context_id", "timestamp", 7L)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // t=0: 2 end (b churn, c censored), risk = all 3
+    assert(out(0L) == ((2L, 1L, 1L, 3L, 333333L)))
+    // t=2: a ends churned, risk = 1
+    assert(out(2L) == ((1L, 1L, 0L, 1L, 1000000L)))
+    assert(out.size == 2)
+  }
+
+  test("cohortLtv: milli-exact revenue, cumulative per cohort, LTV per cohort user") {
+    val events = Seq(
+      ("a", 5L, 1.0), ("a", 15L, 2.0), // cohort 0: buckets 0 and 1
+      ("b", 12L, 10.0) // cohort 1
+    ).toDF("context_id", "timestamp", "value")
+    val out = EventAnalytics.cohortLtv(events, "context_id", "timestamp", "value",
+        bucketSec = 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out((0L, 0L)) == ((1L, 1000L, 1000L, 1L, 1000L)))
+    assert(out((0L, 1L)) == ((1L, 2000L, 3000L, 1L, 3000L)))
+    assert(out((10L, 0L)) == ((1L, 10000L, 10000L, 1L, 10000L)))
+    assert(out.size == 3)
+  }
 }

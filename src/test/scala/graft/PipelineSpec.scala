@@ -744,6 +744,93 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF synth/decode: hand-built container through ImageIO, dHash dispatch, malformed rejected") {
+    for (id <- 0L to 11L) {
+      val w = 5 + (id % 3).toInt; val h = 6 + (id % 2).toInt
+      def v(x: Int, y: Int) = Math.floorMod(id * 41 + x * 13 + y * 19, 256L).toInt
+      val bytes = Multimodal.buildSyntheticTiff(id)
+      // pixel-exact: uncompressed baseline gray, read back via the RASTER
+      // (getRGB's gray→sRGB conversion would NOT be identity)
+      val px = Multimodal.decodeTiffPixels(bytes)
+      assert(px.isDefined && px.get._1 == w && px.get._2 == h, s"id=$id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(px.get._3((y * w + x) * 3 + c) == v(x, y), s"id=$id px($x,$y,$c)")
+      val mean = (for (y <- 0 until h; x <- 0 until w) yield v(x, y)).sum.toDouble / (w * h)
+      assert(Multimodal.decodeTiff(bytes).contains((w, h, mean, mean, mean, v(0, 0))))
+      // the multi-format dHash entry must dispatch TIFF by the II magic
+      val viaDispatch = Multimodal.decodeImagePixels(bytes)
+      assert(viaDispatch.isDefined && viaDispatch.get._3.sameElements(px.get._3))
+      // malformed: wrong magic rejected, truncations and flips never throw
+      assert(Multimodal.decodeTiff(bytes.take(3)).isEmpty)
+      assert(Multimodal.decodeTiff("not-a-tiff-blob!".getBytes).isEmpty)
+      (0 until bytes.length by 13).foreach { i =>
+        val m = bytes.clone(); m(i) = (m(i) ^ 0xff).toByte
+        Multimodal.decodeTiff(m) // must not throw
+      }
+    }
+  }
+
+  test("WHT: fast transform equals the popcount definition; peaks tie to smallest k") {
+    // fwht vs the naive O(n²) definition on deterministic pseudo-noise
+    val x = Array.tabulate(64)(i => ((i * 2654435761L + 12345) % 65536 - 32768).toInt)
+    val c = x.map(_.toLong)
+    Multimodal.fwht(c)
+    for (k <- 0 until 64) {
+      val naive = (0 until 64).map(i =>
+        x(i).toLong * (if (java.lang.Long.bitCount(i & k) % 2 == 0) 1 else -1)).sum
+      assert(c(k) == naive, s"k=$k")
+    }
+    // through the real WAV path: equal-amplitude tones at k=3 and k=5 give
+    // |c(3)| = |c(5)| — the peak must break the tie to the SMALLER k
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + samples.length * 2).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(16000).putInt(32000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    def walsh(i: Int, k: Int) = if (java.lang.Long.bitCount(i & k) % 2 == 0) 1 else -1
+    val twoTone = Array.tabulate(64)(i => (100 * (walsh(i, 3) + walsh(i, 5))).toShort)
+    assert(Multimodal.decodeWavWhtPeaks(wav(twoTone), 64).contains(Seq((0, 3, 6400L))))
+    // a pure Walsh tone peaks at exactly its own k with |c| = 64·amp
+    val pure = Array.tabulate(128)(i => (1000 * walsh(i % 64, 42)).toShort)
+    assert(Multimodal.decodeWavWhtPeaks(wav(pure), 64)
+      .contains(Seq((0, 42, 64000L), (1, 42, 64000L))))
+    // trailing partial frame dropped; malformed blob → None
+    assert(Multimodal.decodeWavWhtPeaks(wav(pure.take(100)), 64).map(_.size).contains(1))
+    assert(Multimodal.decodeWavWhtPeaks("RIFFnope".getBytes, 64).isEmpty)
+  }
+
+  test("audio fingerprints: one window pass, packed keys; match votes on offset, ties to smallest media") {
+    import spark.implicits._
+    val peaks = Seq((1L, 0, 5, 10L), (1L, 1, 7, 10L), (1L, 2, 9, 10L))
+      .toDF("media_id", "frame_idx", "peak_k", "peak_abs")
+    val fps = Multimodal.audioFingerprints(peaks, maxDelta = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fps == Set(
+      (1L, 0, (5L * 4096 + 7) * 64 + 1), (1L, 0, (5L * 4096 + 9) * 64 + 2),
+      (1L, 1, (7L * 4096 + 9) * 64 + 1)))
+    // probe = frames 1..2 of track 1 relabeled: its single Δ1 key must
+    // match corpus anchor 1 → offset (1 − 0) = +1, one vote
+    val probe = Multimodal.audioFingerprints(
+      Seq((9L, 0, 7, 10L), (9L, 1, 9, 10L))
+        .toDF("media_id", "frame_idx", "peak_k", "peak_abs"), maxDelta = 2)
+    val corpus = Multimodal.audioFingerprints(peaks, maxDelta = 2)
+    val m = Multimodal.matchAudioFingerprints(probe, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.toSeq == Seq((9L, 1L, 1L, 1L)))
+    // equal votes across two corpus tracks → smaller media_id wins
+    val corpus2 = Multimodal.audioFingerprints(
+      Seq((3L, 0, 7, 1L), (3L, 1, 9, 1L), (2L, 0, 7, 1L), (2L, 1, 9, 1L))
+        .toDF("media_id", "frame_idx", "peak_k", "peak_abs"), maxDelta = 2)
+    val m2 = Multimodal.matchAudioFingerprints(probe, corpus2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m2.toSeq == Seq((9L, 2L, 0L, 1L)))
+  }
+
   test("AVI/MJPEG: container walk + per-frame decode round-trip, strict whole-blob drop") {
     for (id <- 0L to 6L) {
       val nf = 2 + (id % 3).toInt

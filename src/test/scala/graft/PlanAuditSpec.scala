@@ -874,4 +874,67 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("MapPartitions".r.findAllIn(ep.split("== Initial Plan ==")(0)).length == 2,
       s"near-dup must synthesize+decode exactly once:\n$ep")
   }
+
+  test("session entry/exit: one context exchange serves sessions, matrix agg is the only other") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.sessionEntryExit(ev,
+        "context_id", "timestamp", "event_id", "event_type", 21600L)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // hash(context) once (window + (ctx, session) aggregate reuse it) +
+    // the tiny (entry, exit) matrix shuffle — nothing else moves data
+    assert("Exchange".r.findAllIn(p).length == 2,
+      s"expected exactly 2 exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("churn life table: corpus-end is a broadcast 1-row side, no data-sized join") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.churnLifeTable(ev,
+        "context_id", "timestamp", 7L)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the only join is the 1-row corpus-end scalar broadcast; risk-set
+    // window runs over the aggregated life table, not events
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange".r.findAllIn(p).length <= 5, s"unexpected exchange growth:\n$p")
+  }
+
+  test("cohort LTV: no cohort join — bounded collect_list explode, windows on the matrix only") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ev = new graft.sources.TestDataSource(spark, dir).allEvents
+    val p = graft.pipeline.EventAnalytics.cohortLtv(ev,
+        "context_id", "timestamp", "value", 604800L)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the cohort pin rides the context aggregation (collect_list bounded
+    // by buckets-per-context) — a join would re-shuffle the bucket table
+    assert(!p.contains("Join"), s"cohort LTV must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 4, s"unexpected exchange growth:\n$p")
+  }
+
+  test("audio fingerprints: one per-media window, no self-join; match joins fp keys, argmax is an aggregate") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    val wavs = docs.select(col("doc_id").as("media_id"),
+      graft.pipeline.Multimodal.syntheticWalshWav(col("doc_id"), 320, 16000).as("bytes"))
+    val peaks = graft.pipeline.Multimodal.audioWhtPeaks(wavs, 64)
+    val fps = graft.pipeline.Multimodal.audioFingerprints(peaks, maxDelta = 2)
+    val pf = fps.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // every Δ lead comes from ONE window pass; keys are map-side math
+    assert("Window".r.findAllIn(pf).length == 1, pf)
+    assert(!pf.contains("Join"), s"fingerprinting must not self-join the peaks:\n$pf")
+    val m = graft.pipeline.Multimodal.matchAudioFingerprints(fps, fps)
+    val pm = m.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // candidates come from the fp_key equi-join; the per-probe best bucket
+    // is a bounded struct-max aggregate, never a ranking window — the only
+    // Window nodes are the two fingerprint inputs' lead passes
+    assert(!pm.contains("CartesianProduct") && !pm.contains("BroadcastNestedLoopJoin"), pm)
+    assert("Window".r.findAllIn(pm).length == 2 && !pm.contains("row_number"),
+      s"match argmax must be an aggregate, not a ranking window:\n$pm")
+    // no-stats decode pipelines: Spark's guess would broadcast the
+    // corpus-sized fingerprint table — the hint must keep it shuffled
+    assert(!pm.contains("BroadcastHashJoin"),
+      s"match must not broadcast the corpus fingerprints:\n$pm")
+  }
 }
