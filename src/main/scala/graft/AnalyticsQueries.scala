@@ -357,6 +357,18 @@ object AnalyticsQueries {
       EventAnalytics.cohortLtv(events(s, d),
         "context_id", "timestamp", "value", bucketSec = 604800L)),
 
+    "q_basket_lift" -> ((s, d) =>
+      // within-session type co-occurrence: pair, per-type, and total
+      // session counts all from ONE corpus pass (self-row + sentinel
+      // explode), lift joins on the checkpointed matrix only
+      EventAnalytics.sessionCooccurrence(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type", gapSec = 21600L)),
+
+    "q_reach_curve" -> ((s, d) =>
+      // cumulative unique-audience curve: first-day per context, running
+      // total over the day-grain table — no per-day distinct rescans
+      EventAnalytics.reachCurve(events(s, d), "context_id", "timestamp")),
+
     "q_image_dhash" -> ((s, d) =>
       // perceptual fingerprint through the REAL PNG codec: decode (CRC +
       // inflate + unfilter) then 9×8 nearest-neighbor gray dHash
@@ -1680,6 +1692,42 @@ object AnalyticsQueries {
         |  CAST(sum(n_end) OVER dw AS BIGINT) AS n_risk,
         |  CAST((n_churn * 1000000) // sum(n_end) OVER dw AS BIGINT) AS hazard_ppm
         |FROM g WINDOW dw AS (ORDER BY t_days DESC ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    // sessionization replayed, per-session distinct types, brute-force
+    // pair/single/total counts, lift in exact integer ppm
+    "q_basket_lift" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY ctx ORDER BY t, eid)),
+        |x AS (SELECT *, SUM(ns) OVER (PARTITION BY ctx ORDER BY t, eid
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM s),
+        |st AS (SELECT DISTINCT ctx, sid, event_type FROM x),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM (SELECT DISTINCT ctx, sid FROM st)),
+        |sing AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n
+        |  FROM st GROUP BY 1),
+        |pr AS (SELECT l.event_type AS a, r.event_type AS b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM st l JOIN st r ON l.ctx = r.ctx AND l.sid = r.sid
+        |    AND l.event_type < r.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.a, pr.b, pr.n_ab, sa.n AS n_a, sb.n AS n_b, tot.n_sessions,
+        |  CAST((pr.n_ab * 1000000) // tot.n_sessions AS BIGINT) AS support_ppm,
+        |  CAST((pr.n_ab * tot.n_sessions * 1000000) // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN sing sa ON pr.a = sa.t JOIN sing sb ON pr.b = sb.t
+        |CROSS JOIN tot""".stripMargin,
+
+    "q_reach_curve" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+        |f AS (SELECT ctx, min(d) AS fd FROM e GROUP BY 1),
+        |g AS (SELECT fd, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+        |SELECT fd * 86400 AS day_start, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY fd ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
+        |FROM g""".stripMargin,
 
     // weekly revenue cohorts: milli-quantized before summing, cumulative
     // via a window over the (cohort, offset) matrix

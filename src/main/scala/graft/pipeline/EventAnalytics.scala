@@ -945,4 +945,80 @@ object EventAnalytics {
         col("cum_revenue_milli"), col("cohort_size"),
         idiv(col("cum_revenue_milli"), col("cohort_size")).as("ltv_milli"))
   }
+
+  /** Within-session event-type co-occurrence (market-basket lift): for
+    * every unordered type pair {a, b}, the number of sessions containing
+    * BOTH, its support, and the lift
+    * `n_ab · n_sessions · 1e6 div (n_a · n_b)` (ppm, truncated) — the
+    * "what do users do together in one sitting" report.
+    *
+    * Scale shape: ONE corpus pass — each session's distinct-type set
+    * (bounded like the retention collect_set) explodes map-side into its
+    * a<b pairs PLUS one (t, t) self row per type PLUS one ("", "")
+    * sentinel, so a single aggregation yields the pair counts, the
+    * per-type session counts, AND the total session count together. That
+    * matrix (≤ types² + types + 1 rows) is localCheckpoint'd — a filter
+    * on grouping columns would otherwise push BELOW the aggregate and
+    * split the plan back into three corpus scans — and the lift joins run
+    * on the matrix only (broadcast-sized by construction).
+    *
+    * Output: a, b, n_ab, n_a, n_b, n_sessions, support_ppm, lift_ppm. */
+  def sessionCooccurrence(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long): DataFrame = {
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val se = assignSessions(events, ctxCol, tsCol, idCol, gapSec)
+    val probes = se
+      .groupBy(col(ctxCol), col("session_idx"))
+      .agg(array_sort(collect_set(col(typeCol))).as("_ts"))
+      .select(explode(concat(
+        expr("""flatten(transform(_ts, (a, i) -> concat(
+                  transform(slice(_ts, i + 2, size(_ts)), b -> named_struct('a', a, 'b', b)),
+                  array(named_struct('a', a, 'b', a)))))"""),
+        array(struct(lit("").as("a"), lit("").as("b"))))).as("_p"))
+    val matrix = probes
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // matrix-sized; cuts lineage so the three reads
+                         // below cost zero extra corpus scans
+    val total = matrix.filter(col("a") === "").select(col("n").as("n_sessions"))
+    val singles = matrix.filter(col("a") === col("b") && col("a") =!= "")
+      .select(col("a").as("_t"), col("n").as("_nt"))
+    matrix.filter(col("a") < col("b"))
+      .withColumnRenamed("n", "n_ab")
+      .join(broadcast(singles.select(col("_t").as("a"), col("_nt").as("n_a"))), Seq("a"))
+      .join(broadcast(singles.select(col("_t").as("b"), col("_nt").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_sessions"),
+        idiv(col("n_ab") * 1000000L, col("n_sessions")).as("support_ppm"),
+        idiv(col("n_ab") * col("n_sessions") * 1000000L,
+          col("n_a") * col("n_b")).as("lift_ppm"))
+  }
+
+  /** Cumulative audience reach: per day with first-time contexts, how many
+    * contexts are NEW that day and how many distinct contexts have been
+    * seen so far — the "unique users over time" curve. New-per-day comes
+    * from each context's first active day (one context-keyed aggregation);
+    * the running total is a window over the DAY-grain table (≤ days rows),
+    * so no per-day corpus rescans and no distinct-over-growing-prefix.
+    * Days where no context is new do not appear (the curve is constant
+    * there).
+    *
+    * Output: day_start, n_new, cum_reach. */
+  def reachCurve(events: DataFrame, ctxCol: String, tsCol: String): DataFrame = {
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val day = idiv(col(tsCol).cast("long"), lit(86400L))
+    val firstDays = events
+      .select(col(ctxCol).as("_ctx"), day.as("_day"))
+      .groupBy("_ctx")
+      .agg(min(col("_day")).as("_first"))
+      .groupBy(col("_first").as("_day"))
+      .agg(count(lit(1)).as("n_new"))
+    val cumW = Window.orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // single-partition window over the day-grain table only
+    firstDays
+      .withColumn("cum_reach", sum(col("n_new")).over(cumW))
+      .select((col("_day") * 86400L).as("day_start"), col("n_new"), col("cum_reach"))
+  }
 }

@@ -663,6 +663,44 @@ object Multimodal {
         (-col("_best._o")).cast("long").as("offset_frames"), col("_best.votes").as("votes"))
   }
 
+  /** [[audioFingerprints]] computed BLOB-LOCALLY inside the decoder: one
+    * track's frames all live in its own byte stream, so the Δ-lead pairs
+    * need no window at all — which is what makes this variant legal on a
+    * STREAMING DataFrame (window functions are not; the batch operator
+    * keeps the window so fingerprinting composes with any peaks frame,
+    * e.g. one filtered or unioned across decodes). Key packing is
+    * identical, so batch and streaming fingerprints interoperate. */
+  def decodeWavLocalFingerprints(bytes: Array[Byte], frameSize: Int,
+      maxDelta: Int): Option[Seq[(Int, Long)]] = {
+    require(maxDelta >= 1 && maxDelta < 64, s"maxDelta must be in [1, 64), got $maxDelta")
+    decodeWavWhtPeaks(bytes, frameSize).map { peaks =>
+      val ks = peaks.map(_._2).toArray
+      for {
+        f <- ks.indices
+        d <- 1 to maxDelta
+        if f + d < ks.length
+      } yield (f, (ks(f).toLong * 4096L + ks(f + d)) * 64L + d)
+    }
+  }
+
+  /** [[whtPeakSchema]] sibling for local fingerprints. */
+  val localFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("fp_key", LongType, nullable = false)))
+
+  /** Per-blob landmark fingerprints for every PCM16 WAV (malformed rows
+    * dropped) — stateless per row, streaming-safe. */
+  def audioLocalFingerprints(media: DataFrame, frameSize: Int,
+      maxDelta: Int = 2): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeWavLocalFingerprints(_, frameSize, maxDelta)).toSeq.flatten.map {
+          case (f, key) => Row(r.getLong(0), f, key)
+        }
+      }
+    }(Encoders.row(localFpSchema))
+
   /** Decode every `bytes` blob as a PPM image (malformed rows dropped) —
     * batch-shaped like [[extractFeaturesWithDecoder]]: per-partition setup,
     * rows streamed, blobs never leave the executor. */

@@ -423,4 +423,86 @@ object StreamingPipeline {
       nClusters: Int = 16): DataFrame =
     admitEmbedsStreamCached(streamEmbeds, corpus, idCol, vecCol,
       cosThreshold, nClusters)._1
+
+  /** Admission decision for one streamed audio track: `dup_audio_corpus`
+    * carries the matched corpus track / frame offset / vote count;
+    * `admitted` carries (-1, 0, 0). */
+  case class AudioAdmit(media_id: Long, status: String, matched_id: Long,
+      offset_frames: Long, votes: Long)
+
+  /** One match-probe row for [[admitAudioStream]]'s group collapse. */
+  case class AudioProbe(media_id: Long, m_id: Long, off: Long)
+
+  /** Streaming AUDIO-CONTENT admission — the acoustic sibling of
+    * [[admitImagesStream]]: every arriving PCM16 WAV is fingerprinted
+    * BLOB-LOCALLY ([[Multimodal.audioLocalFingerprints]] — per-track WHT
+    * peaks + landmark pairs, no window, stateless per row) and checked
+    * against a STATIC corpus fingerprint table; a track is
+    * `dup_audio_corpus` when at least `minVotes` of its landmarks match
+    * ONE corpus track at ONE consistent frame offset (the offset-histogram
+    * rule of [[Multimodal.matchAudioFingerprints]], so a trimmed or
+    * shifted re-upload of indexed content is caught), `admitted`
+    * otherwise.
+    *
+    * Scale shape: the only join is a stream-static equi-join on `fp_key`
+    * (per-batch cost ∝ key collisions, never arrivals × corpus); the
+    * per-track verdict is a per-batch group collapse — a track's landmark
+    * rows all live in its own micro-batch, so NO state crosses batches;
+    * in-collapse memory is that one track's matched landmarks
+    * (collision-bounded). The corpus fingerprint table is persisted once
+    * per query (stream-static sides re-plan every trigger) — unpersist
+    * the returned handle after the query stops.
+    *
+    * Malformed blobs decode to nothing and get NO decision row. */
+  def admitAudioStreamCached(streamMedia: DataFrame, corpusFps: DataFrame,
+      frameSize: Int = 64, maxDelta: Int = 2,
+      minVotes: Long = 2L): (Dataset[AudioAdmit], DataFrame) = {
+    require(minVotes >= 1, s"minVotes must be >= 1, got $minVotes")
+    val spark = streamMedia.sparkSession
+    import spark.implicits._
+    val probeFps = Multimodal.audioLocalFingerprints(streamMedia, frameSize, maxDelta)
+    val corpus = corpusFps
+      .select(col("media_id").as("c_id"), col("frame_idx").as("c_f"), col("fp_key"))
+      .persist()
+    val matched = probeFps
+      .join(corpus, Seq("fp_key"))
+      .select(col("media_id"), col("c_id").as("m_id"),
+        (col("c_f") - col("frame_idx")).cast("long").as("off"))
+    // base row per decoded track (m_id = -1): a track with zero matches
+    // must still get its `admitted` row. distinct() is per-batch and
+    // per-track-row-count-bounded; the local fp table has ≤ frames×Δ rows
+    // per track.
+    val base = probeFps.select(col("media_id")).distinct()
+      .select(col("media_id"), lit(-1L).as("m_id"), lit(0L).as("off"))
+    val decisions = matched.unionByName(base)
+      .as[AudioProbe]
+      .groupByKey(_.media_id)
+      .flatMapGroupsWithState[Boolean, AudioAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[AudioProbe], _: GroupState[Boolean]) =>
+          // stateless collapse (the ImageProbe argument): vote per
+          // (corpus track, offset), best bucket by (votes, min id, min
+          // offset) — exactly matchAudioFingerprints' ranking
+          val votes = scala.collection.mutable.Map.empty[(Long, Long), Long]
+          it.foreach { p =>
+            if (p.m_id >= 0) {
+              val k = (p.m_id, p.off)
+              votes(k) = votes.getOrElse(k, 0L) + 1L
+            }
+          }
+          val best = votes.toSeq
+            .map { case ((m, o), v) => (v, -m, -o) }.sorted.lastOption
+          Iterator.single(best match {
+            case Some((v, nm, no)) if v >= minVotes =>
+              AudioAdmit(id, "dup_audio_corpus", -nm, -no, v)
+            case _ => AudioAdmit(id, "admitted", -1L, 0L, 0L)
+          })
+      }
+    (decisions, corpus)
+  }
+
+  /** [[admitAudioStreamCached]] without the cache handle. */
+  def admitAudioStream(streamMedia: DataFrame, corpusFps: DataFrame,
+      frameSize: Int = 64, maxDelta: Int = 2, minVotes: Long = 2L): Dataset[AudioAdmit] =
+    admitAudioStreamCached(streamMedia, corpusFps, frameSize, maxDelta, minVotes)._1
 }

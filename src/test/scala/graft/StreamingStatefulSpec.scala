@@ -271,6 +271,43 @@ class StreamingStatefulSpec extends AnyFunSuite {
       8L -> "admitted"))
   }
 
+  test("streaming audio admission: trimmed re-uploads matched per batch, malformed dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.pipeline.Multimodal
+    def wavOf(id: Long, n: Int, start: Int): Array[Byte] =
+      Seq(id).toDF("id")
+        .select(Multimodal.syntheticWalshWav(col("id"), n, 16000, start).as("b"))
+        .head().getAs[Array[Byte]](0)
+    val corpusFps = Multimodal.audioLocalFingerprints(
+      Seq(10L, 11L).toDF("id")
+        .select(col("id").as("media_id"),
+          Multimodal.syntheticWalshWav(col("id"), 320, 16000).as("bytes")), 64, 2)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val stream = mem.toDF.toDF("media_id", "bytes")
+    val (decisions, cache) = StreamingPipeline.admitAudioStreamCached(
+      stream, corpusFps, minVotes = 2L)
+    val q = decisions.toDF()
+      .writeStream.outputMode("append").format("memory").queryName("audioadm").start()
+    // batch 1: a one-frame trim of corpus track 10 under a fresh id, plus
+    // a genuinely novel track
+    mem.addData((100L, wavOf(10L, 192, 64)), (77L, wavOf(77L, 192, 64)))
+    q.processAllAvailable()
+    // batch 2: ANOTHER trim of track 10 (decisions are per-batch — no
+    // cross-batch suppression), plus a malformed blob (no decision row)
+    mem.addData((200L, wavOf(10L, 192, 64)), (300L, "not a wav".getBytes))
+    q.processAllAvailable()
+    val out = spark.table("audioadm").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("matched_id"),
+          r.getAs[Long]("offset_frames"), r.getAs[Long]("votes")))).toMap
+    q.stop(); cache.unpersist(blocking = false)
+    assert(out == Map(
+      100L -> (("dup_audio_corpus", 10L, 1L, 3L)),
+      77L -> (("admitted", -1L, 0L, 0L)),
+      200L -> (("dup_audio_corpus", 10L, 1L, 3L))))
+  }
+
   test("streaming near-dup admission: frozen artifacts, exact + near statuses, no state for near losers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
