@@ -134,6 +134,27 @@ object AnalyticsQueries {
         .select(col("id"), col("price_c"), col("lo"), col("hi"), col("tier"))
     }),
 
+    "q_interval_join" -> ((s, d) => {
+      // interval×interval overlap: per-order fulfillment windows vs
+      // deterministic promo windows — both sides bucketized, equi-join on
+      // the bucket, each pair claimed once in its overlap-start bucket
+      // (dedup is a filter, never a distinct pass)
+      val idiv = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        call_function("div", a, b)
+      val orders = new TestDataSource(s, d).table("orders")
+        .select(col("o_orderkey").as("order_id"),
+          // NTZ → timestamp (UTC session) → epoch seconds → day
+          idiv(col("o_orderdate").cast("timestamp").cast("long"), lit(86400L)).as("o_lo"))
+        .withColumn("o_hi", col("o_lo") + 7 + pmod(col("order_id"), lit(30L)))
+      val promos = s.range(75).select(col("id").as("promo_id"),
+          (lit(8035L) + col("id") * 35).as("p_lo"))
+        .withColumn("p_hi", col("p_lo") + 14 + pmod(col("promo_id"), lit(3L)) * 7)
+      RangeJoin.intervalJoin(orders, "o_lo", "o_hi", promos, "p_lo", "p_hi",
+          bucketWidth = 32L)
+        .select(col("order_id"), col("o_lo"), col("o_hi"),
+          col("promo_id"), col("p_lo"), col("p_hi"))
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // temporal AS-OF join: every purchase matched to the user's latest
       // view at or before it (the "current profile version" question) —
@@ -332,6 +353,20 @@ object AnalyticsQueries {
               .as("bytes")),
           frameSize = 64), maxDelta = 2)
       Multimodal.matchAudioFingerprints(probes, corpus)
+    }),
+
+    "q_av_soundtrack" -> ((s, d) => {
+      // cross-media acoustic dedup: every even-doc video carries a real
+      // two-stream AVI (MJPEG frames + interleaved 01wb PCM16 soundtrack,
+      // a one-frame trim of the doc's Walsh track); the soundtrack is
+      // container-parsed, fingerprinted blob-locally, and offset-vote
+      // matched against the standalone track corpus — each video resolves
+      // to its own track at offset +1 with all 3 votes
+      val videoFps = Multimodal.videoSoundtrackFingerprints(
+        Multimodal.syntheticAvisAV(docs(s, d).filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("doc_id").as("audio_id")), "doc_id", "audio_id"))
+      val corpusFps = Multimodal.audioLocalFingerprints(walshWavs(s, d), 64, 2)
+      Multimodal.matchAudioFingerprints(videoFps, corpusFps)
     }),
 
     "q_entry_exit" -> ((s, d) =>
@@ -1263,6 +1298,18 @@ object AnalyticsQueries {
         |SELECT id, price_c, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, tier
         |FROM li JOIN bands ON price_c >= lo AND price_c < hi""".stripMargin,
 
+    // brute-force overlap predicate defines the semantics the bucketized
+    // claim-once plan must reproduce pair-for-pair
+    "q_interval_join" ->
+      """WITH o AS (SELECT o_orderkey AS order_id,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS o_lo FROM orders),
+        |oi AS (SELECT order_id, o_lo, o_lo + 7 + order_id % 30 AS o_hi FROM o),
+        |p AS (SELECT i AS promo_id, 8035 + i*35 AS p_lo,
+        |    8035 + i*35 + 14 + (i%3)*7 AS p_hi
+        |  FROM (SELECT unnest(range(0, 75)) AS i) t)
+        |SELECT order_id, o_lo, o_hi, promo_id, p_lo, p_hi
+        |FROM oi JOIN p ON o_lo < p_hi AND p_lo < o_hi""".stripMargin,
+
     // native DuckDB ASOF LEFT JOIN defines the semantics the carry-forward
     // pass must reproduce (match: latest view with view_ts <= purchase ts)
     "q_asof_join" ->
@@ -1640,6 +1687,23 @@ object AnalyticsQueries {
     "q_audio_match" ->
       s"""WITH cp AS (${walshPeaksSql(0, 5, "")}),
          |pp AS (${walshPeaksSql(1, 4, " WHERE doc_id % 4 = 0")}),
+         |cf AS (${whtFpSql("cp")}),
+         |pf AS (${whtFpSql("pp")}),
+         |j AS (SELECT pf.doc_id AS probe_id, cf.doc_id AS media_id,
+         |    cf.f - pf.f AS off
+         |  FROM pf JOIN cf ON pf.fp_key = cf.fp_key),
+         |v AS (SELECT probe_id, media_id, off, CAST(count(*) AS BIGINT) AS votes
+         |  FROM j GROUP BY 1, 2, 3),
+         |r AS (SELECT v.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY votes DESC, media_id, off) AS rn FROM v)
+         |SELECT probe_id, media_id, CAST(off AS BIGINT) AS offset_frames, votes
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // the q_audio_match oracle with the probe side restricted to the
+    // even-doc videos' soundtracks (global frames 1..3 of the doc's track)
+    "q_av_soundtrack" ->
+      s"""WITH cp AS (${walshPeaksSql(0, 5, "")}),
+         |pp AS (${walshPeaksSql(1, 4, " WHERE doc_id % 2 = 0")}),
          |cf AS (${whtFpSql("cp")}),
          |pf AS (${whtFpSql("pp")}),
          |j AS (SELECT pf.doc_id AS probe_id, cf.doc_id AS media_id,

@@ -520,25 +520,41 @@ object Multimodal {
     * and the peak is the non-DC coefficient k (1 ≤ k < frameSize)
     * maximizing |c(k)|, ties to the SMALLEST k. `frameSize` must be a
     * power of two. Returns (frame_idx, peak_k, peak_abs) per frame. */
-  def decodeWavWhtPeaks(bytes: Array[Byte], frameSize: Int): Option[Seq[(Int, Int, Long)]] = {
+  def decodeWavWhtPeaks(bytes: Array[Byte], frameSize: Int): Option[Seq[(Int, Int, Long)]] =
+    decodeWavFramesRaw(bytes, frameSize).map(frames =>
+      whtPeaksOfSamples(frames.toArray.flatten, frameSize))
+
+  /** The per-frame WHT peak scan over a raw sample array (trailing partial
+    * frame dropped) — shared by the WAV path and the AVI soundtrack path. */
+  private[graft] def whtPeaksOfSamples(smp: Array[Short], frameSize: Int): Seq[(Int, Int, Long)] = {
     require(frameSize > 1 && (frameSize & (frameSize - 1)) == 0 && frameSize <= 4096,
       s"frameSize must be a power of two in [2, 4096], got $frameSize")
-    decodeWavFramesRaw(bytes, frameSize).map { frames =>
-      frames.zipWithIndex.map { case (smp, f) =>
-        val c = new Array[Long](frameSize)
-        var i = 0
-        while (i < frameSize) { c(i) = smp(i).toLong; i += 1 }
-        fwht(c)
-        var bestK = 1; var bestA = math.abs(c(1))
-        var k = 2
-        while (k < frameSize) {
-          val a = math.abs(c(k))
-          if (a > bestA) { bestA = a; bestK = k }
-          k += 1
-        }
-        (f, bestK, bestA)
+    val nFrames = smp.length / frameSize
+    (0 until nFrames).map { f =>
+      val c = new Array[Long](frameSize)
+      var i = 0
+      while (i < frameSize) { c(i) = smp(f * frameSize + i).toLong; i += 1 }
+      fwht(c)
+      var bestK = 1; var bestA = math.abs(c(1))
+      var k = 2
+      while (k < frameSize) {
+        val a = math.abs(c(k))
+        if (a > bestA) { bestA = a; bestK = k }
+        k += 1
       }
+      (f, bestK, bestA)
     }
+  }
+
+  /** Landmark pairs over a peak-k sequence — shared key packing for every
+    * fingerprint producer (batch window, blob-local, soundtrack). */
+  private[graft] def localFpsOfPeaks(ks: IndexedSeq[Int], maxDelta: Int): Seq[(Int, Long)] = {
+    require(maxDelta >= 1 && maxDelta < 64, s"maxDelta must be in [1, 64), got $maxDelta")
+    for {
+      f <- ks.indices
+      d <- 1 to maxDelta
+      if f + d < ks.length
+    } yield (f, (ks(f).toLong * 4096L + ks(f + d)) * 64L + d)
   }
 
   /** The WAV chunk walk of [[decodeWavFrames]] factored to raw per-frame
@@ -671,17 +687,9 @@ object Multimodal {
     * e.g. one filtered or unioned across decodes). Key packing is
     * identical, so batch and streaming fingerprints interoperate. */
   def decodeWavLocalFingerprints(bytes: Array[Byte], frameSize: Int,
-      maxDelta: Int): Option[Seq[(Int, Long)]] = {
-    require(maxDelta >= 1 && maxDelta < 64, s"maxDelta must be in [1, 64), got $maxDelta")
-    decodeWavWhtPeaks(bytes, frameSize).map { peaks =>
-      val ks = peaks.map(_._2).toArray
-      for {
-        f <- ks.indices
-        d <- 1 to maxDelta
-        if f + d < ks.length
-      } yield (f, (ks(f).toLong * 4096L + ks(f + d)) * 64L + d)
-    }
-  }
+      maxDelta: Int): Option[Seq[(Int, Long)]] =
+    decodeWavWhtPeaks(bytes, frameSize).map(peaks =>
+      localFpsOfPeaks(peaks.map(_._2).toIndexedSeq, maxDelta))
 
   /** [[whtPeakSchema]] sibling for local fingerprints. */
   val localFpSchema: StructType = StructType(Seq(
@@ -1713,6 +1721,185 @@ object Multimodal {
     bb.put("RIFF".getBytes("US-ASCII")).putInt(payload.length).put(payload)
     bb.array()
   }
+
+  /** The [[syntheticWalshWav]] sample formula on the JVM side (the AV
+    * container is byte-assembled in the builder, not as a Column). */
+  private[graft] def walshSample(id: Long, t: Long): Short = {
+    val g = t / 64; val j = t % 64
+    val k = 1L + Math.floorMod(
+      id * 5 + Math.floorMod(g * 2, 5L) * (7 + Math.floorMod(id, 11L)), 63L)
+    (if (java.lang.Long.bitCount(j & k) % 2 == 0) 1000 else -1000).toShort
+  }
+
+  /** A VALID two-stream AVI: the [[buildSyntheticAvi]] MJPEG video PLUS a
+    * PCM16 mono SOUNDTRACK — an `auds` stream header, a WAVEFORMATEX
+    * `strf`, and the audio payload split across two interleaved `01wb`
+    * chunks (multi-chunk concatenation is how real muxers interleave).
+    * The soundtrack is the Walsh-tone stream of `audioId` trimmed to
+    * global samples 64..255 (3 frames), i.e. a one-frame-shifted copy of
+    * [[syntheticWalshWav]]`(audioId, 320)` — so a video's soundtrack is
+    * MATCHABLE against a standalone audio corpus by fingerprint, the
+    * cross-media "does this footage carry known audio" shape. */
+  private[graft] def buildSyntheticAviAV(id: Long, audioId: Long): Array[Byte] = {
+    val nf = 2 + (id % 3).toInt
+    val frames = (0 until nf).map(f => buildSyntheticJpeg(id + 6L * f))
+    val w = 8 * (1 << (id % 3).toInt); val h = 8 * (1 << (id % 2).toInt)
+    val nSamples = 192
+    val audio = Array.tabulate(nSamples)(i => walshSample(audioId, 64L + i))
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id4.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(type4: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", type4.getBytes("US-ASCII") ++ body)
+    def pcmBytes(s: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(s.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      s.foreach(bb.putShort)
+      bb.array()
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(33333).putInt(0).putInt(0).putInt(0)
+      bb.putInt(nf).putInt(0).putInt(2).putInt(0) // TWO streams
+      bb.putInt(w).putInt(h)
+      bb.array()
+    }
+    val strhV = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(1).putInt(30).putInt(0).putInt(nf)
+      bb.array()
+    }
+    val strfV = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      bb.put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+      bb.array()
+    }
+    val strhA = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("auds".getBytes("US-ASCII")).putInt(1) // fccHandler 1 = PCM
+      bb.putInt(0).putInt(0).putInt(0) //              flags, prio+lang, initial
+      bb.putInt(1).putInt(16000).putInt(0).putInt(nSamples) // scale, rate, start, length
+      bb.array()
+    }
+    val strfA = { // WAVEFORMATEX (PCM16 mono @16 kHz)
+      val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strhV) ++ chunk("strf", strfV)) ++
+      list("strl", chunk("strh", strhA) ++ chunk("strf", strfA)))
+    // interleave: audio split across two 01wb chunks between video frames
+    val (a1, a2) = audio.splitAt(nSamples / 2)
+    val moviBody = chunk("00dc", frames.head) ++ chunk("01wb", pcmBytes(a1)) ++
+      frames.tail.flatMap(f => chunk("00dc", f)) ++ chunk("01wb", pcmBytes(a2))
+    val movi = list("movi", moviBody)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    bb.array()
+  }
+
+  /** [[buildSyntheticAviAV]] over a corpus: media_id = idCol, soundtrack
+    * content = audioIdCol. */
+  def syntheticAvisAV(df: DataFrame, idCol: String, audioIdCol: String): DataFrame = {
+    val ok = Seq(ByteType, ShortType, IntegerType, LongType)
+    require(ok.contains(df.schema(idCol).dataType) &&
+      ok.contains(df.schema(audioIdCol).dataType),
+      s"syntheticAvisAV needs integral id columns")
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(audioIdCol).cast("long").as("_aid"))
+      .mapPartitions { it =>
+        it.map { r => Row(r.getLong(0), buildSyntheticAviAV(r.getLong(0), r.getLong(1))) }
+      }(Encoders.row(syntheticBlobSchema))
+  }
+
+  /** Extract the PCM16 soundtrack of an AVI: the strict [[parseAviFrames]]
+    * walk extended to the audio stream — requires an `auds` stream header
+    * whose declared sample length matches the concatenated `01wb`
+    * payloads exactly, and a PCM16-mono WAVEFORMATEX `strf`. Returns
+    * (sampleRate, samples); None on any malformed shape (whole-blob
+    * drop). Chunks concatenate in movi order — the interleaving a muxer
+    * writes is storage layout, not timeline. */
+  def parseAviAudioPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var declSamples = -1L; var rate = -1
+    var inAudioStrl = false; var sawPcmFmt = false
+    val audio = new java.io.ByteArrayOutputStream()
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      var o = from
+      while (o + 8 <= to) {
+        val oi = o.toInt
+        val id = tag(oi); val sz = u32(oi + 4)
+        val payload = o + 8
+        if (payload + sz > to) return false
+        id match {
+          case "LIST" =>
+            if (sz < 4 || depth >= 3) return false
+            val listType = tag(payload.toInt)
+            if (listType == "strl") inAudioStrl = false // reset per stream
+            if (listType == "hdrl" || listType == "movi" || listType == "strl") {
+              if (!walk(payload + 4, payload + sz, depth + 1)) return false
+            }
+          case "strh" =>
+            if (sz < 40) return false
+            val p = payload.toInt
+            if (tag(p) == "auds") {
+              inAudioStrl = true
+              declSamples = u32(p + 32) // dwLength
+              if (declSamples < 0 || declSamples > (1L << 26)) return false
+            }
+          case "strf" if inAudioStrl =>
+            if (sz < 16) return false
+            val p = payload.toInt
+            if (u16(p) != 1 || u16(p + 2) != 1 || u16(p + 14) != 16) return false
+            rate = u32(p + 4).toInt
+            sawPcmFmt = true
+          case "01wb" =>
+            audio.write(bytes, payload.toInt, sz.toInt)
+          case _ => ()
+        }
+        o = payload + sz + (sz & 1L)
+      }
+      o == to || to - o < 8
+    }
+    if (!walk(12L, math.min(bytes.length.toLong, 8L + u32(4)), 0)) return None
+    if (!sawPcmFmt || rate <= 0 || declSamples < 0) return None
+    val raw = audio.toByteArray
+    if (raw.length != declSamples * 2) return None // length cross-check
+    val smp = new Array[Short](raw.length / 2)
+    var i = 0
+    while (i < smp.length) {
+      smp(i) = ((raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)).toShort
+      i += 1
+    }
+    Some((rate, smp))
+  }
+
+  /** Blob-local landmark fingerprints of every AVI's SOUNDTRACK (malformed
+    * containers dropped whole) — the [[audioLocalFingerprints]] shape, so
+    * the output joins [[matchAudioFingerprints]] / the streaming admission
+    * directly: "does this footage carry audio we already index". */
+  def videoSoundtrackFingerprints(media: DataFrame, frameSize: Int = 64,
+      maxDelta: Int = 2): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, (b: Array[Byte]) => parseAviAudioPcm16(b).map { case (_, smp) =>
+          localFpsOfPeaks(whtPeaksOfSamples(smp, frameSize).map(_._2).toIndexedSeq, maxDelta)
+        }).toSeq.flatten.map { case (f, key) => Row(r.getLong(0), f, key) }
+      }
+    }(Encoders.row(localFpSchema))
 
   /** [[buildSyntheticAvi]] over a corpus ([[syntheticJpegs]] shape). */
   def syntheticAvis(df: DataFrame, idCol: String): DataFrame = {

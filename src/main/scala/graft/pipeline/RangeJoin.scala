@@ -45,4 +45,41 @@ object RangeJoin {
       .filter(col("__v") >= col(loCol) && col("__v") < col(hiCol))
       .drop("__bucket", "__v")
   }
+
+  /** Interval-OVERLAP join: every left interval `[lLo, lHi)` paired with
+    * every right interval `[rLo, rHi)` it overlaps (`lLo < rHi && rLo <
+    * lHi`, half-open) — "which sessions overlapped which campaign
+    * windows", the interval×interval sibling of [[bandJoin]]'s
+    * point×interval.
+    *
+    * Same bucketization: both sides explode to the fixed-width buckets
+    * they cover and equi-join on the bucket. An overlapping pair
+    * co-occurs in every bucket their spans share; instead of a distinct
+    * pass over the pair space, each pair is CLAIMED exactly once, in the
+    * bucket containing the overlap's start `max(lLo, rLo)` (that bucket
+    * is always common to both spans), so the join stays append-only —
+    * dedup is a filter, not a shuffle. Cost is ceil(span/w) rows per
+    * interval per side; pick `bucketWidth` near the typical span. Both
+    * inputs must have disjoint column names; empty intervals match
+    * nothing (inner semantics). */
+  def intervalJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      s"interval join sides must have disjoint columns, both carry " +
+        left.columns.toSet.intersect(right.columns.toSet).mkString(", "))
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val w = lit(bucketWidth)
+    def exploded(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__bucket",
+        explode(sequence(idiv(col(lo).cast("long"), w),
+          idiv(col(hi).cast("long") - 1, w))))
+    exploded(left, lLo, lHi)
+      .join(exploded(right, rLo, rHi).withColumnRenamed("__bucket", "__rb"),
+        col("__bucket") === col("__rb"))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("__bucket") === idiv(greatest(col(lLo), col(rLo)).cast("long"), w))
+      .drop("__bucket", "__rb")
+  }
 }

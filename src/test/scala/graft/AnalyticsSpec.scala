@@ -617,6 +617,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("view>click", 3L), ("buy", 1L)))
   }
 
+  test("intervalJoin: overlap pairs exactly once, touching intervals excluded") {
+    val left = Seq((1L, 0L, 100L), (2L, 95L, 200L), (3L, 300L, 301L))
+      .toDF("lid", "l_lo", "l_hi")
+    val right = Seq((10L, 50L, 96L), (11L, 100L, 150L), (12L, 301L, 400L))
+      .toDF("rid", "r_lo", "r_hi")
+    // small bucket width forces every pair to share MANY buckets — the
+    // claim-once filter must still emit each exactly once
+    val out = RangeJoin.intervalJoin(left, "l_lo", "l_hi", right, "r_lo", "r_hi", 7L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // (1,10): [0,100)∩[50,96) overlap; (1,11): l_hi=100 = r_lo → half-open, NO
+    // (2,10): [95,200)∩[50,96) overlap at 95; (2,11): overlap
+    // (3,12): [300,301) vs [301,400): touching, NO
+    assert(out.sorted == Seq((1L, 10L), (2L, 10L), (2L, 11L)))
+    assert(out.distinct.size == out.size, "claim-once must not duplicate pairs")
+  }
+
   test("sessionEntryExit: first/last by (ts, id), bounce = single-event session") {
     val events = Seq(
       // u session 0: home → buy, duration 50

@@ -831,6 +831,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m2.toSeq == Seq((9L, 2L, 0L, 1L)))
   }
 
+  test("AV container: interleaved PCM soundtrack round-trip, video stream unaffected, strict drops") {
+    for (id <- 0L to 6L) {
+      val bytes = Multimodal.buildSyntheticAviAV(id, id + 3)
+      // soundtrack = global samples 64..255 of audioId's Walsh stream,
+      // reassembled across the two interleaved 01wb chunks
+      val got = Multimodal.parseAviAudioPcm16(bytes)
+      assert(got.isDefined && got.get._1 == 16000, s"id=$id")
+      val smp = got.get._2
+      assert(smp.length == 192)
+      for (i <- 0 until 192)
+        assert(smp(i) == Multimodal.walshSample(id + 3, 64L + i), s"id=$id i=$i")
+      // the video stream still parses — audio chunks are skipped whole
+      val vf = Multimodal.parseAviMjpeg(bytes)
+      assert(vf.isDefined && vf.get._1 == 2 + (id % 3).toInt, s"id=$id")
+      // mutation discipline: truncations and flips never throw
+      assert(Multimodal.parseAviAudioPcm16(bytes.take(40)).isEmpty)
+      (0 until bytes.length by 41).foreach { i =>
+        val m = bytes.clone(); m(i) = (m(i) ^ 0xff).toByte
+        Multimodal.parseAviAudioPcm16(m) // must not throw
+      }
+    }
+    // a video-only AVI has no auds stream → None, not a partial result
+    assert(Multimodal.parseAviAudioPcm16(Multimodal.buildSyntheticAvi(3L)).isEmpty)
+  }
+
   test("AVI/MJPEG: container walk + per-frame decode round-trip, strict whole-blob drop") {
     for (id <- 0L to 6L) {
       val nf = 2 + (id % 3).toInt

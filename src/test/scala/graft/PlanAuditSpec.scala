@@ -875,6 +875,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"near-dup must synthesize+decode exactly once:\n$ep")
   }
 
+  test("interval join: bucket equi-join, never a nested-loop over interval pairs") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val src = new graft.sources.TestDataSource(spark, dir)
+    val orders = src.table("orders").select(col("o_orderkey").as("oid"),
+        (col("o_orderdate").cast("timestamp").cast("long") / 86400).cast("long").as("o_lo"))
+      .withColumn("o_hi", col("o_lo") + 10)
+    val promos = spark.range(20).select(col("id").as("pid"),
+      (col("id") * 35 + 8035).as("p_lo"), (col("id") * 35 + 8060).as("p_hi"))
+    val p = plan(graft.pipeline.RangeJoin.intervalJoin(
+      orders, "o_lo", "o_hi", promos, "p_lo", "p_hi", 32L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must equi-join on buckets:\n$p")
+  }
+
   test("session entry/exit: one context exchange serves sessions, matrix agg is the only other") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val ev = new graft.sources.TestDataSource(spark, dir).allEvents
