@@ -499,6 +499,18 @@ object PipelineQueries {
       // corpus heavy hitters: vocabulary-sized exchange + global top-k
       TextAnalysis.topTokens(docs(s, d), "text", k = 20)),
 
+    "q_vocab_growth" -> ((s, d) =>
+      // Heaps-law curve at 50-doc bucket grain. The testdata's own
+      // vocabulary saturates by doc 8 (31 tokens), so the gate enriches
+      // each doc with a unique `u<id>` token (linear arrivals) and a
+      // quadratic-residue `m<id² mod 997>` token (decelerating arrivals)
+      // — a real decaying-new-token curve, same formula on both engines
+      TextAnalysis.vocabGrowth(
+        docs(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" u"), col("doc_id"), lit(" m"),
+            pmod(col("doc_id") * col("doc_id"), lit(997L))).as("text")),
+        "doc_id", "text")),
+
     "q_zorder" -> ((s, d) => {
       // Morton z-values over (doc_id, n_chars): the multi-column
       // clustering key — scaling bounds are one bounded collect, the
@@ -2015,6 +2027,26 @@ object PipelineQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest($toks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // first-occurrence doc per token → 50-doc buckets; cumulative sums
+    // windowed BEFORE the introducing-bucket filter
+    "q_vocab_growth" ->
+      s"""WITH en AS (SELECT doc_id,
+         |    text || ' u' || doc_id || ' m' || (doc_id*doc_id % 997) AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, unnest($toks) AS tok FROM en),
+         |fo AS (SELECT tok, min(doc_id) AS d FROM tk GROUP BY 1),
+         |nb AS (SELECT d // 50 AS b, CAST(count(*) AS BIGINT) AS n_new FROM fo GROUP BY 1),
+         |tb AS (SELECT doc_id // 50 AS b, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM tk GROUP BY 1),
+         |j AS (SELECT tb.b, coalesce(n_new, 0) AS n_new, n_tok
+         |  FROM tb LEFT JOIN nb USING (b)),
+         |c AS (SELECT b, n_new,
+         |    CAST(sum(n_new) OVER w AS BIGINT) AS cum_vocab,
+         |    CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tokens
+         |  FROM j WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING))
+         |SELECT b * 50 AS bucket_start, n_new, cum_vocab, cum_tokens
+         |FROM c WHERE n_new > 0""".stripMargin,
 
     // the mask-spread interleave replayed stepwise in CTE columns — the
     // same masks/shifts as ZOrder.spread16, operands all non-negative so

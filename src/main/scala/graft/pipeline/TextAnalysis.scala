@@ -283,6 +283,46 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: scanning documents in ascending
+    * id order, each token's FIRST-OCCURRENCE document pins when it enters
+    * the vocabulary; the curve reports, per `bucketSize`-doc bucket that
+    * introduces at least one token, the new-token count, the cumulative
+    * vocabulary size, and the cumulative corpus token total (the Heaps
+    * x-axis). Bucket grain — not per-doc — is the scale choice: the
+    * cumulative window runs over ≤ idRange/bucketSize rows, never one row
+    * per document.
+    *
+    * Scale shape: one token aggregation (min doc per token — map-side
+    * combined), one bucket-grain aggregation each side, windows over the
+    * bucket table only.
+    *
+    * Output: bucket_start (first doc id of the bucket), n_new, cum_vocab,
+    * cum_tokens. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long = 50L): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val toks = df.select(col(idCol).cast("long").as("_doc"),
+      explode(tokens(col(textCol))).as("_tok"))
+    val newPerBucket = toks
+      .groupBy("_tok").agg(min(col("_doc")).as("_doc"))
+      .groupBy(idiv(col("_doc"), lit(bucketSize)).as("_b"))
+      .agg(count(lit(1)).as("n_new"))
+    val toksPerBucket = toks
+      .groupBy(idiv(col("_doc"), lit(bucketSize)).as("_b"))
+      .agg(count(lit(1)).as("_nt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    toksPerBucket.join(newPerBucket, Seq("_b"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .withColumn("cum_tokens", sum(col("_nt")).over(w))
+      .filter(col("n_new") > 0)
+      .select((col("_b") * bucketSize).as("bucket_start"), col("n_new"),
+        col("cum_vocab"), col("cum_tokens"))
+  }
+
   /** 60-bit document fingerprint: minimum md5-hash over word 5-gram shingles
     * (winnowing-style robust fingerprint; falls back to whole-text hash for
     * docs shorter than 5 words). */

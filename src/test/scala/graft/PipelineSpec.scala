@@ -744,6 +744,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabGrowth: first-occurrence buckets, cumulative vocab and token totals") {
+    val d = Seq((0L, "a b a"), (1L, "b c"), (10L, "c d"), (11L, "e"))
+      .toDF("doc_id", "text")
+    // bucket 0 (docs 0-4): a,b,c new; 5 tokens. bucket 2 (docs 10-14):
+    // d,e new; 3 tokens; cumulative vocab 5, tokens 8. No empty buckets.
+    val out = TextAnalysis.vocabGrowth(d, "doc_id", "text", bucketSize = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq.sorted == Seq((0L, 3L, 3L, 5L), (10L, 2L, 5L, 8L)))
+  }
+
   test("TIFF synth/decode: hand-built container through ImageIO, dHash dispatch, malformed rejected") {
     for (id <- 0L to 11L) {
       val w = 5 + (id % 3).toInt; val h = 6 + (id % 2).toInt
