@@ -151,6 +151,33 @@ object StreamQueries {
       out
     }),
 
+    "q_stream_av_admit" -> ((s, d) => {
+      // streamed VIDEOS checked for known audio: the corpus fingerprint
+      // index is built nightly and round-tripped through its persisted
+      // parquet+params form (readAudioIndex rejects knob mismatches);
+      // each arriving AVI's soundtrack is demuxed + fingerprinted
+      // blob-locally and offset-vote matched against the index
+      val src = new TestDataSource(s, d)
+      val mm = graft.pipeline.Multimodal
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_audio_idx").toString
+      mm.writeAudioIndex(mm.audioLocalFingerprints(
+        src.table("documents").filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("media_id"),
+            mm.syntheticWalshWav(col("doc_id"), 320, 16000).as("bytes")), 64, 2),
+        idxDir, 64, 2)
+      val indexed = mm.readAudioIndex(s, idxDir, 64, 2)
+      val dupVids = src.documentsStream.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 2000000L).as("vid"), col("doc_id").as("aid"))
+      val novelVids = src.documentsStream.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("vid"), col("doc_id").as("aid"))
+      val videos = mm.syntheticAvisAV(dupVids.unionByName(novelVids), "vid", "aid")
+      val (decisions, staticSide) =
+        StreamingPipeline.admitVideoAudioStreamCached(videos, indexed)
+      val out = StreamingReplay.run(decisions.toDF())
+      staticSide.unpersist(blocking = false)
+      out
+    }),
+
     "q_stream_sessions" -> ((s, d) => {
       // streaming gap sessionization (flatMapGroupsWithState): a session
       // row is emitted when a LATER event of the context closes it, or when
@@ -369,6 +396,44 @@ object StreamQueries {
 
     // dHash-from-formula for every doc (q_image_dhash's oracle), split into
     // corpus/stream halves, brute-force Hamming pair scan for the verdicts
+    // the q_stream_audio_admit oracle with video probe ids (+2000000 for
+    // re-soundtracked uploads) — the soundtrack is the same global-frame
+    // 1..3 trim the WAV probes carry
+    "q_stream_av_admit" -> {
+      def k(id: String, g: String) = s"(1 + ($id*5 + ((($g)*2) % 5)*(7 + $id%11)) % 63)"
+      s"""WITH cl AS (
+         |  SELECT doc_id, CAST(g AS BIGINT) AS cf,
+         |    (${k("doc_id", "g")}*4096 + ${k("doc_id", "g+d")})*64 + d AS fp_key
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 != 0) c
+         |  CROSS JOIN (SELECT unnest(range(0, 5)) AS g) gg
+         |  CROSS JOIN (SELECT unnest(range(1, 3)) AS d) dd
+         |  WHERE g + d <= 4),
+         |pr AS (SELECT doc_id + 2000000 AS probe_id, doc_id AS cid
+         |    FROM documents WHERE doc_id % 10 = 1
+         |  UNION ALL
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 = 0),
+         |pl AS (
+         |  SELECT probe_id, CAST(g - 1 AS BIGINT) AS pf,
+         |    (${k("cid", "g")}*4096 + ${k("cid", "g+d")})*64 + d AS fp_key
+         |  FROM pr
+         |  CROSS JOIN (SELECT unnest(range(1, 4)) AS g) gg
+         |  CROSS JOIN (SELECT unnest(range(1, 3)) AS d) dd
+         |  WHERE g + d <= 3),
+         |j AS (SELECT pl.probe_id, cl.doc_id AS m_id, cl.cf - pl.pf AS off,
+         |    CAST(count(*) AS BIGINT) AS votes
+         |  FROM pl JOIN cl USING (fp_key) GROUP BY 1, 2, 3),
+         |best AS (SELECT j.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY votes DESC, m_id, off) AS rn FROM j),
+         |dup AS (SELECT probe_id AS media_id, 'dup_audio_corpus' AS status,
+         |    m_id AS matched_id, CAST(off AS BIGINT) AS offset_frames, votes
+         |  FROM best WHERE rn = 1 AND votes >= 2)
+         |SELECT * FROM dup
+         |UNION ALL
+         |SELECT probe_id, 'admitted', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT)
+         |FROM pr WHERE probe_id NOT IN (SELECT media_id FROM dup)""".stripMargin
+    },
+
     // corpus and probe landmarks derived straight from the Walsh-tone peak
     // formula (q_audio_wht oracle-checks the WHT mechanics); offset votes
     // and the (votes DESC, id ASC, offset ASC) best bucket replayed

@@ -709,6 +709,35 @@ object Multimodal {
       }
     }(Encoders.row(localFpSchema))
 
+  /** Persist an audio fingerprint index: the fingerprint table as parquet
+    * plus a params file pinning (frameSize, maxDelta) — the two knobs a
+    * probe MUST be fingerprinted with for keys to be comparable. The
+    * nightly-index / streaming-probe split ([[graft.pipeline.Dedup]]
+    * artifact discipline): the index is insert-only; rebuild on a param
+    * change. */
+  def writeAudioIndex(fps: DataFrame, dir: String, frameSize: Int,
+      maxDelta: Int): Unit = {
+    fps.select(col("media_id"), col("frame_idx"), col("fp_key"))
+      .write.mode("overwrite").parquet(s"$dir/fps")
+    val spark = fps.sparkSession
+    import spark.implicits._
+    Seq((frameSize, maxDelta)).toDF("frame_size", "max_delta")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Read a [[writeAudioIndex]] index; `requireParams` rejects an index
+    * built with different fingerprint knobs instead of silently returning
+    * incomparable keys. Returns the fingerprint frame. */
+  def readAudioIndex(spark: SparkSession, dir: String,
+      requireFrameSize: Int, requireMaxDelta: Int): DataFrame = {
+    val p = spark.read.json(s"$dir/params").collect().head
+    val fs = p.getAs[Long]("frame_size"); val md = p.getAs[Long]("max_delta")
+    require(fs == requireFrameSize && md == requireMaxDelta,
+      s"audio index at $dir was built with (frameSize=$fs, maxDelta=$md), " +
+        s"probe uses ($requireFrameSize, $requireMaxDelta) — rebuild the index")
+    spark.read.parquet(s"$dir/fps")
+  }
+
   /** Decode every `bytes` blob as a PPM image (malformed rows dropped) —
     * batch-shaped like [[extractFeaturesWithDecoder]]: per-partition setup,
     * rows streamed, blobs never leave the executor. */

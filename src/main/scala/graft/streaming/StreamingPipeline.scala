@@ -456,11 +456,32 @@ object StreamingPipeline {
     * Malformed blobs decode to nothing and get NO decision row. */
   def admitAudioStreamCached(streamMedia: DataFrame, corpusFps: DataFrame,
       frameSize: Int = 64, maxDelta: Int = 2,
-      minVotes: Long = 2L): (Dataset[AudioAdmit], DataFrame) = {
+      minVotes: Long = 2L): (Dataset[AudioAdmit], DataFrame) =
+    admitFingerprintsStreamCached(
+      Multimodal.audioLocalFingerprints(streamMedia, frameSize, maxDelta),
+      corpusFps, minVotes)
+
+  /** [[admitAudioStreamCached]] for STREAMED VIDEOS: the probe fingerprints
+    * come from each arriving AVI's demuxed SOUNDTRACK
+    * ([[Multimodal.videoSoundtrackFingerprints]] — blob-local, stateless,
+    * streaming-legal), checked against the same standalone audio index —
+    * "does this arriving footage carry audio we already hold". */
+  def admitVideoAudioStreamCached(streamMedia: DataFrame, corpusFps: DataFrame,
+      frameSize: Int = 64, maxDelta: Int = 2,
+      minVotes: Long = 2L): (Dataset[AudioAdmit], DataFrame) =
+    admitFingerprintsStreamCached(
+      Multimodal.videoSoundtrackFingerprints(streamMedia, frameSize, maxDelta),
+      corpusFps, minVotes)
+
+  /** The fingerprint-generic admission core both wrappers share: any
+    * blob-local fingerprint stream with (media_id, frame_idx, fp_key)
+    * rows — WAV tracks, AVI soundtracks, future codecs — against one
+    * static corpus fingerprint table. */
+  def admitFingerprintsStreamCached(probeFps: DataFrame, corpusFps: DataFrame,
+      minVotes: Long): (Dataset[AudioAdmit], DataFrame) = {
     require(minVotes >= 1, s"minVotes must be >= 1, got $minVotes")
-    val spark = streamMedia.sparkSession
+    val spark = probeFps.sparkSession
     import spark.implicits._
-    val probeFps = Multimodal.audioLocalFingerprints(streamMedia, frameSize, maxDelta)
     val corpus = corpusFps
       .select(col("media_id").as("c_id"), col("frame_idx").as("c_f"), col("fp_key"))
       .persist()

@@ -841,6 +841,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(m2.toSeq == Seq((9L, 2L, 0L, 1L)))
   }
 
+  test("audio index: parquet round-trip preserves fingerprints, knob mismatch rejected") {
+    val fps = Multimodal.audioLocalFingerprints(
+      Seq(5L, 6L).toDF("id")
+        .select(col("id").as("media_id"),
+          Multimodal.syntheticWalshWav(col("id"), 320, 16000).as("bytes")), 64, 2)
+    val dir = java.nio.file.Files.createTempDirectory("audio_idx_spec").toString
+    Multimodal.writeAudioIndex(fps, dir, 64, 2)
+    val back = Multimodal.readAudioIndex(spark, dir, 64, 2)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Long]("fp_key"))).toSet
+    assert(key(back) == key(fps) && key(back).nonEmpty)
+    // incomparable keys must fail loudly, not match nothing
+    intercept[IllegalArgumentException] {
+      Multimodal.readAudioIndex(spark, dir, 64, 3)
+    }
+  }
+
   test("AV container: interleaved PCM soundtrack round-trip, video stream unaffected, strict drops") {
     for (id <- 0L to 6L) {
       val bytes = Multimodal.buildSyntheticAviAV(id, id + 3)
