@@ -759,6 +759,19 @@ object PipelineQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
+    "q_margin_mine" -> ((s, d) => {
+      // margin-based cross-corpus pair mining (the bitext ratio): even-id
+      // vectors vs odd-id vectors, each pair's cosine against the MEAN of
+      // both sides' top-4 neighborhoods — pairs standing ≥ 4% above both
+      // neighborhoods survive. Exhaustive candidates here (the oracle's
+      // definition); blocked candidates at scale
+      val e = embs(s, d)
+      Similarity.marginPairs(
+        Similarity.cosCandidates(e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"),
+        k = 4, thresholdPpm = 1040000L)
+    }),
+
     "q_sim_lsh_topk" -> ((s, d) => {
       // approximate recall vs the exact sibling BY DESIGN, but exactly
       // reproducible: the oracle inlines the deterministic hyperplanes and
@@ -2513,6 +2526,33 @@ object PipelineQueries {
         |      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, dot, round(cos, 6) AS cosine FROM j
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
+    // the margin definition replayed brute-force: cross cosines in ppm,
+    // both directional top-4 neighborhood sums via ranked windows, the
+    // exact-rational mean-of-means denominator
+    "q_margin_mine" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        |av AS (SELECT vec_id AS a_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm
+        |  FROM v WHERE vec_id % 2 = 0),
+        |bv AS (SELECT vec_id AS b_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm
+        |  FROM v WHERE vec_id % 2 = 1),
+        |c AS (SELECT a_id, b_id,
+        |    CAST(round(1000000.0 * list_dot_product(av.qv, bv.qv) / (av.nrm * bv.nrm)) AS BIGINT) AS cos_ppm
+        |  FROM av CROSS JOIN bv),
+        |fa AS (SELECT a_id, CAST(sum(cos_ppm) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS ca
+        |  FROM (SELECT c.*, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos_ppm DESC, b_id) AS rn FROM c) ra
+        |  WHERE rn <= 4 GROUP BY 1),
+        |fb AS (SELECT b_id, CAST(sum(cos_ppm) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS cb
+        |  FROM (SELECT c.*, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY cos_ppm DESC, a_id) AS rn FROM c) rb
+        |  WHERE rn <= 4 GROUP BY 1),
+        |m AS (SELECT c.a_id, c.b_id, c.cos_ppm,
+        |    CAST((c.cos_ppm * 2000000 * ca * cb) // (sa * cb + sb * ca) AS BIGINT) AS margin_ppm
+        |  FROM c JOIN fa USING (a_id) JOIN fb USING (b_id)
+        |  WHERE sa * cb + sb * ca > 0)
+        |SELECT a_id, b_id, cos_ppm, margin_ppm FROM m
+        |WHERE margin_ppm >= 1040000""".stripMargin,
 
     // exact top-5 truth vs the IVF cell-probe top-5 (the q_sim_ivf_topk
     // derivation), counted per query — the LSH recall harness pointed at

@@ -862,4 +862,63 @@ object Similarity {
       .withColumn("dot", dotLong(col("qv"), col("cv")))
     topKPerQuery(joined, k, corpus.schema(idCol).dataType, withCosine = false)
   }
+
+  /** Cross-side cosine candidates for [[marginPairs]]: EVERY (a, b) pair
+    * with its ppm-quantized cosine — norms computed once per row before
+    * the join, never per pair. This is the exhaustive candidate builder
+    * the gate uses; at corpus scale feed [[marginPairs]] LSH/IVF-blocked
+    * candidates instead (the margin is then relative to the blocked
+    * neighborhood — the standard approximation). */
+  def cosCandidates(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    def side(df: DataFrame, id: String) = df
+      .select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(s"_q$id"))
+      .withColumn(s"_n$id", sqrt(dotLong(col(s"_q$id"), col(s"_q$id")).cast("double")))
+    side(a, "a_id").crossJoin(side(b, "b_id"))
+      .withColumn("_dot", dotLong(col("_qa_id"), col("_qb_id")))
+      .select(col("a_id"), col("b_id"),
+        expr("cast(round(1000000.0 * _dot / (_na_id * _nb_id)) as bigint)")
+          .as("cos_ppm"))
+  }
+
+  /** Margin-based pair scoring — the bitext-mining ratio of Artetxe &
+    * Schwenk (2019): a pair's cosine divided by the MEAN of the two
+    * sides' top-`k` neighborhood cosines; margin > 1 (1e6 ppm) marks a
+    * pair that stands out from BOTH neighborhoods, the standard mined
+    * parallel-pair filter (and a general cross-corpus link miner).
+    *
+    * Input: a candidate frame (a_id, b_id, cos_ppm). Everything after
+    * the ppm quantization is exact integers: the two directional
+    * neighborhood sums ride bounded [[graft.functions.TopKByDot]]
+    * aggregations (≤ k entries of state per id), the candidate frame
+    * joins the two ID-GRAIN sum tables, and
+    * `margin_ppm = cos·2e6·cntA·cntB div (sumA·cntB + sumB·cntA)`
+    * evaluates the mean-of-means denominator as one exact rational
+    * (cnt < k where a side has fewer candidates). Pairs whose
+    * neighborhood sums are non-positive carry no meaningful ratio and
+    * are dropped.
+    *
+    * Output: (a_id, b_id, cos_ppm, margin_ppm) for margin ≥
+    * `thresholdPpm`. */
+  def marginPairs(candidates: DataFrame, k: Int, thresholdPpm: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    def sumTopK(qc: String, nc: String, sumName: String, cntName: String) = {
+      val tk = columnOf(graft.functions.TopKByDot(
+        expressionOf(col("cos_ppm")), expressionOf(col(nc).cast("long")),
+        expressionOf(lit(0.0)), k).toAggregateExpression())
+      candidates.groupBy(col(qc)).agg(tk.as("_tk"))
+        .select(col(qc),
+          expr("aggregate(_tk, cast(0 as bigint), (acc, e) -> acc + e.dot)").as(sumName),
+          size(col("_tk")).cast("long").as(cntName))
+    }
+    candidates
+      .join(sumTopK("a_id", "b_id", "_sa", "_ca"), Seq("a_id"))
+      .join(sumTopK("b_id", "a_id", "_sb", "_cb"), Seq("b_id"))
+      .filter(col("_sa") * col("_cb") + col("_sb") * col("_ca") > 0)
+      .withColumn("margin_ppm",
+        expr("(cos_ppm * 2000000 * _ca * _cb) div (_sa * _cb + _sb * _ca)"))
+      .filter(col("margin_ppm") >= thresholdPpm)
+      .select(col("a_id"), col("b_id"), col("cos_ppm"), col("margin_ppm"))
+  }
 }

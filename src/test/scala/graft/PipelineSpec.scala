@@ -744,6 +744,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("marginPairs: mean-of-means ratio in exact ppm, short neighborhoods use their true count") {
+    // candidates: a=1 pairs strongly with b=10 (900k ppm) against a weak
+    // neighborhood; a=2's best pair matches its neighborhood (margin ~1e6)
+    val cand = Seq(
+      (1L, 10L, 900000L), (1L, 11L, 100000L), (1L, 12L, 100000L),
+      (2L, 10L, 500000L), (2L, 11L, 500000L)
+    ).toDF("a_id", "b_id", "cos_ppm")
+    val out = Similarity.marginPairs(cand, k = 2, thresholdPpm = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    // a=1 side top-2: 900k+100k = 1e6/2; b=10 side top-2: 900k+500k
+    // margin(1,10) = 900k·2e6·2·2 div (1e6·2 + 1.4e6·2) = 7.2e12/4.8e6 = 1500000
+    assert(out((1L, 10L)) == 1500000L)
+    // b=12 has ONE candidate (cnt=1): denominator uses the true counts
+    // margin(1,12) = 100k·2e6·2·1 div (1e6·1 + 100k·2) = 4e11/1.2e6 = 333333
+    assert(out((1L, 12L)) == 333333L)
+    // thresholding drops the sub-margin pairs
+    val kept = Similarity.marginPairs(cand, k = 2, thresholdPpm = 1400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(kept == Seq((1L, 10L)))
+  }
+
   test("vocabGrowth: first-occurrence buckets, cumulative vocab and token totals") {
     val d = Seq((0L, "a b a"), (1L, "b c"), (10L, "c d"), (11L, "e"))
       .toDF("doc_id", "text")
