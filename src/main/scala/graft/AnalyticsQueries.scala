@@ -392,6 +392,14 @@ object AnalyticsQueries {
       EventAnalytics.cohortLtv(events(s, d),
         "context_id", "timestamp", "value", bucketSec = 604800L)),
 
+    "q_set_completion" -> ((s, d) =>
+      // activation checklist: which sessions performed ALL of
+      // {signup, view, purchase} in any order — one (context, session)
+      // aggregation, distinct-step state bounded by the step set
+      EventAnalytics.sessionSetCompletion(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type", gapSec = 21600L,
+        steps = Seq("signup", "view", "purchase"))),
+
     "q_basket_lift" -> ((s, d) =>
       // within-session type co-occurrence: pair, per-type, and total
       // session counts all from ONE corpus pass (self-row + sentinel
@@ -1756,6 +1764,23 @@ object AnalyticsQueries {
         |  CAST(sum(n_end) OVER dw AS BIGINT) AS n_risk,
         |  CAST((n_churn * 1000000) // sum(n_end) OVER dw AS BIGINT) AS hazard_ppm
         |FROM g WINDOW dw AS (ORDER BY t_days DESC ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "q_set_completion" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, event_type
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY ctx ORDER BY t, eid)),
+        |x AS (SELECT *, SUM(ns) OVER (PARTITION BY ctx ORDER BY t, eid
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM s)
+        |SELECT ctx AS context_id, CAST(sid AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT CASE WHEN event_type IN ('signup', 'view', 'purchase')
+        |    THEN event_type END) AS BIGINT) AS n_done,
+        |  count(DISTINCT CASE WHEN event_type IN ('signup', 'view', 'purchase')
+        |    THEN event_type END) = 3 AS completed
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // sessionization replayed, per-session distinct types, brute-force
     // pair/single/total counts, lift in exact integer ppm

@@ -759,6 +759,30 @@ object PipelineQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
+    "q_cluster_terms" -> ((s, d) => {
+      // embedding-cluster topic labeling: every vector tags its nearest
+      // centroid map-side (plan-time centroid literals — zero joins for
+      // the assignment), clusters join their documents' tokens, and each
+      // cluster reports its top-3 terms. The ranking window runs over the
+      // AGGREGATED (cluster, token) matrix (≤ clusters × vocab rows),
+      // never over tokens
+      val e = embs(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val assign = Similarity.classifyByCentroids(
+        e, "vec_id", "embedding", cents, "cid", "embedding")
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val counts = assign.select(col("vec_id").as("doc_id"), col("cid"))
+        .join(toks, Seq("doc_id"))
+        .groupBy("cid", "token").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("n").desc, col("token"))
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("cid"), col("rank"), col("token"), col("n"))
+    }),
+
     "q_margin_mine" -> ((s, d) => {
       // margin-based cross-corpus pair mining (the bitext ratio): even-id
       // vectors vs odd-id vectors, each pair's cosine against the MEAN of
@@ -2526,6 +2550,25 @@ object PipelineQueries {
         |      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, dot, round(cos, 6) AS cosine FROM j
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= 5""".stripMargin,
+
+    // the q_classify_embed assignment (fixed first-8 centroids) joined to
+    // each doc's tokens, per-cluster (count DESC, token ASC) top-3
+    "q_cluster_terms" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+         |c AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < 8),
+         |j AS (SELECT v.vec_id, c.cid, CAST(list_dot_product(v.qv, c.cv) AS BIGINT) AS dot
+         |      FROM v CROSS JOIN c),
+         |asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM j) rr WHERE rn = 1),
+         |tk AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |cnt AS (SELECT cid, token, CAST(count(*) AS BIGINT) AS n
+         |  FROM asg JOIN tk ON asg.vec_id = tk.doc_id GROUP BY 1, 2)
+         |SELECT cid, CAST(rank AS BIGINT) AS rank, token, n FROM (
+         |  SELECT cnt.*, row_number() OVER (PARTITION BY cid
+         |      ORDER BY n DESC, token) AS rank FROM cnt) rk
+         |WHERE rank <= 3""".stripMargin,
 
     // the margin definition replayed brute-force: cross cosines in ppm,
     // both directional top-4 neighborhood sums via ranked windows, the

@@ -946,6 +946,26 @@ object EventAnalytics {
         idiv(col("cum_revenue_milli"), col("cohort_size")).as("ltv_milli"))
   }
 
+  /** Unordered SET-COMPLETION funnel: per session, how many of the
+    * `steps` types occurred (any order, any multiplicity) and whether all
+    * did — the "activation checklist" read (ordered paths are
+    * [[sessionFunnelK]]'s job). One aggregation on (context, session)
+    * after [[assignSessions]]; the distinct-step state is bounded by
+    * |steps|.
+    *
+    * Output: context, session_idx, n_events, n_done, completed. */
+  def sessionSetCompletion(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "sessionSetCompletion needs at least one step")
+    assignSessions(events, ctxCol, tsCol, idCol, gapSec)
+      .groupBy(col(ctxCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(when(col(typeCol).isin(steps: _*), col(typeCol)))
+          .as("n_done"))
+      .withColumn("completed", col("n_done") === steps.size)
+  }
+
   /** Within-session event-type co-occurrence (market-basket lift): for
     * every unordered type pair {a, b}, the number of sessions containing
     * BOTH, its support, and the lift
