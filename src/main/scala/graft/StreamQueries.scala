@@ -178,6 +178,18 @@ object StreamQueries {
       out
     }),
 
+    "q_stream_reach" -> ((s, d) => {
+      // streaming new-user detection: one FirstTouch row per context at
+      // its first arrival (deterministic in the AvailableNow replay — the
+      // single batch sorts by (ts, eid), so first arrival = global first),
+      // rolled up batch-side to the daily acquisition curve
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(StreamingSessions.firstTouch(src.eventsStream).toDF())
+        .groupBy(call_function("div", col("first_ts"), lit(86400L)).as("_day"))
+        .agg(count(lit(1)).as("n_new"))
+        .select((col("_day") * 86400L).as("day_start"), col("n_new"))
+    }),
+
     "q_stream_sessions" -> ((s, d) => {
       // streaming gap sessionization (flatMapGroupsWithState): a session
       // row is emitted when a LATER event of the context closes it, or when
@@ -396,6 +408,15 @@ object StreamQueries {
 
     // dHash-from-formula for every doc (q_image_dhash's oracle), split into
     // corpus/stream halves, brute-force Hamming pair scan for the verdicts
+    // single-batch replay ⇒ first arrival = global (ts, eid) minimum, so
+    // the oracle is the batch first-day aggregation
+    "q_stream_reach" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |f AS (SELECT ctx, min(t) AS ft FROM e GROUP BY 1)
+        |SELECT (ft // 86400) * 86400 AS day_start, CAST(count(*) AS BIGINT) AS n_new
+        |FROM f GROUP BY 1""".stripMargin,
+
     // the q_stream_audio_admit oracle with video probe ids (+2000000 for
     // re-soundtracked uploads) — the soundtrack is the same global-frame
     // 1..3 trim the WAV probes carry

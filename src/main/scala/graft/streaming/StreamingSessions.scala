@@ -34,6 +34,47 @@ object StreamingSessions {
   case class SessionRow(context_id: String, session_idx: Long, start_ts: Long,
       end_ts: Long, n_events: Long, duration_s: Long)
 
+  /** A context's first-ever event. */
+  case class FirstTouch(context_id: String, first_ts: Long, first_event_id: Long)
+
+  /** Streaming FIRST-TOUCH detection — "is this context new": emits ONE
+    * row per context, on the batch where its first event arrives, carrying
+    * the (timestamp, event_id)-minimal event of that batch (the batch
+    * iterator is sorted, so replays are deterministic even though Spark
+    * hands groups in arbitrary row order). Feeds new-user counts, reach
+    * curves, and acquisition alerts without any corpus rescan.
+    *
+    * Scale shape: state per context is one boolean (seen), keyed state on
+    * the context hash partition — the minimum any "have we met this
+    * entity" stream needs. No timeout: identity state is permanent by
+    * definition (bounded by distinct contexts, not time). A context whose
+    * first event is LATE (an earlier-ts event arrives in a later batch)
+    * keeps the first ARRIVAL — the streaming-order semantics, documented
+    * rather than hidden (the batch [[graft.pipeline.EventAnalytics
+    * .reachCurve]] is the global-order truth). */
+  def firstTouch(events: DataFrame,
+      linkCol: String = EventSchema.ContextId): Dataset[FirstTouch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(linkCol).cast("string").as("ctx"),
+        col(EventSchema.Timestamp).cast("long").as("ts"),
+        col(EventSchema.EventId).cast("long").as("eid"),
+        lit(null).cast("timestamp").as("et"))
+      .as[SessEvent]
+      .groupByKey(_.ctx)
+      .flatMapGroupsWithState[Boolean, FirstTouch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ctx: String, it: Iterator[SessEvent], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = it.minBy(e => (e.ts, e.eid))
+            Iterator.single(FirstTouch(ctx, first.ts, first.eid))
+          }
+      }
+  }
+
   def sessions(events: DataFrame, gapSec: Long,
       linkCol: String = EventSchema.ContextId,
       watermarkDelay: String = "10 minutes"): Dataset[SessionRow] = {

@@ -271,6 +271,26 @@ class StreamingStatefulSpec extends AnyFunSuite {
       8L -> "admitted"))
   }
 
+  test("streaming first touch: one row per context at first arrival, later events silent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "timestamp", "event_id")
+    val q = StreamingSessions.firstTouch(events).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("ftouch").start()
+    // batch 1: u arrives twice (equal ts → eid breaks the tie), v once
+    mem.addData(("u", 100L, 2L), ("u", 100L, 1L), ("v", 50L, 3L))
+    q.processAllAvailable()
+    // batch 2: u again (silent — already seen, even with an EARLIER ts),
+    // w for the first time
+    mem.addData(("u", 10L, 4L), ("w", 200L, 5L))
+    q.processAllAvailable()
+    val out = spark.table("ftouch").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    assert(out == Map("u" -> ((100L, 1L)), "v" -> ((50L, 3L)), "w" -> ((200L, 5L))))
+  }
+
   test("streaming audio admission: trimmed re-uploads matched per batch, malformed dropped") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
