@@ -392,6 +392,29 @@ object AnalyticsQueries {
       EventAnalytics.cohortLtv(events(s, d),
         "context_id", "timestamp", "value", bucketSec = 604800L)),
 
+    "q_skipgram" -> ((s, d) =>
+      // word2vec co-occurrence pairs, window ±2: one per-doc window pass
+      // computes every forward lead, the symmetric direction mirrors
+      // map-side — no positions self-join
+      CorpusSignals.skipGramPairs(docs(s, d), "doc_id", "text", window = 2)),
+
+    "q_target_encode" -> ((s, d) =>
+      // leakage-safe LOO target encoding of event_type against value:
+      // category sums broadcast back, (sum − own) div (n − 1) in exact
+      // milli; singleton categories encode NULL
+      Features.targetEncodeLoo(events(s, d),
+        "event_id", "event_type", "value")),
+
+    "q_feature_hash" -> ((s, d) =>
+      // hashing-trick featurization: (event_type × weekday) hashed into
+      // 64 slots per user via the engine-portable md5-long — no
+      // vocabulary pass, reproducible buckets
+      Features.hashedFeatures(events(s, d), "context_id",
+        concat(col("event_type"), lit("|"),
+          pmod(call_function("div", col("timestamp"), lit(86400L)), lit(7L))
+            .cast("string")),
+        nBuckets = 64)),
+
     "q_set_completion" -> ((s, d) =>
       // activation checklist: which sessions performed ALL of
       // {signup, view, purchase} in any order — one (context, session)
@@ -1764,6 +1787,39 @@ object AnalyticsQueries {
         |  CAST(sum(n_end) OVER dw AS BIGINT) AS n_risk,
         |  CAST((n_churn * 1000000) // sum(n_end) OVER dw AS BIGINT) AS hazard_ppm
         |FROM g WINDOW dw AS (ORDER BY t_days DESC ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    // all ordered pairs within ±2 positions per doc, brute-force via the
+    // positions self-join the scaled plan must reproduce
+    "q_skipgram" ->
+      """WITH d0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ls
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM d0),
+        |tk AS (SELECT doc_id, pos, ls[pos] AS tok FROM p0)
+        |SELECT a.tok AS center, b.tok AS context, CAST(count(*) AS BIGINT) AS n
+        |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.pos <> b.pos
+        |  AND abs(a.pos - b.pos) <= 2
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 1000) AS BIGINT) AS value_milli FROM events),
+        |s AS (SELECT event_type, CAST(sum(value_milli) AS BIGINT) AS sm,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value_milli,
+        |  CASE WHEN s.n > 1 THEN
+        |    CASE WHEN sm - value_milli >= 0 THEN (sm - value_milli) // (s.n - 1)
+        |         ELSE -((-(sm - value_milli)) // (s.n - 1)) END
+        |  END AS loo_milli
+        |FROM e JOIN s USING (event_type)""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+         |    event_type || '|' ||
+         |      CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS VARCHAR) AS f
+         |  FROM events)
+         |SELECT context_id, CAST(${Hashing.duckMd5Long("f")} % 64 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM e GROUP BY 1, 2""".stripMargin,
 
     "q_set_completion" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS ctx,

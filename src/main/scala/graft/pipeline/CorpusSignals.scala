@@ -635,4 +635,38 @@ object CorpusSignals {
           .as("mean_tokens_micro"),
         min(col("q_milli")).as("q_min"), max(col("q_milli")).as("q_max"))
   }
+
+  /** Skip-gram training-pair extraction (the word2vec co-occurrence
+    * table): for every token position, each token within `window`
+    * positions (either side, excluding itself) is a (center, context)
+    * pair; output is the aggregated pair table (center, context, n) —
+    * what embedding trainers and PMI-style association miners consume.
+    *
+    * Scale shape: ONE window pass per document computes all `window`
+    * forward leads (per-doc state, bounded by the doc's token count —
+    * the audioFingerprints shape), and the symmetric direction is
+    * emitted MAP-SIDE by mirroring each forward pair — never a
+    * positions self-join, never a second window. The pair aggregation
+    * is partial+final on (center, context). */
+  def skipGramPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_doc")).orderBy(col("_pos"))
+    val leads = array((1 to window).map(d => lead(col("_tok"), d).over(byDoc)): _*)
+    docs
+      .select(col(idCol).as("_doc"),
+        posexplode(graft.pipeline.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("_pos", "_tok")))
+      .select(col("_doc"), col("_pos"), col("_tok"), leads.as("_leads"))
+      .select(col("_tok"), explode(col("_leads")).as("_nxt"))
+      .filter(col("_nxt").isNotNull)
+      // mirror map-side: the forward pair (a, b) IS the backward pair
+      // (b, a) of the other position — no second window pass
+      .select(explode(array(
+        struct(col("_tok").as("center"), col("_nxt").as("context")),
+        struct(col("_nxt").as("center"), col("_tok").as("context")))).as("_p"))
+      .groupBy(col("_p.center").as("center"), col("_p.context").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -744,6 +744,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("skipGramPairs: symmetric window pairs, counts aggregated, no cross-doc pairs") {
+    val d = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusSignals.skipGramPairs(d, "doc_id", "text", window = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // doc1 (window 2 covers all of a,b,c): pairs ab, ac, bc each both ways;
+    // doc2 adds ab both ways. No (c, anything-from-doc2).
+    assert(out == Map(
+      ("a", "b") -> 2L, ("b", "a") -> 2L,
+      ("a", "c") -> 1L, ("c", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L))
+  }
+
+  test("targetEncodeLoo: leave-one-out means in milli, singleton category encodes null") {
+    val e = Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 6.0), (4L, "y", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Features.targetEncodeLoo(e, "event_id", "event_type", "value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // x sums 9000 milli: LOO(1) = (9000-1000)/2 = 4000, LOO(2) = 3500, LOO(3) = 1500
+    assert(out == Map(1L -> Some(4000L), 2L -> Some(3500L), 3L -> Some(1500L),
+      4L -> None))
+  }
+
+  test("hashedFeatures: md5 buckets are stable and counts aggregate per key") {
+    val e = Seq(("u", "f1"), ("u", "f1"), ("u", "f2"), ("v", "f1"))
+      .toDF("k", "f")
+    val out = Features.hashedFeatures(e, "k", col("f"), nBuckets = 64)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val b1 = Math.floorMod(graft.pipeline.Hashing.md5LongJvm("f1"), 64L)
+    val b2 = Math.floorMod(graft.pipeline.Hashing.md5LongJvm("f2"), 64L)
+    assert(out == Map(("u", b1) -> 2L, ("u", b2) -> 1L, ("v", b1) -> 1L))
+  }
+
   test("marginPairs: mean-of-means ratio in exact ppm, short neighborhoods use their true count") {
     // candidates: a=1 pairs strongly with b=10 (900k ppm) against a weak
     // neighborhood; a=2's best pair matches its neighborhood (margin ~1e6)
