@@ -617,6 +617,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("view>click", 3L), ("buy", 1L)))
   }
 
+  test("intervalJoin equals the brute-force overlap predicate on random intervals") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic random interval sets; spans straddle many buckets and
+    // include empties (lo == hi) and containments
+    val gen = Gen.listOfN(60, for {
+      lo <- Gen.choose(0L, 500L); len <- Gen.choose(0L, 120L)
+    } yield (lo, lo + len))
+    val ls = gen(Gen.Parameters.default, Seed(7L)).get.zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+    val rs = gen(Gen.Parameters.default, Seed(8L)).get.zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong + 1000L, lo, hi) }
+    val expected = (for {
+      (li, llo, lhi) <- ls; (ri, rlo, rhi) <- rs
+      if llo < rhi && rlo < lhi
+    } yield (li, ri)).toSet
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalJoin(
+        ls.toDF("lid", "l_lo", "l_hi"), "l_lo", "l_hi",
+        rs.toDF("rid", "r_lo", "r_hi"), "r_lo", "r_hi", w)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == expected, s"bucketWidth=$w")
+      assert(got.length == got.distinct.length, s"duplicates at bucketWidth=$w")
+    }
+  }
+
   test("intervalJoin: overlap pairs exactly once, touching intervals excluded") {
     val left = Seq((1L, 0L, 100L), (2L, 95L, 200L), (3L, 300L, 301L))
       .toDF("lid", "l_lo", "l_hi")

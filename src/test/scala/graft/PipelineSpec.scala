@@ -831,6 +831,20 @@ class PipelineSpec extends AnyFunSuite {
         Multimodal.decodeTiff(m) // must not throw
       }
     }
+    // BIG-ENDIAN (MM) TIFFs decode too: the JDK writer emits MM, and the
+    // dispatch accepts both byte orders
+    val img = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, (x * 13 + y * 19) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "tiff", bos)
+    val mm = bos.toByteArray
+    assert(mm(0) == 'M' && mm(1) == 'M', "JDK TIFF writer is big-endian")
+    val px = Multimodal.decodeTiffPixels(mm)
+    assert(px.isDefined && px.get._1 == 4 && px.get._2 == 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(px.get._3((y * 4 + x) * 3) == (x * 13 + y * 19) % 256, s"MM px($x,$y)")
   }
 
   test("WHT: fast transform equals the popcount definition; peaks tie to smallest k") {
