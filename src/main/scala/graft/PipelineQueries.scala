@@ -356,6 +356,19 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d), "doc_id", "text")),
 
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      // paraphrase-tolerant decontamination: the "test set" is every 25th
+      // doc with its FIRST WORD dropped (a light paraphrase exact n-gram
+      // containment misses at the head); cross-set banding + exact
+      // Jaccard confirm flags the reworded overlaps
+      val train = docs(s, d)
+      val test = docs(s, d).filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 2, 1000000)).as("text"))
+      Dedup.minhashNearDupsAcross(train, test, "doc_id", "text")
+    }),
+
     "q_dedup_yield" -> ((s, d) => {
       // the curation YIELD CARD: per source, docs in → exact-dedup
       // survivors → near-dup cluster survivors, with the final yield in
@@ -1907,6 +1920,22 @@ object PipelineQueries {
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // brute-force cross Jaccard as truth (the q_dedup_minhash banding
+    // argument); the test side re-derives the first-word-dropped text
+    "q_decontaminate_fuzzy" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
+         |tt AS (SELECT doc_id + 900000 AS doc_id,
+         |    (regexp_split_to_array(trim(text), '\\s+'))[2:] AS w
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |gt AS (SELECT doc_id, $duckShingles3 AS s FROM tt)
+         |SELECT g.doc_id AS id_a, gt.doc_id AS id_b,
+         |  round(len(list_intersect(g.s, gt.s)) * 1.0 /
+         |        (len(g.s) + len(gt.s) - len(list_intersect(g.s, gt.s))), 6) AS jaccard
+         |FROM g CROSS JOIN gt
+         |WHERE len(list_intersect(g.s, gt.s)) * 1.0 /
+         |      (len(g.s) + len(gt.s) - len(list_intersect(g.s, gt.s))) >= 0.5""".stripMargin,
 
     // Exact replication of the incremental-dedup admission rules; the
     // near-dup stages use exact all-pairs Jaccard >= 0.5 in place of the

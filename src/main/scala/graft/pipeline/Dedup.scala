@@ -203,6 +203,45 @@ object Dedup {
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-set MinHash near-dup — FUZZY DECONTAMINATION: every (a, b)
+    * pair across the two sets with shingle Jaccard ≥ `threshold`, found
+    * by the same band-bucket candidate generation as the self-join
+    * [[minhashNearDups]] and confirmed by exact Jaccard. The cross-set
+    * read is the paraphrase-tolerant complement of the exact n-gram
+    * [[Contamination]] pass: a benchmark item that was lightly reworded
+    * into the training corpus shares most shingles and is caught here,
+    * invisible to exact n-gram containment.
+    *
+    * Scale shape: both sides band independently (map-side), candidates
+    * come from the (band_idx, band_hash) equi-join — cost ∝ bucket
+    * collisions, never |train| × |test| — and only candidates rejoin
+    * their shingle sets for the exact confirm.
+    *
+    * Output: (id_a, id_b, jaccard), one row per qualifying cross pair. */
+  def minhashNearDupsAcross(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val perms = bands * rowsPerBand
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+    val ha = prep(a); val hb = prep(b)
+    def bandSide(h: DataFrame, as: String) =
+      bandTable(minhashColumns(h, col("id"), col("sh"), perms), bands, rowsPerBand)
+        .select(col("band_idx"), col("band_hash"), col("id").as(as))
+    val candIds = bandSide(ha, "id_a")
+      .join(bandSide(hb, "id_b"), Seq("band_idx", "band_hash"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candIds
+      .join(ha.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hb.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** EXACT similarity join by PREFIX FILTERING (Chaudhuri et al. ICDE'06 /
     * Xiao et al.'s PPJoin family): all pairs with shingle-set Jaccard ≥
     * `threshold`, with NO false negatives — the deterministic alternative

@@ -744,6 +744,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashNearDupsAcross flags reworded cross-set overlaps, leaves unrelated alone") {
+    val train = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val test = Seq((100L, nearDup),
+      (101L, "totally different words again entirely novel content here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDupsAcross(train, test, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 100L)))
+  }
+
   test("skipGramPairs: symmetric window pairs, counts aggregated, no cross-doc pairs") {
     val d = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     val out = CorpusSignals.skipGramPairs(d, "doc_id", "text", window = 2)
