@@ -318,6 +318,19 @@ object PipelineQueries {
           .select(col("media_id"), col("hash_hi"), col("hash_lo")), Seq("media_id"))
     }),
 
+    "q_multimodal_wbmp" -> ((s, d) => {
+      // REAL 1-bit decode: hand-written type-0 WBMP read back by ImageIO
+      // (writer shares no library with the reader), stats + the dHash
+      // through the multi-format dispatch, all re-derived by the oracle
+      // from the bit formula
+      val wbmps = Multimodal.syntheticWbmps(docs(s, d).select(col("doc_id")), "doc_id")
+      Multimodal.decodeWbmps(wbmps)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_gray"), col("tl_r").as("tl_gray"))
+        .join(Multimodal.imageDHashes(wbmps)
+          .select(col("media_id"), col("hash_hi"), col("hash_lo")), Seq("media_id"))
+    }),
+
     "q_multimodal_tiff" -> ((s, d) => {
       // REAL TIFF decode with an asymmetric round-trip: the container is
       // serialized BY HAND (header | strip | 9-tag baseline IFD), ImageIO
@@ -1599,6 +1612,34 @@ object PipelineQueries {
         |st AS (SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |    round(sum(val) * 1.0 / (w * h), 6) AS mean_gray,
         |    CAST(doc_id * 37 % 256 AS INTEGER) AS tl_gray
+        |  FROM v GROUP BY doc_id, w, h)
+        |SELECT st.doc_id AS media_id, st.width, st.height, st.mean_gray, st.tl_gray,
+        |  dh.hash_hi, dh.hash_lo
+        |FROM st JOIN dh ON st.doc_id = dh.doc_id""".stripMargin,
+
+    // 1-bit formula v(x,y) = 255·(((id*7 + x*3 + y*5) % 11) % 2) on a
+    // (5 + id%3) × (6 + id%2) canvas — the GIF/TIFF oracle shape over the
+    // expanded 0/255 gray plane
+    "q_multimodal_wbmp" ->
+      """WITH dims AS (SELECT doc_id, 5 + doc_id % 3 AS w, 6 + doc_id % 2 AS h FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS y FROM dims),
+        |pts AS (SELECT doc_id, w, h, y, unnest(range(0, 9)) AS x FROM ys),
+        |g AS (SELECT doc_id, y, x,
+        |    255 * (((doc_id*7 + ((x*w)//9)*3 + ((y*h)//8)*5) % 11) % 2) AS gv FROM pts),
+        |bits AS (SELECT l.doc_id, l.y, l.x,
+        |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS bit
+        |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |dh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM bits GROUP BY doc_id),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w*h)) AS j FROM dims),
+        |v AS (SELECT doc_id, w, h,
+        |    255 * (((doc_id*7 + (j % w)*3 + (j // w)*5) % 11) % 2) AS val FROM px),
+        |st AS (SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |    round(sum(val) * 1.0 / (w * h), 6) AS mean_gray,
+        |    CAST(255 * (((doc_id * 7) % 11) % 2) AS INTEGER) AS tl_gray
         |  FROM v GROUP BY doc_id, w, h)
         |SELECT st.doc_id AS media_id, st.width, st.height, st.mean_gray, st.tl_gray,
         |  dh.hash_hi, dh.hash_lo

@@ -811,15 +811,17 @@ object Multimodal {
     StructField("hash_hi", LongType, nullable = false),
     StructField("hash_lo", LongType, nullable = false)))
 
-  /** Decode the RGB pixel plane of a PNG, GIF, or TIFF blob, dispatched on
-    * the magic bytes — the multi-format entry the perceptual pipeline
-    * hashes through. */
+  /** Decode the RGB pixel plane of a PNG, GIF, TIFF, or WBMP blob,
+    * dispatched on the magic bytes — the multi-format entry the
+    * perceptual pipeline hashes through. */
   def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     if (bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == pngSig(i)))
       decodePngPixels(bytes)
     else if (bytes.length >= 4 &&
       ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M')))
       decodeTiffPixels(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0)
+      decodeWbmpPixels(bytes)
     else decodeGifPixels(bytes)
 
   /** Perceptual fingerprint of every image blob (PNG, GIF, or TIFF, by magic):
@@ -1477,6 +1479,96 @@ object Multimodal {
       s"syntheticTiffs needs an integral id column, got ${idType.simpleString}")
     df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticTiff(id)) }
+    }(Encoders.row(syntheticBlobSchema))
+  }
+
+  // ---- WBMP (1-bit wireless bitmap — the last JDK-decodable format) ----
+
+  /** Decode a WBMP (type-0 monochrome) via `javax.imageio`, returning the
+    * RGB pixel plane with bits expanded to 0/255 gray triplets (raster
+    * samples — a 1-bit image has no color transform to get wrong). Magic
+    * check: TypeField 0 + FixHeaderField 0; None on anything ImageIO
+    * rejects. */
+  def decodeWbmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 4 || bytes(0) != 0 || bytes(1) != 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val raster = img.getRaster
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = raster.getSample(x, y, 0) * 255
+        val o = (y * w + x) * 3
+        px(o) = g; px(o + 1) = g; px(o + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Decoded WBMP summary — the shared stats row shape. */
+  def decodeWbmp(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Int)] =
+    decodeWbmpPixels(bytes).map { case (w, h, px) =>
+      var s = 0L
+      var p = 0
+      while (p < px.length) { s += px(p); p += 3 }
+      val n = w * h
+      val m = s.toDouble / n
+      (w, h, m, m, m, px(0))
+    }
+
+  val wbmpSchema: StructType = bmpSchema
+
+  /** Decode every `bytes` blob as a WBMP (malformed rows dropped). */
+  def decodeWbmps(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, decodeWbmp)
+          .map { case (w, h, mr, mg, mb, tl) => Row(r.getLong(0), w, h, mr, mg, mb, tl) }
+      }
+    }(Encoders.row(wbmpSchema))
+
+  /** A VALID type-0 WBMP serialized BY HAND (TypeField 0, FixHeaderField
+    * 0, vbyte dims, MSB-first rows padded to the byte): canvas
+    * `5 + id%3` × `6 + id%2`, bit (x, y) = `((id·7 + x·3 + y·5) mod 11)
+    * mod 2` — the double mod keeps the pattern aperiodic in both axes so
+    * the dHash rows differ. Like the TIFF path, the writer shares no
+    * library with ImageIO's reader. */
+  private[graft] def buildSyntheticWbmp(id: Long): Array[Byte] = {
+    val w = 5 + (id % 3).toInt; val h = 6 + (id % 2).toInt
+    require(w < 128 && h < 128) // single-vbyte dims
+    val stride = (w + 7) / 8
+    val out = new Array[Byte](4 + stride * h)
+    out(0) = 0; out(1) = 0; out(2) = w.toByte; out(3) = h.toByte
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bit = (Math.floorMod(id * 7 + x * 3 + y * 5, 11L) % 2).toInt
+        if (bit == 1)
+          out(4 + y * stride + x / 8) =
+            (out(4 + y * stride + x / 8) | (0x80 >> (x % 8))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[buildSyntheticWbmp]] over a corpus. */
+  def syntheticWbmps(df: DataFrame, idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticWbmps needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, buildSyntheticWbmp(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
 

@@ -936,6 +936,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("WBMP synth/decode: hand-built 1-bit container through ImageIO, dispatch, malformed rejected") {
+    for (id <- 0L to 11L) {
+      val w = 5 + (id % 3).toInt; val h = 6 + (id % 2).toInt
+      def v(x: Int, y: Int) = 255 * (Math.floorMod(id * 7 + x * 3 + y * 5, 11L) % 2).toInt
+      val bytes = Multimodal.buildSyntheticWbmp(id)
+      val px = Multimodal.decodeWbmpPixels(bytes)
+      assert(px.isDefined && px.get._1 == w && px.get._2 == h, s"id=$id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(px.get._3((y * w + x) * 3 + c) == v(x, y), s"id=$id px($x,$y,$c)")
+      val mean = (for (y <- 0 until h; x <- 0 until w) yield v(x, y)).sum.toDouble / (w * h)
+      assert(Multimodal.decodeWbmp(bytes).contains((w, h, mean, mean, mean, v(0, 0))))
+      // the multi-format dispatch routes the 0x00 0x00 magic to WBMP
+      val viaDispatch = Multimodal.decodeImagePixels(bytes)
+      assert(viaDispatch.isDefined && viaDispatch.get._3.sameElements(px.get._3))
+      // malformed: wrong magic rejected, truncations and flips never throw
+      assert(Multimodal.decodeWbmp(bytes.take(2)).isEmpty)
+      assert(Multimodal.decodeWbmp("nope".getBytes).isEmpty)
+      (0 until bytes.length by 3).foreach { i =>
+        val m = bytes.clone(); m(i) = (m(i) ^ 0xff).toByte
+        Multimodal.decodeWbmp(m) // must not throw
+      }
+    }
+  }
+
   test("AV container: interleaved PCM soundtrack round-trip, video stream unaffected, strict drops") {
     for (id <- 0L to 6L) {
       val bytes = Multimodal.buildSyntheticAviAV(id, id + 3)
