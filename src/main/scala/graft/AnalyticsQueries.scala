@@ -405,6 +405,12 @@ object AnalyticsQueries {
       Features.targetEncodeLoo(events(s, d),
         "event_id", "event_type", "value")),
 
+    "q_quantile_bins" -> ((s, d) =>
+      // exact octile binning of event values: thresholds from one bounded
+      // percentile aggregate, assignment as a codegen'd comparison sum —
+      // the no-sampling QuantileDiscretizer
+      Features.quantileBins(events(s, d), "event_id", "value", nBins = 8)),
+
     "q_feature_hash" -> ((s, d) =>
       // hashing-trick featurization: (event_type × weekday) hashed into
       // 64 slots per user via the engine-portable md5-long — no
@@ -1811,6 +1817,23 @@ object AnalyticsQueries {
         |         ELSE -((-(sm - value_milli)) // (s.n - 1)) END
         |  END AS loo_milli
         |FROM e JOIN s USING (event_type)""".stripMargin,
+
+    // same interpolated-percentile definition (h = p·(n−1)) on both
+    // engines; bin = count of thresholds at or below the value
+    "q_quantile_bins" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS value_milli FROM events),
+        |t AS (SELECT quantile_cont(value_milli,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS th FROM e)
+        |SELECT event_id, value_milli,
+        |  CAST((CASE WHEN value_milli >= th[1] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value_milli >= th[2] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value_milli >= th[3] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value_milli >= th[4] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value_milli >= th[5] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value_milli >= th[6] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN value_milli >= th[7] THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        |FROM e, t""".stripMargin,
 
     "q_feature_hash" ->
       s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id,

@@ -36,6 +36,31 @@ object Features {
           idiv(col("_s") - col("value_milli"), col("_n") - 1)).as("loo_milli"))
   }
 
+  /** Exact-QUANTILE feature binning (the QuantileDiscretizer shape, made
+    * exact): thresholds are the `i/nBins` percentiles of the
+    * milli-quantized column — ONE map-side-combined aggregate whose
+    * result is nBins−1 values (bounded collect) — and each row's bin is
+    * `|{i : value ≥ t_i}|`, a single codegen'd sum of comparisons against
+    * literal thresholds: no join, no second shuffle, no sampling
+    * (`approxQuantile`'s trade). Skewed data can collapse adjacent
+    * thresholds; duplicate thresholds then skip bin indices, which is the
+    * faithful report (an empty quantile bin IS the skew signal).
+    *
+    * Output: idCol, value_milli, bin (0-based). */
+  def quantileBins(df: DataFrame, idCol: String, valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val base = df.select(col(idCol),
+      expr(s"cast(round($valueCol * 1000) as bigint)").as("value_milli"))
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val th = base
+      .agg(percentile(col("value_milli"), typedLit(ps)).as("t"))
+      .head().getSeq[Double](0)
+    val bin = th.map(t => when(col("value_milli") >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    base.withColumn("bin", bin)
+  }
+
   /** HASHING-TRICK featurization: bucket an arbitrary (possibly unbounded)
     * categorical feature expression into `nBuckets` hashed slots and count
     * per (entity, bucket) — the fixed-width sparse featurizer (Weinberger

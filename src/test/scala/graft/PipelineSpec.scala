@@ -776,6 +776,21 @@ class PipelineSpec extends AnyFunSuite {
       4L -> None))
   }
 
+  test("quantileBins: interpolated thresholds split evenly; skew collapses to the top bin") {
+    val e = (1L to 8L).map(i => (i, i.toDouble)).toDF("event_id", "value")
+    val out = Features.quantileBins(e, "event_id", "value", nBins = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // thresholds h = p·7 over [1000..8000]: 2750 / 4500 / 6250 → 2 per bin
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L))
+    // constant column: every threshold equals the value → everything in
+    // the TOP bin, lower bins empty (the skew signal, not an error)
+    val sk = Features.quantileBins(
+      Seq((1L, 5.0), (2L, 5.0)).toDF("event_id", "value"), "event_id", "value", 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(sk == Set(3L))
+  }
+
   test("hashedFeatures: md5 buckets are stable and counts aggregate per key") {
     val e = Seq(("u", "f1"), ("u", "f1"), ("u", "f2"), ("v", "f1"))
       .toDF("k", "f")
