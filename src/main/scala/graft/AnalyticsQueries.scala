@@ -468,6 +468,13 @@ object AnalyticsQueries {
         Multimodal.videoFrameDHashes(Multimodal.syntheticAvis(
           docs(s, d).select(col("doc_id")), "doc_id")), cutDist = 8)),
 
+    "q_graph_triangles" -> ((s, d) =>
+      // dup-graph community density: triangles + local clustering
+      // coefficient over the banded image near-dup pairs — id-oriented
+      // edges make each triangle enumerable once via two equi-joins
+      Clustering.triangleStats(
+        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
+
     "q_image_clusters" -> ((s, d) =>
       // image dedup's terminal shape: the banded Hamming pair graph
       // collapsed into connected components, min-id survivor per cluster —
@@ -1986,6 +1993,26 @@ object AnalyticsQueries {
          |SELECT a.media_id AS a, b.media_id AS b,
          |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS dist
          |FROM h a JOIN h b ON a.media_id < b.media_id
-         |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3""".stripMargin
+         |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3""".stripMargin,
+
+    // the q_image_neardup pair graph, triangles enumerated once per
+    // oriented (x < y < z) closure, coefficients in truncated ppm
+    "q_graph_triangles" ->
+      s"""WITH h AS ($dhashOracle),
+         |ed AS (SELECT a.media_id AS a, b.media_id AS b
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         |  FROM (SELECT unnest([x, y, z]) AS node FROM tri) t GROUP BY 1),
+         |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT unnest([a, b]) AS node FROM ed) t GROUP BY 1)
+         |SELECT dg.node, degree, coalesce(n_tri, 0) AS n_tri,
+         |  CAST(CASE WHEN degree >= 2
+         |    THEN (2 * coalesce(n_tri, 0) * 1000000) // (degree * (degree - 1))
+         |    ELSE 0 END AS BIGINT) AS lcc_ppm
+         |FROM dg LEFT JOIN tn USING (node)""".stripMargin
   )
 }

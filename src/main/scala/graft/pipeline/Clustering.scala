@@ -236,4 +236,43 @@ object Clustering {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Per-node triangle count and LOCAL CLUSTERING COEFFICIENT over an
+    * undirected pair graph — the community-density read of a dup graph:
+    * a tight clique of re-uploads closes its triangles (coefficient → 1),
+    * a hub-and-spoke of weak accidental matches closes none.
+    *
+    * Scale shape: edges are ORIENTED by id (a < b), so each triangle
+    * (x < y < z) is enumerated exactly once by TWO equi-joins (wedge
+    * x–y–z closed by the x–z edge) — the standard distributed triangle
+    * count whose cost follows wedge counts, never node pairs; the
+    * per-node roll-ups are plain aggregations over exploded
+    * triangle/edge node lists. Degree-<2 nodes have no wedges and report
+    * coefficient 0.
+    *
+    * Output: node, degree, n_tri, lcc_ppm =
+    * `2·n_tri·1e6 div (degree·(degree−1))` (truncated). */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // normalize orientation (a reversed duplicate collapses rather than
+    // vanishes), drop self-loops, dedupe
+    val e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val triNodes = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triNodes, Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("node"), col("degree"), col("n_tri"),
+        when(col("degree") >= 2,
+          expr("(2 * n_tri * 1000000) div (degree * (degree - 1))"))
+          .otherwise(0L).as("lcc_ppm"))
+  }
 }

@@ -617,6 +617,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("view>click", 3L), ("buy", 1L)))
   }
 
+  test("triangleStats: cliques close their triangles, stars close none") {
+    // triangle {1,2,3} plus a star at 10 (leaves 11, 12, no leaf edge);
+    // duplicate/reversed edges must not double-count, and an edge given
+    // ONLY in reversed orientation (3,1) must still count; self-loops drop
+    val e = Seq((1L, 2L), (3L, 1L), (2L, 3L), (3L, 2L), (1L, 2L), (2L, 2L),
+      (10L, 11L), (10L, 12L)).toDF("a", "b")
+    val out = Clustering.triangleStats(e, "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1000000L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((2L, 1L, 1000000L)))
+    assert(out(10L) == ((2L, 0L, 0L)))
+    assert(out(11L) == ((1L, 0L, 0L)))
+    assert(out(12L) == ((1L, 0L, 0L)))
+  }
+
   test("intervalJoin equals the brute-force overlap predicate on random intervals") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
