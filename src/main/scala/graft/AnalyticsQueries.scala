@@ -468,6 +468,13 @@ object AnalyticsQueries {
         Multimodal.videoFrameDHashes(Multimodal.syntheticAvis(
           docs(s, d).select(col("doc_id")), "doc_id")), cutDist = 8)),
 
+    "q_graph_pagerank" -> ((s, d) =>
+      // exact-ppm PageRank, 10 distributed rounds over the image dup
+      // graph — every division truncates, so the oracle replays all ten
+      // iterations bit-for-bit as unrolled CTEs
+      Clustering.pageRank(
+        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
+
     "q_graph_triangles" -> ((s, d) =>
       // dup-graph community density: triangles + local clustering
       // coefficient over the banded image near-dup pairs — id-oriented
@@ -1994,6 +2001,31 @@ object AnalyticsQueries {
          |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS dist
          |FROM h a JOIN h b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3""".stripMargin,
+
+    // ten unrolled iterations of the truncating-integer PageRank map over
+    // the q_image_neardup graph — CTE r_i references r_{i-1}, every
+    // division floors on non-negative operands exactly as Spark's div
+    "q_graph_pagerank" -> {
+      val iterCtes = (1 to 10).map { i =>
+        s"""r$i AS (SELECT dg.src AS node,
+           |    CAST(150000 + (850000 * coalesce(c.s, 0)) // 1000000 AS BIGINT) AS r
+           |  FROM dg LEFT JOIN (
+           |    SELECT ed.dst, CAST(sum(r.r // d2.deg) AS BIGINT) AS s
+           |    FROM ed JOIN r${i - 1} r ON ed.src = r.node
+           |    JOIN dg d2 ON ed.src = d2.src
+           |    GROUP BY 1) c ON dg.src = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h AS ($dhashOracle),
+         |ed0 AS (SELECT a.media_id AS a, b.media_id AS b
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+         |ed AS (SELECT a AS src, b AS dst FROM ed0
+         |  UNION ALL SELECT b AS src, a AS dst FROM ed0),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM dg),
+         |$iterCtes
+         |SELECT node, r AS rank_ppm FROM r10""".stripMargin
+    },
 
     // the q_image_neardup pair graph, triangles enumerated once per
     // oriented (x < y < z) closure, coefficients in truncated ppm

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -235,6 +235,55 @@ object Clustering {
       .filter(!col("is_survivor"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** PageRank over an undirected pair graph in EXACT integer ppm: rank
+    * starts at 1e6 per node and iterates
+    * `r′_v = (1e6 − damp) + damp · (Σ_{u∼v} (r_u div deg_u)) div 1e6`
+    * for `iters` rounds — every division truncates, so all ten rounds
+    * replay bit-for-bit on any engine (the steadyStateEventMix
+    * discipline, but fully DISTRIBUTED: ranks never visit the driver).
+    * The few-ppm mass leak of truncation is the documented price of
+    * exactness, identical everywhere.
+    *
+    * Scale shape: the degree-annotated directed edge list is built once
+    * and localCheckpoint'd (every iteration re-reads it; its lineage
+    * must not re-derive the pair graph per round); each round is ONE
+    * join of the rank table against the edges plus one aggregation on
+    * the destination — the canonical iterative-shuffle pattern. Rank
+    * frames are checkpointed per round to cut O(iters) lineage growth.
+    *
+    * Output: node, rank_ppm after `iters` rounds (isolated nodes never
+    * appear — an edgeless node holds the base rank trivially). */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 10, dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPpm >= 0 && dampPpm <= 1000000L, s"dampPpm out of range: $dampPpm")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = dir.join(deg, Seq("src")).localCheckpoint()
+    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    var r = nodes.select(col("node"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(idiv(col("r"), col("deg"))).as("_s"))
+      r = nodes
+        .join(contrib.select(col("dst").as("node"), col("_s")), Seq("node"), "left")
+        .na.fill(0L, Seq("_s"))
+        .select(col("node"),
+          (lit(1000000L - dampPpm) +
+            idiv(lit(dampPpm) * col("_s"), lit(1000000L))).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), col("r").as("rank_ppm"))
   }
 
   /** Per-node triangle count and LOCAL CLUSTERING COEFFICIENT over an

@@ -617,6 +617,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("view>click", 3L), ("buy", 1L)))
   }
 
+  test("pageRank: hub outranks leaves, symmetric nodes tie, single edge is a fixed point") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Clustering.pageRank(path, "a", "b", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(3L), s"symmetric leaves must tie: $r")
+    assert(r(2L) > r(1L), s"the hub must outrank its leaves: $r")
+    // one symmetric edge: shares are whole, every round reproduces 1e6
+    val single = Clustering.pageRank(Seq((5L, 6L)).toDF("a", "b"), "a", "b",
+      iters = 3, dampPpm = 500000L)
+      .collect().map(_.getLong(1)).toSet
+    assert(single == Set(1000000L))
+  }
+
   test("triangleStats: cliques close their triangles, stars close none") {
     // triangle {1,2,3} plus a star at 10 (leaves 11, 12, no leaf edge);
     // duplicate/reversed edges must not double-count, and an edge given
