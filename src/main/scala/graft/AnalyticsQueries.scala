@@ -405,6 +405,14 @@ object AnalyticsQueries {
       Features.targetEncodeLoo(events(s, d),
         "event_id", "event_type", "value")),
 
+    "q_ab_mwu" -> ((s, d) =>
+      // nonparametric A/B: doubled Mann–Whitney U over purchase values
+      // between two md5-assigned arms, computed from value-grain counts
+      // (no global row ranking); u2_a + u2_b = 2·n_a·n_b self-checks
+      EventAnalytics.mannWhitneyU(
+        events(s, d).filter(col("event_type") === "purchase"),
+        "context_id", "value")),
+
     "q_quantile_bins" -> ((s, d) =>
       // exact octile binning of event values: thresholds from one bounded
       // percentile aggregate, assignment as a codegen'd comparison sum —
@@ -1831,6 +1839,26 @@ object AnalyticsQueries {
         |         ELSE -((-(sm - value_milli)) // (s.n - 1)) END
         |  END AS loo_milli
         |FROM e JOIN s USING (event_type)""".stripMargin,
+
+    // value-grain arm counts, strictly-below cumulatives, doubled U
+    "q_ab_mwu" ->
+      s"""WITH e AS (SELECT
+         |    ${Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CAST(round(value * 1000) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT vm,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM e GROUP BY 1),
+         |c AS (SELECT g.*,
+         |    CAST(coalesce(sum(na) OVER w, 0) AS BIGINT) AS cuma,
+         |    CAST(coalesce(sum(nb) OVER w, 0) AS BIGINT) AS cumb
+         |  FROM g WINDOW w AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING))
+         |SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+         |  CAST(sum(na * (cumb * 2 + nb)) AS BIGINT) AS u2_a,
+         |  CAST(sum(nb * (cuma * 2 + na)) AS BIGINT) AS u2_b
+         |FROM c""".stripMargin,
 
     // same interpolated-percentile definition (h = p·(n−1)) on both
     // engines; bin = count of thresholds at or below the value

@@ -946,6 +946,38 @@ object EventAnalytics {
         idiv(col("cum_revenue_milli"), col("cohort_size")).as("ltv_milli"))
   }
 
+  /** Mann–Whitney U (rank-sum) between two hash-assigned experiment arms
+    * over a per-event metric — the NONPARAMETRIC significance read that
+    * doesn't assume the metric's distribution (the z-test sibling of
+    * [[experimentLift]] assumes proportions). U is computed from
+    * VALUE-GRAIN counts, never a global row ranking:
+    * `U2_A = Σ_v nA(v)·(2·nB(<v) + nB(=v))` — doubled so tie halves stay
+    * integral, hence exact on any engine. The cumulative runs over the
+    * DISTINCT-VALUE table (bounded by metric cardinality, the histogram-
+    * quantiles bound), so no corpus-sized single-partition sort exists.
+    * `U2_A + U2_B = 2·nA·nB` is the built-in self-check.
+    *
+    * Output (one row): n_a, n_b, u2_a, u2_b. */
+  def mannWhitneyU(events: DataFrame, ctxCol: String, valueCol: String,
+      salt: String = "ab"): DataFrame = {
+    val arm = pmod(graft.pipeline.Hashing.md5Long(
+      concat(lit(s"$salt:"), col(ctxCol).cast("string"))), lit(2L))
+    val g = events
+      .select(arm.as("_arm"),
+        expr(s"cast(round($valueCol * 1000) as bigint)").as("_vm"))
+      .groupBy("_vm")
+      .agg(sum((col("_arm") === 0).cast("long")).as("_na"),
+        sum((col("_arm") === 1).cast("long")).as("_nb"))
+    val below = Window.orderBy(col("_vm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // single-partition window over the distinct-value table only
+    g.withColumn("_cumA", coalesce(sum(col("_na")).over(below), lit(0L)))
+      .withColumn("_cumB", coalesce(sum(col("_nb")).over(below), lit(0L)))
+      .agg(sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
+        sum(col("_na") * (col("_cumB") * 2 + col("_nb"))).as("u2_a"),
+        sum(col("_nb") * (col("_cumA") * 2 + col("_na"))).as("u2_b"))
+  }
+
   /** Unordered SET-COMPLETION funnel: per session, how many of the
     * `steps` types occurred (any order, any multiplicity) and whether all
     * did — the "activation checklist" read (ordered paths are

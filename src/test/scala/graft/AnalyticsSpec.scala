@@ -617,6 +617,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("view>click", 3L), ("buy", 1L)))
   }
 
+  test("mannWhitneyU: doubled U handles ties exactly, identity u2_a + u2_b = 2·n_a·n_b") {
+    // pick two contexts landing in different arms (md5 parity), values
+    // chosen so arm A dominates with one tie
+    val ctxA = (1 to 50).map(_.toString)
+      .find(c => Math.floorMod(graft.pipeline.Hashing.md5LongJvm("ab:" + c), 2L) == 0L).get
+    val ctxB = (1 to 50).map(_.toString)
+      .find(c => Math.floorMod(graft.pipeline.Hashing.md5LongJvm("ab:" + c), 2L) == 1L).get
+    val e = Seq((ctxA, 3.0), (ctxA, 2.0), (ctxB, 1.0), (ctxB, 2.0))
+      .toDF("context_id", "value")
+    val r = EventAnalytics.mannWhitneyU(e, "context_id", "value").head()
+    val (na, nb, u2a, u2b) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((na, nb) == ((2L, 2L)))
+    // pairs (a,b): (3,1) win, (3,2) win, (2,1) win, (2,2) tie →
+    // U_A = 3.5 → u2_a = 7; u2_b = 2·2·2·... total 8 − 7 = 1
+    assert((u2a, u2b) == ((7L, 1L)))
+    assert(u2a + u2b == 2 * na * nb)
+  }
+
   test("pageRank: hub outranks leaves, symmetric nodes tie, single edge is a fixed point") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val r = Clustering.pageRank(path, "a", "b", iters = 10)
