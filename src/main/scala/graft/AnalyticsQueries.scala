@@ -405,6 +405,15 @@ object AnalyticsQueries {
       Features.targetEncodeLoo(events(s, d),
         "event_id", "event_type", "value")),
 
+    "q_bootstrap_ci" -> ((s, d) =>
+      // Poisson bootstrap of the mean purchase value: 32 deterministic
+      // replicas from md5-inverted Poisson(1) weights — one map-side
+      // explode + one aggregation, no global resampling; replica-mean
+      // spread is the CI
+      Profile.bootstrapMeans(
+        events(s, d).filter(col("event_type") === "purchase"),
+        "event_id", "value")),
+
     "q_ab_mwu" -> ((s, d) =>
       // nonparametric A/B: doubled Mann–Whitney U over purchase values
       // between two md5-assigned arms, computed from value-grain counts
@@ -1839,6 +1848,27 @@ object AnalyticsQueries {
         |         ELSE -((-(sm - value_milli)) // (s.n - 1)) END
         |  END AS loo_milli
         |FROM e JOIN s USING (event_type)""".stripMargin,
+
+    // 32 replicas, weights from the md5-uniform inverted through the
+    // literal Poisson(1) ppm CDF — identical draws on both engines
+    "q_bootstrap_ci" -> {
+      val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+        999405L, 999916L, 999989L, 999998L)
+      val w = cdf.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'),
+         |x AS (SELECT event_id, vm, unnest(range(0, 32)) AS replica FROM e),
+         |u AS (SELECT CAST(replica AS INTEGER) AS replica, vm,
+         |    ${Hashing.duckMd5Long(
+               "'boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(replica AS VARCHAR)")} % 1000000 AS u
+         |  FROM x),
+         |w AS (SELECT replica, vm, CAST($w AS BIGINT) AS w FROM u)
+         |SELECT replica, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST(sum(w * vm) AS BIGINT) AS sum_milli,
+         |  CASE WHEN sum(w) > 0
+         |    THEN CAST(sum(w * vm) // sum(w) AS BIGINT) END AS mean_milli
+         |FROM w GROUP BY replica""".stripMargin
+    },
 
     // value-grain arm counts, strictly-below cumulatives, doubled U
     "q_ab_mwu" ->

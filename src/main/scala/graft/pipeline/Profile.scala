@@ -157,4 +157,44 @@ object Profile {
         (col("__rows") - col("__n")).as("n_nulls"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Poisson(1) CDF in truncated ppm (k = 0..8; mass beyond 8 is < 2 ppm
+    * and maps to weight 9) — the literal table [[bootstrapMeans]] inverts. */
+  private val PoissonCdfPpm: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L, 999989L, 999998L)
+
+  /** POISSON BOOTSTRAP of a metric's mean (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams" — the bootstrap that scales):
+    * instead of materializing B global resamples, every row draws an
+    * independent Poisson(1) replication weight PER REPLICA, so one
+    * map-side explode (B rows per input row) plus one aggregation yields
+    * all B resample means. The draw is DETERMINISTIC: u = md5(salt, id,
+    * replica) mod 1e6 inverted through the literal Poisson CDF table —
+    * exact integers end to end, so every engine reproduces every replica
+    * (no RNG, no seed drift). The replica means' spread IS the sampling
+    * distribution; take their quantiles for a CI.
+    *
+    * Output: replica, n_eff (Σ weights), sum_milli, mean_milli
+    * (= sum div n_eff, NULL for an all-zero-weight replica). */
+  def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+      replicas: Int = 32, salt: String = "boot"): DataFrame = {
+    require(replicas >= 2, s"replicas must be >= 2, got $replicas")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val u = pmod(graft.pipeline.Hashing.md5Long(
+      concat(lit(s"$salt:"), col(idCol).cast("string"), lit(":"),
+        col("replica").cast("string"))), lit(1000000L))
+    val weight = PoissonCdfPpm
+      .map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _) // = #thresholds at or below u = the inverted draw
+    df.select(col(idCol),
+        expr(s"cast(round($valueCol * 1000) as bigint)").as("_vm"))
+      .select(col(idCol), col("_vm"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("replica"))
+      .select(col("replica"), col("_vm"), weight.as("_w"))
+      .groupBy("replica")
+      .agg(sum(col("_w")).as("n_eff"),
+        sum(col("_w") * col("_vm")).as("sum_milli"))
+      .withColumn("mean_milli",
+        when(col("n_eff") > 0, idiv(col("sum_milli"), col("n_eff"))))
+  }
 }

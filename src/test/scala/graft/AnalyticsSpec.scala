@@ -617,6 +617,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("view>click", 3L), ("buy", 1L)))
   }
 
+  test("bootstrapMeans: deterministic Poisson weights with unit mean, constant metric is invariant") {
+    val df = (1L to 200L).map(i => (i, 2.0)).toDF("event_id", "value")
+    val out = Profile.bootstrapMeans(df, "event_id", "value", replicas = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 8)
+    out.foreach { case (_, nEff, sumM, meanM) =>
+      // a constant metric bootstraps to itself exactly, whatever the weights
+      assert(meanM == 2000L && sumM == nEff * 2000L)
+      // Poisson(1) over 200 rows: n_eff concentrates near 200
+      assert(nEff > 140L && nEff < 260L, s"n_eff=$nEff")
+    }
+    // fully deterministic: a second evaluation is identical
+    val again = Profile.bootstrapMeans(df, "event_id", "value", replicas = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
+
   test("mannWhitneyU: doubled U handles ties exactly, identity u2_a + u2_b = 2·n_a·n_b") {
     // pick two contexts landing in different arms (md5 parity), values
     // chosen so arm A dominates with one tie
