@@ -405,6 +405,16 @@ object AnalyticsQueries {
       Features.targetEncodeLoo(events(s, d),
         "event_id", "event_type", "value")),
 
+    "q_bootstrap_lift" -> ((s, d) => {
+      // replica-paired bootstrap of the arm-mean difference: the CI on
+      // the A/B lift without normality assumptions; arm assignment (md5
+      // parity on context) and resample draws (md5 on event) independent
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("arm", pmod(Hashing.md5Long(
+          concat(lit("ab:"), col("context_id").cast("string"))), lit(2L)))
+      Profile.bootstrapLift(ev, "event_id", "value", "arm")
+    }),
+
     "q_bootstrap_ci" -> ((s, d) =>
       // Poisson bootstrap of the mean purchase value: 32 deterministic
       // replicas from md5-inverted Poisson(1) weights — one map-side
@@ -1848,6 +1858,31 @@ object AnalyticsQueries {
         |         ELSE -((-(sm - value_milli)) // (s.n - 1)) END
         |  END AS loo_milli
         |FROM e JOIN s USING (event_type)""".stripMargin,
+
+    // the q_bootstrap_ci draw split per md5-parity arm, replicas paired
+    "q_bootstrap_lift" -> {
+      val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+        999405L, 999916L, 999989L, 999998L)
+      val w = cdf.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT event_id,
+         |    ${Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CAST(round(value * 1000) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'),
+         |x AS (SELECT event_id, arm, vm, unnest(range(0, 32)) AS replica FROM e),
+         |u AS (SELECT CAST(replica AS INTEGER) AS replica, arm, vm,
+         |    ${Hashing.duckMd5Long(
+               "'boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(replica AS VARCHAR)")} % 1000000 AS u
+         |  FROM x),
+         |w AS (SELECT replica, arm, vm, CAST($w AS BIGINT) AS w FROM u),
+         |pa AS (SELECT replica, arm, CAST(sum(w) AS BIGINT) AS n,
+         |    CASE WHEN sum(w) > 0 THEN CAST(sum(w * vm) // sum(w) AS BIGINT) END AS m
+         |  FROM w GROUP BY 1, 2)
+         |SELECT a.replica, a.n AS n_a, b.n AS n_b,
+         |  a.m AS mean_a_milli, b.m AS mean_b_milli,
+         |  b.m - a.m AS lift_milli
+         |FROM (SELECT * FROM pa WHERE arm = 0) a
+         |JOIN (SELECT * FROM pa WHERE arm = 1) b USING (replica)""".stripMargin
+    },
 
     // 32 replicas, weights from the md5-uniform inverted through the
     // literal Poisson(1) ppm CDF — identical draws on both engines

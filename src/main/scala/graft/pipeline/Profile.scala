@@ -197,4 +197,44 @@ object Profile {
       .withColumn("mean_milli",
         when(col("n_eff") > 0, idiv(col("sum_milli"), col("n_eff"))))
   }
+
+  /** Bootstrapped TREATMENT LIFT: [[bootstrapMeans]] per experiment arm,
+    * replicas paired — each replica reports both arm means and their
+    * difference, so the replica-difference spread is the CI on the lift
+    * (the uncertainty read q_ab_lift's point estimate lacks, without any
+    * normality assumption). Same single explode + ONE (arm, replica)
+    * aggregation; the pairing join runs on the replica-grain table.
+    * Weights hash on (salt, id, replica) only, so a row keeps the same
+    * draw whichever arm it lands in — arm assignment and resampling stay
+    * independent.
+    *
+    * Output per replica: replica, n_a, n_b, mean_a_milli, mean_b_milli,
+    * lift_milli (NULL if either arm emptied). */
+  def bootstrapLift(df: DataFrame, idCol: String, valueCol: String,
+      armCol: String, replicas: Int = 32, salt: String = "boot"): DataFrame = {
+    require(replicas >= 2, s"replicas must be >= 2, got $replicas")
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val u = pmod(graft.pipeline.Hashing.md5Long(
+      concat(lit(s"$salt:"), col(idCol).cast("string"), lit(":"),
+        col("replica").cast("string"))), lit(1000000L))
+    val weight = PoissonCdfPpm
+      .map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perArm = df.select(col(idCol), col(armCol).cast("long").as("_arm"),
+        expr(s"cast(round($valueCol * 1000) as bigint)").as("_vm"))
+      .select(col(idCol), col("_arm"), col("_vm"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("replica"))
+      .select(col("replica"), col("_arm"), col("_vm"), weight.as("_w"))
+      .groupBy("replica", "_arm")
+      .agg(sum(col("_w")).as("_n"), sum(col("_w") * col("_vm")).as("_s"))
+      .withColumn("_m", when(col("_n") > 0, idiv(col("_s"), col("_n"))))
+    val a = perArm.filter(col("_arm") === 0)
+      .select(col("replica"), col("_n").as("n_a"), col("_m").as("mean_a_milli"))
+    val b = perArm.filter(col("_arm") === 1)
+      .select(col("replica"), col("_n").as("n_b"), col("_m").as("mean_b_milli"))
+    a.join(b, Seq("replica"))
+      .select(col("replica"), col("n_a"), col("n_b"),
+        col("mean_a_milli"), col("mean_b_milli"),
+        (col("mean_b_milli") - col("mean_a_milli")).as("lift_milli"))
+  }
 }
