@@ -927,6 +927,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 4, s"unexpected exchange growth:\n$p")
   }
 
+  test("round-9 additions: no cartesian plans, single window passes, bounded graph joins") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val src = new graft.sources.TestDataSource(spark, dir)
+    val docs = src.table("documents")
+    def simple(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // skip-gram: ONE window pass, the mirror is map-side — no self-join
+    val sg = simple(graft.pipeline.CorpusSignals.skipGramPairs(docs, "doc_id", "text", 2))
+    assert("Window".r.findAllIn(sg).length == 1 && !sg.contains("Join"), sg)
+    // fuzzy decontamination: banded candidates, never train × test
+    val fd = simple(graft.pipeline.Dedup.minhashNearDupsAcross(
+      docs, docs.limit(5), "doc_id", "text"))
+    assert(!fd.contains("CartesianProduct") && !fd.contains("BroadcastNestedLoopJoin"), fd)
+    // triangle stats + pagerank: equi-joins only over the pair graph
+    val edges = spark.range(20).selectExpr("id as a", "id + 1 as b")
+    val tr = simple(graft.pipeline.Clustering.triangleStats(edges, "a", "b"))
+    assert(!tr.contains("CartesianProduct") && !tr.contains("BroadcastNestedLoopJoin"), tr)
+    // Mann–Whitney: joins nothing; windows run over the value-grain
+    // aggregate only (Spark may fuse the two cumulatives into one node)
+    val ev = src.allEvents
+    val mw = simple(graft.pipeline.EventAnalytics.mannWhitneyU(ev, "context_id", "value"))
+    assert(!mw.contains("Join") && "Window".r.findAllIn(mw).length <= 2 &&
+      mw.contains("Window"), mw)
+  }
+
   test("audio fingerprints: one per-media window, no self-join; match joins fp keys, argmax is an aggregate") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
