@@ -509,6 +509,18 @@ object AnalyticsQueries {
       Clustering.triangleStats(
         Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
 
+    "q_identity_stitch" -> ((s, d) => {
+      // cross-device identity stitching: synthetic device/email keys
+      // derived from the context (device collides at ctx ≡ ctx' mod 97,
+      // email at mod 89 — the residues interleave into multi-hop chains a
+      // single-key stitch can't find); star edges per key value, then the
+      // alternating-star CC and a per-identity rollup
+      val ev = events(s, d).select(col("context_id"),
+        concat(lit("d"), col("context_id").cast("long") * 7 % 97).as("dev"),
+        concat(lit("e"), col("context_id").cast("long") * 11 % 89).as("em"))
+      Identity.stitch(ev, "context_id", Seq("dev", "em"))
+    }),
+
     "q_image_clusters" -> ((s, d) =>
       // image dedup's terminal shape: the banded Hamming pair graph
       // collapsed into connected components, min-id survivor per cluster —
@@ -2138,6 +2150,34 @@ object AnalyticsQueries {
          |  CAST(CASE WHEN degree >= 2
          |    THEN (2 * coalesce(n_tri, 0) * 1000000) // (degree * (degree - 1))
          |    ELSE 0 END AS BIGINT) AS lcc_ppm
-         |FROM dg LEFT JOIN tn USING (node)""".stripMargin
+         |FROM dg LEFT JOIN tn USING (node)""".stripMargin,
+
+    // identity stitching replayed pairwise: the oracle connects EVERY
+    // co-keyed context pair and min-labels via the recursive walk — the
+    // star-edge Spark plan must land on identical components
+    "q_identity_stitch" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id AS id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |k AS (SELECT id, (id*7)%97 AS dev, (id*11)%89 AS em FROM u),
+        |pd AS (SELECT a.id AS u, b.id AS v FROM k a JOIN k b
+        |       ON a.dev = b.dev AND a.id <> b.id),
+        |pe AS (SELECT a.id AS u, b.id AS v FROM k a JOIN k b
+        |       ON a.em = b.em AND a.id <> b.id),
+        |e AS (SELECT u, v FROM pd UNION SELECT u, v FROM pe),
+        |walk(id, label) AS (
+        |  SELECT id, id FROM u
+        |  UNION
+        |  SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.id
+        |  WHERE w.label < e.v),
+        |lab AS (SELECT id, min(label) AS identity_id FROM walk GROUP BY id),
+        |j AS (SELECT u.id, u.n_events, lab.identity_id
+        |      FROM u JOIN lab USING (id)),
+        |g AS (SELECT identity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |        CAST(sum(n_events) AS BIGINT) AS identity_events
+        |      FROM j GROUP BY 1)
+        |SELECT CAST(j.id AS VARCHAR) AS context_id, j.n_events,
+        |  j.identity_id, g.n_members, g.identity_events
+        |FROM j JOIN g USING (identity_id)""".stripMargin
   )
 }
