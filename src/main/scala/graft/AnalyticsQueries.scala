@@ -191,6 +191,14 @@ object AnalyticsQueries {
           try_element_at(col("step_ts"), lit(3)).as("s3_ts"),
           col("steps_done"), col("converted"))),
 
+    "q_funnel_exclusion" -> ((s, d) =>
+      // exclusion funnel: signup → purchase with NO error strictly between
+      // the first signup and the first purchase after it — three windowed
+      // conditional extrema over one hash(context) exchange
+      EventAnalytics.funnelExclusion(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type",
+        stepA = "signup", stepB = "purchase", excludeC = "error")),
+
     "q_time_to_convert" -> ((s, d) => {
       // conversion-latency distribution: exact percentiles of
       // (purchase_ts - signup_ts) over CONVERTED sessions only
@@ -1433,6 +1441,26 @@ object AnalyticsQueries {
     // and the earliest strictly-later stepB, LEFT-joined so unconverted
     // sessions stay visible
     "q_session_funnel" -> sessionFunnelOracle,
+
+    // the same three windowed conditional extrema over the packed
+    // ts·2³²+eid order key; NULL comparisons fall through exactly as
+    // Spark's when() does
+    "q_funnel_exclusion" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS context_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 4294967296 + event_id AS k
+        |  FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN k END)
+        |    OVER (PARTITION BY context_id) AS ka FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND k > ka
+        |    THEN k END) OVER (PARTITION BY context_id) AS kb FROM a),
+        |c AS (SELECT *, max(CASE WHEN event_type = 'error' AND k > ka
+        |    AND k < kb THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY context_id) AS exc FROM b)
+        |SELECT context_id, min(ka) // 4294967296 AS a_ts,
+        |  min(kb) // 4294967296 AS b_ts,
+        |  max(exc) = 1 AS excluded,
+        |  min(kb) IS NOT NULL AND max(exc) = 0 AS converted_clean
+        |FROM c GROUP BY 1""".stripMargin,
 
     // conversion latency over the funnel's converted sessions
     "q_time_to_convert" ->

@@ -228,6 +228,50 @@ object EventAnalytics {
         round(percentile(col("_gap"), lit(0.9)), 6).as("p90"))
   }
 
+  /** Exclusion funnel — "first A, then the first B after it, with NO C
+    * strictly between": did the user sign up and then purchase WITHOUT
+    * hitting an error in between? The exclusion step is the funnel shape
+    * plain sequence matching can't express (FOLLOWED BY finds the pair;
+    * it can't veto what happened inside the gap — the reference's sequence
+    * grammar `commands/parser/ast.rs` has no NOT step either).
+    *
+    * Event order is the packed key `ts·2³² + event_id` (both engines
+    * compare the same integer, so ties are (ts, id)-exact; valid while
+    * event ids stay below 2³² — the testdata's ids are row ordinals).
+    *
+    * Scale shape: three Window nodes over the SAME hash(context)
+    * partitioning (first-A, first-B-after-A, any-C-between are each one
+    * windowed conditional min/max), then the per-context collapse groups
+    * on the partitioning key — ONE exchange serves the whole plan, no
+    * joins, no per-step pass over the corpus.
+    *
+    * Output: `(context_id, a_ts, b_ts, excluded, converted_clean)` — one
+    * row per context; `excluded` = a C fell inside the (A, B) gap;
+    * `converted_clean` = B matched and nothing vetoed it. */
+  def funnelExclusion(events: DataFrame, ctxCol: String, tsCol: String,
+      idCol: String, typeCol: String,
+      stepA: String, stepB: String, excludeC: String): DataFrame = {
+    val w = Window.partitionBy(col(ctxCol))
+    val packed = col(tsCol).cast("long") * lit(4294967296L) +
+      col(idCol).cast("long")
+    events
+      .select(col(ctxCol), col(typeCol), packed.as("_k"))
+      .withColumn("_ka", min(when(col(typeCol) === stepA, col("_k"))).over(w))
+      .withColumn("_kb", min(when(col(typeCol) === stepB &&
+        col("_k") > col("_ka"), col("_k"))).over(w))
+      .withColumn("_exc", max(when(col(typeCol) === excludeC &&
+        col("_k") > col("_ka") && col("_k") < col("_kb"), lit(1))
+        .otherwise(lit(0))).over(w))
+      .groupBy(col(ctxCol))
+      .agg(min(col("_ka")).as("_a"), min(col("_kb")).as("_b"),
+        max(col("_exc")).as("_e"))
+      .select(col(ctxCol),
+        expr("_a div 4294967296").as("a_ts"),
+        expr("_b div 4294967296").as("b_ts"),
+        (col("_e") === 1).as("excluded"),
+        (col("_b").isNotNull && col("_e") === 0).as("converted_clean"))
+  }
+
   /** Engagement (stickiness): per active day, DAU, trailing-`windowDays`
     * WAU, and their ratio in ppm. The rolling distinct is computed WITHOUT
     * a per-day corpus scan: distinct (user, day) pairs explode to the ≤

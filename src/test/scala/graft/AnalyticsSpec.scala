@@ -63,6 +63,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("v", 1L)) == ((1L, None, None, false)))
   }
 
+  test("funnelExclusion: C strictly between first A and first B vetoes; outside C does not") {
+    val events = Seq(
+      // u: signup, error BETWEEN, purchase → excluded, not clean
+      ("u", 100L, 1L, "signup"), ("u", 150L, 2L, "error"), ("u", 200L, 3L, "purchase"),
+      // v: error BEFORE signup and AFTER purchase → clean conversion
+      ("v", 50L, 4L, "error"), ("v", 100L, 5L, "signup"),
+      ("v", 200L, 6L, "purchase"), ("v", 300L, 7L, "error"),
+      // w: purchase before signup only → reached A, no B
+      ("w", 100L, 8L, "purchase"), ("w", 200L, 9L, "signup"),
+      // x: no signup at all
+      ("x", 100L, 10L, "purchase")
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.funnelExclusion(events,
+      "context_id", "timestamp", "event_id", "event_type",
+      stepA = "signup", stepB = "purchase", excludeC = "error")
+      .collect()
+      .map(r => r.getAs[String]("context_id") ->
+        ((Option(r.getAs[Any]("a_ts")), Option(r.getAs[Any]("b_ts")),
+          r.getAs[Boolean]("excluded"), r.getAs[Boolean]("converted_clean"))))
+      .toMap
+    assert(out("u") == ((Some(100L), Some(200L), true, false)))
+    assert(out("v") == ((Some(100L), Some(200L), false, true)))
+    assert(out("w") == ((Some(200L), None, false, false)))
+    assert(out("x") == ((None, None, false, false)))
+  }
+
+  test("funnelExclusion: same-timestamp ties break by event id") {
+    // error shares ts with the purchase but has a SMALLER id → it is
+    // strictly between in (ts, id) order and vetoes
+    val events = Seq(
+      ("u", 100L, 1L, "signup"), ("u", 200L, 2L, "error"), ("u", 200L, 3L, "purchase")
+    ).toDF("context_id", "timestamp", "event_id", "event_type")
+    val out = EventAnalytics.funnelExclusion(events,
+      "context_id", "timestamp", "event_id", "event_type",
+      "signup", "purchase", "error").collect().head
+    assert(out.getAs[Boolean]("excluded"))
+    assert(!out.getAs[Boolean]("converted_clean"))
+  }
+
   test("sessionFunnelK: greedy first-touch chain, out-of-order steps skipped, repeats allowed") {
     val events = Seq(
       // u session 0: full a→b→c chain, with an early c (eid 1) that must
