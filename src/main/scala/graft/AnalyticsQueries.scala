@@ -191,6 +191,19 @@ object AnalyticsQueries {
           try_element_at(col("step_ts"), lit(3)).as("s3_ts"),
           col("steps_done"), col("converted"))),
 
+    "q_changepoint" -> ((s, d) => {
+      // CUSUM level-shift detection: the uniform testdata has no shift of
+      // its own, so the fixture doubles every event from 2024-01-16
+      // (epoch day 19738) on — each type must flag an 'up' changepoint
+      // within days of the injected step, and the exact-integer recurrence
+      // must match the oracle's replay bit-for-bit
+      val ev = events(s, d)
+      EventAnalytics.cusumChangepoint(
+        ev.unionByName(ev.filter(
+          expr("cast(timestamp as bigint) div 86400 >= 19738"))),
+        "event_type", "timestamp", burnDays = 7)
+    }),
+
     "q_funnel_exclusion" -> ((s, d) =>
       // exclusion funnel: signup → purchase with NO error strictly between
       // the first signup and the first purchase after it — three windowed
@@ -1441,6 +1454,48 @@ object AnalyticsQueries {
     // and the earliest strictly-later stepB, LEFT-joined so unconverted
     // sessions stay visible
     "q_session_funnel" -> sessionFunnelOracle,
+
+    // the CUSUM recurrence replayed as a recursive CTE: one walk row per
+    // (type, day) past the 7-day burn-in, state FROZEN at first crossing
+    // exactly as the Spark fold freezes; the doubled-after-19875 fixture
+    // is a count multiplier here
+    "q_changepoint" -> {
+      val up = "greatest(0, w.sp + r.cnt*1000 - m.base_milli - m.base_milli*10//100)"
+      val dn = "greatest(0, w.sn + m.base_milli - r.cnt*1000 - m.base_milli*10//100)"
+      val h = "m.base_milli*400//100"
+      s"""WITH RECURSIVE e AS (SELECT event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+         |c AS (SELECT event_type, day,
+         |    CAST(count(*) * CASE WHEN day >= 19738 THEN 2 ELSE 1 END AS BIGINT) AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT event_type, day, cnt,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM c),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    (sum(cnt) FILTER (WHERE rn <= 7) * 1000) // 7 AS base_milli
+         |  FROM r GROUP BY 1 HAVING count(*) > 7),
+         |walk(event_type, rn, sp, sn, msp, msn, cp, dir) AS (
+         |  SELECT event_type, CAST(7 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(-1 AS BIGINT), 0 FROM m
+         |  UNION ALL
+         |  SELECT w.event_type, w.rn + 1,
+         |    CASE WHEN w.cp >= 0 THEN w.sp ELSE $up END,
+         |    CASE WHEN w.cp >= 0 THEN w.sn ELSE $dn END,
+         |    CASE WHEN w.cp >= 0 THEN w.msp ELSE greatest(w.msp, $up) END,
+         |    CASE WHEN w.cp >= 0 THEN w.msn ELSE greatest(w.msn, $dn) END,
+         |    CASE WHEN w.cp >= 0 THEN w.cp
+         |      WHEN $up > $h THEN r.day WHEN $dn > $h THEN r.day
+         |      ELSE CAST(-1 AS BIGINT) END,
+         |    CASE WHEN w.cp >= 0 THEN w.dir
+         |      WHEN $up > $h THEN 1 WHEN $dn > $h THEN 2 ELSE 0 END
+         |  FROM walk w
+         |  JOIN r ON r.event_type = w.event_type AND r.rn = w.rn + 1
+         |  JOIN m ON m.event_type = w.event_type)
+         |SELECT w.event_type, m.n_days, m.base_milli, w.msp AS max_sp,
+         |  w.msn AS max_sn, CASE WHEN w.cp >= 0 THEN w.cp END AS cp_day,
+         |  CASE w.dir WHEN 1 THEN 'up' WHEN 2 THEN 'down' END AS direction
+         |FROM walk w JOIN m USING (event_type) WHERE w.rn = m.n_days""".stripMargin
+    },
 
     // the same three windowed conditional extrema over the packed
     // ts·2³²+eid order key; NULL comparisons fall through exactly as

@@ -228,6 +228,81 @@ object EventAnalytics {
         round(percentile(col("_gap"), lit(0.9)), 6).as("p90"))
   }
 
+  /** CUSUM changepoint detection over daily event counts — "did this
+    * event type's volume shift, and on which day?" (Page's cumulative-sum
+    * chart, the classic sequential level-shift detector). Everything is
+    * exact integer milli-units so the recurrence is bit-identical on any
+    * engine: the first `burnDays` observed days fix the baseline mean
+    * `b = (Σ cnt · 1000) div burnDays`; then per subsequent day
+    * `S⁺ = max(0, S⁺ + cnt·1000 − b − k)` and
+    * `S⁻ = max(0, S⁻ + b − cnt·1000 − k)` with slack
+    * `k = b·slackPct div 100`, and the changepoint is the first day either
+    * side exceeds `h = b·threshPct div 100` (upward shift wins a
+    * same-day tie).
+    *
+    * Scale shape: the (type, day) count aggregation is massively reducing
+    * (the whole corpus collapses to types × days rows); the per-type fold
+    * runs over a `sort_array(collect_list(...))` array bounded by CALENDAR
+    * DAYS — a bound that holds at any corpus size — as a single
+    * `aggregate` expression, never a driver loop or a self-join.
+    *
+    * Output per type with > `burnDays` observed days: `(event_type,
+    * n_days, base_milli, max_sp, max_sn, cp_day, direction)`; `cp_day` is
+    * the epoch day of first crossing (null = no shift), `direction` is
+    * 'up' / 'down' / null. */
+  def cusumChangepoint(events: DataFrame, typeCol: String, tsCol: String,
+      burnDays: Int = 60, slackPct: Int = 10, threshPct: Int = 400): DataFrame = {
+    require(burnDays >= 1 && slackPct >= 0 && threshPct > 0,
+      s"bad CUSUM params: burn=$burnDays slack=$slackPct thresh=$threshPct")
+    events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"cast($tsCol as bigint) div 86400").as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("_day").as("day"),
+        col("_cnt").as("cnt")))).as("_arr"))
+      .filter(size(col("_arr")) > burnDays)
+      .withColumn("n_days", size(col("_arr")).cast("long"))
+      .withColumn("base_milli", expr(
+        s"aggregate(slice(_arr, 1, $burnDays), 0L, (a, x) -> a + x.cnt) * 1000 div $burnDays"))
+      .withColumn("_st", expr(
+        s"""aggregate(
+           |  slice(_arr, $burnDays + 1, size(_arr) - $burnDays),
+           |  named_struct('sp', 0L, 'sn', 0L, 'msp', 0L, 'msn', 0L,
+           |               'cp', -1L, 'dir', 0),
+           |  (s, x) -> CASE WHEN s.cp >= 0 THEN s ELSE
+           |    named_struct(
+           |      'sp', greatest(0L, s.sp + x.cnt * 1000 - base_milli
+           |              - base_milli * $slackPct div 100),
+           |      'sn', greatest(0L, s.sn + base_milli - x.cnt * 1000
+           |              - base_milli * $slackPct div 100),
+           |      'msp', greatest(s.msp, greatest(0L, s.sp + x.cnt * 1000
+           |              - base_milli - base_milli * $slackPct div 100)),
+           |      'msn', greatest(s.msn, greatest(0L, s.sn + base_milli
+           |              - x.cnt * 1000 - base_milli * $slackPct div 100)),
+           |      'cp', CASE
+           |        WHEN greatest(0L, s.sp + x.cnt * 1000 - base_milli
+           |               - base_milli * $slackPct div 100)
+           |             > base_milli * $threshPct div 100 THEN x.day
+           |        WHEN greatest(0L, s.sn + base_milli - x.cnt * 1000
+           |               - base_milli * $slackPct div 100)
+           |             > base_milli * $threshPct div 100 THEN x.day
+           |        ELSE -1L END,
+           |      'dir', CASE
+           |        WHEN greatest(0L, s.sp + x.cnt * 1000 - base_milli
+           |               - base_milli * $slackPct div 100)
+           |             > base_milli * $threshPct div 100 THEN 1
+           |        WHEN greatest(0L, s.sn + base_milli - x.cnt * 1000
+           |               - base_milli * $slackPct div 100)
+           |             > base_milli * $threshPct div 100 THEN 2
+           |        ELSE 0 END) END)""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("base_milli"),
+        col("_st.msp").as("max_sp"), col("_st.msn").as("max_sn"),
+        when(col("_st.cp") >= 0, col("_st.cp")).as("cp_day"),
+        when(col("_st.dir") === 1, lit("up"))
+          .when(col("_st.dir") === 2, lit("down")).as("direction"))
+  }
+
   /** Exclusion funnel — "first A, then the first B after it, with NO C
     * strictly between": did the user sign up and then purchase WITHOUT
     * hitting an error in between? The exclusion step is the funnel shape

@@ -63,6 +63,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("v", 1L)) == ((1L, None, None, false)))
   }
 
+  private def cusumOf(counts: Seq[Int], typ: String = "a") = {
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)((typ, d.toLong * 86400L)) }
+    EventAnalytics.cusumChangepoint(
+      rows.toDF("event_type", "timestamp"),
+      "event_type", "timestamp", burnDays = 10, slackPct = 10, threshPct = 400)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("base_milli"), Option(r.getAs[Any]("cp_day")),
+        Option(r.getAs[String]("direction")))).toList
+  }
+
+  test("cusumChangepoint flags an upward step a few days after it happens") {
+    // 10/day for 80 days then 30/day: drift 19k milli/day crosses the
+    // 40k threshold on the third shifted day (19k, 38k, 57k)
+    val out = cusumOf(Seq.fill(80)(10) ++ Seq.fill(20)(30))
+    assert(out == List(("a", 10000L, Some(82L), Some("up"))))
+  }
+
+  test("cusumChangepoint flags a downward step and stays quiet on steady series") {
+    // drop 10/day → 2/day at day 80: drift 7k/day crosses 40k on day 85
+    val down = cusumOf(Seq.fill(80)(10) ++ Seq.fill(20)(2))
+    assert(down == List(("a", 10000L, Some(85L), Some("down"))))
+    // steady series with ±1 jitter inside the slack: no changepoint
+    val steady = cusumOf((0 until 100).map(d => 10 + (d % 2)))
+    assert(steady == List(("a", 10500L, None, None)))
+  }
+
+  test("cusumChangepoint drops types with fewer than burn-in days") {
+    assert(cusumOf(Seq.fill(10)(10)) == Nil)
+  }
+
   test("funnelExclusion: C strictly between first A and first B vetoes; outside C does not") {
     val events = Seq(
       // u: signup, error BETWEEN, purchase → excluded, not clean
