@@ -453,6 +453,14 @@ object AnalyticsQueries {
         events(s, d).filter(col("event_type") === "purchase"),
         "context_id", "value")),
 
+    "q_ab_trimmed" -> ((s, d) =>
+      // robust A/B: exact 10%-trimmed and winsorized purchase-value means
+      // per md5 arm, positional rank clipping over value-grain counts —
+      // the whale-proof lift read
+      EventAnalytics.trimmedMeans(
+        events(s, d).filter(col("event_type") === "purchase"),
+        "context_id", "value")),
+
     "q_quantile_bins" -> ((s, d) =>
       // exact octile binning of event values: thresholds from one bounded
       // percentile aggregate, assignment as a codegen'd comparison sum —
@@ -2019,6 +2027,49 @@ object AnalyticsQueries {
          |  CAST(sum(na * (cumb * 2 + nb)) AS BIGINT) AS u2_a,
          |  CAST(sum(nb * (cuma * 2 + na)) AS BIGINT) AS u2_b
          |FROM c""".stripMargin,
+
+    // trimmed/winsorized means replayed over the same value-grain table:
+    // per-grain kept mass is the rank-interval intersection, cut values
+    // are the grains containing ranks k+1 and n−k; all integer div
+    "q_ab_trimmed" ->
+      s"""WITH e AS (SELECT
+         |    ${Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CAST(round(value * 1000) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT vm,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM e GROUP BY 1),
+         |c AS (SELECT g.*,
+         |    CAST(coalesce(sum(na) OVER w, 0) AS BIGINT) AS cuma,
+         |    CAST(coalesce(sum(nb) OVER w, 0) AS BIGINT) AS cumb,
+         |    CAST(sum(na) OVER () AS BIGINT) AS n_a,
+         |    CAST(sum(nb) OVER () AS BIGINT) AS n_b
+         |  FROM g WINDOW w AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING)),
+         |k AS (SELECT c.*, n_a * 10 // 100 AS ka, n_b * 10 // 100 AS kb,
+         |    greatest(0, least(cuma + na, n_a - n_a * 10 // 100)
+         |      - greatest(cuma, n_a * 10 // 100)) AS keepa,
+         |    greatest(0, least(cumb + nb, n_b - n_b * 10 // 100)
+         |      - greatest(cumb, n_b * 10 // 100)) AS keepb
+         |  FROM c)
+         |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         |  max(ka) AS trim_k_a, max(kb) AS trim_k_b,
+         |  CAST(sum(na * vm) // max(n_a) AS BIGINT) AS mean_a_milli,
+         |  CAST(sum(nb * vm) // max(n_b) AS BIGINT) AS mean_b_milli,
+         |  CAST(sum(keepa * vm) // (max(n_a) - max(ka) * 2) AS BIGINT) AS trimmed_a_milli,
+         |  CAST(sum(keepb * vm) // (max(n_b) - max(kb) * 2) AS BIGINT) AS trimmed_b_milli,
+         |  CAST((sum(keepa * vm) + max(ka) *
+         |      (min(CASE WHEN cuma + na > ka THEN vm END)
+         |       + min(CASE WHEN cuma + na >= n_a - ka THEN vm END)))
+         |    // max(n_a) AS BIGINT) AS winsor_a_milli,
+         |  CAST((sum(keepb * vm) + max(kb) *
+         |      (min(CASE WHEN cumb + nb > kb THEN vm END)
+         |       + min(CASE WHEN cumb + nb >= n_b - kb THEN vm END)))
+         |    // max(n_b) AS BIGINT) AS winsor_b_milli,
+         |  CAST(sum(keepb * vm) // (max(n_b) - max(kb) * 2)
+         |    - sum(keepa * vm) // (max(n_a) - max(ka) * 2) AS BIGINT) AS trimmed_diff_milli
+         |FROM k""".stripMargin,
 
     // same interpolated-percentile definition (h = p·(n−1)) on both
     // engines; bin = count of thresholds at or below the value

@@ -1097,6 +1097,80 @@ object EventAnalytics {
         sum(col("_nb") * (col("_cumA") * 2 + col("_na"))).as("u2_b"))
   }
 
+  /** Robust A/B comparison: EXACT trimmed and winsorized means per arm —
+    * the outlier-proof read of a revenue experiment (one whale in arm B
+    * should not decide the launch; the plain mean lets it). `trimPct`% of
+    * each tail is dropped (trimmed) or clamped to the cut values
+    * (winsorized); all means are integer milli-units of the value column,
+    * computed from VALUE-GRAIN counts exactly like [[mannWhitneyU]]: the
+    * corpus collapses to one row per distinct milli-value first, so the
+    * single-partition rank window runs over the bounded distinct-value
+    * table, never the event table. Rank clipping per grain is
+    * `max(0, min(cum+cnt, n−k) − max(cum, k))` — exact positional trim,
+    * ties handled by count mass, no row numbering.
+    *
+    * Output: ONE row — per-arm n, trim count k, plain/trimmed/winsorized
+    * means (milli, truncating div), and `trimmed_diff_milli` (B − A). */
+  def trimmedMeans(events: DataFrame, ctxCol: String, valueCol: String,
+      trimPct: Int = 10, salt: String = "ab"): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"trimPct must be in [0,50), got $trimPct")
+    val arm = pmod(graft.pipeline.Hashing.md5Long(
+      concat(lit(s"$salt:"), col(ctxCol).cast("string"))), lit(2L))
+    val g = events
+      .select(arm.as("_arm"),
+        expr(s"cast(round($valueCol * 1000) as bigint)").as("_vm"))
+      .groupBy("_vm")
+      .agg(sum((col("_arm") === 0).cast("long")).as("_na"),
+        sum((col("_arm") === 1).cast("long")).as("_nb"))
+    // single-partition windows over the distinct-value table only (the
+    // mannWhitneyU precedent); totals ride the same window pass
+    val below = Window.orderBy(col("_vm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy(col("_vm"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    val ranked = g
+      .withColumn("_cumA", coalesce(sum(col("_na")).over(below), lit(0L)))
+      .withColumn("_cumB", coalesce(sum(col("_nb")).over(below), lit(0L)))
+      .withColumn("_n_a", sum(col("_na")).over(all))
+      .withColumn("_n_b", sum(col("_nb")).over(all))
+      .withColumn("_k_a", idiv(col("_n_a") * trimPct, lit(100L)))
+      .withColumn("_k_b", idiv(col("_n_b") * trimPct, lit(100L)))
+      .withColumn("_keepA", greatest(lit(0L),
+        least(col("_cumA") + col("_na"), col("_n_a") - col("_k_a")) -
+          greatest(col("_cumA"), col("_k_a"))))
+      .withColumn("_keepB", greatest(lit(0L),
+        least(col("_cumB") + col("_nb"), col("_n_b") - col("_k_b")) -
+          greatest(col("_cumB"), col("_k_b"))))
+    val agg = ranked.agg(
+      max(col("_n_a")).as("n_a"), max(col("_n_b")).as("n_b"),
+      max(col("_k_a")).as("trim_k_a"), max(col("_k_b")).as("trim_k_b"),
+      sum(col("_na") * col("_vm")).as("_totA"),
+      sum(col("_nb") * col("_vm")).as("_totB"),
+      sum(col("_keepA") * col("_vm")).as("_ttA"),
+      sum(col("_keepB") * col("_vm")).as("_ttB"),
+      // winsor cut values: the milli-values at ranks k+1 and n-k
+      min(when(col("_cumA") + col("_na") > col("_k_a"), col("_vm"))).as("_loA"),
+      min(when(col("_cumB") + col("_nb") > col("_k_b"), col("_vm"))).as("_loB"),
+      min(when(col("_cumA") + col("_na") >= col("_n_a") - col("_k_a"),
+        col("_vm"))).as("_hiA"),
+      min(when(col("_cumB") + col("_nb") >= col("_n_b") - col("_k_b"),
+        col("_vm"))).as("_hiB"))
+    agg.select(
+      col("n_a"), col("n_b"), col("trim_k_a"), col("trim_k_b"),
+      idiv(col("_totA"), col("n_a")).as("mean_a_milli"),
+      idiv(col("_totB"), col("n_b")).as("mean_b_milli"),
+      idiv(col("_ttA"), col("n_a") - col("trim_k_a") * 2).as("trimmed_a_milli"),
+      idiv(col("_ttB"), col("n_b") - col("trim_k_b") * 2).as("trimmed_b_milli"),
+      idiv(col("_ttA") + col("trim_k_a") * (col("_loA") + col("_hiA")),
+        col("n_a")).as("winsor_a_milli"),
+      idiv(col("_ttB") + col("trim_k_b") * (col("_loB") + col("_hiB")),
+        col("n_b")).as("winsor_b_milli"),
+      (idiv(col("_ttB"), col("n_b") - col("trim_k_b") * 2) -
+        idiv(col("_ttA"), col("n_a") - col("trim_k_a") * 2))
+        .as("trimmed_diff_milli"))
+  }
+
   /** Unordered SET-COMPLETION funnel: per session, how many of the
     * `steps` types occurred (any order, any multiplicity) and whether all
     * did — the "activation checklist" read (ordered paths are

@@ -63,6 +63,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("v", 1L)) == ((1L, None, None, false)))
   }
 
+  test("trimmedMeans: the whale is trimmed out, winsorized sits between") {
+    // 400 unit-value events + one 1000.0 whale: both arms' 10%-trimmed
+    // means must be exactly 1000 milli; the whale's arm's plain mean is
+    // inflated and its winsorized mean clamps back to 1000
+    val rows = (0 until 400).map(i => (s"u$i", 1.0)) :+ (("whale", 1000.0))
+    val out = EventAnalytics.trimmedMeans(
+      rows.toDF("context_id", "value"), "context_id", "value").collect().head
+    assert(out.getAs[Long]("trimmed_a_milli") == 1000L)
+    assert(out.getAs[Long]("trimmed_b_milli") == 1000L)
+    assert(out.getAs[Long]("trimmed_diff_milli") == 0L)
+    assert(out.getAs[Long]("winsor_a_milli") == 1000L)
+    assert(out.getAs[Long]("winsor_b_milli") == 1000L)
+    assert(math.max(out.getAs[Long]("mean_a_milli"),
+      out.getAs[Long]("mean_b_milli")) > 1000L)
+    assert(out.getAs[Long]("n_a") + out.getAs[Long]("n_b") == 401L)
+  }
+
+  test("trimmedMeans with trimPct=0 degrades to the plain mean") {
+    val rows = (0 until 50).map(i => (s"u$i", (i % 7).toDouble))
+    val out = EventAnalytics.trimmedMeans(
+      rows.toDF("context_id", "value"), "context_id", "value",
+      trimPct = 0).collect().head
+    assert(out.getAs[Long]("trimmed_a_milli") == out.getAs[Long]("mean_a_milli"))
+    assert(out.getAs[Long]("winsor_a_milli") == out.getAs[Long]("mean_a_milli"))
+    assert(out.getAs[Long]("trimmed_b_milli") == out.getAs[Long]("mean_b_milli"))
+    assert(out.getAs[Long]("winsor_b_milli") == out.getAs[Long]("mean_b_milli"))
+  }
+
   private def cusumOf(counts: Seq[Int], typ: String = "a") = {
     val rows = counts.zipWithIndex.flatMap { case (c, d) =>
       Seq.fill(c)((typ, d.toLong * 86400L)) }
