@@ -412,6 +412,12 @@ object PipelineQueries {
       // which the lemma guarantees the filtered join equals byte-for-byte
       Dedup.prefixJaccardJoin(docs(s, d), "doc_id", "text")),
 
+    "q_dedup_sorted_nbhd" -> ((s, d) =>
+      // sorted-neighborhood blocking (merge/purge): global order by the
+      // first-3-token key via the two-phase distributed rank, compare each
+      // doc with its 3 successors, exact 3-gram-Jaccard ppm confirm
+      Dedup.sortedNeighborhoodDups(docs(s, d), "doc_id", "text")),
+
     "q_dedup_minhash_eval" -> ((s, d) =>
       // the banding acceptance row: candidate precision (wasted confirms)
       // and recall (missed true pairs) of the 32×2 LSH vs brute force —
@@ -1951,6 +1957,22 @@ object PipelineQueries {
          |WHERE len(a.s) > 0 AND len(b.s) > 0 AND
          |      len(list_intersect(a.s, b.s)) * 1.0 /
          |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    // global row_number over the same (first-3-token key, id) order; the
+    // distributed two-phase rank must agree with the single window exactly
+    "q_dedup_sorted_nbhd" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |k AS (SELECT doc_id, array_to_string(w[1:3], ' ') AS key,
+         |    $duckShingles3 AS s FROM t),
+         |r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+         |  CAST(len(list_intersect(a.s, b.s)) * 1000000 //
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS BIGINT) AS jaccard_ppm
+         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+         |WHERE len(a.s) > 0 AND len(b.s) > 0 AND
+         |  len(list_intersect(a.s, b.s)) * 1000000 //
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),

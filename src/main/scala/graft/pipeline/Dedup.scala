@@ -443,6 +443,54 @@ object Dedup {
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Sorted-neighborhood dedup (Hernández & Stolfo's merge/purge blocking):
+    * sort the corpus by a cheap discriminating key, compare each record
+    * only against its `windowSize − 1` successors in that order, confirm
+    * with exact n-gram Jaccard. The classic complement to hash blocking
+    * ([[fingerprintJaccardDups]]) and LSH ([[minhashNearDups]]): a sort
+    * key groups near-dups that share a PREFIX even when their fingerprints
+    * and minhashes diverge, and the candidate count is strictly
+    * `(w−1)·n` — no hot-block blowup possible.
+    *
+    * Scale shape: the global ordering comes from [[Ranking.globalRank]]
+    * (range-repartition + per-partition rank + bounded offsets — never a
+    * single-partition window); neighbor candidates are an EQUI-join on the
+    * integer rank (each record exploded to its `w−1` successor ranks), so
+    * the join shuffles balanced longs and the exact-Jaccard confirm runs
+    * on candidate pairs only.
+    *
+    * Output: `(id_1, id_2, rank_dist, jaccard_ppm)` for pairs at or above
+    * `thetaPpm`, ids oriented by rank order (id_1 precedes id_2 in the
+    * sort). */
+  def sortedNeighborhoodDups(df: DataFrame, idCol: String, textCol: String,
+      prefixTokens: Int = 3, windowSize: Int = 4,
+      thetaPpm: Long = 500000L, ngram: Int = 3): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    require(prefixTokens >= 1, s"prefixTokens must be >= 1, got $prefixTokens")
+    val key = array_join(
+      slice(split(trim(col(textCol)), "\\s+"), 1, prefixTokens), " ")
+    val base = df.select(col(idCol).as("_id"), key.as("_key"),
+      shingles(col(textCol), ngram).as("_sh"))
+    val ranked = Ranking.globalRank(base, Seq("_key", "_id"))
+      // the rank join consumes this twice; materialize the (narrow)
+      // ranked table once rather than re-running rank's shuffles per side
+      .select(col("_id"), col("_sh"), col("_rank")).localCheckpoint()
+    val lhs = ranked
+      .withColumn("_d", explode(array((1 until windowSize).map(lit): _*)))
+      .select(col("_id").as("id_1"), col("_sh").as("_s1"),
+        col("_d"), (col("_rank") + col("_d")).as("_rb"))
+    val rhs = ranked.select(col("_id").as("id_2"), col("_sh").as("_s2"),
+      col("_rank").as("_rb"))
+    lhs.join(rhs, "_rb")
+      .filter(size(col("_s1")) > 0 && size(col("_s2")) > 0)
+      .withColumn("_i", size(array_intersect(col("_s1"), col("_s2"))).cast("long"))
+      .withColumn("jaccard_ppm", expr(
+        "_i * 1000000 div (size(_s1) + size(_s2) - _i)"))
+      .filter(col("jaccard_ppm") >= thetaPpm)
+      .select(col("id_1"), col("id_2"), col("_d").cast("long").as("rank_dist"),
+        col("jaccard_ppm"))
+  }
+
   /** Incremental (cross-corpus) dedup — the nightly-refresh shape: decide,
     * for every document in a NEW batch, whether it is novel with respect to
     * an EXISTING corpus and to the rest of the batch. Output is one row per
