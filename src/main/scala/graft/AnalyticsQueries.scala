@@ -538,6 +538,13 @@ object AnalyticsQueries {
       Clustering.triangleStats(
         Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
 
+    "q_graph_lpa" -> ((s, d) =>
+      // deterministic synchronous label propagation, 3 rounds over the
+      // image dup graph: most-frequent neighbor label, min-label ties —
+      // finer than CC (weak bridges stay split), fully replayable
+      Clustering.labelPropagation(
+        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
+
     "q_identity_stitch" -> ((s, d) => {
       // cross-device identity stitching: synthetic device/email keys
       // derived from the context (device collides at ctx ≡ ctx' mod 97,
@@ -2285,6 +2292,28 @@ object AnalyticsQueries {
          |    THEN (2 * coalesce(n_tri, 0) * 1000000) // (degree * (degree - 1))
          |    ELSE 0 END AS BIGINT) AS lcc_ppm
          |FROM dg LEFT JOIN tn USING (node)""".stripMargin,
+
+    // three unrolled synchronous LPA rounds: neighbor-label counts, then
+    // the per-node winner via (count DESC, label) row_number — the same
+    // min-tie argmax the Spark max(struct) computes
+    "q_graph_lpa" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""n$i AS (SELECT e.u AS node, l.label, CAST(count(*) AS BIGINT) AS c
+           |  FROM ed e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY c DESC, label) AS rn FROM n$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h AS ($dhashOracle),
+         |ed0 AS (SELECT a.media_id AS a, b.media_id AS b
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+         |ed AS (SELECT a AS u, b AS v FROM ed0
+         |  UNION ALL SELECT b AS u, a AS v FROM ed0),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+         |$rounds
+         |SELECT node, label AS community FROM l3""".stripMargin
+    },
 
     // identity stitching replayed pairwise: the oracle connects EVERY
     // co-keyed context pair and min-labels via the recursive walk — the

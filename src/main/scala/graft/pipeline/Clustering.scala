@@ -286,6 +286,49 @@ object Clustering {
     r.select(col("node"), col("r").as("rank_ppm"))
   }
 
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007, made
+    * deterministic): `iters` rounds where every node adopts the most
+    * frequent label among its NEIGHBORS as of the previous round, ties
+    * broken by smallest label. Communities are finer-grained than
+    * [[connectedComponents]] — a chain of weak bridges stays split where
+    * CC would collapse it — which is the read you want when a dup graph
+    * mixes tight re-upload cliques with accidental one-edge matches.
+    * The async/randomized variant converges faster but is run-dependent;
+    * the synchronous min-tie variant is reproducible on any engine and
+    * partitioning, which is what an oracle-checked pipeline needs.
+    *
+    * Scale shape: each round is one join (edge ⋈ labels, both keyed on
+    * the node id) plus two aggregations (neighbor-label counts, then the
+    * per-node argmax via a `max(struct(count, −label))` — never a window
+    * over the node's neighbor list); rounds are materialized to cut
+    * lineage exactly like [[pageRank]].
+    *
+    * Output: `(node, community)` — the label after `iters` rounds. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val dir = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var labels = dir.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    (1 to iters).foreach { _ =>
+      labels = dir
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("u").as("node"), (-col("_m._nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Per-node triangle count and LOCAL CLUSTERING COEFFICIENT over an
     * undirected pair graph — the community-density read of a dup graph:
     * a tight clique of re-uploads closes its triangles (coefficient → 1),

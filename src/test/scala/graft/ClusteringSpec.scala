@@ -167,4 +167,19 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
   }
+
+  test("labelPropagation splits bridged triangles that CC would merge") {
+    import spark.implicits._
+    // two triangles joined by the single bridge 3–4: one CC component,
+    // but 3 synchronous min-tie LPA rounds keep two communities
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val lpa = Clustering.labelPropagation(edges, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    val cc = Clustering.connectedComponents(edges, "a", "b")
+      .select("cluster_id").distinct().count()
+    assert(cc == 1L)
+  }
 }
