@@ -239,6 +239,19 @@ object PipelineQueries {
             TextAnalysis.tokenCount(col("text")).cast("long")).as("tok"))
     }),
 
+    "q_csv_ingest" -> ((s, d) => {
+      // CSV intake through the REAL Univocity parser (from_csv, RFC-4180
+      // "" escapes): the text field carries an embedded comma AND quotes,
+      // %13 rows get extra columns (malformed), %19 rows an empty text
+      // (missing_field); the oracle only knows the id rules + original text
+      val lines = CsvIngest.syntheticCsv(
+        docs(s, d), "doc_id", "text", "lang", "n_chars")
+      CsvIngest.parseCsv(lines, "line")
+        .select(col("orig_id"), col("status"),
+          when(col("status") === "ok", col("text")).as("text_out"),
+          when(col("status") =!= "malformed", col("n_chars")).as("n_chars_out"))
+    }),
+
     "q_html_extract" -> ((s, d) =>
       // HTML → text: wrap each doc in a full page (head/title, script,
       // style, comment, entities, markup splitting the body) and extract;
@@ -1538,6 +1551,19 @@ object PipelineQueries {
          |  CASE WHEN doc_id % 13 = 0 OR doc_id % 19 = 0 THEN NULL
          |       ELSE CAST(len($toks) AS BIGINT) END AS tok
          |FROM documents""".stripMargin,
+
+    // the oracle rebuilds the hostile text analytically from documents —
+    // the '""' escaping round trip is entirely the engine's to prove
+    "q_csv_ingest" ->
+      """SELECT doc_id AS orig_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'malformed'
+        |       WHEN doc_id % 19 = 0 THEN 'missing_field'
+        |       ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 13 = 0 OR doc_id % 19 = 0 THEN NULL
+        |       ELSE 'c:' || text || ', "q' || doc_id || '"' END AS text_out,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE n_chars END AS n_chars_out
+        |FROM documents""".stripMargin,
 
     "q_ingest_e2e" ->
       """WITH e AS (SELECT doc_id,
