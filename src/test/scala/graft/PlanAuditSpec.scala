@@ -952,6 +952,50 @@ class PlanAuditSpec extends AnyFunSuite {
       mw.contains("Window"), mw)
   }
 
+  test("round-9 continuation: one-exchange exclusion funnel, range-ranked SND, shuffle-only graphs") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val src = new graft.sources.TestDataSource(spark, dir)
+    val ev = src.allEvents
+    val docs = src.table("documents")
+    def simple(df: DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // exclusion funnel: three same-key windows + the context collapse ride
+    // ONE hash(context) exchange; no join anywhere
+    val fx = simple(graft.pipeline.EventAnalytics.funnelExclusion(ev,
+      "context_id", "timestamp", "event_id", "event_type",
+      "signup", "purchase", "error"))
+    assert("Exchange".r.findAllIn(fx).length == 1 && !fx.contains("Join"), fx)
+    // trimmed means: value-grain aggregate, then single-partition windows
+    // over the GRAIN table only — no join, at most 2 exchanges
+    val tm = simple(graft.pipeline.EventAnalytics.trimmedMeans(
+      ev, "context_id", "value"))
+    assert(!tm.contains("Join") && "Exchange".r.findAllIn(tm).length <= 2, tm)
+    // CUSUM: two aggregations (partial+final), fold is an expression —
+    // no window, no join
+    val cp = simple(graft.pipeline.EventAnalytics.cusumChangepoint(
+      ev, "event_type", "timestamp", burnDays = 7))
+    assert(!cp.contains("Join") && !cp.contains("Window"), cp)
+    // sorted-neighborhood: the global rank is RANGE partitioning (never a
+    // single-partition window over the corpus); candidates equi-join
+    val sndRank = simple(graft.pipeline.Ranking.globalRank(
+      docs.selectExpr("doc_id", "text as _key"), Seq("_key", "doc_id")))
+    assert(sndRank.contains("rangepartitioning"), sndRank)
+    val snd = simple(graft.pipeline.Dedup.sortedNeighborhoodDups(
+      docs, "doc_id", "text"))
+    assert(!snd.contains("CartesianProduct") &&
+      !snd.contains("BroadcastNestedLoopJoin"), snd)
+    // identity edges: star edges via groupBy-min + key equi-join — linear,
+    // no cartesian, no window
+    val ie = simple(graft.pipeline.Identity.identityEdges(
+      ev.selectExpr("context_id", "concat('d', cast(context_id as long) % 7) as dev"),
+      "context_id", Seq("dev")))
+    assert(!ie.contains("CartesianProduct") && !ie.contains("Window"), ie)
+    // label propagation: shuffle-only rounds — aggregate argmax, no window
+    val edges = spark.range(20).selectExpr("id as a", "id + 1 as b")
+    val lpa = simple(graft.pipeline.Clustering.labelPropagation(edges, "a", "b", 2))
+    assert(!lpa.contains("Window") && !lpa.contains("CartesianProduct"), lpa)
+  }
+
   test("audio fingerprints: one per-media window, no self-join; match joins fp keys, argmax is an aggregate") {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
