@@ -57,6 +57,20 @@ object PipelineQueries {
       TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("tok_bpe"),
       TextAnalysis.distinctWords(col("text")).cast("long").as("n_distinct"))),
 
+    "q_text_normalize" -> ((s, d) => docs(s, d).select(
+      // canonical form: the fixture prefixes DECOMPOSED é (e + U+0301),
+      // uppercase, and doubled spaces; NFC (native expression) + lower +
+      // whitespace collapse must agree with DuckDB's nfc_normalize chain,
+      // and the codepoint length must shrink by exactly the NFC merge
+      col("doc_id"),
+      TextAnalysis.normalizeText(concat(lit("Cafe\u0301  NR"),
+        col("doc_id").cast("string"), lit("  "), col("text"))).as("norm"),
+      length(concat(lit("Cafe\u0301  NR"), col("doc_id").cast("string"),
+        lit("  "), col("text"))).cast("long").as("len_before"),
+      length(TextAnalysis.normalizeText(concat(lit("Cafe\u0301  NR"),
+        col("doc_id").cast("string"), lit("  "), col("text"))))
+        .cast("long").as("len_after"))),
+
     "q_text_quality" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))),
@@ -1408,6 +1422,19 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tok_bpe,
          |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct
          |FROM documents""".stripMargin,
+
+    // DuckDB's own nfc_normalize defines the canonical form the native
+    // expression must reproduce; lengths are codepoints on both engines
+    "q_text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |    'Cafe' || chr(769) || '  NR' || doc_id || '  ' || text AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g')) AS norm,
+        |  CAST(length(raw) AS BIGINT) AS len_before,
+        |  CAST(length(trim(regexp_replace(lower(nfc_normalize(raw)),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS len_after
+        |FROM r""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id, round(

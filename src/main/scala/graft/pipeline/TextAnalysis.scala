@@ -14,6 +14,18 @@ object TextAnalysis {
   /** Whitespace token array. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Canonical text form for dedup/fingerprinting: Unicode NFC (via the
+    * native codegen'd [[graft.functions.UnicodeNormalize]] expression —
+    * precomposed and combining-mark spellings of the same text become one
+    * string), then lowercase, then whitespace collapsed to single spaces
+    * and trimmed. Pure map-side projection. */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(lower(
+      org.apache.spark.sql.graft.bridge.columnOf(
+        graft.functions.UnicodeNormalize(
+          org.apache.spark.sql.graft.bridge.expressionOf(text), form))),
+      "\\s+", " "))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
