@@ -545,6 +545,20 @@ object AnalyticsQueries {
       Clustering.labelPropagation(
         Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
 
+    "q_identity_sessions" -> ((s, d) => {
+      // the cross-device journey: events REKEYED onto stitched identities
+      // (same dev/email fixture as q_identity_stitch), then gap-
+      // sessionized at identity grain — visits that span two devices of
+      // one person become ONE session, the read raw context ids can't give
+      val ev = events(s, d).select(col("context_id"), col("timestamp"),
+        col("event_id"),
+        concat(lit("d"), col("context_id").cast("long") * 7 % 97).as("dev"),
+        concat(lit("e"), col("context_id").cast("long") * 11 % 89).as("em"))
+      EventAnalytics.sessionize(
+        Identity.rekey(ev, "context_id", Seq("dev", "em")),
+        "identity_id", "timestamp", "event_id", gapSec = 21600L)
+    }),
+
     "q_identity_stitch" -> ((s, d) => {
       // cross-device identity stitching: synthetic device/email keys
       // derived from the context (device collides at ctx ≡ ctx' mod 97,
@@ -835,6 +849,33 @@ object AnalyticsQueries {
         .agg(countDistinct(col("p_eid")).as("touched_purchases"),
           sum(call_function("div", col("cents") * 1000000L, col("n_touches")))
             .as("credit_microcents"))
+    }),
+
+    "q_attribution_decay" -> ((s, d) => {
+      // TIME-DECAY multi-touch attribution: each touch in the 7-day
+      // lookback weighs 2^(7 − age_days) — halving per day, EXACT in
+      // integers (no float decay), so credits split deterministically:
+      // credit = cents·1e6·w div Σw per purchase. Same one context join +
+      // per-purchase window as the linear model
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("context_id"), col("event_id").as("p_eid"),
+          col("timestamp").as("p_ts"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("context_id"), col("timestamp").as("t_ts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("channel"))
+      purchases.join(touches, Seq("context_id"))
+        .filter(col("t_ts") <= col("p_ts") && col("t_ts") >= col("p_ts") - 604800L)
+        .withColumn("_w",
+          expr("shiftleft(1L, cast(7 - (p_ts - t_ts) div 86400 as int))"))
+        .withColumn("_sumw",
+          sum(col("_w")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("context_id"), col("p_eid"))))
+        .groupBy(col("channel"))
+        .agg(countDistinct(col("p_eid")).as("touched_purchases"),
+          sum(call_function("div", col("cents") * 1000000L * col("_w"),
+            col("_sumw"))).as("credit_microcents"))
     }),
 
     "q_attribution" -> ((s, d) => {
@@ -1330,6 +1371,27 @@ object AnalyticsQueries {
         |SELECT channel, CAST(count(DISTINCT p_eid) AS BIGINT) AS touched_purchases,
         |  CAST(sum((cents * 1000000) // n) AS BIGINT) AS credit_microcents
         |FROM m GROUP BY 1""".stripMargin,
+
+    // time-decay attribution replayed: integer 2^(7−age) weights, the
+    // per-purchase weight sum as a window, truncating credit division
+    "q_attribution_decay" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS ctx, event_id AS p_eid,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT CAST(user_id AS VARCHAR) AS ctx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t_ts,
+        |    arg_max(event_type, event_id) AS channel
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |m AS (SELECT p.ctx, p.p_eid, p.cents, tc.channel,
+        |    CAST(1 << CAST(7 - (p.p_ts - tc.t_ts) // 86400 AS INTEGER) AS BIGINT) AS w
+        |  FROM p JOIN tc ON tc.ctx = p.ctx
+        |    AND tc.t_ts <= p.p_ts AND tc.t_ts >= p.p_ts - 604800),
+        |ws AS (SELECT *, CAST(sum(w) OVER (PARTITION BY ctx, p_eid) AS BIGINT) AS sumw
+        |  FROM m)
+        |SELECT channel, CAST(count(DISTINCT p_eid) AS BIGINT) AS touched_purchases,
+        |  CAST(sum((cents * 1000000 * w) // sumw) AS BIGINT) AS credit_microcents
+        |FROM ws GROUP BY 1""".stripMargin,
 
     // last-touch attribution: per purchase, the latest deduped touch in
     // the 7-day lookback (inclusive both ends, ties impossible after the
@@ -2314,6 +2376,38 @@ object AnalyticsQueries {
          |$rounds
          |SELECT node, label AS community FROM l3""".stripMargin
     },
+
+    // the stitched labeling replayed (recursive walk), then the standard
+    // sessionization windows at identity grain
+    "q_identity_sessions" ->
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id AS id FROM events),
+        |k AS (SELECT id, (id*7)%97 AS dev, (id*11)%89 AS em FROM u),
+        |pd AS (SELECT a.id AS u, b.id AS v FROM k a JOIN k b
+        |       ON a.dev = b.dev AND a.id <> b.id),
+        |pe AS (SELECT a.id AS u, b.id AS v FROM k a JOIN k b
+        |       ON a.em = b.em AND a.id <> b.id),
+        |e AS (SELECT u, v FROM pd UNION SELECT u, v FROM pe),
+        |walk(id, label) AS (
+        |  SELECT id, id FROM u
+        |  UNION
+        |  SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.id
+        |  WHERE w.label < e.v),
+        |lab AS (SELECT id, min(label) AS identity_id FROM walk GROUP BY id),
+        |ev AS (SELECT l.identity_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_id AS eid
+        |  FROM events JOIN lab l ON events.user_id = l.id),
+        |s AS (SELECT identity_id, t, eid,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY identity_id ORDER BY t, eid)),
+        |x AS (SELECT identity_id, t,
+        |    CAST(SUM(ns) OVER (PARTITION BY identity_id ORDER BY t, eid
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM s)
+        |SELECT identity_id, session_idx, min(t) AS start_ts, max(t) AS end_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(t) - min(t) AS duration_s
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // identity stitching replayed pairwise: the oracle connects EVERY
     // co-keyed context pair and min-labels via the recursive walk — the
