@@ -191,6 +191,12 @@ object AnalyticsQueries {
           try_element_at(col("step_ts"), lit(3)).as("s3_ts"),
           col("steps_done"), col("converted"))),
 
+    "q_autocorr" -> ((s, d) =>
+      // lag-1 / lag-7 autocorrelation of each type's daily counts, exact
+      // signed ppm from scaled-integer centering — the seasonality read
+      EventAnalytics.dailyAutocorrelation(events(s, d),
+        "event_type", "timestamp")),
+
     "q_changepoint" -> ((s, d) => {
       // CUSUM level-shift detection: the uniform testdata has no shift of
       // its own, so the fixture doubles every event from 2024-01-16
@@ -242,6 +248,20 @@ object AnalyticsQueries {
         .select(col("n_sessions"), col("reached_a"), col("converted"),
           expr("(converted * 1000000) div n_sessions").as("conv_ppm"),
           expr("case when reached_a = 0 then 0 else (converted * 1000000) div reached_a end").as("conv_of_a_ppm"))),
+
+    "q_funnel_weekly" -> ((s, d) =>
+      // funnel trend: conversion of signup-reached sessions bucketed by
+      // the epoch week of the first touch — the report that shows a
+      // funnel regressing over time rather than in aggregate
+      EventAnalytics.sessionFunnel(events(s, d),
+        "context_id", "timestamp", "event_id", "event_type",
+        gapSec = 21600L, stepA = "signup", stepB = "purchase")
+        .filter(col("a_ts").isNotNull)
+        .groupBy(expr("a_ts div 604800").as("week"))
+        .agg(count(lit(1)).as("reached_a"),
+          count(col("b_ts")).as("converted"))
+        .select(col("week"), col("reached_a"), col("converted"),
+          expr("(converted * 1000000) div reached_a").as("conv_ppm"))),
 
     "q_event_transitions" -> ((s, d) =>
       // Markov transition matrix over each context's event order, row
@@ -1532,6 +1552,40 @@ object AnalyticsQueries {
     // sessions stay visible
     "q_session_funnel" -> sessionFunnelOracle,
 
+    // positional-lag products over the ranked day series; ppm division
+    // sign-split because DuckDB's // floors while Spark's div truncates
+    "q_autocorr" -> {
+      def lagCte(k: Int) =
+        s"""n$k AS (SELECT a.event_type, CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+           |  FROM r a JOIN r b ON a.event_type = b.event_type
+           |    AND a.rn = b.rn + $k GROUP BY 1)""".stripMargin
+      def rCol(k: Int) =
+        s"""CASE WHEN dn.den = 0 OR n$k.num IS NULL THEN NULL
+           |  WHEN n$k.num >= 0 THEN (n$k.num * 1000000) // dn.den
+           |  ELSE -(((-n$k.num) * 1000000) // dn.den) END AS r${k}_ppm""".stripMargin
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+         |c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |d AS (SELECT c.event_type, c.day, c.cnt * m.n - m.tot AS dev
+         |  FROM c JOIN m USING (event_type)),
+         |r AS (SELECT d.*, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY day) AS rn FROM d),
+         |dn AS (SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS den
+         |  FROM d GROUP BY 1),
+         |${lagCte(1)},
+         |${lagCte(7)}
+         |SELECT m.event_type, m.n AS n_days,
+         |  (m.tot * 1000) // m.n AS mean_milli,
+         |  ${rCol(1)},
+         |  ${rCol(7)}
+         |FROM m JOIN dn USING (event_type)
+         |LEFT JOIN n1 ON n1.event_type = m.event_type
+         |LEFT JOIN n7 ON n7.event_type = m.event_type""".stripMargin
+    },
+
     // the CUSUM recurrence replayed as a recursive CTE: one walk row per
     // (type, day) past the 7-day burn-in, state FROZEN at first crossing
     // exactly as the Spark fold freezes; the doubled-after-19875 fixture
@@ -1602,6 +1656,14 @@ object AnalyticsQueries {
          |  round(quantile_cont(b_ts - a_ts, 0.5), 6) AS p50,
          |  round(quantile_cont(b_ts - a_ts, 0.9), 6) AS p90
          |FROM sf WHERE converted""".stripMargin,
+
+    "q_funnel_weekly" ->
+      s"""WITH sf AS ($sessionFunnelOracle)
+         |SELECT a_ts // 604800 AS week,
+         |  CAST(count(*) AS BIGINT) AS reached_a,
+         |  CAST(count(b_ts) AS BIGINT) AS converted,
+         |  CAST((count(b_ts) * 1000000) // count(*) AS BIGINT) AS conv_ppm
+         |FROM sf WHERE a_ts IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_funnel_dropoff" ->
       s"""WITH sf AS ($sessionFunnelOracle)

@@ -303,6 +303,55 @@ object EventAnalytics {
           .when(col("_st.dir") === 2, lit("down")).as("direction"))
   }
 
+  /** Lag-k autocorrelation of each type's daily count series — the
+    * seasonality read ("is this metric weekly-periodic?") behind alerting
+    * thresholds and forecast sanity checks. EXACT integer arithmetic: with
+    * `n` observed days and `T = Σ cnt`, the centered deviation is
+    * `d_t = cnt_t·n − T` (scaled by n so centering loses nothing), and
+    * `r_k = (Σ_{t>k} d_t·d_{t−k}) · 1e6 div (Σ d_t²)` in signed ppm
+    * (truncation toward zero on both engines — the SQL spelling
+    * sign-splits `//` to match). Bound: |d| < ~3·10⁹·days keeps the i64
+    * products exact — holds through billions of events/day on year-long
+    * windows; shard longer horizons before correlating.
+    *
+    * Scale shape: identical to [[cusumChangepoint]] — the corpus collapses
+    * to (type, day) counts first; the per-type series is a calendar-bounded
+    * sorted array folded by codegen-friendly array expressions, never a
+    * self-join of the series against its shifted self.
+    *
+    * Output per type: `(event_type, n_days, mean_milli, r1_ppm, r7_ppm)`;
+    * r columns are null when the series is constant (zero variance) or
+    * shorter than the lag. */
+  def dailyAutocorrelation(events: DataFrame, typeCol: String,
+      tsCol: String, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags: $lags")
+    val base = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"cast($tsCol as bigint) div 86400").as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("_day").as("day"),
+        col("_cnt").as("cnt")))).as("_arr"))
+      .withColumn("_n", size(col("_arr")).cast("long"))
+      .withColumn("_tot", expr("aggregate(_arr, 0L, (a, x) -> a + x.cnt)"))
+      // d_t = cnt_t·n − T  (exact centering, no division)
+      .withColumn("_dev", expr("transform(_arr, x -> x.cnt * _n - _tot)"))
+      .withColumn("_den", expr("aggregate(_dev, 0L, (a, x) -> a + x * x)"))
+    val withLags = lags.foldLeft(base) { (df, k) =>
+      df.withColumn(s"_num$k", expr(
+        s"""CASE WHEN _n > $k THEN aggregate(
+           |  zip_with(slice(_dev, $k + 1, cast(_n as int) - $k),
+           |           slice(_dev, 1, cast(_n as int) - $k),
+           |           (a, b) -> a * b), 0L, (a, x) -> a + x) END""".stripMargin))
+        .withColumn(s"r${k}_ppm",
+          when(col("_den") > 0 && col(s"_num$k").isNotNull,
+            expr(s"_num$k * 1000000 div _den")))
+    }
+    withLags.select((Seq(col("event_type"), col("_n").as("n_days"),
+      expr("_tot * 1000 div _n").as("mean_milli")) ++
+      lags.map(k => col(s"r${k}_ppm"))): _*)
+  }
+
   /** Exclusion funnel — "first A, then the first B after it, with NO C
     * strictly between": did the user sign up and then purchase WITHOUT
     * hitting an error in between? The exclusion step is the funnel shape

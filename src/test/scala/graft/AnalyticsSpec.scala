@@ -102,6 +102,20 @@ class AnalyticsSpec extends AnyFunSuite {
         Option(r.getAs[String]("direction")))).toList
   }
 
+  test("dailyAutocorrelation: alternating series is anti-correlated at odd lags, null on constants") {
+    def evOf(counts: Seq[Int], typ: String) = counts.zipWithIndex.flatMap {
+      case (c, d) => Seq.fill(c)((typ, d.toLong * 86400L)) }
+    // period-2 series, n=10: r1 = −(n−1)/n = −900000 ppm, r7 = −3/10
+    val rows = evOf((0 until 10).map(d => if (d % 2 == 0) 10 else 20), "alt") ++
+      evOf(Seq.fill(10)(5), "flat")
+    val out = EventAnalytics.dailyAutocorrelation(
+      rows.toDF("event_type", "timestamp"), "event_type", "timestamp")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((Option(r.getAs[Any]("r1_ppm")), Option(r.getAs[Any]("r7_ppm"))))).toMap
+    assert(out("alt") == ((Some(-900000L), Some(-300000L))))
+    assert(out("flat") == ((None, None)))
+  }
+
   test("cusumChangepoint flags an upward step a few days after it happens") {
     // 10/day for 80 days then 30/day: drift 19k milli/day crosses the
     // 40k threshold on the third shifted day (19k, 38k, 57k)
