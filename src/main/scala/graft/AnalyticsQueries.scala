@@ -352,6 +352,16 @@ object AnalyticsQueries {
       // one codegen'd encode pass, fingerprint over all 64 codes
       Similarity.scalarQuantize(embs(s, d), "vec_id", "embedding")),
 
+    "q_audio_vad" -> ((s, d) =>
+      // voice-activity detection: silent frames by the (g + id) mod 3
+      // rule at peak ≤ 15, active frames provably peak ≥ 1000 (the 6208-
+      // span argument), threshold 1000, gap-merge = frame sessionization;
+      // the oracle needs only the silence rule, never a sample replay
+      Multimodal.voiceActivity(
+        docs(s, d).select(col("doc_id").as("media_id"),
+          Multimodal.syntheticGatedWav(col("doc_id"), 384, 16000).as("bytes")),
+        frameSize = 64, peakThreshold = 1000L)),
+
     "q_audio_frames" -> ((s, d) =>
       // windowed audio QC through the REAL WAV chunk walk: 256 samples cut
       // into four 64-sample frames, per-frame sum/peak/zero-crossings/RMS
@@ -1965,6 +1975,25 @@ object AnalyticsQueries {
 
     // the q_multimodal_wav formula (int16 of u = (id*13 + i*97) % 65536)
     // re-aggregated per 64-sample frame; zero counted non-negative
+    // analytic truth: frame g of doc id is active iff (g + id) mod 3 ≠ 0;
+    // the merge is the standard sessionization window pair on frame index
+    "q_audio_vad" ->
+      """WITH f AS (SELECT doc_id AS media_id, t.g AS g
+        |  FROM documents CROSS JOIN range(0, 6) t(g)
+        |  WHERE (t.g + doc_id) % 3 <> 0),
+        |s AS (SELECT media_id, g,
+        |    CASE WHEN lag(g) OVER w IS NULL OR g - lag(g) OVER w > 1
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM f WINDOW w AS (PARTITION BY media_id ORDER BY g)),
+        |x AS (SELECT media_id, g,
+        |    CAST(SUM(ns) OVER (PARTITION BY media_id ORDER BY g
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg_idx
+        |  FROM s)
+        |SELECT media_id, seg_idx, min(g) AS start_frame, max(g) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  max(g) - min(g) + 1 AS span_frames
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
     "q_audio_frames" ->
       """WITH s AS (SELECT doc_id, unnest(range(0, 256)) AS i FROM documents),
         |v AS (SELECT doc_id, i, CAST(i // 64 AS INTEGER) AS frame_idx,

@@ -1031,6 +1031,67 @@ object Multimodal {
     concat(header, body)
   }
 
+  /** A VALID PCM16 mono WAV with SILENT FRAMES for the VAD gate: 64-sample
+    * frame g of track id is near-silence (samples `u mod 16`, peak ≤ 15)
+    * when `(g + id) mod 3 == 0`, else the full [[syntheticWav]] sequence
+    * `(id·13 + i·97) mod 65536`. An active frame's peak is PROVABLY
+    * ≥ 1000: its 64 samples step by 97 and span 6208 consecutive values
+    * mod 65536, which cannot fit inside the 2000-wide |int16| < 1000
+    * band — so any threshold in (15, 1000] separates the frame classes
+    * analytically, and the oracle needs only the (g + id) mod 3 rule,
+    * never a sample replay. */
+  def syntheticGatedWav(id: Column, nSamples: Int, sampleRate: Int): Column = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val header = lit(bb.array())
+    val body = unhex(concat_ws("", transform(
+      sequence(lit(0L), lit(nSamples.toLong - 1)),
+      i => {
+        val u = pmod(id.cast("long") * 13 + i * 97, lit(65536L))
+        val silent = pmod(shiftright(i, 6) + id.cast("long"), lit(3L)) === 0
+        val v = when(silent, pmod(u, lit(16L))).otherwise(u)
+        concat(hexByte(pmod(v, lit(256L))), hexByte(shiftright(v, 8)))
+      })))
+    concat(header, body)
+  }
+
+  /** Voice-activity detection over PCM16 WAVs — the speech/silence
+    * segmentation a speech-data pipeline runs before transcription or
+    * soundtrack alignment: frames whose peak amplitude reaches
+    * `peakThreshold` are active, consecutive active frames (allowing
+    * gaps of up to `maxGapFrames` inactive frames — the standard
+    * hangover) merge into segments, and segments shorter than
+    * `minFrames` are dropped as clicks.
+    *
+    * Scale shape: the per-frame features come from the one-pass
+    * [[audioFrames]] decoder; the merge IS gap-sessionization on the
+    * frame index ([[EventAnalytics.sessionize]] — one hash(media)
+    * exchange, windows + collapse on the same key).
+    *
+    * Output: `(media_id, seg_idx, start_frame, end_frame, n_active,
+    * span_frames)` — `span_frames` counts bridged gaps, `n_active` only
+    * the active frames. */
+  def voiceActivity(media: DataFrame, frameSize: Int, peakThreshold: Long,
+      maxGapFrames: Int = 0, minFrames: Int = 1): DataFrame = {
+    require(peakThreshold >= 0 && maxGapFrames >= 0 && minFrames >= 1,
+      s"bad VAD params: thr=$peakThreshold gap=$maxGapFrames min=$minFrames")
+    EventAnalytics.sessionize(
+      audioFrames(media, frameSize)
+        .filter(col("peak_abs") >= peakThreshold)
+        .select(col("media_id"), col("frame_idx").cast("long").as("_f")),
+      "media_id", "_f", "_f", gapSec = maxGapFrames + 1L)
+      .filter(col("n_events") >= minFrames)
+      .select(col("media_id"), col("session_idx").as("seg_idx"),
+        col("start_ts").as("start_frame"), col("end_ts").as("end_frame"),
+        col("n_events").as("n_active"),
+        (col("end_ts") - col("start_ts") + 1).as("span_frames"))
+  }
+
   /** A VALID PCM16 mono WAV whose 64-sample frames are pure WALSH TONES:
     * global sample t (= startSample + i) of track id is
     * `1000 · (−1)^popcount((t mod 64) AND K)` with the per-frame tone

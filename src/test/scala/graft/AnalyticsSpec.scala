@@ -102,6 +102,21 @@ class AnalyticsSpec extends AnyFunSuite {
         Option(r.getAs[String]("direction")))).toList
   }
 
+  test("voiceActivity: hangover bridges single-frame gaps, minFrames drops clicks") {
+    // id 0 over 6 frames: silent at g ∈ {0, 3} → active {1,2} and {4,5}
+    val media = Seq(0L).toDF("media_id").select(col("media_id"),
+      Multimodal.syntheticGatedWav(col("media_id"), 384, 16000).as("bytes"))
+    def segs(gap: Int, min: Int) =
+      Multimodal.voiceActivity(media, 64, 1000L, gap, min)
+        .select("seg_idx", "start_frame", "end_frame", "n_active", "span_frames")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(segs(0, 1) == Set((0L, 1L, 2L, 2L, 2L), (1L, 4L, 5L, 2L, 2L)))
+    // one inactive frame bridged: a single 1..5 segment, 4 active of 5
+    assert(segs(1, 1) == Set((0L, 1L, 5L, 4L, 5L)))
+    // both raw segments are 2 frames: minFrames = 3 drops everything
+    assert(segs(0, 3) == Set.empty)
+  }
+
   test("dailyAutocorrelation: alternating series is anti-correlated at odd lags, null on constants") {
     def evOf(counts: Seq[Int], typ: String) = counts.zipWithIndex.flatMap {
       case (c, d) => Seq.fill(c)((typ, d.toLong * 86400L)) }
