@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ast.{AggSpec, TimeGranularity}
 import graft.sources.TestDataSource
-import graft.streaming.{StreamingAggregates, StreamingAnomaly, StreamingEnrich, StreamingJoins, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
+import graft.streaming.{StreamingAggregates, StreamingAnomaly, StreamingEnrich, StreamingExclusion, StreamingJoins, StreamingPipeline, StreamingReplay, StreamingSequence, StreamingSessions, StreamingSketches}
 
 /** CORRECTNESS rows for the Structured Streaming operators: each one is
   * batch-replayed over the testdata via [[streaming.StreamingReplay]]
@@ -30,6 +30,17 @@ object StreamQueries {
         .select(col("link").as("link_value"),
           element_at(col("stepTs"), 1).as("signup_ts"),
           element_at(col("stepTs"), 2).as("purchase_ts"))
+    }),
+
+    "q_stream_funnel_excl" -> ((s, d) => {
+      // streaming exclusion funnel: per-context (first-A, first-B, veto)
+      // state as three packed longs, Update-mode status rows; one
+      // AvailableNow batch folds in (ts, eid) order, so the final rows
+      // equal the batch operator's — the oracle is shared verbatim
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(StreamingExclusion.exclusionFunnel(
+        src.eventsStream, "signup", "purchase", "error").toDF(),
+        mode = "update")
     }),
 
     "q_stream_curate" -> ((s, d) => {
@@ -346,6 +357,10 @@ object StreamQueries {
     // content keys, so first-arrival == min-id survivor and the streaming
     // output equals the batch curation exactly
     "q_stream_curate" -> PipelineQueries.oracleSql("q_pipeline_e2e"),
+
+    // single-batch replay folds in (ts, eid) order → identical to the
+    // batch exclusion funnel's three-window oracle
+    "q_stream_funnel_excl" -> AnalyticsQueries.oracleSql("q_funnel_exclusion"),
 
     // frozen weights trained on the same corpus ⇒ the stream decisions
     // equal the batch DSIR score + resample chain row for row

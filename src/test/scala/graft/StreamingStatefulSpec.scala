@@ -61,6 +61,35 @@ class StreamingStatefulSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("u1", Seq(10L, 20L, 30L))))
   }
 
+  test("streaming exclusion funnel: veto carries across micro-batches, clean conversion stays clean") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "event_type", "timestamp", "event_id")
+    val q = graft.streaming.StreamingExclusion.exclusionFunnel(
+        events, "signup", "purchase", "error")
+      .writeStream.outputMode("update").format("memory").queryName("fxl").start()
+
+    // u1: signup then error in batch 1 — veto set while B is still unseen
+    mem.addData(("u1", "signup", 10L, 1L), ("u1", "error", 15L, 2L),
+      ("u2", "error", 5L, 3L), ("u2", "signup", 10L, 4L))
+    q.processAllAvailable()
+    // batch 2: u1's purchase arrives (already vetoed); u2 converts clean
+    // (its error was BEFORE the signup); a late error after u2's purchase
+    // must not retro-veto
+    mem.addData(("u1", "purchase", 30L, 5L), ("u2", "purchase", 20L, 6L),
+      ("u2", "error", 40L, 7L))
+    q.processAllAvailable()
+    val rows = spark.table("fxl").collect()
+      .map(r => (r.getAs[String]("context_id"), r.getAs[Boolean]("excluded"),
+        r.getAs[Boolean]("converted_clean"))).toSet
+    q.stop()
+    // u1 is vetoed in batch 1 and STAYS vetoed after its purchase; u2 is
+    // pending in batch 1 and converts clean in batch 2 (no retro-veto)
+    assert(rows == Set(("u1", true, false),
+      ("u2", false, false), ("u2", false, true)))
+  }
+
   test("streaming sessions: open session spans batches, closes by event or timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
