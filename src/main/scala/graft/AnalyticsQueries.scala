@@ -191,6 +191,16 @@ object AnalyticsQueries {
           try_element_at(col("step_ts"), lit(3)).as("s3_ts"),
           col("steps_done"), col("converted"))),
 
+    "q_coverage_gaps" -> ((s, d) =>
+      // ingest-hole report over a fixture with injected gaps (days where
+      // (day + len(type)) % 7 == 0 are dropped): span vs observed vs the
+      // exact missing-day list, joined to a string for portable hashing
+      EventAnalytics.coverageGaps(
+        events(s, d).filter(
+          expr("(cast(timestamp as bigint) div 86400 + length(event_type)) % 7 != 0")),
+        "event_type", "timestamp")
+        .withColumn("missing", array_join(col("missing"), ","))),
+
     "q_autocorr" -> ((s, d) =>
       // lag-1 / lag-7 autocorrelation of each type's daily counts, exact
       // signed ppm from scaled-integer centering — the seasonality read
@@ -1561,6 +1571,29 @@ object AnalyticsQueries {
     // and the earliest strictly-later stepB, LEFT-joined so unconverted
     // sessions stay visible
     "q_session_funnel" -> sessionFunnelOracle,
+
+    // expected days via generate_series per type, missing = anti-join;
+    // the same (day + len(type)) % 7 gap injection
+    "q_coverage_gaps" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |f AS (SELECT DISTINCT event_type, day FROM e
+        |  WHERE (day + length(event_type)) % 7 <> 0),
+        |m AS (SELECT event_type, min(day) AS first_day, max(day) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS observed_days FROM f GROUP BY 1),
+        |x AS (SELECT event_type,
+        |    unnest(generate_series(first_day, last_day)) AS day FROM m),
+        |miss AS (SELECT x.event_type, x.day FROM x
+        |  LEFT JOIN f ON f.event_type = x.event_type AND f.day = x.day
+        |  WHERE f.day IS NULL),
+        |ms AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    array_to_string(list_sort(list(day)), ',') AS l
+        |  FROM miss GROUP BY 1)
+        |SELECT m.event_type, m.first_day, m.last_day,
+        |  m.last_day - m.first_day + 1 AS span_days, m.observed_days,
+        |  CAST(coalesce(ms.n, 0) AS BIGINT) AS missing_days,
+        |  coalesce(ms.l, '') AS missing
+        |FROM m LEFT JOIN ms USING (event_type)""".stripMargin,
 
     // positional-lag products over the ranked day series; ppm division
     // sign-split because DuckDB's // floors while Spark's div truncates

@@ -303,6 +303,37 @@ object EventAnalytics {
           .when(col("_st.dir") === 2, lit("down")).as("direction"))
   }
 
+  /** Ingest-coverage gap report: per event type, the observed day span,
+    * how many days inside it are MISSING, and the missing days themselves —
+    * the "did last Tuesday's backfill actually land" check that catches
+    * silent pipeline holes before they poison week-over-week metrics.
+    *
+    * Scale shape: the corpus collapses to distinct (type, day) rows first
+    * (partial-aggregated); the expected-day expansion is a `sequence()`
+    * over the span — CALENDAR-bounded per type — diffed against the
+    * observed set with `array_except` inside one aggregation row per type.
+    * Nothing here scales with event count, only with types × days.
+    *
+    * Output: `(event_type, first_day, last_day, span_days, observed_days,
+    * missing_days, missing)` — days are epoch days, `missing` sorted. */
+  def coverageGaps(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame =
+    events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"cast($tsCol as bigint) div 86400").as("_day"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("event_type")
+      .agg(min(col("_day")).as("first_day"), max(col("_day")).as("last_day"),
+        sort_array(collect_set(col("_day"))).as("_obs"))
+      .withColumn("span_days", col("last_day") - col("first_day") + 1)
+      .withColumn("observed_days", size(col("_obs")).cast("long"))
+      .withColumn("missing",
+        array_except(expr("sequence(first_day, last_day)"), col("_obs")))
+      .select(col("event_type"), col("first_day"), col("last_day"),
+        col("span_days"), col("observed_days"),
+        size(col("missing")).cast("long").as("missing_days"),
+        col("missing"))
+
   /** Lag-k autocorrelation of each type's daily count series — the
     * seasonality read ("is this metric weekly-periodic?") behind alerting
     * thresholds and forecast sanity checks. EXACT integer arithmetic: with
