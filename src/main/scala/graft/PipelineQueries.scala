@@ -445,6 +445,13 @@ object PipelineQueries {
       // doc with its 3 successors, exact 3-gram-Jaccard ppm confirm
       Dedup.sortedNeighborhoodDups(docs(s, d), "doc_id", "text")),
 
+    "q_dedup_eval_sweep" -> ((s, d) =>
+      // the θ curve: one candidate + one truth pass, precision/recall at
+      // 0.3 / 0.5 / 0.7 via exact-ppm Jaccard grains — same bounded
+      // window as the single-θ eval
+      Dedup.minhashEvalSweep(docs(s, d).filter(col("doc_id") < 1000),
+        "doc_id", "text")),
+
     "q_dedup_minhash_eval" -> ((s, d) =>
       // the banding acceptance row: candidate precision (wasted confirms)
       // and recall (missed true pairs) of the 32×2 LSH vs brute force —
@@ -1114,6 +1121,42 @@ object PipelineQueries {
        |  count(*) FILTER (WHERE cand AND j >= 0.5) * 1000000
        |    // count(*) FILTER (WHERE j >= 0.5) AS recall_ppm
        |FROM jac""".stripMargin
+  }
+
+  /** The sweep variant of [[minhashEvalOracle]]: same signature/candidate
+    * CTEs, Jaccard as an exact-ppm integer grain, one output row per θ via
+    * a CROSS JOIN over the threshold list. */
+  private val minhashEvalSweepOracle: String = {
+    val bands = 32
+    def mh(i: Int) =
+      s"list_min(list_transform(h, x -> (${Hashing.permA(i)} * x + ${Hashing.permB(i)}) % $P))"
+    val bhCols = (0 until bands)
+      .map(b => s"${mh(2 * b)} * $P + ${mh(2 * b + 1)} AS bh$b").mkString(",\n    ")
+    val orClause = (0 until bands).map(b => s"a.bh$b = b.bh$b").mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents WHERE doc_id < 1000),
+       |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
+       |hl AS (SELECT doc_id, s, $duckShingleHashes AS h FROM g),
+       |sig AS (SELECT doc_id, s,
+       |    $bhCols
+       |  FROM hl),
+       |jac AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       |    len(list_intersect(a.s, b.s)) * 1000000 //
+       |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jp,
+       |    ($orClause) AS cand
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+       |th AS (SELECT unnest([300000, 500000, 700000]) AS theta_ppm)
+       |SELECT CAST(th.theta_ppm AS BIGINT) AS theta_ppm,
+       |  CAST(count(*) FILTER (WHERE jp >= th.theta_ppm) AS BIGINT) AS n_truth,
+       |  CAST(count(*) FILTER (WHERE cand) AS BIGINT) AS n_candidates,
+       |  CAST(count(*) FILTER (WHERE cand AND jp >= th.theta_ppm) AS BIGINT) AS n_hits,
+       |  CASE WHEN count(*) FILTER (WHERE cand) = 0 THEN NULL
+       |    ELSE CAST(count(*) FILTER (WHERE cand AND jp >= th.theta_ppm) * 1000000
+       |      // count(*) FILTER (WHERE cand) AS BIGINT) END AS precision_ppm,
+       |  CASE WHEN count(*) FILTER (WHERE jp >= th.theta_ppm) = 0 THEN NULL
+       |    ELSE CAST(count(*) FILTER (WHERE cand AND jp >= th.theta_ppm) * 1000000
+       |      // count(*) FILTER (WHERE jp >= th.theta_ppm) AS BIGINT) END AS recall_ppm
+       |FROM jac CROSS JOIN th GROUP BY 1""".stripMargin
   }
 
   /** `k` unrolled BPE merge rounds as chained CTEs, independently
@@ -1967,6 +2010,8 @@ object PipelineQueries {
         |      greatest(len(a.text), len(b.text)) <= 100000""".stripMargin,
 
     "q_dedup_minhash_eval" -> minhashEvalOracle,
+
+    "q_dedup_eval_sweep" -> minhashEvalSweepOracle,
 
     // exact keep-min per normalized content key, then min-label CC
     // survivors over exact-Jaccard pairs among the exact survivors

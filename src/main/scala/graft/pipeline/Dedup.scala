@@ -348,6 +348,68 @@ object Dedup {
         expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
   }
 
+  /** Threshold-SWEEP acceptance report for the banded MinHash index: one
+    * candidate generation, one brute-force truth pass, then
+    * precision/recall at EVERY requested Jaccard threshold — the curve a
+    * dedup operator reads before picking θ, priced at one extra conditional
+    * aggregation per θ rather than |θ| reruns of [[minhashEval]].
+    * Jaccard is compared in EXACT ppm (`inter·1e6 div union`) on both
+    * engines — a float `j >= 0.3` can disagree with the integer grain at
+    * exact-boundary pairs.
+    *
+    * The truth side is O(n²) BY DEFINITION — run it on a bounded id
+    * window like the single-θ eval. Output: one row per θ:
+    * `(theta_ppm, n_truth, n_candidates, n_hits, precision_ppm,
+    * recall_ppm)`; ratios are null when their denominator is 0. */
+  def minhashEvalSweep(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      thetasPpm: Seq[Long] = Seq(300000L, 500000L, 700000L)): DataFrame = {
+    require(thetasPpm.nonEmpty, "sweep needs at least one threshold")
+    val perms = bands * rowsPerBand
+    val hashed = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), ngram).as("sh"))
+    val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms),
+      bands, rowsPerBand)
+    val l = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
+    val r = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_2"))
+    val candIds = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2")
+      .dropDuplicates("id_1", "id_2")
+    def jppm(a: Column, b: Column): Column = {
+      val inter = size(array_intersect(a, b)).cast("long")
+      call_function("div", inter * 1000000L,
+        size(a).cast("long") + size(b).cast("long") - inter)
+    }
+    val sets = hashed
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thetas = thetasPpm.toDF("theta_ppm")
+    val candJ = candIds
+      .join(sets.select(col("id").as("id_1"), col("sh").as("sh_1")), Seq("id_1"))
+      .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")), Seq("id_2"))
+      .filter(size(col("sh_1")) > 0 && size(col("sh_2")) > 0)
+      .select(jppm(col("sh_1"), col("sh_2")).as("jp"))
+      .crossJoin(broadcast(thetas))
+      .groupBy("theta_ppm")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum((col("jp") >= col("theta_ppm")).cast("long")).as("n_hits"))
+    val truthJ = sets.select(col("id").as("id_1"), col("sh").as("sh_1"))
+      .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")),
+        col("id_1") < col("id_2"))
+      .filter(size(col("sh_1")) > 0 && size(col("sh_2")) > 0)
+      .select(jppm(col("sh_1"), col("sh_2")).as("jp"))
+      .crossJoin(broadcast(thetas))
+      .groupBy("theta_ppm")
+      .agg(sum((col("jp") >= col("theta_ppm")).cast("long")).as("n_truth"))
+    candJ.join(truthJ, Seq("theta_ppm"))
+      .select(col("theta_ppm"), col("n_truth"), col("n_candidates"), col("n_hits"),
+        expr("case when n_candidates = 0 then null else (n_hits * 1000000) div n_candidates end")
+          .as("precision_ppm"),
+        expr("case when n_truth = 0 then null else (n_hits * 1000000) div n_truth end")
+          .as("recall_ppm"))
+  }
+
   /** Edit-distance-confirmed near-dups: the [[minhashNearDups]] banded
     * candidate generation with a LEVENSHTEIN confirmation tier instead of
     * shingle Jaccard — the right verifier for small in-place edits (typo
