@@ -493,6 +493,36 @@ object AnalyticsQueries {
         events(s, d).filter(col("event_type") === "purchase"),
         "context_id", "value")),
 
+    "q_ab_did" -> ((s, d) => {
+      // difference-in-differences: purchase-value means per (arm, period)
+      // cell — pre = before epoch day 19738, post = after — and the DiD
+      // estimate (ΔB − ΔA) from the four truncated milli means; the
+      // trend-adjusted lift read when assignment wasn't randomized
+      val arm = pmod(graft.pipeline.Hashing.md5Long(
+        concat(lit("ab:"), col("context_id").cast("string"))), lit(2L))
+      val cells = events(s, d).filter(col("event_type") === "purchase")
+        .select(arm.as("_arm"),
+          (expr("cast(timestamp as bigint) div 86400") < 19738).as("_pre"),
+          expr("cast(round(value * 1000) as bigint)").as("_vm"))
+      def cell(a: Int, pre: Boolean, what: String) = {
+        val in = col("_arm") === a && col("_pre") === pre
+        if (what == "n") sum(in.cast("long"))
+        else sum(when(in, col("_vm")).otherwise(lit(0L)))
+      }
+      cells.agg(
+        cell(0, pre = true, "n").as("n_pre_a"), cell(0, pre = false, "n").as("n_post_a"),
+        cell(1, pre = true, "n").as("n_pre_b"), cell(1, pre = false, "n").as("n_post_b"),
+        cell(0, pre = true, "s").as("_spa"), cell(0, pre = false, "s").as("_soa"),
+        cell(1, pre = true, "s").as("_spb"), cell(1, pre = false, "s").as("_sob"))
+        .select(col("n_pre_a"), col("n_post_a"), col("n_pre_b"), col("n_post_b"),
+          expr("_spa div n_pre_a").as("mean_pre_a_milli"),
+          expr("_soa div n_post_a").as("mean_post_a_milli"),
+          expr("_spb div n_pre_b").as("mean_pre_b_milli"),
+          expr("_sob div n_post_b").as("mean_post_b_milli"),
+          expr("""(_sob div n_post_b - _spb div n_pre_b)
+                  - (_soa div n_post_a - _spa div n_pre_a)""").as("did_milli"))
+    }),
+
     "q_ab_trimmed" -> ((s, d) =>
       // robust A/B: exact 10%-trimmed and winsorized purchase-value means
       // per md5 arm, positional rank clipping over value-grain counts —
@@ -642,6 +672,21 @@ object AnalyticsQueries {
           "context_id", "timestamp", "event_id", gapSec = 21600L)
         .select(col("context_id"), col("timestamp"), col("event_id"),
           col("session_idx"))
+    }),
+
+    "q_salted_join" -> ((s, d) => {
+      // the skew remedy q_key_skew prescribes: lineitem ⋈ supplier salted
+      // 8 ways (row-hash salt on the fact, ×8 replicated dim, join on
+      // (key, salt)) — the result must equal the PLAIN join's multiset,
+      // checked through a revenue rollup per nation
+      val src = new TestDataSource(s, d)
+      val li = src.table("lineitem").select(col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val sup = src.table("supplier").select(
+        col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      SaltedJoin.join(li, sup, "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
     }),
 
     "q_key_skew" -> ((s, d) =>
@@ -1572,6 +1617,15 @@ object AnalyticsQueries {
     // sessions stay visible
     "q_session_funnel" -> sessionFunnelOracle,
 
+    // the UNSALTED join defines the truth — salting must be invisible in
+    // the result
+    "q_salted_join" ->
+      """SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1""".stripMargin,
+
     // expected days via generate_series per type, missing = anti-join;
     // the same (day + len(type)) % 7 gap injection
     "q_coverage_gaps" ->
@@ -2219,6 +2273,33 @@ object AnalyticsQueries {
          |SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
          |  CAST(sum(na * (cumb * 2 + nb)) AS BIGINT) AS u2_a,
          |  CAST(sum(nb * (cuma * 2 + na)) AS BIGINT) AS u2_b
+         |FROM c""".stripMargin,
+
+    // four conditional cells in one aggregate; means truncate per cell
+    // before differencing, exactly as the Spark divs do
+    "q_ab_did" ->
+      s"""WITH e AS (SELECT
+         |    ${Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 < 19738 AS pre,
+         |    CAST(round(value * 1000) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 AND pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_a,
+         |    CAST(sum(CASE WHEN arm = 0 AND NOT pre THEN 1 ELSE 0 END) AS BIGINT) AS n_post_a,
+         |    CAST(sum(CASE WHEN arm = 1 AND pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_b,
+         |    CAST(sum(CASE WHEN arm = 1 AND NOT pre THEN 1 ELSE 0 END) AS BIGINT) AS n_post_b,
+         |    CAST(sum(CASE WHEN arm = 0 AND pre THEN vm ELSE 0 END) AS BIGINT) AS spa,
+         |    CAST(sum(CASE WHEN arm = 0 AND NOT pre THEN vm ELSE 0 END) AS BIGINT) AS soa,
+         |    CAST(sum(CASE WHEN arm = 1 AND pre THEN vm ELSE 0 END) AS BIGINT) AS spb,
+         |    CAST(sum(CASE WHEN arm = 1 AND NOT pre THEN vm ELSE 0 END) AS BIGINT) AS sob
+         |  FROM e)
+         |SELECT n_pre_a, n_post_a, n_pre_b, n_post_b,
+         |  spa // n_pre_a AS mean_pre_a_milli,
+         |  soa // n_post_a AS mean_post_a_milli,
+         |  spb // n_pre_b AS mean_pre_b_milli,
+         |  sob // n_post_b AS mean_post_b_milli,
+         |  (sob // n_post_b - spb // n_pre_b)
+         |    - (soa // n_post_a - spa // n_pre_a) AS did_milli
          |FROM c""".stripMargin,
 
     // trimmed/winsorized means replayed over the same value-grain table:

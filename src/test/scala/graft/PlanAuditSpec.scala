@@ -994,6 +994,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val edges = spark.range(20).selectExpr("id as a", "id + 1 as b")
     val lpa = simple(graft.pipeline.Clustering.labelPropagation(edges, "a", "b", 2))
     assert(!lpa.contains("Window") && !lpa.contains("CartesianProduct"), lpa)
+    // salted join: with broadcast off, the shuffle keys must include the
+    // salt — the whole point is that a hot key spans `salts` partitions
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(1000).selectExpr("id % 3 as k", "id as v")
+      val dim = spark.range(3).selectExpr("id as k", "id * 10 as w")
+      val sj = plan(graft.pipeline.SaltedJoin.join(fact, dim, "k", 8))
+      assert(sj.contains("_salt"), sj)
+      assert(sj.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("_salt")), sj)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
   test("audio fingerprints: one per-media window, no self-join; match joins fp keys, argmax is an aggregate") {
