@@ -556,6 +556,16 @@ object PipelineQueries {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
         lshPrefilter = false)),
 
+    "q_embed_communities" -> ((s, d) =>
+      // semantic communities: the exact cosine pair graph collapsed by 3
+      // deterministic LPA rounds — finer than CC on embedding graphs,
+      // where transitive chains of 0.4-cosine links otherwise fuse
+      // unrelated topics
+      Clustering.labelPropagation(
+        Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding",
+          threshold = 0.4, lshPrefilter = false),
+        "id_1", "id_2")),
+
     "q_dedup_embed_lsh" -> ((s, d) =>
       // kept for bench continuity with rounds 1-2 (≡ q_dedup_embed now)
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
@@ -1333,6 +1343,29 @@ object PipelineQueries {
          |      (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) AS cos
          |  FROM cand JOIN v va ON va.vec_id = cand.id_1 JOIN v vb ON vb.vec_id = cand.id_2)
          |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
+
+    // the exact cosine pair graph, then three unrolled synchronous LPA
+    // rounds (count DESC, label min-tie) — the q_graph_lpa recurrence on
+    // embedding edges
+    "q_embed_communities" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""n$i AS (SELECT e.u AS node, l.label, CAST(count(*) AS BIGINT) AS c
+           |  FROM ed e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY c DESC, label) AS rn FROM n$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS ($qvCte),
+         |p AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.qv, b.qv) /
+         |    (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4),
+         |ed AS (SELECT id_1 AS u, id_2 AS v FROM p
+         |  UNION ALL SELECT id_2 AS u, id_1 AS v FROM p),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+         |$rounds
+         |SELECT node, label AS community FROM l3""".stripMargin
+    },
 
     "q_dedup_embed_lsh" ->
       s"""WITH v AS ($qvCte),
