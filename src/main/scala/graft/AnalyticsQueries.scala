@@ -342,6 +342,18 @@ object AnalyticsQueries {
         "doc_id", "text", "embedding", Seq("dup", "vector"), queryId = 0L,
         k = 15, wTerm = 1000L, wVec = 1L)),
 
+    "q_search_mrr" -> ((s, d) => {
+      // MRR@10 self-retrieval acceptance: every 25th doc's first 3 tokens
+      // as the query, the doc itself the relevant answer — posting-style
+      // token join for candidates, rank = 1 + #better (no sort)
+      val dd = docs(s, d)
+      val qs = dd.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(split(trim(col("text")), "\\s+"), 1, 3).as("terms"),
+          col("doc_id").as("relevant"))
+      Search.mrrEval(dd, "doc_id", "text", qs, "query_id", "terms", "relevant")
+    }),
+
     "q_hybrid_search_batch" -> ((s, d) => {
       // BATCHED hybrid retrieval: 3 queries (terms + vectors as table
       // rows) through ONE job — amortized driver collects, map-side
@@ -2581,6 +2593,29 @@ object AnalyticsQueries {
          |$rounds
          |SELECT node, label AS community FROM l3""".stripMargin
     },
+
+    // self-retrieval truth by cross scan: same overlap score, rank via
+    // count-of-better against the relevant row — no top-k replay needed
+    "q_search_mrr" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |    regexp_split_to_array(trim(text), '\s+') AS raw FROM documents),
+        |q AS (SELECT doc_id AS query_id, list_distinct(raw[1:3]) AS qt
+        |  FROM t WHERE doc_id % 25 = 0),
+        |f AS (SELECT q.query_id, d.doc_id AS did,
+        |    len(list_intersect(q.qt, d.w)) AS sc
+        |  FROM q CROSS JOIN t d
+        |  WHERE len(list_intersect(q.qt, d.w)) > 0),
+        |rel AS (SELECT query_id, sc AS rsc FROM f WHERE did = query_id),
+        |r AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |    CAST(1 + count(*) FILTER (WHERE f.sc > rel.rsc
+        |      OR (f.sc = rel.rsc AND f.did < f.query_id)) AS BIGINT) AS rank
+        |  FROM f JOIN rel USING (query_id) GROUP BY 1)
+        |SELECT q.query_id, CAST(coalesce(r.n_matched, 0) AS BIGINT) AS n_matched,
+        |  r.rank,
+        |  CASE WHEN r.rank IS NOT NULL AND r.rank <= 10
+        |    THEN 1000000 // r.rank ELSE 0 END AS rr_ppm
+        |FROM q LEFT JOIN r USING (query_id)""".stripMargin,
 
     // the stitched labeling replayed (recursive walk), then the standard
     // sessionization windows at identity grain

@@ -110,6 +110,50 @@ object Search {
       .limit(k)
   }
 
+  /** Retrieval-quality evaluation (MRR@k) — the acceptance metric a search
+    * stack reports before anyone trusts its rankings: for each labeled
+    * query, the rank of its known-relevant document under a
+    * distinct-term-overlap score (ties to the smaller doc id), and the
+    * reciprocal rank in ppm (0 when the relevant doc misses the top k or
+    * matches no term).
+    *
+    * Scale shape: candidates come from a TOKEN equi-join (exploded
+    * distinct query terms ⋈ exploded distinct doc tokens — the posting-
+    * list shape, cost ∝ real matches), and the relevant doc's rank is
+    * computed WITHOUT sorting: `rank = 1 + #better` via one aggregation
+    * against the relevant row's score — no per-query window, no top-k
+    * materialization.
+    *
+    * Output: `(query_id, n_matched, rank, rr_ppm)`; `rank` is null when
+    * the relevant doc matches nothing. */
+  def mrrEval(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      relevantCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docToks = docs.select(col(idCol).as("_did"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("_tok"))
+    val qToks = queries.select(col(queryIdCol).as("query_id"),
+      col(relevantCol).as("_rel"),
+      explode(array_distinct(col(termsCol))).as("_tok"))
+    val matched = qToks.join(docToks, Seq("_tok"))
+      .groupBy(col("query_id"), col("_rel"), col("_did"))
+      .agg(count(lit(1)).as("_sc"))
+    val rel = matched.filter(col("_did") === col("_rel"))
+      .select(col("query_id"), col("_sc").as("_rsc"))
+    val base = queries.select(col(queryIdCol).as("query_id"))
+    base
+      .join(matched.join(rel, Seq("query_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_matched"),
+          (lit(1L) + sum((col("_sc") > col("_rsc") ||
+            (col("_sc") === col("_rsc") && col("_did") < col("_rel")))
+            .cast("long"))).as("rank")), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"), col("rank"),
+        when(col("rank").isNotNull && col("rank") <= k,
+          expr(s"1000000 div rank")).otherwise(lit(0L)).as("rr_ppm"))
+  }
+
   /** Capped inverted index: per token, its document frequency, total term
     * frequency, and the first `cap` containing doc ids (ascending) —
     * {{{ token | df | tf | head_ids }}}.
