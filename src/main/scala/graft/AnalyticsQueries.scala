@@ -374,6 +374,28 @@ object AnalyticsQueries {
       // one codegen'd encode pass, fingerprint over all 64 codes
       Similarity.scalarQuantize(embs(s, d), "vec_id", "embedding")),
 
+    "q_media_sniff" -> ((s, d) => {
+      // untyped-media dispatch: eight formats' REAL synthetic blobs (the
+      // same generators the decode gates use), routed purely by file
+      // signature — the oracle knows only the id→format rule, so a wrong
+      // magic match on any generator's bytes fails the row
+      val dd = docs(s, d)
+      def part(m: Int) = dd.filter(col("doc_id") % 8 === m)
+      val blobs = Multimodal.syntheticPngs(part(0), "doc_id", 5, 6)
+        .unionByName(Multimodal.syntheticJpegs(part(1), "doc_id"))
+        .unionByName(Multimodal.syntheticGifs(part(2), "doc_id"))
+        .unionByName(Multimodal.syntheticTiffs(part(3), "doc_id"))
+        .unionByName(Multimodal.syntheticAvis(part(4), "doc_id"))
+        .unionByName(part(5).select(col("doc_id").as("media_id"),
+          Multimodal.syntheticBmp(col("doc_id"), 5, 4).as("bytes")))
+        .unionByName(part(6).select(col("doc_id").as("media_id"),
+          Multimodal.syntheticPpm(col("doc_id"), 5, 4).as("bytes")))
+        .unionByName(part(7).select(col("doc_id").as("media_id"),
+          Multimodal.syntheticWav(col("doc_id"), 64, 16000).as("bytes")))
+      blobs.select(col("media_id"),
+        Multimodal.sniffFormat(col("bytes")).as("format"))
+    }),
+
     "q_audio_vad" -> ((s, d) =>
       // voice-activity detection: silent frames by the (g + id) mod 3
       // rule at peak ≤ 15, active frames provably peak ≥ 1000 (the 6208-
@@ -2074,6 +2096,15 @@ object AnalyticsQueries {
 
     // the q_multimodal_wav formula (int16 of u = (id*13 + i*97) % 65536)
     // re-aggregated per 64-sample frame; zero counted non-negative
+    // the oracle is the routing rule alone — signatures must be read off
+    // the real generator bytes
+    "q_media_sniff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'gif' WHEN 3 THEN 'tiff' WHEN 4 THEN 'avi'
+        |    WHEN 5 THEN 'bmp' WHEN 6 THEN 'ppm' ELSE 'wav' END AS format
+        |FROM documents""".stripMargin,
+
     // analytic truth: frame g of doc id is active iff (g + id) mod 3 ≠ 0;
     // the merge is the standard sessionization window pair on frame index
     "q_audio_vad" ->

@@ -970,6 +970,34 @@ object Multimodal {
     * the DECODED features without decoding anything itself. Built entirely
     * from codegen'd expressions (header literal ++ unhex of generated hex
     * pairs): no UDF, streams at any scale. */
+  /** Magic-byte container sniffing — the dispatcher in front of every
+    * decoder: crawl media arrives untyped (extensions lie, Content-Type
+    * lies more), so the FIRST pass over the blob column routes each row to
+    * its decoder by file signature. Pure `substring`-on-binary Column
+    * expressions — codegen'd, no UDF, no byte copy beyond the prefix
+    * slice; RIFF containers disambiguate on the form tag at offset 9.
+    * WBMP's "signature" (0x00 0x00) is genuinely weak — it is matched
+    * LAST, as real sniffers do. Unknown/short blobs report "unknown". */
+  def sniffFormat(bytes: Column): Column = {
+    def p(n: Int) = substring(bytes, 1, n)
+    def b(xs: Int*) = lit(xs.map(_.toByte).toArray)
+    def s4(off: Int, s: String) = substring(bytes, off, s.length) === lit(s.getBytes("US-ASCII"))
+    when(bytes.isNull || length(bytes) < 2, lit("unknown"))
+      .when(p(8) === b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), lit("png"))
+      .when(p(2) === b(0xff, 0xd8), lit("jpeg"))
+      .when(s4(1, "GIF8"), lit("gif"))
+      .when(p(4) === b('I', 'I', 0x2a, 0x00) ||
+        p(4) === b('M', 'M', 0x00, 0x2a), lit("tiff"))
+      .when(s4(1, "RIFF") && s4(9, "WAVE"), lit("wav"))
+      .when(s4(1, "RIFF") && s4(9, "AVI "), lit("avi"))
+      .when(s4(1, "BM"), lit("bmp"))
+      .when(s4(1, "P6"), lit("ppm"))
+      .when(s4(1, "WARC/"), lit("warc"))
+      .when(p(2) === b(0x1f, 0x8b), lit("gzip"))
+      .when(p(2) === b(0x00, 0x00), lit("wbmp"))
+      .otherwise(lit("unknown"))
+  }
+
   def syntheticPpm(id: Column, w: Int, h: Int): Column = {
     val header = lit(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
     val body = unhex(concat_ws("", transform(

@@ -538,6 +538,41 @@ final class EventStore(val spark: SparkSession, val root: String,
     removed
   }
 
+  /** Retention enforcement: physically drop every event with
+    * `timestamp < cutoffSec` across all event types — the age-based
+    * sibling of [[purgeContext]] (same flush-rewrite-swap discipline,
+    * same commit-marker carry). A log-structured engine ages data out by
+    * dropping whole segments; with the context-sorted Parquet layout the
+    * existence probe and the rewrite filter both push down to row-group
+    * stats, so types with nothing old enough cost a metadata-only scan.
+    *
+    * Returns the number of events removed. */
+  def purgeBefore(cutoffSec: Long): Long = {
+    flush()
+    var removed = 0L
+    listCommittedTypes().filter(schemas.contains).foreach { t =>
+      val dir = dataDir.resolve(t)
+      val hits = committedFrame(t)
+        .filter(col(EventSchema.Timestamp) < cutoffSec).count()
+      if (hits > 0) {
+        removed += hits
+        val tmp = dataDir.resolve(s"$t.purge.tmp")
+        committedFrame(t)
+          .filter(col(EventSchema.Timestamp) >= cutoffSec)
+          .sortWithinPartitions(EventSchema.ContextId, EventSchema.Timestamp, EventSchema.EventId)
+          .write.mode("overwrite").parquet(tmp.toString)
+        EventStore.listDir(dir)
+          .filter(_.getFileName.toString.startsWith("_ingest_"))
+          .foreach(m => Files.copy(m, tmp.resolve(m.getFileName.toString)))
+        val old = dataDir.resolve(s"$t.old")
+        Files.move(dir, old)
+        Files.move(tmp, dir)
+        deleteRecursively(old)
+      }
+    }
+    removed
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       EventStore.listDir(p).foreach(deleteRecursively)

@@ -175,4 +175,22 @@ class StoreSpec extends AnyFunSuite {
     s2.execute("FLUSH")
     assert(frame(s2.execute("QUERY a FOR u1")).count() == 1)
   }
+
+  test("purgeBefore drops only rows older than the cutoff, durable across reopen") {
+    val s = newStore() // injectable clock: stores stamp ts 1001, 1002, ...
+    s.execute("""DEFINE a FIELDS { v: "int" }""")
+    s.execute("""DEFINE b FIELDS { v: "int" }""")
+    s.execute("""STORE a FOR u1 PAYLOAD {"v": 1}""") // ts 1001
+    s.execute("""STORE b FOR u1 PAYLOAD {"v": 2}""") // ts 1002
+    s.execute("""STORE a FOR u2 PAYLOAD {"v": 3}""") // ts 1003
+    s.execute("FLUSH")
+    s.execute("""STORE a FOR u3 PAYLOAD {"v": 4}""") // ts 1004, pending
+    assert(s.purgeBefore(1003L) == 2L) // drops ts 1001 + 1002 (incl. pending flush)
+    assert(frame(s.execute("QUERY a")).collect()
+      .map(_.getAs[String]("context_id")).toSet == Set("u2", "u3"))
+    assert(frame(s.execute("QUERY b")).count() == 0)
+    assert(s.purgeBefore(1003L) == 0L) // idempotent
+    val s2 = new EventStore(spark, s.root)
+    assert(frame(s2.execute("QUERY a")).count() == 2)
+  }
 }
