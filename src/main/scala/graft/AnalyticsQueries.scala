@@ -171,6 +171,20 @@ object AnalyticsQueries {
         dimPrefix = "view_")
     }),
 
+    "q_asof_forward" -> ((s, d) => {
+      // FORWARD as-of: each purchase matched to the NEXT error of the same
+      // context within a day ("did the checkout break right after?") —
+      // the same one-shuffle carry pass scanning descending
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("context_id"), col("event_id"), col("timestamp"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("context_id"), col("timestamp"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      AsOfJoin.asOf(purchases, errors, "context_id", "timestamp", "timestamp",
+        dimPrefix = "err_", toleranceSec = Some(86400L), forward = true)
+    }),
+
     "q_session_funnel" -> ((s, d) =>
       // within-session signup → purchase conversion, first-touch, strict
       // (ts, event_id) order — the session-scoped funnel report
@@ -1630,6 +1644,24 @@ object AnalyticsQueries {
          |  v.vt AS view_timestamp, v.vv AS view_value
          |FROM p ASOF LEFT JOIN v
          |  ON p.context_id = v.context_id AND p.t >= v.vt""".stripMargin,
+
+    // forward truth by bounded join + arg_min: the earliest deduped error
+    // at or after each purchase, within the 1-day tolerance
+    "q_asof_forward" ->
+      s"""WITH er AS (SELECT CAST(user_id AS VARCHAR) AS context_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS et, arg_max(value, event_id) AS ev
+         |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+         |p AS (SELECT CAST(user_id AS VARCHAR) AS context_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT p.context_id, p.event_id, p.t, p.value,
+         |    min(er.et) AS met, arg_min(er.ev, er.et) AS mev
+         |  FROM p LEFT JOIN er ON er.context_id = p.context_id
+         |    AND er.et >= p.t AND er.et <= p.t + 86400
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT context_id, event_id, t AS "timestamp", value,
+         |  met AS err_timestamp, mev AS err_value
+         |FROM m""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS ($eventsView),

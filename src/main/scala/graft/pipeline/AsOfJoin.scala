@@ -24,12 +24,16 @@ import org.apache.spark.sql.types._
   * Output: every fact column, then `<dimPrefix><dimTs>` and the prefixed
   * dimension payload columns — all null when no dimension row is at or
   * before the fact (or the match is older than `toleranceSec`).
+  *
+  * `forward = true` flips the direction: match the EARLIEST dimension row
+  * with `dim.ts >= fact.ts` ("the next error after this deploy") — same
+  * single shuffle, the group-local scan just runs descending.
   */
 object AsOfJoin {
 
   def asOf(facts: DataFrame, dims: DataFrame, keyCol: String,
       factTs: String, dimTs: String, dimPrefix: String = "asof_",
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None, forward: Boolean = false): DataFrame = {
     require(facts.columns.contains(keyCol) && facts.columns.contains(factTs),
       s"facts must carry $keyCol and $factTs")
     require(dims.columns.contains(keyCol) && dims.columns.contains(dimTs),
@@ -64,16 +68,20 @@ object AsOfJoin {
       .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
         // (ts, tag): dims (tag 0) precede facts at equal ts, so a
-        // same-timestamp dimension version is already current
-        val rows = it.toArray.sortBy(r => (r.getLong(1), r.getInt(2)))
+        // same-timestamp dimension version is already current. Forward
+        // mode scans DESCENDING: by the time a fact is reached, `last`
+        // is the dim with the smallest ts >= fact.ts — "the next one".
+        val dir = if (forward) -1L else 1L
+        val rows = it.toArray.sortBy(r => (dir * r.getLong(1), r.getInt(2)))
         var last: Row = null
         var lastTs = Long.MinValue
         rows.iterator.flatMap { r =>
           if (r.getInt(2) == 0) {
             last = r.getStruct(4); lastTs = r.getLong(1); Iterator.empty
           } else {
-            val ok = last != null &&
-              toleranceSec.forall(t => r.getLong(1) - lastTs <= t)
+            val gap = if (forward) lastTs - r.getLong(1)
+              else r.getLong(1) - lastTs
+            val ok = last != null && toleranceSec.forall(t => gap <= t)
             val dimVals: Seq[Any] =
               if (ok) last.toSeq else Seq.fill[Any](nDim)(null)
             Iterator.single(Row.fromSeq(r.getStruct(3).toSeq ++ dimVals))

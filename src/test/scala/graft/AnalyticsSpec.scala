@@ -102,6 +102,21 @@ class AnalyticsSpec extends AnyFunSuite {
         Option(r.getAs[String]("direction")))).toList
   }
 
+  test("asOf forward: earliest dim at or after the fact, tolerance bounds the gap") {
+    val facts = Seq(("u", 100L, 1L), ("u", 205L, 2L), ("u", 400L, 3L))
+      .toDF("context_id", "timestamp", "fid")
+    val dims = Seq(("u", 100L, "a"), ("u", 200L, "b"), ("u", 210L, "c"))
+      .toDF("context_id", "timestamp", "tag")
+    val out = AsOfJoin.asOf(facts, dims, "context_id", "timestamp", "timestamp",
+      dimPrefix = "nx_", toleranceSec = Some(50L), forward = true)
+      .collect().map(r => r.getAs[Long]("fid") ->
+        ((Option(r.getAs[Any]("nx_timestamp")), Option(r.getAs[String]("nx_tag")))))
+      .toMap
+    assert(out(1L) == ((Some(100L), Some("a")))) // equal ts matches
+    assert(out(2L) == ((Some(210L), Some("c")))) // next at-or-after, within 50
+    assert(out(3L) == ((None, None)))            // nothing after
+  }
+
   test("voiceActivity: hangover bridges single-frame gaps, minFrames drops clicks") {
     // id 0 over 6 frames: silent at g ∈ {0, 3} → active {1,2} and {4,5}
     val media = Seq(0L).toDF("media_id").select(col("media_id"),
