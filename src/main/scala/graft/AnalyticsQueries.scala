@@ -1765,7 +1765,7 @@ object AnalyticsQueries {
          |r AS (SELECT event_type, day, cnt,
          |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM c),
          |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-         |    (sum(cnt) FILTER (WHERE rn <= 7) * 1000) // 7 AS base_milli
+         |    CAST((sum(cnt) FILTER (WHERE rn <= 7) * 1000) // 7 AS BIGINT) AS base_milli
          |  FROM r GROUP BY 1 HAVING count(*) > 7),
          |walk(event_type, rn, sp, sn, msp, msn, cp, dir) AS (
          |  SELECT event_type, CAST(7 AS BIGINT), CAST(0 AS BIGINT),
@@ -1785,8 +1785,9 @@ object AnalyticsQueries {
          |  FROM walk w
          |  JOIN r ON r.event_type = w.event_type AND r.rn = w.rn + 1
          |  JOIN m ON m.event_type = w.event_type)
-         |SELECT w.event_type, m.n_days, m.base_milli, w.msp AS max_sp,
-         |  w.msn AS max_sn, CASE WHEN w.cp >= 0 THEN w.cp END AS cp_day,
+         |SELECT w.event_type, m.n_days, m.base_milli,
+         |  CAST(w.msp AS BIGINT) AS max_sp, CAST(w.msn AS BIGINT) AS max_sn,
+         |  CAST(CASE WHEN w.cp >= 0 THEN w.cp END AS BIGINT) AS cp_day,
          |  CASE w.dir WHEN 1 THEN 'up' WHEN 2 THEN 'down' END AS direction
          |FROM walk w JOIN m USING (event_type) WHERE w.rn = m.n_days""".stripMargin
     },

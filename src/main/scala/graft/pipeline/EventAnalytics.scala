@@ -392,7 +392,11 @@ object EventAnalytics {
     *
     * Event order is the packed key `ts·2³² + event_id` (both engines
     * compare the same integer, so ties are (ts, id)-exact; valid while
-    * event ids stay below 2³² — the testdata's ids are row ordinals).
+    * event ids stay below 2³² — the testdata's ids are row ordinals —
+    * AND epoch-second ts stays below 2³¹, i.e. before Jan 2038: past
+    * that the signed-64-bit product wraps in Spark while DuckDB raises,
+    * so the engines would diverge. Post-2038 corpora should order by a
+    * `struct(ts, event_id)` instead of the packed long).
     *
     * Scale shape: three Window nodes over the SAME hash(context)
     * partitioning (first-A, first-B-after-A, any-C-between are each one

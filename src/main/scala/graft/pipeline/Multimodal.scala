@@ -9,17 +9,19 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus batch-shaped decode / feature-extraction
   * plumbing.
   *
-  * Formats whose codecs need nothing beyond the JVM are decoded FOR REAL:
+  * Formats with a JVM-reachable codec are decoded FOR REAL:
   * [[decodePpmP6]] (binary PPM), [[decodeBmp24]] (24-bit BMP),
-  * [[decodeWavPcm16]] (RIFF/PCM16 audio), and [[decodePng]] (8-bit RGB PNG
-  * — a genuinely COMPRESSED codec: zlib inflate via `java.util.zip`, CRC32
-  * chunk validation, all five scanline filters) parse actual bytes and are
+  * [[decodeWavPcm16]] (RIFF/PCM16 audio), [[decodePng]] (8-bit RGB PNG —
+  * a genuinely COMPRESSED codec: zlib inflate via `java.util.zip`, CRC32
+  * chunk validation, all five scanline filters), plus GIF/TIFF/WBMP and
+  * JPEG via `javax.imageio` (real since r7 — see [[decodeJpeg]]),
+  * AVI/MJPEG container demux, and WARC record parsing; each is
   * oracle-checked end-to-end against analytically-constructed blobs
   * ([[syntheticPpm]]/[[syntheticBmp]]/[[syntheticWav]]/[[syntheticPngs]]).
-  * Only PERCEPTUAL codecs (JPEG/MP3/H.264), whose libraries are not in
-  * this container, remain behind [[decodeStub]], a deterministic fake
-  * producing byte-level statistics with the same shape a real extractor
-  * would. Everything around it —
+  * Only the patent-encumbered codecs with no JDK decoder (MP3, H.264)
+  * remain behind [[decodeStub]], a deterministic fake producing
+  * byte-level statistics with the same shape a real extractor would.
+  * Everything around it —
   * schema, binary packing, partition-wise batched execution, feature
   * schema — is real Spark plumbing that a production decoder drops into.
   *

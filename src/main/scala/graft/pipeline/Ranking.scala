@@ -31,8 +31,13 @@ object Ranking {
     val n = if (nPartitions > 0) nPartitions
       else spark.sessionState.conf.numShufflePartitions
     val cols = orderCols.map(col)
+    // localCheckpoint pins the range-partitioner's sampled boundaries: the
+    // counts job and the join job below must see the SAME row→partition
+    // assignment, which recomputation of a nondeterministic upstream (or a
+    // re-sampled partitioner) would not guarantee
     val parted = df.repartitionByRange(n, cols: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // bounded driver collect: ONE row per partition, never data rows
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getAs[Int]("_pid"), r.getAs[Long]("_c")))

@@ -10,15 +10,18 @@ import graft.schema.EventSchema
   * [[graft.pipeline.EventAnalytics.funnelExclusion]]: per context, first A,
   * then the first B strictly after it, vetoed by any C strictly between.
   * State per live context is three packed longs (`ts·2³² + event_id` for
-  * first-A and first-B, plus the veto bit) — no event buffering.
+  * first-A, first-B and first-post-A-C) — no event buffering.
   *
-  * The incremental veto rule is exact for in-order delivery: events are
-  * folded in (ts, event_id) order within each batch, so a C arriving after
-  * A while B is still unseen is GUARANTEED to precede the eventual first B
-  * — it can set the veto immediately. Once B is known, later Cs are outside
-  * the (A, B) gap by construction and are ignored. Late cross-batch events
-  * inside the watermark fold in arrival order (the
-  * [[StreamingSessions]]-family caveat); beyond it Spark drops them.
+  * The incremental rule is exact for in-order delivery: events are folded
+  * in (ts, event_id) order within each batch, so a C arriving after A
+  * while B is still unseen precedes the eventual first B — its key is
+  * recorded, and the veto is derived at emission as `kc < kb` so a
+  * context where B never arrives is NOT excluded (matching the batch
+  * operator / oracle, where `k < kb` with NULL kb is false). Once B is
+  * known, later Cs are outside the (A, B) gap by construction and are
+  * ignored. Late cross-batch events inside the watermark fold in arrival
+  * order (the [[StreamingSessions]]-family caveat); beyond it Spark drops
+  * them.
   *
   * Emission: Update-mode — one status row per context per batch that
   * touched it (downstream keeps the latest); state is evicted by an
@@ -29,8 +32,13 @@ object StreamingExclusion {
   case class ExclEvent(ctx: String, side: Int, ts: Long, eid: Long,
       et: java.sql.Timestamp)
 
-  /** ka/kb = packed first-A / first-B keys (MinValue = unset). */
-  case class ExclState(ka: Long, kb: Long, excluded: Boolean)
+  /** ka/kb/kc = packed first-A / first-B / first-post-A-C keys (MinValue =
+    * unset). `excluded` is DERIVED at emission as `kb set && kc < kb` rather
+    * than stored: a C seen after A while B is still unseen must not veto a
+    * context where B never arrives — the batch operator (and the shared
+    * oracle, where `k < kb` with NULL kb is false) reports such contexts as
+    * not excluded. */
+  case class ExclState(ka: Long, kb: Long, kc: Long)
 
   case class ExclStatus(context_id: String, a_ts: Option[Long],
       b_ts: Option[Long], excluded: Boolean, converted_clean: Boolean)
@@ -65,7 +73,7 @@ object StreamingExclusion {
         (ctx: String, it: Iterator[ExclEvent], state: GroupState[ExclState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(ExclState(Unset, Unset, excluded = false))
+            var st = state.getOption.getOrElse(ExclState(Unset, Unset, Unset))
             var maxTs = Long.MinValue
             it.toArray.sortBy(e => (e.ts, e.eid)).foreach { e =>
               maxTs = math.max(maxTs, e.ts)
@@ -74,19 +82,21 @@ object StreamingExclusion {
                 case 0 if st.ka == Unset => st = st.copy(ka = k)
                 case 1 if st.ka != Unset && k > st.ka && st.kb == Unset =>
                   st = st.copy(kb = k)
-                case 2 if st.ka != Unset && k > st.ka && st.kb == Unset =>
-                  st = st.copy(excluded = true)
+                case 2 if st.ka != Unset && k > st.ka && st.kb == Unset &&
+                    st.kc == Unset =>
+                  st = st.copy(kc = k)
                 case _ => ()
               }
             }
             state.update(st)
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs * 1000L + horizonMs)
+            val excluded = st.kb != Unset && st.kc != Unset && st.kc < st.kb
             Iterator.single(ExclStatus(ctx,
               if (st.ka == Unset) None else Some(st.ka >>> 32),
               if (st.kb == Unset) None else Some(st.kb >>> 32),
-              st.excluded,
-              st.kb != Unset && !st.excluded))
+              excluded,
+              st.kb != Unset && !excluded))
           }
       }
   }

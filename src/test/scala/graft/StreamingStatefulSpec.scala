@@ -70,13 +70,19 @@ class StreamingStatefulSpec extends AnyFunSuite {
         events, "signup", "purchase", "error")
       .writeStream.outputMode("update").format("memory").queryName("fxl").start()
 
-    // u1: signup then error in batch 1 — veto set while B is still unseen
+    // u1: signup then error in batch 1 — the pending C's key is recorded
+    // but excluded stays FALSE while B is unseen (a context whose B never
+    // arrives must not read as excluded — matches the batch operator)
     mem.addData(("u1", "signup", 10L, 1L), ("u1", "error", 15L, 2L),
       ("u2", "error", 5L, 3L), ("u2", "signup", 10L, 4L))
     q.processAllAvailable()
-    // batch 2: u1's purchase arrives (already vetoed); u2 converts clean
-    // (its error was BEFORE the signup); a late error after u2's purchase
-    // must not retro-veto
+    val interim = spark.table("fxl").collect()
+      .map(r => (r.getAs[String]("context_id"), r.getAs[Boolean]("excluded"),
+        r.getAs[Boolean]("converted_clean"))).toSet
+    assert(interim == Set(("u1", false, false), ("u2", false, false)))
+    // batch 2: u1's purchase arrives AFTER the recorded error → now
+    // excluded; u2 converts clean (its error was BEFORE the signup); a
+    // late error after u2's purchase must not retro-veto
     mem.addData(("u1", "purchase", 30L, 5L), ("u2", "purchase", 20L, 6L),
       ("u2", "error", 40L, 7L))
     q.processAllAvailable()
@@ -84,9 +90,8 @@ class StreamingStatefulSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("context_id"), r.getAs[Boolean]("excluded"),
         r.getAs[Boolean]("converted_clean"))).toSet
     q.stop()
-    // u1 is vetoed in batch 1 and STAYS vetoed after its purchase; u2 is
-    // pending in batch 1 and converts clean in batch 2 (no retro-veto)
-    assert(rows == Set(("u1", true, false),
+    // the veto recorded in batch 1 lands when B arrives; u2 stays clean
+    assert(rows == Set(("u1", false, false), ("u1", true, false),
       ("u2", false, false), ("u2", false, true)))
   }
 
