@@ -87,10 +87,43 @@ object StoreQueries {
     }
   }
 
+  /** Sequence materialization maintained per-affected-group: REMEMBER a
+    * FOLLOWED BY funnel over the first slice, ingest two more slices with a
+    * SHOW in between (two incremental bucket rewrites — the second slice
+    * adds purchases that RE-MATCH existing signup heads, the case where
+    * append-only maintenance would keep a stale pair), and the final SHOW
+    * must equal the sequence query over the full stream. */
+  def rememberShowSeq(spark: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(spark)
+    store.execute("""DEFINE signup FIELDS { value: "float", props: "string" }""")
+    store.execute("""DEFINE purchase FIELDS { value: "float", props: "string" }""")
+    val src = new TestDataSource(spark, dir)
+    def slice(t: String, lo: Long, hi: Long): Unit =
+      store.ingestFrame(t,
+        src.frame(t).select(col("context_id"), col("timestamp"), col("value"), col("props"))
+          .filter(col("timestamp") >= lo && col("timestamp") < hi),
+        "context_id", Some("timestamp"))
+        .left.foreach(e => throw new IllegalStateException(e))
+    val midTs = splitTs + 5 * 86400
+    slice("signup", Long.MinValue, splitTs); slice("purchase", Long.MinValue, splitTs)
+    store.execute("REMEMBER QUERY signup FOLLOWED BY purchase LINKED BY context_id AS funnel") match {
+      case ExecResult.Error(e, _) => throw new IllegalStateException(e)
+      case _                      => ()
+    }
+    slice("signup", splitTs, midTs); slice("purchase", splitTs, midTs)
+    store.execute("SHOW funnel") // first incremental bucket rewrite
+    slice("signup", midTs, Long.MaxValue); slice("purchase", midTs, Long.MaxValue)
+    store.execute("SHOW funnel") match { // second incremental bucket rewrite
+      case ExecResult.Frame(df) => df
+      case other                => throw new IllegalStateException(other.toString)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_roundtrip"   -> ((s, d) => storeRoundtrip(s, d)),
     "q_remember_show"     -> ((s, d) => rememberShow(s, d)),
-    "q_remember_show_agg" -> ((s, d) => rememberShowAgg(s, d))
+    "q_remember_show_agg" -> ((s, d) => rememberShowAgg(s, d)),
+    "q_remember_show_seq" -> ((s, d) => rememberShowSeq(s, d))
   )
 
   private val purchaseView =
@@ -102,6 +135,16 @@ object StoreQueries {
     "q_remember_show" ->
       s"""WITH e AS ($purchaseView) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE value > 150""",
     "q_remember_show_agg" ->
-      s"""WITH e AS ($purchaseView) SELECT props, CAST(count(*) AS BIGINT) AS "count", CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, avg(CAST(trunc(value) AS BIGINT)) AS avg_value, min(value) AS min_value, max(value) AS max_value, CAST(count(DISTINCT context_id) AS BIGINT) AS count_unique_context_id FROM e GROUP BY 1"""
+      s"""WITH e AS ($purchaseView) SELECT props, CAST(count(*) AS BIGINT) AS "count", CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, avg(CAST(trunc(value) AS BIGINT)) AS avg_value, min(value) AS min_value, max(value) AS max_value, CAST(count(DISTINCT context_id) AS BIGINT) AS count_unique_context_id FROM e GROUP BY 1""",
+    // same shape as q_seq_followed: the materialized funnel must equal the
+    // sequence query over the FULL stream (eid tie-breaks never fire — the
+    // fixture has no duplicate (user, second) pairs per type)
+    "q_remember_show_seq" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'purchase')
+        |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
+        |       p.t AS purchase_timestamp, p.value AS purchase_value, p.props AS purchase_props
+        |FROM s JOIN p ON s.link = p.link AND p.t >= s.t
+        |QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1""".stripMargin
   )
 }

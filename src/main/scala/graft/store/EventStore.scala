@@ -432,9 +432,23 @@ final class EventStore(val spark: SparkSession, val root: String,
 
   // ---------------- maintenance ----------------
 
+  /** Fingerprint of one schema's field spec — recorded in the snapshot
+    * manifest and re-derived on import to reject tampered/corrupt schema
+    * files (reference `snapshot_meta.rs` + `materialization.md`'s
+    * schema-hash discipline). */
+  private def schemaMd5(s: EventSchema): String = {
+    val spec = s"${s.eventType}/${s.version}:" +
+      s.fields.map { case (n, t) => s"$n=${t.render}" }.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(spec.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
   /** Snapshot export — portable event dumps per type (reference `.snp`
-    * snapshots, `core/snapshot/`; SURVEY.md S7). JSON lines, one dir per
-    * event type + the schema catalog. */
+    * event arrays + `.smt` meta, `core/snapshot/`; SURVEY.md S7). JSON
+    * lines, one dir per event type, the schema catalog, and a
+    * `manifest.json` recording per-type schema hash, row count and
+    * timestamp range (ONE Spark job over the union of all types — no
+    * per-type passes). */
   def exportSnapshot(outDir: String): Unit = {
     flush()
     Files.createDirectories(Paths.get(outDir, "_schemas"))
@@ -442,27 +456,77 @@ final class EventStore(val spark: SparkSession, val root: String,
       Files.write(Paths.get(outDir, "_schemas", s"${s.eventType}.json"),
         EventStore.schemaToJson(s).getBytes("UTF-8"))
     }
-    listCommittedTypes().filter(schemas.contains).foreach { t =>
+    val committed = listCommittedTypes().filter(schemas.contains).sorted
+    committed.foreach { t =>
       committedFrame(t).write.mode("overwrite").json(Paths.get(outDir, t).toString)
     }
+    val stats: Map[String, (Long, Long, Long)] =
+      if (committed.isEmpty) Map.empty
+      else committed.map(t => committedFrame(t).select(
+          lit(t).as("t"), col(EventSchema.Timestamp).as("ts")))
+        .reduce(_ union _)
+        .groupBy("t").agg(count(lit(1)).as("n"), min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        .collect() // bounded: one row per event TYPE
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val types = schemas.values.toSeq.sortBy(_.eventType).map { s =>
+      val (n, lo, hi) = stats.getOrElse(s.eventType, (0L, 0L, 0L))
+      s"""{"name": ${EventStore.jsonString(s.eventType)}, "version": ${s.version}, """ +
+        s""""schema_md5": "${schemaMd5(s)}", "rows": $n, "from_ts": $lo, "to_ts": $hi}"""
+    }
+    Files.write(Paths.get(outDir, "manifest.json"),
+      (s"""{"format": "graft-snapshot", "format_version": 1, "created": ${clock()}, """ +
+        s""""types": [${types.mkString(", ")}]}""").getBytes("UTF-8"))
   }
 
-  /** Restore a snapshot into this (empty) store. */
-  def importSnapshot(inDir: String): Unit = {
+  /** Restore a snapshot into this store — all-or-nothing: EVERY type is
+    * validated before ANY data lands. Rejected when a snapshot schema
+    * conflicts with an existing definition (different field spec — the
+    * reference refuses cross-schema appends) or when the manifest's
+    * recorded schema hash does not match the shipped schema file
+    * (corrupt/tampered snapshot). Returns the number of types restored. */
+  def importSnapshot(inDir: String): Either[String, Int] = {
     val sdir = Paths.get(inDir, "_schemas")
-    EventStore.listDir(sdir).iterator.filter(_.toString.endsWith(".json")).foreach { p =>
-      EventStore.schemaFromJson(new String(Files.readAllBytes(p), "UTF-8")).foreach { s =>
-        schemas(s.eventType) = s
-        Files.write(schemaFile(s.eventType), EventStore.schemaToJson(s).getBytes("UTF-8"))
+    if (!Files.isDirectory(sdir)) return Left(s"not a snapshot dir (no _schemas): $inDir")
+    val snapSchemas = EventStore.listDir(sdir).iterator
+      .filter(_.toString.endsWith(".json")).map { p =>
+        val json = new String(Files.readAllBytes(p), "UTF-8")
+        EventStore.schemaFromJson(json).toRight(s"corrupt schema file: ${p.getFileName}")
+      }.toSeq
+    val firstCorrupt = snapSchemas.collectFirst { case Left(e) => e }
+    if (firstCorrupt.isDefined) return Left(firstCorrupt.get)
+    val parsed = snapSchemas.collect { case Right(s) => s }
+    // manifest hash cross-check (legacy manifest-less snapshots skip it)
+    val manifest = Paths.get(inDir, "manifest.json")
+    if (Files.exists(manifest)) {
+      val node = EventStore.readTree(new String(Files.readAllBytes(manifest), "UTF-8"))
+      val recorded = node.get("types").elements().asScala
+        .map(t => t.get("name").asText() -> t.get("schema_md5").asText()).toMap
+      val tampered = parsed.find(s => recorded.get(s.eventType).exists(_ != schemaMd5(s)))
+      tampered.foreach { s =>
+        return Left(s"snapshot schema hash mismatch for '${s.eventType}': " +
+          "manifest does not match shipped schema file")
       }
     }
-    schemas.keys.foreach { t =>
+    // conflicting existing definitions reject the WHOLE import
+    val conflict = parsed.find(s => schemas.get(s.eventType).exists(_.fields != s.fields))
+    conflict.foreach { s =>
+      return Left(s"schema mismatch for '${s.eventType}': store has " +
+        s"v${schemas(s.eventType).version} with different fields; import refused")
+    }
+    parsed.foreach { s =>
+      schemas(s.eventType) = s
+      Files.write(schemaFile(s.eventType), EventStore.schemaToJson(s).getBytes("UTF-8"))
+    }
+    var restored = 0
+    parsed.map(_.eventType).sorted.foreach { t =>
       val src = Paths.get(inDir, t)
       if (Files.isDirectory(src)) {
         val df = spark.read.schema(schemas(t).fullStruct).json(src.toString)
         writeSegment(t, df)
+        restored += 1
       }
     }
+    Right(restored)
   }
 
   /** Segment compaction — the reference's background compaction worker

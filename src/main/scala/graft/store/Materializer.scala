@@ -28,7 +28,16 @@ import graft.schema.EventSchema
   *  - Aggregate queries maintain mergeable partial state
   *    ([[AggStateCompiler]], the reference's `AggState` design) — SHOW costs
   *    one delta scan + a group-key merge, not a full recompute.
-  *  - Sequence queries full-recompute (join state is not mergeable here).
+  *  - Sequence queries recompute ONLY the link groups the delta touched: a
+  *    new event can change which chain an EXISTING head matches (a late B
+  *    earlier than the stored match), so append-only is wrong — but a group
+  *    with no delta event cannot change. Results are stored partitioned by
+  *    a stable link-hash bucket; SHOW semi-joins the corpus down to the
+  *    affected link keys (broadcast-sized per delta batch), re-matches just
+  *    those groups, and swaps only the touched bucket directories — the
+  *    distributed analog of the reference's frame-append design
+  *    (`materialize/store/frame/`). Global-LIMIT sequences are not
+  *    group-decomposable and keep the full-refresh path.
   *
   * Schema evolution: the recorded schema hash is checked on every SHOW and
   * appending against a changed schema fails (reference
@@ -40,6 +49,15 @@ import graft.schema.EventSchema
 final class Materializer(store: EventStore) {
   private val spark: SparkSession = store.spark
   private def matDir(name: String) = Paths.get(store.root, "_materializations", name)
+
+  /** Bucket fan-out for sequence materializations: an incremental SHOW
+    * rewrites only the buckets containing affected link keys, so this
+    * bounds the rewrite fraction (1/64 per touched bucket) while keeping
+    * the per-bucket directory swap a driver-side metadata operation. */
+  private val SeqBuckets = 64
+
+  private def seqBucket(c: org.apache.spark.sql.Column) =
+    pmod(hash(c), lit(SeqBuckets))
 
   /** The stored query of a materialization, if it exists (used by the auth
     * gate to scope SHOW to the query's event types). A corrupt/unparseable
@@ -90,9 +108,22 @@ final class Materializer(store: EventStore) {
       .digest(spec.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
-  /** Max event_id currently visible in the query's scope — ONE job. */
+  /** Max event_id currently visible in the query's scope — ONE job. For a
+    * sequence query the scope is EVERY step type, not just the head: id
+    * blocks are allocated per ingest batch, so a non-head side ingested
+    * after the head holds ids ABOVE the head's max, and a head-only HWM
+    * would silently exclude those events from the snapshot and from every
+    * delta. */
   private def currentMaxId(q: QueryCmd): Long = {
-    val r = QueryCompiler.scoped(q, store).agg(max(col(EventSchema.EventId))).head()
+    val ids = q.sequence match {
+      case Some(s) =>
+        (s.head +: s.links.map(_._2)).distinct
+          .map(t => QueryCompiler.scoped(q.copy(eventType = t, sequence = None), store)
+            .select(col(EventSchema.EventId)))
+          .reduce(_ unionAll _)
+      case None => QueryCompiler.scoped(q, store).select(col(EventSchema.EventId))
+    }
+    val r = ids.agg(max(col(EventSchema.EventId))).head()
     if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
   }
 
@@ -124,6 +155,14 @@ final class Materializer(store: EventStore) {
             .write.mode("overwrite").parquet(dir.resolve(s"uniq_$f").toString)
         }
         dir.resolve("state")
+      } else if (q.isSequence && q.limit.isEmpty) {
+        // bucket-partitioned by link hash so SHOW can rewrite only the
+        // buckets its delta touches (see the class doc)
+        QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
+          .withColumn("_bkt", seqBucket(col("link_value")))
+          .write.mode("overwrite").partitionBy("_bkt")
+          .parquet(dir.resolve("data").toString)
+        dir.resolve("data")
       } else {
         QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
           .write.mode("overwrite").parquet(dir.resolve("data").toString)
@@ -136,10 +175,14 @@ final class Materializer(store: EventStore) {
     ExecResult.Ok(s"remembered query '${cmd.name}'\nrows stored: ${footerRowCount(storedDir)}")
   }
 
-  /** Total row count of a Parquet directory from file footers (no job). */
+  /** Total row count of a Parquet directory from file footers (no job);
+    * recurses into `_bkt=` partition subdirectories. */
   private def footerRowCount(dir: Path): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    EventStore.listDir(dir).iterator
+    def walk(p: Path): Iterator[Path] =
+      if (Files.isDirectory(p)) EventStore.listDir(p).iterator.flatMap(walk)
+      else Iterator.single(p)
+    walk(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -164,12 +207,7 @@ final class Materializer(store: EventStore) {
       return ExecResult.Error(
         s"schema changed since materialization '$name' was created; recreate it")
 
-    if (query.isSequence) {
-      // join state is not incrementally mergeable — refresh the snapshot
-      val result = QueryCompiler.compile(query, store)
-      swapWrite(dir.resolve("data"), result)
-      return ExecResult.Frame(spark.read.parquet(dir.resolve("data").toString))
-    }
+    if (query.isSequence) return showSequence(name, dir, meta, query)
 
     val newHwm = currentMaxId(query)
 
@@ -202,6 +240,112 @@ final class Materializer(store: EventStore) {
       enforceRetention(name, dir, meta)
     }
     ExecResult.Frame(spark.read.parquet(dir.resolve("data").toString))
+  }
+
+  /** SHOW for sequence materializations — per-affected-group incremental
+    * refresh (class doc). A delta event can change an EXISTING head's match
+    * (sequence matching is first-B-at-or-after / latest-B-before per head),
+    * so the unit of incrementality is the link group, not the row: groups
+    * with a delta event are re-matched from the full store restricted to
+    * those link keys; untouched groups keep their stored rows verbatim.
+    *
+    * Scale shape: the affected-key table is bounded by the delta batch, so
+    * the semi-join restricting the corpus broadcasts it (no corpus shuffle);
+    * the re-match shuffles only affected groups' events; and the stored
+    * rewrite touches only the bucket directories containing affected keys. */
+  private def showSequence(name: String, dir: Path, meta: Meta,
+      query: QueryCmd): ExecResult = {
+    val dataDir = dir.resolve("data")
+    val partitioned = Files.isDirectory(dataDir) && EventStore.listDir(dataDir)
+      .exists(_.getFileName.toString.startsWith("_bkt="))
+    val resultSchema = QueryCompiler.compile(query, store).schema // plan-only
+    val newHwm = currentMaxId(query)
+
+    if (query.limit.isDefined) { // a global row cap is not group-decomposable
+      swapWrite(dataDir, QueryCompiler.compile(query, boundedSource(Long.MinValue, newHwm)))
+      writeMeta(name, meta.copy(hwmId = newHwm))
+      return ExecResult.Frame(spark.read.schema(resultSchema).parquet(dataDir.toString))
+    }
+
+    val storedSchema = org.apache.spark.sql.types.StructType(
+      resultSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "_bkt", org.apache.spark.sql.types.IntegerType))
+
+    if (!partitioned) {
+      // legacy flat storage (or an emptied-out dir): full refresh, upgrading
+      // to the bucket-partitioned layout
+      val bucketed = QueryCompiler.compile(query, boundedSource(Long.MinValue, newHwm))
+        .withColumn("_bkt", seqBucket(col("link_value")))
+      val tmp = dataDir.resolveSibling("data.tmp")
+      bucketed.write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
+      val old = dataDir.resolveSibling("data.old")
+      if (Files.exists(dataDir)) Files.move(dataDir, old)
+      Files.move(tmp, dataDir)
+      deleteRecursively(old)
+      writeMeta(name, meta.copy(hwmId = newHwm))
+      return ExecResult.Frame(
+        spark.read.schema(storedSchema).parquet(dataDir.toString).drop("_bkt"))
+    }
+
+    if (newHwm > meta.hwmId) {
+      val linkField = query.linkField.getOrElse(EventSchema.ContextId)
+      val stepTypes = query.sequence
+        .map(s => (s.head +: s.links.map(_._2)).distinct)
+        .getOrElse(Seq(query.eventType))
+      val delta = boundedSource(meta.hwmId, newHwm)
+      // link keys touched by ANY delta event of ANY step type — a superset
+      // of the groups whose match set can change (re-matching an unchanged
+      // group reproduces its rows, so the superset is safely conservative)
+      val affected = stepTypes.map { t =>
+          val f = delta.frame(t)
+          if (f.columns.contains(linkField))
+            f.select(col(linkField).cast("string").as("__aff_link"))
+          else f.limit(0).select(lit(null).cast("string").as("__aff_link"))
+        }.reduce(_.unionByName(_))
+        .filter(col("__aff_link").isNotNull)
+        .distinct().localCheckpoint()
+      // bounded collect: at most SeqBuckets distinct bucket ids
+      val affBkts = affected.select(seqBucket(col("__aff_link")).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (affBkts.nonEmpty) {
+        val restricted: graft.engine.EventSource = new graft.engine.EventSource {
+          override def eventTypes: Seq[String] = store.eventTypes
+          override def frame(t: String): DataFrame = {
+            val f = store.frame(t)
+            if (!f.columns.contains(linkField)) f
+            else f.join(affected,
+              f(linkField).cast("string") === affected("__aff_link"), "left_semi")
+          }
+          override def schemaOf(t: String) = store.schemaOf(t)
+        }
+        val fresh = QueryCompiler.compile(query, restricted)
+          .withColumn("_bkt", seqBucket(col("link_value")))
+        val stored = spark.read.schema(storedSchema).parquet(dataDir.toString)
+        val keep = stored.filter(col("_bkt").isInCollection(affBkts))
+          .join(affected, stored("link_value") === affected("__aff_link"), "left_anti")
+        replaceBuckets(dataDir, keep.unionByName(fresh), affBkts)
+      }
+      writeMeta(name, meta.copy(hwmId = newHwm))
+    }
+    ExecResult.Frame(
+      spark.read.schema(storedSchema).parquet(dataDir.toString).drop("_bkt"))
+  }
+
+  /** Rewrite ONLY `affBkts` of a `_bkt`-partitioned dataset dir: `combined`
+    * (covering exactly those buckets) is materialized to a tmp sibling
+    * BEFORE any delete — the plan reads the old files — then each affected
+    * bucket directory is swapped in (or removed when the bucket emptied). */
+  private def replaceBuckets(target: Path, combined: DataFrame,
+      affBkts: Seq[Int]): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    combined.write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
+    affBkts.foreach { b =>
+      val dst = target.resolve(s"_bkt=$b")
+      deleteRecursively(dst)
+      val src = tmp.resolve(s"_bkt=$b")
+      if (Files.exists(src)) Files.move(src, dst)
+    }
+    deleteRecursively(tmp)
   }
 
   /** Retention (reference `materialize/store/retention.rs`): drop rows past

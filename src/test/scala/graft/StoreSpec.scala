@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
@@ -114,6 +116,46 @@ class StoreSpec extends AnyFunSuite {
     assert(frame(s.execute("SHOW big")).count() == 2)
     assert(err(s.execute("SHOW nope")).contains("not found"))
     assert(err(s.execute("REMEMBER QUERY m AS big")).contains("already exists"))
+  }
+
+  test("sequence REMEMBER + SHOW: late B re-matches its head, untouched buckets keep their files") {
+    import spark.implicits._
+    val s = newStore()
+    s.execute("""DEFINE a FIELDS { v: "int" }""")
+    s.execute("""DEFINE b FIELDS { v: "int" }""")
+    def ing(t: String, rows: Seq[(String, Long, Int)]): Unit =
+      s.ingestFrame(t, rows.toDF("ctx", "ts", "v"), "ctx", Some("ts"))
+        .left.foreach(e => fail(e))
+    ing("a", Seq(("u1", 100L, 1), ("u2", 100L, 2)))
+    ing("b", Seq(("u1", 300L, 10), ("u2", 150L, 20)))
+    assert(ok(s.execute("REMEMBER QUERY a FOLLOWED BY b LINKED BY context_id AS fn")).contains("remembered"))
+    def pairs(): Map[String, (Long, Long, Long)] =
+      frame(s.execute("SHOW fn")).collect().map(r => r.getAs[String]("link_value") ->
+        ((r.getAs[Long]("a_timestamp"), r.getAs[Long]("b_timestamp"), r.getAs[Long]("b_v")))).toMap
+    assert(pairs() == Map("u1" -> ((100L, 300L, 10L)), "u2" -> ((100L, 150L, 20L))))
+    // a LATE b lands between u1's head and its current match: the stored
+    // pair must be REPLACED, not appended beside — the case where
+    // append-only maintenance is wrong
+    ing("b", Seq(("u1", 200L, 11)))
+    val dataDir = java.nio.file.Paths.get(s.root, "_materializations", "fn", "data")
+    val before = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    assert(pairs() == Map("u1" -> ((100L, 200L, 11L)), "u2" -> ((100L, 150L, 20L))))
+    val u1Bkt = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit("u1")),
+        org.apache.spark.sql.functions.lit(64))).head().getInt(0)
+    // only u1's bucket directory was rewritten; every other stored file is
+    // byte-identical (same path, same mtime) — the incremental guarantee
+    val after = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    val untouchedBefore = before.filterNot(_._1.contains(s"_bkt=$u1Bkt"))
+    val untouchedAfter = after.filterNot(_._1.contains(s"_bkt=$u1Bkt"))
+    assert(untouchedBefore == untouchedAfter && untouchedBefore.nonEmpty)
+    // repeated SHOW with no new data: unchanged
+    assert(pairs() == Map("u1" -> ((100L, 200L, 11L)), "u2" -> ((100L, 150L, 20L))))
   }
 
   test("bulk ingestFrame and persistence across reopen") {

@@ -119,11 +119,36 @@ class StreamingResponseSpec extends AnyFunSuite {
     val snap = Files.createTempDirectory("graft_snapout_").toString
     s1.exportSnapshot(snap)
 
+    // manifest records the type with its schema hash, rows and ts range
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(snap, "manifest.json")), "UTF-8")
+    assert(manifest.contains("\"graft-snapshot\"") && manifest.contains("\"rows\": 6"))
+
     val dir2 = Files.createTempDirectory("graft_snap2_").toString
     val s2 = new EventStore(spark, dir2)
-    s2.importSnapshot(snap)
+    assert(s2.importSnapshot(snap) == Right(1))
     assert(s2.frame("t").count() == 6)
     assert(s2.frame("t").agg(sum(col("v"))).head.getLong(0) == 21L)
+
+    // a store holding a CONFLICTING definition of 't' refuses the import
+    // wholesale (all-or-nothing; nothing lands)
+    val dir3 = Files.createTempDirectory("graft_snap3_").toString
+    val s3 = new EventStore(spark, dir3)
+    s3.execute("""DEFINE t FIELDS { v: "string" }""")
+    val refused = s3.importSnapshot(snap)
+    assert(refused.isLeft && refused.left.exists(_.contains("schema mismatch")))
+    assert(s3.frame("t").count() == 0)
+
+    // a tampered schema file no longer matches the manifest hash: rejected
+    val snap2 = Files.createTempDirectory("graft_snapout2_").toString
+    s1.exportSnapshot(snap2)
+    val sf = java.nio.file.Paths.get(snap2, "_schemas", "t.json")
+    Files.write(sf, new String(Files.readAllBytes(sf), "UTF-8")
+      .replace("\"int\"", "\"float\"").getBytes("UTF-8"))
+    val dir4 = Files.createTempDirectory("graft_snap4_").toString
+    val s4 = new EventStore(spark, dir4)
+    val tampered = s4.importSnapshot(snap2)
+    assert(tampered.isLeft && tampered.left.exists(_.contains("hash mismatch")))
 
     // compaction reduces file count, preserves data
     s1.compact(targetFiles = 1)
