@@ -95,6 +95,11 @@ object SparkEntry {
     "q_seq_using_time"      -> q("QUERY signup FOLLOWED BY purchase LINKED BY context_id USING TIME value LIMIT 200"),
     "q_agg_offset"          -> q("QUERY lineitem COUNT BY l_suppkey ORDER BY count DESC LIMIT 10 OFFSET 5"),
     "q_agg_unique_props"    -> q("QUERY purchase COUNT UNIQUE props BY context_id ORDER BY count_unique_props DESC LIMIT 30"),
+    // ---- dynamic-compare ladder (reference ScalarValue::compare,
+    // types/mod.rs:245-270): a numeric literal against a STRING column
+    // compares NUMERICALLY per row when the stored string parses as a
+    // number ("10" > 8 even though "10" < "8" lexicographically) ----
+    "q_where_numstr_gt" -> q("QUERY purchase WHERE context_id > 8"),
     // ---- [time] config: zone + week start (reference time_bucketing.rs) ----
     "q_agg_per_week_sun" -> ((s, d) => {
       s.conf.set("spark.graft.time.weekStart", "sunday")
@@ -222,6 +227,10 @@ object SparkEntry {
     "q_agg_offset" ->
       s"""WITH e AS ($liView) SELECT l_suppkey, CAST(count(*) AS BIGINT) AS "count" FROM e GROUP BY 1 ORDER BY "count" DESC, l_suppkey LIMIT 10 OFFSET 5""",
     "q_agg_unique_props" ->
-      s"""WITH e AS (${eView("purchase")}) SELECT context_id, CAST(count(DISTINCT props) AS BIGINT) AS count_unique_props FROM e GROUP BY 1 ORDER BY count_unique_props DESC, context_id LIMIT 30"""
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, CAST(count(DISTINCT props) AS BIGINT) AS count_unique_props FROM e GROUP BY 1 ORDER BY count_unique_props DESC, context_id LIMIT 30""",
+    // numeric rung of the dynamic-compare ladder: every context_id parses,
+    // so the oracle compares through DOUBLE exactly as the engine does
+    "q_where_numstr_gt" ->
+      s"""WITH e AS (${eView("purchase")}) SELECT context_id, event_type, "timestamp", value, props FROM e WHERE CAST(context_id AS DOUBLE) > 8"""
   )
 }

@@ -37,10 +37,19 @@ object ExprCompiler {
         // (reference missing-field ScalarValue compare; scenario
         // query_empty_event_type) — NOT above it still inverts
         case None => lit(false)
+        case Some(StringType) =>
+          // IN ≡ chain of equalities (reference `filter/in_expansion.rs`).
+          // Values with a numeric/bool coercion go through the per-row
+          // ladder; plain strings stay one pushdown-friendly `isin`.
+          val (laddered, plain) = vs.partition(v => litNum(v).isDefined || litBool(v).isDefined)
+          val parts =
+            laddered.map(v => stringLadderCmp(name, CompareOp.Eq, v)) ++
+            (if (plain.nonEmpty) Seq(col(name).isin(plain.map(rawString): _*)) else Nil)
+          parts.reduceOption(_ || _).getOrElse(lit(false))
         case Some(dt) =>
-          // IN ≡ chain of equalities (reference `filter/in_expansion.rs`); Catalyst's
-          // `isin` compiles to an `In` predicate pushed to Parquet. Values that
-          // don't coerce to the column type match via the string-fallback ladder.
+          // Catalyst's `isin` compiles to an `In` predicate pushed to
+          // Parquet. Values that don't coerce to the column type match via
+          // the string-fallback ladder.
           val (typed, fallback) = vs.partition(v => litFor(v, dt).isDefined)
           val parts =
             (if (typed.nonEmpty) Seq(col(name).isin(typed.map(v => litFor(v, dt).get): _*)) else Nil) ++
@@ -51,6 +60,7 @@ object ExprCompiler {
       val name = resolve(f)
       dataTypeOf(schema, name) match {
         case None => lit(false) // unknown field never matches
+        case Some(StringType) => stringLadderCmp(name, op, v)
         case Some(dt) =>
           // Reference parity (`ScalarValue::compare`, sneldb `types/mod.rs:245-270`):
           // when the literal doesn't parse as the column's type, comparison falls
@@ -60,15 +70,61 @@ object ExprCompiler {
             case Some(x) => (col(name), lit(x))
             case None    => (col(name).cast("string"), lit(rawString(v)))
           }
-          op match {
-            case CompareOp.Eq  => c === l
-            case CompareOp.Neq => c =!= l
-            case CompareOp.Gt  => c > l
-            case CompareOp.Gte => c >= l
-            case CompareOp.Lt  => c < l
-            case CompareOp.Lte => c <= l
-          }
+          applyOp(op, c, l)
       }
+  }
+
+  private def applyOp(op: CompareOp, c: Column, l: Column): Column = op match {
+    case CompareOp.Eq  => c === l
+    case CompareOp.Neq => c =!= l
+    case CompareOp.Gt  => c > l
+    case CompareOp.Gte => c >= l
+    case CompareOp.Lt  => c < l
+    case CompareOp.Lte => c <= l
+  }
+
+  /** The literal's coercions along the reference compare ladder
+    * (`ScalarValue::{as_i64,as_f64,as_bool}`, `types/mod.rs:188-227`):
+    * numeric value when the literal is a number or a numeric string; bool
+    * value per the reference's `as_bool` (ints are `!= 0`; floats never). */
+  private def litNum(v: Lit): Option[Double] = v match {
+    case Lit.I64(n) => Some(n.toDouble)
+    case Lit.F64(d) => Some(d)
+    case Lit.Str(s) => s.toDoubleOption
+    case _          => None
+  }
+  private def litBool(v: Lit): Option[Boolean] = v match {
+    case Lit.Bool(b) => Some(b)
+    case Lit.I64(n)  => Some(n != 0)
+    case Lit.Str(s)  => s.toLowerCase match {
+      case "true" | "1"  => Some(true)
+      case "false" | "0" => Some(false)
+      case _             => None
+    }
+    case _ => None
+  }
+
+  /** String-column comparison via the reference's PER-ROW dynamic ladder
+    * (`ScalarValue::compare`, `types/mod.rs:245-270`): numeric when BOTH
+    * sides parse as numbers (so `strfield > 5` over numeric strings compares
+    * NUMERICALLY — "10" > 5 even though "10" < "5" lexicographically), then
+    * boolish (`"1"`/`"true"` ≡ true, int literals as `!= 0`), then
+    * lexicographic. Rungs whose literal coercion fails are pruned at compile
+    * time, so a plain string literal compiles to the bare string comparison
+    * (pushdown-friendly). Known edge vs the reference: integers beyond 2⁵³
+    * compare through double here but exactly (u64/i64) there. */
+  private def stringLadderCmp(name: String, op: CompareOp, v: Lit): Column = {
+    val c = col(name)
+    val dv = c.try_cast("double") // null when the row's string is not numeric
+    val bv = when(lower(c).isin("true", "1"), lit(true))
+      .when(lower(c).isin("false", "0"), lit(false)) // else null
+    val rungs = Seq(
+      litNum(v).map(n => (dv.isNotNull, applyOp(op, dv, lit(n)))),
+      litBool(v).map(b => (bv.isNotNull, applyOp(op, bv, lit(b))))
+    ).flatten
+    rungs.foldRight(applyOp(op, c, lit(rawString(v)))) {
+      case ((cond, cmp), fallthrough) => when(cond, cmp).otherwise(fallthrough)
+    }
   }
 
   private def dataTypeOf(schema: StructType, name: String): Option[DataType] =

@@ -148,4 +148,39 @@ class EngineSpec extends AnyFunSuite {
     val rows = run("QUERY payment WHERE amount IN (20, 75)").collect()
     assert(rows.map(_.getAs[Long]("amount")).sorted.toSeq == Seq(20L, 75L))
   }
+
+  // reference ScalarValue::compare ladder (types/mod.rs:245-270): numeric
+  // when both sides parse, then boolish, then lexicographic — PER ROW
+  test("dynamic-compare ladder on string columns: numeric, bool, lexicographic rungs") {
+    val ladderSrc: EventSource = new EventSource {
+      def eventTypes = Seq("tag")
+      def frame(t: String): DataFrame =
+        Seq(("u1", "tag", 1L, 1L, "10"),    // numeric string
+            ("u2", "tag", 2L, 2L, "9"),     // numeric string
+            ("u3", "tag", 3L, 3L, "banana"),// plain string
+            ("u4", "tag", 4L, 4L, "true"),  // boolish string
+            ("u5", "tag", 5L, 5L, "0"))     // numeric (also boolish — numeric wins)
+          .toDF("context_id", "event_type", "timestamp", "event_id", "label")
+    }
+    def ids(cmd: String): Seq[String] =
+      QueryCompiler.compile(CommandParser.parse(cmd).asInstanceOf[QueryCmd], ladderSrc)
+        .collect().map(_.getAs[String]("context_id")).sorted.toSeq
+    // numeric rung: "10" > 9 numerically (lexicographic would say "10" < "9");
+    // "true" hits the BOOL rung (as_bool(9)=true, true > true is false);
+    // "banana" falls through to lexicographic vs "9" ('b' > '9' in ASCII)
+    assert(ids("QUERY tag WHERE label > 9") == Seq("u1", "u3"))
+    // equality through the numeric rung — PLUS the reference's bool-rung
+    // quirk: "true" equals ANY non-zero int literal (both coerce to true
+    // when the numeric rungs can't engage)
+    assert(ids("QUERY tag WHERE label = 10") == Seq("u1", "u4"))
+    // bool rung: int literal coerces via as_bool (non-zero = true), matching
+    // the "true" string; "0" is numeric so the numeric rung catches it first
+    assert(ids("QUERY tag WHERE label = 1") == Seq("u4"))
+    // boolish string literal: "true" has no numeric parse, bool rung matches
+    assert(ids("""QUERY tag WHERE label = "true"""") == Seq("u4"))
+    // plain string literal: pure lexicographic, pushdown-friendly
+    assert(ids("""QUERY tag WHERE label = "banana"""") == Seq("u3"))
+    // IN mixes rungs per value ("true" rides the bool rung of `= 10`)
+    assert(ids("QUERY tag WHERE label IN (10, 0)") == Seq("u1", "u4", "u5"))
+  }
 }
