@@ -6,11 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (local iteration
-    // only — the driver always runs the full set with 2 args)
+    // only — the driver always runs the full set with 2 args). Entries
+    // ending in `*` match as name prefixes (family subsets).
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(",").map(_.trim).toSet))
     }
+    def selected(name: String): Boolean = only.forall(_.exists(f =>
+      if (f.endsWith("*")) name.startsWith(f.dropRight(1)) else f == name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -23,7 +26,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.forall(_.contains(name))) {
+      if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

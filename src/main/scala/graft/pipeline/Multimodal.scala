@@ -907,7 +907,11 @@ object Multimodal {
     val vh = frameHashes.select((col("media_id") +: keyCols.map(col)): _*)
       .distinct().persist()
     val perVideo = vh.groupBy("media_id").agg(count(lit(1)).as("n_hashes"))
-    val l = vh.alias("l").hint("merge") // identical-subplan reuse, no broadcast guess
+    // join strategy left to AQE: it sees the CACHED table's runtime size,
+    // broadcasting when the hash table is small and falling back to a
+    // sort-merge join (with the two sides reusing one exchange) at scale —
+    // strictly better than pinning either strategy at plan time
+    val l = vh.alias("l")
     val r = vh.alias("r")
     val pairs = l.join(r, keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
         .reduce(_ && _) && col("l.media_id") < col("r.media_id"))
@@ -1274,13 +1278,38 @@ object Multimodal {
     * constant values make the DCT round-trip bit-exact (DC-only blocks,
     * all-ones quant tables), which is what lets the oracle recompute the
     * decoded stats from the generation formula. */
+  // ImageIO's default stream cache spools a TEMP FILE per decode — at
+  // thousands of small frames per partition that file churn dominates the
+  // actual entropy decode. Memory-cached streams only, set once per JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  // One reusable JPEG reader per executor thread: ImageIO.read() re-runs
+  // SPI plugin discovery and allocates a fresh reader on EVERY call, which
+  // is pure overhead for the per-frame decodes of the video path. Readers
+  // are not thread-safe; thread-locals bound the count by the executor's
+  // thread pool.
+  private val jpegReaderTl = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+  }
+
+  /** Decode JPEG bytes through the per-thread cached reader; None on
+    * anything the reader rejects. */
+  private def readJpegImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      val reader = jpegReaderTl.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        Option(reader.read(0))
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
   def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Int, Double, Int, Int)] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None // SOI magic
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => return None }
-    if (img == null) return None
+    val img = readJpegImage(bytes).getOrElse(return None)
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
     val raster = img.getRaster
@@ -1766,10 +1795,7 @@ object Multimodal {
   def decodeJpegPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => return None }
-    if (img == null) return None
+    val img = readJpegImage(bytes).getOrElse(return None)
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
     val raster = img.getRaster

@@ -5,15 +5,26 @@ Runs graft.Verify (already-compiled classes) on a testdata dir, then runs each
 oracle SQL in DuckDB against the same parquet tables and compares result sets
 (sorted columns by name, sorted rows, value-wise with dtype normalization).
 
-Usage: python3 tools/verify_local.py [sfDir] [--only q_name,...]
+Usage: python3 tools/verify_local.py [sfDir] [--only=q_name,...] [--family=prefix,...]
+
+Subset modes (mid-round iteration; the FULL run stays the round-close ritual):
+  --only=q_a,q_b      exact query names
+  --family=q_video,q_dedup
+                      every query whose name starts with a listed prefix —
+                      the "changed-since" workflow: pass the family prefixes
+                      of the operators your diff touched
+Both filters may be combined (union).
 """
 import json, math, subprocess, sys, tempfile, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
 ONLY = None
+FAMILIES = None
 for a in sys.argv:
     if a.startswith("--only="):
         ONLY = set(a.split("=", 1)[1].split(","))
+    if a.startswith("--family="):
+        FAMILIES = [p for p in a.split("=", 1)[1].split(",") if p]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = tempfile.mkdtemp(prefix="graft_verify_")
@@ -25,9 +36,10 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io", "java
           "sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar"]:
     ADD_OPENS += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
 
+_filters = sorted(ONLY or set()) + [p + "*" for p in (FAMILIES or [])]
 cmd = ["java"] + ADD_OPENS + [
     "-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-    "-cp", CP, "graft.Verify", SF, OUT] + ([",".join(sorted(ONLY))] if ONLY else [])
+    "-cp", CP, "graft.Verify", SF, OUT] + ([",".join(_filters)] if _filters else [])
 env = dict(os.environ, SPARK_GRAFT_CPUS="8")
 r = subprocess.run(cmd, capture_output=True, text=True, env=env)
 if r.returncode != 0:
@@ -61,7 +73,10 @@ def canon(cols, rows):
 
 fails = []
 for name, sql in sorted(oracle.items()):
-    if ONLY and name not in ONLY: continue
+    if (ONLY or FAMILIES) and not (
+            (ONLY and name in ONLY) or
+            (FAMILIES and any(name.startswith(p) for p in FAMILIES))):
+        continue
     path = f"{OUT}/{name}"
     if not os.path.isdir(path):
         fails.append((name, "spark query failed (no output)")); continue
@@ -98,4 +113,8 @@ if fails:
     print(f"\n{len(fails)} FAILURES:")
     for n, m in fails: print(f"  FAIL {n}: {m}")
     sys.exit(1)
-print(f"\nall {len([n for n in oracle if not ONLY or n in ONLY])} queries match")
+def _checked(name):
+    if not ONLY and not FAMILIES: return True
+    return (ONLY and name in ONLY) or \
+        (FAMILIES and any(name.startswith(p) for p in FAMILIES))
+print(f"\nall {len([n for n in oracle if _checked(n)])} queries match")
