@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, count, explode, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression guards: the properties that make these operators
@@ -873,6 +873,46 @@ class PlanAuditSpec extends AnyFunSuite {
     val ep = nd.queryExecution.executedPlan.toString
     assert("MapPartitions".r.findAllIn(ep.split("== Initial Plan ==")(0)).length == 2,
       s"near-dup must synthesize+decode exactly once:\n$ep")
+  }
+
+  test("video near-dup: pair join reads ONLY the cached frame table, never re-decodes") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val docs = new graft.sources.TestDataSource(spark, dir).table("documents")
+    // the exact internal shape of Multimodal.nearDupVideos: decode → distinct
+    // → persist, then self-join + totals off the cache
+    val fh = graft.pipeline.Multimodal.videoFrameDHashes(
+      graft.pipeline.Multimodal.syntheticAvis(docs.select(col("doc_id")), "doc_id"))
+    val vh = fh.select(col("media_id"), col("frame_key")).distinct().persist()
+    try {
+      vh.count() // the ONE decode pass
+      val l = vh.alias("l"); val r = vh.alias("r")
+      val pairs = l.join(r, col("l.frame_key") === col("r.frame_key") &&
+          col("l.media_id") < col("r.media_id"))
+        .groupBy(col("l.media_id").as("a"), col("r.media_id").as("b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs.collect()
+      // walk the EXECUTED operator tree (InMemoryTableScan is a leaf here —
+      // the cache's defining plan, which rightly contains the decode, is a
+      // field of the relation, not an executed child)
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      val names = flatten(pairs.queryExecution.executedPlan)
+        .map(_.getClass.getSimpleName)
+      // a MapPartitions in the executed pair tree means a join side bypassed
+      // the cache and re-ran container demux + JPEG decode over the corpus
+      assert(!names.exists(_.contains("MapPartitions")),
+        s"pair join must read the cached frame table, not re-decode: $names")
+      assert(names.exists(_.contains("InMemoryTableScan")),
+        s"pair join must scan the cache: $names")
+    } finally { vh.unpersist(blocking = false); () }
   }
 
   test("interval join: bucket equi-join, never a nested-loop over interval pairs") {
