@@ -262,10 +262,12 @@ object Clustering {
     * appear — an edgeless node holds the base rank trivially). */
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
       iters: Int = 10, dampPpm: Long = 850000L,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(dampPpm >= 0 && dampPpm <= 1000000L, s"dampPpm out of range: $dampPpm")
+    val spark = edges.sparkSession
     val idiv = (a: Column, b: Column) => call_function("div", a, b)
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
@@ -274,8 +276,9 @@ object Clustering {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = dir.join(deg, Seq("src")).localCheckpoint()
-    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    val e = scratch(spark, checkpointDir, "pr_edges", dir.join(deg, Seq("src")))
+    val nodes = scratch(spark, checkpointDir, "pr_nodes",
+      deg.select(col("src").as("node")))
     var r = nodes.select(col("node"), lit(1000000L).as("r"))
     (1 to iters).foreach { i =>
       val contrib = e
@@ -288,10 +291,26 @@ object Clustering {
         .select(col("node"),
           (lit(1000000L - dampPpm) +
             idiv(lit(dampPpm) * col("_s"), lit(1000000L))).as("r"))
-      if (i % checkpointEvery == 0 || i == iters) r = r.localCheckpoint()
+      if (i % checkpointEvery == 0 || i == iters)
+        r = scratch(spark, checkpointDir, s"pr_round_$i", r)
     }
     r.select(col("node"), col("r").as("rank_ppm"))
   }
+
+  /** Materialize an iteration frame: reliable scratch Parquet when a
+    * checkpoint dir is given ([[connectedComponents]]' discipline — on a
+    * real cluster `localCheckpoint` blocks die with their executor, making
+    * a long iterative job unrecoverable after one executor loss mid-run),
+    * executor-local blocks otherwise. */
+  private def scratch(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: Option[String], tag: String, df: DataFrame): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/$tag"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
 
   /** SYNCHRONOUS label propagation (Raghavan et al. 2007, made
     * deterministic): `iters` rounds where every node adopts the most
@@ -314,16 +333,17 @@ object Clustering {
     *
     * Output: `(node, community)` — the label after `iters` rounds. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      iters: Int = 3, checkpointEvery: Int = 5): DataFrame = {
+      iters: Int = 3, checkpointEvery: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") < col("b")).distinct()
-    val dir = und.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
+    val dir = scratch(edges.sparkSession, checkpointDir, "lpa_edges",
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
     var labels = dir.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     (1 to iters).foreach { i =>
@@ -334,7 +354,8 @@ object Clustering {
         .groupBy(col("u"))
         .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
         .select(col("u").as("node"), (-col("_m._nl")).as("label"))
-      if (i % checkpointEvery == 0 || i == iters) labels = labels.localCheckpoint()
+      if (i % checkpointEvery == 0 || i == iters)
+        labels = scratch(edges.sparkSession, checkpointDir, s"lpa_round_$i", labels)
     }
     labels.select(col("node"), col("label").as("community"))
   }

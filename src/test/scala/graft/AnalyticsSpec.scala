@@ -805,6 +805,13 @@ class AnalyticsSpec extends AnyFunSuite {
       iters = 3, dampPpm = 500000L)
       .collect().map(_.getLong(1)).toSet
     assert(single == Set(1000000L))
+    // reliable-scratch variant (checkpointDir) and per-round checkpointing
+    // are bit-identical to the default cadence — only durability differs
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_pr_ck_").toString
+    val r2 = Clustering.pageRank(path, "a", "b", iters = 10,
+        checkpointEvery = 1, checkpointDir = Some(ckDir))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == r, s"checkpointDir variant must be bit-identical: $r2 vs $r")
   }
 
   test("triangleStats: cliques close their triangles, stars close none") {
