@@ -160,6 +160,8 @@ final class Materializer(store: EventStore) {
         // buckets its delta touches (see the class doc)
         QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
           .withColumn("_bkt", seqBucket(col("link_value")))
+          .repartition(col("_bkt")) // one file per bucket dir, not one per
+                                    // (bucket × shuffle partition)
           .write.mode("overwrite").partitionBy("_bkt")
           .parquet(dir.resolve("data").toString)
         dir.resolve("data")
@@ -277,7 +279,8 @@ final class Materializer(store: EventStore) {
       val bucketed = QueryCompiler.compile(query, boundedSource(Long.MinValue, newHwm))
         .withColumn("_bkt", seqBucket(col("link_value")))
       val tmp = dataDir.resolveSibling("data.tmp")
-      bucketed.write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
+      bucketed.repartition(col("_bkt"))
+        .write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
       val old = dataDir.resolveSibling("data.old")
       if (Files.exists(dataDir)) Files.move(dataDir, old)
       Files.move(tmp, dataDir)
@@ -338,7 +341,8 @@ final class Materializer(store: EventStore) {
   private def replaceBuckets(target: Path, combined: DataFrame,
       affBkts: Seq[Int]): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    combined.write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
+    combined.repartition(col("_bkt")) // delta-sized: only affected buckets
+      .write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
     affBkts.foreach { b =>
       val dst = target.resolve(s"_bkt=$b")
       deleteRecursively(dst)
