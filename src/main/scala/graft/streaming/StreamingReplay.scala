@@ -24,18 +24,34 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingReplay {
   private val counter = new AtomicInteger()
 
-  def run(out: DataFrame, mode: String = "append"): DataFrame = {
+  /** `statePartitions` sizes the replay's state stores: every stateful
+    * operator pays a fixed per-partition-per-batch cost (store open,
+    * snapshot, commit), so a gate-scale replay on 32 session shuffle
+    * partitions spends most of its wall time on empty-store bookkeeping.
+    * The count is pinned at the query's FIRST start via the session conf
+    * (Spark freezes it in the checkpoint thereafter) and the prior value
+    * is restored before returning. Results are partition-count-invariant:
+    * all per-key semantics live inside group handlers. Production streams
+    * size this to load; 8 bounds the harness. */
+  def run(out: DataFrame, mode: String = "append",
+      statePartitions: Int = 8): DataFrame = {
     val spark = out.sparkSession
     val name = s"graft_replay_${counter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
-    val q = out.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // restored only AFTER termination: the first micro-batch is planned
+    // asynchronously after start(), and that planning reads the session conf
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      val q = out.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

@@ -1015,11 +1015,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val cp = simple(graft.pipeline.EventAnalytics.cusumChangepoint(
       ev, "event_type", "timestamp", burnDays = 7))
     assert(!cp.contains("Join") && !cp.contains("Window"), cp)
-    // sorted-neighborhood: the global rank is RANGE partitioning (never a
-    // single-partition window over the corpus); candidates equi-join
+    // sorted-neighborhood: the global rank is range partitioning + a
+    // PER-PARTITION window with broadcast offsets (never a single-partition
+    // window over the corpus). The range exchange itself now lives behind
+    // the pinned localCheckpoint (it must not re-sample between the counts
+    // job and the join job), so the visible plan is pinned on the window
+    // being keyed by the partition id, with its offsets broadcast-joined
     val sndRank = simple(graft.pipeline.Ranking.globalRank(
       docs.selectExpr("doc_id", "text as _key"), Seq("_key", "doc_id")))
-    assert(sndRank.contains("rangepartitioning"), sndRank)
+    assert(sndRank.contains("windowspecdefinition(_pid"), sndRank)
+    assert(sndRank.contains("BroadcastHashJoin"), sndRank)
     val snd = simple(graft.pipeline.Dedup.sortedNeighborhoodDups(
       docs, "doc_id", "text"))
     assert(!snd.contains("CartesianProduct") &&
