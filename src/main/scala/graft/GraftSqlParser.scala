@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.ast.{CompareCmd, QueryCmd, ReplayCmd}
+import graft.engine.{CompareCompiler, QueryCompiler}
+import graft.sources.TestDataSource
+
+/** Delegating SQL parser injected by [[GraftExtensions]]: a statement of
+  * the form `GRAFT <command>` is compiled through the engine's command
+  * language against the parquet event binding at `spark.graft.data.dir`;
+  * everything else goes to the stock Spark parser untouched.
+  *
+  * Only read-path commands (QUERY / REPLAY / PLOT … VS) make sense as SQL
+  * statements — write-path commands (DEFINE/STORE/FLUSH) need a store and
+  * are rejected with a pointer to the [[store.EventStore]] API.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Prefix = "(?is)^\\s*GRAFT\\s+(.*)$".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Prefix(cmd) =>
+      val spark = SparkSession.active
+      val dir = spark.conf.getOption("spark.graft.data.dir").getOrElse(
+        throw new IllegalArgumentException(
+          "GRAFT statements need spark.graft.data.dir to locate the event tables"))
+      graft.parser.CommandParser.parse(cmd.trim) match {
+        case q: QueryCmd   => QueryCompiler.compile(q, new TestDataSource(spark, dir)).queryExecution.logical
+        case r: ReplayCmd  => QueryCompiler.compile(r.toQuery, new TestDataSource(spark, dir)).queryExecution.logical
+        case c: CompareCmd => CompareCompiler.compile(c, new TestDataSource(spark, dir)).queryExecution.logical
+        case other => throw new IllegalArgumentException(
+          s"only read commands run as SQL; use graft.store.EventStore for: $other")
+      }
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
+    case Prefix(_) => parsePlan(sqlText)
+    case _         => delegate.parseQuery(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
