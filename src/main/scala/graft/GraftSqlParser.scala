@@ -27,13 +27,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Prefix(cmd) =>
       val spark = SparkSession.active
-      val dir = spark.conf.getOption("spark.graft.data.dir").getOrElse(
-        throw new IllegalArgumentException(
-          "GRAFT statements need spark.graft.data.dir to locate the event tables"))
+      // binding precedence: an explicit parquet event dir wins; otherwise
+      // the session's TEMP VIEWS serve as event types (any DataFrame a
+      // user registers becomes command-language-queryable)
+      val src = spark.conf.getOption("spark.graft.data.dir") match {
+        case Some(dir) => new TestDataSource(spark, dir)
+        case None      => new graft.sources.CatalogEventSource(spark)
+      }
       graft.parser.CommandParser.parse(cmd.trim) match {
-        case q: QueryCmd   => QueryCompiler.compile(q, new TestDataSource(spark, dir)).queryExecution.logical
-        case r: ReplayCmd  => QueryCompiler.compile(r.toQuery, new TestDataSource(spark, dir)).queryExecution.logical
-        case c: CompareCmd => CompareCompiler.compile(c, new TestDataSource(spark, dir)).queryExecution.logical
+        case q: QueryCmd   => QueryCompiler.compile(q, src).queryExecution.logical
+        case r: ReplayCmd  => QueryCompiler.compile(r.toQuery, src).queryExecution.logical
+        case c: CompareCmd => CompareCompiler.compile(c, src).queryExecution.logical
         case other => throw new IllegalArgumentException(
           s"only read commands run as SQL; use graft.store.EventStore for: $other")
       }

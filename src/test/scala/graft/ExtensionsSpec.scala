@@ -63,11 +63,25 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
-  test("GRAFT needs the data-dir conf and says so") {
+  test("without a data dir, session temp views serve as event types") {
     withExtensionsSession { s =>
       s.conf.unset("spark.graft.data.dir")
-      val e = intercept[Exception](s.sql("GRAFT QUERY purchase"))
-      assert(e.getMessage.contains("spark.graft.data.dir"))
+      import s.implicits._
+      Seq(("u1", 100L, 250.0, "a"), ("u1", 200L, 50.0, "b"),
+          ("u2", 150L, 300.0, "a"))
+        .toDF("context_id", "timestamp", "value", "props")
+        .createOrReplaceTempView("sale")
+      val rows = s.sql("GRAFT QUERY sale WHERE value > 100")
+        .collect().map(_.getAs[String]("context_id")).sorted.toSeq
+      assert(rows == Seq("u1", "u2"))
+      val agg = s.sql("GRAFT QUERY sale COUNT BY props").collect()
+        .map(r => r.getAs[String]("props") -> r.getAs[Long]("count")).toMap
+      assert(agg == Map("a" -> 2L, "b" -> 1L))
+      // a view without the required identity column is a loud error
+      Seq((1L, 2L)).toDF("x", "timestamp").createOrReplaceTempView("bad")
+      val e = intercept[Exception](s.sql("GRAFT QUERY bad").collect())
+      assert(e.getMessage.contains("context_id"))
+      s.catalog.dropTempView("sale"); s.catalog.dropTempView("bad"); ()
     }
   }
 }
