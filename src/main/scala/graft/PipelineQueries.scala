@@ -524,18 +524,21 @@ object PipelineQueries {
       // the REAL storage boundary between nights: write the artifact
       // tables to parquet and read them back (DedupArtifacts.write /
       // Dedup.readArtifacts) — the lineage cut materialize() only
-      // simulates. Night 2's decision plan scans ONLY the read-back
-      // artifact tables + the batch (plan-pinned).
+      // simulates. The fold-back is the APPEND-ONLY path
+      // (Dedup.appendDedupDelta): only the admitted delta's rows land,
+      // never a rewrite of the corpus-sized artifact set. Night 2's
+      // decision plan scans ONLY the read-back artifact tables + the
+      // batch (plan-pinned).
       val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_art_").toString
       val params = Map("ngram" -> 3L, "bands" -> 32L, "rowsPerBand" -> 2L)
-      Dedup.buildDedupArtifacts(corpus, "doc_id", "text").write(s"$tmp/night1", params)
-      val art = Dedup.readArtifacts(s, s"$tmp/night1")
-      require(Dedup.readArtifactParams(s, s"$tmp/night1") == params,
+      Dedup.buildDedupArtifacts(corpus, "doc_id", "text").write(s"$tmp/art", params)
+      val art = Dedup.readArtifacts(s, s"$tmp/art")
+      require(Dedup.readArtifactParams(s, s"$tmp/art") == params,
         "artifact build parameters must round-trip through the manifest")
       val dec1 = Dedup.incrementalDedup(batch1, art, "doc_id", "text", 3, 32, 2, 0.5)
         .localCheckpoint()
-      Dedup.updateDedupArtifacts(art, batch1, dec1, "doc_id", "text").write(s"$tmp/night2", params)
-      val art2 = Dedup.readArtifacts(s, s"$tmp/night2")
+      Dedup.appendDedupDelta(s"$tmp/art", batch1, dec1, "doc_id", "text")
+      val art2 = Dedup.readArtifacts(s, s"$tmp/art")
       val batch2 = batch1.select((col("doc_id") + 300000).as("doc_id"), col("text"))
       Dedup.incrementalDedup(batch2, art2, "doc_id", "text", 3, 32, 2, 0.5)
     }),

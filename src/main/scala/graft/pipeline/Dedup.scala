@@ -666,6 +666,33 @@ object Dedup {
       .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
+  /** Append-only nightly fold-back at the STORAGE layer: write ONLY the
+    * admitted documents' artifact rows into an existing artifact dir
+    * (parquet append on each table), with build parameters taken from the
+    * dir's own manifest so the delta can't be shingled differently from
+    * the corpus. Equivalent to [[updateDedupArtifacts]] + a full rewrite —
+    * admission guarantees every appended row is new (an admitted key is
+    * absent from the corpus and unique in its batch) — but the nightly
+    * cost is DELTA-sized: the union-and-rewrite cycle copies the entire
+    * artifact set every night, which at 100 TB is a nightly full copy of
+    * the dedup state. `decisions` is [[incrementalDedup]]'s output for
+    * `batch` against these same artifacts. */
+  def appendDedupDelta(artifactDir: String, batch: DataFrame,
+      decisions: DataFrame, idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val params = readArtifactParams(spark, artifactDir)
+    val add = buildDedupArtifacts(
+      batch.join(decisions.filter(col("status") === "admitted").select(col(idCol)),
+        Seq(idCol), "left_semi"),
+      idCol, textCol,
+      params.getOrElse("ngram", 3L).toInt,
+      params.getOrElse("bands", 32L).toInt,
+      params.getOrElse("rowsPerBand", 2L).toInt)
+    add.keys.write.mode("append").parquet(s"$artifactDir/keys")
+    add.bands.write.mode("append").parquet(s"$artifactDir/bands")
+    add.shingles.write.mode("append").parquet(s"$artifactDir/shingles")
+  }
+
   /** Build [[DedupArtifacts]] from a corpus — the one corpus-sized job,
     * run once (then maintained incrementally, not recomputed). */
   def buildDedupArtifacts(corpus: DataFrame, idCol: String, textCol: String,
