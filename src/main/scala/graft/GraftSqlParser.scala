@@ -27,13 +27,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Prefix(cmd) =>
       val spark = SparkSession.active
-      // binding precedence: an explicit parquet event dir wins; otherwise
-      // the session's TEMP VIEWS serve as event types (any DataFrame a
-      // user registers becomes command-language-queryable)
-      val src = spark.conf.getOption("spark.graft.data.dir") match {
-        case Some(dir) => new TestDataSource(spark, dir)
-        case None      => new graft.sources.CatalogEventSource(spark)
-      }
+      // binding precedence: a live EventStore root wins (the store IS an
+      // EventSource — full DEFINE'd-schema semantics, memtable-visible
+      // reads); then an explicit parquet event dir; otherwise the
+      // session's TEMP VIEWS serve as event types (any DataFrame a user
+      // registers becomes command-language-queryable)
+      val src: graft.engine.EventSource =
+        spark.conf.getOption("spark.graft.store.root") match {
+          case Some(root) => GraftSqlParser.storeFor(spark, root)
+          case None => spark.conf.getOption("spark.graft.data.dir") match {
+            case Some(dir) => new TestDataSource(spark, dir)
+            case None      => new graft.sources.CatalogEventSource(spark)
+          }
+        }
       graft.parser.CommandParser.parse(cmd.trim) match {
         case q: QueryCmd   => QueryCompiler.compile(q, src).queryExecution.logical
         case r: ReplayCmd  => QueryCompiler.compile(r.toQuery, src).queryExecution.logical
@@ -63,4 +69,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  // one EventStore per (session-instance, root): opening a store loads the
+  // catalog and replays the WAL, which must not happen per statement.
+  // Keyed by session too — stores hold their session for frame construction
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), graft.store.EventStore]()
+
+  private[graft] def storeFor(spark: SparkSession,
+      root: String): graft.store.EventStore =
+    stores.computeIfAbsent((System.identityHashCode(spark), root),
+      _ => new graft.store.EventStore(spark, root))
 }

@@ -84,4 +84,23 @@ class ExtensionsSpec extends AnyFunSuite {
       s.catalog.dropTempView("sale"); s.catalog.dropTempView("bad"); ()
     }
   }
+
+  test("a live EventStore root binds as the GRAFT source") {
+    withExtensionsSession { s =>
+      val root = java.nio.file.Files.createTempDirectory("graft_ext_store_").toString
+      val store = new graft.store.EventStore(s, root)
+      store.execute("""DEFINE order FIELDS { amount: "int" }""")
+      store.execute("""STORE order FOR u1 PAYLOAD {"amount": 5}""")
+      store.execute("""STORE order FOR u2 PAYLOAD {"amount": 9}""")
+      store.execute("FLUSH")
+      // an unflushed memtable row must be visible too (store semantics)
+      store.execute("""STORE order FOR u3 PAYLOAD {"amount": 11}""")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        val rows = s.sql("GRAFT QUERY order WHERE amount > 6")
+          .collect().map(_.getAs[String]("context_id")).sorted.toSeq
+        assert(rows == Seq("u2", "u3"))
+      } finally s.conf.unset("spark.graft.store.root")
+    }
+  }
 }
