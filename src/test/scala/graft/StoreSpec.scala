@@ -158,6 +158,27 @@ class StoreSpec extends AnyFunSuite {
     assert(pairs() == Map("u1" -> ((100L, 200L, 11L)), "u2" -> ((100L, 150L, 20L))))
   }
 
+  test("sequence REMEMBER + SHOW with a payload LINKED BY field refreshes per link group") {
+    import spark.implicits._
+    val s = newStore()
+    s.execute("""DEFINE a FIELDS { k: "string", v: "int" }""")
+    s.execute("""DEFINE b FIELDS { k: "string", v: "int" }""")
+    def ing(t: String, rows: Seq[(String, Long, String, Int)]): Unit =
+      s.ingestFrame(t, rows.toDF("ctx", "ts", "k", "v"), "ctx", Some("ts"))
+        .left.foreach(e => fail(e))
+    // link key k spans DIFFERENT contexts — the payload-field link path
+    ing("a", Seq(("u1", 100L, "g1", 1), ("u2", 100L, "g2", 2)))
+    ing("b", Seq(("u3", 300L, "g1", 10), ("u4", 150L, "g2", 20)))
+    assert(ok(s.execute("REMEMBER QUERY a FOLLOWED BY b LINKED BY k AS fnk")).contains("remembered"))
+    def pairs(): Map[String, (Long, Long)] =
+      frame(s.execute("SHOW fnk")).collect().map(r => r.getAs[String]("link_value") ->
+        ((r.getAs[Long]("b_timestamp"), r.getAs[Long]("b_v")))).toMap
+    assert(pairs() == Map("g1" -> ((300L, 10L)), "g2" -> ((150L, 20L))))
+    // late B inside g1's gap, from yet another context: only g1 re-matches
+    ing("b", Seq(("u5", 200L, "g1", 11)))
+    assert(pairs() == Map("g1" -> ((200L, 11L)), "g2" -> ((150L, 20L))))
+  }
+
   test("bulk ingestFrame and persistence across reopen") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_store_").toString
