@@ -111,7 +111,12 @@ object ExprCompiler {
     * boolish (`"1"`/`"true"` ≡ true, int literals as `!= 0`), then
     * lexicographic. Rungs whose literal coercion fails are pruned at compile
     * time, so a plain string literal compiles to the bare string comparison
-    * (pushdown-friendly). Known edge vs the reference: integers beyond 2⁵³
+    * (pushdown-friendly). A numeric/bool literal necessarily gives up
+    * Parquet predicate pushdown for this conjunct: the matching string set
+    * is unbounded ("7", "007", "7.0", " 7" all equal 7), so no static
+    * predicate exists — the same column-scan cost the reference pays for
+    * its per-row dynamic compare; sibling conjuncts still push down.
+    * Known edge vs the reference: integers beyond 2⁵³
     * compare through double here but exactly (u64/i64) there. */
   private def stringLadderCmp(name: String, op: CompareOp, v: Lit): Column = {
     val c = col(name)
