@@ -32,6 +32,22 @@ object StreamQueries {
           element_at(col("stepTs"), 2).as("purchase_ts"))
     }),
 
+    "q_stream_changepoint" -> ((s, d) => {
+      // streaming CUSUM: per-type day counts in state, the exact integer
+      // recurrence re-folded per batch — the single AvailableNow batch
+      // emits one verdict per type equal to the batch operator, so the
+      // oracle is q_changepoint's recursive-CTE replay verbatim (same
+      // doubled-after-19738 fixture via a streaming self-union)
+      val src = new TestDataSource(s, d)
+      val ev = src.eventsStream
+      val doubled = ev.unionByName(src.eventsStream.filter(
+        expr("cast(timestamp as bigint) div 86400 >= 19738")))
+      StreamingReplay.run(
+        graft.streaming.StreamingChangepoint.cusum(
+          doubled, "event_type", "timestamp", burnDays = 7).toDF(),
+        mode = "update")
+    }),
+
     "q_stream_funnel_excl" -> ((s, d) => {
       // streaming exclusion funnel: per-context (first-A, first-B, veto)
       // state as three packed longs, Update-mode status rows; one
@@ -361,6 +377,10 @@ object StreamQueries {
     // single-batch replay folds in (ts, eid) order → identical to the
     // batch exclusion funnel's three-window oracle
     "q_stream_funnel_excl" -> AnalyticsQueries.oracleSql("q_funnel_exclusion"),
+
+    // one batch → one verdict per type from the same frozen recurrence →
+    // the batch changepoint's recursive-CTE oracle verbatim
+    "q_stream_changepoint" -> AnalyticsQueries.oracleSql("q_changepoint"),
 
     // frozen weights trained on the same corpus ⇒ the stream decisions
     // equal the batch DSIR score + resample chain row for row
