@@ -48,6 +48,17 @@ object StreamQueries {
         mode = "update")
     }),
 
+    "q_stream_autocorr" -> ((s, d) => {
+      // streaming daily autocorrelation over the same calendar-bounded
+      // per-type state: one AvailableNow batch re-folds the exact integer
+      // formula → the batch operator's rows, oracle shared verbatim
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(
+        graft.streaming.StreamingChangepoint.dailyAutocorr(
+          src.eventsStream, "event_type", "timestamp").toDF(),
+        mode = "update")
+    }),
+
     "q_stream_funnel_excl" -> ((s, d) => {
       // streaming exclusion funnel: per-context (first-A, first-B, veto)
       // state as three packed longs, Update-mode status rows; one
@@ -381,6 +392,9 @@ object StreamQueries {
     // one batch → one verdict per type from the same frozen recurrence →
     // the batch changepoint's recursive-CTE oracle verbatim
     "q_stream_changepoint" -> AnalyticsQueries.oracleSql("q_changepoint"),
+
+    // same exact-integer daily formula → the batch autocorrelation oracle
+    "q_stream_autocorr" -> AnalyticsQueries.oracleSql("q_autocorr"),
 
     // frozen weights trained on the same corpus ⇒ the stream decisions
     // equal the batch DSIR score + resample chain row for row

@@ -23,6 +23,8 @@ object StreamingChangepoint {
 
   case class CpEvent(tpe: String, day: Long, et: java.sql.Timestamp)
   case class CpState(counts: Map[Long, Long])
+  case class AcRow(event_type: String, n_days: Long, mean_milli: Long,
+      r1_ppm: Option[Long], r7_ppm: Option[Long])
   case class CpRow(event_type: String, n_days: Long, base_milli: Long,
       max_sp: Long, max_sn: Long, cp_day: Option[Long], direction: Option[String])
 
@@ -72,6 +74,49 @@ object StreamingChangepoint {
             Iterator.single(CpRow(tpe, arr.size.toLong, base, msp, msn,
               if (cp >= 0) Some(cp) else None,
               dir match { case 1 => Some("up"); case 2 => Some("down"); case _ => None }))
+          }
+      }
+  }
+
+  /** Streaming daily autocorrelation — the unbounded-stream sibling of
+    * [[graft.pipeline.EventAnalytics.dailyAutocorrelation]], sharing the
+    * CUSUM twin's calendar-bounded day→count state. Every batch re-folds
+    * the EXACT integer formula over the accumulated day series: centered
+    * deviations `d_t = cnt_t·n − T` (no division), positional lag-k
+    * products, signed ppm via the same truncate-toward-zero Long division
+    * the batch operator compiles — so a bounded replay reproduces it
+    * bit-for-bit, late-amended days included at the next emission. */
+  def dailyAutocorr(events: DataFrame, typeCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): Dataset[AcRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .withColumn("__event_time", timestamp_seconds(col(tsCol).cast("long")))
+      .withWatermark("__event_time", watermarkDelay)
+      .select(col(typeCol).cast("string").as("tpe"),
+        expr(s"cast($tsCol as bigint) div 86400").as("day"),
+        col("__event_time").as("et"))
+      .as[CpEvent]
+    prepared.groupByKey(_.tpe)
+      .flatMapGroupsWithState[CpState, AcRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[CpEvent], state: GroupState[CpState]) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(_.counts.foreach { case (d, c) => m(d) = c })
+          it.foreach(e => m(e.day) = m.getOrElse(e.day, 0L) + 1L)
+          state.update(CpState(m.toMap))
+          val cnts = m.toSeq.sortBy(_._1).map(_._2).toArray
+          val n = cnts.length.toLong
+          if (n == 0) Iterator.empty
+          else {
+            val tot = cnts.sum
+            val dev = cnts.map(c => c * n - tot)
+            val den = dev.map(d => d * d).sum
+            def r(k: Int): Option[Long] =
+              if (n <= k || den <= 0) None
+              else Some((k until dev.length).map(i => dev(i) * dev(i - k)).sum
+                * 1000000L / den)
+            Iterator.single(AcRow(tpe, n, tot * 1000L / n, r(1), r(7)))
           }
       }
   }
