@@ -59,6 +59,21 @@ object StreamQueries {
         mode = "update")
     }),
 
+    "q_stream_coverage" -> ((s, d) => {
+      // streaming ingest-coverage report: per-type observed span + exact
+      // missing-day list from the shared day-count state; same
+      // injected-gap fixture filter and portable string join as the batch
+      // gate; one batch → the batch operator's rows, oracle shared
+      val src = new TestDataSource(s, d)
+      StreamingReplay.run(
+        graft.streaming.StreamingChangepoint.coverageGaps(
+          src.eventsStream.filter(expr(
+            "(cast(timestamp as bigint) div 86400 + length(event_type)) % 7 != 0")),
+          "event_type", "timestamp").toDF(),
+        mode = "update")
+        .withColumn("missing", array_join(col("missing"), ","))
+    }),
+
     "q_stream_funnel_excl" -> ((s, d) => {
       // streaming exclusion funnel: per-context (first-A, first-B, veto)
       // state as three packed longs, Update-mode status rows; one
@@ -395,6 +410,9 @@ object StreamQueries {
 
     // same exact-integer daily formula → the batch autocorrelation oracle
     "q_stream_autocorr" -> AnalyticsQueries.oracleSql("q_autocorr"),
+
+    // span/observed/missing from the same day state → the batch oracle
+    "q_stream_coverage" -> AnalyticsQueries.oracleSql("q_coverage_gaps"),
 
     // frozen weights trained on the same corpus ⇒ the stream decisions
     // equal the batch DSIR score + resample chain row for row

@@ -25,6 +25,9 @@ object StreamingChangepoint {
   case class CpState(counts: Map[Long, Long])
   case class AcRow(event_type: String, n_days: Long, mean_milli: Long,
       r1_ppm: Option[Long], r7_ppm: Option[Long])
+  case class CgRow(event_type: String, first_day: Long, last_day: Long,
+      span_days: Long, observed_days: Long, missing_days: Long,
+      missing: Seq[Long])
   case class CpRow(event_type: String, n_days: Long, base_milli: Long,
       max_sp: Long, max_sn: Long, cp_day: Option[Long], direction: Option[String])
 
@@ -117,6 +120,41 @@ object StreamingChangepoint {
               else Some((k until dev.length).map(i => dev(i) * dev(i - k)).sum
                 * 1000000L / den)
             Iterator.single(AcRow(tpe, n, tot * 1000L / n, r(1), r(7)))
+          }
+      }
+  }
+
+  /** Streaming ingest-coverage gap report — the unbounded-stream sibling
+    * of [[graft.pipeline.EventAnalytics.coverageGaps]] on the same
+    * calendar-bounded state: per batch, each touched type re-emits its
+    * observed span and the EXACT missing-day list (span minus observed —
+    * both calendar-bounded, so the emitted row stays bounded too). */
+  def coverageGaps(events: DataFrame, typeCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): Dataset[CgRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .withColumn("__event_time", timestamp_seconds(col(tsCol).cast("long")))
+      .withWatermark("__event_time", watermarkDelay)
+      .select(col(typeCol).cast("string").as("tpe"),
+        expr(s"cast($tsCol as bigint) div 86400").as("day"),
+        col("__event_time").as("et"))
+      .as[CpEvent]
+    prepared.groupByKey(_.tpe)
+      .flatMapGroupsWithState[CpState, CgRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[CpEvent], state: GroupState[CpState]) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(_.counts.foreach { case (d, c) => m(d) = c })
+          it.foreach(e => m(e.day) = m.getOrElse(e.day, 0L) + 1L)
+          state.update(CpState(m.toMap))
+          if (m.isEmpty) Iterator.empty
+          else {
+            val obs = m.keys.toArray.sorted
+            val (first, last) = (obs.head, obs.last)
+            val missing = (first to last).filterNot(m.contains)
+            Iterator.single(CgRow(tpe, first, last, last - first + 1,
+              obs.length.toLong, missing.length.toLong, missing))
           }
       }
   }
