@@ -331,6 +331,14 @@ object PipelineQueries {
       Multimodal.decodeJpegs(Multimodal.syntheticJpegs(
         docs(s, d).select(col("doc_id")), "doc_id"))),
 
+    "q_multimodal_mp3" -> ((s, d) =>
+      // REAL frame-header container walk (ISO 11172-3 layout — public
+      // spec, no audio decode): sync/version/layer validation, table-
+      // decoded bitrate/rate, strict back-to-back frame lengths; every
+      // field analytic in doc_id so the oracle recomputes the metadata
+      Multimodal.mp3Metadata(Multimodal.syntheticMp3s(
+        docs(s, d).select(col("doc_id")), "doc_id"))),
+
     "q_multimodal_gif" -> ((s, d) => {
       // REAL palette-codec decode: a valid grayscale GIF per doc through
       // ImageIO's LZW write+read cycle (lossless, palette-lookup exact),
@@ -1726,6 +1734,25 @@ object PipelineQueries {
         |  round(sum(CASE WHEN ch = 2 THEN val END) / 30.0, 6) AS mean_b,
         |  CAST(doc_id * 31 % 256 AS INTEGER) AS tl_r
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // every MP3 header field is analytic in doc_id (nf = 3 + id%4,
+    // bitrate index 1 + id%14, rate index id%3); duration is the
+    // truncating 1152-samples-per-frame formula
+    "q_multimodal_mp3" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+        |    CAST(1 + doc_id % 14 AS INT) AS b_idx,
+        |    CAST(doc_id % 3 AS INT) AS r_idx FROM documents),
+        |t AS (SELECT media_id, n_frames,
+        |    CAST(CASE r_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INT) AS sample_rate,
+        |    CAST(CASE b_idx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |      WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96
+        |      WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+        |      WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS INT) AS bitrate_kbps
+        |  FROM d)
+        |SELECT media_id, n_frames, sample_rate, bitrate_kbps,
+        |  CAST(n_frames * 1152 * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM t""".stripMargin,
 
     // gray GIF formula v(x,y) = (id*37 + x*11 + y*17) % 256 on a
     // (5 + id%3) × (6 + id%2) canvas: stats re-aggregated per doc, dHash

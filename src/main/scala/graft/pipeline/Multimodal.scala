@@ -15,12 +15,15 @@ import org.apache.spark.sql.types._
   * a genuinely COMPRESSED codec: zlib inflate via `java.util.zip`, CRC32
   * chunk validation, all five scanline filters), plus GIF/TIFF/WBMP and
   * JPEG via `javax.imageio` (real since r7 — see [[decodeJpeg]]),
-  * AVI/MJPEG container demux, and WARC record parsing; each is
+  * AVI/MJPEG container demux, WARC record parsing, and MP3 frame-HEADER
+  * metadata ([[parseMp3Frames]] — the public ISO 11172-3 header layout:
+  * frame walk, bitrate/rate tables, exact duration); each is
   * oracle-checked end-to-end against analytically-constructed blobs
   * ([[syntheticPpm]]/[[syntheticBmp]]/[[syntheticWav]]/[[syntheticPngs]]).
-  * Only the patent-encumbered codecs with no JDK decoder (MP3, H.264)
-  * remain behind [[decodeStub]], a deterministic fake producing
-  * byte-level statistics with the same shape a real extractor would.
+  * Only the AUDIO/VIDEO PAYLOAD decode of the perceptual codecs with no
+  * JDK decoder (MP3's MDCT, H.264) remains behind [[decodeStub]], a
+  * deterministic fake producing byte-level statistics with the same
+  * shape a real extractor would.
   * Everything around it —
   * schema, binary packing, partition-wise batched execution, feature
   * schema — is real Spark plumbing that a production decoder drops into.
@@ -1387,6 +1390,104 @@ object Multimodal {
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticJpeg(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
+
+  // ---- MP3 (frame-HEADER walk — container metadata, not audio decode) ----
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1..14 (0 = free, 15 =
+    * reserved — both rejected). ISO/IEC 11172-3 §2.4.2.3. */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  /** MPEG-1 sample-rate table (Hz), index 0..2 (3 = reserved). */
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Walk an MPEG-1 Layer III stream's FRAME HEADERS: sync (11 bits),
+    * version/layer pinned to MPEG-1 L3, bitrate/sample-rate indexes table-
+    * decoded, frame length `144·bitrate/rate + padding`, frames walked
+    * back-to-back to exactly the end of the blob (any violation — bad
+    * sync, reserved index, truncated tail — drops the WHOLE blob). This is
+    * container METADATA, fully specified by the public header layout; the
+    * audio payload stays opaque (the actual MDCT decode remains behind
+    * [[decodeStub]]).
+    *
+    * Returns (n_frames, sample_rate, bitrate_kbps of the FIRST frame,
+    * duration_ms): MPEG-1 L3 frames carry 1152 samples, so
+    * `duration_ms = n_frames · 1152 · 1000 div rate` (truncating — the
+    * oracle's arithmetic). */
+  def parseMp3Frames(bytes: Array[Byte]): Option[(Long, Int, Int, Long)] = {
+    if (bytes.length < 4) return None
+    var o = 0
+    var nFrames = 0L
+    var rate = -1
+    var firstKbps = -1
+    while (o + 4 <= bytes.length) {
+      if ((bytes(o) & 0xff) != 0xff || (bytes(o + 1) & 0xe0) != 0xe0) return None
+      // version (2b) must be MPEG-1 (11), layer (2b) must be III (01)
+      if ((bytes(o + 1) & 0x18) != 0x18 || (bytes(o + 1) & 0x06) != 0x02) return None
+      val bIdx = (bytes(o + 2) & 0xf0) >>> 4
+      val rIdx = (bytes(o + 2) & 0x0c) >>> 2
+      if (bIdx < 1 || bIdx > 14 || rIdx > 2) return None
+      val padding = (bytes(o + 2) & 0x02) >>> 1
+      val r = Mp3Rates(rIdx)
+      if (rate < 0) { rate = r; firstKbps = Mp3Bitrates(bIdx) }
+      else if (r != rate) return None // rate must be stream-constant
+      val frameLen = 144 * Mp3Bitrates(bIdx) * 1000 / r + padding
+      if (frameLen <= 4 || o + frameLen > bytes.length) return None
+      nFrames += 1
+      o += frameLen
+    }
+    if (o != bytes.length || nFrames == 0) return None
+    Some((nFrames, rate, firstKbps, nFrames * 1152L * 1000L / rate))
+  }
+
+  /** A VALID MPEG-1 Layer III stream of `3 + id%4` frames at bitrate
+    * `Mp3Bitrates(1 + id%14)` kbps / rate `Mp3Rates(id%3)`, padding bit
+    * alternating by frame index, payload zeros — every header field
+    * analytic in `id` so the oracle recomputes the parsed metadata. */
+  private[graft] def buildSyntheticMp3(id: Long): Array[Byte] = {
+    val nf = 3 + (id % 4).toInt
+    val bIdx = 1 + (id % 14).toInt
+    val rIdx = (id % 3).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nf).foreach { f =>
+      val padding = f % 2
+      val frameLen = 144 * Mp3Bitrates(bIdx) * 1000 / Mp3Rates(rIdx) + padding
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // sync + MPEG-1 + Layer III + no CRC
+      frame(2) = ((bIdx << 4) | (rIdx << 2) | (padding << 1)).toByte
+      frame(3) = 0x00 // stereo, no flags
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  /** [[parseMp3Frames]] row shape. */
+  val mp3Schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bitrate_kbps", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** [[buildSyntheticMp3]] over a corpus ([[syntheticJpegs]] shape). */
+  def syntheticMp3s(df: DataFrame, idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"syntheticMp3s needs an integral id column, got ${idType.simpleString}")
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, buildSyntheticMp3(id)) }
+    }(Encoders.row(syntheticBlobSchema))
+  }
+
+  /** Frame-header metadata of every MP3 blob (malformed rows dropped). */
+  def mp3Metadata(media: DataFrame): DataFrame =
+    idAndBytes(media).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRow(r, parseMp3Frames).map { case (nf, rate, kbps, durMs) =>
+          Row(r.getLong(0), nf, rate, kbps, durMs)
+        }
+      }
+    }(Encoders.row(mp3Schema))
 
   // ---- GIF (via the JDK's ImageIO — LZW over a ≤256-color palette) ----
 
