@@ -389,12 +389,12 @@ object AnalyticsQueries {
       Similarity.scalarQuantize(embs(s, d), "vec_id", "embedding")),
 
     "q_media_sniff" -> ((s, d) => {
-      // untyped-media dispatch: eight formats' REAL synthetic blobs (the
+      // untyped-media dispatch: nine formats' REAL synthetic blobs (the
       // same generators the decode gates use), routed purely by file
       // signature — the oracle knows only the id→format rule, so a wrong
       // magic match on any generator's bytes fails the row
       val dd = docs(s, d)
-      def part(m: Int) = dd.filter(col("doc_id") % 8 === m)
+      def part(m: Int) = dd.filter(col("doc_id") % 9 === m)
       val blobs = Multimodal.syntheticPngs(part(0), "doc_id", 5, 6)
         .unionByName(Multimodal.syntheticJpegs(part(1), "doc_id"))
         .unionByName(Multimodal.syntheticGifs(part(2), "doc_id"))
@@ -406,6 +406,7 @@ object AnalyticsQueries {
           Multimodal.syntheticPpm(col("doc_id"), 5, 4).as("bytes")))
         .unionByName(part(7).select(col("doc_id").as("media_id"),
           Multimodal.syntheticWav(col("doc_id"), 64, 16000).as("bytes")))
+        .unionByName(Multimodal.syntheticMp3s(part(8), "doc_id"))
       blobs.select(col("media_id"),
         Multimodal.sniffFormat(col("bytes")).as("format"))
     }),
@@ -2133,9 +2134,10 @@ object AnalyticsQueries {
     // the real generator bytes
     "q_media_sniff" ->
       """SELECT doc_id AS media_id,
-        |  CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |  CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |    WHEN 2 THEN 'gif' WHEN 3 THEN 'tiff' WHEN 4 THEN 'avi'
-        |    WHEN 5 THEN 'bmp' WHEN 6 THEN 'ppm' ELSE 'wav' END AS format
+        |    WHEN 5 THEN 'bmp' WHEN 6 THEN 'ppm' WHEN 7 THEN 'wav'
+        |    ELSE 'mp3' END AS format
         |FROM documents""".stripMargin,
 
     // analytic truth: frame g of doc id is active iff (g + id) mod 3 ≠ 0;

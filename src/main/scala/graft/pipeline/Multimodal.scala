@@ -1003,6 +1003,10 @@ object Multimodal {
       .when(s4(1, "P6"), lit("ppm"))
       .when(s4(1, "WARC/"), lit("warc"))
       .when(p(2) === b(0x1f, 0x8b), lit("gzip"))
+      // MPEG-1 Layer III frame sync (with/without CRC) or an ID3v2 tag —
+      // matched AFTER jpeg (0xff 0xd8 is disjoint from 0xff 0xfa/0xfb)
+      .when(s4(1, "ID3") || p(2) === b(0xff, 0xfb) || p(2) === b(0xff, 0xfa),
+        lit("mp3"))
       .when(p(2) === b(0x00, 0x00), lit("wbmp"))
       .otherwise(lit("unknown"))
   }
