@@ -874,12 +874,15 @@ object PipelineQueries {
       // margin-based cross-corpus pair mining (the bitext ratio): even-id
       // vectors vs odd-id vectors, each pair's cosine against the MEAN of
       // both sides' top-4 neighborhoods — pairs standing ≥ 4% above both
-      // neighborhoods survive. Exhaustive candidates here (the oracle's
-      // definition); blocked candidates at scale
+      // neighborhoods survive. Candidates come from the SCALE path: SRP-LSH
+      // bucket co-occurrence (never a cross join); the oracle replays the
+      // same deterministic hyperplanes, so the blocked candidate set — and
+      // therefore the blocked-neighborhood margin — is exactly reproduced
       val e = embs(s, d)
       Similarity.marginPairs(
-        Similarity.cosCandidates(e.filter(col("vec_id") % 2 === 0),
-          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"),
+        Similarity.lshCosCandidates(e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          dims = 64, planes = 4, tables = 8),
         k = 4, thresholdPpm = 1040000L)
     }),
 
@@ -2823,18 +2826,23 @@ object PipelineQueries {
          |      ORDER BY n DESC, token) AS rank FROM cnt) rk
          |WHERE rank <= 3""".stripMargin,
 
-    // the margin definition replayed brute-force: cross cosines in ppm,
-    // both directional top-4 neighborhood sums via ranked windows, the
-    // exact-rational mean-of-means denominator
+    // the margin definition over the SAME LSH-blocked candidate set the
+    // engine uses (identical inlined hyperplanes → identical candidates),
+    // then ppm cosines, both directional top-4 neighborhood sums via ranked
+    // windows, and the exact-rational mean-of-means denominator
     "q_margin_mine" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+      s"""WITH v AS ($qvCte),
+        |bk AS (${srpBucketsSql(8, 4, 64)}),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
         |av AS (SELECT vec_id AS a_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm
         |  FROM v WHERE vec_id % 2 = 0),
         |bv AS (SELECT vec_id AS b_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm
         |  FROM v WHERE vec_id % 2 = 1),
-        |c AS (SELECT a_id, b_id,
+        |c AS (SELECT cand.a_id, cand.b_id,
         |    CAST(round(1000000.0 * list_dot_product(av.qv, bv.qv) / (av.nrm * bv.nrm)) AS BIGINT) AS cos_ppm
-        |  FROM av CROSS JOIN bv),
+        |  FROM cand JOIN av USING (a_id) JOIN bv USING (b_id)),
         |fa AS (SELECT a_id, CAST(sum(cos_ppm) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS ca
         |  FROM (SELECT c.*, row_number() OVER (PARTITION BY a_id
         |      ORDER BY cos_ppm DESC, b_id) AS rn FROM c) ra

@@ -865,16 +865,46 @@ object Similarity {
 
   /** Cross-side cosine candidates for [[marginPairs]]: EVERY (a, b) pair
     * with its ppm-quantized cosine — norms computed once per row before
-    * the join, never per pair. This is the exhaustive candidate builder
-    * the gate uses; at corpus scale feed [[marginPairs]] LSH/IVF-blocked
-    * candidates instead (the margin is then relative to the blocked
-    * neighborhood — the standard approximation). */
+    * the join, never per pair. This is the exhaustive TRUTH builder (the
+    * DuckDB-oracle definition and eval harnesses only); the production
+    * gate and any corpus-scale caller go through [[lshCosCandidates]],
+    * which derives the same `(a_id, b_id, cos_ppm)` frame from LSH-blocked
+    * pairs without ever planning the cross join. */
   def cosCandidates(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     def side(df: DataFrame, id: String) = df
       .select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(s"_q$id"))
       .withColumn(s"_n$id", sqrt(dotLong(col(s"_q$id"), col(s"_q$id")).cast("double")))
     side(a, "a_id").crossJoin(side(b, "b_id"))
+      .withColumn("_dot", dotLong(col("_qa_id"), col("_qb_id")))
+      .select(col("a_id"), col("b_id"),
+        expr("cast(round(1000000.0 * _dot / (_na_id * _nb_id)) as bigint)")
+          .as("cos_ppm"))
+  }
+
+  /** LSH-blocked cosine candidates for [[marginPairs]] — the SCALE path.
+    * Both sides bucket under the same deterministic SRP hyperplanes as
+    * [[srpBuckets]]; a pair is a candidate iff it co-occurs in at least one
+    * (table, bucket), and only candidates get the exact ppm-quantized
+    * cosine. The candidate shuffle carries (tbl, bkt, id)-only rows and the
+    * vectors join back per deduped candidate — never a cross join, so pair
+    * cost is proportional to bucket collisions, not |a|×|b|. The margin is
+    * then relative to the blocked neighborhood (the standard
+    * approximation); the hyperplanes are data-independent md5-derived
+    * literals, so the DuckDB oracle replays the exact candidate set. */
+  def lshCosCandidates(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, dims: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
+    def side(df: DataFrame, id: String) = df
+      .select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(s"_q$id"))
+      .withColumn(s"_n$id", sqrt(dotLong(col(s"_q$id"), col(s"_q$id")).cast("double")))
+    def buckets(v: DataFrame, id: String) = v
+      .select(col(id), explode(srpBuckets(col(s"_q$id"), dims, planes, tables)).as("tb"))
+      .select(col(id), col("tb.tbl"), col("tb.bkt"))
+    val av = side(a, "a_id")
+    val bv = side(b, "b_id")
+    val cand = buckets(av, "a_id").join(buckets(bv, "b_id"), Seq("tbl", "bkt"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    cand.join(av, Seq("a_id")).join(bv, Seq("b_id"))
       .withColumn("_dot", dotLong(col("_qa_id"), col("_qb_id")))
       .select(col("a_id"), col("b_id"),
         expr("cast(round(1000000.0 * _dot / (_na_id * _nb_id)) as bigint)")

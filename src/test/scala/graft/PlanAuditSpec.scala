@@ -1077,4 +1077,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!pm.contains("BroadcastHashJoin"),
       s"match must not broadcast the corpus fingerprints:\n$pm")
   }
+
+  test("margin mining runs on LSH-blocked candidates — no cartesian pair space") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    // the gate itself (not a harness copy): candidates must come from the
+    // (tbl, bkt) equi-join; a cross join here is the 100 TB landmine the
+    // exhaustive truth builder cosCandidates is quarantined to
+    val p = plan(SparkEntry.queries("q_margin_mine")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_margin_mine must plan zero cartesian/nested-loop joins:\n$p")
+    // the exhaustive builder is still the documented truth side — pin that
+    // it remains cross-join-shaped so nobody 'optimizes' the oracle
+    val e = new graft.sources.TestDataSource(spark, dir).table("embeddings")
+    val truth = plan(graft.pipeline.Similarity.cosCandidates(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding"))
+    assert(truth.contains("CartesianProduct") || truth.contains("BroadcastNestedLoopJoin"), truth)
+  }
 }
