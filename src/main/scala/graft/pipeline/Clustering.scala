@@ -246,17 +246,21 @@ object Clustering {
     * The few-ppm mass leak of truncation is the documented price of
     * exactness, identical everywhere.
     *
-    * Scale shape: the degree-annotated directed edge list is built once
-    * and localCheckpoint'd (every iteration re-reads it; its lineage
-    * must not re-derive the pair graph per round); each round is ONE
-    * join of the rank table against the edges plus one aggregation on
-    * the destination — the canonical iterative-shuffle pattern. Rank
-    * lineage is cut by an EAGER checkpoint every `checkpointEvery`
-    * rounds rather than every round: each materialization is a blocking
-    * job, so per-round checkpoints serialized ten scheduler round-trips
-    * (the r9 bench's 13.5 s was mostly that latency), while a small
-    * bounded lineage between checkpoints lets AQE pipeline the
-    * intermediate rounds (18.5 → 11.3 s at sf0.1/32 cores with 5).
+    * Scale shape: the degree-annotated directed edge list is built once,
+    * REPARTITIONED ON `src`, and localCheckpoint'd (partitioning survives
+    * the checkpoint, so the per-round join shuffles only the node-grain
+    * rank table, never the edges; lineage must not re-derive the pair
+    * graph per round). Each round is then exactly ONE join (edges ⋈
+    * ranks, both hashed on src) fused with ONE aggregation on the
+    * destination — the symmetrized edge list guarantees every node
+    * appears as a `dst`, so the old per-round "redistribute to all
+    * nodes" left-join was a provable no-op and is gone (3 → 2 exchanges
+    * and one fewer stage per round). Rank lineage is cut by an EAGER
+    * checkpoint every `checkpointEvery` rounds rather than every round:
+    * each materialization is a blocking job, so per-round checkpoints
+    * serialized ten scheduler round-trips (the r9 bench's 13.5 s was
+    * mostly that latency), while a small bounded lineage between
+    * checkpoints lets AQE pipeline the intermediate rounds.
     *
     * Output: node, rank_ppm after `iters` rounds (isolated nodes never
     * appear — an edgeless node holds the base rank trivially). */
@@ -276,19 +280,22 @@ object Clustering {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = scratch(spark, checkpointDir, "pr_edges", dir.join(deg, Seq("src")))
-    val nodes = scratch(spark, checkpointDir, "pr_nodes",
-      deg.select(col("src").as("node")))
-    var r = nodes.select(col("node"), lit(1000000L).as("r"))
+    val e = scratch(spark, checkpointDir, "pr_edges",
+      dir.join(deg, Seq("src")).repartition(col("src")))
+    // initial ranks at node grain, derived from the CHECKPOINTED edges
+    // (partition-aligned groupBy — no extra scan of the pair-graph lineage)
+    var r = scratch(spark, checkpointDir, "pr_nodes",
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("_d"))
+        .select(col("node"), lit(1000000L).as("r")))
     (1 to iters).foreach { i =>
-      val contrib = e
+      // dir is symmetric ⇒ set(dst) = set(src) = every node, and r always
+      // holds every node (inductively), so the contribution aggregate is
+      // itself the complete next rank table — no fill-in join needed
+      r = e
         .join(r.select(col("node").as("src"), col("r")), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(idiv(col("r"), col("deg"))).as("_s"))
-      r = nodes
-        .join(contrib.select(col("dst").as("node"), col("_s")), Seq("node"), "left")
-        .na.fill(0L, Seq("_s"))
-        .select(col("node"),
+        .select(col("dst").as("node"),
           (lit(1000000L - dampPpm) +
             idiv(lit(dampPpm) * col("_s"), lit(1000000L))).as("r"))
       if (i % checkpointEvery == 0 || i == iters)
