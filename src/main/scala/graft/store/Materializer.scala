@@ -258,6 +258,7 @@ final class Materializer(store: EventStore) {
   private def showSequence(name: String, dir: Path, meta: Meta,
       query: QueryCmd): ExecResult = {
     val dataDir = dir.resolve("data")
+    recoverBuckets(dataDir) // heal any crash mid-swap before reading the dir
     val partitioned = Files.isDirectory(dataDir) && EventStore.listDir(dataDir)
       .exists(_.getFileName.toString.startsWith("_bkt="))
     val resultSchema = QueryCompiler.compile(query, store).schema // plan-only
@@ -337,19 +338,57 @@ final class Materializer(store: EventStore) {
   /** Rewrite ONLY `affBkts` of a `_bkt`-partitioned dataset dir: `combined`
     * (covering exactly those buckets) is materialized to a tmp sibling
     * BEFORE any delete — the plan reads the old files — then each affected
-    * bucket directory is swapped in (or removed when the bucket emptied). */
+    * bucket directory is swapped in (or removed when the bucket emptied).
+    *
+    * Crash safety mirrors the flat-path data.tmp/data.old discipline: a live
+    * bucket is never deleted before its replacement is in place — it is
+    * MOVED aside into `<target>.old/` first, so every crash point leaves the
+    * bucket's rows on disk in exactly one of data/, data.old/ or data.tmp/,
+    * and [[recoverBuckets]] (run before every sequence SHOW reads the dir)
+    * restores any bucket the crash left aside-only. The meta HWM is only
+    * advanced after this returns, so a recovered pre-update bucket is
+    * re-matched by the next SHOW's delta — no rows are lost either way. */
   private def replaceBuckets(target: Path, combined: DataFrame,
       affBkts: Seq[Int]): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     combined.repartition(col("_bkt")) // delta-sized: only affected buckets
       .write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
+    val old = target.resolveSibling(target.getFileName.toString + ".old")
+    deleteRecursively(old) // stale leftovers were recovered on SHOW entry
+    Files.createDirectories(old)
     affBkts.foreach { b =>
       val dst = target.resolve(s"_bkt=$b")
-      deleteRecursively(dst)
       val src = tmp.resolve(s"_bkt=$b")
+      if (Files.exists(dst)) Files.move(dst, old.resolve(s"_bkt=$b"))
       if (Files.exists(src)) Files.move(src, dst)
     }
+    deleteRecursively(old)
     deleteRecursively(tmp)
+  }
+
+  /** Recover from a crash mid-[[replaceBuckets]]: any bucket present in
+    * `<target>.old/` but absent from the live dir was moved aside without
+    * its replacement landing — move it back (its pre-update rows are
+    * consistent with the un-advanced HWM). Leftover .old/.tmp siblings are
+    * then dropped so partition discovery never sees them. */
+  private def recoverBuckets(target: Path): Unit = {
+    val old = target.resolveSibling(target.getFileName.toString + ".old")
+    if (Files.isDirectory(old)) {
+      if (!Files.isDirectory(target)) {
+        // swapWrite/upgrade crashed between its two moves: .old is the only
+        // complete copy — restore it wholesale
+        Files.move(old, target)
+      } else {
+        EventStore.listDir(old)
+          .filter(p => p.getFileName.toString.startsWith("_bkt="))
+          .foreach { p =>
+            val dst = target.resolve(p.getFileName.toString)
+            if (!Files.exists(dst)) Files.move(p, dst)
+          }
+        deleteRecursively(old)
+      }
+    }
+    deleteRecursively(target.resolveSibling(target.getFileName.toString + ".tmp"))
   }
 
   /** Retention (reference `materialize/store/retention.rs`): drop rows past

@@ -158,6 +158,46 @@ class StoreSpec extends AnyFunSuite {
     assert(pairs() == Map("u1" -> ((100L, 200L, 11L)), "u2" -> ((100L, 150L, 20L))))
   }
 
+  test("sequence SHOW recovers a bucket a crash left aside mid-swap") {
+    import spark.implicits._
+    val s = newStore()
+    s.execute("""DEFINE a FIELDS { v: "int" }""")
+    s.execute("""DEFINE b FIELDS { v: "int" }""")
+    def ing(t: String, rows: Seq[(String, Long, Int)]): Unit =
+      s.ingestFrame(t, rows.toDF("ctx", "ts", "v"), "ctx", Some("ts"))
+        .left.foreach(e => fail(e))
+    ing("a", Seq(("u1", 100L, 1), ("u2", 100L, 2)))
+    ing("b", Seq(("u1", 300L, 10), ("u2", 150L, 20)))
+    assert(ok(s.execute("REMEMBER QUERY a FOLLOWED BY b LINKED BY context_id AS fr")).contains("remembered"))
+    def pairs(): Map[String, Long] =
+      frame(s.execute("SHOW fr")).collect()
+        .map(r => r.getAs[String]("link_value") -> r.getAs[Long]("b_v")).toMap
+    assert(pairs() == Map("u1" -> 10L, "u2" -> 20L))
+    // simulate the replaceBuckets crash window: u2's live bucket was moved
+    // aside into data.old but its replacement never landed, and a stale
+    // data.tmp is still on disk
+    val dataDir = java.nio.file.Paths.get(s.root, "_materializations", "fr", "data")
+    val u2Bkt = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit("u2")),
+        org.apache.spark.sql.functions.lit(64))).head().getInt(0)
+    val old = dataDir.resolveSibling("data.old")
+    java.nio.file.Files.createDirectories(old)
+    java.nio.file.Files.move(dataDir.resolve(s"_bkt=$u2Bkt"), old.resolve(s"_bkt=$u2Bkt"))
+    val tmp = dataDir.resolveSibling("data.tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("junk"), Array[Byte](1, 2, 3))
+    // next SHOW heals: the aside bucket is restored, leftovers are dropped,
+    // and no row was lost
+    assert(pairs() == Map("u1" -> 10L, "u2" -> 20L))
+    assert(!java.nio.file.Files.exists(old) && !java.nio.file.Files.exists(tmp))
+    // a crash between swapWrite's two moves (data missing, .old complete)
+    // also heals: restore wholesale
+    java.nio.file.Files.move(dataDir, old)
+    assert(pairs() == Map("u1" -> 10L, "u2" -> 20L))
+    assert(java.nio.file.Files.isDirectory(dataDir) && !java.nio.file.Files.exists(old))
+  }
+
   test("sequence REMEMBER + SHOW with a payload LINKED BY field refreshes per link group") {
     import spark.implicits._
     val s = newStore()
@@ -211,6 +251,41 @@ class StoreSpec extends AnyFunSuite {
     mem.addData(("u1", 1L), ("u2", 2L))
     q.awaitTermination(60000)
     assert(s.frame("se").count() == 2)
+  }
+
+  test("live streaming ingest: fresh writes visible mid-stream under ProcessingTime triggers") {
+    // the reference's memtable-read property (SURVEY §8.3 fresh-write
+    // visibility): rows ingested by a RUNNING stream are queryable between
+    // micro-batches, not only after the stream terminates — every other
+    // streaming gate replays via AvailableNow, so this is the one live path
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE lv FIELDS { v: "int" }""")
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF.toDF("ctx", "v")
+    val cp = Files.createTempDirectory("graft_cp_").toString
+    val q = Ingest.start(s, "lv", stream, "ctx", None, cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def visible(n: Long): Boolean = {
+        val deadline = System.currentTimeMillis + 60000
+        while (System.currentTimeMillis < deadline) {
+          if (s.frame("lv").count() == n) return true
+          Thread.sleep(100)
+        }
+        false
+      }
+      mem.addData(("u1", 1L))
+      assert(visible(1), "first write not visible while the stream is live")
+      assert(q.isActive, "stream must still be running at first visibility")
+      mem.addData(("u2", 2L), ("u3", 3L))
+      assert(visible(3), "subsequent writes not visible mid-stream")
+      // visible rows are fully queryable, not just countable
+      assert(frame(s.execute("QUERY lv WHERE v >= 2")).count() == 2)
+      assert(q.isActive)
+    } finally { q.stop(); q.awaitTermination(30000) }
   }
 
   test("purgeContext erases one context across types, survives reopen, flushes pending rows") {
