@@ -478,12 +478,18 @@ final class EventStore(val spark: SparkSession, val root: String,
         s""""types": [${types.mkString(", ")}]}""").getBytes("UTF-8"))
   }
 
-  /** Restore a snapshot into this store — all-or-nothing: EVERY type is
-    * validated before ANY data lands. Rejected when a snapshot schema
-    * conflicts with an existing definition (different field spec — the
-    * reference refuses cross-schema appends) or when the manifest's
-    * recorded schema hash does not match the shipped schema file
-    * (corrupt/tampered snapshot). Returns the number of types restored. */
+  /** Restore a snapshot into this store. Schema validation is
+    * all-or-nothing: EVERY type's schema is validated before ANY data
+    * lands. Rejected when a snapshot schema conflicts with an existing
+    * definition (different field spec — the reference refuses cross-schema
+    * appends), when the manifest's recorded schema hash does not match the
+    * shipped schema file (corrupt/tampered snapshot), or when the manifest
+    * itself is malformed. Every type's data files are additionally parsed
+    * (FAILFAST) before the first segment write, so a corrupt data file
+    * rejects the whole import instead of landing a partial one; only a
+    * process crash mid-loop can leave earlier types imported (each is an
+    * individually consistent segment). Returns the number of types
+    * restored. */
   def importSnapshot(inDir: String): Either[String, Int] = {
     val sdir = Paths.get(inDir, "_schemas")
     if (!Files.isDirectory(sdir)) return Left(s"not a snapshot dir (no _schemas): $inDir")
@@ -498,9 +504,22 @@ final class EventStore(val spark: SparkSession, val root: String,
     // manifest hash cross-check (legacy manifest-less snapshots skip it)
     val manifest = Paths.get(inDir, "manifest.json")
     if (Files.exists(manifest)) {
-      val node = EventStore.readTree(new String(Files.readAllBytes(manifest), "UTF-8"))
-      val recorded = node.get("types").elements().asScala
-        .map(t => t.get("name").asText() -> t.get("schema_md5").asText()).toMap
+      val node = scala.util.Try(
+          EventStore.readTree(new String(Files.readAllBytes(manifest), "UTF-8")))
+        .getOrElse(return Left(s"corrupt manifest.json (not valid JSON): $inDir"))
+      val typesNode = node.get("types")
+      if (typesNode == null || !typesNode.isArray)
+        return Left(s"malformed manifest.json (missing 'types' array): $inDir")
+      val recorded = typesNode.elements().asScala.flatMap { t =>
+        // a type entry without name/schema_md5 is malformed, not an NPE
+        val name = Option(t.get("name")).map(_.asText())
+        val md5 = Option(t.get("schema_md5")).map(_.asText())
+        (name, md5) match {
+          case (Some(n), Some(m)) => Iterator.single(n -> m)
+          case _ => return Left(
+            s"malformed manifest.json (type entry missing name/schema_md5): $inDir")
+        }
+      }.toMap
       val tampered = parsed.find(s => recorded.get(s.eventType).exists(_ != schemaMd5(s)))
       tampered.foreach { s =>
         return Left(s"snapshot schema hash mismatch for '${s.eventType}': " +
@@ -513,20 +532,31 @@ final class EventStore(val spark: SparkSession, val root: String,
       return Left(s"schema mismatch for '${s.eventType}': store has " +
         s"v${schemas(s.eventType).version} with different fields; import refused")
     }
+    // FAILFAST readability pass over every type's data BEFORE any schema is
+    // registered or any segment written: a corrupt data file rejects the
+    // whole import (otherwise a mid-loop parse failure would leave earlier
+    // types already imported)
+    val withData = parsed.sortBy(_.eventType)
+      .map(s => s -> Paths.get(inDir, s.eventType))
+      .filter { case (_, src) => Files.isDirectory(src) }
+    for ((s, src) <- withData) {
+      val readable = scala.util.Try {
+        spark.read.option("mode", "FAILFAST").schema(s.fullStruct)
+          .json(src.toString).count()
+      }
+      if (readable.isFailure)
+        return Left(s"unreadable snapshot data for '${s.eventType}': " +
+          s"${readable.failed.get.getMessage.linesIterator.next()}; import refused")
+    }
     parsed.foreach { s =>
       schemas(s.eventType) = s
       Files.write(schemaFile(s.eventType), EventStore.schemaToJson(s).getBytes("UTF-8"))
     }
-    var restored = 0
-    parsed.map(_.eventType).sorted.foreach { t =>
-      val src = Paths.get(inDir, t)
-      if (Files.isDirectory(src)) {
-        val df = spark.read.schema(schemas(t).fullStruct).json(src.toString)
-        writeSegment(t, df)
-        restored += 1
-      }
+    withData.foreach { case (s, src) =>
+      writeSegment(s.eventType,
+        spark.read.schema(schemas(s.eventType).fullStruct).json(src.toString))
     }
-    Right(restored)
+    Right(withData.size)
   }
 
   /** Segment compaction — the reference's background compaction worker

@@ -150,6 +150,34 @@ class StreamingResponseSpec extends AnyFunSuite {
     val tampered = s4.importSnapshot(snap2)
     assert(tampered.isLeft && tampered.left.exists(_.contains("hash mismatch")))
 
+    // malformed manifests are a clean Left, never an NPE: missing 'types'
+    // array, and a type entry without schema_md5
+    val snap3 = Files.createTempDirectory("graft_snapout3_").toString
+    s1.exportSnapshot(snap3)
+    val mf = java.nio.file.Paths.get(snap3, "manifest.json")
+    val origManifest = new String(Files.readAllBytes(mf), "UTF-8")
+    Files.write(mf, """{"format": "graft-snapshot"}""".getBytes("UTF-8"))
+    val noTypes = new EventStore(spark,
+      Files.createTempDirectory("graft_snap5_").toString).importSnapshot(snap3)
+    assert(noTypes.isLeft && noTypes.left.exists(_.contains("missing 'types'")))
+    Files.write(mf, """{"types": [{"name": "t"}]}""".getBytes("UTF-8"))
+    val noMd5 = new EventStore(spark,
+      Files.createTempDirectory("graft_snap6_").toString).importSnapshot(snap3)
+    assert(noMd5.isLeft && noMd5.left.exists(_.contains("missing name/schema_md5")))
+    Files.write(mf, origManifest.getBytes("UTF-8"))
+
+    // a corrupt data file rejects the WHOLE import before anything lands
+    val dataFile = {
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(snap3, "t")).iterator().asScala
+        .find(_.toString.endsWith(".json")).get
+    }
+    Files.write(dataFile, "{not json at all".getBytes("UTF-8"))
+    val s7 = new EventStore(spark, Files.createTempDirectory("graft_snap7_").toString)
+    val corrupt = s7.importSnapshot(snap3)
+    assert(corrupt.isLeft && corrupt.left.exists(_.contains("unreadable snapshot data")))
+    assert(s7.eventTypes.isEmpty) // no schema registered, no data imported
+
     // compaction reduces file count, preserves data
     s1.compact(targetFiles = 1)
     assert(s1.frame("t").count() == 6)
