@@ -87,10 +87,27 @@ object ExprCompiler {
     * (`ScalarValue::{as_i64,as_f64,as_bool}`, `types/mod.rs:188-227`):
     * numeric value when the literal is a number or a numeric string; bool
     * value per the reference's `as_bool` (ints are `!= 0`; floats never). */
+  /** Rust `str::parse::<f64>` grammar (the reference's `as_f64` on strings,
+    * `types/mod.rs:206-213`): optional sign then decimal/exponent digits or
+    * `inf`/`infinity`/`nan` (case-insensitive), NO surrounding whitespace —
+    * stricter than Java/Spark parsing, which trims and accepts `7f`/hex. */
+  private[engine] val RustFiniteRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+  private[engine] val RustPosInfRe = "^\\+?(?i)inf(inity)?$"
+  private[engine] val RustNegInfRe = "^-(?i)inf(inity)?$"
+  private[engine] val RustNaNRe = "^[+-]?(?i)nan$"
+
+  /** Parse a literal string exactly as Rust `parse::<f64>` would. */
+  private def rustF64(s: String): Option[Double] =
+    if (s.matches(RustFiniteRe)) s.toDoubleOption
+    else if (s.matches(RustPosInfRe)) Some(Double.PositiveInfinity)
+    else if (s.matches(RustNegInfRe)) Some(Double.NegativeInfinity)
+    else if (s.matches(RustNaNRe)) Some(Double.NaN)
+    else None
+
   private def litNum(v: Lit): Option[Double] = v match {
     case Lit.I64(n) => Some(n.toDouble)
     case Lit.F64(d) => Some(d)
-    case Lit.Str(s) => s.toDoubleOption
+    case Lit.Str(s) => rustF64(s)
     case _          => None
   }
   private def litBool(v: Lit): Option[Boolean] = v match {
@@ -116,15 +133,35 @@ object ExprCompiler {
     * is unbounded ("7", "007", "7.0", " 7" all equal 7), so no static
     * predicate exists — the same column-scan cost the reference pays for
     * its per-row dynamic compare; sibling conjuncts still push down.
+    *
+    * The numeric rung is gated on the exact Rust `parse::<f64>` grammar
+    * ([[RustFiniteRe]] & friends), NOT Spark's `try_cast` acceptance: the
+    * reference rejects `" 7"` (whitespace) but accepts `"inf"`/`"nan"`, and
+    * its `partial_cmp(..).unwrap_or(Equal)` makes a NaN side compare EQUAL
+    * to any number (`types/mod.rs:256-258`) — so `= / >= / <=` hold and
+    * `> / < / !=` don't whenever either side is NaN.
     * Known edge vs the reference: integers beyond 2⁵³
     * compare through double here but exactly (u64/i64) there. */
   private def stringLadderCmp(name: String, op: CompareOp, v: Lit): Column = {
     val c = col(name)
-    val dv = c.try_cast("double") // null when the row's string is not numeric
+    val dv = when(c.rlike(RustFiniteRe), c.try_cast("double"))
+      .when(c.rlike(RustPosInfRe), lit(Double.PositiveInfinity))
+      .when(c.rlike(RustNegInfRe), lit(Double.NegativeInfinity)) // else null
+    val rowNaN = c.rlike(RustNaNRe)
+    // NaN ⇒ Ordering::Equal in the reference ladder
+    val eqLike = op match {
+      case CompareOp.Eq | CompareOp.Gte | CompareOp.Lte => true
+      case _                                            => false
+    }
     val bv = when(lower(c).isin("true", "1"), lit(true))
       .when(lower(c).isin("false", "0"), lit(false)) // else null
     val rungs = Seq(
-      litNum(v).map(n => (dv.isNotNull, applyOp(op, dv, lit(n)))),
+      litNum(v).map { n =>
+        val cmp =
+          if (n.isNaN) lit(eqLike)
+          else when(rowNaN, lit(eqLike)).otherwise(applyOp(op, dv, lit(n)))
+        (dv.isNotNull || rowNaN, cmp)
+      },
       litBool(v).map(b => (bv.isNotNull, applyOp(op, bv, lit(b))))
     ).flatten
     rungs.foldRight(applyOp(op, c, lit(rawString(v)))) {

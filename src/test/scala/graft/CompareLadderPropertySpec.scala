@@ -27,10 +27,32 @@ class CompareLadderPropertySpec extends AnyFunSuite {
   import spark.implicits._
 
   // ---- the reference model ----
-  private def asNum(s: String): Option[BigDecimal] =
-    try Some(BigDecimal(s.trim)).filter(_ => s.trim.nonEmpty &&
-      s.trim.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?"))
-    catch { case _: Exception => None }
+  /** Numeric interpretation per Rust `parse::<f64>` (as_f64 on strings):
+    * NO whitespace trimming, `inf`/`infinity`/`nan` spellings accepted.
+    * Finite values keep BigDecimal exactness (the u64/i64 rungs of the
+    * ladder); NaN is modeled as None-ordering → `Ordering::Equal`. */
+  private sealed trait Num
+  private case class Finite(v: BigDecimal) extends Num
+  private case object PosInf extends Num
+  private case object NegInf extends Num
+  private case object ModelNaN extends Num
+  private def asNum(s: String): Option[Num] =
+    if (s.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?"))
+      try Some(Finite(BigDecimal(s))) catch { case _: Exception => None }
+    else if (s.matches("\\+?(?i)inf(inity)?")) Some(PosInf)
+    else if (s.matches("-(?i)inf(inity)?")) Some(NegInf)
+    else if (s.matches("[+-]?(?i)nan")) Some(ModelNaN)
+    else None
+  private def numCompare(a: Num, b: Num): Int = (a, b) match {
+    case (ModelNaN, _) | (_, ModelNaN) => 0 // partial_cmp → unwrap_or(Equal)
+    case (Finite(x), Finite(y))        => x.compare(y)
+    case (PosInf, PosInf)              => 0
+    case (NegInf, NegInf)              => 0
+    case (PosInf, _)                   => 1
+    case (_, PosInf)                   => -1
+    case (NegInf, _)                   => -1
+    case (_, NegInf)                   => 1
+  }
   private def asBool(s: String): Option[Boolean] = s.toLowerCase match {
     case "true" | "1"  => Some(true)
     case "false" | "0" => Some(false)
@@ -38,9 +60,9 @@ class CompareLadderPropertySpec extends AnyFunSuite {
   }
   /** compare(value, literal) → sign, per the reference ladder. */
   private def modelCompare(value: String, lit: Lit): Int = {
-    val litNum: Option[BigDecimal] = lit match {
-      case Lit.I64(n) => Some(BigDecimal(n))
-      case Lit.F64(d) => Some(BigDecimal(d))
+    val litNum: Option[Num] = lit match {
+      case Lit.I64(n) => Some(Finite(BigDecimal(n)))
+      case Lit.F64(d) => Some(Finite(BigDecimal(d)))
       case Lit.Str(s) => asNum(s)
       case _          => None
     }
@@ -58,7 +80,7 @@ class CompareLadderPropertySpec extends AnyFunSuite {
       case Lit.Null    => "null"
     }
     (asNum(value), litNum) match {
-      case (Some(a), Some(b)) => a.compare(b)
+      case (Some(a), Some(b)) => numCompare(a, b)
       case _ =>
         (asBool(value), litBool) match {
           case (Some(a), Some(b)) => a.compare(b)
@@ -85,7 +107,12 @@ class CompareLadderPropertySpec extends AnyFunSuite {
     Gen.oneOf("0", "1", "-1", "10", "9", "007", "2.50", "2.5"))
   private val boolish = Gen.oneOf("true", "false", "TRUE", "False", "1", "0")
   private val wordy = Gen.oneOf("banana", "apple", "z", "", " ", "9a", "a9",
-    "null", "NaN", "inf", "true2", "-")
+    "null", "true2", "-",
+    // the Rust-parse edge set: whitespace-wrapped numerics are NOT numeric
+    // (they fall to lexicographic), inf/infinity/nan spellings ARE, and
+    // Java-only forms like a trailing f are not
+    " 7", "7 ", " 2.5 ", "NaN", "nan", "-NaN", "inf", "Inf", "-inf",
+    "Infinity", "-Infinity", "infinity", "7f", "0x10")
   private val valueGen: Gen[String] = Gen.frequency(
     (4, numericish), (2, boolish), (4, wordy))
 
@@ -93,7 +120,8 @@ class CompareLadderPropertySpec extends AnyFunSuite {
     (3, Gen.chooseNum(-50L, 50L).map(Lit.I64(_))),
     (2, Gen.oneOf(Lit.F64(2.5), Lit.F64(-1.0), Lit.F64(0.0))),
     (2, Gen.oneOf(true, false).map(Lit.Bool(_))),
-    (4, Gen.oneOf("9", "banana", "true", "0", "2.5", "", "a9").map(Lit.Str(_))))
+    (4, Gen.oneOf("9", "banana", "true", "0", "2.5", "", "a9",
+      "inf", "nan", " 7", "-Infinity").map(Lit.Str(_))))
 
   private def source(values: Seq[String]): EventSource = new EventSource {
     def eventTypes = Seq("t")
