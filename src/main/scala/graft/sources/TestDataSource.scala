@@ -125,8 +125,15 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
     tmp.toString
   }
 
+  // maxFilesPerTrigger is pinned far above any testdata layout so an
+  // AvailableNow replay always sees ONE micro-batch — the Update-mode gates
+  // (changepoint/autocorr/coverage) emit one verdict row per key per batch,
+  // so a layout-driven batch split would duplicate rows against the oracle.
+  private val singleBatch = "1000000"
+
   def eventsStream: DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(streamDir("events"))
+    spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", singleBatch).parquet(streamDir("events"))
       .select(
         col("user_id").cast("string").as(EventSchema.ContextId),
         col("event_type"),
@@ -138,12 +145,14 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
   /** STREAMING view of the documents table ([[table]] is the batch analog). */
   def documentsStream: DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream.schema(schema).parquet(streamDir("documents"))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", singleBatch).parquet(streamDir("documents"))
   }
 
   /** STREAMING view of the embeddings table. */
   def embeddingsStream: DataFrame = {
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    spark.readStream.schema(schema).parquet(streamDir("embeddings"))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", singleBatch).parquet(streamDir("embeddings"))
   }
 }

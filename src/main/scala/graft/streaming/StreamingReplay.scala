@@ -32,9 +32,19 @@ object StreamingReplay {
     * (Spark freezes it in the checkpoint thereafter) and the prior value
     * is restored before returning. Results are partition-count-invariant:
     * all per-key semantics live inside group handlers. Production streams
-    * size this to load; 8 bounds the harness. */
+    * size this to load; 8 bounds the harness.
+    *
+    * Concurrency: the session-conf override below is visible to ANYTHING
+    * planned on the same session while the replay runs, and two overlapping
+    * replays would restore each other's values. Replays therefore serialize
+    * on a global lock (correct restore even from concurrent test suites),
+    * and the remaining exposure — a concurrent BATCH query on the same
+    * session planning with the replay's partition count — is an accepted
+    * harness property: the verify/bench drivers are single-threaded, and
+    * partition count never changes results, only parallelism. Production
+    * streams run on their own session and conf. */
   def run(out: DataFrame, mode: String = "append",
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8): DataFrame = lock.synchronized {
     val spark = out.sparkSession
     val name = s"graft_replay_${counter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
@@ -54,4 +64,6 @@ object StreamingReplay {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
+
+  private val lock = new Object
 }
