@@ -588,7 +588,9 @@ object Dedup {
     *  - `keys`:     distinct corpus content keys `(ck)`;
     *  - `bands`:    LSH band rows `(cid, band_idx, band_hash)`;
     *  - `shingles`: per-document shingle hash sets `(cid, sh)` — joined
-    *    only against LSH CANDIDATES for the exact-Jaccard confirm.
+    *    only against LSH CANDIDATES for the exact-Jaccard confirm. Since
+    *    r11 this is the combined tokenized projection and also carries
+    *    the content key `ck` (see [[Dedup.buildDedupArtifacts]]).
     *
     * With these at rest, a nightly batch never touches corpus text: the
     * per-batch job reads batch text plus three batch-∝ or candidate-∝
@@ -618,9 +620,32 @@ object Dedup {
       * Spark-supported storage (HDFS/S3/local) works unchanged. */
     def write(dir: String, params: Map[String, Long] = Map.empty): Unit = {
       val spark = keys.sparkSession
-      keys.write.mode("overwrite").parquet(s"$dir/keys")
-      bands.write.mode("overwrite").parquet(s"$dir/bands")
+      // ONE corpus scan+tokenize, not three: persist the tokenized
+      // projection (the shingles table, carrying cid/ck/sh since r11)
+      // first, then derive keys and bands from the WRITTEN parquet —
+      // reading back pre-computed hash arrays is column-pruned IO, while
+      // re-deriving each table from the raw corpus repeats the regex
+      // shingling + per-shingle md5 that dominates the build. Falls back
+      // to the independent-frame writes when the shingles frame predates
+      // the combined projection or the band parameters aren't recorded.
       shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+      val base = spark.read.parquet(s"$dir/shingles")
+      val canDerive = base.columns.contains("ck") && base.columns.contains("sh") &&
+        params.contains("bands") && params.contains("rowsPerBand")
+      if (canDerive) {
+        val nBands = params("bands").toInt
+        val rpb = params("rowsPerBand").toInt
+        base.select(col("ck")).distinct()
+          .write.mode("overwrite").parquet(s"$dir/keys")
+        bandTable(
+            minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"),
+              nBands * rpb), nBands, rpb)
+          .withColumnRenamed("id", "cid")
+          .write.mode("overwrite").parquet(s"$dir/bands")
+      } else {
+        keys.write.mode("overwrite").parquet(s"$dir/keys")
+        bands.write.mode("overwrite").parquet(s"$dir/bands")
+      }
       val pjson = params.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val manifest =
@@ -690,19 +715,35 @@ object Dedup {
       params.getOrElse("rowsPerBand", 2L).toInt)
     add.keys.write.mode("append").parquet(s"$artifactDir/keys")
     add.bands.write.mode("append").parquet(s"$artifactDir/bands")
-    add.shingles.write.mode("append").parquet(s"$artifactDir/shingles")
+    // project onto the dir's existing column set: a pre-r11 artifact dir
+    // stores shingles as (cid, sh) without the combined projection's ck,
+    // and a mixed-schema parquet dir reads back nondeterministically
+    val existing = spark.read.parquet(s"$artifactDir/shingles").columns.toSeq
+    add.shingles.select(existing.map(col): _*)
+      .write.mode("append").parquet(s"$artifactDir/shingles")
   }
 
   /** Build [[DedupArtifacts]] from a corpus — the one corpus-sized job,
-    * run once (then maintained incrementally, not recomputed). */
+    * run once (then maintained incrementally, not recomputed).
+    *
+    * All three tables derive from ONE tokenized projection
+    * `(cid, ck, sh)` — content key and shingle hashes computed in the same
+    * pass over the text. The shingles frame carries the extra `ck` column
+    * (harmless to its consumers, which select `cid`/`sh`), which is what
+    * lets [[DedupArtifacts.write]] persist that projection once and derive
+    * `keys`/`bands` from the written parquet instead of re-scanning and
+    * re-tokenizing the corpus per table. */
   def buildDedupArtifacts(corpus: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2): DedupArtifacts = {
     val perms = bands * rowsPerBand
-    val keys = corpus.select(contentKey(col(textCol)).as("ck")).distinct()
-    val cH = corpus.select(col(idCol).as("cid"), shingleHashes(col(textCol), ngram).as("sh"))
-    val cBand = bandTable(minhashColumns(cH, col("cid"), col("sh"), perms), bands, rowsPerBand)
+    val base = corpus.select(col(idCol).as("cid"),
+      contentKey(col(textCol)).as("ck"), shingleHashes(col(textCol), ngram).as("sh"))
+    val keys = base.select(col("ck")).distinct()
+    val cBand = bandTable(
+        minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"), perms),
+        bands, rowsPerBand)
       .withColumnRenamed("id", "cid")
-    DedupArtifacts(keys, cBand, cH)
+    DedupArtifacts(keys, cBand, base)
   }
 
   /** Append the ADMITTED documents of a decided batch to the artifacts.
