@@ -99,9 +99,19 @@ object Bench {
     val total = finiteSum(results)
     val bestPass = math.min(finiteSum(pass1), finiteSum(pass2))
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val calMean = cals.sum / cals.size
     val calStats = s"""{"min":${r3(cals.min)},"max":${r3(cals.max)},""" +
-      s""""mean":${r3(cals.sum / cals.size)},"retried":$retried,""" +
+      s""""mean":${r3(calMean)},"retried":$retried,""" +
       s""""pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}]}"""
+    // Contention refusal (r10 lesson: a 3.53s-max / 0.28s-mean calibration
+    // run produced phantom per-query regressions the verdict then chased).
+    // When the worst probe exceeds 3× the probe mean, the composite is NOT
+    // presented as a comparable number: total_kind flips to "contended" and
+    // `contended` is set so automated diffing skips this run. The per-query
+    // table is still recorded (minima remain useful lower bounds).
+    val contended = cals.max > 3.0 * calMean
+    val totalKind =
+      if (contended) "contended_do_not_compare" else "per_query_min_composite"
 
     // Full-precision line: printed FIRST (it survives in full logs) and
     // persisted to BENCH_FULL.json in the working directory, because the
@@ -112,21 +122,24 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""total_kind":"per_query_min_composite","best_pass_total":$bestPass,""" +
+      s""""total_kind":"$totalKind","contended":$contended,""" +
+      s""""best_pass_total":$bestPass,""" +
       s""""failed_queries":$failedJson,"queries":$fullQs,""" +
       s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}"""
     println(fullLine)
     // Never clobber a previously recorded full table: every run writes a
-    // timestamp-stamped file, and the unstamped BENCH_FULL.json convenience
-    // name is only created when absent (a judge's believability re-run must
-    // not destroy the round's recorded data — it did in r8).
-    val stamped = s"BENCH_FULL_${System.currentTimeMillis / 1000}.json"
+    // timestamp-stamped file under bench/ (kept out of the repo root), and
+    // the unstamped BENCH_FULL.json convenience name is only created when
+    // absent (a judge's believability re-run must not destroy the round's
+    // recorded data — it did in r8).
+    new java.io.File("bench").mkdirs()
+    val stamped = s"bench/BENCH_FULL_${System.currentTimeMillis / 1000}.json"
     def writeFull(path: String): Unit = scala.util.Try {
       val w = new java.io.PrintWriter(path, "UTF-8")
       try w.println(fullLine) finally w.close()
     }
     writeFull(stamped)
-    if (!new java.io.File("BENCH_FULL.json").exists()) writeFull("BENCH_FULL.json")
+    if (!new java.io.File("bench/BENCH_FULL.json").exists()) writeFull("bench/BENCH_FULL.json")
 
     // Compact FINAL line, kept under the 2000-char tail budget so the driver
     // can actually parse it: summary stats plus per-query timings (3 dp,
@@ -135,7 +148,8 @@ object Bench {
     // lives in full in BENCH_FULL.json / the earlier stdout line.
     val budget = 1880
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""total_kind":"per_query_min_composite","best_pass_total":${r3(bestPass)},""" +
+      s""""total_kind":"$totalKind","contended":$contended,""" +
+      s""""best_pass_total":${r3(bestPass)},""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""calibration_s":${r3(cals.max)},""" +
       s""""calibration":$calStats,"sf":"$sfDir",""" +
