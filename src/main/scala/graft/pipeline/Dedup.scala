@@ -706,20 +706,28 @@ object Dedup {
       decisions: DataFrame, idCol: String, textCol: String): Unit = {
     val spark = batch.sparkSession
     val params = readArtifactParams(spark, artifactDir)
-    val add = buildDedupArtifacts(
-      batch.join(decisions.filter(col("status") === "admitted").select(col(idCol)),
-        Seq(idCol), "left_semi"),
-      idCol, textCol,
-      params.getOrElse("ngram", 3L).toInt,
-      params.getOrElse("bands", 32L).toInt,
-      params.getOrElse("rowsPerBand", 2L).toInt)
-    add.keys.write.mode("append").parquet(s"$artifactDir/keys")
-    add.bands.write.mode("append").parquet(s"$artifactDir/bands")
+    val admitted = batch.join(
+      decisions.filter(col("status") === "admitted").select(col(idCol)),
+      Seq(idCol), "left_semi")
+    // the delta's tokenized projection, materialized once (delta-sized):
+    // three lazy frames would re-shingle the admitted text once per append
+    val base = admitted.select(col(idCol).as("cid"),
+        contentKey(col(textCol)).as("ck"),
+        shingleHashes(col(textCol), params.getOrElse("ngram", 3L).toInt).as("sh"))
+      .localCheckpoint()
+    val nBands = params.getOrElse("bands", 32L).toInt
+    val rpb = params.getOrElse("rowsPerBand", 2L).toInt
+    base.select(col("ck")).distinct()
+      .write.mode("append").parquet(s"$artifactDir/keys")
+    bandTable(minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"),
+        nBands * rpb), nBands, rpb)
+      .withColumnRenamed("id", "cid")
+      .write.mode("append").parquet(s"$artifactDir/bands")
     // project onto the dir's existing column set: a pre-r11 artifact dir
     // stores shingles as (cid, sh) without the combined projection's ck,
     // and a mixed-schema parquet dir reads back nondeterministically
     val existing = spark.read.parquet(s"$artifactDir/shingles").columns.toSeq
-    add.shingles.select(existing.map(col): _*)
+    base.select(existing.map(col): _*)
       .write.mode("append").parquet(s"$artifactDir/shingles")
   }
 
@@ -773,26 +781,34 @@ object Dedup {
       idCol: String, textCol: String, ngram: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val perms = bands * rowsPerBand
-    val b = batch.select(col(idCol).as("id"), col(textCol).as("text"),
-      contentKey(col(textCol)).as("ck"))
+    // ONE tokenize pass over the batch, materialized (localCheckpoint —
+    // batch-sized by definition): the content-key rung, the LSH banding,
+    // both exact-Jaccard confirms and the within-batch self-join all reuse
+    // these arrays. The previous shape re-ran the regex shingling +
+    // per-shingle md5 in every leg (and a second full minhash inside the
+    // within-batch minhashNearDups), which dominated the nightly decision.
+    val base = batch.select(col(idCol).as("id"),
+        contentKey(col(textCol)).as("ck"),
+        shingleHashes(col(textCol), ngram).as("sh"))
+      .localCheckpoint()
     // distinct defensively: a duplicated artifact key would multiply batch
     // rows through the join (a freshly-built artifact is already distinct)
     val ckeys = artifacts.keys.select(col("ck")).distinct()
       .withColumn("in_corpus", lit(true))
-    val flagged = b.join(ckeys, Seq("ck"), "left")
+    val flagged = base.select("id", "ck").join(ckeys, Seq("ck"), "left")
       .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
     // within-batch exact keep-min, computed only over keys the corpus lacks
     // (a key the corpus has rejects ALL its batch holders as rule 1)
     val keepers = flagged.filter(!col("in_corpus"))
       .groupBy("ck").agg(min("id").as("keep_id"))
     val exact = flagged.join(keepers, Seq("ck"), "left")
-      .select(col("id"), col("text"),
+      .select(col("id"),
         when(col("in_corpus"), "dup_exact_corpus")
           .when(col("id") =!= col("keep_id"), "dup_exact_batch").as("exact_status"))
-    val surv = exact.filter(col("exact_status").isNull).select("id", "text")
+    val survIds = exact.filter(col("exact_status").isNull).select("id")
 
     // near-dup vs corpus: batch bands join corpus bands, exact-Jaccard confirm
-    val bH = surv.select(col("id"), shingleHashes(col("text"), ngram).as("sh"))
+    val bH = base.join(survIds, Seq("id"), "left_semi").select("id", "sh")
     val bBand = bandTable(minhashColumns(bH, col("id"), col("sh"), perms), bands, rowsPerBand)
     val candIds = bBand.join(artifacts.bands, Seq("band_idx", "band_hash"))
       .select("id", "cid").dropDuplicates("id", "cid")
@@ -803,9 +819,22 @@ object Dedup {
       .filter(col("inter") / (size(col("sh_b")) + size(col("sh_c")) - col("inter")) >= threshold)
       .select("id").distinct().withColumn("near_corpus", lit(true))
 
-    // near-dup within the still-standing batch (smaller id wins)
-    val standing = surv.join(nearCorpus, Seq("id"), "left_anti")
-    val nearBatch = minhashNearDups(standing, "id", "text", ngram, bands, rowsPerBand, threshold)
+    // near-dup within the still-standing batch (smaller id wins): the band
+    // rows already computed for the survivors are filtered to the standing
+    // set and self-joined — no second minhash pass (per-row minhash is
+    // deterministic, so these rows are identical to re-banding standing)
+    val standingIds = survIds.join(nearCorpus, Seq("id"), "left_anti")
+    val sBand = bBand.join(standingIds, Seq("id"), "left_semi")
+    val candBatch = sBand.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
+      .join(sBand.select(col("band_idx"), col("band_hash"), col("id").as("id_2")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").dropDuplicates("id_1", "id_2")
+    val nearBatch = candBatch
+      .join(base.select(col("id").as("id_1"), col("sh").as("sh_1")), Seq("id_1"))
+      .join(base.select(col("id").as("id_2"), col("sh").as("sh_2")), Seq("id_2"))
+      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+      .filter(col("inter") / (size(col("sh_1")) + size(col("sh_2")) - col("inter")) >= threshold)
       .select(col("id_2").as("id")).distinct().withColumn("near_batch", lit(true))
 
     exact
