@@ -416,6 +416,62 @@ final class EventStore(val spark: SparkSession, val root: String,
 
   override def eventTypes: Seq[String] = schemas.keys.toSeq
 
+  /** Max VISIBLE event_id across all types, from parquet footer column
+    * statistics over the committed segments (driver metadata reads, no
+    * Spark job) plus the memtable under its lock — the reference's
+    * zone-stats read repurposed as the REMEMBER/SHOW high-water capture.
+    * Returns None when the store holds no events; falls back to a Spark
+    * scan if any segment lacks event_id stats (never written by this
+    * engine, but an imported/foreign file could). Store-wide ids are
+    * monotonic with visibility, so a scope-free max is a valid HWM for any
+    * query: rows at or below it are all already visible. */
+  def maxVisibleEventId(): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    var best = Long.MinValue
+    var any = false
+    val types = listCommittedTypes().filter(schemas.contains)
+    for (t <- types; p <- EventStore.listDir(dataDir.resolve(t))
+         if p.getFileName.toString.endsWith(".parquet")) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        r.getFooter.getBlocks.forEach { b =>
+          if (b.getRowCount > 0) {
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == EventSchema.EventId)
+            val stats = c.map(_.getStatistics).orNull
+            if (stats == null || stats.isEmpty || !stats.hasNonNullValue) {
+              // stats missing: one Spark job over the union, the old path
+              r.close()
+              val ids = types.map(tt => committedFrame(tt)
+                  .select(col(EventSchema.EventId).as("id"))).reduce(_ union _)
+              val m = ids.agg(max(col("id"))).collect().headOption
+                .filterNot(_.isNullAt(0)).map(_.getLong(0))
+              val mem = memtableMaxId()
+              return (m.toSeq ++ mem.toSeq).maxOption
+            }
+            best = math.max(best,
+              stats.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            any = true
+          }
+        }
+      } finally scala.util.Try(r.close())
+    }
+    val mem = memtableMaxId()
+    if (mem.isDefined) { best = math.max(best, mem.get); any = true }
+    if (any) Some(best) else None
+  }
+
+  private def memtableMaxId(): Option[Long] = memtable.synchronized {
+    val iters = for {
+      (t, rows) <- memtable.iterator if rows.nonEmpty
+      idx = schemas(t).fullStruct.fieldIndex(EventSchema.EventId)
+      r <- rows.iterator
+    } yield r.getLong(idx)
+    iters.maxOption
+  }
+
   /** Committed segments UNION fresh memtable rows — the reference's
     * memtable-visible-to-reads semantics (`core/memory/memtable.rs`). */
   override def frame(t: String): DataFrame = {

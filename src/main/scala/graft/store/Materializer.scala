@@ -70,7 +70,8 @@ final class Materializer(store: EventStore) {
   // ---------------- catalog entry ----------------
 
   private case class Meta(query: String, hwmId: Long, schemaHash: String,
-      maxRows: Option[Long], maxAgeSeconds: Option[Long])
+      maxRows: Option[Long], maxAgeSeconds: Option[Long],
+      resultSchema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def readMeta(name: String): Option[Meta] = {
     val f = matDir(name).resolve("meta.json")
@@ -83,7 +84,12 @@ final class Materializer(store: EventStore) {
         if (n.has("schema_hash")) n.get("schema_hash").asText() else "",
         if (n.has("max_rows") && !n.get("max_rows").isNull) Some(n.get("max_rows").asLong()) else None,
         if (n.has("max_age_seconds") && !n.get("max_age_seconds").isNull)
-          Some(n.get("max_age_seconds").asLong()) else None))
+          Some(n.get("max_age_seconds").asLong()) else None,
+        if (n.has("result_schema") && !n.get("result_schema").isNull)
+          scala.util.Try(org.apache.spark.sql.types.DataType
+            .fromJson(n.get("result_schema").asText())
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+        else None))
     }
   }
 
@@ -91,7 +97,9 @@ final class Materializer(store: EventStore) {
     val json = s"""{"query": ${EventStore.jsonString(m.query)}, "hwm_id": ${m.hwmId}, """ +
       s""""schema_hash": ${EventStore.jsonString(m.schemaHash)}, """ +
       s""""max_rows": ${m.maxRows.map(_.toString).getOrElse("null")}, """ +
-      s""""max_age_seconds": ${m.maxAgeSeconds.map(_.toString).getOrElse("null")}}"""
+      s""""max_age_seconds": ${m.maxAgeSeconds.map(_.toString).getOrElse("null")}, """ +
+      s""""result_schema": ${m.resultSchema
+        .map(s => EventStore.jsonString(s.json)).getOrElse("null")}}"""
     Files.write(matDir(name).resolve("meta.json"), json.getBytes("UTF-8"))
   }
 
@@ -108,24 +116,18 @@ final class Materializer(store: EventStore) {
       .digest(spec.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
-  /** Max event_id currently visible in the query's scope — ONE job. For a
-    * sequence query the scope is EVERY step type, not just the head: id
-    * blocks are allocated per ingest batch, so a non-head side ingested
-    * after the head holds ids ABOVE the head's max, and a head-only HWM
-    * would silently exclude those events from the snapshot and from every
-    * delta. */
-  private def currentMaxId(q: QueryCmd): Long = {
-    val ids = q.sequence match {
-      case Some(s) =>
-        (s.head +: s.links.map(_._2)).distinct
-          .map(t => QueryCompiler.scoped(q.copy(eventType = t, sequence = None), store)
-            .select(col(EventSchema.EventId)))
-          .reduce(_ unionAll _)
-      case None => QueryCompiler.scoped(q, store).select(col(EventSchema.EventId))
-    }
-    val r = ids.agg(max(col(EventSchema.EventId))).head()
-    if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
-  }
+  /** Max event_id currently visible — store-wide, from parquet footer
+    * stats + memtable ([[EventStore.maxVisibleEventId]]; no Spark job).
+    * A scope-free HWM is correct for every query shape: ids are monotonic
+    * with visibility store-wide, so every scoped row at or below it is
+    * already visible (the delta window only BOUNDS which rows compile()
+    * considers — the query's own scope filters still apply inside it), and
+    * it trivially covers every step type of a sequence (a non-head side
+    * ingested after the head holds ids above the head's max — a head-only
+    * HWM would silently exclude those events). The `q` parameter is kept
+    * for call-site readability. */
+  private def currentMaxId(q: QueryCmd): Long =
+    store.maxVisibleEventId().getOrElse(Long.MinValue)
 
   /** Record a retention policy on an existing materialization (the reference
     * stores policies in the catalog and enforces them on append). */
@@ -146,6 +148,11 @@ final class Materializer(store: EventStore) {
     val q = cmd.query
     val hwmId = currentMaxId(q) // captured BEFORE evaluation: a concurrent
                                 // write lands in the next SHOW's delta
+    // result schema recorded in the catalog for sequence queries: every
+    // SHOW otherwise re-runs a full Catalyst analysis of the sequence plan
+    // just to type the stored parquet read-back (the schema-hash guard
+    // already invalidates the entry whenever the recorded shape could drift)
+    var resultSchema: Option[org.apache.spark.sql.types.StructType] = None
     val storedDir =
       if (q.isAggregate && !q.isSequence) {
         AggStateCompiler.partialState(q, boundedSource(Long.MinValue, hwmId))
@@ -158,7 +165,9 @@ final class Materializer(store: EventStore) {
       } else if (q.isSequence && q.limit.isEmpty) {
         // bucket-partitioned by link hash so SHOW can rewrite only the
         // buckets its delta touches (see the class doc)
-        QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
+        val compiled = QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
+        resultSchema = Some(compiled.schema)
+        compiled
           .withColumn("_bkt", seqBucket(col("link_value")))
           .repartition(col("_bkt")) // one file per bucket dir, not one per
                                     // (bucket × shuffle partition)
@@ -166,11 +175,12 @@ final class Materializer(store: EventStore) {
           .parquet(dir.resolve("data").toString)
         dir.resolve("data")
       } else {
-        QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
-          .write.mode("overwrite").parquet(dir.resolve("data").toString)
+        val compiled = QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
+        if (q.isSequence) resultSchema = Some(compiled.schema)
+        compiled.write.mode("overwrite").parquet(dir.resolve("data").toString)
         dir.resolve("data")
       }
-    writeMeta(cmd.name, Meta(renderQuery(q), hwmId, schemaHash(q), None, None))
+    writeMeta(cmd.name, Meta(renderQuery(q), hwmId, schemaHash(q), None, None, resultSchema))
     // rows-stored summary line (reference `handlers/remember.rs:168-169`);
     // summed from the just-written Parquet footers on the driver — a
     // metadata read, not a Spark job
@@ -261,7 +271,10 @@ final class Materializer(store: EventStore) {
     recoverBuckets(dataDir) // heal any crash mid-swap before reading the dir
     val partitioned = Files.isDirectory(dataDir) && EventStore.listDir(dataDir)
       .exists(_.getFileName.toString.startsWith("_bkt="))
-    val resultSchema = QueryCompiler.compile(query, store).schema // plan-only
+    // catalog-recorded schema when present (guarded by the schema-hash
+    // check above); legacy entries fall back to a plan-only compile
+    val resultSchema = meta.resultSchema
+      .getOrElse(QueryCompiler.compile(query, store).schema)
     val newHwm = currentMaxId(query)
 
     if (query.limit.isDefined) { // a global row cap is not group-decomposable
