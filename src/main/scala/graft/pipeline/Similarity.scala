@@ -183,6 +183,27 @@ object Similarity {
     flatten(transform(array(qv), perTable))
   }
 
+  /** SRP depth (planes per table) that holds bucket occupancy near
+    * `targetPerBucket` for an `n`-vector corpus: `ceil(log2(n / target))`,
+    * clamped to [2, 20] (bucket ids pack into an i64 well past 20 planes;
+    * below 2 the tables stop discriminating).
+    *
+    * Why this exists (r11 scale sweep): LSH candidate cost is
+    * sum-over-buckets of occupancy², so FIXED planes make candidates grow
+    * QUADRATICALLY with the corpus — the 10× rehearsal ran
+    * [[cosineNearDups]]' default 4 planes at 10× vectors and paid ~100×
+    * the confirm cost. Each extra plane halves expected occupancy, so
+    * depth must grow with log2(n) to keep per-vector candidate work
+    * constant; recall lost to the deeper code is bought back with more
+    * `tables` (cost grows linearly with tables, never quadratically).
+    * Callers with a known corpus size should pass
+    * `planes = srpPlanesFor(n)` instead of the gate-scale default. */
+  def srpPlanesFor(n: Long, targetPerBucket: Long = 64L): Int = {
+    require(n > 0 && targetPerBucket > 0, s"bad srpPlanesFor($n, $targetPerBucket)")
+    val raw = math.ceil(math.log(n.toDouble / targetPerBucket) / math.log(2.0)).toInt
+    math.min(20, math.max(2, raw))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_1 < id_2) pairs with
     * quantized cosine ≥ `threshold`. Output: (id_1, id_2, dot, cosine).
     *

@@ -79,6 +79,43 @@ class BandJoinSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("srpPlanesFor scales LSH depth with corpus size and cuts candidates") {
+    import graft.pipeline.Similarity
+    // the math: one extra plane per corpus doubling, clamped
+    assert(Similarity.srpPlanesFor(64) == 2)
+    assert(Similarity.srpPlanesFor(2048) == 5)
+    assert(Similarity.srpPlanesFor(2049) == 6)
+    assert(Similarity.srpPlanesFor(Long.MaxValue) == 20)
+    (1 to 30).foreach { k =>
+      val n = 1L << k
+      assert(Similarity.srpPlanesFor(2 * n) >= Similarity.srpPlanesFor(n),
+        s"depth must be monotonic in corpus size (n=$n)")
+    }
+    // the behavior: on a corpus 8x the default-depth sizing, the sized
+    // depth produces strictly fewer candidate pairs than the gate-scale
+    // default (4 planes) while both confirm through the same exact check
+    import spark.implicits._
+    val dims = 8
+    val vecs = (0 until 2048).map { i =>
+      (i.toLong, Array.tabulate(dims)(j =>
+        (math.sin(i * 0.7 + j * 1.3) * 100).toFloat))
+    }.toDF("vec_id", "embedding")
+    def candCount(planes: Int): Long = {
+      val v = vecs.select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val banded = v.select(col("id"),
+          explode(Similarity.srpBuckets(col("qv"), dims, planes, 4)).as("tb"))
+        .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+      banded.as("a").join(banded.as("b"), Seq("tbl", "bkt"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
+    val shallow = candCount(4)
+    val sized = candCount(Similarity.srpPlanesFor(2048, targetPerBucket = 16))
+    assert(sized < shallow,
+      s"sized depth should prune candidates: sized=$sized shallow=$shallow")
+  }
+
   test("minhash band join under a 10%-duplicate corpus: exact pairs, no cartesian") {
     withSkewConfs {
       import spark.implicits._
