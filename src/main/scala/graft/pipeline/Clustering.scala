@@ -348,9 +348,14 @@ object Clustering {
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") < col("b")).distinct()
+    // partitioned on the per-round join key BEFORE the checkpoint: a
+    // localCheckpoint's LogicalRDD keeps its physical partitioning, so
+    // every round's join re-shuffles only the node-grain label side, never
+    // the edge table (the pageRank discipline)
     val dir = scratch(edges.sparkSession, checkpointDir, "lpa_edges",
       und.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+        .repartition(col("v")))
     var labels = dir.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     (1 to iters).foreach { i =>
