@@ -100,6 +100,33 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     expr(s"transform(${shingles(text, n).toString}, s -> md5long(s))")
 
+  /** Choose (bands, rowsPerBand) for a Jaccard threshold within a `perms`
+    * permutation budget — the LSH S-curve knob the r11 scale sweep showed
+    * matters: with b bands of r rows, P(candidate | J) = 1-(1-J^r)^b, and
+    * the curve's midpoint sits near (1/b)^(1/r). The shipped default
+    * (32×2, midpoint 0.18) is RECALL-heavy for θ=0.5 — it catches J≈0.2
+    * pairs 73% of the time, so every such pair pays the verify cost
+    * (ruinous when the verifier is O(len²) Levenshtein and the corpus
+    * grows). This helper returns the deepest rows-per-band whose midpoint
+    * stays at or below θ — the precision-leaning choice that suppresses
+    * sub-threshold candidates exponentially while still catching
+    * at-threshold pairs with probability ≥ 1/2 (recall is then bought
+    * back by raising `perms`, which adds bands at linear cost).
+    *
+    * E.g. bandingFor(0.5, 64) = (16, 4): P(J=0.2) drops 0.73 → 0.025
+    * while P(J=0.7) stays 0.98. */
+  def bandingFor(threshold: Double, perms: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(perms >= 2, s"perms must be >= 2, got $perms")
+    val options = (1 to perms).flatMap { r =>
+      val b = perms / r
+      if (b >= 1) Some(((b, r), math.pow(1.0 / b, 1.0 / r))) else None
+    }
+    val safe = options.filter(_._2 <= threshold)
+    if (safe.nonEmpty) safe.maxBy { case ((_, r), mid) => (r, mid) }._1
+    else options.minBy { case (_, mid) => math.abs(mid - threshold) }._1
+  }
+
   /** MinHash signature as `perms` COLUMNS (`mh0 … mh{perms-1}`) computed by
     * exploding the shingle hashes and running `perms` codegen'd `min`
     * aggregates.

@@ -116,6 +116,29 @@ class BandJoinSkewSpec extends AnyFunSuite {
       s"sized depth should prune candidates: sized=$sized shallow=$shallow")
   }
 
+  test("bandingFor picks precision-leaning S-curves within the perms budget") {
+    import graft.pipeline.Dedup
+    def pCand(j: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    // θ=0.5 in a 64-perm budget: midpoint exactly 0.5 at 16×4
+    assert(Dedup.bandingFor(0.5, 64) == (16, 4))
+    // the chosen curve suppresses the sub-threshold candidates the 32×2
+    // default admits (the r11 editdist scale finding) while keeping
+    // at-threshold capture ≥ 1/2 and above-threshold capture high
+    val (b, r) = Dedup.bandingFor(0.5, 64)
+    assert(pCand(0.2, b, r) < 0.05 && pCand(0.2, 32, 2) > 0.7)
+    assert(pCand(0.5, b, r) >= 0.5)
+    assert(pCand(0.7, b, r) > 0.95)
+    // low thresholds need shallow rows (recall), high thresholds deep rows
+    // (precision) — midpoint stays at or below θ whenever feasible
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); perms <- Seq(16, 64, 128)) {
+      val (bb, rr) = Dedup.bandingFor(t, perms)
+      assert(bb * rr <= perms, s"budget exceeded for ($t, $perms)")
+      assert(math.pow(1.0 / bb, 1.0 / rr) <= t + 1e-9 || bb == perms,
+        s"midpoint above threshold for ($t, $perms) -> ($bb, $rr)")
+    }
+  }
+
   test("minhash band join under a 10%-duplicate corpus: exact pairs, no cartesian") {
     withSkewConfs {
       import spark.implicits._
