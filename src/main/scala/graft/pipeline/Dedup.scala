@@ -154,15 +154,29 @@ object Dedup {
     minhashColumns(df, idCol, hashesCol, perms)
       .select(col("id"), array((0 until perms).map(i => col(s"mh$i")): _*).as("sig"))
 
-  /** LSH band table (band_idx, band_hash, id) from a minhash-column frame:
-    * each band's `rowsPerBand` values pack into one i64 without overflow
-    * (values < P, P^2 < 2^62). Band rows carry ONLY the three narrow
-    * columns — large shingle arrays are joined back for CANDIDATES only. */
+  /** Modulus for band-hash folding past two rows per band: the largest
+    * prime below 2^32, sized so `acc*P + x` stays within a signed i64 for
+    * any acc < PackMod (PackMod·P + P < 2^63) — rowsPerBand > 2 would
+    * otherwise overflow, which ANSI mode (Spark 4's default) turns into a
+    * runtime ARITHMETIC_OVERFLOW, not a silent wrap. */
+  private[graft] val PackMod: Long = 4294967291L
+
+  /** LSH band table (band_idx, band_hash, id) from a minhash-column frame.
+    * Band rows carry ONLY the three narrow columns — large shingle arrays
+    * are joined back for CANDIDATES only.
+    *
+    * Packing: ≤2 rows per band pack exactly as `mh0·P + mh1` (< P² < 2^62
+    * — this form is replicated verbatim by every DuckDB oracle, so it must
+    * never change); deeper bands fold the same recurrence modulo
+    * [[PackMod]], keeping every intermediate in-range for ANSI mode at a
+    * negligible collision cost (~2^-32 per band pair). */
   private[graft] def bandTable(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val packed = (0 until rowsPerBand)
         .map(r => col(s"mh${b * rowsPerBand + r}"))
-        .reduce((acc, x) => acc * P + x)
+        .reduce((acc, x) =>
+          if (rowsPerBand <= 2) acc * P + x
+          else pmod(acc * P + x, lit(PackMod)))
       struct(lit(b).as("band_idx"), packed.as("band_hash"))
     }
     sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
@@ -190,8 +204,11 @@ object Dedup {
       s"array_min(transform(${sh.toString}, h -> " +
         s"pmod(element_at($pa, cast(b * $rowsPerBand + ${r + 1} as int)) * pmod(h, ${P}L) + " +
         s"element_at($pb, cast(b * $rowsPerBand + ${r + 1} as int)), ${P}L)))"
+    // must stay value-identical to [[bandTable]]'s packing (pinned in
+    // PipelineSpec): exact ≤2 rows, PackMod-folded beyond
     val packed = (1 until rowsPerBand).foldLeft(mh(0)) { (acc, r) =>
-      s"($acc) * ${P}L + ${mh(r)}"
+      if (rowsPerBand <= 2) s"($acc) * ${P}L + ${mh(r)}"
+      else s"pmod(($acc) * ${P}L + ${mh(r)}, ${PackMod}L)"
     }
     expr(s"transform(sequence(0, ${bands - 1}), b -> $packed)")
   }
