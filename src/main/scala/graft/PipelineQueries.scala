@@ -484,13 +484,19 @@ object PipelineQueries {
       Dedup.snapshotDiff(prev, cur, "doc_id", "text")
     }),
 
-    "q_dedup_editdist" -> ((s, d) =>
+    "q_dedup_editdist" -> ((s, d) => {
       // LSH-banded candidates confirmed by exact LEVENSHTEIN (≤10% of the
       // longer text) — the right verifier for small in-place edits; the
       // quadratic distance is paid only on band collisions, and Spark's
-      // and DuckDB's codegen'd edit distances agree exactly
+      // and DuckDB's codegen'd edit distances agree exactly. Banding is
+      // SIZED to the effective threshold (bandingFor ⇒ 16×4, midpoint
+      // 0.5): sub-threshold collisions stop reaching the O(len²)
+      // verifier, and the brute-force oracle pins that recall is intact
+      // (identical pair sets vs 32×2 at sf0.01/sf0.1/sf1; 6.3× at sf1)
+      val (b, r) = Dedup.bandingFor(0.5)
       Dedup.editDistanceNearDups(docs(s, d), "doc_id", "text",
-        maxLen = 2000, maxDistPpm = 100000L)),
+        bands = b, rowsPerBand = r, maxLen = 2000, maxDistPpm = 100000L)
+    }),
 
     "q_dedup_simhash" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
