@@ -91,10 +91,15 @@ object ExprCompiler {
     * `types/mod.rs:206-213`): optional sign then decimal/exponent digits or
     * `inf`/`infinity`/`nan` (case-insensitive), NO surrounding whitespace —
     * stricter than Java/Spark parsing, which trims and accepts `7f`/hex. */
-  private[engine] val RustFiniteRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
-  private[engine] val RustPosInfRe = "^\\+?(?i)inf(inity)?$"
-  private[engine] val RustNegInfRe = "^-(?i)inf(inity)?$"
-  private[engine] val RustNaNRe = "^[+-]?(?i)nan$"
+  // \A/\z anchors, NOT ^/$: Java's $ (which rlike compiles to) also matches
+  // just before a FINAL line terminator, so "7\n" would pass the ^$-anchored
+  // gate (and try_cast would trim it to 7.0) while Rust parse::<f64> — and
+  // the literal-side String.matches — reject it. \z matches only at the true
+  // end of input, keeping row-side and literal-side classification aligned.
+  private[engine] val RustFiniteRe = "\\A[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?\\z"
+  private[engine] val RustPosInfRe = "\\A\\+?(?i)inf(inity)?\\z"
+  private[engine] val RustNegInfRe = "\\A-(?i)inf(inity)?\\z"
+  private[engine] val RustNaNRe = "\\A[+-]?(?i)nan\\z"
 
   /** Parse a literal string exactly as Rust `parse::<f64>` would. */
   private def rustF64(s: String): Option[Double] =

@@ -65,6 +65,13 @@ final class EventStore(val spark: SparkSession, val root: String,
   // and be silently excluded from every materialization delta).
   private val batchSeq = new AtomicLong(1L)
   private val idLock = new Object
+  // Bulk-ingest id blocks allocated but not yet committed. A bulk write is
+  // long; a sync STORE (or second ingest) landing meanwhile takes a LATER
+  // block and becomes visible first, so "max visible id" can exceed an
+  // in-flight block — an HWM captured from it would permanently exclude the
+  // in-flight rows from every SHOW delta. [[safeHwmEventId]] caps the mark
+  // below the smallest in-flight block instead.
+  private val inflightIngestBases = mutable.SortedSet.empty[Long]
   private var syncBlockBase = -1L
   private var syncOffset = 0L
   private def nextStoreId(): Long = idLock.synchronized {
@@ -329,16 +336,19 @@ final class EventStore(val spark: SparkSession, val root: String,
       typed.as(EventSchema.columnName(n)) // shadowed fields → internal column
     }
     val base = batchSeq.getAndIncrement() << 50 // this ingest's id block
-    val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(clock()))
-    val out = df.select(
-      (Seq(col(contextCol).cast("string").as(EventSchema.ContextId),
-        lit(eventType).as(EventSchema.EventType),
-        ts.as(EventSchema.Timestamp),
-        (monotonically_increasing_id() + base).as(EventSchema.EventId)) ++ payloadCols): _*)
-    idempotencyKey match {
-      case None      => writeSegment(eventType, out)
-      case Some(key) => writeSegmentIdempotent(eventType, out, key)
-    }
+    idLock.synchronized { inflightIngestBases += base }
+    try {
+      val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(clock()))
+      val out = df.select(
+        (Seq(col(contextCol).cast("string").as(EventSchema.ContextId),
+          lit(eventType).as(EventSchema.EventType),
+          ts.as(EventSchema.Timestamp),
+          (monotonically_increasing_id() + base).as(EventSchema.EventId)) ++ payloadCols): _*)
+      idempotencyKey match {
+        case None      => writeSegment(eventType, out)
+        case Some(key) => writeSegmentIdempotent(eventType, out, key)
+      }
+    } finally idLock.synchronized { inflightIngestBases -= base }
     Right(base)
   }
 
@@ -461,6 +471,28 @@ final class EventStore(val spark: SparkSession, val root: String,
     val mem = memtableMaxId()
     if (mem.isDefined) { best = math.max(best, mem.get); any = true }
     if (any) Some(best) else None
+  }
+
+  /** HWM capture for REMEMBER/SHOW: [[maxVisibleEventId]] capped strictly
+    * below the smallest IN-FLIGHT bulk-ingest id block. Ids are allocated
+    * before a bulk segment write commits, so "max visible" alone is not a
+    * safe delta watermark: anything committed after the in-flight block was
+    * allocated (a sync STORE, a faster second ingest) is visible with
+    * HIGHER ids, and a mark taken from those would forever exclude the
+    * in-flight rows (`id ≤ mark` but committed later) from every delta.
+    * Capping just defers the already-visible higher rows to the next delta
+    * — REMEMBER evaluates bounded to the captured mark, so nothing is
+    * double-counted. The sync path needs no entry here: [[store]] allocates
+    * the id and appends WAL + memtable row under one lock, so a sync row is
+    * visible to [[memtableMaxId]] atomically with its allocation. */
+  def safeHwmEventId(): Option[Long] = {
+    val cap = idLock.synchronized { inflightIngestBases.headOption }
+    val vis = maxVisibleEventId()
+    (vis, cap) match {
+      case (Some(v), Some(b)) if b - 1L < v =>
+        if (b <= 0L) None else Some(b - 1L)
+      case _ => vis
+    }
   }
 
   private def memtableMaxId(): Option[Long] = memtable.synchronized {
@@ -597,8 +629,15 @@ final class EventStore(val spark: SparkSession, val root: String,
       .filter { case (_, src) => Files.isDirectory(src) }
     for ((s, src) <- withData) {
       val readable = scala.util.Try {
-        spark.read.option("mode", "FAILFAST").schema(s.fullStruct)
-          .json(src.toString).count()
+        // count() would prune the pushed schema to EMPTY, so the FAILFAST
+        // parser would only check JSON well-formedness — a well-formed file
+        // whose values mismatch the schema types (e.g. "abc" in a long
+        // field) would slip through and land as PERMISSIVE nulls in the
+        // segment write. Consuming every schema field forces full-schema
+        // parsing, so type-mismatched data also rejects the import.
+        val full = spark.read.option("mode", "FAILFAST").schema(s.fullStruct)
+          .json(src.toString)
+        full.select(s.fullStruct.fieldNames.map(col): _*).foreach(_ => ())
       }
       if (readable.isFailure)
         return Left(s"unreadable snapshot data for '${s.eventType}': " +

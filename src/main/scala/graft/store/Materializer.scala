@@ -116,18 +116,21 @@ final class Materializer(store: EventStore) {
       .digest(spec.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
-  /** Max event_id currently visible — store-wide, from parquet footer
-    * stats + memtable ([[EventStore.maxVisibleEventId]]; no Spark job).
-    * A scope-free HWM is correct for every query shape: ids are monotonic
-    * with visibility store-wide, so every scoped row at or below it is
+  /** Delta high-water mark — store-wide, from parquet footer stats +
+    * memtable, CAPPED below any in-flight bulk-ingest id block
+    * ([[EventStore.safeHwmEventId]]; no Spark job). A scope-free HWM is
+    * correct for every query shape: every scoped row at or below it is
     * already visible (the delta window only BOUNDS which rows compile()
     * considers — the query's own scope filters still apply inside it), and
     * it trivially covers every step type of a sequence (a non-head side
     * ingested after the head holds ids above the head's max — a head-only
-    * HWM would silently exclude those events). The `q` parameter is kept
-    * for call-site readability. */
+    * HWM would silently exclude those events). The in-flight cap closes the
+    * bulk-write race: ids are allocated before the segment write commits,
+    * so the raw visible max can run AHEAD of an uncommitted block, and a
+    * mark taken there would exclude that block from every future delta.
+    * The `q` parameter is kept for call-site readability. */
   private def currentMaxId(q: QueryCmd): Long =
-    store.maxVisibleEventId().getOrElse(Long.MinValue)
+    store.safeHwmEventId().getOrElse(Long.MinValue)
 
   /** Record a retention policy on an existing materialization (the reference
     * stores policies in the catalog and enforces them on append). */

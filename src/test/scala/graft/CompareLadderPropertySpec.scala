@@ -112,7 +112,11 @@ class CompareLadderPropertySpec extends AnyFunSuite {
     // (they fall to lexicographic), inf/infinity/nan spellings ARE, and
     // Java-only forms like a trailing f are not
     " 7", "7 ", " 2.5 ", "NaN", "nan", "-NaN", "inf", "Inf", "-inf",
-    "Infinity", "-Infinity", "infinity", "7f", "0x10")
+    "Infinity", "-Infinity", "infinity", "7f", "0x10",
+    // trailing line terminators: Java's $ would classify "7\n" numeric on
+    // the rlike row side while Rust (and String.matches) reject it — the
+    // \A/\z anchors must keep both sides lexicographic here
+    "7\n", "2.5\n", "nan\n", "7\r\n")
   private val valueGen: Gen[String] = Gen.frequency(
     (4, numericish), (2, boolish), (4, wordy))
 

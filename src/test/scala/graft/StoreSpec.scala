@@ -10,6 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.store.{EventStore, ExecResult, Ingest}
 
+/** Executor-visible latches for the HWM/bulk-ingest race test (one JVM in
+  * local mode, so a plain object is shared between driver and tasks). */
+object HwmRaceGate {
+  @volatile var entered: java.util.concurrent.CountDownLatch = _
+  @volatile var release: java.util.concurrent.CountDownLatch = _
+  def reset(): Unit = {
+    entered = new java.util.concurrent.CountDownLatch(1)
+    release = new java.util.concurrent.CountDownLatch(1)
+  }
+}
+
 class StoreSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
@@ -312,6 +323,53 @@ class StoreSpec extends AnyFunSuite {
     s2.execute("""STORE a FOR u1 PAYLOAD {"v": 5}""")
     s2.execute("FLUSH")
     assert(frame(s2.execute("QUERY a FOR u1")).count() == 1)
+  }
+
+  test("HWM capture during an in-flight bulk ingest stays below the ingest's id block") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val s = newStore()
+    s.execute("""DEFINE t FIELDS { v: "int" }""")
+    s.execute("""STORE t FOR c0 PAYLOAD {"v": 0}""")
+    s.execute("FLUSH")
+    val before = s.safeHwmEventId().get
+
+    // a bulk ingest whose segment write BLOCKS mid-flight (UDF gated on a
+    // latch), so its id block is allocated but uncommitted while we race
+    HwmRaceGate.reset()
+    // static module access inside the lambda — capturing the object ref
+    // would make the closure unserializable
+    val block = udf { (v: Int) =>
+      HwmRaceGate.entered.countDown()
+      HwmRaceGate.release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      v
+    }
+    import spark.implicits._
+    val df = Seq(("c1", 10L, 1), ("c1", 11L, 2), ("c2", 12L, 3))
+      .toDF("ctx", "ts", "v").coalesce(1)
+      .withColumn("v", block(col("v")))
+    val fut = scala.concurrent.Future(s.ingestFrame("t", df, "ctx", Some("ts")))(
+      scala.concurrent.ExecutionContext.global)
+    assert(HwmRaceGate.entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+
+    // a sync STORE lands NOW — visible immediately, id in a LATER block
+    s.execute("""STORE t FOR c9 PAYLOAD {"v": 9}""")
+    val rawMax = s.maxVisibleEventId().get
+    val hwm = s.safeHwmEventId().get
+    assert(rawMax > hwm, "raw visible max must run ahead of the capped mark")
+    assert(hwm >= before)
+
+    HwmRaceGate.release.countDown()
+    val base = scala.concurrent.Await
+      .result(fut, scala.concurrent.duration.Duration(60, "s"))
+      .toOption.get
+    // every row committed after the capture — the in-flight bulk rows AND
+    // the racing sync row — sits ABOVE the mark, so a delta from `hwm`
+    // catches all of them; nothing is permanently excluded
+    assert(hwm < base)
+    val ids = s.frame("t").select(col("event_id")).collect().map(_.getLong(0))
+    assert(ids.length == 5)
+    assert(ids.count(_ <= hwm) == 1) // only the pre-capture row
+    assert(s.safeHwmEventId().get == ids.max) // cap lifts once committed
   }
 
   test("purgeBefore drops only rows older than the cutoff, durable across reopen") {

@@ -178,6 +178,17 @@ class StreamingResponseSpec extends AnyFunSuite {
     assert(corrupt.isLeft && corrupt.left.exists(_.contains("unreadable snapshot data")))
     assert(s7.eventTypes.isEmpty) // no schema registered, no data imported
 
+    // WELL-FORMED JSON whose values mismatch the schema types must also
+    // reject the import (the FAILFAST pass parses the FULL schema — a
+    // count()-only check would prune to empty and let this land as nulls)
+    Files.write(dataFile,
+      """{"context_id":"c0","event_type":"t","timestamp":1,"event_id":1,"v":"not-an-int"}"""
+        .getBytes("UTF-8"))
+    val s8 = new EventStore(spark, Files.createTempDirectory("graft_snap8_").toString)
+    val mistyped = s8.importSnapshot(snap3)
+    assert(mistyped.isLeft && mistyped.left.exists(_.contains("unreadable snapshot data")))
+    assert(s8.eventTypes.isEmpty)
+
     // compaction reduces file count, preserves data
     s1.compact(targetFiles = 1)
     assert(s1.frame("t").count() == 6)
