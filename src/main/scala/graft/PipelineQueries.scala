@@ -484,19 +484,19 @@ object PipelineQueries {
       Dedup.snapshotDiff(prev, cur, "doc_id", "text")
     }),
 
-    "q_dedup_editdist" -> ((s, d) => {
+    "q_dedup_editdist" -> ((s, d) =>
       // LSH-banded candidates confirmed by exact LEVENSHTEIN (≤10% of the
       // longer text) — the right verifier for small in-place edits; the
       // quadratic distance is paid only on band collisions, and Spark's
       // and DuckDB's codegen'd edit distances agree exactly. Banding is
-      // SIZED to the effective threshold (bandingFor ⇒ 16×4, midpoint
-      // 0.5): sub-threshold collisions stop reaching the O(len²)
-      // verifier, and the brute-force oracle pins that recall is intact
-      // (identical pair sets vs 32×2 at sf0.01/sf0.1/sf1; 6.3× at sf1)
-      val (b, r) = Dedup.bandingFor(0.5)
+      // the operator DEFAULT (bandingForRecall at the predicate's J≈0.5
+      // floor ⇒ 35×3): capture ≥ 0.99 at the floor BY CONSTRUCTION — the
+      // r12-flagged 16×4 sizing captured at-floor pairs with only ~0.64
+      // probability, an oracle equality held up by dataset luck — while
+      // still suppressing sub-threshold collisions ~8× harder than the
+      // original 32×2 (BandingRecallSpec pins both numbers)
       Dedup.editDistanceNearDups(docs(s, d), "doc_id", "text",
-        bands = b, rowsPerBand = r, maxLen = 2000, maxDistPpm = 100000L)
-    }),
+        maxLen = 2000, maxDistPpm = 100000L)),
 
     "q_dedup_simhash" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
@@ -1349,12 +1349,40 @@ object PipelineQueries {
       s"SELECT vec_id, $t AS tbl, $bits AS bkt FROM v"
     }.mkString("\nUNION ALL ")
 
+  /** [[Similarity.srpPlanesFor]] as a one-row CTE body: the SAME integer
+    * arithmetic (`ceil(log2(ceil(n/target)))` via the bit length of m−1 —
+    * both engines avoid float log2 entirely) over the corpus count, so the
+    * AUTO-sized LSH depth is replicated bit-exactly at ANY scale factor the
+    * oracle runs at, not pinned to one dataset's count. */
+  private def srpPlanesSql(table: String, targetPerBucket: Long = 64L): String =
+    s"""SELECT least(20, greatest(2,
+       |    CASE WHEN m <= 1 THEN 0 ELSE len(bin(m - 1)) END)) AS planes
+       |  FROM (SELECT (count(*) + ${targetPerBucket - 1}) // $targetPerBucket AS m FROM $table)""".stripMargin
+
+  /** [[srpBucketsSql]] for the AUTO-sized depth: every plane up to the
+    * clamp maximum (20) is inlined and GATED on the one-row `pl` CTE
+    * (`srpPlanesSql`), so one static SQL string reproduces the runtime
+    * depth at any corpus size — plane p's weights are a function of
+    * (table, p, dims) only, independent of how many planes are active. */
+  private def srpBucketsSqlAuto(tables: Int, dims: Int, maxPlanes: Int = 20): String =
+    (0 until tables).map { t =>
+      val bits = (0 until maxPlanes).map { p =>
+        val w = Similarity.planeWeights(t, p, dims).mkString("[", ", ", "]")
+        s"(CASE WHEN $p < pl.planes AND list_dot_product(qv, $w) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bkt FROM v, pl"
+    }.mkString("\nUNION ALL ")
+
   def oracleSql: Map[String, String] = Map(
-    // the SRP-LSH default path, exactly reproduced: identical inlined
-    // hyperplanes → identical candidate set → exact confirm
+    // the SRP-LSH default path, exactly reproduced: the AUTO-sized depth
+    // (planes from the corpus count, integer-exact on both engines) +
+    // identical inlined hyperplanes → identical candidate set → exact
+    // confirm — the oracle replicates the SIZING RULE, not one dataset's
+    // plane constant
     "q_dedup_embed" ->
       s"""WITH v AS ($qvCte),
-         |bk AS (${srpBucketsSql(16, 4, 64)}),
+         |pl AS (${srpPlanesSql("embeddings")}),
+         |bk AS (${srpBucketsSqlAuto(16, 64)}),
          |cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
          |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
          |p AS (SELECT id_1, id_2,
@@ -1389,7 +1417,8 @@ object PipelineQueries {
 
     "q_dedup_embed_lsh" ->
       s"""WITH v AS ($qvCte),
-         |bk AS (${srpBucketsSql(16, 4, 64)}),
+         |pl AS (${srpPlanesSql("embeddings")}),
+         |bk AS (${srpBucketsSqlAuto(16, 64)}),
          |cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
          |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
          |p AS (SELECT id_1, id_2,

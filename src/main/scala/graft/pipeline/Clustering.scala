@@ -49,11 +49,21 @@ object Clustering {
     *                      (small-graph fast path; default 128k edges —
     *                      tens of MB transient on the driver; negative
     *                      disables)
+    * @param autoDiskEdges with no explicit `checkpointDir`, canonical edge
+    *                      counts ABOVE this auto-switch round scratch from
+    *                      executor blocks to parquet under
+    *                      [[autoScratchDir]] — the r11 10× rehearsal
+    *                      measured `localCheckpoint` OOM at 158.7M edges,
+    *                      so the safe default must not depend on the
+    *                      caller remembering a knob (default 64M;
+    *                      negative disables). The count is the round-0
+    *                      checksum — no extra job.
     */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id_1",
       idCol2: String = "id_2", maxRounds: Int = 30,
       checkpointDir: Option[String] = None,
-      localThreshold: Int = 1 << 17): DataFrame = {
+      localThreshold: Int = 1 << 17,
+      autoDiskEdges: Long = 1L << 26): DataFrame = {
     val spark = pairs.sparkSession
     val canonical = pairs
       .select(col(idCol1).cast("long").as("u"), col(idCol2).cast("long").as("v"))
@@ -93,16 +103,18 @@ object Clustering {
     }
 
     // materialize a round's edges: reliable scratch Parquet when a
-    // checkpoint dir is given, executor-local blocks otherwise. Stale round
-    // tables are deleted once the next round is durably written.
-    def materialize(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+    // checkpoint dir is set (explicitly or by the auto-switch below),
+    // executor-local blocks otherwise. Stale round tables are deleted once
+    // the next round is durably written.
+    var ckDir: Option[String] = checkpointDir
+    def materialize(df: DataFrame, round: Int): DataFrame = ckDir match {
       case Some(dir) =>
         val path = s"$dir/cc_round_$round"
         df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
       case None => df.localCheckpoint(true)
     }
-    def dropRound(round: Int): Unit = checkpointDir.foreach { dir =>
+    def dropRound(round: Int): Unit = ckDir.foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/cc_round_$round")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(p, true): Unit
@@ -110,6 +122,17 @@ object Clustering {
 
     var edges = materialize(canonical, 0)
     var sig = checksum(edges)
+
+    // the round-0 checksum already paid for the edge count: above the
+    // auto-disk bound, re-home round scratch to reliable parquet NOW (one
+    // extra pass over the round-0 edges) rather than let O(log n) rounds
+    // of executor-block checkpoints OOM or die with an executor
+    if (ckDir.isEmpty && autoDiskEdges >= 0 && sig._1 > autoDiskEdges) {
+      ckDir = Some(autoScratchDir(spark, "cc"))
+      val migrated = materialize(edges, 0)
+      edges.unpersist(false)
+      edges = migrated
+    }
 
     // Small-graph fast path (the AQE-broadcast principle applied to the
     // iterative loop): the O(log n) star rounds exist for graphs too big
@@ -175,7 +198,7 @@ object Clustering {
     * Docs with no near-duplicate are omitted (they are all trivial
     * survivors; at 100 TB emitting them would dwarf the interesting rows). */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      ngram: Int = 3, bands: Int = 0, rowsPerBand: Int = 0,
       threshold: Double = 0.5, checkpointDir: Option[String] = None): DataFrame = {
     val pairs = Dedup.minhashNearDups(df, idCol, textCol, ngram, bands, rowsPerBand, threshold)
     connectedComponents(pairs, checkpointDir = checkpointDir)
@@ -189,13 +212,19 @@ object Clustering {
     * arXiv:2303.09540: cluster embeddings, keep one representative per
     * semantic duplicate group). The pair stage is
     * [[Similarity.cosineNearDups]]: SRP-LSH candidates + exact confirm by
-    * default (the 100 TB path — never an O(n²) pair space);
+    * default (the 100 TB path — never an O(n²) pair space), with the SRP
+    * depth auto-sized to the corpus (`planes = 0` ⇒
+    * [[Similarity.srpPlanesFor]] from a one-time count — a fixed depth
+    * would grow candidates quadratically with the corpus) and exposed here
+    * so a 100 TB caller can pin or re-budget the scheme;
     * `lshPrefilter = false` gives the exact pair graph (the oracle slice).
     * Output: `(id, cluster_id, is_survivor)`, clustered vectors only. */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, lshPrefilter: Boolean = true,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = Similarity.cosineNearDups(embeddings, idCol, vecCol, threshold, lshPrefilter)
+      checkpointDir: Option[String] = None,
+      dims: Int = 64, planes: Int = 0, tables: Int = 16): DataFrame = {
+    val pairs = Similarity.cosineNearDups(embeddings, idCol, vecCol, threshold,
+      lshPrefilter, dims, planes, tables)
     connectedComponents(pairs, checkpointDir = checkpointDir)
       .select(col("id"), col("cluster_id"),
         (col("id") === col("cluster_id")).as("is_survivor"))
@@ -213,11 +242,15 @@ object Clustering {
   def hybridDedup(docs: DataFrame, idCol: String, textCol: String,
       embeddings: DataFrame, embIdCol: String, vecCol: String,
       cosineThreshold: Double, jaccardThreshold: Double = 0.5,
-      lshPrefilter: Boolean = true, checkpointDir: Option[String] = None): DataFrame = {
-    val lexical = Dedup.minhashNearDups(docs, idCol, textCol, threshold = jaccardThreshold)
+      lshPrefilter: Boolean = true, checkpointDir: Option[String] = None,
+      bands: Int = 0, rowsPerBand: Int = 0,
+      dims: Int = 64, planes: Int = 0, tables: Int = 16): DataFrame = {
+    val lexical = Dedup.minhashNearDups(docs, idCol, textCol,
+        bands = bands, rowsPerBand = rowsPerBand, threshold = jaccardThreshold)
       .select(col("id_1"), col("id_2"))
     val semantic = Similarity
-      .cosineNearDups(embeddings, embIdCol, vecCol, cosineThreshold, lshPrefilter)
+      .cosineNearDups(embeddings, embIdCol, vecCol, cosineThreshold, lshPrefilter,
+        dims, planes, tables)
       .select(col("id_1"), col("id_2"))
     connectedComponents(lexical.unionByName(semantic), checkpointDir = checkpointDir)
       .select(col("id"), col("cluster_id"),
@@ -229,7 +262,7 @@ object Clustering {
     * relation is cluster-bounded (≪ corpus size), so the anti-join
     * broadcasts in the common case and hash-shuffles at worst. */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      ngram: Int = 3, bands: Int = 0, rowsPerBand: Int = 0,
       threshold: Double = 0.5): DataFrame = {
     val losers = nearDupClusters(df, idCol, textCol, ngram, bands, rowsPerBand, threshold)
       .filter(!col("is_survivor"))
@@ -267,7 +300,8 @@ object Clustering {
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
       iters: Int = 10, dampPpm: Long = 850000L,
       checkpointEvery: Int = 5,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      autoDiskEdges: Long = 1L << 26): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(dampPpm >= 0 && dampPpm <= 1000000L, s"dampPpm out of range: $dampPpm")
@@ -280,11 +314,16 @@ object Clustering {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = scratch(spark, checkpointDir, "pr_edges",
-      dir.join(deg, Seq("src")).repartition(col("src")))
+    // above autoDiskEdges the locally-materialized edge table re-homes to
+    // reliable parquet and every round scratch follows it (the
+    // connectedComponents auto-disk discipline; count = one narrow job
+    // over the cached blocks)
+    val (e, ckDir) = autoDiskEdgesSwitch(spark, checkpointDir, autoDiskEdges, "pr",
+      scratch(spark, checkpointDir, "pr_edges",
+        dir.join(deg, Seq("src")).repartition(col("src"))))
     // initial ranks at node grain, derived from the CHECKPOINTED edges
     // (partition-aligned groupBy — no extra scan of the pair-graph lineage)
-    var r = scratch(spark, checkpointDir, "pr_nodes",
+    var r = scratch(spark, ckDir, "pr_nodes",
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("_d"))
         .select(col("node"), lit(1000000L).as("r")))
     (1 to iters).foreach { i =>
@@ -299,7 +338,7 @@ object Clustering {
           (lit(1000000L - dampPpm) +
             idiv(lit(dampPpm) * col("_s"), lit(1000000L))).as("r"))
       if (i % checkpointEvery == 0 || i == iters)
-        r = scratch(spark, checkpointDir, s"pr_round_$i", r)
+        r = scratch(spark, ckDir, s"pr_round_$i", r)
     }
     r.select(col("node"), col("r").as("rank_ppm"))
   }
@@ -318,6 +357,39 @@ object Clustering {
         spark.read.parquet(path)
       case None => df.localCheckpoint(true)
     }
+
+  /** Scratch root for the AUTO disk-checkpoint switch: the session's
+    * configured reliable checkpoint dir when one is set
+    * (`sparkContext.setCheckpointDir` — shared storage on a real cluster),
+    * else a process-local tmp subdir (valid in local mode, where the r11
+    * rehearsal measured the `localCheckpoint` OOM this switch prevents).
+    * On a multi-node cluster withOUT a configured checkpoint dir, callers
+    * crossing the auto bound should pass `checkpointDir` explicitly — a
+    * driver-local tmp path is not reachable from executors. */
+  private[graft] def autoScratchDir(spark: org.apache.spark.sql.SparkSession,
+      tag: String): String = {
+    val base = spark.sparkContext.getCheckpointDir
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    s"$base/graft_${tag}_scratch_${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  /** [[pageRank]]/[[labelPropagation]]'s edge-table half of the auto-disk
+    * discipline: the edge frame is already materialized locally, so the
+    * count is one narrow job over cached blocks; above the bound the edges
+    * are re-homed to reliable parquet and the returned dir makes every
+    * subsequent ROUND scratch disk-backed too. */
+  private def autoDiskEdgesSwitch(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: Option[String], autoDiskEdges: Long, tag: String,
+      localEdges: DataFrame): (DataFrame, Option[String]) = {
+    if (checkpointDir.isDefined || autoDiskEdges < 0 ||
+        localEdges.count() <= autoDiskEdges) (localEdges, checkpointDir)
+    else {
+      val dir = Some(autoScratchDir(spark, tag))
+      val migrated = scratch(spark, dir, s"${tag}_edges", localEdges)
+      localEdges.unpersist(false)
+      (migrated, dir)
+    }
+  }
 
   /** SYNCHRONOUS label propagation (Raghavan et al. 2007, made
     * deterministic): `iters` rounds where every node adopts the most
@@ -341,7 +413,8 @@ object Clustering {
     * Output: `(node, community)` — the label after `iters` rounds. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       iters: Int = 3, checkpointEvery: Int = 5,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      autoDiskEdges: Long = 1L << 26): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val und = edges
@@ -351,11 +424,14 @@ object Clustering {
     // partitioned on the per-round join key BEFORE the checkpoint: a
     // localCheckpoint's LogicalRDD keeps its physical partitioning, so
     // every round's join re-shuffles only the node-grain label side, never
-    // the edge table (the pageRank discipline)
-    val dir = scratch(edges.sparkSession, checkpointDir, "lpa_edges",
-      und.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-        .repartition(col("v")))
+    // the edge table (the pageRank discipline); above autoDiskEdges the
+    // table re-homes to reliable parquet (auto-disk discipline)
+    val (dir, ckDir) = autoDiskEdgesSwitch(edges.sparkSession, checkpointDir,
+      autoDiskEdges, "lpa",
+      scratch(edges.sparkSession, checkpointDir, "lpa_edges",
+        und.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+          .repartition(col("v"))))
     var labels = dir.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     (1 to iters).foreach { i =>
@@ -367,7 +443,7 @@ object Clustering {
         .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
         .select(col("u").as("node"), (-col("_m._nl")).as("label"))
       if (i % checkpointEvery == 0 || i == iters)
-        labels = scratch(edges.sparkSession, checkpointDir, s"lpa_round_$i", labels)
+        labels = scratch(edges.sparkSession, ckDir, s"lpa_round_$i", labels)
     }
     labels.select(col("node"), col("label").as("community"))
   }

@@ -196,11 +196,20 @@ object Similarity {
     * depth must grow with log2(n) to keep per-vector candidate work
     * constant; recall lost to the deeper code is bought back with more
     * `tables` (cost grows linearly with tables, never quadratically).
-    * Callers with a known corpus size should pass
-    * `planes = srpPlanesFor(n)` instead of the gate-scale default. */
+    * Since r13 this IS the default sizing of [[cosineNearDups]] (planes=0
+    * auto-derives from a one-time corpus count); pass `planes` explicitly
+    * only to pin a scheme.
+    *
+    * Computed in INTEGER arithmetic — `ceil(log2(ceil(n / target)))`,
+    * provably equal to `ceil(log2(n / target))` since no integer separates
+    * 2^(k-1) from x ≤ ceil(x) ≤ 2^k — so the DuckDB oracles can replicate
+    * the value bit-exactly (a float log2 at an exact power of two may land
+    * on either side of the integer on different libm builds). */
   def srpPlanesFor(n: Long, targetPerBucket: Long = 64L): Int = {
     require(n > 0 && targetPerBucket > 0, s"bad srpPlanesFor($n, $targetPerBucket)")
-    val raw = math.ceil(math.log(n.toDouble / targetPerBucket) / math.log(2.0)).toInt
+    // ceil(n / target) without the +target-1 overflow at n near Long.Max
+    val m = n / targetPerBucket + (if (n % targetPerBucket == 0L) 0L else 1L)
+    val raw = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
     math.min(20, math.max(2, raw))
   }
 
@@ -213,10 +222,22 @@ object Similarity {
     * cost, and the pair space never goes O(n²). Set `lshPrefilter = false`
     * for the exact self-join — right only when the corpus is a filtered
     * slice or small enough that an n² pair space is acceptable; that mode is
-    * the oracle-checked slice, and LSH recall against it is spec-tested. */
+    * the oracle-checked slice, and LSH recall against it is spec-tested.
+    *
+    * `planes = 0` (the default) AUTO-SIZES the SRP depth: the corpus is
+    * counted once (one narrow job) and `planes = srpPlanesFor(n)` — the
+    * r11 scale sweep showed any FIXED depth makes bucket occupancy, hence
+    * candidate pairs, grow quadratically with the corpus (the old
+    * gate-scale 4-plane default paid ~100× the confirm cost at 10×). Pass
+    * `planes` explicitly only to pin a scheme (e.g. an oracle or a
+    * pre-agreed index layout shared with a reader). */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, lshPrefilter: Boolean = true, dims: Int = 64,
-      planes: Int = 4, tables: Int = 16): DataFrame = {
+      planes: Int = 0, tables: Int = 16): DataFrame = {
+    require(planes >= 0, s"planes must be >= 0 (0 = auto), got $planes")
+    val nPlanes =
+      if (planes > 0 || !lshPrefilter) math.max(planes, 1) // exact mode never buckets
+      else srpPlanesFor(corpus.count())
     // quantized vector + norm computed ONCE per row (norms are per-vector,
     // not per-pair quantities)
     val v = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
@@ -228,7 +249,7 @@ object Similarity {
         l.join(r, col("id_1") < col("id_2"))
       } else {
         val banded = v
-          .select(col("id"), explode(srpBuckets(col("qv"), dims, planes, tables)).as("tb"))
+          .select(col("id"), explode(srpBuckets(col("qv"), dims, nPlanes, tables)).as("tb"))
           .select(col("id"), col("tb.tbl"), col("tb.bkt"))
         val cand = banded.as("a").join(banded.as("b"), Seq("tbl", "bkt"))
           .filter(col("a.id") < col("b.id"))

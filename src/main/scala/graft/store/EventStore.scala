@@ -335,8 +335,13 @@ final class EventStore(val spark: SparkSession, val root: String,
       }
       typed.as(EventSchema.columnName(n)) // shadowed fields → internal column
     }
-    val base = batchSeq.getAndIncrement() << 50 // this ingest's id block
-    idLock.synchronized { inflightIngestBases += base }
+    // allocate + register atomically: an allocated-but-unregistered block
+    // would be invisible to safeHwmEventId's cap read in the gap
+    val base = idLock.synchronized {
+      val b = batchSeq.getAndIncrement() << 50 // this ingest's id block
+      inflightIngestBases += b
+      b
+    }
     try {
       val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(clock()))
       val out = df.select(
@@ -486,8 +491,16 @@ final class EventStore(val spark: SparkSession, val root: String,
     * the id and appends WAL + memtable row under one lock, so a sync row is
     * visible to [[memtableMaxId]] atomically with its allocation. */
   def safeHwmEventId(): Option[Long] = {
-    val cap = idLock.synchronized { inflightIngestBases.headOption }
+    // READ ORDER MATTERS: visibility first, in-flight cap second. Read the
+    // other way, a block allocated between the two reads is invisible to
+    // the cap, and a sync STORE landing in a LATER block before the vis
+    // read pushes the mark above that uncommitted block — permanent
+    // exclusion. Vis-first is safe: batchSeq is monotonic, so any block
+    // allocated after the vis read has base > vis (never covered by the
+    // mark), and any block allocated before it is either still registered
+    // (capped here) or already committed (visible to the vis read).
     val vis = maxVisibleEventId()
+    val cap = idLock.synchronized { inflightIngestBases.headOption }
     (vis, cap) match {
       case (Some(v), Some(b)) if b - 1L < v =>
         if (b <= 0L) None else Some(b - 1L)

@@ -160,11 +160,15 @@ object StreamingPipeline {
     * (stream-static sides re-plan per trigger). */
   def admitStreamNear(stream: DataFrame, artifacts: Dedup.DedupArtifacts,
       idCol: String, textCol: String, eventTimeCol: String,
-      ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      ngram: Int = 3, bands: Int = 0, rowsPerBand: Int = 0,
       threshold: Double = 0.5, watermarkDelay: String = "10 minutes",
       horizonMs: Long = 3600000L): Dataset[AdmitDecision] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    // the sentinel resolves to the SAME recall-floored banding the batch
+    // artifact builder defaults to — default artifacts and default stream
+    // admission must band identically or their hashes never meet
+    val (nBands, rpb) = Dedup.resolveBanding(bands, rowsPerBand, threshold)
 
     val ckeys = artifacts.keys.select(col("ck")).distinct()
       .withColumn("in_corpus", lit(true)).persist()
@@ -190,7 +194,7 @@ object StreamingPipeline {
     val withSh = base.select(col("ck"), col("id"), col("__event_time"),
       Dedup.shingleHashes(col("__text"), ngram).as("sh_b"))
     val banded = withSh.select(col("ck"), col("id"), col("__event_time"), col("sh_b"),
-      posexplode(Dedup.bandHashesExpr(col("sh_b"), bands, rowsPerBand))
+      posexplode(Dedup.bandHashesExpr(col("sh_b"), nBands, rpb))
         .as(Seq("band_idx", "band_hash")))
     val confirmRows = banded
       .join(cBands, Seq("band_idx", "band_hash"))

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Clustering, Dedup, Similarity}
+
+/** The r13 scale-safe-defaults contract: every near-dup entry point sizes
+  * its LSH scheme by a RECALL-FLOORED rule rather than a gate-scale
+  * constant — capture at the confirm threshold is ≥ 0.99 by construction
+  * (not dataset luck: the r12 verdict's recall-cliff item), sub-threshold
+  * candidate mass shrinks vs the legacy 32×2 scheme, and SRP depth grows
+  * with the corpus. These pins are what keep the 100 TB story honest when
+  * a fresh round re-touches the defaults. */
+class BandingRecallSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def capture(j: Double, b: Int, r: Int): Double =
+    Dedup.captureProbability(j, b, r)
+
+  test("bandingForRecall: capture >= 0.99 at the threshold by construction") {
+    // θ=0.5 in the default 128-perm budget: deepest r whose minimal band
+    // count meets the floor is 3 (r=4 would need 72 bands = 288 perms)
+    assert(Dedup.bandingForRecall(0.5) == (35, 3))
+    assert(capture(0.5, 35, 3) >= 0.99)
+    // the cliff this replaces: bandingFor's midpoint-at-θ 16×4 captures an
+    // AT-threshold pair with probability ~0.64 — oracle equality on one
+    // dataset, silent misses on the next
+    assert(Dedup.bandingFor(0.5, 64) == (16, 4))
+    assert(capture(0.5, 16, 4) < 0.7)
+    // and the floor holds across the θ grid, inside the budget, while
+    // sub-threshold suppression strictly beats the legacy 32×2 default
+    for (t <- Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)) {
+      val (b, r) = Dedup.bandingForRecall(t)
+      assert(b * r <= 128, s"budget exceeded at θ=$t: ($b, $r)")
+      assert(capture(t, b, r) >= 0.99, s"floor broken at θ=$t: ($b, $r)")
+    }
+    // the scale argument, quantified at θ=0.5: the corpus-dominating low-J
+    // mass reaches the exact confirm ~8× less often than under 32×2
+    assert(capture(0.1, 35, 3) * 7.9 < capture(0.1, 32, 2))
+  }
+
+  test("resolveBanding: explicit pins, (0,0) auto-sizes, mixed rejects") {
+    assert(Dedup.resolveBanding(32, 2, 0.5) == (32, 2))
+    assert(Dedup.resolveBanding(0, 0, 0.5) == Dedup.bandingForRecall(0.5))
+    intercept[IllegalArgumentException](Dedup.resolveBanding(32, 0, 0.5))
+    intercept[IllegalArgumentException](Dedup.resolveBanding(0, 2, 0.5))
+  }
+
+  test("minhashNearDups default == explicit bandingForRecall scheme") {
+    import spark.implicits._
+    val docs = ((0 until 6).map(i =>
+        (i.toLong, "an identical near duplicate body with plenty of shingle words to band on")) ++
+      (0 until 30).map(i => (100 + i.toLong,
+        s"unique filler document $i token$i word${i * 3} tail${i * 11} more${i * 7} text")))
+      .toDF("doc_id", "text")
+    val (b, r) = Dedup.bandingForRecall(0.5)
+    val auto = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val pinned = Dedup.minhashNearDups(docs, "doc_id", "text", bands = b, rowsPerBand = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(auto == pinned && auto == (for {
+      i <- 0 until 6; j <- 0 until 6 if i < j
+    } yield (i.toLong, j.toLong)).toSet)
+  }
+
+  test("editDistanceNearDups default banding meets the floor and confirms a planted edit") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("river", "rivers")), // one-char edit, well under 10%
+      (3L, "completely unrelated content about catalyst plans and parquet footers galore")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDups(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("cosineNearDups auto depth == srpPlanesFor(n), and grows with n") {
+    import spark.implicits._
+    // srpPlanesFor stays integer-exact at the documented anchors
+    assert(Similarity.srpPlanesFor(500) == 3)
+    assert(Similarity.srpPlanesFor(2000) == 5)
+    val dims = 8
+    val vecs = (0 until 700).map { i =>
+      (i.toLong, Array.tabulate(dims)(j => (math.sin(i * 0.7 + j * 1.3) * 100).toFloat))
+    }.toDF("vec_id", "embedding")
+    val auto = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.8, dims = dims)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val pinned = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.8, dims = dims, planes = Similarity.srpPlanesFor(700))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(auto == pinned, "planes=0 must resolve to srpPlanesFor(corpus count)")
+  }
+
+  test("semanticDedup / hybridDedup expose and thread the LSH knobs") {
+    import spark.implicits._
+    val e = Array.tabulate(8)(i => (i + 1).toFloat)
+    def jiggle(eps: Float) = e.zipWithIndex.map { case (x, i) => if (i == 0) x + eps else x }
+    val embs = Seq((1L, e), (2L, jiggle(0.01f)), (3L, jiggle(-0.01f)),
+      (9L, Array.tabulate(8)(i => if (i % 2 == 0) 9.0f else -9.0f)))
+      .toDF("vec_id", "embedding")
+    // an explicit planes/tables scheme must reach the pair stage: with the
+    // bucket space collapsed to 1 plane × 1 table every vector collides,
+    // and the exact confirm still yields the same clusters as auto
+    val pinned = Clustering.semanticDedup(embs, "vec_id", "embedding",
+        threshold = 0.98, dims = 8, planes = 1, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val auto = Clustering.semanticDedup(embs, "vec_id", "embedding", threshold = 0.98, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(pinned == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+    assert(auto == pinned)
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu"), (9L, "nu xi omicron pi")).toDF("doc_id", "text")
+    val hybrid = Clustering.hybridDedup(docs, "doc_id", "text",
+        embs, "vec_id", "embedding", cosineThreshold = 0.98,
+        bands = 35, rowsPerBand = 3, dims = 8, planes = 1, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(hybrid == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+
+  test("minhashEval enforces its O(n²) truth bound in-function") {
+    import spark.implicits._
+    val docs = (0 until 12).map(i =>
+      (i.toLong, s"document $i with some words to shingle across the corpus"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.minhashEval(docs, "doc_id", "text", maxTruthRows = 10L).collect()
+    }
+    assert(err.getMessage.contains("maxTruthRows"))
+    // at or under the bound it runs — and the sweep shares the contract
+    assert(Dedup.minhashEval(docs, "doc_id", "text", maxTruthRows = 12L).count() == 1L)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashEvalSweep(docs, "doc_id", "text", maxTruthRows = 10L).collect()
+    }
+  }
+}

@@ -109,6 +109,52 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("auto disk switch: big edge counts re-home scratch to parquet, same labels") {
+    import spark.implicits._
+    // autoDiskEdges = 0 forces the switch on any non-empty graph — the pin
+    // is that the switch path exists and changes NOTHING semantically; the
+    // production bound (64M) is where the r11 rehearsal's localCheckpoint
+    // OOM lives. sparkContext checkpoint dir set ⇒ the auto scratch roots
+    // there (shared storage on a real cluster).
+    val root = java.nio.file.Files.createTempDirectory("graft_auto_ckpt_").toString
+    val prevCk = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(root)
+    try {
+      val chain = (10L until 40L).map(i => (i, i + 1))
+      val ccLabels = Clustering.connectedComponents(chain.toDF("id_1", "id_2"),
+          localThreshold = -1, autoDiskEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((10L to 40L).forall(ccLabels(_) == 10L))
+      // setCheckpointDir creates a UUID subdir and reports it as a file: URI
+      def scratchDirs(tag: String) = {
+        val ck = spark.sparkContext.getCheckpointDir.get.stripPrefix("file:")
+        Option(new java.io.File(ck).list()).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.startsWith(s"graft_${tag}_scratch_"))
+      }
+      assert(scratchDirs("cc").nonEmpty, "cc rounds must have re-homed to parquet")
+      // pageRank / labelPropagation: identical output with and without the
+      // switch (reliable rounds lose the edge partitioning — correctness
+      // must not depend on it)
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+      val prAuto = Clustering.pageRank(edges, "a", "b", iters = 3, autoDiskEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prLocal = Clustering.pageRank(edges, "a", "b", iters = 3, autoDiskEdges = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prAuto == prLocal && scratchDirs("pr").nonEmpty)
+      val lpaAuto = Clustering.labelPropagation(edges, "a", "b", autoDiskEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lpaLocal = Clustering.labelPropagation(edges, "a", "b", autoDiskEdges = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lpaAuto == lpaLocal && scratchDirs("lpa").nonEmpty)
+    } finally {
+      // SparkContext has no public unset; restore an explicit prior dir,
+      // else leave the (tmp, per-JVM) root in place for the session
+      prevCk.foreach(spark.sparkContext.setCheckpointDir)
+      if (prevCk.isDefined)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("dropNearDups keeps the min id per near-dup cluster and all singletons") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog again and again " * 3

@@ -193,7 +193,9 @@ class PipelineSpec extends AnyFunSuite {
       (1L, base), (2L, base.toUpperCase), (3L, other), (4L, other),
       (5L, nearDup), (6L, otherNear), (7L, novel)).toDF("doc_id", "text")
     // night 1 through frozen artifacts == the corpus-overload decisions
-    val art = Dedup.buildDedupArtifacts(corpus, "doc_id", "text").materialize()
+    // (build banding pinned to the decide calls' 32×2 — artifacts and
+    // decisions MUST share a scheme or band hashes never meet)
+    val art = Dedup.buildDedupArtifacts(corpus, "doc_id", "text", 3, 32, 2).materialize()
     val dec1 = Dedup.incrementalDedup(batch, art, "doc_id", "text", 3, 32, 2, 0.5)
       .localCheckpoint()
     assert(dec1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == Map(
@@ -204,7 +206,7 @@ class PipelineSpec extends AnyFunSuite {
     // fold night 1's admissions in (3 and 7), resubmit the batch as night 2:
     // admitted keys flip to dup_exact_corpus (3', 4', 7'), the near-dup of a
     // now-admitted doc flips near_dup_batch → near_dup_corpus (6')
-    val art2 = Dedup.updateDedupArtifacts(art, batch, dec1, "doc_id", "text").materialize()
+    val art2 = Dedup.updateDedupArtifacts(art, batch, dec1, "doc_id", "text", 3, 32, 2).materialize()
     val batch2 = batch.select(($"doc_id" + 300000L).as("doc_id"), $"text")
     val dec2 = Dedup.incrementalDedup(batch2, art2, "doc_id", "text", 3, 32, 2, 0.5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
