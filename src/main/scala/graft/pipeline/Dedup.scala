@@ -443,26 +443,43 @@ object Dedup {
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2")
       .dropDuplicates("id_1", "id_2")
-    def jaccard(a: Column, b: Column): Column = {
-      val inter = size(array_intersect(a, b)).cast("double")
-      inter / (size(a) + size(b) - inter)
-    }
-    val sets = hashed
+    // truth via the SPARSE pair enumeration (pairIntersections): a pair
+    // with J ≥ θ > 0 shares a shingle, so only co-occurring pairs are ever
+    // materialized; the hits among candidates are the equi-join of the two
+    // pair sets — no per-pair array_intersect anywhere (the former dense
+    // n²/2-pairs × array-intersect truth leg was the whole eval's cost)
+    val truthPairs = pairIntersections(hashed)
+      .filter(col("inter") / (col("n_1") + col("n_2") - col("inter")) >= threshold)
+      .select("id_1", "id_2")
+      .localCheckpoint()
     val cand = candIds
-      .join(sets.select(col("id").as("id_1"), col("sh").as("sh_1")), Seq("id_1"))
-      .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")), Seq("id_2"))
+      .join(truthPairs.withColumn("__hit", lit(true)), Seq("id_1", "id_2"), "left")
       .agg(count(lit(1)).as("n_candidates"),
-        sum((jaccard(col("sh_1"), col("sh_2")) >= threshold).cast("long")).as("n_hits"))
-    val truth = sets.select(col("id").as("id_1"), col("sh").as("sh_1"))
-      .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")),
-        col("id_1") < col("id_2"))
-      .filter(size(col("sh_1")) > 0 && size(col("sh_2")) > 0 &&
-        jaccard(col("sh_1"), col("sh_2")) >= threshold)
-      .agg(count(lit(1)).as("n_truth"))
+        sum(col("__hit").isNotNull.cast("long")).as("n_hits"))
+    val truth = truthPairs.agg(count(lit(1)).as("n_truth"))
     cand.crossJoin(broadcast(truth))
       .select(col("n_truth"), col("n_candidates"), col("n_hits"),
         expr("(n_hits * 1000000) div n_candidates").as("precision_ppm"),
         expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
+  }
+
+  /** Sparse all-pairs intersection table over an `(id, sh)` projection:
+    * explode the (distinct, collision-free) shingle hashes and self-join on
+    * the hash — each co-occurring pair surfaces once per SHARED shingle, so
+    * the groupBy count IS the intersection size, and pairs sharing nothing
+    * never exist. Cost follows Σ_h df(h)² (the co-occurrence mass), not
+    * n²/2 dense pairs — the standard sparse set-similarity enumeration.
+    * Output: `(id_1, id_2, inter, n_1, n_2)` with id_1 < id_2, inter ≥ 1. */
+  private def pairIntersections(hashed: DataFrame): DataFrame = {
+    val ex = hashed.select(col("id"), explode(col("sh")).as("h"))
+    val sizes = hashed.select(col("id"), size(col("sh")).cast("long").as("n"))
+    ex.select(col("h"), col("id").as("id_1"))
+      .join(ex.select(col("h"), col("id").as("id_2")), Seq("h"))
+      .filter(col("id_1") < col("id_2"))
+      .groupBy("id_1", "id_2")
+      .agg(count(lit(1)).cast("long").as("inter"))
+      .join(sizes.select(col("id").as("id_1"), col("n").as("n_1")), Seq("id_1"))
+      .join(sizes.select(col("id").as("id_2"), col("n").as("n_2")), Seq("id_2"))
   }
 
   /** The shared eval-input projection: tokenize once, materialize
@@ -516,29 +533,28 @@ object Dedup {
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2")
       .dropDuplicates("id_1", "id_2")
-    def jppm(a: Column, b: Column): Column = {
-      val inter = size(array_intersect(a, b)).cast("long")
-      call_function("div", inter * 1000000L,
-        size(a).cast("long") + size(b).cast("long") - inter)
-    }
-    val sets = hashed
     val spark = df.sparkSession
     import spark.implicits._
     val thetas = thetasPpm.toDF("theta_ppm")
+    // exact-ppm Jaccard from the SPARSE intersection table (same
+    // enumeration as minhashEval's truth): a pair absent from it has
+    // jp = 0, below every positive θ on both the truth and candidate
+    // sides, so left-joining candidates to it and coalescing is exact
+    val jpPairs = pairIntersections(hashed)
+      .select(col("id_1"), col("id_2"),
+        call_function("div", col("inter") * 1000000L,
+          col("n_1") + col("n_2") - col("inter")).as("jp"))
+      .localCheckpoint()
+    require(thetasPpm.forall(_ > 0L),
+      s"sweep thresholds must be positive ppm, got $thetasPpm")
     val candJ = candIds
-      .join(sets.select(col("id").as("id_1"), col("sh").as("sh_1")), Seq("id_1"))
-      .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")), Seq("id_2"))
-      .filter(size(col("sh_1")) > 0 && size(col("sh_2")) > 0)
-      .select(jppm(col("sh_1"), col("sh_2")).as("jp"))
+      .join(jpPairs, Seq("id_1", "id_2"), "left")
+      .select(coalesce(col("jp"), lit(0L)).as("jp"))
       .crossJoin(broadcast(thetas))
       .groupBy("theta_ppm")
       .agg(count(lit(1)).as("n_candidates"),
         sum((col("jp") >= col("theta_ppm")).cast("long")).as("n_hits"))
-    val truthJ = sets.select(col("id").as("id_1"), col("sh").as("sh_1"))
-      .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")),
-        col("id_1") < col("id_2"))
-      .filter(size(col("sh_1")) > 0 && size(col("sh_2")) > 0)
-      .select(jppm(col("sh_1"), col("sh_2")).as("jp"))
+    val truthJ = jpPairs
       .crossJoin(broadcast(thetas))
       .groupBy("theta_ppm")
       .agg(sum((col("jp") >= col("theta_ppm")).cast("long")).as("n_truth"))
