@@ -569,18 +569,24 @@ object PipelineQueries {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4)),
 
     "q_dedup_embed_exact" -> ((s, d) =>
-      // exact O(n²) slice — oracle-checked; only for bounded corpora
-      Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.4,
-        lshPrefilter = false)),
+      // exact O(n²) slice on a BOUNDED contiguous id window (the
+      // minhashEval truth discipline, r13): the exact pair space is an
+      // EVAL baseline, so its input is capped — the window is the whole
+      // corpus at sf0.01 and volume-independent beyond it. The production
+      // operator default is the LSH path (q_dedup_embed).
+      Similarity.cosineNearDups(
+        embs(s, d).filter(col("vec_id") < 1000), "vec_id", "embedding",
+        threshold = 0.4, lshPrefilter = false)),
 
     "q_embed_communities" -> ((s, d) =>
-      // semantic communities: the exact cosine pair graph collapsed by 3
+      // semantic communities: the SRP-LSH-candidate cosine pair graph
+      // (production path, auto-sized depth — r13) collapsed by 3
       // deterministic LPA rounds — finer than CC on embedding graphs,
       // where transitive chains of 0.4-cosine links otherwise fuse
       // unrelated topics
       Clustering.labelPropagation(
         Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding",
-          threshold = 0.4, lshPrefilter = false),
+          threshold = 0.4),
         "id_1", "id_2")),
 
     "q_dedup_embed_lsh" -> ((s, d) =>
@@ -798,18 +804,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("split"))),
 
     "q_semantic_dedup" -> ((s, d) =>
-      // SemDeDup: embedding near-dup pairs → connected components → min-id
-      // survivors; exact pair slice so the component labeling is
-      // oracle-checkable (the LSH-default path is the same code)
+      // SemDeDup on the PRODUCTION path (r13): SRP-LSH candidates with the
+      // auto-sized depth + exact confirm → connected components → min-id
+      // survivors. The oracle reproduces the sizing rule + hyperplanes, so
+      // the labeling is hash-checked without an O(n²) pair slice (the old
+      // exact-slice gate measured a ~1.7-exponent oracle artifact, not the
+      // operator; LSH recall vs exact is graded by q_sim_lsh_recall)
       Clustering.semanticDedup(embs(s, d), "vec_id", "embedding",
-        threshold = 0.4, lshPrefilter = false)),
+        threshold = 0.4)),
 
     "q_hybrid_dedup" -> ((s, d) =>
       // lexical ∪ semantic pair graphs → ONE component labeling; clusters
-      // may chain across signals. Exact embedding slice for the oracle
+      // may chain across signals. Both legs on their production paths
+      // (recall-floored banding / auto-depth SRP) — r13, same rationale
+      // as q_semantic_dedup
       Clustering.hybridDedup(docs(s, d), "doc_id", "text",
         embs(s, d), "vec_id", "embedding",
-        cosineThreshold = 0.4, lshPrefilter = false)),
+        cosineThreshold = 0.4)),
 
     "q_seq_pack" -> ((s, d) =>
       // token-budget sequence packing (greedy within hash buckets),
@@ -888,7 +899,7 @@ object PipelineQueries {
       Similarity.marginPairs(
         Similarity.lshCosCandidates(e.filter(col("vec_id") % 2 === 0),
           e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-          dims = 64, planes = 4, tables = 8),
+          dims = 64, tables = 8),
         k = 4, thresholdPpm = 1040000L)
     }),
 
@@ -1392,7 +1403,8 @@ object PipelineQueries {
          |  FROM cand JOIN v va ON va.vec_id = cand.id_1 JOIN v vb ON vb.vec_id = cand.id_2)
          |SELECT id_1, id_2, dot, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin,
 
-    // the exact cosine pair graph, then three unrolled synchronous LPA
+    // the SRP-LSH-candidate cosine pair graph (production path, sizing
+    // rule + hyperplanes replicated), then three unrolled synchronous LPA
     // rounds (count DESC, label min-tie) — the q_graph_lpa recurrence on
     // embedding edges
     "q_embed_communities" -> {
@@ -1404,10 +1416,14 @@ object PipelineQueries {
            |      ORDER BY c DESC, label) AS rn FROM n$i) WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH v AS ($qvCte),
-         |p AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2
-         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.qv, b.qv) /
-         |    (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4),
+         |pl AS (${srpPlanesSql("embeddings")}),
+         |bk AS (${srpBucketsSqlAuto(16, 64)}),
+         |sc AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_1, id_2
+         |  FROM sc JOIN v va ON va.vec_id = sc.id_1 JOIN v vb ON vb.vec_id = sc.id_2
+         |  WHERE list_dot_product(va.qv, vb.qv) /
+         |    (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) >= 0.4),
          |ed AS (SELECT id_1 AS u, id_2 AS v FROM p
          |  UNION ALL SELECT id_2 AS u, id_1 AS v FROM p),
          |l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
@@ -2342,8 +2358,10 @@ object PipelineQueries {
          |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |WHERE len(a.s) > 0 AND len(b.s) > 0""".stripMargin,
 
+    // exact pair space on the BOUNDED id window (eval discipline — the
+    // window is the full corpus at sf0.01, capped beyond it)
     "q_dedup_embed_exact" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+      """WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings WHERE vec_id < 1000),
         |p AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2,
         |        CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
         |        list_dot_product(a.qv, b.qv) /
@@ -2716,9 +2734,10 @@ object PipelineQueries {
          |FROM documents""".stripMargin
     },
 
-    // union of the MinHash-confirmed 3-gram-Jaccard pair graph and the
-    // exact embedding-cosine pair graph, then the same min-label walk —
-    // clusters may chain across the two signals
+    // union of the MinHash-confirmed 3-gram-Jaccard pair graph (brute-force
+    // truth — the banding recall argument) and the SRP-LSH-candidate
+    // embedding pair graph (sizing rule + hyperplanes replicated exactly),
+    // then the same min-label walk — clusters may chain across the signals
     "q_hybrid_dedup" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS w FROM documents),
          |g AS (SELECT doc_id, $duckShingles3 AS s FROM t),
@@ -2726,11 +2745,15 @@ object PipelineQueries {
          |      FROM g a JOIN g b ON a.doc_id < b.doc_id
          |      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
          |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-         |ve AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
-         |sem AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2
-         |      FROM ve a JOIN ve b ON a.vec_id < b.vec_id
-         |      WHERE list_dot_product(a.qv, b.qv) /
-         |        (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4),
+         |v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+         |pl AS (${srpPlanesSql("embeddings")}),
+         |bk AS (${srpBucketsSqlAuto(16, 64)}),
+         |sc AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+         |      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |sem AS (SELECT id_1, id_2
+         |      FROM sc JOIN v va ON va.vec_id = sc.id_1 JOIN v vb ON vb.vec_id = sc.id_2
+         |      WHERE list_dot_product(va.qv, vb.qv) /
+         |        (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) >= 0.4),
          |p AS (SELECT * FROM lex UNION SELECT * FROM sem),
          |e AS (SELECT id_1 AS u, id_2 AS v FROM p UNION SELECT id_2, id_1 FROM p),
          |n AS (SELECT DISTINCT u AS id FROM e),
@@ -2741,14 +2764,19 @@ object PipelineQueries {
          |SELECT id, min(label) AS cluster_id, id = min(label) AS is_survivor
          |FROM walk GROUP BY id""".stripMargin,
 
-    // exact embedding pair graph + the same min-label walk as
-    // q_dedup_cluster — components over semantic (cosine) duplicates
+    // SRP-LSH-candidate embedding pair graph (auto-sized depth, exact
+    // confirm) + the same min-label walk as q_dedup_cluster — components
+    // over semantic (cosine) duplicates on the production path
     "q_semantic_dedup" ->
-      """WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2
-        |      FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |      WHERE list_dot_product(a.qv, b.qv) /
-        |        (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4),
+      s"""WITH RECURSIVE v AS ($qvCte),
+        |pl AS (${srpPlanesSql("embeddings")}),
+        |bk AS (${srpBucketsSqlAuto(16, 64)}),
+        |sc AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+        |      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        |p AS (SELECT id_1, id_2
+        |      FROM sc JOIN v va ON va.vec_id = sc.id_1 JOIN v vb ON vb.vec_id = sc.id_2
+        |      WHERE list_dot_product(va.qv, vb.qv) /
+        |        (sqrt(list_dot_product(va.qv, va.qv)) * sqrt(list_dot_product(vb.qv, vb.qv))) >= 0.4),
         |e AS (SELECT id_1 AS u, id_2 AS v FROM p UNION SELECT id_2, id_1 FROM p),
         |n AS (SELECT DISTINCT u AS id FROM e),
         |walk(id, label) AS (
@@ -2865,9 +2893,12 @@ object PipelineQueries {
     // engine uses (identical inlined hyperplanes → identical candidates),
     // then ppm cosines, both directional top-4 neighborhood sums via ranked
     // windows, and the exact-rational mean-of-means denominator
+    // auto-sized SRP depth: |a|+|b| = the whole embeddings table here, so
+    // the planes CTE counts it — same integer rule as lshCosCandidates
     "q_margin_mine" ->
       s"""WITH v AS ($qvCte),
-        |bk AS (${srpBucketsSql(8, 4, 64)}),
+        |pl AS (${srpPlanesSql("embeddings")}),
+        |bk AS (${srpBucketsSqlAuto(8, 64)}),
         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt
         |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),

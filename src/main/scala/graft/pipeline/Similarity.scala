@@ -933,14 +933,22 @@ object Similarity {
     * cost is proportional to bucket collisions, not |a|×|b|. The margin is
     * then relative to the blocked neighborhood (the standard
     * approximation); the hyperplanes are data-independent md5-derived
-    * literals, so the DuckDB oracle replays the exact candidate set. */
+    * literals, so the DuckDB oracle replays the exact candidate set.
+    *
+    * `planes = 0` (default) auto-sizes the depth from the COMBINED side
+    * count ([[srpPlanesFor]](|a|+|b|), two narrow count jobs) — a fixed
+    * depth makes per-bucket |A_b|×|B_b| collision cost grow quadratically
+    * with the corpora, the same disease [[cosineNearDups]]'s auto default
+    * cures. Pass `planes` explicitly only to pin a scheme. */
   def lshCosCandidates(a: DataFrame, b: DataFrame, idCol: String,
-      vecCol: String, dims: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
+      vecCol: String, dims: Int, planes: Int = 0, tables: Int = 8): DataFrame = {
+    require(planes >= 0, s"planes must be >= 0 (0 = auto), got $planes")
+    val nPlanes = if (planes > 0) planes else srpPlanesFor(a.count() + b.count())
     def side(df: DataFrame, id: String) = df
       .select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(s"_q$id"))
       .withColumn(s"_n$id", sqrt(dotLong(col(s"_q$id"), col(s"_q$id")).cast("double")))
     def buckets(v: DataFrame, id: String) = v
-      .select(col(id), explode(srpBuckets(col(s"_q$id"), dims, planes, tables)).as("tb"))
+      .select(col(id), explode(srpBuckets(col(s"_q$id"), dims, nPlanes, tables)).as("tb"))
       .select(col(id), col("tb.tbl"), col("tb.bkt"))
     val av = side(a, "a_id")
     val bv = side(b, "b_id")

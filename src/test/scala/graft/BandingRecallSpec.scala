@@ -122,6 +122,41 @@ class BandingRecallSpec extends AnyFunSuite {
     assert(hybrid == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
   }
 
+  test("sparse truth enumeration equals driver-side brute force (n_truth exact)") {
+    import spark.implicits._
+    // overlapping word chains: doc i shares a sliding window with its
+    // neighbors, giving a full spectrum of pairwise Jaccards including
+    // exact-threshold and zero-overlap pairs
+    val words = (0 until 60).map(i => s"w$i")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, words.slice(i, i + 12).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"),
+        graft.pipeline.Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def j(a: Set[Long], b: Set[Long]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else (a & b).size.toDouble / (a | b).size
+    val ids = sets.keys.toSeq.sorted
+    val brute = ids.combinations(2)
+      .count { case Seq(x, y) => j(sets(x), sets(y)) >= 0.5 }.toLong
+    val row = graft.pipeline.Dedup.minhashEval(docs, "doc_id", "text").head()
+    assert(row.getAs[Long]("n_truth") == brute,
+      s"sparse truth ${row.getAs[Long]("n_truth")} != brute $brute")
+    // and the sweep's per-theta truth agrees with exact integer-ppm grains
+    val sweep = graft.pipeline.Dedup.minhashEvalSweep(docs, "doc_id", "text",
+        thetasPpm = Seq(300000L, 500000L, 700000L))
+      .collect().map(r => r.getAs[Long]("theta_ppm") -> r.getAs[Long]("n_truth")).toMap
+    def jppm(a: Set[Long], b: Set[Long]): Long =
+      if (a.isEmpty || b.isEmpty) 0L
+      else (a & b).size.toLong * 1000000L / (a | b).size
+    for (t <- Seq(300000L, 500000L, 700000L)) {
+      val bt = ids.combinations(2)
+        .count { case Seq(x, y) => jppm(sets(x), sets(y)) >= t }.toLong
+      assert(sweep(t) == bt, s"theta=$t: sweep ${sweep(t)} != brute $bt")
+    }
+  }
+
   test("minhashEval enforces its O(n²) truth bound in-function") {
     import spark.implicits._
     val docs = (0 until 12).map(i =>

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side `.collect()` audit — the 100 TB guard the r12 verdict did by
+  * hand ("26 sites, all bounded"). Every `.collect()` in main must sit in a
+  * file on the allowlist below, each entry carrying the reason its result
+  * is BOUNDED (dims / vocabulary / partitions / explicit caps), and the
+  * per-file count must not grow silently: a new corpus-sized collect in a
+  * hot operator is exactly the regression class this spec exists to catch
+  * at review time instead of at cluster scale.
+  *
+  * If this test fails because you ADDED a justified bounded collect: add or
+  * bump the allowlist entry WITH its bound in the reason string. If the new
+  * site's result can scale with the corpus, fix the operator instead —
+  * aggregate/join distributed, or cap with an explicit `require`. */
+class CollectAuditSpec extends AnyFunSuite {
+
+  /** file → (max collect sites, why they are bounded). */
+  private val allow: Map[String, (Int, String)] = Map(
+    "pipeline/Search.scala" -> (6,
+      "vocabulary-/query-term-sized idf maps + one quantized query vector"),
+    "pipeline/Similarity.scala" -> (5,
+      "centroid tables (nClusters rows), per-DIMENSION quantization bounds"),
+    "pipeline/Clustering.scala" -> (1,
+      "small-graph fast path gated on localThreshold (<=128k edges)"),
+    "pipeline/Ranking.scala" -> (1,
+      "per-PARTITION rank offsets (one row per shuffle partition)"),
+    "pipeline/EventAnalytics.scala" -> (1,
+      "steady-state mix table (event-type x bucket grain)"),
+    "pipeline/Sketches.scala" -> (1,
+      "distinct sketch ids of a sketch TABLE (bounded by sketch count)"),
+    "pipeline/Bpe.scala" -> (2,
+      "merge-table vocabulary (want+1 rows) + alphabet set"),
+    "pipeline/DataMix.scala" -> (2,
+      "source x split / strata quota tables (group grain, not rows)"),
+    "pipeline/Multimodal.scala" -> (1,
+      "one persisted params row (codebook metadata)"),
+    "sources/CatalogEventSource.scala" -> (1,
+      "spark catalog table listing (catalog grain)"),
+    "store/Materializer.scala" -> (1,
+      "affected bucket ids (<= SeqBuckets = 64 by construction)"),
+    "store/EventStore.scala" -> (4,
+      "1-row max-id aggregates (x2), WAL-recovery committed-id probe " +
+        "(bounded by the un-checkpointed WAL tail's candidate ids), " +
+        "one row per event TYPE")
+  )
+
+  test("every main-source .collect() is allowlisted with a documented bound") {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val sites = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val rel = root.relativize(p).toString
+        val n = "\\.collect\\(\\)".r
+          .findAllIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).size
+        if (n > 0) sites(rel) = n
+      }
+    }
+    val unlisted = sites.keys.filterNot(allow.contains).toSeq.sorted
+    assert(unlisted.isEmpty,
+      s"collect() in files with no audit entry (add to CollectAuditSpec WITH its bound): $unlisted")
+    val over = sites.collect {
+      case (f, n) if n > allow(f)._1 => s"$f: $n > ${allow(f)._1}"
+    }.toSeq.sorted
+    assert(over.isEmpty,
+      s"collect() count grew past the audited bound (new site needs a documented bound): $over")
+  }
+}
