@@ -609,14 +609,28 @@ object Dedup {
       .select("id_1", "id_2")
       .dropDuplicates("id_1", "id_2")
     val texts = hashed.select(col("id"), col("t"))
+    // Confirm-tier pruning — two implied predicates evaluated BEFORE the
+    // quadratic DP, output-identical by construction:
+    //  1. dist >= |len1 - len2| always, so a pair whose length gap exceeds
+    //     the distance budget can never qualify — a free kill for band
+    //     collisions between differently-sized texts;
+    //  2. the budget itself bounds the DP: `levenshtein(a, b, k)` runs the
+    //     BANDED O(len·k) algorithm and returns -1 past k. kb is the exact
+    //     equivalence bound for the final integer-ppm filter
+    //     (`floor(d·1e6/M) <= p  ⟺  d·1e6 < (p+1)·M  ⟺  d <= ((p+1)·M-1) div 1e6`),
+    //     so -1 rows are precisely the rows the ppm filter would drop; the
+    //     exact ppm filter still runs last as the semantic arbiter.
+    val mx = greatest(length(col("t_1")), length(col("t_2"))).cast("long")
+    val kb = call_function("div", (lit(maxDistPpm) + 1L) * mx - 1L, lit(1000000L))
     candIds
       .join(texts.select(col("id").as("id_1"), col("t").as("t_1")), Seq("id_1"))
       .join(texts.select(col("id").as("id_2"), col("t").as("t_2")), Seq("id_2"))
       .filter(length(col("t_1")) <= maxLen && length(col("t_2")) <= maxLen)
-      .withColumn("dist", levenshtein(col("t_1"), col("t_2")).cast("long"))
-      .withColumn("rel_ppm", org.apache.spark.sql.functions.call_function("div",
-        col("dist") * lit(1000000L),
-        greatest(length(col("t_1")), length(col("t_2"))).cast("long")))
+      .filter(abs(length(col("t_1")) - length(col("t_2"))).cast("long") <= kb)
+      .withColumn("dist",
+        levenshtein(col("t_1"), col("t_2"), kb.cast("int")).cast("long"))
+      .filter(col("dist") >= 0L)
+      .withColumn("rel_ppm", call_function("div", col("dist") * lit(1000000L), mx))
       .filter(col("rel_ppm") <= maxDistPpm)
       .select(col("id_1"), col("id_2"), col("dist"), col("rel_ppm"))
   }
