@@ -618,17 +618,22 @@ object Dedup {
     //     BANDED O(len·k) algorithm and returns -1 past k. kb is the exact
     //     equivalence bound for the final integer-ppm filter
     //     (`floor(d·1e6/M) <= p  ⟺  d·1e6 < (p+1)·M  ⟺  d <= ((p+1)·M-1) div 1e6`),
-    //     so -1 rows are precisely the rows the ppm filter would drop; the
-    //     exact ppm filter still runs last as the semantic arbiter.
+    //     used per-row by the length-gap kill. The Scala `levenshtein` DSL
+    //     takes a LITERAL Int threshold, so the DP is bounded by kMax — the
+    //     kb value at `mx = maxLen`, an upper bound for every surviving row
+    //     (the length filter precedes it). Rows with kb < dist <= kMax are
+    //     still rejected by the exact ppm filter, which runs last as the
+    //     semantic arbiter, so the output is unchanged.
     val mx = greatest(length(col("t_1")), length(col("t_2"))).cast("long")
     val kb = call_function("div", (lit(maxDistPpm) + 1L) * mx - 1L, lit(1000000L))
+    val kMax = (((maxDistPpm + 1L) * maxLen - 1L) / 1000000L).toInt
     candIds
       .join(texts.select(col("id").as("id_1"), col("t").as("t_1")), Seq("id_1"))
       .join(texts.select(col("id").as("id_2"), col("t").as("t_2")), Seq("id_2"))
       .filter(length(col("t_1")) <= maxLen && length(col("t_2")) <= maxLen)
       .filter(abs(length(col("t_1")) - length(col("t_2"))).cast("long") <= kb)
       .withColumn("dist",
-        levenshtein(col("t_1"), col("t_2"), kb.cast("int")).cast("long"))
+        levenshtein(col("t_1"), col("t_2"), kMax).cast("long"))
       .filter(col("dist") >= 0L)
       .withColumn("rel_ppm", call_function("div", col("dist") * lit(1000000L), mx))
       .filter(col("rel_ppm") <= maxDistPpm)
