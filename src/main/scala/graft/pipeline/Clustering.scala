@@ -128,10 +128,17 @@ object Clustering {
     // extra pass over the round-0 edges) rather than let O(log n) rounds
     // of executor-block checkpoints OOM or die with an executor
     if (ckDir.isEmpty && autoDiskEdges >= 0 && sig._1 > autoDiskEdges) {
-      ckDir = Some(autoScratchDir(spark, "cc"))
-      val migrated = materialize(edges, 0)
-      edges.unpersist(false)
-      edges = migrated
+      autoScratchDir(spark, "cc") match {
+        case d @ Some(_) =>
+          ckDir = d
+          val migrated = materialize(edges, 0)
+          edges.unpersist(false)
+          edges = migrated
+        case None =>
+          log.warn(s"connectedComponents: ${sig._1} edges exceed the auto-disk bound " +
+            s"but no shared scratch location exists (no checkpoint dir, non-local " +
+            s"master); staying on localCheckpoint — pass checkpointDir explicitly")
+      }
     }
 
     // Small-graph fast path (the AQE-broadcast principle applied to the
@@ -358,20 +365,34 @@ object Clustering {
       case None => df.localCheckpoint(true)
     }
 
-  /** Scratch root for the AUTO disk-checkpoint switch: the session's
-    * configured reliable checkpoint dir when one is set
-    * (`sparkContext.setCheckpointDir` — shared storage on a real cluster),
-    * else a process-local tmp subdir (valid in local mode, where the r11
-    * rehearsal measured the `localCheckpoint` OOM this switch prevents).
-    * On a multi-node cluster withOUT a configured checkpoint dir, callers
-    * crossing the auto bound should pass `checkpointDir` explicitly — a
-    * driver-local tmp path is not reachable from executors. */
+  /** Scratch root for the AUTO disk-checkpoint switch — `Some` only when a
+    * location every executor can read exists: the session's configured
+    * reliable checkpoint dir (`sparkContext.setCheckpointDir` — shared
+    * storage on a real cluster), or a process-local tmp subdir under a
+    * `local[*]` master (single JVM ⇒ the driver's tmp IS shared; this is
+    * where the r11 rehearsal measured the `localCheckpoint` OOM the switch
+    * prevents). On a multi-node cluster withOUT a configured checkpoint
+    * dir this returns `None` — a driver-local tmp path is not reachable
+    * from executors, so the caller keeps `localCheckpoint` and logs a
+    * warning; pass `checkpointDir` explicitly there. The dir is registered
+    * with the filesystem's `deleteOnExit` (removed when the session's JVM
+    * exits): in-flight round tables are dropped eagerly, but the FINAL
+    * round backs the returned frame lazily, so the dir must outlive the
+    * operator call itself. */
   private[graft] def autoScratchDir(spark: org.apache.spark.sql.SparkSession,
-      tag: String): String = {
-    val base = spark.sparkContext.getCheckpointDir
-      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    s"$base/graft_${tag}_scratch_${java.util.UUID.randomUUID().toString.take(8)}"
+      tag: String): Option[String] = {
+    val sc = spark.sparkContext
+    val base = sc.getCheckpointDir.orElse(
+      if (sc.isLocal) Some(sys.props.getOrElse("java.io.tmpdir", "/tmp")) else None)
+    base.map { b =>
+      val dir = s"$b/graft_${tag}_scratch_${java.util.UUID.randomUUID().toString.take(8)}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(sc.hadoopConfiguration).deleteOnExit(p): Unit
+      dir
+    }
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Clustering")
 
   /** [[pageRank]]/[[labelPropagation]]'s edge-table half of the auto-disk
     * discipline: the edge frame is already materialized locally, so the
@@ -383,11 +404,16 @@ object Clustering {
       localEdges: DataFrame): (DataFrame, Option[String]) = {
     if (checkpointDir.isDefined || autoDiskEdges < 0 ||
         localEdges.count() <= autoDiskEdges) (localEdges, checkpointDir)
-    else {
-      val dir = Some(autoScratchDir(spark, tag))
-      val migrated = scratch(spark, dir, s"${tag}_edges", localEdges)
-      localEdges.unpersist(false)
-      (migrated, dir)
+    else autoScratchDir(spark, tag) match {
+      case dir @ Some(_) =>
+        val migrated = scratch(spark, dir, s"${tag}_edges", localEdges)
+        localEdges.unpersist(false)
+        (migrated, dir)
+      case None =>
+        log.warn(s"$tag: edge count exceeds the auto-disk bound but no shared " +
+          s"scratch location exists (no checkpoint dir, non-local master); " +
+          s"staying on localCheckpoint — pass checkpointDir explicitly")
+        (localEdges, None)
     }
   }
 

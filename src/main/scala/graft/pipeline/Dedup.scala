@@ -522,7 +522,11 @@ object Dedup {
       ngram: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
       thetasPpm: Seq[Long] = Seq(300000L, 500000L, 700000L),
       maxTruthRows: Long = 100000L): DataFrame = {
+    // ALL input validation precedes any job: the projection checkpoint
+    // below is real cluster work
     require(thetasPpm.nonEmpty, "sweep needs at least one threshold")
+    require(thetasPpm.forall(_ > 0L),
+      s"sweep thresholds must be positive ppm, got $thetasPpm")
     val perms = bands * rowsPerBand
     val hashed = evalProjection(df, idCol, textCol, ngram, maxTruthRows)
     val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms),
@@ -539,14 +543,17 @@ object Dedup {
     // exact-ppm Jaccard from the SPARSE intersection table (same
     // enumeration as minhashEval's truth): a pair absent from it has
     // jp = 0, below every positive θ on both the truth and candidate
-    // sides, so left-joining candidates to it and coalescing is exact
+    // sides, so left-joining candidates to it and coalescing is exact.
+    // SEMANTIC NOTE (r13): zero-shingle documents collide in every band
+    // (an empty set has one minhash signature), so their candidate pairs
+    // ARE counted in n_candidates at jp = 0 — they are real index work the
+    // precision figure should charge for. Pre-r13 they were silently
+    // excluded; corpora with empty documents see a lower precision_ppm now.
     val jpPairs = pairIntersections(hashed)
       .select(col("id_1"), col("id_2"),
         call_function("div", col("inter") * 1000000L,
           col("n_1") + col("n_2") - col("inter")).as("jp"))
       .localCheckpoint()
-    require(thetasPpm.forall(_ > 0L),
-      s"sweep thresholds must be positive ppm, got $thetasPpm")
     val candJ = candIds
       .join(jpPairs, Seq("id_1", "id_2"), "left")
       .select(coalesce(col("jp"), lit(0L)).as("jp"))
@@ -785,7 +792,8 @@ object Dedup {
     * With these at rest, a nightly batch never touches corpus text: the
     * per-batch job reads batch text plus three batch-∝ or candidate-∝
     * joins against the artifact tables. */
-  final case class DedupArtifacts(keys: DataFrame, bands: DataFrame, shingles: DataFrame) {
+  final case class DedupArtifacts(keys: DataFrame, bands: DataFrame, shingles: DataFrame,
+      banding: Option[(Int, Int)] = None) {
     /** Materialize the three frames and truncate their lineage (eager
       * local checkpoint) — the single-process analog of writing the
       * artifact tables to storage and reading them back. Chained
@@ -797,7 +805,7 @@ object Dedup {
       * same boundary is the nightly parquet write of the artifacts. */
     def materialize(): DedupArtifacts =
       DedupArtifacts(keys.localCheckpoint(), bands.localCheckpoint(),
-        shingles.localCheckpoint())
+        shingles.localCheckpoint(), banding)
 
     /** The REAL nightly boundary: persist the three artifact tables as
       * parquet under `dir` (`keys/`, `bands/`, `shingles/`) plus a
@@ -808,8 +816,16 @@ object Dedup {
       * with — a mismatched rebuild would silently change the candidate
       * space. Writes go through the Hadoop FileSystem of `dir`, so any
       * Spark-supported storage (HDFS/S3/local) works unchanged. */
-    def write(dir: String, params: Map[String, Long] = Map.empty): Unit = {
+    def write(dir: String, params0: Map[String, Long] = Map.empty): Unit = {
       val spark = keys.sparkSession
+      // the recorded scheme backfills absent band params so a default
+      // (auto-banded) build still writes a scheme-carrying manifest —
+      // explicit params win (write() re-derives the band table under them)
+      val params = banding match {
+        case Some((b, r)) if !params0.contains("bands") && !params0.contains("rowsPerBand") =>
+          params0 + ("bands" -> b.toLong) + ("rowsPerBand" -> r.toLong)
+        case _ => params0
+      }
       // ONE corpus scan+tokenize, not three: persist the tokenized
       // projection (the shingles table, carrying cid/ck/sh since r11)
       // first, then derive keys and bands from the WRITTEN parquet —
@@ -866,10 +882,14 @@ object Dedup {
     val manifest = readManifest(spark, dir)
     require(manifest.contains("\"version\":1"),
       s"unsupported dedup artifact layout at $dir: $manifest")
+    val params = readArtifactParams(spark, dir)
+    val scheme = for (b <- params.get("bands"); r <- params.get("rowsPerBand"))
+      yield (b.toInt, r.toInt)
     DedupArtifacts(
       spark.read.parquet(s"$dir/keys"),
       spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/shingles"))
+      spark.read.parquet(s"$dir/shingles"),
+      scheme)
   }
 
   /** The `params` map recorded by [[DedupArtifacts.write]] (empty if none
@@ -943,7 +963,7 @@ object Dedup {
         minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"), perms),
         nBands, rpb)
       .withColumnRenamed("id", "cid")
-    DedupArtifacts(keys, cBand, base)
+    DedupArtifacts(keys, cBand, base, Some((nBands, rpb)))
   }
 
   /** Append the ADMITTED documents of a decided batch to the artifacts.
@@ -951,18 +971,36 @@ object Dedup {
     * because admission guarantees novelty: an admitted key is absent from
     * the corpus (else `dup_exact_corpus`) and unique within its batch
     * (else `dup_exact_batch`), so every appended row is new. `decisions`
-    * is [[incrementalDedup]]'s output for `batch`. */
+    * is [[incrementalDedup]]'s output for `batch`.
+    *
+    * The delta's band rows MUST be built under the SAME banding scheme as
+    * the existing artifact bands — unioning rows from two schemes means new
+    * docs' band hashes never collide with later batches (silent recall
+    * loss). When the artifacts record their scheme ([[buildDedupArtifacts]]
+    * and manifest-carrying [[readArtifacts]] both set it), that recorded
+    * scheme is authoritative: explicit `bands`/`rowsPerBand` here must
+    * match it or be left at the auto sentinel (0); `threshold` only feeds
+    * the auto-resolution fallback for legacy scheme-less artifacts. */
   def updateDedupArtifacts(artifacts: DedupArtifacts, batch: DataFrame,
       decisions: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, bands: Int = 0, rowsPerBand: Int = 0): DedupArtifacts = {
+      ngram: Int = 3, bands: Int = 0, rowsPerBand: Int = 0,
+      threshold: Double = 0.5): DedupArtifacts = {
+    val (nBands, rpb) = artifacts.banding match {
+      case Some((ab, ar)) =>
+        require((bands == 0 && rowsPerBand == 0) || (bands == ab && rowsPerBand == ar),
+          s"artifact banding scheme is ${ab}x$ar; cannot update with ${bands}x$rowsPerBand")
+        (ab, ar)
+      case None => resolveBanding(bands, rowsPerBand, threshold)
+    }
     val admitted = batch.join(
       decisions.filter(col("status") === "admitted").select(col(idCol)),
       Seq(idCol), "left_semi")
-    val add = buildDedupArtifacts(admitted, idCol, textCol, ngram, bands, rowsPerBand)
+    val add = buildDedupArtifacts(admitted, idCol, textCol, ngram, nBands, rpb)
     DedupArtifacts(
       artifacts.keys.unionByName(add.keys),
       artifacts.bands.unionByName(add.bands),
-      artifacts.shingles.unionByName(add.shingles))
+      artifacts.shingles.unionByName(add.shingles),
+      Some((nBands, rpb)))
   }
 
   /** [[incrementalDedup]] against persisted [[DedupArtifacts]] — the form

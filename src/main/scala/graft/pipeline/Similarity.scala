@@ -206,7 +206,8 @@ object Similarity {
     * the value bit-exactly (a float log2 at an exact power of two may land
     * on either side of the integer on different libm builds). */
   def srpPlanesFor(n: Long, targetPerBucket: Long = 64L): Int = {
-    require(n > 0 && targetPerBucket > 0, s"bad srpPlanesFor($n, $targetPerBucket)")
+    require(n >= 0 && targetPerBucket > 0, s"bad srpPlanesFor($n, $targetPerBucket)")
+    if (n == 0L) return 2 // empty corpus: minimum depth (result is empty anyway)
     // ceil(n / target) without the +target-1 overflow at n near Long.Max
     val m = n / targetPerBucket + (if (n % targetPerBucket == 0L) 0L else 1L)
     val raw = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
@@ -230,7 +231,10 @@ object Similarity {
     * candidate pairs, grow quadratically with the corpus (the old
     * gate-scale 4-plane default paid ~100× the confirm cost at 10×). Pass
     * `planes` explicitly only to pin a scheme (e.g. an oracle or a
-    * pre-agreed index layout shared with a reader). */
+    * pre-agreed index layout shared with a reader). NOTE the auto count is
+    * a full execution of the corpus lineage — callers with an expensive
+    * upstream plan should cache/checkpoint first (or pin `planes`). An
+    * empty corpus auto-sizes to the minimum depth and returns empty. */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, lshPrefilter: Boolean = true, dims: Int = 64,
       planes: Int = 0, tables: Int = 16): DataFrame = {

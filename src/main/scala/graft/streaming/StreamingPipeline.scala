@@ -165,10 +165,19 @@ object StreamingPipeline {
       horizonMs: Long = 3600000L): Dataset[AdmitDecision] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    // the sentinel resolves to the SAME recall-floored banding the batch
-    // artifact builder defaults to — default artifacts and default stream
-    // admission must band identically or their hashes never meet
-    val (nBands, rpb) = Dedup.resolveBanding(bands, rowsPerBand, threshold)
+    // the stream MUST band exactly like the artifacts or their hashes
+    // never meet: the artifacts' RECORDED scheme is authoritative when
+    // present (builder + manifest round-trip both set it); an explicit
+    // mismatch here fails fast rather than silently missing near-dups.
+    // Scheme-less (legacy) artifacts fall back to the same recall-floored
+    // sentinel resolution the batch builder defaults to.
+    val (nBands, rpb) = artifacts.banding match {
+      case Some((ab, ar)) =>
+        require((bands == 0 && rowsPerBand == 0) || (bands == ab && rowsPerBand == ar),
+          s"artifact banding scheme is ${ab}x$ar; cannot admit stream banded ${bands}x$rowsPerBand")
+        (ab, ar)
+      case None => Dedup.resolveBanding(bands, rowsPerBand, threshold)
+    }
 
     val ckeys = artifacts.keys.select(col("ck")).distinct()
       .withColumn("in_corpus", lit(true)).persist()

@@ -157,6 +157,105 @@ class BandingRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceNearDups banded-DP static bound is output-identical to exact") {
+    import spark.implicits._
+    // The confirm tier bounds the DP with kMax = kb(maxLen), a CONSTANT
+    // upper bound of the per-row budget kb(mx) (the Scala levenshtein DSL
+    // takes a literal Int threshold). Output identity holds because rows
+    // with kb(mx) < dist <= kMax carry exact distances and die at the
+    // rel_ppm filter. Plant all three regimes on one 118-char base text at
+    // maxDistPpm = 10% — kb(118) = (100001·118−1) div 1e6 = 11:
+    //  - doc 2: 5 substitutions  → dist 5,  rel 42372 ppm (under budget)
+    //  - doc 3: 11 substitutions → dist 11 == kb(118): the EXACT per-row
+    //    boundary must survive the banded DP
+    //  - doc 4: 12 substitutions → dist 12, rel 101694 ppm: between
+    //    kb(118)=11 and kMax=200 — the DP computes it (no -1), the ppm
+    //    filter must drop it
+    val base = "alpha beta gamma delta epsil zetaa etaaa theta iotaa kappa " +
+      "lambd muuuu nuuuu xiiii omicr piiii rhooo sigma tauuu upsil"
+    assert(base.length == 118)
+    def sub(s: String, at: Int, n: Int): String =
+      s.take(at) + ("#" * n) + s.drop(at + n)
+    val docs = Seq(
+      (1L, base),
+      (2L, sub(base, 30, 5)),
+      (3L, sub(base, 60, 11)),
+      (4L, sub(base, 60, 12))
+    ).toDF("doc_id", "text")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = Map(1L -> base, 2L -> sub(base, 30, 5), 3L -> sub(base, 60, 11),
+      4L -> sub(base, 60, 12))
+    val p = 100000L
+    val brute = (for {
+      Seq(x, y) <- texts.keys.toSeq.sorted.combinations(2)
+      d = lev(texts(x), texts(y)).toLong
+      mx = math.max(texts(x).length, texts(y).length).toLong
+      if d * 1000000L / mx <= p
+    } yield (x, y, d)).toSet
+    val out = Dedup.editDistanceNearDups(docs, "doc_id", "text", maxDistPpm = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // soundness: every emitted pair is exactly a qualifying pair with the
+    // exact distance (the banded DP never mangles a kept row)
+    assert(out.subsetOf(brute), s"unsound rows: ${out -- brute}")
+    // the planted boundary pair (dist == per-row kb) and the under-budget
+    // pair must both band (deterministic md5 minhash) and survive
+    assert(out.contains((1L, 3L, 11L)), s"boundary dist==kb pair lost: $out")
+    assert(out.contains((1L, 2L, 5L)), s"under-budget pair lost: $out")
+    // the kb < dist <= kMax regime must be filtered by rel_ppm, not kept
+    assert(!out.exists(t => t._1 == 1L && t._2 == 4L), s"over-budget pair kept: $out")
+  }
+
+  test("artifact banding scheme is recorded, round-trips, and rejects mismatched updates") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"corpus document $i with stable words $i and${i * 3} tail${i * 7}"))
+      .toDF("doc_id", "text")
+    // builder records its RESOLVED scheme — auto and pinned alike
+    val auto = Dedup.buildDedupArtifacts(docs, "doc_id", "text")
+    assert(auto.banding.contains(Dedup.bandingForRecall(0.5)))
+    val pinned = Dedup.buildDedupArtifacts(docs, "doc_id", "text", bands = 17, rowsPerBand = 4)
+    assert(pinned.banding.contains((17, 4)))
+    // and the scheme survives the parquet + MANIFEST round trip even when
+    // the caller passed no explicit band params at write time
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_rt_").toString
+    pinned.write(s"$dir/art")
+    val back = Dedup.readArtifacts(spark, s"$dir/art")
+    assert(back.banding.contains((17, 4)),
+      s"scheme lost through write/read: ${back.banding}")
+    val batch = Seq((1000L, "a brand new never seen document body"))
+      .toDF("doc_id", "text")
+    val dec = Dedup.incrementalDedup(batch, back, "doc_id", "text", 3, 17, 4, 0.5)
+      .localCheckpoint()
+    // update under a MISMATCHED explicit scheme fails fast (silently
+    // unioning two band spaces means new docs never match later batches)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.updateDedupArtifacts(back, batch, dec, "doc_id", "text",
+        bands = 32, rowsPerBand = 2)
+    }
+    assert(err.getMessage.contains("17x4"))
+    // the auto sentinel and a MATCHING explicit scheme both follow the
+    // recorded banding
+    val u1 = Dedup.updateDedupArtifacts(back, batch, dec, "doc_id", "text")
+    assert(u1.banding.contains((17, 4)))
+    val u2 = Dedup.updateDedupArtifacts(back, batch, dec, "doc_id", "text",
+      bands = 17, rowsPerBand = 4)
+    assert(u2.banding.contains((17, 4)))
+    // streaming admission shares the contract: a mismatched explicit
+    // scheme is rejected at plan-construction time, before any trigger
+    val sErr = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingPipeline.admitStreamNear(
+        batch.withColumn("ets", lit(86400L)), back, "doc_id", "text", "ets",
+        bands = 32, rowsPerBand = 2)
+    }
+    assert(sErr.getMessage.contains("17x4"))
+  }
+
   test("minhashEval enforces its O(n²) truth bound in-function") {
     import spark.implicits._
     val docs = (0 until 12).map(i =>

@@ -1,15 +1,27 @@
 #!/bin/bash
 # Time a comma-separated list of SparkEntry queries at a given SF dir.
 # Usage: tools/time_queries.sh q_graph_pagerank,q_graph_triangles [sfDir] [passes]
+#
+# Gates run in CHUNKS of $CHUNK (default 24), one fresh JVM + SparkSession
+# per chunk: the r13 full-suite sf1 sweep OOM'd a 16 GB driver on pass 2
+# after ~96 warm gates of accumulated session state (cached blocks,
+# localCheckpoint RDDs, persisted stream-static frames). Both passes of a
+# chunk run inside its JVM, so per-gate warm semantics are unchanged; only
+# cross-family state accumulation is gone. Set CHUNK=0 to restore the old
+# single-JVM behavior.
 set -e
 QS="$1"
 SF="${2:-/root/testdata/sf0.1}"
 PASSES="${3:-2}"
+CHUNK="${CHUNK:-24}"
 cd "$(dirname "$0")/.."
 OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
   java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
   sun.security.action sun.util.calendar; do echo --add-opens java.base/$p=ALL-UNNAMED; done)
-cat > /tmp/_timeq.scala <<EOF
+
+run_chunk() {
+  local qs="$1"
+  cat > /tmp/_timeq.scala <<EOF
 import org.apache.spark.sql.SparkSession
 val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 val s2 = SparkSession.builder().master(s"local[\$cpus]")
@@ -19,7 +31,7 @@ val s2 = SparkSession.builder().master(s"local[\$cpus]")
   .config("spark.ui.enabled", "false").getOrCreate()
 s2.sparkContext.setLogLevel("WARN")
 try { graft.SparkEntry.entry(s2).count() } catch { case _: Throwable => }
-val names = "$QS".split(",").toSeq
+val names = "$qs".split(",").toSeq
 for (p <- 1 to $PASSES; n <- names) {
   val t0 = System.nanoTime()
   graft.SparkEntry.queries(n)(s2, "$SF").count()
@@ -27,9 +39,21 @@ for (p <- 1 to $PASSES; n <- names) {
 }
 sys.exit(0)
 EOF
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" /opt/spark/bin/spark-shell \
-  --master "local[${SPARK_GRAFT_CPUS:-32}]" --conf spark.ui.enabled=false \
-  --driver-java-options "$(echo $OPENS) -Dspark.sql.session.timeZone=UTC" \
-  --driver-memory 16g \
-  --driver-class-path "target/scala-2.13/classes" -i /tmp/_timeq.scala 2>/dev/null \
-  | grep TIMING
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" /opt/spark/bin/spark-shell \
+    --master "local[${SPARK_GRAFT_CPUS:-32}]" --conf spark.ui.enabled=false \
+    --driver-java-options "$(echo $OPENS) -Dspark.sql.session.timeZone=UTC" \
+    --driver-memory 16g \
+    --driver-class-path "target/scala-2.13/classes" -i /tmp/_timeq.scala 2>/dev/null \
+    | grep TIMING
+}
+
+if [ "$CHUNK" -le 0 ]; then
+  run_chunk "$QS"
+else
+  echo "$QS" | tr ',' '\n' | awk -v n="$CHUNK" '
+    { buf = buf == "" ? $0 : buf "," $0; c++ }
+    c == n { print buf; buf = ""; c = 0 }
+    END { if (buf != "") print buf }' | while read -r chunk; do
+    run_chunk "$chunk"
+  done
+fi
