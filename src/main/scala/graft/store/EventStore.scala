@@ -587,10 +587,18 @@ final class EventStore(val spark: SparkSession, val root: String,
     * shipped schema file (corrupt/tampered snapshot), or when the manifest
     * itself is malformed. Every type's data files are additionally parsed
     * (FAILFAST) before the first segment write, so a corrupt data file
-    * rejects the whole import instead of landing a partial one; only a
-    * process crash mid-loop can leave earlier types imported (each is an
-    * individually consistent segment). Returns the number of types
-    * restored. */
+    * rejects the whole import instead of landing a partial one.
+    *
+    * CRASH-SAFE AND IDEMPOTENT per (snapshot, type): segments land through
+    * the same exactly-once machinery as streaming ingest
+    * ([[writeSegmentIdempotent]]), keyed by a content hash of the snapshot
+    * (manifest bytes when present, else schemas + data file listing). A
+    * process crash mid-loop leaves earlier types imported; RE-RUNNING the
+    * import then skips them (commit marker present) and restores the rest
+    * — never duplicating a row. Importing the same snapshot twice is a
+    * no-op for the data (types report restored, nothing re-lands);
+    * importing a DIFFERENT snapshot of the same type appends normally.
+    * Returns the number of types restored. */
   def importSnapshot(inDir: String): Either[String, Int] = {
     val sdir = Paths.get(inDir, "_schemas")
     if (!Files.isDirectory(sdir)) return Left(s"not a snapshot dir (no _schemas): $inDir")
@@ -660,9 +668,30 @@ final class EventStore(val spark: SparkSession, val root: String,
       schemas(s.eventType) = s
       Files.write(schemaFile(s.eventType), EventStore.schemaToJson(s).getBytes("UTF-8"))
     }
+    // content-derived snapshot identity: same snapshot ⇒ same key ⇒ a
+    // crash-interrupted import re-run skips completed types and a retried
+    // type replaces its own partial parts (writeSegmentIdempotent); a
+    // different snapshot of the same type gets a different key and appends
+    val snapKey = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      if (Files.exists(manifest)) md.update(Files.readAllBytes(manifest))
+      else {
+        parsed.sortBy(_.eventType)
+          .foreach(s => md.update(EventStore.schemaToJson(s).getBytes("UTF-8")))
+        withData.foreach { case (s, src) =>
+          EventStore.listDir(src).sortBy(_.getFileName.toString).foreach { p =>
+            md.update(s"${s.eventType}/${p.getFileName}:${Files.size(p)};".getBytes("UTF-8"))
+          }
+        }
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
     withData.foreach { case (s, src) =>
-      writeSegment(s.eventType,
-        spark.read.schema(schemas(s.eventType).fullStruct).json(src.toString))
+      val marker = dataDir.resolve(s.eventType).resolve(s"_ingest_snap_$snapKey.committed")
+      if (!Files.exists(marker))
+        writeSegmentIdempotent(s.eventType,
+          spark.read.schema(schemas(s.eventType).fullStruct).json(src.toString),
+          s"snap_$snapKey")
     }
     Right(withData.size)
   }
