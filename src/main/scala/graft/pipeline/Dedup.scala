@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import Hashing._
 
 /** Deduplication operators for training-data pipelines, each designed for
@@ -285,7 +286,13 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val (nBands, rpb) = resolveBanding(bands, rowsPerBand, threshold)
     val perms = nBands * rpb
+    // persisted (spillable): the banding leg and BOTH confirm legs consume
+    // this projection, and each lazy consumer would re-run the corpus scan
+    // + regex shingling + per-shingle md5 — the dominant cost (the same
+    // lesson as incrementalDedup r11 / minhashEval r13 / prefix join r14).
+    // (id, array<long>) is the narrow form; eviction costs recompute only.
     val hashed = df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms), nBands, rpb)
 
     // candidate pairs: ids sharing any band bucket (shuffle on band hash —
@@ -330,8 +337,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val (nBands, rpb) = resolveBanding(bands, rowsPerBand, threshold)
     val perms = nBands * rpb
+    // each side feeds its banding leg AND its confirm leg — persist
+    // (spillable) so the shingling runs once per side, not twice
     def prep(df: DataFrame) =
       df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val ha = prep(a); val hb = prep(b)
     def bandSide(h: DataFrame, as: String) =
       bandTable(minhashColumns(h, col("id"), col("sh"), perms), nBands, rpb)
@@ -377,9 +387,18 @@ object Dedup {
     // confirms, so this exact join is its drop-in deterministic upgrade
     // (word sets are far too dense on boilerplate-heavy corpora: measured
     // 92k word-level pairs vs 40 shingle-level at θ=0.5 on the sf0.01
-    // documents)
+    // documents).
+    // PERSISTED (spillable), not recomputed: this projection feeds FOUR
+    // legs (the df aggregate, the per-doc ordering, and both confirm
+    // sides), and each lazy consumer would otherwise re-run the corpus
+    // scan + regex shingling — the dominant cost of the whole join (the
+    // r11 incrementalDedup / r13 minhashEval lesson). MEMORY_AND_DISK
+    // rather than localCheckpoint: the frame is corpus-sized (shingle
+    // strings ≈ 3× text), so it must be allowed to spill, and eviction
+    // only costs recompute, never correctness.
     val toks = df.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("ts"))
       .filter(size(col("ts")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = toks.select(col("id"), explode(col("ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("dfq"))
     // per-doc tokens in (df ASC, token ASC) global order, prefix sliced
@@ -605,8 +624,12 @@ object Dedup {
     require(maxLen > 0 && maxDistPpm >= 0, s"bad bounds ($maxLen, $maxDistPpm)")
     val (nBands, rpb) = resolveBanding(bands, rowsPerBand, bandJaccardFloor)
     val perms = nBands * rpb
+    // persisted (spillable): the banding leg and both text-side confirm
+    // joins consume this — without it each leg re-runs the corpus scan +
+    // shingling (see minhashNearDups)
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("t"),
       shingleHashes(col(textCol), ngram).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms),
       nBands, rpb)
     val l = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
@@ -882,7 +905,7 @@ object Dedup {
     val manifest = readManifest(spark, dir)
     require(manifest.contains("\"version\":1"),
       s"unsupported dedup artifact layout at $dir: $manifest")
-    val params = readArtifactParams(spark, dir)
+    val params = parseManifestParams(manifest)
     val scheme = for (b <- params.get("bands"); r <- params.get("rowsPerBand"))
       yield (b.toInt, r.toInt)
     DedupArtifacts(
@@ -895,11 +918,13 @@ object Dedup {
   /** The `params` map recorded by [[DedupArtifacts.write]] (empty if none
     * were provided) — callers verify build-parameter compatibility before
     * deciding a batch against read-back artifacts. */
-  def readArtifactParams(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, Long] = {
-    """"([A-Za-z]+)":(-?\d+)""".r.findAllMatchIn(readManifest(spark, dir))
+  def readArtifactParams(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, Long] =
+    parseManifestParams(readManifest(spark, dir))
+
+  private def parseManifestParams(manifest: String): Map[String, Long] =
+    """"([A-Za-z]+)":(-?\d+)""".r.findAllMatchIn(manifest)
       .filterNot(_.group(1) == "version")
       .map(m => m.group(1) -> m.group(2).toLong).toMap
-  }
 
   /** Append-only nightly fold-back at the STORAGE layer: write ONLY the
     * admitted documents' artifact rows into an existing artifact dir

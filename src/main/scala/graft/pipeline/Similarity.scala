@@ -239,13 +239,18 @@ object Similarity {
       threshold: Double, lshPrefilter: Boolean = true, dims: Int = 64,
       planes: Int = 0, tables: Int = 16): DataFrame = {
     require(planes >= 0, s"planes must be >= 0 (0 = auto), got $planes")
-    val nPlanes =
-      if (planes > 0 || !lshPrefilter) math.max(planes, 1) // exact mode never buckets
-      else srpPlanesFor(corpus.count())
     // quantized vector + norm computed ONCE per row (norms are per-vector,
-    // not per-pair quantities)
+    // not per-pair quantities) and PERSISTED (spillable): the bucket leg
+    // and both confirm legs consume this projection, and under planes=0
+    // the auto-depth count() is the scan that warms the cache — one pass
+    // over the corpus serves all four consumers (r14; the same
+    // multi-consumer lesson as the Dedup projections).
     val v = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPlanes =
+      if (planes > 0 || !lshPrefilter) math.max(planes, 1) // exact mode never buckets
+      else srpPlanesFor(v.count())
     val pairs =
       if (!lshPrefilter) {
         val l = v.select(col("id").as("id_1"), col("qv").as("qv_1"), col("nrm").as("nrm_1"))
@@ -947,15 +952,19 @@ object Similarity {
   def lshCosCandidates(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, dims: Int, planes: Int = 0, tables: Int = 8): DataFrame = {
     require(planes >= 0, s"planes must be >= 0 (0 = auto), got $planes")
-    val nPlanes = if (planes > 0) planes else srpPlanesFor(a.count() + b.count())
+    // each side feeds its bucket leg AND the confirm join — persist
+    // (spillable) so quantize+norm run once per side; under planes=0 the
+    // auto-depth counts are the scans that warm the caches
     def side(df: DataFrame, id: String) = df
       .select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(s"_q$id"))
       .withColumn(s"_n$id", sqrt(dotLong(col(s"_q$id"), col(s"_q$id")).cast("double")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val av = side(a, "a_id")
+    val bv = side(b, "b_id")
+    val nPlanes = if (planes > 0) planes else srpPlanesFor(av.count() + bv.count())
     def buckets(v: DataFrame, id: String) = v
       .select(col(id), explode(srpBuckets(col(s"_q$id"), dims, nPlanes, tables)).as("tb"))
       .select(col(id), col("tb.tbl"), col("tb.bkt"))
-    val av = side(a, "a_id")
-    val bv = side(b, "b_id")
     val cand = buckets(av, "a_id").join(buckets(bv, "b_id"), Seq("tbl", "bkt"))
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     cand.join(av, Seq("a_id")).join(bv, Seq("b_id"))

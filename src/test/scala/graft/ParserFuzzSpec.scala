@@ -55,4 +55,44 @@ class ParserFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scenario-corpus mutations never crash the parser (r14 verdict #7)") {
+    // every input command of every reference integration scenario is a
+    // mutation base — far wider grammar coverage than the 9 hand-picked
+    // commands above (auth grammar, PlotQL, BATCH frames, enum payloads…)
+    val corpusPath = java.nio.file.Paths.get(
+      "/root/reference/tests/integration/scenarios.json")
+    assume(java.nio.file.Files.isReadable(corpusPath))
+    val root = graft.store.EventStore.readTree(
+      new String(java.nio.file.Files.readAllBytes(corpusPath), "UTF-8"))
+    import scala.jdk.CollectionConverters._
+    val corpusCmds = root.elements().asScala.flatMap { s =>
+      Option(s.get("input_commands")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText()))
+    }.toSeq.distinct
+    assert(corpusCmds.size > 200, s"corpus shrank? ${corpusCmds.size} commands")
+    val mutation = for {
+      base <- Gen.oneOf(corpusCmds)
+      op <- Gen.choose(0, 3)
+      cut <- Gen.choose(0, base.length)
+      cut2 <- Gen.choose(0, base.length)
+      ins <- Gen.oneOf("", ")", "((", "WHERE", "\"", "§", " ", "{", "[",
+        "PER", "BY", "0x", "-", "1e309", "'")
+    } yield op match {
+      case 0 => base.take(cut) + ins + base.drop(cut)            // insert
+      case 1 => base.take(math.min(cut, cut2)) + base.drop(math.max(cut, cut2)) // excise
+      case 2 => base.take(cut)                                   // truncate
+      case _ => base.take(cut) + base                            // duplicate head
+    }
+    val cases = corpusCmds ++ (1 to 1500).map(i => sample(mutation, 77000L + i))
+    cases.foreach { c =>
+      try { CommandParser.parse(c); () }
+      catch {
+        case e: StackOverflowError => fail(s"stack overflow on <${c.take(120)}>")
+        case e: Throwable =>
+          assert(e.getMessage != null && e.getMessage.nonEmpty,
+            s"null/empty error message on <${c.take(120)}>: ${e.getClass}")
+      }
+    }
+  }
 }

@@ -45,6 +45,13 @@ EOF
     --driver-memory 16g \
     --driver-class-path "target/scala-2.13/classes" -i /tmp/_timeq.scala 2>/dev/null \
     | grep TIMING
+  # the grep pipe swallows a dead spark-shell (rc masked by grep's 0):
+  # surface it so a mid-chunk JVM death is a visible CHUNKFAIL line, not a
+  # silently short result file, and the remaining chunks still run
+  local rcs=("${PIPESTATUS[@]}")
+  if [ "${rcs[0]}" -ne 0 ]; then
+    echo "CHUNKFAIL rc=${rcs[0]} gates=$qs"
+  fi
 }
 
 if [ "$CHUNK" -le 0 ]; then
