@@ -388,15 +388,22 @@ object Dedup {
     // (word sets are far too dense on boilerplate-heavy corpora: measured
     // 92k word-level pairs vs 40 shingle-level at θ=0.5 on the sf0.01
     // documents).
-    // PERSISTED (spillable), not recomputed: this projection feeds FOUR
-    // legs (the df aggregate, the per-doc ordering, and both confirm
-    // sides), and each lazy consumer would otherwise re-run the corpus
-    // scan + regex shingling — the dominant cost of the whole join (the
-    // r11 incrementalDedup / r13 minhashEval lesson). MEMORY_AND_DISK
-    // rather than localCheckpoint: the frame is corpus-sized (shingle
-    // strings ≈ 3× text), so it must be allowed to spill, and eviction
-    // only costs recompute, never correctness.
-    val toks = df.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("ts"))
+    // HASHED shingle identity (md5long — the same 64-bit identity the
+    // minhash tier confirms with), computed ONCE and persisted: this
+    // projection feeds FOUR legs (the df aggregate, the per-doc ordering,
+    // and both confirm sides), and each lazy consumer would otherwise
+    // re-run the corpus scan + regex shingling. The r14 measurements that
+    // picked this shape: recompute-4× ran 6.4 s / 57.6 s (sf0.1 / 10×
+    // gate scale), caching the STRING arrays thrashed at scale (4.3 /
+    // 153 s), a repartition barrier stayed linear but paid a fat
+    // exchange (8.4 / 43.5) — hashing shrinks the cached rows ~4× so the
+    // spillable cache wins at both scales. Correctness is unchanged:
+    // the prefix-filter lemma holds under ANY consistent global token
+    // order (the order only tunes candidate count), and hashed-set
+    // Jaccard equals string-set Jaccard exactly unless two distinct
+    // shingles of one compared pair collide in 64 bits (~2⁻⁶⁴ per pair —
+    // the identical risk the minhash confirm tier already accepts).
+    val toks = df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("ts"))
       .filter(size(col("ts")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = toks.select(col("id"), explode(col("ts")).as("t"))
