@@ -98,12 +98,48 @@ final class EventStore(val spark: SparkSession, val root: String,
     * both write the same memtable snapshot to segments (duplicate rows). */
   private val flushLock = new Object
 
+  recoverSwaps() // BEFORE loadCatalog: its id high-water scan must see restored data
   loadCatalog()
   if (walEnabled) replayWal()
 
   // ---------------- catalog ----------------
 
   private def schemaFile(t: String): Path = schemasDir.resolve(s"$t.json")
+
+  /** Crash recovery for the rewrite-swap sites ([[compact]],
+    * [[purgeContext]], [[purgeBefore]] — all do `write tmp; move dir→old;
+    * move tmp→dir; delete old`). A crash between the two moves leaves the
+    * type's ONLY copy under `<t>.old`, which readers never list — silent
+    * data loss on restart without this. Each local move is an atomic
+    * rename, so the directory states enumerate the crash points exactly:
+    *
+    *  - `<t>.old` present, `<t>` missing  → crashed between the moves:
+    *    restore the original (`old` → `dir`). The rewrite is re-runnable.
+    *  - `<t>.old` and `<t>` both present  → crashed before the cleanup
+    *    delete: the swap committed; finish the delete.
+    *  - stale `*.compact.tmp` / `*.purge.tmp` / `.ingest_*.tmp` scratch →
+    *    crashed before (or during) its swap with the original intact, or
+    *    mid idempotent-segment write (whose retry rewrites it): delete.
+    *
+    * Runs BEFORE [[loadCatalog]] so the id high-water scan sees the
+    * restored rows. */
+  private def recoverSwaps(): Unit = {
+    if (!Files.isDirectory(dataDir)) return
+    EventStore.listDir(dataDir)
+      .filter(_.getFileName.toString.endsWith(".old"))
+      .foreach { old =>
+        val dir = dataDir.resolve(old.getFileName.toString.stripSuffix(".old"))
+        if (!Files.isDirectory(dir)) Files.move(old, dir)
+        else deleteRecursively(old)
+      }
+    EventStore.listDir(dataDir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".compact.tmp") || n.endsWith(".purge.tmp") ||
+          (n.startsWith(".ingest_") && n.endsWith(".tmp"))
+      }
+      .foreach(deleteRecursively)
+  }
 
   private def loadCatalog(): Unit = {
     if (!Files.isDirectory(schemasDir)) return

@@ -198,4 +198,43 @@ class DurabilitySpec extends AnyFunSuite {
     assert(s2.frame("t").collect()
       .map(_.getAs[Long]("event_id")).distinct.length == 200)
   }
+
+  test("rewrite-swap crash windows recover on startup (compact/purge discipline)") {
+    // the swap is `write tmp; move dir→old; move tmp→dir; delete old` —
+    // simulate a crash at each point and restart the store
+    val dir = Files.createTempDirectory("graft_swap_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE t FIELDS { v: "int" }""")
+    (1 to 5).foreach(i => s.execute(s"""STORE t FOR c$i PAYLOAD {"v": $i}"""))
+    s.execute("FLUSH")
+    val data = Paths.get(dir, "data")
+
+    // crash BETWEEN the moves: only <t>.old exists — the restart must
+    // restore it (and its rows must feed the id high-water scan)
+    Files.move(data.resolve("t"), data.resolve("t.old"))
+    val s2 = new EventStore(spark, dir)
+    assert(s2.frame("t").count() == 5, "swap-crash data not restored")
+    assert(!Files.exists(data.resolve("t.old")))
+    s2.execute("""STORE t FOR c9 PAYLOAD {"v": 9}""")
+    s2.execute("FLUSH")
+    assert(s2.frame("t").collect().map(_.getAs[Long]("event_id")).distinct.length == 6,
+      "high-water scan missed the restored rows (id collision)")
+
+    // crash AFTER the swap but before cleanup: both dirs exist — the
+    // restart keeps the new dir and finishes the delete
+    val junk = data.resolve("t.old")
+    Files.createDirectories(junk)
+    Files.write(junk.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    val s3 = new EventStore(spark, dir)
+    assert(s3.frame("t").count() == 6)
+    assert(!Files.exists(junk), "committed swap's .old not cleaned")
+
+    // stale rewrite scratch with the original intact is deleted
+    val tmp = data.resolve("t.compact.tmp")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("part.parquet"), Array[Byte](1))
+    val s4 = new EventStore(spark, dir)
+    assert(s4.frame("t").count() == 6)
+    assert(!Files.exists(tmp), "stale compact scratch not cleaned")
+  }
 }
