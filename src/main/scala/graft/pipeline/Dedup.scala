@@ -291,8 +291,10 @@ object Dedup {
     // + regex shingling + per-shingle md5 — the dominant cost (the same
     // lesson as incrementalDedup r11 / minhashEval r13 / prefix join r14).
     // (id, array<long>) is the narrow form; eviction costs recompute only.
-    val hashed = df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lifetime: registered — see the Projections caching contract.
+    val hashed = Projections.register(
+      df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms), nBands, rpb)
 
     // candidate pairs: ids sharing any band bucket (shuffle on band hash —
@@ -338,10 +340,11 @@ object Dedup {
     val (nBands, rpb) = resolveBanding(bands, rowsPerBand, threshold)
     val perms = nBands * rpb
     // each side feeds its banding leg AND its confirm leg — persist
-    // (spillable) so the shingling runs once per side, not twice
-    def prep(df: DataFrame) =
+    // (spillable) so the shingling runs once per side, not twice.
+    // Lifetime: registered — see the Projections caching contract.
+    def prep(df: DataFrame) = Projections.register(
       df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val ha = prep(a); val hb = prep(b)
     def bandSide(h: DataFrame, as: String) =
       bandTable(minhashColumns(h, col("id"), col("sh"), perms), nBands, rpb)
@@ -403,9 +406,11 @@ object Dedup {
     // Jaccard equals string-set Jaccard exactly unless two distinct
     // shingles of one compared pair collide in 64 bits (~2⁻⁶⁴ per pair —
     // the identical risk the minhash confirm tier already accepts).
-    val toks = df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("ts"))
-      .filter(size(col("ts")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lifetime: registered — see the Projections caching contract.
+    val toks = Projections.register(
+      df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("ts"))
+        .filter(size(col("ts")) > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val dfreq = toks.select(col("id"), explode(col("ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("dfq"))
     // per-doc tokens in (df ASC, token ASC) global order, prefix sliced
@@ -633,10 +638,12 @@ object Dedup {
     val perms = nBands * rpb
     // persisted (spillable): the banding leg and both text-side confirm
     // joins consume this — without it each leg re-runs the corpus scan +
-    // shingling (see minhashNearDups)
-    val hashed = df.select(col(idCol).as("id"), col(textCol).as("t"),
-      shingleHashes(col(textCol), ngram).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // shingling (see minhashNearDups).
+    // Lifetime: registered — see the Projections caching contract.
+    val hashed = Projections.register(
+      df.select(col(idCol).as("id"), col(textCol).as("t"),
+        shingleHashes(col(textCol), ngram).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms),
       nBands, rpb)
     val l = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
@@ -850,9 +857,18 @@ object Dedup {
       val spark = keys.sparkSession
       // the recorded scheme backfills absent band params so a default
       // (auto-banded) build still writes a scheme-carrying manifest —
-      // explicit params win (write() re-derives the band table under them)
+      // a FULL explicit pair wins (write() re-derives the band table under
+      // it). A HALF-explicit pair (just "bands" or just "rowsPerBand") is
+      // rejected: the old behavior wrote a partial-scheme manifest, so
+      // readArtifacts yielded banding=None and every downstream
+      // scheme-mismatch check was silently disabled (ADVICE r14).
+      val hasB = params0.contains("bands")
+      val hasR = params0.contains("rowsPerBand")
+      require(hasB == hasR,
+        s"pass both bands and rowsPerBand or neither; got ${params0.filter(
+          kv => kv._1 == "bands" || kv._1 == "rowsPerBand")}")
       val params = banding match {
-        case Some((b, r)) if !params0.contains("bands") && !params0.contains("rowsPerBand") =>
+        case Some((b, r)) if !hasB =>
           params0 + ("bands" -> b.toLong) + ("rowsPerBand" -> r.toLong)
         case _ => params0
       }
@@ -1038,11 +1054,26 @@ object Dedup {
   /** [[incrementalDedup]] against persisted [[DedupArtifacts]] — the form
     * whose per-batch plan contains NO corpus text scan (pinned in
     * PlanAuditSpec): corpus participation is three joins against the
-    * artifact tables (key set, band rows, candidate shingle sets). */
+    * artifact tables (key set, band rows, candidate shingle sets).
+    *
+    * The batch MUST be banded under the artifacts' own scheme — a batch
+    * banded 32x2 against 17x4 artifact bands produces band hashes that can
+    * NEVER collide with the corpus rows, silently admitting every near-dup
+    * (the same hazard [[updateDedupArtifacts]] guards). When the artifacts
+    * record their scheme it is authoritative: explicit `bands`/`rowsPerBand`
+    * must match it or be the auto sentinel (0, 0); `threshold`-based
+    * auto-resolution applies only to legacy scheme-less artifacts. */
   def incrementalDedup(batch: DataFrame, artifacts: DedupArtifacts,
       idCol: String, textCol: String, ngram: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val perms = bands * rowsPerBand
+    val (nBands, rpb) = artifacts.banding match {
+      case Some((ab, ar)) =>
+        require((bands == 0 && rowsPerBand == 0) || (bands == ab && rowsPerBand == ar),
+          s"artifact banding scheme is ${ab}x$ar; cannot decide batch with ${bands}x$rowsPerBand")
+        (ab, ar)
+      case None => resolveBanding(bands, rowsPerBand, threshold)
+    }
+    val perms = nBands * rpb
     // ONE tokenize pass over the batch, materialized (localCheckpoint —
     // batch-sized by definition): the content-key rung, the LSH banding,
     // both exact-Jaccard confirms and the within-batch self-join all reuse
@@ -1071,7 +1102,7 @@ object Dedup {
 
     // near-dup vs corpus: batch bands join corpus bands, exact-Jaccard confirm
     val bH = base.join(survIds, Seq("id"), "left_semi").select("id", "sh")
-    val bBand = bandTable(minhashColumns(bH, col("id"), col("sh"), perms), bands, rowsPerBand)
+    val bBand = bandTable(minhashColumns(bH, col("id"), col("sh"), perms), nBands, rpb)
     val candIds = bBand.join(artifacts.bands, Seq("band_idx", "band_hash"))
       .select("id", "cid").dropDuplicates("id", "cid")
     val nearCorpus = candIds

@@ -245,9 +245,11 @@ object Similarity {
     // the auto-depth count() is the scan that warms the cache — one pass
     // over the corpus serves all four consumers (r14; the same
     // multi-consumer lesson as the Dedup projections).
-    val v = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Lifetime: registered — see the Projections caching contract.
+    val v = Projections.register(
+      corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+        .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nPlanes =
       if (planes > 0 || !lshPrefilter) math.max(planes, 1) // exact mode never buckets
       else srpPlanesFor(v.count())
@@ -955,10 +957,11 @@ object Similarity {
     // each side feeds its bucket leg AND the confirm join — persist
     // (spillable) so quantize+norm run once per side; under planes=0 the
     // auto-depth counts are the scans that warm the caches
-    def side(df: DataFrame, id: String) = df
+    // Lifetime: registered — see the Projections caching contract.
+    def side(df: DataFrame, id: String) = Projections.register(df
       .select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(s"_q$id"))
       .withColumn(s"_n$id", sqrt(dotLong(col(s"_q$id"), col(s"_q$id")).cast("double")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val av = side(a, "a_id")
     val bv = side(b, "b_id")
     val nPlanes = if (planes > 0) planes else srpPlanesFor(av.count() + bv.count())

@@ -707,7 +707,18 @@ final class EventStore(val spark: SparkSession, val root: String,
     // content-derived snapshot identity: same snapshot ⇒ same key ⇒ a
     // crash-interrupted import re-run skips completed types and a retried
     // type replaces its own partial parts (writeSegmentIdempotent); a
-    // different snapshot of the same type gets a different key and appends
+    // different snapshot of the same type gets a different key and appends.
+    // Manifested snapshots (the export default) hash the manifest bytes,
+    // which cover every data file's content hash. The manifest-LESS
+    // fallback hashes name+size+mtime per data file: name+size alone
+    // collided on a same-size in-place edit (e.g. fixed-width JSON values
+    // changed), silently skipping the edited type as already-imported
+    // (ADVICE r14); mtime breaks that window. Crash-rerun idempotency is
+    // preserved — re-importing the SAME directory sees the same mtimes —
+    // but a byte-identical COPY (fresh mtimes) now appends a second pass of
+    // the rows, the documented cost of trusting an unmanifested directory:
+    // losing an edited snapshot's rows is worse than duplicating a copied
+    // one's, and exports always carry a manifest.
     val snapKey = {
       val md = java.security.MessageDigest.getInstance("MD5")
       if (Files.exists(manifest)) md.update(Files.readAllBytes(manifest))
@@ -716,7 +727,9 @@ final class EventStore(val spark: SparkSession, val root: String,
           .foreach(s => md.update(EventStore.schemaToJson(s).getBytes("UTF-8")))
         withData.foreach { case (s, src) =>
           EventStore.listDir(src).sortBy(_.getFileName.toString).foreach { p =>
-            md.update(s"${s.eventType}/${p.getFileName}:${Files.size(p)};".getBytes("UTF-8"))
+            val mtime = Files.getLastModifiedTime(p).toMillis
+            md.update(
+              s"${s.eventType}/${p.getFileName}:${Files.size(p)}:$mtime;".getBytes("UTF-8"))
           }
         }
       }

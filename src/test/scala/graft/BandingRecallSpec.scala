@@ -254,6 +254,38 @@ class BandingRecallSpec extends AnyFunSuite {
         bands = 32, rowsPerBand = 2)
     }
     assert(sErr.getMessage.contains("17x4"))
+    // DECIDING a batch shares the contract too (ADVICE r14 medium): a batch
+    // banded 32x2 against 17x4 artifact bands can never collide, so every
+    // near-dup would be silently admitted — fail fast instead
+    val dErr = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(batch, back, "doc_id", "text", 3, 32, 2, 0.5)
+    }
+    assert(dErr.getMessage.contains("17x4"))
+    // the auto sentinel resolves to the RECORDED scheme, not the
+    // threshold-derived default — identical decisions to the explicit call
+    val autoDec = Dedup.incrementalDedup(batch, back, "doc_id", "text", 3, 0, 0, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(autoDec == dec.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("artifact write rejects a half-explicit band scheme (partial manifest hazard)") {
+    import spark.implicits._
+    val docs = (0 until 8).map(i => (i.toLong, s"short corpus doc $i body words"))
+      .toDF("doc_id", "text")
+    val art = Dedup.buildDedupArtifacts(docs, "doc_id", "text", bands = 17, rowsPerBand = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_half_").toString
+    // passing just one of the pair used to write a PARTIAL-scheme manifest:
+    // readArtifacts then yielded banding=None, disabling every downstream
+    // scheme-mismatch check (ADVICE r14)
+    intercept[IllegalArgumentException] {
+      art.write(s"$dir/art", Map("bands" -> 32L))
+    }
+    intercept[IllegalArgumentException] {
+      art.write(s"$dir/art", Map("rowsPerBand" -> 2L))
+    }
+    // neither explicit key: the recorded scheme backfills the manifest
+    art.write(s"$dir/art")
+    assert(Dedup.readArtifacts(spark, s"$dir/art").banding.contains((17, 4)))
   }
 
   test("minhashEval enforces its O(n²) truth bound in-function") {

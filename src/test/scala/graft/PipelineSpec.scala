@@ -217,6 +217,18 @@ class PipelineSpec extends AnyFunSuite {
       300007L -> "dup_exact_corpus"))
   }
 
+  test("Projections.release frees registered projection caches; results stay correct") {
+    Projections.release() // drain anything registered by earlier tests
+    val expected = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a fresh invocation registers its persisted projection…
+    val out = Dedup.minhashNearDups(docs, "doc_id", "text")
+    assert(Projections.release() >= 1, "operator did not register its projection")
+    // …and releasing BEFORE consumption is safe: the projection recomputes
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    Projections.release()
+  }
+
   test("simhash of near-dups differs in few bits; unrelated differs in many") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("s")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

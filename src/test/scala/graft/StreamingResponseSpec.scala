@@ -252,4 +252,45 @@ class StreamingResponseSpec extends AnyFunSuite {
     assert(st.importSnapshot(snap2) == Right(2))
     assert(st.frame("a").count() == 9, "second snapshot must append (4 + 5 rows)")
   }
+
+  test("manifest-less snapshot: same-size in-place edit re-imports instead of skipping") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val src = new EventStore(spark, Files.createTempDirectory("graft_mless_src_").toString)
+    src.execute("""DEFINE t FIELDS { v: "int" }""")
+    (1 to 6).foreach(i => src.execute(s"""STORE t FOR c${i % 2} PAYLOAD {"v": $i}"""))
+    src.execute("FLUSH")
+    val snap = Files.createTempDirectory("graft_mless_snap_").toString
+    src.exportSnapshot(snap)
+    // drop the manifest: the import falls back to the name+size+mtime key
+    Files.delete(Paths.get(snap, "manifest.json"))
+
+    val st = new EventStore(spark, Files.createTempDirectory("graft_mless_dst_").toString)
+    assert(st.importSnapshot(snap) == Right(1))
+    assert(st.frame("t").count() == 6)
+    assert(st.frame("t").agg(sum(col("v"))).head.getLong(0) == 21L)
+    // untouched re-import stays idempotent (same names, sizes, mtimes)
+    assert(st.importSnapshot(snap) == Right(1))
+    assert(st.frame("t").count() == 6, "untouched manifest-less re-import duplicated rows")
+
+    // SAME-SIZE in-place edit: "v":6 → "v":9 keeps every file's byte length;
+    // under the old name+size key this collided with the committed marker
+    // and the edited snapshot was silently skipped (ADVICE r14)
+    val edited = Files.list(Paths.get(snap, "t")).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .find(p => new String(Files.readAllBytes(p), "UTF-8").contains("\"v\":6")).get
+    val body = new String(Files.readAllBytes(edited), "UTF-8")
+    Files.write(edited, body.replace("\"v\":6", "\"v\":9").getBytes("UTF-8"))
+    // drop the Hadoop local-FS checksum sidecar the export left behind —
+    // an externally edited snapshot wouldn't carry a stale .crc
+    val crc = edited.getParent.resolve(s".${edited.getFileName}.crc")
+    if (Files.exists(crc)) Files.delete(crc)
+    Files.setLastModifiedTime(edited,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(edited).toMillis + 5000L))
+    assert(st.importSnapshot(snap) == Right(1))
+    assert(st.frame("t").count() == 12, "edited manifest-less snapshot was skipped")
+    // appended pass carries the edit: 21 + (21 - 6 + 9) = 45
+    assert(st.frame("t").agg(sum(col("v"))).head.getLong(0) == 45L)
+  }
 }

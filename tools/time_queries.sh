@@ -39,18 +39,24 @@ for (p <- 1 to $PASSES; n <- names) {
 }
 sys.exit(0)
 EOF
+  # run the pipeline with errexit SUSPENDED: under set -e, a JVM that dies
+  # before emitting any TIMING line makes `grep` exit 1 and aborts the whole
+  # script right here — no CHUNKFAIL line, remaining chunks never run
+  # (ADVICE r14). Suspending errexit lets PIPESTATUS be inspected in every
+  # failure shape: JVM dead after some TIMING lines (rc0!=0, rc1=0), JVM
+  # dead before any (rc1=1), both.
+  local rcs
+  set +e
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" /opt/spark/bin/spark-shell \
     --master "local[${SPARK_GRAFT_CPUS:-32}]" --conf spark.ui.enabled=false \
     --driver-java-options "$(echo $OPENS) -Dspark.sql.session.timeZone=UTC" \
     --driver-memory 16g \
     --driver-class-path "target/scala-2.13/classes" -i /tmp/_timeq.scala 2>/dev/null \
     | grep TIMING
-  # the grep pipe swallows a dead spark-shell (rc masked by grep's 0):
-  # surface it so a mid-chunk JVM death is a visible CHUNKFAIL line, not a
-  # silently short result file, and the remaining chunks still run
-  local rcs=("${PIPESTATUS[@]}")
-  if [ "${rcs[0]}" -ne 0 ]; then
-    echo "CHUNKFAIL rc=${rcs[0]} gates=$qs"
+  rcs=("${PIPESTATUS[@]}")
+  set -e
+  if [ "${rcs[0]}" -ne 0 ] || [ "${rcs[1]}" -ne 0 ]; then
+    echo "CHUNKFAIL rc=${rcs[0]} grep_rc=${rcs[1]} gates=$qs"
   fi
 }
 
