@@ -140,6 +140,10 @@ object Bench {
     }
     writeFull(stamped)
     if (!new java.io.File("bench/BENCH_FULL.json").exists()) writeFull("bench/BENCH_FULL.json")
+    // deterministic "latest" pointer, overwritten each run — ONE JSON
+    // document (the r14 sprawl had a hand-concatenated LATEST that broke
+    // naive json.load; the stamped history files remain the archive)
+    writeFull("bench/BENCH_FULL_LATEST.json")
 
     // Compact FINAL line, kept under the 2000-char tail budget so the driver
     // can actually parse it: summary stats plus per-query timings (3 dp,
