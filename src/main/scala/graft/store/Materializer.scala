@@ -56,6 +56,29 @@ final class Materializer(store: EventStore) {
     * the per-bucket directory swap a driver-side metadata operation. */
   private val SeqBuckets = 64
 
+  /** Affected-key sets at or under this size are collected and pushed into
+    * the re-match scans as a LITERAL membership predicate instead of a
+    * semi-join. The join form is delta-proportional in SHUFFLE but not in
+    * SCAN — the corpus side still reads every step type's full data to
+    * probe it, which at 100 TB is a corpus scan per SHOW even for a
+    * one-user delta. A literal In/InSet reaches the Parquet reader
+    * (row-group stats pruning on the context-sorted segment layout) and
+    * removes the join from the plan entirely.
+    *
+    * The cap is 128, NOT "whatever fits on the driver": (a) Parquet In
+    * pushdown degrades to a min/max range filter past
+    * `spark.sql.parquet.pushdown.inFilterThreshold`, so row-group
+    * effectiveness concentrates at small key counts; (b) the literal
+    * expression's plan/codegen cost grows with key count and is
+    * corpus-INDEPENDENT — measured +0.8 s per SHOW at 1500 keys on the
+    * sf0.1 gate (PLANS.md r15), a pure loss whenever the scan it saves is
+    * cheap; (c) large key sets are exactly what the semi-join (plus
+    * Spark's runtime bloom-filter pruning on a real cluster) is for.
+    * Tunable (`spark.graft.show.affectedKeyCap`) so both paths stay
+    * test-covered; 0 disables the pushdown. */
+  private def affectedKeyPushdownCap: Long =
+    spark.conf.get("spark.graft.show.affectedKeyCap", "128").toLong
+
   private def seqBucket(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(SeqBuckets))
 
@@ -264,10 +287,14 @@ final class Materializer(store: EventStore) {
     * with a delta event are re-matched from the full store restricted to
     * those link keys; untouched groups keep their stored rows verbatim.
     *
-    * Scale shape: the affected-key table is bounded by the delta batch, so
-    * the semi-join restricting the corpus broadcasts it (no corpus shuffle);
-    * the re-match shuffles only affected groups' events; and the stored
-    * rewrite touches only the bucket directories containing affected keys. */
+    * Scale shape: the affected-key table is bounded by the delta batch.
+    * Small key sets (≤ [[AffectedKeyPushdownCap]]) are collected and pushed
+    * into the re-match scans as a literal membership predicate — the scan
+    * itself becomes delta-proportional (Parquet row-group pruning on the
+    * context-sorted layout) and no join appears in the plan; larger sets
+    * fall back to a broadcast semi-join (no corpus shuffle). The re-match
+    * shuffles only affected groups' events; the stored rewrite touches only
+    * the bucket directories containing affected keys. */
   private def showSequence(name: String, dir: Path, meta: Meta,
       query: QueryCmd): ExecResult = {
     val dataDir = dir.resolve("data")
@@ -328,21 +355,38 @@ final class Materializer(store: EventStore) {
       val affBkts = affected.select(seqBucket(col("__aff_link")).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       if (affBkts.nonEmpty) {
+        // bounded collect (≤ AffectedKeyPushdownCap strings, cap enforced
+        // by the count on the checkpointed frame): small deltas push their
+        // keys as a literal predicate — scan-proportional to the delta —
+        // instead of semi-joining against a corpus-wide scan (scaladoc on
+        // the cap). Key collection also replaces the keep-side anti-join.
+        val cap = affectedKeyPushdownCap
+        val affKeys: Option[Seq[String]] =
+          if (cap > 0 && affected.count() <= cap)
+            Some(affected.collect().map(_.getString(0)).toIndexedSeq)
+          else None
         val restricted: graft.engine.EventSource = new graft.engine.EventSource {
           override def eventTypes: Seq[String] = store.eventTypes
           override def frame(t: String): DataFrame = {
             val f = store.frame(t)
             if (!f.columns.contains(linkField)) f
-            else f.join(affected,
-              f(linkField).cast("string") === affected("__aff_link"), "left_semi")
+            else affKeys match {
+              case Some(keys) => f.filter(f(linkField).cast("string").isInCollection(keys))
+              case None => f.join(affected,
+                f(linkField).cast("string") === affected("__aff_link"), "left_semi")
+            }
           }
           override def schemaOf(t: String) = store.schemaOf(t)
         }
         val fresh = QueryCompiler.compile(query, restricted)
           .withColumn("_bkt", seqBucket(col("link_value")))
         val stored = spark.read.schema(storedSchema).parquet(dataDir.toString)
-        val keep = stored.filter(col("_bkt").isInCollection(affBkts))
-          .join(affected, stored("link_value") === affected("__aff_link"), "left_anti")
+        val inAff = stored.filter(col("_bkt").isInCollection(affBkts))
+        val keep = affKeys match {
+          case Some(keys) => inAff.filter(!col("link_value").isInCollection(keys))
+          case None => inAff
+            .join(affected, stored("link_value") === affected("__aff_link"), "left_anti")
+        }
         replaceBuckets(dataDir, keep.unionByName(fresh), affBkts)
       }
       writeMeta(name, meta.copy(hwmId = newHwm))

@@ -38,8 +38,9 @@ class CollectAuditSpec extends AnyFunSuite {
       "one persisted params row (codebook metadata)"),
     "sources/CatalogEventSource.scala" -> (1,
       "spark catalog table listing (catalog grain)"),
-    "store/Materializer.scala" -> (1,
-      "affected bucket ids (<= SeqBuckets = 64 by construction)"),
+    "store/Materializer.scala" -> (2,
+      "affected bucket ids (<= SeqBuckets = 64 by construction); " +
+        "affected link keys (<= affectedKeyPushdownCap = 128, count-gated)"),
     "store/EventStore.scala" -> (4,
       "1-row max-id aggregates (x2), WAL-recovery committed-id probe " +
         "(bounded by the un-checkpointed WAL tail's candidate ids), " +

@@ -169,6 +169,33 @@ class StoreSpec extends AnyFunSuite {
     assert(pairs() == Map("u1" -> ((100L, 200L, 11L)), "u2" -> ((100L, 150L, 20L))))
   }
 
+  test("sequence SHOW: semi-join fallback (pushdown cap 0) matches the literal-pushdown path") {
+    import spark.implicits._
+    val s = newStore()
+    s.execute("""DEFINE a FIELDS { v: "int" }""")
+    s.execute("""DEFINE b FIELDS { v: "int" }""")
+    def ing(t: String, rows: Seq[(String, Long, Int)]): Unit =
+      s.ingestFrame(t, rows.toDF("ctx", "ts", "v"), "ctx", Some("ts"))
+        .left.foreach(e => fail(e))
+    ing("a", Seq(("u1", 100L, 1), ("u2", 100L, 2)))
+    ing("b", Seq(("u1", 300L, 10), ("u2", 150L, 20)))
+    assert(ok(s.execute("REMEMBER QUERY a FOLLOWED BY b LINKED BY context_id AS fj")).contains("remembered"))
+    def pairs(): Map[String, (Long, Long)] =
+      frame(s.execute("SHOW fj")).collect().map(r => r.getAs[String]("link_value") ->
+        ((r.getAs[Long]("b_timestamp"), r.getAs[Long]("b_v")))).toMap
+    assert(pairs() == Map("u1" -> ((300L, 10L)), "u2" -> ((150L, 20L))))
+    // disable the literal pushdown: the delta refresh must take the
+    // broadcast semi-join path and produce the identical replacement
+    spark.conf.set("spark.graft.show.affectedKeyCap", "0")
+    try {
+      ing("b", Seq(("u1", 200L, 11)))
+      assert(pairs() == Map("u1" -> ((200L, 11L)), "u2" -> ((150L, 20L))))
+    } finally spark.conf.unset("spark.graft.show.affectedKeyCap")
+    // and back on the default pushdown path for the next delta
+    ing("b", Seq(("u2", 120L, 21)))
+    assert(pairs() == Map("u1" -> ((200L, 11L)), "u2" -> ((120L, 21L))))
+  }
+
   test("sequence SHOW recovers a bucket a crash left aside mid-swap") {
     import spark.implicits._
     val s = newStore()
