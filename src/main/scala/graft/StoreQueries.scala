@@ -119,11 +119,45 @@ object StoreQueries {
     }
   }
 
+  /** The 100 TB nightly shape of sequence SHOW: the time-sliced
+    * [[rememberShowSeq]] fixture touches every link key per delta (a full
+    * re-match by construction, PLANS.md r15), so this gate splits by USER
+    * instead — REMEMBER over all but a small deterministic user slice
+    * (crc32 mod 40 ≈ 2.5% of users), then ingest just that slice and SHOW.
+    * The affected-key set is under the literal-pushdown cap, so the
+    * refresh takes the delta-proportional scan path (`PushedFilters: In`)
+    * end-to-end, and the final state must still equal the sequence query
+    * over the full stream. */
+  def rememberShowSeqDelta(spark: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(spark)
+    store.execute("""DEFINE signup FIELDS { value: "float", props: "string" }""")
+    store.execute("""DEFINE purchase FIELDS { value: "float", props: "string" }""")
+    val src = new TestDataSource(spark, dir)
+    val held = pmod(crc32(col("context_id")), lit(40)) === 0
+    def slice(t: String, pred: org.apache.spark.sql.Column): Unit =
+      store.ingestFrame(t,
+        src.frame(t).select(col("context_id"), col("timestamp"), col("value"), col("props"))
+          .filter(pred),
+        "context_id", Some("timestamp"))
+        .left.foreach(e => throw new IllegalStateException(e))
+    slice("signup", !held); slice("purchase", !held)
+    store.execute("REMEMBER QUERY signup FOLLOWED BY purchase LINKED BY context_id AS funnel_d") match {
+      case ExecResult.Error(e, _) => throw new IllegalStateException(e)
+      case _                      => ()
+    }
+    slice("signup", held); slice("purchase", held)
+    store.execute("SHOW funnel_d") match { // delta-sized incremental refresh
+      case ExecResult.Frame(df) => df
+      case other                => throw new IllegalStateException(other.toString)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_roundtrip"   -> ((s, d) => storeRoundtrip(s, d)),
     "q_remember_show"     -> ((s, d) => rememberShow(s, d)),
     "q_remember_show_agg" -> ((s, d) => rememberShowAgg(s, d)),
-    "q_remember_show_seq" -> ((s, d) => rememberShowSeq(s, d))
+    "q_remember_show_seq" -> ((s, d) => rememberShowSeq(s, d)),
+    "q_remember_show_seq_delta" -> ((s, d) => rememberShowSeqDelta(s, d))
   )
 
   private val purchaseView =
@@ -140,6 +174,14 @@ object StoreQueries {
     // sequence query over the FULL stream (eid tie-breaks never fire — the
     // fixture has no duplicate (user, second) pairs per type)
     "q_remember_show_seq" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'purchase')
+        |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
+        |       p.t AS purchase_timestamp, p.value AS purchase_value, p.props AS purchase_props
+        |FROM s JOIN p ON s.link = p.link AND p.t >= s.t
+        |QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1""".stripMargin,
+    // the user-sliced delta gate converges to the SAME full-stream state
+    "q_remember_show_seq_delta" ->
       """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'signup'),
         |p AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'purchase')
         |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
