@@ -172,21 +172,19 @@ object StoreQueries {
       s"""WITH e AS ($purchaseView) SELECT props, CAST(count(*) AS BIGINT) AS "count", CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS total_value, avg(CAST(trunc(value) AS BIGINT)) AS avg_value, min(value) AS min_value, max(value) AS max_value, CAST(count(DISTINCT context_id) AS BIGINT) AS count_unique_context_id FROM e GROUP BY 1""",
     // same shape as q_seq_followed: the materialized funnel must equal the
     // sequence query over the FULL stream (eid tie-breaks never fire — the
-    // fixture has no duplicate (user, second) pairs per type)
-    "q_remember_show_seq" ->
-      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'signup'),
-        |p AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'purchase')
-        |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
-        |       p.t AS purchase_timestamp, p.value AS purchase_value, p.props AS purchase_props
-        |FROM s JOIN p ON s.link = p.link AND p.t >= s.t
-        |QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1""".stripMargin,
-    // the user-sliced delta gate converges to the SAME full-stream state
-    "q_remember_show_seq_delta" ->
-      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'signup'),
-        |p AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'purchase')
-        |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
-        |       p.t AS purchase_timestamp, p.value AS purchase_value, p.props AS purchase_props
-        |FROM s JOIN p ON s.link = p.link AND p.t >= s.t
-        |QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1""".stripMargin
+    // fixture has no duplicate (user, second) pairs per type). The
+    // user-sliced delta gate converges to the SAME full-stream state, so
+    // both gates share ONE oracle binding — editing one cannot silently
+    // diverge the other.
+    "q_remember_show_seq" -> seqFunnelOracle,
+    "q_remember_show_seq_delta" -> seqFunnelOracle
   )
+
+  private val seqFunnelOracle =
+    """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'signup'),
+      |p AS (SELECT CAST(user_id AS VARCHAR) AS link, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS eid, value, props FROM events WHERE event_type = 'purchase')
+      |SELECT s.link AS link_value, s.t AS signup_timestamp, s.value AS signup_value, s.props AS signup_props,
+      |       p.t AS purchase_timestamp, p.value AS purchase_value, p.props AS purchase_props
+      |FROM s JOIN p ON s.link = p.link AND p.t >= s.t
+      |QUALIFY row_number() OVER (PARTITION BY s.link, s.eid ORDER BY p.t, p.eid) = 1""".stripMargin
 }

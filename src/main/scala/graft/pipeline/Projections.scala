@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.lang.ref.WeakReference
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.DataFrame
@@ -14,40 +13,42 @@ import org.apache.spark.sql.DataFrame
   * unpersisted inside the operator — the returned DataFrame is lazy, and
   * its plan consumes the projection two-to-three times, so an eager
   * unpersist would re-run the dominant shingling/quantize cost per leg.
-  * The blocks are reclaimed by Spark's ContextCleaner once the result
-  * DataFrame (whose plan strongly references the cached relation) becomes
-  * unreachable. A LONG-LIVED session invoking these operators repeatedly
-  * without dropping its result references accumulates cached+spilled
-  * blocks; such callers should either let results go out of scope between
-  * invocations or call [[Projections.release]] after consuming a result —
-  * releasing early is always SAFE (an evicted projection recomputes; it
-  * never changes results), it only costs recompute if the same result is
-  * re-consumed afterwards.
+  * Spark's SQL cache is NOT garbage-collected: `CacheManager` holds every
+  * persisted plan strongly until an explicit unpersist, so a long-lived
+  * session invoking these operators repeatedly accumulates cached+spilled
+  * blocks with no automatic reclamation. This registry is therefore the
+  * OWNER of those projections: it holds strong references, and
+  * [[Projections.release]] is the explicit boundary such callers invoke
+  * after consuming a result. Releasing early is always SAFE (an evicted
+  * projection recomputes; it never changes results) — it only costs
+  * recompute if the same result is re-consumed afterwards. Short-lived
+  * sessions (one job, then stop) can ignore the registry entirely; the
+  * blocks die with the session.
   */
 object Projections {
-  private val refs = new ConcurrentLinkedQueue[WeakReference[DataFrame]]()
+  // strong references ON PURPOSE: CacheManager already pins the cached
+  // plan + blocks until unpersist, so a weak registry would lose its only
+  // handle at the first GC while the blocks live on (r15 review finding);
+  // the wrapper Dataset this queue retains is negligible next to them.
+  private val refs = new ConcurrentLinkedQueue[DataFrame]()
 
   /** Persisted-projection registration — operators call this on each
-    * projection right after `.persist(...)`. Weakly referenced: the
-    * registry never delays ContextCleaner's normal reclamation. */
+    * projection right after `.persist(...)`. */
   private[graft] def register(df: DataFrame): DataFrame = {
-    refs.add(new WeakReference(df))
+    refs.add(df)
     df
   }
 
-  /** Unpersist (non-blocking) every still-live registered projection and
-    * clear the registry; returns how many were released. The explicit
-    * boundary for long-lived sessions — see the caching contract above. */
+  /** Unpersist (non-blocking) every registered projection and clear the
+    * registry; returns how many were released. The explicit boundary for
+    * long-lived sessions — see the caching contract above. */
   def release(): Int = {
     var n = 0
-    var ref = refs.poll()
-    while (ref != null) {
-      val df = ref.get()
-      if (df != null) {
-        df.unpersist(false)
-        n += 1
-      }
-      ref = refs.poll()
+    var df = refs.poll()
+    while (df != null) {
+      df.unpersist(false)
+      n += 1
+      df = refs.poll()
     }
     n
   }

@@ -713,23 +713,47 @@ final class EventStore(val spark: SparkSession, val root: String,
     // fallback hashes name+size+mtime per data file: name+size alone
     // collided on a same-size in-place edit (e.g. fixed-width JSON values
     // changed), silently skipping the edited type as already-imported
-    // (ADVICE r14); mtime breaks that window. Crash-rerun idempotency is
-    // preserved — re-importing the SAME directory sees the same mtimes —
-    // but a byte-identical COPY (fresh mtimes) now appends a second pass of
-    // the rows, the documented cost of trusting an unmanifested directory:
-    // losing an edited snapshot's rows is worse than duplicating a copied
-    // one's, and exports always carry a manifest.
+    // (ADVICE r14); mtime narrows that window but mtime-PRESERVING tools
+    // (tar -x, rsync -a, cp -p) re-materialize an edited snapshot with the
+    // original stamps, so the key also folds in a CONTENT SAMPLE — the
+    // first and last 64 KiB of each data file (r15 review finding). An
+    // edit that changes only un-sampled middle bytes AND preserves size
+    // and mtime is the residual window; exports always carry a manifest
+    // (whose per-file content hashes close it completely). Crash-rerun
+    // idempotency is preserved — re-importing the SAME directory sees the
+    // same bytes — but a byte-identical COPY with fresh mtimes appends a
+    // second pass of the rows, the documented cost of trusting an
+    // unmanifested directory: losing an edited snapshot's rows is worse
+    // than duplicating a copied one's.
     val snapKey = {
       val md = java.security.MessageDigest.getInstance("MD5")
       if (Files.exists(manifest)) md.update(Files.readAllBytes(manifest))
       else {
         parsed.sortBy(_.eventType)
           .foreach(s => md.update(EventStore.schemaToJson(s).getBytes("UTF-8")))
+        val sample = 64 * 1024
         withData.foreach { case (s, src) =>
           EventStore.listDir(src).sortBy(_.getFileName.toString).foreach { p =>
+            val size = Files.size(p)
             val mtime = Files.getLastModifiedTime(p).toMillis
-            md.update(
-              s"${s.eventType}/${p.getFileName}:${Files.size(p)}:$mtime;".getBytes("UTF-8"))
+            md.update(s"${s.eventType}/${p.getFileName}:$size:$mtime;".getBytes("UTF-8"))
+            val ch = java.nio.channels.FileChannel.open(p,
+              java.nio.file.StandardOpenOption.READ)
+            try {
+              def digest(off: Long, len: Int): Unit = {
+                val buf = java.nio.ByteBuffer.allocate(len)
+                var pos = off
+                while (buf.hasRemaining) {
+                  val n = ch.read(buf, pos)
+                  if (n < 0) return
+                  pos += n
+                }
+                buf.flip(); md.update(buf)
+              }
+              digest(0L, math.min(size, sample.toLong).toInt)
+              if (size > sample) digest(math.max(sample.toLong, size - sample),
+                math.min(sample.toLong, size - sample).toInt)
+            } finally ch.close()
           }
         }
       }

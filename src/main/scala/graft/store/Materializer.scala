@@ -288,7 +288,7 @@ final class Materializer(store: EventStore) {
     * those link keys; untouched groups keep their stored rows verbatim.
     *
     * Scale shape: the affected-key table is bounded by the delta batch.
-    * Small key sets (≤ [[AffectedKeyPushdownCap]]) are collected and pushed
+    * Small key sets (≤ [[affectedKeyPushdownCap]]) are collected and pushed
     * into the re-match scans as a literal membership predicate — the scan
     * itself becomes delta-proportional (Parquet row-group pruning on the
     * context-sorted layout) and no join appears in the plan; larger sets
@@ -355,7 +355,7 @@ final class Materializer(store: EventStore) {
       val affBkts = affected.select(seqBucket(col("__aff_link")).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       if (affBkts.nonEmpty) {
-        // bounded collect (≤ AffectedKeyPushdownCap strings, cap enforced
+        // bounded collect (≤ affectedKeyPushdownCap strings, cap enforced
         // by the count on the checkpointed frame): small deltas push their
         // keys as a literal predicate — scan-proportional to the delta —
         // instead of semi-joining against a corpus-wide scan (scaladoc on

@@ -189,7 +189,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .select(fcol("id").as("doc_id"), concat_ws(" ", lit("synthetic"), lit("body"),
         (fcol("id") % 7).cast("string"), (fcol("id") % 11).cast("string")).as("text"))
     val p = plan(graft.pipeline.Dedup.incrementalDedup(
-      batch, art, "doc_id", "text", 3, 32, 2, 0.5))
+      batch, art, "doc_id", "text", 3, 0, 0, 0.5))
     assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"),
       s"corpus-sized scan leaked into the per-batch plan:\n$p")
     assert(p.contains("ExistingRDD") || p.contains("Scan RDD"),
@@ -214,7 +214,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .select(fcol("id").as("doc_id"), concat_ws(" ", lit("synthetic"), lit("body"),
         (fcol("id") % 7).cast("string"), (fcol("id") % 11).cast("string")).as("text"))
     val p = plan(graft.pipeline.Dedup.incrementalDedup(
-      batch, art, "doc_id", "text", 3, 32, 2, 0.5))
+      batch, art, "doc_id", "text", 3, 0, 0, 0.5))
     // every parquet Location in the per-batch plan must point into the
     // artifact dir (the artifact tables are referenced by several joins —
     // each reference is artifact-sized, never corpus text)

@@ -41,14 +41,23 @@ else
     java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch \
     sun.nio.cs sun.security.action sun.util.calendar; do \
     echo --add-opens java.base/$p=ALL-UNNAMED; done)
+  # parse THIS run's stdout (the full-precision line is printed first) —
+  # validating bench/BENCH_FULL_LATEST.json would silently grade a STALE
+  # file if the write failed (Bench wraps file writes in Try by design)
+  BOUT=$(mktemp)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     java $OPENS -Xmx16g -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
-    | tail -1 || fail "bench run"
-  python3 -c "import json; d=json.load(open('bench/BENCH_FULL_LATEST.json')); \
+    > "$BOUT" || fail "bench run"
+  tail -1 "$BOUT"
+  # the full-precision line is the first {"metric"... line WITHOUT the
+  # compact line's queries_full pointer (robust to stray stdout noise)
+  grep -v '"queries_full"' "$BOUT" | grep -m1 '^{"metric"' \
+    | python3 -c "import json,sys; d=json.load(sys.stdin); \
 assert not d['failed_queries'], d['failed_queries']; \
 print('bench composite %.1f s, %d queries, contended=%s' % \
 (d['value'], len(d['queries']), d['contended']))" || fail "bench had failed queries"
+  rm -f "$BOUT"
 fi
 
 echo "ROUND-CLOSE GREEN: all gates passed"
