@@ -72,15 +72,32 @@ object StreamingAnomaly {
           }
 
           def close(st0: AnomalyState, upto: Long): AnomalyState = {
-            // close the open day, then every zero gap day strictly before `upto`
+            // close the open day, then every zero gap day strictly before
+            // `upto` — but only the first windowDays+1 of them can score
+            // (beyond that the trailing window is all zeros, total = 0,
+            // and score() emits nothing), so a long gap FAST-FORWARDS in
+            // O(windowDays) instead of O(gap days). Without the bound one
+            // corrupt far-future timestamp (e.g. epoch-millis in a seconds
+            // field, day ≈ 19.7M) spun the state handler for minutes and
+            // then poisoned the type's openDay forever (r15 review
+            // finding); the loop cost is now input-independent.
             var s = st0
             var d = s.openDay
             var c = s.openCnt
-            while (d < upto) {
+            val scoreUpto = math.min(upto, s.openDay + windowDays + 1L)
+            while (d < scoreUpto) {
               score(d, c, s.trail, s.firstDay)
               val trail = ((d, c) :: s.trail).filter(_._1 >= d - windowDays + 1)
               s = AnomalyState(s.firstDay, d + 1, 0L, trail)
               d += 1; c = 0L
+            }
+            if (s.openDay < upto) {
+              // the skipped days are all zero-count with zero trailing
+              // total; land on `upto` with the all-zero trail the loop
+              // would have produced
+              val zeroTrail = ((upto - 1) until (upto - windowDays - 1) by -1)
+                .map(zd => (zd, 0L)).toList
+              s = AnomalyState(s.firstDay, upto, 0L, zeroTrail)
             }
             s
           }

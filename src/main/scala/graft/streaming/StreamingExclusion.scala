@@ -48,6 +48,7 @@ object StreamingExclusion {
   def exclusionFunnel(events: DataFrame, stepA: String, stepB: String,
       excludeC: String, watermarkDelay: String = "10 minutes",
       horizonMs: Long = 3600000L): Dataset[ExclStatus] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
     val spark = events.sparkSession
     import spark.implicits._
     val sideExpr = when(col(EventSchema.EventType) === stepA, lit(0))
@@ -89,8 +90,14 @@ object StreamingExclusion {
               }
             }
             state.update(st)
+            // clamp to the watermark (the StreamingSequence pattern): a
+            // late in-watermark event must neither SHRINK the eviction
+            // deadline below watermark + horizon nor produce a timeout at
+            // or behind the watermark (Spark rejects that and fails the
+            // query) — r15 review finding
             if (maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(maxTs * 1000L + horizonMs)
+              state.setTimeoutTimestamp(math.max(maxTs * 1000L,
+                state.getCurrentWatermarkMs()) + horizonMs)
             val excluded = st.kb != Unset && st.kc != Unset && st.kc < st.kb
             Iterator.single(ExclStatus(ctx,
               if (st.ka == Unset) None else Some(st.ka >>> 32),

@@ -84,9 +84,13 @@ object StreamingPipeline {
       // rows through the join, emitting duplicate decisions per document.
       // persist(): Spark re-plans stream-static sides EVERY micro-batch —
       // without the cache each trigger re-runs the corpus-sized distinct;
-      // with it, one job at first trigger, cache reads after (caller may
-      // unpersist after stopping the query)
-      .join(corpusKeys.select(col("ck")).distinct().withColumn("in_corpus", lit(true)).persist(),
+      // with it, one job at first trigger, cache reads after. The frame is
+      // built inline so the CALLER has no handle to unpersist — it is
+      // registered, and Projections.release() after stopping the query is
+      // the reclamation boundary (r15 review finding).
+      .join(graft.pipeline.Projections.register(
+          corpusKeys.select(col("ck")).distinct()
+            .withColumn("in_corpus", lit(true)).persist()),
         Seq("ck"), "left")
       .select(col("ck"), col(idCol).cast("long").as("id"),
         coalesce(col("in_corpus"), lit(false)).as("inCorpus"),
@@ -179,10 +183,17 @@ object StreamingPipeline {
       case None => Dedup.resolveBanding(bands, rowsPerBand, threshold)
     }
 
-    val ckeys = artifacts.keys.select(col("ck")).distinct()
-      .withColumn("in_corpus", lit(true)).persist()
-    val cBands = artifacts.bands.select("cid", "band_idx", "band_hash").persist()
-    val cSh = artifacts.shingles.select(col("cid"), col("sh").as("sh_c")).persist()
+    // stream-static sides re-plan per trigger — persist, and REGISTER so a
+    // stopped query's corpus-sized caches have an explicit release path
+    // (Projections.release(); the frames are built inline, the caller has
+    // no handle — r15 review finding)
+    import graft.pipeline.Projections
+    val ckeys = Projections.register(artifacts.keys.select(col("ck")).distinct()
+      .withColumn("in_corpus", lit(true)).persist())
+    val cBands = Projections.register(
+      artifacts.bands.select("cid", "band_idx", "band_hash").persist())
+    val cSh = Projections.register(
+      artifacts.shingles.select(col("cid"), col("sh").as("sh_c")).persist())
 
     val base = stream
       .withColumn("__event_time", timestamp_seconds(col(eventTimeCol).cast("long")))
@@ -199,9 +210,17 @@ object StreamingPipeline {
         lit(false).as("confirm"), col("__event_time").as("et"))
 
     // LSH candidates that CONFIRM: per-row band hashes → band equi-join →
-    // shingle join (candidates only) → exact Jaccard ≥ threshold
-    val withSh = base.select(col("ck"), col("id"), col("__event_time"),
-      Dedup.shingleHashes(col("__text"), ngram).as("sh_b"))
+    // shingle join (candidates only) → exact Jaccard ≥ threshold.
+    // Exact-corpus duplicates are EXCLUDED first (stream-static left_anti
+    // on the key set): their verdict is already dup_exact_corpus, so
+    // banding them paid nBands×rpb md5 evaluations plus the candidate
+    // join per trigger for rows whose confirm flag the collapse discards —
+    // on a dedup-heavy ingest that was most of the per-trigger CPU (r15
+    // review finding; the batch sibling restricts its near-dup leg to
+    // exact survivors the same way).
+    val withSh = base.join(ckeys.select("ck"), Seq("ck"), "left_anti")
+      .select(col("ck"), col("id"), col("__event_time"),
+        Dedup.shingleHashes(col("__text"), ngram).as("sh_b"))
     val banded = withSh.select(col("ck"), col("id"), col("__event_time"), col("sh_b"),
       posexplode(Dedup.bandHashesExpr(col("sh_b"), nBands, rpb))
         .as(Seq("band_idx", "band_hash")))
@@ -304,8 +323,10 @@ object StreamingPipeline {
     // persist(): the weight table's LINEAGE is the whole training chain
     // over the corpus; stream-static sides re-plan per micro-batch, so an
     // uncached table would retrain every trigger. One job at first trigger,
-    // broadcast from cache after.
-    val frozenW = weights.select(col("fb"), col("w")).persist()
+    // broadcast from cache after. Registered — built inline, so
+    // Projections.release() is the caller's reclamation boundary.
+    val frozenW = graft.pipeline.Projections.register(
+      weights.select(col("fb"), col("w")).persist())
     val feats = deduped
       .select(col(idCol).as("id"), col("__event_time"),
         CorpusSignals.bigramsOf(col(textCol)).as("bg"))
@@ -345,8 +366,13 @@ object StreamingPipeline {
     * Malformed blobs decode to nothing and get NO decision row (the
     * [[Multimodal.imageDHashes]] drop-malformed contract). */
   def admitImagesStream(streamMedia: DataFrame, corpusHashes: DataFrame,
-      maxDist: Int = 3): Dataset[ImageAdmit] =
-    admitImagesStreamCached(streamMedia, corpusHashes, maxDist)._1
+      maxDist: Int = 3): Dataset[ImageAdmit] = {
+    // the dropped cache handle is registered so Projections.release()
+    // can still reclaim it after the query stops
+    val (decisions, cache) = admitImagesStreamCached(streamMedia, corpusHashes, maxDist)
+    graft.pipeline.Projections.register(cache)
+    decisions
+  }
 
   /** [[admitImagesStream]] plus the persisted static-side handle: the corpus
     * band table must stay cached for the LIFETIME of the streaming query
@@ -433,9 +459,12 @@ object StreamingPipeline {
   /** [[admitEmbedsStreamCached]] without the cache handle. */
   def admitEmbedsStream(streamEmbeds: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, cosThreshold: Double = 0.4,
-      nClusters: Int = 16): DataFrame =
-    admitEmbedsStreamCached(streamEmbeds, corpus, idCol, vecCol,
-      cosThreshold, nClusters)._1
+      nClusters: Int = 16): DataFrame = {
+    val (decisions, cache) = admitEmbedsStreamCached(streamEmbeds, corpus, idCol,
+      vecCol, cosThreshold, nClusters)
+    graft.pipeline.Projections.register(cache)
+    decisions
+  }
 
   /** Admission decision for one streamed audio track: `dup_audio_corpus`
     * carries the matched corpus track / frame offset / vote count;
@@ -503,10 +532,15 @@ object StreamingPipeline {
       .select(col("media_id"), col("c_id").as("m_id"),
         (col("c_f") - col("frame_idx")).cast("long").as("off"))
     // base row per decoded track (m_id = -1): a track with zero matches
-    // must still get its `admitted` row. distinct() is per-batch and
-    // per-track-row-count-bounded; the local fp table has ≤ frames×Δ rows
-    // per track.
-    val base = probeFps.select(col("media_id")).distinct()
+    // must still get its `admitted` row. ONE CARRIER PER FP ROW, not
+    // distinct(): on a streaming frame distinct() compiles to a stateful
+    // Deduplicate with NO watermark — one state entry per media_id kept
+    // forever — and its cross-batch suppression swallowed the carrier of
+    // a redelivered track, so no decision row was emitted for it at all
+    // (r15 review finding). Duplicate carriers are harmless: the collapse
+    // ignores m_id < 0 rows except to form the group, and the per-track
+    // fp table is ≤ frames×Δ rows, so the extra rows are batch-bounded.
+    val base = probeFps
       .select(col("media_id"), lit(-1L).as("m_id"), lit(0L).as("off"))
     val decisions = matched.unionByName(base)
       .as[AudioProbe]
@@ -537,6 +571,10 @@ object StreamingPipeline {
 
   /** [[admitAudioStreamCached]] without the cache handle. */
   def admitAudioStream(streamMedia: DataFrame, corpusFps: DataFrame,
-      frameSize: Int = 64, maxDelta: Int = 2, minVotes: Long = 2L): Dataset[AudioAdmit] =
-    admitAudioStreamCached(streamMedia, corpusFps, frameSize, maxDelta, minVotes)._1
+      frameSize: Int = 64, maxDelta: Int = 2, minVotes: Long = 2L): Dataset[AudioAdmit] = {
+    val (decisions, cache) =
+      admitAudioStreamCached(streamMedia, corpusFps, frameSize, maxDelta, minVotes)
+    graft.pipeline.Projections.register(cache)
+    decisions
+  }
 }

@@ -62,7 +62,23 @@ object StreamingReplay {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // bind the result frame (Dataset creation analyzes eagerly, capturing
+    // the memory sink's plan), then release the per-replay scaffolding a
+    // suite of hundreds of replays would otherwise accumulate (r15 review
+    // finding): the catalog entry no longer pins the sink rows for the
+    // session's lifetime — they stay reachable through the returned frame
+    // only — and the checkpoint dir is needed only while the query runs.
+    val result = spark.table(name)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(ckpt)
+    result
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   private val lock = new Object

@@ -64,13 +64,19 @@ object StreamingSequence {
     import spark.implicits._
     val n = steps.size
 
-    val sideExpr = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (t, i)) =>
-      when(col(EventSchema.EventType) === t, lit(i)).otherwise(acc)
-    }
+    // one row per (event, matching step) — a fold to a single side index
+    // would assign an event to only its LAST matching step, so a funnel
+    // with a repeated type (A FOLLOWED BY A) could never fill the earlier
+    // step and silently matched nothing (r15 review finding). The batch
+    // SequenceCompiler unions one side per step for the same reason; for
+    // all-distinct steps the explode degenerates to the old single row.
+    val sideArray = array(steps.zipWithIndex.map { case (t, i) =>
+      when(col(EventSchema.EventType) === t, lit(i)).otherwise(lit(-1))
+    }: _*)
     val prepared = events
       .withColumn("__event_time", timestamp_seconds(col(EventSchema.Timestamp).cast("long")))
       .withWatermark("__event_time", watermarkDelay)
-      .withColumn("__side", sideExpr)
+      .withColumn("__side", explode(sideArray))
       .filter(col("__side") >= 0)
       .select(col(linkCol).cast("string").as("link"), col("__side").as("side"),
         col(EventSchema.Timestamp).cast("long").as("ts"),
@@ -91,9 +97,12 @@ object StreamingSequence {
             }
             val out = scala.collection.mutable.ArrayBuffer.empty[FunnelMatch]
             var maxTs = Long.MinValue
-            // process in (ts, eid) order so "earliest valid event" holds
-            // within the batch
-            it.toArray.sortBy(e => (e.ts, e.eid)).foreach { e =>
+            // process in (ts, eid, side) order so "earliest valid event"
+            // holds within the batch, and an event matching several steps
+            // of a repeated-type funnel tries the EARLIER step first (its
+            // own later-step row is then blocked by the strict (ts, eid)
+            // prefix ordering — one event never fills two steps)
+            it.toArray.sortBy(e => (e.ts, e.eid, e.side)).foreach { e =>
               maxTs = math.max(maxTs, e.ts)
               val s = e.side
               val extendsPrefix = s == 0 || (ts(s - 1) != Long.MinValue &&

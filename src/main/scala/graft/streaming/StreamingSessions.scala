@@ -20,9 +20,17 @@ import graft.schema.EventSchema
   * bounded replay (`Trigger.AvailableNow`) therefore emits exactly the
   * sessions a later event closed, which is what the oracle expresses.
   *
-  * Scale shape: state per live context is ONE session summary (4 longs) —
-  * no event buffering; the only shuffle is the hash partition on the
-  * context key, and eviction is strictly watermark-driven.
+  * Scale shape: state per context is ONE session summary (4 longs) — no
+  * event buffering; the only shuffle is the hash partition on the context
+  * key. A context whose session closed keeps a NUMBERING TOMBSTONE (the
+  * same 4 longs, `n = 0`) carrying the next `session_idx`: without it a
+  * re-appearing context restarted at index 0, emitting duplicate
+  * `(context_id, session_idx)` keys that merge distinct sessions in any
+  * downstream keyed join (r15 review finding) and diverging from the batch
+  * sibling's continuous numbering. Identity-grade state is permanent by
+  * definition (bounded by distinct contexts, not time — the [[firstTouch]]
+  * contract); the open-session half of the state is still evicted strictly
+  * by watermark.
   */
 object StreamingSessions {
 
@@ -94,6 +102,12 @@ object StreamingSessions {
     def emit(ctx: String, s: SessState): SessionRow =
       SessionRow(ctx, s.idx, s.start, s.end, s.n, s.end - s.start)
 
+    // a closed context's state becomes this tombstone: no open session,
+    // idx = the NEXT session's number (keeps numbering continuous and
+    // (context_id, session_idx) unique across closes). No timeout is set
+    // on it, so it persists — the documented identity-state price.
+    def tombstone(nextIdx: Long) = SessState(nextIdx, Long.MinValue, Long.MinValue, 0L)
+
     prepared.groupByKey(_.ctx)
       .flatMapGroupsWithState[SessState, SessionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -101,14 +115,16 @@ object StreamingSessions {
           if (state.hasTimedOut) {
             // watermark passed end + gap: nothing can extend this session
             val s = state.get
-            state.remove()
+            state.update(tombstone(s.idx + 1L))
             Iterator.single(emit(ctx, s))
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
             var st = state.getOption.orNull
+            var nextIdx = 0L
+            if (st != null && st.n == 0L) { nextIdx = st.idx; st = null }
             // (ts, eid) order within the batch — the batch operator's order
             it.toArray.sortBy(e => (e.ts, e.eid)).foreach { e =>
-              if (st == null) st = SessState(0L, e.ts, e.ts, 1L)
+              if (st == null) st = SessState(nextIdx, e.ts, e.ts, 1L)
               else if (e.ts - st.end > gapSec) {
                 out += emit(ctx, st)
                 st = SessState(st.idx + 1, e.ts, e.ts, 1L)
@@ -132,7 +148,7 @@ object StreamingSessions {
               // timeout clamped to watermark+1 would never fire if the
               // watermark never advances again (idle stream) — emit now.
               out += emit(ctx, st)
-              state.remove()
+              state.update(tombstone(st.idx + 1L))
             } else {
               state.update(st)
               // due once the watermark passes end + gap; the +1 keeps the

@@ -57,6 +57,34 @@ class StreamingResponseSpec extends AnyFunSuite {
     assert(buckets.contains(h0)) // first hour emitted after watermark passed
   }
 
+  test("streaming PER WEEK buckets start Monday like the batch calendar default") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val stream = mem.toDF.toDF("context_id", "timestamp", "v")
+    val agg = StreamingAggregates.windowed(stream, TimeGranularity.Week,
+      Seq(AggSpec.Count), watermarkDelay = None)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("weekly").start()
+    // 2024-01-17 is a WEDNESDAY; its calendar week starts Mon 2024-01-15.
+    // A bare window(col, "7 days") is epoch-aligned (1970-01-01 = Thursday)
+    // and would bucket it at Thu 2024-01-11 — three days off the batch
+    // default (date_trunc('week'))
+    val wed = 1705449600L // 2024-01-17T00:00:00Z
+    val mon = 1705276800L // 2024-01-15T00:00:00Z
+    mem.addData(("u1", wed, 1L))
+    q.processAllAvailable()
+    val buckets = spark.table("weekly").collect().map(_.getAs[Long]("bucket")).toSet
+    q.stop()
+    assert(buckets == Set(mon), s"week bucket must start Monday ($mon), got $buckets")
+    // a non-UTC zone in calendar mode is rejected up front (window() cannot
+    // express DST-correct local boundaries)
+    spark.conf.set("spark.graft.time.zone", "America/New_York")
+    try intercept[IllegalArgumentException] {
+      StreamingAggregates.windowed(stream, TimeGranularity.Week, Seq(AggSpec.Count))
+    } finally spark.conf.unset("spark.graft.time.zone")
+  }
+
   test("month granularity rejected on the streaming path") {
     assertThrows[IllegalArgumentException](StreamingAggregates.windowWidth(TimeGranularity.Month))
   }

@@ -523,4 +523,94 @@ class StreamingStatefulSpec extends AnyFunSuite {
     assert(rows.contains(("v", 2L, None)), s"unmatched left must flush: $rows")
     assert(rows.contains(("u", 1L, Some(10L))))
   }
+
+  test("streaming funnel: repeated step type (A FOLLOWED BY A) completes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "event_type", "timestamp", "event_id")
+    val q = StreamingSequence.funnel(events, Seq("click", "click"))
+      .writeStream.outputMode("append").format("memory").queryName("funnel_rep").start()
+    // two clicks complete; a single click (u2) stays partial; one event
+    // must never fill both steps (u3's lone click at equal ts)
+    mem.addData(("u1", "click", 10L, 1L), ("u1", "click", 20L, 2L),
+      ("u2", "click", 30L, 3L))
+    q.processAllAvailable()
+    val rows = spark.table("funnel_rep").collect()
+      .map(r => (r.getAs[String]("link"), r.getAs[Seq[Long]]("stepTs"))).toSet
+    q.stop()
+    assert(rows == Set(("u1", Seq(10L, 20L))),
+      s"repeated-step funnel must complete exactly once for u1: $rows")
+  }
+
+  test("streaming sessions: numbering continues after a timeout-closed session") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "timestamp", "event_id")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("e"))
+    val q = StreamingSessions.sessions(events, gapSec = 100L,
+      watermarkDelay = "0 seconds")
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sess_num").start()
+    mem.addData(("u", 1000L, 1L))
+    q.processAllAvailable()
+    // another context pushes the watermark past 1000+gap → u's session 0
+    // closes by TIMEOUT (the path that used to drop the counter)
+    mem.addData(("w", 5000L, 2L))
+    q.processAllAvailable()
+    mem.addData(("w", 5001L, 3L))
+    q.processAllAvailable()
+    // u re-appears: must be session 1, not a duplicate (u, 0) key
+    mem.addData(("u", 6000L, 4L))
+    q.processAllAvailable()
+    mem.addData(("u", 7000L, 5L)) // closes u's second session in-line
+    q.processAllAvailable()
+    val rows = spark.table("sess_num").collect()
+      .map(r => (r.getAs[String]("context_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("start_ts"))).toSet
+    q.stop()
+    assert(rows.contains(("u", 0L, 1000L)) && rows.contains(("u", 1L, 6000L)),
+      s"session numbering must survive a timeout close: $rows")
+    assert(rows.count(_._1 == "u") == rows.filter(_._1 == "u").map(_._2).size,
+      s"duplicate (context, session_idx) keys: $rows")
+  }
+
+  test("streaming anomaly: a far-future corrupt day fast-forwards instead of spinning") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF.toDF("event_type", "timestamp")
+    val q = graft.streaming.StreamingAnomaly.anomalies(events, windowDays = 3,
+      thresholdPpm = 0L)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("anom_ff").start()
+    // four steady days, then an event whose ts is epoch-MILLIS garbage
+    // (day ~19.7M) — the close must be O(windowDays), not O(gap)
+    mem.addData((1L to 4L).map(d => ("t", d * 86400L + 10L)): _*)
+    q.processAllAvailable()
+    val t0 = System.nanoTime()
+    mem.addData(("t", 1700000000000L)) // ~epoch-millis in a seconds field
+    q.processAllAvailable()
+    val closeSec = (System.nanoTime() - t0) / 1e9
+    val rows = spark.table("anom_ff").collect()
+      .map(r => (r.getAs[Long]("day_start") / 86400L, r.getAs[Long]("cnt")))
+    q.stop()
+    assert(closeSec < 30.0, f"far-future close took $closeSec%.1f s — gap loop not bounded")
+    // day 4 (count 1 vs trailing 3 ones) scores at dev 0; the crater days
+    // right after day 4 score too; days beyond the zero window emit nothing
+    assert(rows.exists(_._1 == 4L), s"day 4 must score when closed: ${rows.toSeq}")
+    assert(rows.forall(_._1 < 12L), s"days beyond the zero window must not emit: ${rows.toSeq}")
+  }
+
+  test("streaming exclusion funnel rejects a non-positive horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "event_type", "timestamp", "event_id")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingExclusion.exclusionFunnel(events, "a", "b", "c",
+        horizonMs = 0L)
+    }
+  }
 }
