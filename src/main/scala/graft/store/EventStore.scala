@@ -49,7 +49,12 @@ final class EventStore(val spark: SparkSession, val root: String,
   Files.createDirectories(schemasDir)
   Files.createDirectories(dataDir)
 
-  private val schemas = mutable.LinkedHashMap.empty[String, EventSchema]
+  // concurrent: DEFINE mutates while concurrent STORE/flush/frame read, and
+  // a LinkedHashMap rehash under a reader is a torn map (r15 review finding
+  // — every other shared structure here is already locked). Iteration order
+  // is immaterial: every ordered consumer sorts ([[eventTypes]], snapshot
+  // manifests, schema hashes).
+  private val schemas = scala.collection.concurrent.TrieMap.empty[String, EventSchema]
   private val memtable = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Row]]
 
   // event_id space: (batch << 50) | offset. Bulk ingests use Spark's
@@ -74,9 +79,42 @@ final class EventStore(val spark: SparkSession, val root: String,
   private val inflightIngestBases = mutable.SortedSet.empty[Long]
   private var syncBlockBase = -1L
   private var syncOffset = 0L
+
+  /** Block 8192 << 50 = 2⁶³ overflows the sign bit: negative event_ids sit
+    * below every recorded HWM, silently excluding all new rows from every
+    * SHOW delta forever (r15 review finding). One block is consumed per
+    * non-empty streaming micro-batch, so 8191 lifetime blocks is HOURS of
+    * steady 1-second triggers — reclaim is mandatory, not theoretical. */
+  private val MaxIdBlocks = 1L << 13
+
+  /** Allocate the next 2⁵⁰-id block (caller holds `idLock`). When the block
+    * counter would overflow the 13-bit space, REBASE it to just past the
+    * highest block that is visible, in-flight, or serving sync STOREs —
+    * blocks are sparsely used (a micro-batch burns a whole block for a few
+    * thousand ids), so trailing unused block space is reclaimed. Ids stay
+    * monotonic above every issued id: the floor exceeds the max visible id
+    * (parquet footers + memtable) and every block that could still commit
+    * rows, so [[safeHwmEventId]]'s vis-first argument is preserved. */
+  private def allocateBlockLocked(): Long = {
+    if (batchSeq.get() >= MaxIdBlocks) {
+      val visBlock = maxVisibleEventId().map(_ >>> 50).getOrElse(0L)
+      val liveBlock = (inflightIngestBases.map(_ >>> 50) ++
+        (if (syncBlockBase >= 0) Seq(syncBlockBase >>> 50) else Nil)).maxOption.getOrElse(0L)
+      val floor = math.max(visBlock, liveBlock) + 1L
+      require(floor < MaxIdBlocks,
+        s"event_id block space exhausted (visible block $visBlock, live block $liveBlock)")
+      batchSeq.set(floor)
+    }
+    batchSeq.getAndIncrement() << 50
+  }
+
+  /** Test hook: force the block counter to a given value (the overflow
+    * reclaim is unreachable through the public API without ~8k ingests). */
+  private[graft] def forceBatchSeqForTest(v: Long): Unit = batchSeq.set(v)
+
   private def nextStoreId(): Long = idLock.synchronized {
     if (syncBlockBase < 0 || (syncBlockBase >>> 50) != batchSeq.get() - 1) {
-      syncBlockBase = batchSeq.getAndIncrement() << 50
+      syncBlockBase = allocateBlockLocked()
       syncOffset = 0L
     }
     val id = syncBlockBase + syncOffset
@@ -97,6 +135,23 @@ final class EventStore(val spark: SparkSession, val root: String,
   /** Serializes [[flush]] so two threads crossing `flushThreshold` can't
     * both write the same memtable snapshot to segments (duplicate rows). */
   private val flushLock = new Object
+
+  /** Guards data-dir REWRITE swaps ([[compact]]/[[purgeContext]]/
+    * [[purgeBefore]]) against concurrent segment writers: a streaming
+    * micro-batch committing into `data/<t>` during the swap either made
+    * `Files.move(tmp, dir)` throw (Spark re-created the dir — the type left
+    * holding ONLY the new segment, the corpus stranded in `<t>.old` for the
+    * next restart's recoverSwaps to DELETE as a committed swap) or was
+    * swept into `<t>.old` and destroyed (r15 review finding). Segment
+    * writers share the read side (ingests stay concurrent with each
+    * other); each per-type rewrite+swap holds the write side. */
+  private val segmentLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private def withSegmentRead[A](f: => A): A = {
+    val l = segmentLock.readLock(); l.lock(); try f finally l.unlock()
+  }
+  private def withSegmentRewrite[A](f: => A): A = {
+    val l = segmentLock.writeLock(); l.lock(); try f finally l.unlock()
+  }
 
   recoverSwaps() // BEFORE loadCatalog: its id high-water scan must see restored data
   loadCatalog()
@@ -205,12 +260,38 @@ final class EventStore(val spark: SparkSession, val root: String,
     * (tmp + move): a crash leaves either the old WAL, whose flushed entries
     * replay as no-ops via [[replayWal]]'s committed-membership check, or the
     * pruned one. */
+  /** WAL lines parsed with TORN-TAIL tolerance: a crash mid-append leaves a
+    * partial final line — that write was never fsync-acknowledged (the ack
+    * follows `force`), so dropping it loses nothing, whereas parsing it
+    * unguarded threw out of the constructor and made the store UNOPENABLE
+    * until someone hand-edited the WAL (r15 review finding). Appends are
+    * serialized, so only the LAST line can be torn; an unparseable earlier
+    * line is real corruption and still fails loudly. */
+  private def readWalLines(): Seq[(String, com.fasterxml.jackson.databind.JsonNode)] = {
+    if (!Files.exists(walFile)) return Nil
+    val lines = Files.readAllLines(walFile).asScala.filter(_.nonEmpty).toSeq
+    lines.zipWithIndex.flatMap { case (line, i) =>
+      try Some(line -> EventStore.readTree(line))
+      catch {
+        case e: Exception if i == lines.size - 1 =>
+          org.slf4j.LoggerFactory.getLogger("graft.store.EventStore").warn(
+            s"dropping torn WAL tail line (crash mid-append, never acknowledged): " +
+              s"${e.getMessage}")
+          None
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"corrupt WAL entry at line ${i + 1} of $walFile (not the torn-tail " +
+              "crash artifact — refusing to skip acknowledged data)", e)
+      }
+    }
+  }
+
   private def pruneWal(cutoff: Long): Unit = walLock.synchronized {
     if (walChannel != null && walChannel.isOpen) walChannel.close()
     walChannel = null
     if (!Files.exists(walFile)) return
-    val kept = Files.readAllLines(walFile).asScala.filter { line =>
-      line.nonEmpty && EventStore.readTree(line).get("id").asLong() > cutoff
+    val kept = readWalLines().collect {
+      case (line, n) if n.get("id").asLong() > cutoff => line
     }
     if (kept.isEmpty) Files.deleteIfExists(walFile)
     else {
@@ -233,7 +314,7 @@ final class EventStore(val spark: SparkSession, val root: String,
     * high-water so no id block is reused. */
   private def replayWal(): Unit = {
     if (!Files.exists(walFile)) return
-    val lines = Files.readAllLines(walFile).asScala.filter(_.nonEmpty).map(EventStore.readTree)
+    val lines = readWalLines().map(_._2)
     if (lines.isEmpty) return
     val candidates = lines.groupBy(_.get("t").asText()).map { case (t, ns) =>
       t -> ns.map(_.get("id").asLong()).toSet
@@ -374,7 +455,7 @@ final class EventStore(val spark: SparkSession, val root: String,
     // allocate + register atomically: an allocated-but-unregistered block
     // would be invisible to safeHwmEventId's cap read in the gap
     val base = idLock.synchronized {
-      val b = batchSeq.getAndIncrement() << 50 // this ingest's id block
+      val b = allocateBlockLocked() // this ingest's id block
       inflightIngestBases += b
       b
     }
@@ -396,7 +477,7 @@ final class EventStore(val spark: SparkSession, val root: String,
   /** Write a segment under deterministic `ingest-<key>-<i>.parquet` names,
     * then drop the commit marker. Retries of the same key replace any
     * partial prior attempt instead of appending beside it. */
-  private def writeSegmentIdempotent(t: String, df: DataFrame, key: String): Unit = {
+  private def writeSegmentIdempotent(t: String, df: DataFrame, key: String): Unit = withSegmentRead {
     val typeDir = dataDir.resolve(t)
     val tmp = dataDir.resolve(s".ingest_${t}_$key.tmp")
     df.sortWithinPartitions(EventSchema.ContextId, EventSchema.Timestamp, EventSchema.EventId)
@@ -442,12 +523,25 @@ final class EventStore(val spark: SparkSession, val root: String,
         maxFlushed = math.max(maxFlushed, rows.iterator.map(_.getLong(3)).max)
       }
     }
-    if (walEnabled && maxFlushed != Long.MinValue) pruneWal(maxFlushed)
+    if (walEnabled) {
+      if (maxFlushed != Long.MinValue) pruneWal(maxFlushed)
+      else if (Files.exists(walFile))
+        // empty memtable + surviving WAL entries = stale COMMITTED entries
+        // from a crash between writeSegment and pruneWal (replayWal skips
+        // them but leaves the file). purgeContext/purgeBefore rely on
+        // "flush truncates the WAL first": left in place, those entries
+        // resurrect purged rows on the next restart once the membership
+        // probe no longer finds their ids in the rewritten segments (r15
+        // review finding). Prune up to the max VISIBLE id — safe against
+        // concurrent STOREs, which always allocate above every issued id.
+        maxVisibleEventId().foreach(pruneWal)
+    }
   }
 
-  private def writeSegment(t: String, df: DataFrame): Unit =
+  private def writeSegment(t: String, df: DataFrame): Unit = withSegmentRead {
     df.sortWithinPartitions(EventSchema.ContextId, EventSchema.Timestamp, EventSchema.EventId)
       .write.mode("append").parquet(dataDir.resolve(t).toString)
+  }
 
   // ---------------- read path ----------------
 
@@ -465,7 +559,7 @@ final class EventStore(val spark: SparkSession, val root: String,
     else spark.createDataFrame(java.util.List.of[Row](), schema.fullStruct)
   }
 
-  override def eventTypes: Seq[String] = schemas.keys.toSeq
+  override def eventTypes: Seq[String] = schemas.keys.toSeq.sorted
 
   /** Max VISIBLE event_id across all types, from parquet footer column
     * statistics over the committed segments (driver metadata reads, no
@@ -607,12 +701,56 @@ final class EventStore(val spark: SparkSession, val root: String,
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val types = schemas.values.toSeq.sortBy(_.eventType).map { s =>
       val (n, lo, hi) = stats.getOrElse(s.eventType, (0L, 0L, 0L))
+      // per-type DATA hash (name+size+sampled content of each file): the
+      // manifested snapKey hashes manifest BYTES, so without this a data
+      // file edited in place (rows and ts-range unchanged) produced an
+      // identical manifest and the re-import was silently skipped as
+      // already-committed (r15 review finding)
+      val dataMd5 = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val tDir = Paths.get(outDir, s.eventType)
+        if (Files.isDirectory(tDir))
+          EventStore.listDir(tDir).sortBy(_.getFileName.toString)
+            .filter(p => EventStore.isVisibleDataFile(p.getFileName.toString))
+            .foreach { p =>
+              md.update(s"${p.getFileName}:${Files.size(p)};".getBytes("UTF-8"))
+              sampleFileInto(md, p)
+            }
+        md.digest().map("%02x".format(_)).mkString
+      }
       s"""{"name": ${EventStore.jsonString(s.eventType)}, "version": ${s.version}, """ +
-        s""""schema_md5": "${schemaMd5(s)}", "rows": $n, "from_ts": $lo, "to_ts": $hi}"""
+        s""""schema_md5": "${schemaMd5(s)}", "data_md5": "$dataMd5", """ +
+        s""""rows": $n, "from_ts": $lo, "to_ts": $hi}"""
     }
     Files.write(Paths.get(outDir, "manifest.json"),
       (s"""{"format": "graft-snapshot", "format_version": 1, "created": ${clock()}, """ +
         s""""types": [${types.mkString(", ")}]}""").getBytes("UTF-8"))
+  }
+
+  /** Fold `p`'s first and last 64 KiB into `md` — the content sample both
+    * snapshot identities use (full-file hashing would re-read whole
+    * exports driver-side; the sample plus size+name/mtime catches every
+    * realistic edit, and the manifested path documents the residual
+    * middle-bytes window). */
+  private def sampleFileInto(md: java.security.MessageDigest, p: Path): Unit = {
+    val sample = 64 * 1024
+    val size = Files.size(p)
+    val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.READ)
+    try {
+      def digest(off: Long, len: Int): Unit = {
+        val buf = java.nio.ByteBuffer.allocate(len)
+        var pos = off
+        while (buf.hasRemaining) {
+          val n = ch.read(buf, pos)
+          if (n < 0) return
+          pos += n
+        }
+        buf.flip(); md.update(buf)
+      }
+      digest(0L, math.min(size, sample.toLong).toInt)
+      if (size > sample) digest(math.max(sample.toLong, size - sample),
+        math.min(sample.toLong, size - sample).toInt)
+    } finally ch.close()
   }
 
   /** Restore a snapshot into this store. Schema validation is
@@ -669,6 +807,40 @@ final class EventStore(val spark: SparkSession, val root: String,
       tampered.foreach { s =>
         return Left(s"snapshot schema hash mismatch for '${s.eventType}': " +
           "manifest does not match shipped schema file")
+      }
+      // DATA hash cross-check (manifests that record data_md5 — r15): a
+      // data file edited after export leaves the manifest bytes (and thus
+      // the idempotency key) unchanged, so without this check the edited
+      // type was silently skipped as already-imported on a re-run. An
+      // export's data and manifest are written together — a mismatch means
+      // post-export modification or corruption, and like the schema check
+      // it rejects the import rather than guessing.
+      val recordedData = typesNode.elements().asScala.flatMap { t =>
+        (Option(t.get("name")).map(_.asText()),
+          Option(t.get("data_md5")).map(_.asText())) match {
+          case (Some(n), Some(m)) => Iterator.single(n -> m)
+          case _ => Iterator.empty // legacy manifest: no data hash recorded
+        }
+      }.toMap
+      parsed.foreach { s =>
+        recordedData.get(s.eventType).foreach { expect =>
+          val tDir = Paths.get(inDir, s.eventType)
+          val actual = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            if (Files.isDirectory(tDir))
+              EventStore.listDir(tDir).sortBy(_.getFileName.toString)
+                .filter(p => EventStore.isVisibleDataFile(p.getFileName.toString))
+                .foreach { p =>
+                  md.update(s"${p.getFileName}:${Files.size(p)};".getBytes("UTF-8"))
+                  sampleFileInto(md, p)
+                }
+            md.digest().map("%02x".format(_)).mkString
+          }
+          if (actual != expect)
+            return Left(s"snapshot data hash mismatch for '${s.eventType}': " +
+              "data files do not match the manifest (modified after export?); " +
+              "re-export the snapshot")
+        }
       }
     }
     // conflicting existing definitions reject the WHOLE import
@@ -731,29 +903,12 @@ final class EventStore(val spark: SparkSession, val root: String,
       else {
         parsed.sortBy(_.eventType)
           .foreach(s => md.update(EventStore.schemaToJson(s).getBytes("UTF-8")))
-        val sample = 64 * 1024
         withData.foreach { case (s, src) =>
           EventStore.listDir(src).sortBy(_.getFileName.toString).foreach { p =>
-            val size = Files.size(p)
             val mtime = Files.getLastModifiedTime(p).toMillis
-            md.update(s"${s.eventType}/${p.getFileName}:$size:$mtime;".getBytes("UTF-8"))
-            val ch = java.nio.channels.FileChannel.open(p,
-              java.nio.file.StandardOpenOption.READ)
-            try {
-              def digest(off: Long, len: Int): Unit = {
-                val buf = java.nio.ByteBuffer.allocate(len)
-                var pos = off
-                while (buf.hasRemaining) {
-                  val n = ch.read(buf, pos)
-                  if (n < 0) return
-                  pos += n
-                }
-                buf.flip(); md.update(buf)
-              }
-              digest(0L, math.min(size, sample.toLong).toInt)
-              if (size > sample) digest(math.max(sample.toLong, size - sample),
-                math.min(sample.toLong, size - sample).toInt)
-            } finally ch.close()
+            md.update(
+              s"${s.eventType}/${p.getFileName}:${Files.size(p)}:$mtime;".getBytes("UTF-8"))
+            sampleFileInto(md, p)
           }
         }
       }
@@ -775,7 +930,7 @@ final class EventStore(val spark: SparkSession, val root: String,
     * context-sorted files. Run periodically, like Delta OPTIMIZE. */
   def compact(targetFiles: Int = 4): Unit = {
     flush()
-    listCommittedTypes().filter(schemas.contains).foreach { t =>
+    listCommittedTypes().filter(schemas.contains).foreach { t => withSegmentRewrite {
       val dir = dataDir.resolve(t)
       val files = EventStore.listDir(dir).count(_.toString.endsWith(".parquet"))
       if (files > targetFiles) {
@@ -796,7 +951,7 @@ final class EventStore(val spark: SparkSession, val root: String,
         Files.move(tmp, dir)
         deleteRecursively(old)
       }
-    }
+    } }
   }
 
   /** Right-to-erasure purge: physically remove EVERY event of one context
@@ -819,7 +974,7 @@ final class EventStore(val spark: SparkSession, val root: String,
   def purgeContext(contextId: String): Long = {
     flush()
     var removed = 0L
-    listCommittedTypes().filter(schemas.contains).foreach { t =>
+    listCommittedTypes().filter(schemas.contains).foreach { t => withSegmentRewrite {
       val dir = dataDir.resolve(t)
       val hits = committedFrame(t)
         .filter(col(EventSchema.ContextId) === contextId).count()
@@ -838,7 +993,7 @@ final class EventStore(val spark: SparkSession, val root: String,
         Files.move(tmp, dir)
         deleteRecursively(old)
       }
-    }
+    } }
     removed
   }
 
@@ -854,7 +1009,7 @@ final class EventStore(val spark: SparkSession, val root: String,
   def purgeBefore(cutoffSec: Long): Long = {
     flush()
     var removed = 0L
-    listCommittedTypes().filter(schemas.contains).foreach { t =>
+    listCommittedTypes().filter(schemas.contains).foreach { t => withSegmentRewrite {
       val dir = dataDir.resolve(t)
       val hits = committedFrame(t)
         .filter(col(EventSchema.Timestamp) < cutoffSec).count()
@@ -873,7 +1028,7 @@ final class EventStore(val spark: SparkSession, val root: String,
         Files.move(tmp, dir)
         deleteRecursively(old)
       }
-    }
+    } }
     removed
   }
 
@@ -939,6 +1094,13 @@ object EventStore {
     val s = Files.list(p)
     try s.iterator().asScala.toSeq finally s.close()
   }
+
+  /** Snapshot DATA-hash scope: visible data files only. Hadoop `.crc`
+    * sidecars and `_SUCCESS` markers may or may not survive a copy
+    * (`rsync` vs `cp` vs tar), and hashing them would make the same data
+    * verify on one transport and fail on another. */
+  private[store] def isVisibleDataFile(name: String): Boolean =
+    !name.startsWith(".") && !name.startsWith("_")
 
   private val mapper = new ObjectMapper()
   private[store] def mapperInstance: ObjectMapper = mapper

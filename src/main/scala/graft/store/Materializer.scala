@@ -99,7 +99,7 @@ final class Materializer(store: EventStore) {
   private def readMeta(name: String): Option[Meta] = {
     val f = matDir(name).resolve("meta.json")
     if (!Files.exists(f)) None
-    else {
+    else scala.util.Try {
       val n = EventStore.readTree(new String(Files.readAllBytes(f), "UTF-8"))
       Some(Meta(
         n.get("query").asText(),
@@ -113,7 +113,10 @@ final class Materializer(store: EventStore) {
             .fromJson(n.get("result_schema").asText())
             .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
         else None))
-    }
+      // Try: a torn/truncated meta (legacy in-place writes; writes are
+      // atomic now) must not throw out of SHOW or the auth gate's
+      // storedQuery — treated as absent, so re-REMEMBER can heal it
+    }.toOption.flatten
   }
 
   private def writeMeta(name: String, m: Meta): Unit = {
@@ -123,7 +126,15 @@ final class Materializer(store: EventStore) {
       s""""max_age_seconds": ${m.maxAgeSeconds.map(_.toString).getOrElse("null")}, """ +
       s""""result_schema": ${m.resultSchema
         .map(s => EventStore.jsonString(s.json)).getOrElse("null")}}"""
-    Files.write(matDir(name).resolve("meta.json"), json.getBytes("UTF-8"))
+    // tmp + atomic move: meta is rewritten on every delta-advancing SHOW,
+    // and an in-place truncate-then-write left a crash window that bricked
+    // the materialization (r15 review finding — the query text is
+    // unrecoverable once meta is torn)
+    val tmp = matDir(name).resolve("meta.json.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, matDir(name).resolve("meta.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Fingerprint of every schema in the query's scope — SHOW refuses to
@@ -169,8 +180,24 @@ final class Materializer(store: EventStore) {
 
   def remember(cmd: RememberCmd): ExecResult = {
     val dir = matDir(cmd.name)
-    if (Files.exists(dir)) return ExecResult.Error(s"materialization '${cmd.name}' already exists")
+    // "exists" means a READABLE catalog entry: a directory left by a failed
+    // REMEMBER (or holding a torn legacy meta) used to block the name
+    // forever while SHOW reported it not found (r15 review finding) — such
+    // leftovers are cleared and the REMEMBER retried
+    if (readMeta(cmd.name).isDefined)
+      return ExecResult.Error(s"materialization '${cmd.name}' already exists")
+    if (Files.exists(dir)) deleteRecursively(dir)
     Files.createDirectories(dir)
+    try rememberBody(cmd, dir)
+    catch {
+      case e: Throwable =>
+        // no meta was written: remove the partial dir so the name stays free
+        scala.util.Try(deleteRecursively(dir))
+        throw e
+    }
+  }
+
+  private def rememberBody(cmd: RememberCmd, dir: Path): ExecResult = {
     val q = cmd.query
     val hwmId = currentMaxId(q) // captured BEFORE evaluation: a concurrent
                                 // write lands in the next SHOW's delta
@@ -247,37 +274,130 @@ final class Materializer(store: EventStore) {
 
     if (query.isSequence) return showSequence(name, dir, meta, query)
 
-    val newHwm = currentMaxId(query)
-
     if (query.isAggregate) {
-      if (newHwm > meta.hwmId) {
-        val delta = boundedSource(meta.hwmId, newHwm)
-        val merged = AggStateCompiler.mergeState(query,
-          spark.read.parquet(dir.resolve("state").toString),
-          AggStateCompiler.partialState(query, delta))
-        swapWrite(dir.resolve("state"), merged)
-        AggStateCompiler.uniqueFields(query).foreach { f =>
+      val stateDir = dir.resolve("state")
+      val uniqFields = AggStateCompiler.uniqueFields(query)
+      // heal swapWrite crash windows (dir missing, rows in .old) — the
+      // sequence path has recoverBuckets; these dirs had no healer (r15)
+      recoverSwap(stateDir)
+      uniqFields.foreach(f => recoverSwap(dir.resolve(s"uniq_$f")))
+      // heal a crash AFTER the state swap but BEFORE the meta advance: the
+      // state dir carries the hwm it was merged to; a marker ahead of meta
+      // means the delta landed — advance meta instead of re-merging (a
+      // re-merge would double-count: mergeState sums are not idempotent)
+      var m = meta
+      readHwmMarker(stateDir).filter(_ > m.hwmId).foreach { u =>
+        m = m.copy(hwmId = u); writeMeta(name, m)
+      }
+      val newHwm = currentMaxId(query)
+      if (newHwm > m.hwmId) {
+        val delta = boundedSource(m.hwmId, newHwm)
+        // uniq dirs merge FIRST (distinct-union — idempotent on a crash
+        // re-run), then the state swap, whose embedded hwm marker is the
+        // delta's commit point, then the meta advance
+        uniqFields.foreach { f =>
           val mergedPairs = AggStateCompiler.mergeUnique(
             spark.read.parquet(dir.resolve(s"uniq_$f").toString),
             AggStateCompiler.partialUnique(query, delta, f))
           swapWrite(dir.resolve(s"uniq_$f"), mergedPairs)
         }
-        writeMeta(name, meta.copy(hwmId = newHwm))
+        val merged = AggStateCompiler.mergeState(query,
+          spark.read.parquet(stateDir.toString),
+          AggStateCompiler.partialState(query, delta))
+        swapWrite(stateDir, merged, hwmMarker = Some(newHwm))
+        writeMeta(name, m.copy(hwmId = newHwm))
       }
-      val state = spark.read.parquet(dir.resolve("state").toString)
-      val uniques = AggStateCompiler.uniqueFields(query)
+      val state = spark.read.parquet(stateDir.toString)
+      val uniques = uniqFields
         .map(f => f -> spark.read.parquet(dir.resolve(s"uniq_$f").toString)).toMap
       return ExecResult.Frame(AggStateCompiler.finalize(query, state, uniques))
     }
 
-    // selection: append the delta in ONE job (no separate count pass)
-    if (newHwm > meta.hwmId) {
-      val delta = QueryCompiler.compile(query, boundedSource(meta.hwmId, newHwm))
-      delta.write.mode("append").parquet(dir.resolve("data").toString)
-      writeMeta(name, meta.copy(hwmId = newHwm))
-      enforceRetention(name, dir, meta)
+    // selection: append the delta idempotently (deterministic part names +
+    // a committed marker recording the window's upper bound, the
+    // writeSegmentIdempotent discipline) — a bare append re-applied after a
+    // crash before the meta advance duplicated every delta row (r15)
+    val dataDir = dir.resolve("data")
+    recoverSwap(dataDir) // retention's swapWrite crash window
+    var m = meta
+    readDeltaMarker(dataDir, m.hwmId).foreach { u =>
+      m = m.copy(hwmId = u); writeMeta(name, m)
     }
-    ExecResult.Frame(spark.read.parquet(dir.resolve("data").toString))
+    val newHwm = currentMaxId(query)
+    if (newHwm > m.hwmId) {
+      val delta = QueryCompiler.compile(query, boundedSource(m.hwmId, newHwm))
+      appendDeltaIdempotent(dataDir, delta, m.hwmId, newHwm)
+      writeMeta(name, m.copy(hwmId = newHwm))
+      enforceRetention(name, dir, m)
+    }
+    ExecResult.Frame(spark.read.parquet(dataDir.toString))
+  }
+
+  /** Heal a [[swapWrite]] crash window on `target`: a crash between its two
+    * moves leaves the only copy under `<target>.old` — restore it; both
+    * present means the swap committed — finish the delete. Stale `.tmp`
+    * scratch is dropped. (The sequence path's [[recoverBuckets]] plays this
+    * role for bucket dirs.) */
+  private def recoverSwap(target: Path): Unit = {
+    val old = target.resolveSibling(target.getFileName.toString + ".old")
+    if (Files.isDirectory(old)) {
+      if (!Files.isDirectory(target)) Files.move(old, target)
+      else deleteRecursively(old)
+    }
+    deleteRecursively(target.resolveSibling(target.getFileName.toString + ".tmp"))
+  }
+
+  /** The hwm a state dir was merged to ([[swapWrite]]'s `hwmMarker`);
+    * None for legacy dirs that predate the marker. */
+  private def readHwmMarker(dir: Path): Option[Long] =
+    if (!Files.isDirectory(dir)) None
+    else EventStore.listDir(dir).iterator.map(_.getFileName.toString)
+      .collectFirst { case n if n.startsWith("_hwm_") && n.endsWith(".marker") =>
+        n.stripPrefix("_hwm_").stripSuffix(".marker").toLong }
+
+  /** The upper bound of an already-applied selection delta window starting
+    * at `fromHwm` (crash between [[appendDeltaIdempotent]]'s marker and the
+    * meta advance), if its committed marker exists. */
+  private def readDeltaMarker(dataDir: Path, fromHwm: Long): Option[Long] = {
+    val marker = dataDir.resolve(s"_show_delta_$fromHwm.committed")
+    if (Files.exists(marker))
+      scala.util.Try(new String(Files.readAllBytes(marker), "UTF-8").trim.toLong).toOption
+    else None
+  }
+
+  /** Apply a selection SHOW delta exactly once: parts land under
+    * deterministic `show_delta_<fromHwm>-NNNNN.parquet` names (a retried
+    * window first deletes its own prior parts — replace, never append
+    * beside), and an atomically-moved `_show_delta_<fromHwm>.committed`
+    * marker recording `toHwm` is the commit point [[show]] heals from. */
+  private def appendDeltaIdempotent(dataDir: Path, delta: DataFrame,
+      fromHwm: Long, toHwm: Long): Unit = {
+    val tag = s"show_delta_$fromHwm"
+    if (Files.isDirectory(dataDir))
+      EventStore.listDir(dataDir)
+        .filter(_.getFileName.toString.startsWith(s"$tag-"))
+        .foreach(Files.delete)
+    val tmp = dataDir.resolveSibling(s"${dataDir.getFileName}.$tag.tmp")
+    delta.write.mode("overwrite").parquet(tmp.toString)
+    Files.createDirectories(dataDir)
+    var i = 0
+    EventStore.listDir(tmp).sortBy(_.getFileName.toString)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        Files.move(p, dataDir.resolve(f"$tag-$i%05d.parquet")); i += 1
+      }
+    deleteRecursively(tmp)
+    // drop prior windows' markers (stale once this window supersedes them)
+    EventStore.listDir(dataDir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_show_delta_") && n.endsWith(".committed")
+      }
+      .foreach(Files.delete)
+    val mtmp = dataDir.resolve(s"_show_delta_$fromHwm.tmp")
+    Files.write(mtmp, toHwm.toString.getBytes("UTF-8"))
+    Files.move(mtmp, dataDir.resolve(s"_show_delta_$fromHwm.committed"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** SHOW for sequence materializations — per-affected-group incremental
@@ -469,9 +589,15 @@ final class Materializer(store: EventStore) {
 
   /** Overwrite a Parquet dir that the plan is also reading: write to a tmp
     * sibling, then swap (a direct overwrite would clobber its own input). */
-  private def swapWrite(target: Path, df: DataFrame): Unit = {
+  /** Overwrite `target` via tmp + two atomic renames. `hwmMarker` embeds an
+    * `_hwm_<U>.marker` file (underscore-prefixed: invisible to Parquet reads) in the new dir —
+    * the aggregate SHOW's delta commit point. Crash windows between the two
+    * moves are healed by [[recoverSwap]] at the next SHOW. */
+  private def swapWrite(target: Path, df: DataFrame,
+      hwmMarker: Option[Long] = None): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
+    hwmMarker.foreach(u => Files.write(tmp.resolve(s"_hwm_$u.marker"), Array.emptyByteArray))
     val old = target.resolveSibling(target.getFileName.toString + ".old")
     if (Files.exists(target)) Files.move(target, old)
     Files.move(tmp, target)

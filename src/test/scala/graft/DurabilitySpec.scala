@@ -237,4 +237,52 @@ class DurabilitySpec extends AnyFunSuite {
     assert(s4.frame("t").count() == 6)
     assert(!Files.exists(tmp), "stale compact scratch not cleaned")
   }
+
+  test("torn WAL tail (crash mid-append) is dropped; the store still opens") {
+    val dir = Files.createTempDirectory("graft_torn_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE t FIELDS { v: "int" }""")
+    s.execute("""STORE t FOR c1 PAYLOAD {"v": 1}""")
+    s.execute("""STORE t FOR c2 PAYLOAD {"v": 2}""")
+    // simulate the crash artifact: a partial (unacknowledged) final line
+    val wal = Paths.get(dir, "_wal", "events.jsonl")
+    Files.write(wal, """{"t":"t","c":"c3","ts":1,"id":99,"f":["v"],"v":[""".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val s2 = new EventStore(spark, dir) // used to throw out of the constructor
+    assert(frame(s2.execute("QUERY t")).count() == 2,
+      "acknowledged WAL entries must survive a torn tail")
+    s2.execute("FLUSH") // pruneWal shares the tolerance
+    assert(frame(s2.execute("QUERY t")).count() == 2)
+    // a torn NON-last line is real corruption and still fails loudly
+    val dir2 = Files.createTempDirectory("graft_torn2_").toString
+    val s3 = new EventStore(spark, dir2)
+    s3.execute("""DEFINE t FIELDS { v: "int" }""")
+    s3.execute("""STORE t FOR c1 PAYLOAD {"v": 1}""")
+    val wal2 = Paths.get(dir2, "_wal", "events.jsonl")
+    val body = new String(Files.readAllBytes(wal2), "UTF-8")
+    Files.write(wal2, ("{broken\n" + body).getBytes("UTF-8"))
+    intercept[IllegalStateException] { new EventStore(spark, dir2) }
+  }
+
+  test("id block counter overflow reclaims trailing unused block space") {
+    val dir = Files.createTempDirectory("graft_idwrap_").toString
+    val s = new EventStore(spark, dir)
+    s.execute("""DEFINE t FIELDS { v: "int" }""")
+    s.execute("""STORE t FOR c1 PAYLOAD {"v": 1}""")
+    s.execute("FLUSH")
+    val before = s.frame("t").collect().map(_.getAs[Long]("event_id")).max
+    // simulate ~8k lifetime micro-batches: the next allocation would shift
+    // into the sign bit (negative ids below every recorded HWM)
+    s.forceBatchSeqForTest(1L << 13)
+    s.execute("""STORE t FOR c2 PAYLOAD {"v": 2}""")
+    s.execute("FLUSH")
+    val ids = s.frame("t").collect().map(_.getAs[Long]("event_id"))
+    assert(ids.forall(_ > 0L), s"overflowed into negative ids: ${ids.toSeq}")
+    assert(ids.max > before, "reclaimed block must stay above every visible id")
+    // and a bulk ingest after the reclaim keeps monotonicity too
+    import spark.implicits._
+    assert(s.ingestFrame("t", Seq(("c3", 3L)).toDF("ctx", "v"), "ctx").isRight)
+    val ids2 = s.frame("t").collect().map(_.getAs[Long]("event_id"))
+    assert(ids2.forall(_ > 0L) && ids2.distinct.length == 3)
+  }
 }

@@ -129,6 +129,74 @@ class StoreSpec extends AnyFunSuite {
     assert(err(s.execute("REMEMBER QUERY m AS big")).contains("already exists"))
   }
 
+  test("SHOW delta apply is idempotent across a crash before the meta advance") {
+    import java.nio.file.{Files => F, Paths => P}
+    val s = newStore()
+    s.execute("""DEFINE m FIELDS { v: "int" }""")
+    s.execute("""STORE m FOR a PAYLOAD {"v": 10}""")
+    s.execute("""STORE m FOR a PAYLOAD {"v": 20}""")
+    s.execute("FLUSH")
+    assert(ok(s.execute("REMEMBER QUERY m WHERE v > 5 AS sel")).contains("remembered"))
+    assert(ok(s.execute("REMEMBER QUERY m COUNT, TOTAL v AS agg")).contains("remembered"))
+    assert(frame(s.execute("SHOW sel")).count() == 2)
+    def aggRow() = frame(s.execute("SHOW agg")).collect().head
+    assert((aggRow().getAs[Long]("count"), aggRow().getAs[Long]("total_v")) == ((2L, 30L)))
+    // capture the pre-delta catalog state, apply a delta, then REVERT the
+    // meta files — simulating a crash after the delta landed but before
+    // the hwm advance (the window that used to duplicate/double-count)
+    def metaPath(n: String) = P.get(s.root, "_materializations", n, "meta.json")
+    val selMeta = F.readAllBytes(metaPath("sel"))
+    val aggMeta = F.readAllBytes(metaPath("agg"))
+    s.execute("""STORE m FOR b PAYLOAD {"v": 100}""")
+    s.execute("FLUSH")
+    assert(frame(s.execute("SHOW sel")).count() == 3)
+    assert((aggRow().getAs[Long]("count"), aggRow().getAs[Long]("total_v")) == ((3L, 130L)))
+    F.write(metaPath("sel"), selMeta) // crash simulation: meta never advanced
+    F.write(metaPath("agg"), aggMeta)
+    val selRows = frame(s.execute("SHOW sel")).collect().map(_.getAs[Long]("v")).sorted.toSeq
+    assert(selRows == Seq(10L, 20L, 100L),
+      s"re-applied selection delta duplicated rows: $selRows")
+    assert((aggRow().getAs[Long]("count"), aggRow().getAs[Long]("total_v")) == ((3L, 130L)),
+      "re-applied aggregate delta double-counted")
+    // and the heal persists: another SHOW stays stable
+    assert(frame(s.execute("SHOW sel")).count() == 3)
+  }
+
+  test("aggregate SHOW heals a swapWrite crash window (state stranded in .old)") {
+    import java.nio.file.{Files => F, Paths => P}
+    val s = newStore()
+    s.execute("""DEFINE m FIELDS { v: "int" }""")
+    s.execute("""STORE m FOR a PAYLOAD {"v": 7}""")
+    s.execute("FLUSH")
+    assert(ok(s.execute("REMEMBER QUERY m COUNT, COUNT UNIQUE context_id AS ag2")).contains("remembered"))
+    assert(frame(s.execute("SHOW ag2")).collect().head.getAs[Long]("count") == 1L)
+    // simulate the crash between swapWrite's two moves: state/ gone, rows
+    // aside in state.old/ — the next SHOW must restore, not throw
+    val matDir = P.get(s.root, "_materializations", "ag2")
+    F.move(matDir.resolve("state"), matDir.resolve("state.old"))
+    assert(frame(s.execute("SHOW ag2")).collect().head.getAs[Long]("count") == 1L,
+      "aggregate SHOW did not heal the stranded state dir")
+    assert(!F.exists(matDir.resolve("state.old")))
+  }
+
+  test("failed REMEMBER leaves the name usable") {
+    val s = newStore()
+    s.execute("""DEFINE m FIELDS { v: "int" }""")
+    // simulate the artifact of a crashed/failed REMEMBER: a directory with
+    // no (readable) meta.json — it used to block the name forever while
+    // SHOW reported it not found
+    val leftover = java.nio.file.Paths.get(s.root, "_materializations", "blocked")
+    java.nio.file.Files.createDirectories(leftover)
+    java.nio.file.Files.write(leftover.resolve("meta.json"),
+      "{truncated".getBytes("UTF-8")) // torn legacy meta: also unreadable
+    assert(err(s.execute("SHOW blocked")).contains("not found"))
+    s.execute("""STORE m FOR a PAYLOAD {"v": 1}""")
+    s.execute("FLUSH")
+    assert(ok(s.execute("REMEMBER QUERY m AS blocked")).contains("remembered"),
+      "name blocked by a failed REMEMBER's leftover directory")
+    assert(frame(s.execute("SHOW blocked")).count() == 1)
+  }
+
   test("sequence REMEMBER + SHOW: late B re-matches its head, untouched buckets keep their files") {
     import spark.implicits._
     val s = newStore()

@@ -203,7 +203,9 @@ class StreamingResponseSpec extends AnyFunSuite {
     Files.write(dataFile, "{not json at all".getBytes("UTF-8"))
     val s7 = new EventStore(spark, Files.createTempDirectory("graft_snap7_").toString)
     val corrupt = s7.importSnapshot(snap3)
-    assert(corrupt.isLeft && corrupt.left.exists(_.contains("unreadable snapshot data")))
+    // rejected by the data-hash cross-check (r15) before the FAILFAST read
+    assert(corrupt.isLeft && corrupt.left.exists(e =>
+      e.contains("data hash mismatch") || e.contains("unreadable snapshot data")))
     assert(s7.eventTypes.isEmpty) // no schema registered, no data imported
 
     // WELL-FORMED JSON whose values mismatch the schema types must also
@@ -214,7 +216,8 @@ class StreamingResponseSpec extends AnyFunSuite {
         .getBytes("UTF-8"))
     val s8 = new EventStore(spark, Files.createTempDirectory("graft_snap8_").toString)
     val mistyped = s8.importSnapshot(snap3)
-    assert(mistyped.isLeft && mistyped.left.exists(_.contains("unreadable snapshot data")))
+    assert(mistyped.isLeft && mistyped.left.exists(e =>
+      e.contains("data hash mismatch") || e.contains("unreadable snapshot data")))
     assert(s8.eventTypes.isEmpty)
 
     // compaction reduces file count, preserves data
@@ -279,6 +282,32 @@ class StreamingResponseSpec extends AnyFunSuite {
     src.exportSnapshot(snap2)
     assert(st.importSnapshot(snap2) == Right(2))
     assert(st.frame("a").count() == 9, "second snapshot must append (4 + 5 rows)")
+  }
+
+  test("manifested snapshot: a data file edited after export is rejected, not skipped") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val src = new EventStore(spark, Files.createTempDirectory("graft_dmd5_src_").toString)
+    src.execute("""DEFINE t FIELDS { v: "int" }""")
+    (1 to 4).foreach(i => src.execute(s"""STORE t FOR c$i PAYLOAD {"v": $i}"""))
+    src.execute("FLUSH")
+    val snap = Files.createTempDirectory("graft_dmd5_snap_").toString
+    src.exportSnapshot(snap)
+    assert(new String(Files.readAllBytes(Paths.get(snap, "manifest.json")), "UTF-8")
+      .contains("data_md5"))
+    // same-size in-place edit: rows/ts-range (and thus the manifest bytes)
+    // unchanged — before the data_md5 cross-check this re-imported under
+    // the SAME key and was silently skipped as already-committed
+    val edited = Files.list(Paths.get(snap, "t")).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .find(p => new String(Files.readAllBytes(p), "UTF-8").contains("\"v\":4")).get
+    val body = new String(Files.readAllBytes(edited), "UTF-8")
+    Files.write(edited, body.replace("\"v\":4", "\"v\":9").getBytes("UTF-8"))
+    val st = new EventStore(spark, Files.createTempDirectory("graft_dmd5_dst_").toString)
+    val refused = st.importSnapshot(snap)
+    assert(refused.isLeft && refused.left.exists(_.contains("data hash mismatch")),
+      s"edited manifested snapshot must be rejected, got $refused")
+    assert(st.eventTypes.isEmpty, "nothing may land from a rejected snapshot")
   }
 
   test("manifest-less snapshot: same-size in-place edit re-imports instead of skipping") {
