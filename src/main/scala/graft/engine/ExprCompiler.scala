@@ -32,7 +32,7 @@ object ExprCompiler {
     case Expr.Not(e)    => !compile(e, schema, resolve)
     case Expr.In(f, vs) =>
       val name = resolve(f)
-      dataTypeOf(schema, name) match {
+      val leaf = dataTypeOf(schema, name) match {
         // a comparison on a field that doesn't exist matches nothing
         // (reference missing-field ScalarValue compare; scenario
         // query_empty_event_type) — NOT above it still inverts
@@ -56,22 +56,76 @@ object ExprCompiler {
             (if (fallback.nonEmpty) Seq(col(name).cast("string").isin(fallback.map(rawString): _*)) else Nil)
           parts.reduceOption(_ || _).getOrElse(lit(false))
       }
+      definite(leaf)
     case Expr.Cmp(f, op, v) =>
       val name = resolve(f)
-      dataTypeOf(schema, name) match {
+      val leaf = dataTypeOf(schema, name) match {
         case None => lit(false) // unknown field never matches
         case Some(StringType) => stringLadderCmp(name, op, v)
         case Some(dt) =>
-          // Reference parity (`ScalarValue::compare`, sneldb `types/mod.rs:245-270`):
-          // when the literal doesn't parse as the column's type, comparison falls
-          // back to LEXICOGRAPHIC over stringified values (so `datetime =
-          // "not-a-time"` is 0 rows, not an error).
-          val (c, l) = litFor(v, dt) match {
-            case Some(x) => (col(name), lit(x))
-            case None    => (col(name).cast("string"), lit(rawString(v)))
+          numericMismatchCmp(name, op, v, dt).getOrElse {
+            // Reference parity (`ScalarValue::compare`, sneldb `types/mod.rs:245-270`):
+            // when the literal doesn't parse as the column's type, comparison falls
+            // back to LEXICOGRAPHIC over stringified values (so `datetime =
+            // "not-a-time"` is 0 rows, not an error).
+            val (c, l) = litFor(v, dt) match {
+              case Some(x) => (col(name), lit(x))
+              case None    => (col(name).cast("string"), lit(rawString(v)))
+            }
+            applyOp(op, c, l)
           }
-          applyOp(op, c, l)
       }
+      definite(leaf)
+  }
+
+  /** Force a leaf comparison to a DEFINITE boolean: a NULL-valued column
+    * (a nullable field, or a type missing the field under a `*`-scope
+    * unionByName fill) compares to SQL null, and `NOT null` is null — the
+    * row silently dropped, while the SAME event in a single-type query hits
+    * the missing-field `lit(false)` rung and `NOT` keeps it (r15 review
+    * finding: opposite results by scope). The reference never produces an
+    * unknown: a missing/null value compares false and NOT inverts it. */
+  private def definite(leaf: Column): Column = coalesce(leaf, lit(false))
+
+  /** Reference-ladder NUMERIC comparison for literal/column type mismatches
+    * that the typed-literal path mis-handled (r15 review findings):
+    *
+    *  - a FRACTIONAL double vs an integral column truncated (`count = 3.7`
+    *    matched 3; `count >= 3.7` included 3) — the reference compares via
+    *    f64, matching nothing at equality and excluding 3;
+    *  - an I64 literal beyond Int range wrapped via toInt against int
+    *    columns, matching arbitrary wrong rows;
+    *  - a NUMERIC STRING with a fraction/exponent vs an integral column
+    *    fell to lexicographic ("10" > "9.5" = false) — the reference's f64
+    *    rung compares 10 > 9.5 numerically;
+    *  - a literal parsing as NaN compares `Ordering::Equal` to everything
+    *    (`partial_cmp(..).unwrap_or(Equal)`, types/mod.rs:256-258), so
+    *    `= / >= / <=` hold for every row and `> / < / !=` for none.
+    *
+    * Returns None when the plain typed-literal path is already correct. */
+  private def numericMismatchCmp(name: String, op: CompareOp, v: Lit,
+      dt: DataType): Option[Column] = {
+    val integral = dt == LongType || dt == IntegerType
+    def eqLike = op match {
+      case CompareOp.Eq | CompareOp.Gte | CompareOp.Lte => lit(true)
+      case _                                            => lit(false)
+    }
+    def dblCmp(d: Double): Column =
+      if (d.isNaN) eqLike else applyOp(op, col(name).cast("double"), lit(d))
+    v match {
+      case Lit.F64(d) if d.isNaN && (integral || dt == DoubleType) => Some(eqLike)
+      case Lit.F64(d) if integral && (d != math.floor(d) || d.isInfinity ||
+          d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble) =>
+        Some(dblCmp(d))
+      case Lit.I64(n) if dt == IntegerType && (n > Int.MaxValue || n < Int.MinValue) =>
+        Some(applyOp(op, col(name).cast("long"), lit(n)))
+      case Lit.Str(s) if integral && s.toLongOption.isEmpty &&
+          TimeParser.parseToEpochSeconds(s).isEmpty && rustF64(s).isDefined =>
+        Some(dblCmp(rustF64(s).get))
+      case Lit.Str(s) if dt == DoubleType && rustF64(s).exists(_.isNaN) =>
+        Some(eqLike)
+      case _ => None
+    }
   }
 
   private def applyOp(op: CompareOp, c: Column, l: Column): Column = op match {
@@ -198,8 +252,14 @@ object ExprCompiler {
     case (Lit.Str(s), LongType)     =>
       // numeric string vs long column → numeric; ISO time string → epoch seconds
       s.toLongOption.orElse(TimeParser.parseToEpochSeconds(s))
-    case (Lit.Str(s), DoubleType)   => s.toDoubleOption
-    case (Lit.Str(s), BooleanType)  => s.toBooleanOption
+    // Rust parse grammar, not Java's (r15): `"7f"`/`" 7"` must NOT coerce
+    // (they fall to lexicographic, as the reference rejects them), while
+    // `"inf"`/`"-infinity"` DO (NaN is handled by numericMismatchCmp)
+    case (Lit.Str(s), DoubleType)   => rustF64(s).filterNot(_.isNaN)
+    // the reference's as_bool accepts "1"/"0" alongside "true"/"false"
+    // (the same set litBool uses for string columns)
+    case (Lit.Str(s), BooleanType)  => litBool(Lit.Str(s))
+    case (Lit.I64(n), BooleanType)  => Some(n != 0)
     case (Lit.Str(s), TimestampType) =>
       TimeParser.parseToEpochSeconds(s)
         .map(e => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e)))

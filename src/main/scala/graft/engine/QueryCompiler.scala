@@ -48,7 +48,7 @@ object QueryCompiler {
       case _: IllegalArgumentException | _: MatchError => emptyCoreFrame()
     }
 
-  private def emptyCoreFrame(): DataFrame = {
+  private[engine] def emptyCoreFrame(): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
       StructType(Seq(
@@ -64,8 +64,12 @@ object QueryCompiler {
     q.since.foreach { ts =>
       // SINCE applies to the core timestamp, or to a payload time field via
       // USING <field> (reference query_plan.rs; both stored as epoch seconds).
+      // A field absent from this frame's schema orders at 0 (reference
+      // get_i64_at(..).unwrap_or(0)) instead of throwing UNRESOLVED_COLUMN
+      // out of the query (r15 review finding).
       val field = q.timeField.getOrElse(EventSchema.Timestamp)
-      out = out.filter(col(field) >= ts)
+      val c = if (out.columns.contains(field)) col(field).cast("long") else lit(0L)
+      out = out.filter(c >= ts)
     }
     q.where.foreach(e => out = out.filter(ExprCompiler.compile(e, out.schema)))
     out

@@ -12,7 +12,14 @@ import graft.schema.EventSchema
   * Semantics (sneldb `src/engine/core/read/sequence/matcher.rs:310-600`):
   *  - events of each type are grouped by the link field and sorted by the
   *    sequence time field (default `timestamp`), tiebroken by `event_id`;
-  *  - `FOLLOWED BY`: each head event matches the FIRST b with `ts_b >= ts_a`;
+  *  - `FOLLOWED BY`: each head event matches the FIRST b with `ts_b >= ts_a`
+  *    — INCLUSIVE, and with a duplicated type (`a FOLLOWED BY a`) the head
+  *    is its own earliest candidate, so every head self-completes. That is
+  *    the reference's exact behavior (matcher.rs: `rows_by_type` makes both
+  *    sides the same row list and "events with the same timestamp are
+  *    considered matches"), kept verbatim for parity; the STREAMING funnel
+  *    deliberately uses strict `(ts, event_id)` ordering instead (its class
+  *    doc states the divergence);
   *  - `PRECEDED BY`: each head event matches the LATEST b with `ts_b < ts_a`
   *    (strict). We fix a reference edge case where a group whose earliest
   *    head event precedes every b returned no matches at all;
@@ -49,10 +56,22 @@ object SequenceCompiler {
       if (typeCounts(t) > 1) s"${t}_$i" else t
     }
 
+    // an unknown step type collapses to the EMPTY side (matcher.rs:
+    // rows_by_type.get(t).unwrap_or(&[]) — the whole query is then empty),
+    // instead of throwing out of src.frame (r15 review finding; the same
+    // degradation QueryCompiler.scoped applies to plain queries)
+    def frameFor(t: String): DataFrame =
+      if (src.eventTypes.contains(t)) src.frame(t)
+      else try src.frame(t) catch {
+        case _: IllegalArgumentException | _: MatchError =>
+          QueryCompiler.emptyCoreFrame()
+      }
+    // loop-invariant: one frame construction per distinct type, not per step
+    val schemasByType = steps.map(_._1).distinct.map(t => t -> frameFor(t).schema).toMap
+
     // per-side filtered + projected frames
     val sides = steps.zipWithIndex.map { case ((tpe, _), i) =>
-      val df0 = QueryCompiler.applyBaseFilters(src.frame(tpe), q.copy(where = None))
-      val schemasByType = steps.map(_._1).distinct.map(t => t -> src.frame(t).schema).toMap
+      val df0 = QueryCompiler.applyBaseFilters(frameFor(tpe), q.copy(where = None))
       val filtered = q.where match {
         case Some(expr) =>
           splitForType(expr, tpe, schemasByType) match {
@@ -104,9 +123,19 @@ object SequenceCompiler {
       // `read/sequence/group.rs:368-377`: get_i64_at(...).unwrap_or(0))
       val tsCol =
         if (df.columns.contains(timeField)) col(timeField).cast("long") else lit(0L)
+      // a side whose schema lacks the LINKED BY field contributes no rows
+      // (null link -> dropped by the isNotNull filter, so the group never
+      // completes — the reference's missing-link-value behavior) instead of
+      // failing analysis with UNRESOLVED_COLUMN (r15 review finding)
+      val linkCol =
+        if (df.columns.contains(linkField)) col(linkField).cast("string")
+        else lit(null).cast("string")
+      val eidCol =
+        if (df.columns.contains(EventSchema.EventId)) col(EventSchema.EventId)
+        else lit(0L)
       df.select(
-        (Seq(col(linkField).cast("string").as("__link"), lit(i).as("__side"),
-          tsCol.as("__ts"), col(EventSchema.EventId).as("__eid")) ++ slots): _*)
+        (Seq(linkCol.as("__link"), lit(i).as("__side"),
+          tsCol.as("__ts"), eidCol.as("__eid")) ++ slots): _*)
     }.reduce(_.unionByName(_))
       .filter(col("__link").isNotNull)
 
@@ -142,8 +171,12 @@ object SequenceCompiler {
       case Some(n) =>
         val names = outSchema.fieldNames.toIndexedSeq
         val uniq = names.indices.map(i => s"__ord$i")
+        // OFFSET pages within the same deterministic order (it parses
+        // whenever LIMIT does; silently returning page 1 for every page
+        // was the r15 review finding)
         matched.toDF(uniq: _*)
           .orderBy((uniq(1) +: uniq.patch(1, Nil, 1)).map(col): _*)
+          .offset(q.offset.getOrElse(0))
           .limit(n)
           .toDF(names: _*)
       case None => matched

@@ -183,4 +183,58 @@ class EngineSpec extends AnyFunSuite {
     // IN mixes rungs per value ("true" rides the bool rung of `= 10`)
     assert(ids("QUERY tag WHERE label IN (10, 0)") == Seq("u1", "u4", "u5"))
   }
+
+  test("NOT over a null-filled column keeps the row (no 3VL drop under * scope)") {
+    // payment rows have NO 'device' column: the * union fills nulls, and a
+    // NOT over the null comparison used to drop them (SQL three-valued
+    // logic) while the single-type missing-field rung kept them
+    val rows = run("""QUERY * WHERE NOT device = "web"""").collect()
+    val types = rows.map(_.getAs[String]("event_type")).toSeq
+    assert(types.count(_ == "payment") == 3,
+      s"null-filled rows must survive NOT like missing-field rows: ${types.toSeq}")
+    assert(rows.count(_.getAs[String]("event_type") == "login") == 1) // mobile
+  }
+
+  test("fractional and oversized literals compare numerically against integral columns") {
+    def amounts(cmd: String) =
+      run(cmd).collect().map(_.getAs[Long]("amount")).sorted.toSeq
+    // amount in {50, 75, 20}; 3.7-style literals used to TRUNCATE to long
+    assert(amounts("QUERY payment WHERE amount = 50.5") == Seq())
+    assert(amounts("QUERY payment WHERE amount >= 50.5") == Seq(75L))
+    assert(amounts("QUERY payment WHERE amount > 19.5") == Seq(20L, 50L, 75L))
+    // numeric STRING with a fraction: the reference's f64 rung, not
+    // lexicographic ("20" > "19.5" lexicographically is false)
+    assert(amounts("""QUERY payment WHERE amount > "19.5"""") == Seq(20L, 50L, 75L))
+    // bool columns accept the reference's as_bool string set ("1"/"0")
+    assert(run("""QUERY login WHERE ok = "1"""").count() == 2)
+    assert(run("QUERY login WHERE ok = 1").count() == 2)
+  }
+
+  test("sequence over an unknown event type is empty, not an error") {
+    assert(run("QUERY nosuch FOLLOWED BY payment LINKED BY context_id").count() == 0)
+    assert(run("QUERY login FOLLOWED BY nosuch LINKED BY context_id").count() == 0)
+  }
+
+  test("LINKED BY a field missing from one side is empty, not an analysis error") {
+    // 'amount' exists only on payment: login rows get a null link and drop,
+    // so no group ever holds both sides
+    assert(run("QUERY login FOLLOWED BY payment LINKED BY amount").count() == 0)
+  }
+
+  test("SINCE USING an unknown payload field is empty, not an analysis error") {
+    assert(run("QUERY payment SINCE 100 USING no_such_field").count() == 0)
+  }
+
+  test("sequence LIMIT with OFFSET pages instead of repeating page one") {
+    val all = run("QUERY login FOLLOWED BY payment LINKED BY context_id")
+      .collect().map(_.toSeq).toSeq
+    assert(all.size == 2) // u1: (100->150) and (200->250)
+    val p1 = run("QUERY login FOLLOWED BY payment LINKED BY context_id LIMIT 1")
+      .collect().map(_.toSeq).toSeq
+    val p2 = run("QUERY login FOLLOWED BY payment LINKED BY context_id LIMIT 1 OFFSET 1")
+      .collect().map(_.toSeq).toSeq
+    assert(p1.size == 1 && p2.size == 1)
+    assert(p1 != p2, s"page 2 repeated page 1: $p1")
+    assert((p1 ++ p2).toSet == all.toSet)
+  }
 }
