@@ -29,10 +29,18 @@ object ExprCompiler {
               resolve: FieldRef => String = _.name): Column = expr match {
     case Expr.And(l, r) => compile(l, schema, resolve) && compile(r, schema, resolve)
     case Expr.Or(l, r)  => compile(l, schema, resolve) || compile(r, schema, resolve)
-    case Expr.Not(e)    => !compile(e, schema, resolve)
+    // null-safe NOT: a null-valued leaf (nullable field, or *-scope union
+    // null-fill) compares to SQL null, and `NOT null = null` silently
+    // dropped rows the reference keeps (missing/null compares FALSE there,
+    // and NOT inverts it — r15 review finding). Wrapping at the NOT
+    // boundary — not the leaves — keeps bare comparisons Parquet-pushable
+    // (a leaf-level coalesce stripped PushedFilters from every WHERE scan,
+    // which the plan-audit gate caught). Nulls at any depth only change
+    // the outcome under negation: un-negated null and false both drop.
+    case Expr.Not(e)    => coalesce(!compile(e, schema, resolve), lit(true))
     case Expr.In(f, vs) =>
       val name = resolve(f)
-      val leaf = dataTypeOf(schema, name) match {
+      dataTypeOf(schema, name) match {
         // a comparison on a field that doesn't exist matches nothing
         // (reference missing-field ScalarValue compare; scenario
         // query_empty_event_type) — NOT above it still inverts
@@ -56,10 +64,9 @@ object ExprCompiler {
             (if (fallback.nonEmpty) Seq(col(name).cast("string").isin(fallback.map(rawString): _*)) else Nil)
           parts.reduceOption(_ || _).getOrElse(lit(false))
       }
-      definite(leaf)
     case Expr.Cmp(f, op, v) =>
       val name = resolve(f)
-      val leaf = dataTypeOf(schema, name) match {
+      dataTypeOf(schema, name) match {
         case None => lit(false) // unknown field never matches
         case Some(StringType) => stringLadderCmp(name, op, v)
         case Some(dt) =>
@@ -75,17 +82,7 @@ object ExprCompiler {
             applyOp(op, c, l)
           }
       }
-      definite(leaf)
   }
-
-  /** Force a leaf comparison to a DEFINITE boolean: a NULL-valued column
-    * (a nullable field, or a type missing the field under a `*`-scope
-    * unionByName fill) compares to SQL null, and `NOT null` is null — the
-    * row silently dropped, while the SAME event in a single-type query hits
-    * the missing-field `lit(false)` rung and `NOT` keeps it (r15 review
-    * finding: opposite results by scope). The reference never produces an
-    * unknown: a missing/null value compares false and NOT inverts it. */
-  private def definite(leaf: Column): Column = coalesce(leaf, lit(false))
 
   /** Reference-ladder NUMERIC comparison for literal/column type mismatches
     * that the typed-literal path mis-handled (r15 review findings):
