@@ -136,6 +136,7 @@ object Multimodal {
   def decodePpmP6(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
+    def isPpmWs(b: Byte): Boolean = b == ' ' || b == '\t' || b == '\r' || b == '\n'
     def skipWsAndComments(): Unit = {
       var going = true
       while (going && i < bytes.length) {
@@ -155,7 +156,11 @@ object Multimodal {
       v.toInt
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
-    i += 1 // exactly one whitespace byte separates maxval from raw data
+    // exactly ONE whitespace byte separates maxval from raw data — and it
+    // must BE whitespace: skipping it unchecked accepted malformed headers
+    // and shifted every pixel read by the bogus separator (r15 review)
+    if (i >= bytes.length || !isPpmWs(bytes(i))) return None
+    i += 1
     // dimension caps keep n*3 far from Int overflow — a crafted 65536×65536
     // header must be rejected, not wrap to a passing bounds check
     if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
@@ -484,7 +489,11 @@ object Multimodal {
 
   /** Per-frame audio features for every PCM16 WAV blob (malformed rows
     * dropped) — one mapPartitions pass, frames generated per row. */
-  def audioFrames(media: DataFrame, frameSize: Int): DataFrame =
+  def audioFrames(media: DataFrame, frameSize: Int): DataFrame = {
+    // validate DRIVER-SIDE: a require inside the decode closure lands in
+    // decodeRow's Try, so a misconfigured frameSize silently produced an
+    // EMPTY result instead of failing fast (r15 review finding)
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
     idAndBytes(media).mapPartitions { it =>
       it.flatMap { r =>
         decodeRow(r, decodeWavFrames(_, frameSize)).toSeq.flatten.map {
@@ -492,6 +501,7 @@ object Multimodal {
         }
       }
     }(Encoders.row(audioFrameSchema))
+  }
 
   // ---- Audio spectral fingerprinting (Walsh–Hadamard constellation) ----
 
@@ -615,7 +625,9 @@ object Multimodal {
     * (malformed rows dropped) — one mapPartitions codec pass, the audio
     * analog of [[imageDHashes]]: the peak sequence is the compact
     * perceptual summary fingerprinting and matching build on. */
-  def audioWhtPeaks(media: DataFrame, frameSize: Int): DataFrame =
+  def audioWhtPeaks(media: DataFrame, frameSize: Int): DataFrame = {
+    require(frameSize > 0 && (frameSize & (frameSize - 1)) == 0,
+      s"frameSize must be a positive power of two, got $frameSize")
     idAndBytes(media).mapPartitions { it =>
       it.flatMap { r =>
         decodeRow(r, decodeWavWhtPeaks(_, frameSize)).toSeq.flatten.map {
@@ -623,6 +635,7 @@ object Multimodal {
         }
       }
     }(Encoders.row(whtPeakSchema))
+  }
 
   /** Landmark (constellation) fingerprints from a [[audioWhtPeaks]] frame —
     * the Shazam shape (Wang 2003): each anchor frame pairs its spectral
@@ -1351,7 +1364,11 @@ object Multimodal {
     * through a real perceptual codec's write+read cycle. Grayscale is
     * essential: an RGB JPEG would round-trip YCbCr and break exactness. */
   private[graft] def buildSyntheticJpeg(id: Long): Array[Byte] = {
-    val bw = 1 << (id % 3).toInt; val bh = 1 << (id % 2).toInt
+    // floorMod: Scala % is sign-preserving, so a negative id shifted by -1
+    // produced Int.MinValue dimensions and a generator crash (r15 review
+    // finding; the pixel formulas nearby already use floorMod)
+    val bw = 1 << Math.floorMod(id, 3L).toInt
+    val bh = 1 << Math.floorMod(id, 2L).toInt
     val w = bw * 8; val h = bh * 8
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -1996,8 +2013,13 @@ object Multimodal {
     * key equi-join whose cost is ∝ collisions, never images × frames.
     * Output: `image_id | video_id | frame_idx`. */
   def crossMediaDups(images: DataFrame, videos: DataFrame): DataFrame =
+    // shuffle-hash pin: both sides are stat-less typed decode pipelines,
+    // and Spark's fallback would BROADCAST the corpus-sized frame-key
+    // table (the matchAudioFingerprints/nearDupImages analysis; r15
+    // review finding — this join had no pin)
     imageContentKeys(images)
       .select(col("media_id").as("image_id"), col("img_key"))
+      .hint("shuffle_hash")
       .join(videoFrameDHashes(videos)
           .select(col("media_id").as("video_id"), col("frame_idx"), col("frame_key")),
         col("img_key") === col("frame_key"))
@@ -2024,9 +2046,10 @@ object Multimodal {
     * on the generation formula. Container: RIFF/AVI with `hdrl` (avih +
     * one `vids`/`MJPG` strl), `movi` of `00dc` frames, word-aligned. */
   private[graft] def buildSyntheticAvi(id: Long): Array[Byte] = {
-    val nf = 2 + (id % 3).toInt
+    val nf = 2 + Math.floorMod(id, 3L).toInt
     val frames = (0 until nf).map(f => buildSyntheticJpeg(id + 6L * f))
-    val w = 8 * (1 << (id % 3).toInt); val h = 8 * (1 << (id % 2).toInt)
+    val w = 8 * (1 << Math.floorMod(id, 3L).toInt)
+    val h = 8 * (1 << Math.floorMod(id, 2L).toInt)
     def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -2235,7 +2258,10 @@ object Multimodal {
     * the output joins [[matchAudioFingerprints]] / the streaming admission
     * directly: "does this footage carry audio we already index". */
   def videoSoundtrackFingerprints(media: DataFrame, frameSize: Int = 64,
-      maxDelta: Int = 2): DataFrame =
+      maxDelta: Int = 2): DataFrame = {
+    require(frameSize > 0 && (frameSize & (frameSize - 1)) == 0,
+      s"frameSize must be a positive power of two, got $frameSize")
+    require(maxDelta >= 1 && maxDelta < 64, s"maxDelta must be in [1, 64), got $maxDelta")
     idAndBytes(media).mapPartitions { it =>
       it.flatMap { r =>
         decodeRow(r, (b: Array[Byte]) => parseAviAudioPcm16(b).map { case (_, smp) =>
@@ -2243,6 +2269,7 @@ object Multimodal {
         }).toSeq.flatten.map { case (f, key) => Row(r.getLong(0), f, key) }
       }
     }(Encoders.row(localFpSchema))
+  }
 
   /** [[buildSyntheticAvi]] over a corpus ([[syntheticJpegs]] shape). */
   def syntheticAvis(df: DataFrame, idCol: String): DataFrame = {
@@ -2265,10 +2292,30 @@ object Multimodal {
     StructField("content_length", LongType, nullable = false),
     StructField("n_tokens", LongType, nullable = false)))
 
+  /** 256 MiB decompression ceiling: every other decoder here caps crafted
+    * expansion (PNG 64 MiB, AVI declared-sample caps); an unbounded
+    * readAllBytes on a gzip BOMB allocates the full expansion and the
+    * resulting OutOfMemoryError is fatal — NOT caught by decodeRow's
+    * NonFatal Try — killing the executor (r15 review finding). Over the
+    * cap the blob is malformed-by-policy and drops whole, like any other
+    * container violation. */
+  private val MaxGunzipBytes = 256 * 1024 * 1024
+
   private def gunzip(b: Array[Byte]): Option[Array[Byte]] =
     scala.util.Try {
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
-      try in.readAllBytes() finally in.close()
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          require(out.size() <= MaxGunzipBytes,
+            s"gzip expansion exceeds $MaxGunzipBytes bytes")
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
     }.toOption
 
   /** Parse a WARC/1.0 blob (plain or gzipped — CommonCrawl ships .warc.gz)
@@ -2449,7 +2496,11 @@ object Multimodal {
     * [[extractFeatures]]). */
   def extractFeaturesWithDecoder(media: DataFrame,
       decode: Array[Byte] => Array[Double] = decodeStub): DataFrame = {
-    media.select("media_id", "kind", "bytes")
+    // widen the id at plan time (the idAndBytes contract): a raw
+    // getLong(0) on an IntegerType media_id threw ClassCastException
+    // per row executor-side (r15 review finding)
+    media.select(col("media_id").cast("long").as("media_id"),
+        col("kind"), col("bytes"))
       .mapPartitions { it =>
         // per-partition setup: a real implementation initializes the codec
         // once here before streaming the rows through it
