@@ -103,8 +103,13 @@ object ExprCompiler {
   private def numericMismatchCmp(name: String, op: CompareOp, v: Lit,
       dt: DataType): Option[Column] = {
     val integral = dt == LongType || dt == IntegerType
+    // NaN compares Ordering::Equal to every VALUE, but a NULL cell (nullable
+    // field, *-scope null-fill) still compares FALSE in the reference —
+    // lit(true) matched null rows too and wrongly dropped them under NOT
+    // (ADVICE r15). isNotNull keeps null rows on the same 3VL path as every
+    // other comparison: drop un-negated, keep under NOT.
     def eqLike = op match {
-      case CompareOp.Eq | CompareOp.Gte | CompareOp.Lte => lit(true)
+      case CompareOp.Eq | CompareOp.Gte | CompareOp.Lte => col(name).isNotNull
       case _                                            => lit(false)
     }
     def dblCmp(d: Double): Column =

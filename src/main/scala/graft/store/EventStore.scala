@@ -253,46 +253,14 @@ final class EventStore(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Truncate the WAL prefix covered by a flush: drop every entry with
-    * `id <= cutoff`, keep entries appended after the memtable swap (their ids
-    * are strictly greater — [[store]] allocates the id and appends WAL + row
-    * under one lock, so id order is append order). The rewrite is atomic
-    * (tmp + move): a crash leaves either the old WAL, whose flushed entries
-    * replay as no-ops via [[replayWal]]'s committed-membership check, or the
-    * pruned one. */
-  /** WAL lines parsed with TORN-TAIL tolerance: a crash mid-append leaves a
-    * partial final line — that write was never fsync-acknowledged (the ack
-    * follows `force`), so dropping it loses nothing, whereas parsing it
-    * unguarded threw out of the constructor and made the store UNOPENABLE
-    * until someone hand-edited the WAL (r15 review finding). Appends are
-    * serialized, so only the LAST line can be torn; an unparseable earlier
-    * line is real corruption and still fails loudly. */
-  private def readWalLines(): Seq[(String, com.fasterxml.jackson.databind.JsonNode)] = {
-    if (!Files.exists(walFile)) return Nil
-    val lines = Files.readAllLines(walFile).asScala.filter(_.nonEmpty).toSeq
-    lines.zipWithIndex.flatMap { case (line, i) =>
-      try Some(line -> EventStore.readTree(line))
-      catch {
-        case e: Exception if i == lines.size - 1 =>
-          org.slf4j.LoggerFactory.getLogger("graft.store.EventStore").warn(
-            s"dropping torn WAL tail line (crash mid-append, never acknowledged): " +
-              s"${e.getMessage}")
-          None
-        case e: Exception =>
-          throw new IllegalStateException(
-            s"corrupt WAL entry at line ${i + 1} of $walFile (not the torn-tail " +
-              "crash artifact — refusing to skip acknowledged data)", e)
-      }
-    }
-  }
-
-  private def pruneWal(cutoff: Long): Unit = walLock.synchronized {
+  /** Atomically replace the WAL with exactly `kept` lines (tmp + move), or
+    * delete it when empty. Closes the append channel so the next
+    * [[appendWal]] reopens against the rewritten file — never against a
+    * replaced inode. A crash mid-rewrite leaves either the old file or the
+    * new one, both parseable. */
+  private def rewriteWal(kept: Seq[String]): Unit = walLock.synchronized {
     if (walChannel != null && walChannel.isOpen) walChannel.close()
     walChannel = null
-    if (!Files.exists(walFile)) return
-    val kept = readWalLines().collect {
-      case (line, n) if n.get("id").asLong() > cutoff => line
-    }
     if (kept.isEmpty) Files.deleteIfExists(walFile)
     else {
       val tmp = walFile.resolveSibling("events.jsonl.tmp")
@@ -300,6 +268,55 @@ final class EventStore(val spark: SparkSession, val root: String,
       Files.move(tmp, walFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+  }
+
+  /** WAL lines parsed with TORN-TAIL tolerance: a crash mid-append leaves a
+    * partial final line — that write was never fsync-acknowledged (the ack
+    * follows `force`), so dropping it loses nothing, whereas parsing it
+    * unguarded threw out of the constructor and made the store UNOPENABLE
+    * until someone hand-edited the WAL (r15 review finding). Appends are
+    * serialized, so only the LAST line can be torn; an unparseable earlier
+    * line is real corruption and still fails loudly.
+    *
+    * A dropped tail is also truncated ON DISK immediately (ADVICE r15): the
+    * append channel opens with APPEND, so leaving the fragment in place
+    * would concatenate the next acknowledged line onto it — a merged line
+    * that the following restart either fails to parse mid-file (store
+    * unopenable) or, if last, drops silently, losing an fsync-acknowledged
+    * write. */
+  private def readWalLines(): Seq[(String, com.fasterxml.jackson.databind.JsonNode)] = {
+    if (!Files.exists(walFile)) return Nil
+    val lines = Files.readAllLines(walFile).asScala.filter(_.nonEmpty).toSeq
+    var tornTail = false
+    val parsed = lines.zipWithIndex.flatMap { case (line, i) =>
+      try Some(line -> EventStore.readTree(line))
+      catch {
+        case e: Exception if i == lines.size - 1 =>
+          org.slf4j.LoggerFactory.getLogger("graft.store.EventStore").warn(
+            s"dropping torn WAL tail line (crash mid-append, never acknowledged): " +
+              s"${e.getMessage}")
+          tornTail = true
+          None
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"corrupt WAL entry at line ${i + 1} of $walFile (not the torn-tail " +
+              "crash artifact — refusing to skip acknowledged data)", e)
+      }
+    }
+    if (tornTail) rewriteWal(parsed.map(_._1))
+    parsed
+  }
+
+  /** Truncate the WAL prefix covered by a flush: drop every entry with
+    * `id <= cutoff`, keep entries appended after the memtable swap (their ids
+    * are strictly greater — [[store]] allocates the id and appends WAL + row
+    * under one lock, so id order is append order). */
+  private def pruneWal(cutoff: Long): Unit = walLock.synchronized {
+    if (!Files.exists(walFile)) return
+    val kept = readWalLines().collect {
+      case (line, n) if n.get("id").asLong() > cutoff => line
+    }
+    rewriteWal(kept)
   }
 
   /** Rebuild the memtable from unflushed WAL entries (crash/restart

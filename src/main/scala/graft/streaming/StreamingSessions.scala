@@ -30,7 +30,9 @@ import graft.schema.EventSchema
   * sibling's continuous numbering. Identity-grade state is permanent by
   * definition (bounded by distinct contexts, not time — the [[firstTouch]]
   * contract); the open-session half of the state is still evicted strictly
-  * by watermark.
+  * by watermark. Deployments whose context keys are high-cardinality or
+  * adversarial can cap tombstone lifetime with `tombstoneTtlSec` — see the
+  * [[sessions]] param doc for the duplicate-numbering trade.
   */
 object StreamingSessions {
 
@@ -83,9 +85,19 @@ object StreamingSessions {
       }
   }
 
+  /** @param tombstoneTtlSec 0 (default) keeps numbering tombstones forever —
+    *   `(context_id, session_idx)` stays globally unique, at the price of
+    *   state bounded by DISTINCT contexts (a hazard under high-cardinality
+    *   or adversarial context keys — ADVICE r15). A positive value evicts a
+    *   tombstone once the watermark passes its close by that many seconds:
+    *   state becomes time-bounded, but a context that returns after the TTL
+    *   RESTARTS numbering at 0, so `(context_id, session_idx)` can repeat
+    *   across the gap — callers joining on that key must dedupe by
+    *   `start_ts` or accept the merge. */
   def sessions(events: DataFrame, gapSec: Long,
       linkCol: String = EventSchema.ContextId,
-      watermarkDelay: String = "10 minutes"): Dataset[SessionRow] = {
+      watermarkDelay: String = "10 minutes",
+      tombstoneTtlSec: Long = 0L): Dataset[SessionRow] = {
     require(gapSec > 0, s"gapSec must be positive, got $gapSec")
     val spark = events.sparkSession
     import spark.implicits._
@@ -104,19 +116,33 @@ object StreamingSessions {
 
     // a closed context's state becomes this tombstone: no open session,
     // idx = the NEXT session's number (keeps numbering continuous and
-    // (context_id, session_idx) unique across closes). No timeout is set
-    // on it, so it persists — the documented identity-state price.
+    // (context_id, session_idx) unique across closes). With the default
+    // TTL of 0 no timeout is set, so it persists — the documented
+    // identity-state price; a positive TTL arms an eviction timeout.
     def tombstone(nextIdx: Long) = SessState(nextIdx, Long.MinValue, Long.MinValue, 0L)
 
     prepared.groupByKey(_.ctx)
       .flatMapGroupsWithState[SessState, SessionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (ctx: String, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          def park(nextIdx: Long): Unit = {
+            state.update(tombstone(nextIdx))
+            if (tombstoneTtlSec > 0L)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + tombstoneTtlSec * 1000L)
+          }
           if (state.hasTimedOut) {
-            // watermark passed end + gap: nothing can extend this session
             val s = state.get
-            state.update(tombstone(s.idx + 1L))
-            Iterator.single(emit(ctx, s))
+            if (s.n == 0L) {
+              // expired tombstone: evict — the context's numbering restarts
+              // at 0 if it ever returns (the documented TTL trade)
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed end + gap: nothing can extend this session
+              park(s.idx + 1L)
+              Iterator.single(emit(ctx, s))
+            }
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
             var st = state.getOption.orNull
@@ -148,7 +174,7 @@ object StreamingSessions {
               // timeout clamped to watermark+1 would never fire if the
               // watermark never advances again (idle stream) — emit now.
               out += emit(ctx, st)
-              state.update(tombstone(st.idx + 1L))
+              park(st.idx + 1L)
             } else {
               state.update(st)
               // due once the watermark passes end + gap; the +1 keeps the

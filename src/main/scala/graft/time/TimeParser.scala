@@ -21,7 +21,12 @@ object TimeParser {
     parseIso(s)
       .orElse(parseDateOnly(s))
       .orElse(Try(BigInt(s)).toOption.flatMap(normalizeIntegerEpoch))
-      .orElse(Try(s.toDouble).toOption.map(d => math.floor(d).toLong))
+      // non-finite doubles are NOT times: floor(NaN).toLong = 0 and
+      // floor(Inf).toLong = Long.MaxValue silently minted garbage epochs,
+      // and swallowed "NaN" before the compare ladder's f64 rung could
+      // apply NaN-equals-everything (r16 finding, via ADVICE r15's eqLike)
+      .orElse(Try(s.toDouble).toOption.filter(d => !d.isNaN && !d.isInfinity)
+        .map(d => math.floor(d).toLong))
   }
 
   private val isoNoOffset = DateTimeFormatter.ISO_LOCAL_DATE_TIME

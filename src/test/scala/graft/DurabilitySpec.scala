@@ -251,8 +251,30 @@ class DurabilitySpec extends AnyFunSuite {
     val s2 = new EventStore(spark, dir) // used to throw out of the constructor
     assert(frame(s2.execute("QUERY t")).count() == 2,
       "acknowledged WAL entries must survive a torn tail")
-    s2.execute("FLUSH") // pruneWal shares the tolerance
-    assert(frame(s2.execute("QUERY t")).count() == 2)
+    // ADVICE r15: the fragment is truncated ON DISK at recovery — the append
+    // channel reopens with APPEND, so a surviving fragment would merge with
+    // the next acknowledged line (unopenable store, or a silently-dropped
+    // acknowledged write, on the restart after that)
+    assert(!new String(Files.readAllBytes(wal), "UTF-8").contains("\"id\":99"),
+      "torn fragment still on disk after recovery")
+    s2.execute("""STORE t FOR c3 PAYLOAD {"v": 3}""")
+    val s2b = new EventStore(spark, dir) // the restart that used to hit the merged line
+    assert(frame(s2b.execute("QUERY t")).count() == 3,
+      "acknowledged post-recovery write lost to a merged WAL line")
+    s2b.execute("FLUSH") // pruneWal shares the tolerance
+    assert(frame(s2b.execute("QUERY t")).count() == 3)
+    // a WAL whose ONLY line is torn repairs to no WAL at all (the old code
+    // returned early from replay and left the fragment for the next append)
+    val dir3 = Files.createTempDirectory("graft_torn3_").toString
+    val sOnly = new EventStore(spark, dir3)
+    sOnly.execute("""DEFINE t FIELDS { v: "int" }""")
+    val wal3 = Paths.get(dir3, "_wal", "events.jsonl")
+    Files.createDirectories(wal3.getParent)
+    Files.write(wal3, """{"t":"t","c":"cX","ts":1,"id":7,"f":["v""".getBytes("UTF-8"))
+    val sOnly2 = new EventStore(spark, dir3)
+    assert(!Files.exists(wal3), "torn-only WAL not truncated away")
+    sOnly2.execute("""STORE t FOR c1 PAYLOAD {"v": 1}""")
+    assert(frame(new EventStore(spark, dir3).execute("QUERY t")).count() == 1)
     // a torn NON-last line is real corruption and still fails loudly
     val dir2 = Files.createTempDirectory("graft_torn2_").toString
     val s3 = new EventStore(spark, dir2)

@@ -195,6 +195,19 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[String]("event_type") == "login") == 1) // mobile
   }
 
+  test("NaN equals-everything matches only non-null cells (3VL under NOT)") {
+    // 'amount' exists only on payment: * scope null-fills the login rows.
+    // NaN compares Ordering::Equal to every VALUE in the reference, but a
+    // NULL cell still compares FALSE — eqLike's old lit(true) matched the
+    // null-filled rows too and wrongly dropped them under NOT (ADVICE r15).
+    val eq = run("""QUERY * WHERE amount = "NaN"""").collect()
+    assert(eq.length == 3 && eq.forall(_.getAs[String]("event_type") == "payment"),
+      s"NaN-eq must match exactly the non-null payment rows: ${eq.toSeq}")
+    val not = run("""QUERY * WHERE NOT amount = "NaN"""").collect()
+    assert(not.length == 3 && not.forall(_.getAs[String]("event_type") == "login"),
+      s"NOT NaN-eq must keep exactly the null-filled login rows: ${not.toSeq}")
+  }
+
   test("fractional and oversized literals compare numerically against integral columns") {
     def amounts(cmd: String) =
       run(cmd).collect().map(_.getAs[Long]("amount")).sorted.toSeq

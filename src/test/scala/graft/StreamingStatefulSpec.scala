@@ -576,6 +576,45 @@ class StreamingStatefulSpec extends AnyFunSuite {
       s"duplicate (context, session_idx) keys: $rows")
   }
 
+  test("streaming sessions: tombstone TTL evicts numbering state (opt-in trade)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val events = mem.toDF.toDF("context_id", "timestamp", "event_id")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("e"))
+    val q = StreamingSessions.sessions(events, gapSec = 100L,
+      watermarkDelay = "0 seconds", tombstoneTtlSec = 500L)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sess_ttl").start()
+    mem.addData(("u", 1000L, 1L))
+    q.processAllAvailable()
+    // w pushes the watermark past 1000+gap → u's session 0 closes by
+    // timeout; its tombstone is armed to evict at watermark + 500 s
+    mem.addData(("w", 2000L, 2L))
+    q.processAllAvailable()
+    mem.addData(("w", 2001L, 3L))
+    q.processAllAvailable()
+    // watermark sails past the tombstone's TTL → the numbering state evicts
+    mem.addData(("w", 4000L, 4L))
+    q.processAllAvailable()
+    mem.addData(("w", 4001L, 5L))
+    q.processAllAvailable()
+    // u returns AFTER the TTL: numbering restarts at 0 — the documented
+    // duplicate-key trade the TTL buys bounded state with
+    mem.addData(("u", 5000L, 6L))
+    q.processAllAvailable()
+    mem.addData(("w", 6000L, 7L))
+    q.processAllAvailable()
+    mem.addData(("w", 6001L, 8L))
+    q.processAllAvailable()
+    val uRows = spark.table("sess_ttl").collect()
+      .filter(_.getAs[String]("context_id") == "u")
+      .map(r => (r.getAs[Long]("session_idx"), r.getAs[Long]("start_ts"))).toSet
+    q.stop()
+    assert(uRows == Set((0L, 1000L), (0L, 5000L)),
+      s"post-TTL return must restart numbering at 0 (state evicted): $uRows")
+  }
+
   test("streaming anomaly: a far-future corrupt day fast-forwards instead of spinning") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
