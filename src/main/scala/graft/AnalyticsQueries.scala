@@ -1134,8 +1134,8 @@ object AnalyticsQueries {
       |py AS (SELECT doc_id, fi, w, h, unnest(range(0, h)) AS y2 FROM fr),
       |px AS (SELECT doc_id, fi, w, h, y2, unnest(range(0, w)) AS x2 FROM py),
       |pk AS (SELECT doc_id, fi,
-      |    ${Hashing.duckMd5Long("string_agg(CAST(((doc_id + 6*fi)*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS frame_key
-      |  FROM px GROUP BY 1, 2)
+      |    ${Hashing.duckMd5Long("CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' || string_agg(CAST(((doc_id + 6*fi)*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS frame_key
+      |  FROM px GROUP BY 1, 2, w, h)
       |SELECT dh.doc_id AS media_id, CAST(dh.fi AS BIGINT) AS frame_idx, dh.nf AS n_frames,
       |  CAST(dh.w AS INTEGER) AS width, CAST(dh.h AS INTEGER) AS height,
       |  dh.hash_hi, dh.hash_lo, pk.frame_key
@@ -1559,14 +1559,14 @@ object AnalyticsQueries {
          |py AS (SELECT doc_id, fi, w, h, unnest(range(0, h)) AS y2 FROM fr),
          |px AS (SELECT doc_id, fi, w, h, y2, unnest(range(0, w)) AS x2 FROM py),
          |pk AS (SELECT doc_id, fi,
-         |    ${Hashing.duckMd5Long("string_agg(CAST(((doc_id + 6*fi)*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS frame_key
-         |  FROM px GROUP BY 1, 2),
+         |    ${Hashing.duckMd5Long("CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' || string_agg(CAST(((doc_id + 6*fi)*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS frame_key
+         |  FROM px GROUP BY 1, 2, w, h),
          |idm AS (SELECT doc_id, 8 * (1 << (doc_id % 3)) AS w, 8 * (1 << (doc_id % 2)) AS h FROM documents),
          |iy AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y2 FROM idm),
          |ix AS (SELECT doc_id, w, h, y2, unnest(range(0, w)) AS x2 FROM iy),
          |ik AS (SELECT doc_id,
-         |    ${Hashing.duckMd5Long("string_agg(CAST((doc_id*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS img_key
-         |  FROM ix GROUP BY 1)
+         |    ${Hashing.duckMd5Long("CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' || string_agg(CAST((doc_id*31 + (x2//8)*7 + (y2//8)*13) % 256 AS VARCHAR), ',' ORDER BY y2, x2)")} AS img_key
+         |  FROM ix GROUP BY 1, w, h)
          |SELECT ik.doc_id AS image_id, pk.doc_id AS video_id, CAST(pk.fi AS BIGINT) AS frame_idx
          |FROM ik JOIN pk ON ik.img_key = pk.frame_key""".stripMargin,
 

@@ -28,6 +28,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Write `content` to `<base>.json` with CREATE_NEW semantics — never
+    * truncates an existing file; on collision falls to `<base>-1.json`,
+    * `<base>-2.json`, … Returns the path actually written (or the intended
+    * one if even the guarded write failed — callers treat the name as a
+    * pointer, not a promise). Recorded bench tables are append-only
+    * history; nothing in this process may destroy one (VERDICT r15 #5). */
+  private[graft] def writeOnce(base: String, content: String): String = {
+    var path = s"$base.json"
+    var i = 0
+    var done = false
+    while (!done && i < 1000) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (content + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          i += 1; path = s"$base-$i.json"
+        case _: java.io.IOException => done = true // unwritable dir: keep benching
+      }
+    }
+    path
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -131,14 +156,17 @@ object Bench {
     // timestamp-stamped file under bench/ (kept out of the repo root), and
     // the unstamped BENCH_FULL.json convenience name is only created when
     // absent (a judge's believability re-run must not destroy the round's
-    // recorded data — it did in r8).
+    // recorded data — it did in r8). Stamped names are WRITE-ONCE with
+    // CREATE_NEW semantics (VERDICT r15 #5: an outside harness clobbered a
+    // recorded table; now even a same-second or same-name collision lands
+    // in a fresh -N file and an existing artifact can never be truncated).
     new java.io.File("bench").mkdirs()
-    val stamped = s"bench/BENCH_FULL_${System.currentTimeMillis / 1000}.json"
+    val stamped = writeOnce(
+      s"bench/BENCH_FULL_${System.currentTimeMillis / 1000}", fullLine)
     def writeFull(path: String): Unit = scala.util.Try {
       val w = new java.io.PrintWriter(path, "UTF-8")
       try w.println(fullLine) finally w.close()
     }
-    writeFull(stamped)
     if (!new java.io.File("bench/BENCH_FULL.json").exists()) writeFull("bench/BENCH_FULL.json")
     // deterministic "latest" pointer, overwritten each run — ONE JSON
     // document (the r14 sprawl had a hand-concatenated LATEST that broke

@@ -374,10 +374,15 @@ object Multimodal {
     StructField("mean_amp", DoubleType, nullable = false),
     StructField("peak_abs", LongType, nullable = false)))
 
-  /** Decode a PCM16 WAV (RIFF) blob: walks the chunk list for `fmt ` (must
-    * be format 1 = uncompressed PCM, 16-bit) and `data`, then reads
-    * little-endian int16 samples. Returns None on malformed input. */
-  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Long, Double, Long)] = {
+  /** THE RIFF/WAVE chunk walk — the single strict walk every WAV decoder
+    * builds on (it was triplicated; VERDICT r15 #3): locate `fmt ` (must
+    * be format 1 = uncompressed PCM, 16-bit, MONO — interleaved
+    * multi-channel words would silently skew every sample statistic) and
+    * `data`, with chunk offsets in LONG arithmetic so a corrupt 32-bit
+    * size field neither wraps the cursor (infinite loop / negative index)
+    * nor lets a declared-past-the-end payload through — every malformed
+    * shape → None. Returns (sample_rate, data_offset, n_samples). */
+  private def walkWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
@@ -385,9 +390,6 @@ object Multimodal {
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var rate = -1
     var dataOff = -1; var dataLen = -1L
-    // chunk offsets in LONG arithmetic: a corrupt 32-bit size field must
-    // neither wrap the cursor (infinite loop / negative index) nor let a
-    // declared-past-the-end payload through — every malformed shape → None
     var o = 12L
     while (o + 8 <= bytes.length) {
       val oi = o.toInt
@@ -396,8 +398,6 @@ object Multimodal {
       if (id == "fmt ") {
         if (sz < 16 || payload + 16 > bytes.length) return None
         val p = payload.toInt
-        // PCM16 MONO only: interleaved multi-channel words would silently
-        // skew every sample statistic
         if (u16(p) != 1 || u16(p + 2) != 1 || u16(p + 14) != 16) return None
         rate = u32(p + 4).toInt
       } else if (id == "data") {
@@ -407,18 +407,30 @@ object Multimodal {
       o = payload + sz + (sz & 1L) // word-aligned; strictly advances ≥ 8
     }
     if (rate <= 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return None
-    val n = dataLen / 2
-    var sum = 0L; var peak = 0L
-    var s = 0
-    while (s < n) {
-      val v = u16(dataOff + s * 2).toShort.toLong
-      sum += v
-      val a = math.abs(v); if (a > peak) peak = a
-      s += 1
-    }
-    if (n == 0) Some((rate, 0L, 0.0, 0L))
-    else Some((rate, n, sum.toDouble / n, peak))
+    Some((rate, dataOff, (dataLen / 2).toInt))
   }
+
+  /** Read little-endian int16 sample `i` of a walked data chunk. */
+  @inline private def wavSample(bytes: Array[Byte], dataOff: Int, i: Int): Short =
+    (((bytes(dataOff + i * 2) & 0xff) |
+      ((bytes(dataOff + i * 2 + 1) & 0xff) << 8)).toShort)
+
+  /** Decode a PCM16 WAV (RIFF) blob via [[walkWavPcm16]], then reduce the
+    * little-endian int16 samples to (rate, n, mean, peak). Returns None on
+    * malformed input. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Long, Double, Long)] =
+    walkWavPcm16(bytes).map { case (rate, dataOff, n) =>
+      var sum = 0L; var peak = 0L
+      var s = 0
+      while (s < n) {
+        val v = wavSample(bytes, dataOff, s).toLong
+        sum += v
+        val a = math.abs(v); if (a > peak) peak = a
+        s += 1
+      }
+      if (n == 0) (rate, 0L, 0.0, 0L)
+      else (rate, n.toLong, sum.toDouble / n, peak)
+    }
 
   /** Windowed audio features over a PCM16 WAV: the stream is cut into
     * consecutive FULL frames of `frameSize` samples (a trailing partial
@@ -430,52 +442,23 @@ object Multimodal {
     * (frame_idx, sum_amp, peak_abs, zero_crossings, rms). */
   def decodeWavFrames(bytes: Array[Byte], frameSize: Int): Option[Seq[(Int, Long, Long, Long, Double)]] = {
     require(frameSize > 0, s"frameSize must be positive, got $frameSize")
-    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
-    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var rate = -1
-    var dataOff = -1; var dataLen = -1L
-    var o = 12L // same strict chunk walk as decodeWavPcm16
-    while (o + 8 <= bytes.length) {
-      val oi = o.toInt
-      val id = tag(oi); val sz = u32(oi + 4)
-      val payload = o + 8
-      if (id == "fmt ") {
-        if (sz < 16 || payload + 16 > bytes.length) return None
-        val p = payload.toInt
-        if (u16(p) != 1 || u16(p + 2) != 1 || u16(p + 14) != 16) return None
-        rate = u32(p + 4).toInt
-      } else if (id == "data") {
-        if (payload + sz > bytes.length) return None
-        dataOff = payload.toInt; dataLen = sz
+    decodeWavFramesRaw(bytes, frameSize).map { frames =>
+      frames.zipWithIndex.map { case (smp, f) =>
+        var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+        var prevNonNeg = false
+        var i = 0
+        while (i < frameSize) {
+          val v = smp(i).toLong
+          sum += v; sumSq += v * v
+          val a = math.abs(v); if (a > peak) peak = a
+          val nonNeg = v >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        (f, sum, peak, zc, math.sqrt(sumSq.toDouble / frameSize))
       }
-      o = payload + sz + (sz & 1L)
     }
-    if (rate <= 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return None
-    val n = (dataLen / 2).toInt
-    val nFrames = n / frameSize
-    val out = Vector.newBuilder[(Int, Long, Long, Long, Double)]
-    var f = 0
-    while (f < nFrames) {
-      val base = dataOff + f * frameSize * 2
-      var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
-      var prevNonNeg = false
-      var i = 0
-      while (i < frameSize) {
-        val v = u16(base + i * 2).toShort.toLong
-        sum += v; sumSq += v * v
-        val a = math.abs(v); if (a > peak) peak = a
-        val nonNeg = v >= 0
-        if (i > 0 && nonNeg != prevNonNeg) zc += 1
-        prevNonNeg = nonNeg
-        i += 1
-      }
-      out += ((f, sum, peak, zc, math.sqrt(sumSq.toDouble / frameSize)))
-      f += 1
-    }
-    Some(out.result())
   }
 
   /** [[audioFrames]] row shape. */
@@ -572,47 +555,25 @@ object Multimodal {
     } yield (f, (ks(f).toLong * 4096L + ks(f + d)) * 64L + d)
   }
 
-  /** The WAV chunk walk of [[decodeWavFrames]] factored to raw per-frame
-    * sample arrays (full frames only, trailing partial dropped). */
-  private def decodeWavFramesRaw(bytes: Array[Byte], frameSize: Int): Option[Seq[Array[Short]]] = {
-    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
-    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var rate = -1
-    var dataOff = -1; var dataLen = -1L
-    var o = 12L
-    while (o + 8 <= bytes.length) {
-      val oi = o.toInt
-      val id = tag(oi); val sz = u32(oi + 4)
-      val payload = o + 8
-      if (id == "fmt ") {
-        if (sz < 16 || payload + 16 > bytes.length) return None
-        val p = payload.toInt
-        if (u16(p) != 1 || u16(p + 2) != 1 || u16(p + 14) != 16) return None
-        rate = u32(p + 4).toInt
-      } else if (id == "data") {
-        if (payload + sz > bytes.length) return None
-        dataOff = payload.toInt; dataLen = sz
+  /** [[walkWavPcm16]] cut to raw per-frame sample arrays (full frames
+    * only, trailing partial dropped) — the framed base every windowed
+    * audio decoder shares. */
+  private def decodeWavFramesRaw(bytes: Array[Byte], frameSize: Int): Option[Seq[Array[Short]]] =
+    walkWavPcm16(bytes).map { case (_, dataOff, n) =>
+      val nFrames = n / frameSize
+      val out = Vector.newBuilder[Array[Short]]
+      var f = 0
+      while (f < nFrames) {
+        val smp = new Array[Short](frameSize)
+        var i = 0
+        while (i < frameSize) {
+          smp(i) = wavSample(bytes, dataOff, f * frameSize + i); i += 1
+        }
+        out += smp
+        f += 1
       }
-      o = payload + sz + (sz & 1L)
+      out.result()
     }
-    if (rate <= 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return None
-    val n = (dataLen / 2).toInt
-    val nFrames = n / frameSize
-    val out = Vector.newBuilder[Array[Short]]
-    var f = 0
-    while (f < nFrames) {
-      val base = dataOff + f * frameSize * 2
-      val smp = new Array[Short](frameSize)
-      var i = 0
-      while (i < frameSize) { smp(i) = u16(base + i * 2).toShort; i += 1 }
-      out += smp
-      f += 1
-    }
-    Some(out.result())
-  }
 
   /** [[audioWhtPeaks]] row shape. */
   val whtPeakSchema: StructType = StructType(Seq(
@@ -1437,6 +1398,24 @@ object Multimodal {
   def parseMp3Frames(bytes: Array[Byte]): Option[(Long, Int, Int, Long)] = {
     if (bytes.length < 4) return None
     var o = 0
+    // ID3v2 prefix — "ID3" + version(2) + flags(1) + SYNCSAFE size(4),
+    // optional 10-byte footer when flag 0x10 is set (id3v2.4 §3.1, public
+    // layout). Most real-world MP3s carry one; requiring frame sync at
+    // byte 0 silently dropped them all (VERDICT r15 #1). The tag is opaque
+    // metadata: skip exactly its declared extent, then the strict frame
+    // walk applies unchanged. A non-syncsafe size byte, a declared extent
+    // at/past the blob end (truncated or tag-only blob), or no frames
+    // after the tag all reject the blob as before — no error channel
+    // needed, the walk's Option is it.
+    if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      if (bytes.length < 10) return None
+      if ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) < 0) return None // MSB set: not syncsafe
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      val total = 10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
+      if (total + 4 > bytes.length) return None
+      o = total
+    }
     var nFrames = 0L
     var rate = -1
     var firstKbps = -1
@@ -1463,12 +1442,25 @@ object Multimodal {
   /** A VALID MPEG-1 Layer III stream of `3 + id%4` frames at bitrate
     * `Mp3Bitrates(1 + id%14)` kbps / rate `Mp3Rates(id%3)`, padding bit
     * alternating by frame index, payload zeros — every header field
-    * analytic in `id` so the oracle recomputes the parsed metadata. */
+    * analytic in `id` so the oracle recomputes the parsed metadata.
+    * EVEN ids additionally carry a leading ID3v2.4 tag of `17 + id%5`
+    * payload bytes (the real-world shape — most MP3s are tagged), which
+    * the frame walk must skip without changing any parsed field; the
+    * oracle SQL is therefore identical for both halves of the corpus. */
   private[graft] def buildSyntheticMp3(id: Long): Array[Byte] = {
     val nf = 3 + (id % 4).toInt
     val bIdx = 1 + (id % 14).toInt
     val rIdx = (id % 3).toInt
     val out = new java.io.ByteArrayOutputStream()
+    if (id % 2 == 0) {
+      val payload = 17 + (id % 5).toInt
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0) // id3v2.4.0
+      out.write(0)               // flags: no footer
+      out.write((payload >>> 21) & 0x7f); out.write((payload >>> 14) & 0x7f)
+      out.write((payload >>> 7) & 0x7f); out.write(payload & 0x7f)
+      (0 until payload).foreach(i => out.write((id + i).toInt & 0x7f))
+    }
     (0 until nf).foreach { f =>
       val padding = f % 2
       val frameLen = 144 * Mp3Bitrates(bIdx) * 1000 / Mp3Rates(rIdx) + padding
@@ -1976,11 +1968,14 @@ object Multimodal {
             d.exists { case (w, h, _) => w != dw || h != dh })) Seq.empty
           else decoded.map(_.get).zipWithIndex.map { case ((w, h, px), i) =>
             val (hhi, hlo) = dHash64Gray(w, h, px)
-            // exact content key: md5 of the row-major pixel list — the
-            // discriminative sibling of the PERCEPTUAL dHash (64-bit
-            // dHashes of near-featureless frames collide; the content key
-            // matches only pixel-identical frames)
-            val key = graft.pipeline.Hashing.md5LongJvm(px.mkString(","))
+            // exact content key: md5 of (w, h) PLUS the row-major pixel
+            // list — the discriminative sibling of the PERCEPTUAL dHash
+            // (64-bit dHashes of near-featureless frames collide; the
+            // content key matches only pixel-identical frames). The dims
+            // prefix keeps a 640×480 and a 480×640 with the same flat
+            // pixel stream from colliding as "identical" (VERDICT r15 #2).
+            val key = graft.pipeline.Hashing.md5LongJvm(
+              s"${w}x$h:" + px.mkString(","))
             Row(r.getLong(0), i.toLong, fs.size, w, h, hhi, hlo, key)
           }
         }
@@ -1994,14 +1989,17 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("img_key", LongType, nullable = false)))
 
-  /** Exact content key per JPEG image blob: the SAME md5-over-gray-pixels
-    * key as [[videoFrameDHashes]]' `frame_key`, so images and video frames
-    * share one content-key space — the cross-media join key. */
+  /** Exact content key per JPEG image blob: the SAME md5-over-(dims +
+    * gray-pixels) key as [[videoFrameDHashes]]' `frame_key`, so images and
+    * video frames share one content-key space — the cross-media join key.
+    * Dims are part of the key (VERDICT r15 #2): transposed-dimension
+    * pixel-identical blobs are different content. */
   def imageContentKeys(media: DataFrame): DataFrame =
     idAndBytes(media).mapPartitions { it =>
       it.flatMap { r =>
         decodeRow(r, decodeJpegPixels).map { case (w, h, px) =>
-          Row(r.getLong(0), w, h, graft.pipeline.Hashing.md5LongJvm(px.mkString(",")))
+          Row(r.getLong(0), w, h,
+            graft.pipeline.Hashing.md5LongJvm(s"${w}x$h:" + px.mkString(",")))
         }
       }
     }(Encoders.row(imageKeySchema))

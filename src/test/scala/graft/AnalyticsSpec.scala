@@ -602,6 +602,58 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavFrames("x".getBytes, 3).isEmpty)
   }
 
+  test("parseMp3Frames: ID3v2 tag skipped; truncated/tag-only/corrupt tags reject") {
+    val tagged = Multimodal.buildSyntheticMp3(2L) // even id ⇒ ID3v2 prefix
+    assert(new String(tagged.take(3), "US-ASCII") == "ID3",
+      "even-id synthetic MP3 must carry an ID3v2 tag")
+    val tagLen = 10 + 19 // header + (17 + 2%5) payload bytes
+    val frames = tagged.drop(tagLen)
+    val meta = Multimodal.parseMp3Frames(tagged)
+    assert(meta.isDefined, "tagged MP3 must parse (VERDICT r15: it was dropped)")
+    assert(Multimodal.parseMp3Frames(frames) == meta,
+      "the tag must not change any parsed field")
+    // footer flag (0x10): 10 extra tag bytes between payload and frames
+    val withFooter = {
+      val h = tagged.take(tagLen); h(5) = 0x10.toByte
+      h ++ Array.fill[Byte](10)(0) ++ frames
+    }
+    assert(Multimodal.parseMp3Frames(withFooter) == meta)
+    // truncated tag (declared extent past blob end) rejects
+    assert(Multimodal.parseMp3Frames(tagged.take(15)).isEmpty)
+    // tag-only blob (no frames after the tag) rejects
+    assert(Multimodal.parseMp3Frames(tagged.take(tagLen)).isEmpty)
+    // non-syncsafe size byte rejects
+    val bad = tagged.clone(); bad(6) = 0x80.toByte
+    assert(Multimodal.parseMp3Frames(bad).isEmpty)
+    // odd id stays untagged and parses as before
+    assert((Multimodal.buildSyntheticMp3(1L)(0) & 0xff) == 0xff)
+    assert(Multimodal.parseMp3Frames(Multimodal.buildSyntheticMp3(1L)).isDefined)
+  }
+
+  test("imageContentKeys: transposed-dimension pixel-identical images do not collide") {
+    // two constant-gray JPEGs at 16×8 and 8×16 decode to IDENTICAL flat
+    // pixel streams — before VERDICT r15 #2 the md5-over-pixels key called
+    // them the same content
+    def grayJpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(128, 128, 128)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val a = Multimodal.decodeJpegPixels(grayJpeg(16, 8)).get
+    val b = Multimodal.decodeJpegPixels(grayJpeg(8, 16)).get
+    assert(a._3.toSeq == b._3.toSeq, "premise: flat pixel streams identical")
+    val media = Seq((1L, grayJpeg(16, 8)), (2L, grayJpeg(8, 16)))
+      .toDF("media_id", "bytes")
+    val keys = Multimodal.imageContentKeys(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("img_key")).toMap
+    assert(keys(1L) != keys(2L),
+      s"transposed-dimension pair collided as identical content: $keys")
+  }
+
   // ---- dHash + near-dup ----
 
   test("dHash64 sets exactly the bits where left gray exceeds right") {

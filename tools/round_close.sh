@@ -57,7 +57,21 @@ else
 assert not d['failed_queries'], d['failed_queries']; \
 print('bench composite %.1f s, %d queries, contended=%s' % \
 (d['value'], len(d['queries']), d['contended']))" || fail "bench had failed queries"
+  # calibration-normalized watchlines (VERDICT r15 #4): host drift is a
+  # division now, not a stash-A/B afternoon; a breach is new territory
+  STAMPED=$(grep -m1 '"queries_full"' "$BOUT" \
+    | python3 -c "import json,sys; print(json.load(sys.stdin)['queries_full'])")
+  python3 tools/check_watchlines.py "$STAMPED" \
+    || fail "watchline breach (adjudicate or fix; see table above)"
   rm -f "$BOUT"
 fi
+
+# recorded bench tables are append-only history (VERDICT r15 #5): a Bench
+# run may CREATE stamped files and overwrite only the LATEST pointer —
+# any tracked bench artifact showing as modified means something clobbered
+# recorded data
+MODIFIED=$(git status --porcelain bench/ | grep -E '^ ?M' \
+  | grep -v 'BENCH_FULL_LATEST.json' || true)
+[ -z "$MODIFIED" ] || fail "tracked bench artifact modified (write-once violated): $MODIFIED"
 
 echo "ROUND-CLOSE GREEN: all gates passed"
