@@ -142,13 +142,30 @@ final class AuthManager(root: String, maxFailures: Int = 5,
           case _ => ()
         }
         if (!u.active) fail(name)
-        else if (AuthManager.hmacHex(u.key, message).equalsIgnoreCase(signatureHex)) {
+        else if (AuthManager.constantTimeEqualsHex(
+            AuthManager.hmacHex(u.key, message), signatureHex)) {
           failures.remove(name); Right(u)
         } else fail(name)
     }
   }
 
   private def fail(name: String): Either[String, User] = {
+    // Bound the tracker: a client spraying fabricated user names would
+    // otherwise grow this map without limit (each failed name costs an
+    // entry forever). Past the cap, first drop entries whose lockout
+    // window has fully expired (they no longer influence any decision),
+    // then — only if genuinely full of LIVE entries — drop the stalest.
+    if (!failures.contains(name) && failures.size >= AuthManager.MaxTrackedFailures) {
+      val now = clock()
+      failures.filterInPlace { case (_, (_, last)) => now - last < lockoutSeconds }
+      if (failures.size >= AuthManager.MaxTrackedFailures) {
+        // never evict a LIVE lockout while a mere counter is available —
+        // otherwise the spray itself would unlock locked-out accounts
+        val unlocked = failures.filter { case (_, (n, _)) => n < maxFailures }
+        val pool = if (unlocked.nonEmpty) unlocked else failures
+        failures.remove(pool.minBy(_._2._2)._1): Unit
+      }
+    }
     val (n, _) = failures.getOrElse(name, (0, 0L))
     failures(name) = (n + 1, clock())
     Left("Authentication failed")
@@ -158,6 +175,12 @@ final class AuthManager(root: String, maxFailures: Int = 5,
     * (reference `tcp/listener.rs:46-78`). */
   def authenticate(name: String, signatureHex: String): Either[String, String] =
     verify(name, name, signatureHex).map { _ =>
+      // expired tokens are otherwise only removed when THAT token is next
+      // presented — a long-lived server would accrete them forever
+      if (sessions.size >= AuthManager.MaxTrackedSessions) {
+        val now = clock()
+        sessions.filterInPlace { case (_, (_, expiry)) => now <= expiry }
+      }
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
       sessions(token) = (name, clock() + tokenTtlSeconds)
       token
@@ -222,6 +245,23 @@ final class AuthManager(root: String, maxFailures: Int = 5,
 }
 
 object AuthManager {
+
+  /** Ceilings for the failed-auth and session-token trackers — far above
+    * any legitimate population, purely an adversarial-memory bound. */
+  val MaxTrackedFailures: Int = 16384
+  val MaxTrackedSessions: Int = 65536
+
+  /** Constant-time, case-insensitive comparison of two hex strings —
+    * signature checks must not leak the match prefix length through
+    * timing (`equalsIgnoreCase` short-circuits at the first mismatch).
+    * `MessageDigest.isEqual` is the JDK's documented constant-time
+    * byte comparison; hex is ASCII so lowercasing normalizes case
+    * without touching length. */
+  def constantTimeEqualsHex(expectedHex: String, providedHex: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      expectedHex.toLowerCase(java.util.Locale.ROOT).getBytes(StandardCharsets.UTF_8),
+      providedHex.toLowerCase(java.util.Locale.ROOT).getBytes(StandardCharsets.UTF_8))
+
   def hmacHex(key: String, message: String): String = {
     val mac = Mac.getInstance("HmacSHA256")
     mac.init(new SecretKeySpec(key.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))

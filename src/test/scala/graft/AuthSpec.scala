@@ -292,4 +292,55 @@ class AuthSpec extends AnyFunSuite {
     val none = User("n", "k", Set.empty)
     assert(!none.canRead("x") && !none.canWrite("x"))
   }
+
+  test("constant-time hex comparison semantics match equalsIgnoreCase") {
+    assert(AuthManager.constantTimeEqualsHex("deadBEEF", "DEADbeef"))
+    assert(!AuthManager.constantTimeEqualsHex("deadbeef", "deadbeee"))
+    assert(!AuthManager.constantTimeEqualsHex("deadbeef", "deadbee")) // length
+    assert(!AuthManager.constantTimeEqualsHex("deadbeef", ""))
+    // verify() still accepts either case end to end
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    val auth = new AuthManager(dir)
+    auth.createUser("u", "key", Set(Role.Viewer))
+    val sig = AuthManager.hmacHex("key", "msg")
+    assert(auth.verify("u", "msg", sig.toUpperCase).isRight)
+    assert(auth.verify("u", "msg", sig).isRight)
+    assert(auth.verify("u", "msg", "00" * 32).isLeft)
+  }
+
+  test("failure tracker is bounded under a fabricated-username spray") {
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    var now = 1000L
+    val auth = new AuthManager(dir, maxFailures = 3, lockoutSeconds = 300,
+      clock = () => now)
+    auth.createUser("real", "key", Set(Role.Viewer))
+    // lock the real user out, then spray far more fabricated names than
+    // the cap: the tracker must stay bounded AND keep the LIVE lockout
+    (1 to 3).foreach(_ => auth.verify("real", "m", "bad"))
+    (1 to AuthManager.MaxTrackedFailures + 50).foreach { i =>
+      auth.verify(s"ghost_$i", "m", "x")
+    }
+    assert(auth.verify("real", "m", AuthManager.hmacHex("key", "m"))
+      == Left("Rate limit exceeded"))
+    // once the lockout window expires, sprayed entries are prunable and
+    // the real user recovers
+    now += 301
+    auth.verify("ghost_zzz", "m", "x") // triggers the expired-entry prune
+    assert(auth.verify("real", "m", AuthManager.hmacHex("key", "m")).isRight)
+  }
+
+  test("expired session tokens are pruned when the tracker fills") {
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    var now = 1000L
+    val auth = new AuthManager(dir, clock = () => now, tokenTtlSeconds = 10)
+    auth.createUser("u", "key", Set(Role.Viewer))
+    def tok(): String =
+      auth.authenticate("u", AuthManager.hmacHex("key", "u")).toOption.get
+    val t1 = tok()
+    assert(auth.validateToken(t1).isDefined)
+    now += 11 // t1 expires
+    assert(auth.validateToken(t1).isEmpty)
+    val t2 = tok()
+    assert(auth.validateToken(t2).isDefined)
+  }
 }
