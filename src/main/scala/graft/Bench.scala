@@ -94,8 +94,18 @@ object Bench {
           // minima with near-zero "timings" of exception paths. Infinity
           // loses every min() against a real measurement and is reported
           // as failed if no pass succeeded.
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => Double.PositiveInfinity }
+          val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => Double.PositiveInfinity }
+          // the Projections caller contract: the query's result is fully
+          // consumed, so release its pinned projections OUTSIDE the timed
+          // window. 532 query runs in one JVM otherwise accumulate every
+          // persisted projection (strong refs by design); the r16 sweep
+          // measured late-suite queries degrading up to 10× under the
+          // resulting storage-memory pressure (pass2 of q_video_scenes
+          // 1.3 → 11.1 s in a 24-gate JVM). Each pass rebuilds its plan,
+          // so nothing released here is ever re-consumed.
+          graft.pipeline.Projections.release(): Unit
+          t
         }
         var t = run()
         val c = calibrate()

@@ -33,6 +33,12 @@ object Verify {
           failed += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // the registry's caller contract: this query's result is fully
+        // consumed (written), so its pinned projections are dead weight —
+        // without this, 266 queries in one JVM accumulate every persisted
+        // projection (strong refs by design) and later queries slow under
+        // the storage-memory pressure
+        finally graft.pipeline.Projections.release(): Unit
       }
     }
     // loud trailing summary: a typo'd query must not silently become a

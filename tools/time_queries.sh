@@ -36,6 +36,10 @@ for (p <- 1 to $PASSES; n <- names) {
   val t0 = System.nanoTime()
   graft.SparkEntry.queries(n)(s2, "$SF").count()
   println(f"TIMING pass\$p \$n \${(System.nanoTime()-t0)/1e9}%.2f s")
+  // caller contract of the projections registry: the gate's result is
+  // consumed; without this, a 24-gate chunk JVM accumulates every pinned
+  // projection and late gates degrade up to 10x (r16 sf0.1 sweep)
+  graft.pipeline.Projections.release()
 }
 sys.exit(0)
 EOF
