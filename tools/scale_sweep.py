@@ -15,17 +15,25 @@ a scale risk to investigate.
 """
 import math, re, sys
 
+USE_MIN = "--min" in sys.argv
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+
 def parse(path):
     out = {}
     for line in open(path):
         m = re.match(r"TIMING (pass\d+) (\S+) ([0-9.]+) s", line.strip())
         if m:
             out.setdefault(m.group(2), []).append(float(m.group(3)))
-    return {k: v[-1] for k, v in out.items()}  # last pass = warm
+    # default: last pass = warm. --min: minimum over passes — the
+    # burst-contention-robust estimator (the Bench discipline) for hosts
+    # where a transient stall can poison one pass's window (r16: a ~60 s
+    # host stall landed mid-pass2 and inflated six consecutive gates 5-10x
+    # while neighbors stayed flat).
+    return {k: (min(v) if USE_MIN else v[-1]) for k, v in out.items()}
 
-small = parse(sys.argv[1])
-large = parse(sys.argv[2])
-scale = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+small = parse(ARGS[0])
+large = parse(ARGS[1])
+scale = float(ARGS[2]) if len(ARGS) > 2 else 10.0
 
 rows, flagged = [], []
 for q in small:
