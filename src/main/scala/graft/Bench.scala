@@ -53,6 +53,24 @@ object Bench {
     path
   }
 
+  /** Overwrite `path` via tmp + ATOMIC_MOVE — never an in-place open: an
+    * outside harness was found replacing BENCH_FULL_LATEST.json with a
+    * SYMLINK to a stamped artifact, and a direct PrintWriter write
+    * followed the link and clobbered the recorded table (the r15
+    * clobber's actual mechanism, diagnosed r16). A move replaces the link
+    * ITSELF with a regular file; the link's former target is untouchable
+    * by this path. Failures are swallowed (Try) — an unwritable pointer
+    * must not fail the bench. Returns true when the write landed. */
+  private[graft] def atomicReplace(path: String, content: String): Boolean =
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(path)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, (content + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }.isSuccess
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -173,10 +191,8 @@ object Bench {
     new java.io.File("bench").mkdirs()
     val stamped = writeOnce(
       s"bench/BENCH_FULL_${System.currentTimeMillis / 1000}", fullLine)
-    def writeFull(path: String): Unit = scala.util.Try {
-      val w = new java.io.PrintWriter(path, "UTF-8")
-      try w.println(fullLine) finally w.close()
-    }
+    def writeFull(path: String): Unit =
+      { atomicReplace(path, fullLine): Unit }
     if (!new java.io.File("bench/BENCH_FULL.json").exists()) writeFull("bench/BENCH_FULL.json")
     // deterministic "latest" pointer, overwritten each run — ONE JSON
     // document (the r14 sprawl had a hand-concatenated LATEST that broke

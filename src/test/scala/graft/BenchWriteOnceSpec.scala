@@ -23,4 +23,21 @@ class BenchWriteOnceSpec extends AnyFunSuite {
       "the first artifact must be byte-identical after later runs")
     assert(new String(Files.readAllBytes(Paths.get(p2)), "UTF-8").trim == """{"run":2}""")
   }
+
+  test("atomicReplace through a symlink replaces the LINK, never its target") {
+    // the r15 clobber's actual mechanism (diagnosed r16): the round
+    // harness re-points BENCH_FULL_LATEST.json as a symlink to a stamped
+    // recorded artifact; an in-place open would write THROUGH it
+    val dir = Files.createTempDirectory("graft_bench_link_")
+    val target = dir.resolve("BENCH_FULL_999.json")
+    Files.write(target, "{\"recorded\":true}\n".getBytes("UTF-8"))
+    val latest = dir.resolve("BENCH_FULL_LATEST.json")
+    Files.createSymbolicLink(latest, target.getFileName)
+    assert(Bench.atomicReplace(latest.toString, "{\"fresh\":true}"))
+    assert(new String(Files.readAllBytes(target), "UTF-8").trim == "{\"recorded\":true}",
+      "the stamped artifact must be byte-identical after the LATEST update")
+    assert(!Files.isSymbolicLink(latest) &&
+      new String(Files.readAllBytes(latest), "UTF-8").trim == "{\"fresh\":true}",
+      "LATEST must become a regular file holding the new line")
+  }
 }
