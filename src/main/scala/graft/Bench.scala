@@ -59,17 +59,29 @@ object Bench {
     * followed the link and clobbered the recorded table (the r15
     * clobber's actual mechanism, diagnosed r16). A move replaces the link
     * ITSELF with a regular file; the link's former target is untouchable
-    * by this path. Failures are swallowed (Try) — an unwritable pointer
-    * must not fail the bench. Returns true when the write landed. */
-  private[graft] def atomicReplace(path: String, content: String): Boolean =
-    scala.util.Try {
-      val p = java.nio.file.Paths.get(path)
-      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp, (content + "\n").getBytes("UTF-8"))
+    * by this path. The TMP write is equally guarded (ADVICE r16): its name
+    * is predictable, so the same adversary could plant `…json.tmp` as a
+    * symlink to a stamped artifact and a default-options write would
+    * clobber THROUGH the link. `deleteIfExists` removes a link without
+    * following it, and CREATE_NEW then refuses to open anything that still
+    * exists — no code path here ever writes through a pre-existing name.
+    * The tmp is deleted on any failure (it used to leak when the move
+    * failed). Failures are swallowed (Try) — an unwritable pointer must
+    * not fail the bench. Returns true when the write landed. */
+  private[graft] def atomicReplace(path: String, content: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    val ok = scala.util.Try {
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+      java.nio.file.Files.write(tmp, (content + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
       java.nio.file.Files.move(tmp, p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }.isSuccess
+    if (!ok) scala.util.Try(java.nio.file.Files.deleteIfExists(tmp)): Unit
+    ok
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,8 +132,18 @@ object Bench {
           // persisted projection (strong refs by design); the r16 sweep
           // measured late-suite queries degrading up to 10× under the
           // resulting storage-memory pressure (pass2 of q_video_scenes
-          // 1.3 → 11.1 s in a 24-gate JVM). Each pass rebuilds its plan,
-          // so nothing released here is ever re-consumed.
+          // 1.3 → 11.1 s in a 24-gate JVM).
+          // COMPARABILITY BREAK (judge r16 A/B, same JVM, interleaved
+          // modes: no-release 26.2 s vs with-release 34–35 s on the 8
+          // most-affected gates): rebuilt plans DO re-hit CacheManager's
+          // plan-equality cache, so before this release() landed (≤ r15),
+          // projection-sharing families (dedup shingles, streaming admit,
+          // media decode) were flattered ~1.3–2× by cross-query/cross-pass
+          // cache reuse. Releasing is the intended regime — each query
+          // pays its honest standalone cost — but r16+ composites are NOT
+          // comparable with ≤ r15 history on those families, and the
+          // watchlines are derived from the honest regime only
+          // (tools/watchlines.json, docs/PLANS.md "Bench regimes").
           graft.pipeline.Projections.release(): Unit
           t
         }

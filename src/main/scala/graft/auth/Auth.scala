@@ -159,11 +159,15 @@ final class AuthManager(root: String, maxFailures: Int = 5,
       val now = clock()
       failures.filterInPlace { case (_, (_, last)) => now - last < lockoutSeconds }
       if (failures.size >= AuthManager.MaxTrackedFailures) {
-        // never evict a LIVE lockout while a mere counter is available —
-        // otherwise the spray itself would unlock locked-out accounts
+        // never evict a LIVE lockout — otherwise a spray of fabricated
+        // names with fresher timestamps would erase a victim's lockout
+        // (ADVICE r16: the old whole-map fallback did exactly that). When
+        // every tracked entry is a live lockout, the NEW name simply goes
+        // untracked: its failure is still returned, and a never-seen name
+        // is strictly less valuable than any live lockout.
         val unlocked = failures.filter { case (_, (n, _)) => n < maxFailures }
-        val pool = if (unlocked.nonEmpty) unlocked else failures
-        failures.remove(pool.minBy(_._2._2)._1): Unit
+        if (unlocked.isEmpty) return Left("Authentication failed")
+        failures.remove(unlocked.minBy(_._2._2)._1): Unit
       }
     }
     val (n, _) = failures.getOrElse(name, (0, 0L))
@@ -180,6 +184,14 @@ final class AuthManager(root: String, maxFailures: Int = 5,
       if (sessions.size >= AuthManager.MaxTrackedSessions) {
         val now = clock()
         sessions.filterInPlace { case (_, (_, expiry)) => now <= expiry }
+        // MaxTrackedSessions is a CEILING, not just a prune trigger
+        // (ADVICE r16: an authenticated client minting tokens in a loop
+        // grew the map unboundedly for a full TTL window). If the map is
+        // still full of LIVE tokens, evict the nearest-expiry one — the
+        // least-valuable live session — so the insert below never grows
+        // the map past the bound.
+        while (sessions.size >= AuthManager.MaxTrackedSessions)
+          sessions.remove(sessions.minBy(_._2._2)._1): Unit
       }
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
       sessions(token) = (name, clock() + tokenTtlSeconds)

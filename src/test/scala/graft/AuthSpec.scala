@@ -329,6 +329,47 @@ class AuthSpec extends AnyFunSuite {
     assert(auth.verify("real", "m", AuthManager.hmacHex("key", "m")).isRight)
   }
 
+  test("a spray of fresher live lockouts cannot erase a victim's lockout") {
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    var now = 1000L
+    val auth = new AuthManager(dir, maxFailures = 3, lockoutSeconds = 300,
+      clock = () => now)
+    auth.createUser("victim", "key", Set(Role.Viewer))
+    // lock the victim out FIRST (stalest timestamp in the tracker) …
+    (1 to 3).foreach(_ => auth.verify("victim", "m", "bad"))
+    // … then fill the tracker with LIVE lockouts on fabricated names, all
+    // fresher. ADVICE r16: the old whole-map eviction fallback would evict
+    // the stalest live lockout — the victim — unlocking them; now a full-
+    // of-live-lockouts tracker refuses to track new names instead.
+    now += 1
+    (1 to AuthManager.MaxTrackedFailures + 20).foreach { i =>
+      (1 to 3).foreach(_ => auth.verify(s"ghost_$i", "m", "x"))
+    }
+    assert(auth.verify("victim", "m", AuthManager.hmacHex("key", "m"))
+      == Left("Rate limit exceeded"))
+    // the window passing still recovers everyone
+    now += 301
+    assert(auth.verify("victim", "m", AuthManager.hmacHex("key", "m")).isRight)
+  }
+
+  test("session tracker is a hard ceiling even when every token is live") {
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    var now = 1000L
+    val auth = new AuthManager(dir, clock = () => now, tokenTtlSeconds = 1000000)
+    auth.createUser("u", "key", Set(Role.Viewer))
+    val sig = AuthManager.hmacHex("key", "u")
+    def tok(): String = { now += 1; auth.authenticate("u", sig).toOption.get }
+    val first = tok()
+    var last = first
+    // ADVICE r16: minting past the cap used to grow the map unboundedly
+    // when all entries were live. Now the nearest-expiry (oldest-minted,
+    // with a uniform TTL) token is evicted to make room.
+    (1 until AuthManager.MaxTrackedSessions + 5).foreach(_ => last = tok())
+    assert(auth.validateToken(first).isEmpty,
+      "oldest live token should have been evicted at the ceiling")
+    assert(auth.validateToken(last).isDefined)
+  }
+
   test("expired session tokens are pruned when the tracker fills") {
     val dir = Files.createTempDirectory("graft_auth_").toString
     var now = 1000L

@@ -40,4 +40,22 @@ class BenchWriteOnceSpec extends AnyFunSuite {
       new String(Files.readAllBytes(latest), "UTF-8").trim == "{\"fresh\":true}",
       "LATEST must become a regular file holding the new line")
   }
+
+  test("atomicReplace's TMP write never follows a planted symlink either") {
+    // ADVICE r16: the tmp name is predictable (<path>.tmp), so the same
+    // adversary can plant THAT as a symlink to a recorded artifact — a
+    // default-options Files.write would clobber through it before the move
+    val dir = Files.createTempDirectory("graft_bench_tmplink_")
+    val target = dir.resolve("BENCH_FULL_888.json")
+    Files.write(target, "{\"recorded\":true}\n".getBytes("UTF-8"))
+    val latest = dir.resolve("BENCH_FULL_LATEST.json")
+    Files.createSymbolicLink(
+      Paths.get(latest.toString + ".tmp"), target.getFileName)
+    assert(Bench.atomicReplace(latest.toString, "{\"fresh\":true}"))
+    assert(new String(Files.readAllBytes(target), "UTF-8").trim == "{\"recorded\":true}",
+      "the stamped artifact must survive a planted tmp symlink")
+    assert(new String(Files.readAllBytes(latest), "UTF-8").trim == "{\"fresh\":true}")
+    assert(!Files.exists(Paths.get(latest.toString + ".tmp")),
+      "the tmp must not remain after a successful replace")
+  }
 }

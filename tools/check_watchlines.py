@@ -1,17 +1,29 @@
 #!/usr/bin/env python3
-"""Calibration-normalized watchline check (VERDICT r15 #4).
+"""Calibration-normalized watchline check (VERDICT r15 #4, r16 #1).
 
 Usage: check_watchlines.py BENCH_FULL.json [--watchlines tools/watchlines.json]
 
 Reads a Bench full-table JSON, divides each watchlined query's seconds by
 the run's calibration MEAN (the host-rate probe), and compares against
 tools/watchlines.json. Exit 1 on any breach, with the per-query table
-printed either way. Contended runs (calibration max > 3x mean) are judged
-anyway but flagged -- their minima are still lower bounds, and a breach on
-a contended run should be re-measured, not shipped.
+printed either way.
+
+CONTENDED RUNS ARE REFUSED (exit 3), not judged: VERDICT r16 #1 — a
+contended run's inflated calibration mean shrinks every normalized value,
+so "judging anyway" passes exactly the regressions this check exists to
+catch (the r16 close showed all-green at cal 0.373 while the clean driver
+run at cal 0.287 breached 4 of 9 lines). Bench's own composite refuses
+comparison on contended runs (total_kind=contended_do_not_compare); this
+check follows the same rule. Re-measure on a quiet host instead.
+A run is refused when Bench marked it contended (probe max > 3x mean) OR
+when its calibration mean sits above CLEAN_CAL_CEILING — the r12-r16
+clean-close band is 0.287-0.304, so a mean past 0.32 is a contended host
+even if no single probe spiked 3x.
 """
 import json
 import sys
+
+CLEAN_CAL_CEILING = 0.32
 
 
 def main() -> int:
@@ -26,10 +38,11 @@ def main() -> int:
     bench = json.load(open(args[0]))
     watch = json.load(open(wl_path))["watchlines"]
     cal = bench["calibration"]["mean"]
+    contended = bool(bench.get("contended")) or cal > CLEAN_CAL_CEILING
     qs = bench["queries"]
     breaches = []
     print(f"calibration mean {cal:.3f}s"
-          + ("  [CONTENDED RUN]" if bench.get("contended") else ""))
+          + ("  [CONTENDED RUN]" if contended else ""))
     for name, limit in sorted(watch.items()):
         if name not in qs:
             print(f"  {name:<26} MISSING from bench table")
@@ -41,12 +54,18 @@ def main() -> int:
               f"limit {limit:6.1f}  {flag}")
         if norm > limit:
             breaches.append((name, norm, limit))
+    if contended:
+        print("REFUSED: contended calibration (bench contended flag or "
+              f"mean > {CLEAN_CAL_CEILING}) — normalizing by an inflated "
+              "calibration launders regressions. Re-run Bench on a quiet "
+              "host; this run proves nothing either way.")
+        return 3
     if breaches:
         print(f"WATCHLINE BREACHES: {len(breaches)} -- adjudicate "
               "(warm-solo + stash A/B) or fix before close; an accepted "
               "adjudication updates tools/watchlines.json with its why.")
         return 1
-    print("all watchlines green (calibration-normalized)")
+    print("all watchlines green (calibration-normalized, clean run)")
     return 0
 
 
