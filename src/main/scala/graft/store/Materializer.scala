@@ -222,8 +222,12 @@ final class Materializer(store: EventStore) {
         resultSchema = Some(compiled.schema)
         compiled
           .withColumn("_bkt", seqBucket(col("link_value")))
-          .repartition(col("_bkt")) // one file per bucket dir, not one per
-                                    // (bucket × shuffle partition)
+          // explicit partition count: a bare repartition(col) lets AQE
+          // coalesce this small exchange to ONE task that then writes all
+          // 64 bucket dirs sequentially (~1.5 s of file-open latency per
+          // materializer op, the r17 stage profile's top cost); 64 pinned
+          // partitions write the dirs in parallel, still one file per dir
+          .repartition(SeqBuckets, col("_bkt"))
           .write.mode("overwrite").partitionBy("_bkt")
           .parquet(dir.resolve("data").toString)
         dir.resolve("data")
@@ -443,7 +447,7 @@ final class Materializer(store: EventStore) {
       val bucketed = QueryCompiler.compile(query, boundedSource(Long.MinValue, newHwm))
         .withColumn("_bkt", seqBucket(col("link_value")))
       val tmp = dataDir.resolveSibling("data.tmp")
-      bucketed.repartition(col("_bkt"))
+      bucketed.repartition(SeqBuckets, col("_bkt")) // pinned: see rememberBody
         .write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
       val old = dataDir.resolveSibling("data.old")
       if (Files.exists(dataDir)) Files.move(dataDir, old)
@@ -471,20 +475,31 @@ final class Materializer(store: EventStore) {
         }.reduce(_.unionByName(_))
         .filter(col("__aff_link").isNotNull)
         .distinct().localCheckpoint()
+      // ONE bounded probe job answers "is the delta small?" AND hands back
+      // keys + buckets when it is (r17: this was three jobs — count, key
+      // collect, bucket collect — and each small driver job costs ~100 ms
+      // of scheduling latency on an incremental-refresh path that exists
+      // to be delta-fast). limit(cap+1) bounds the collect: cap+1 rows
+      // back means "too big" (fall back to the semi-join + a ≤SeqBuckets
+      // bucket collect); ≤ cap rows back IS the full affected set — small
+      // deltas push keys as a literal predicate, scan-proportional to the
+      // delta (scaladoc on the cap), and the keys replace the keep-side
+      // anti-join too.
+      val cap = affectedKeyPushdownCap
+      val probe =
+        if (cap > 0)
+          affected.select(col("__aff_link"), seqBucket(col("__aff_link")).as("b"))
+            .limit(math.min(cap, 1000000L).toInt + 1).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      val small = cap > 0 && probe.length <= cap
+      val affKeys: Option[Seq[String]] =
+        if (small) Some(probe.map(_.getString(0)).toIndexedSeq) else None
       // bounded collect: at most SeqBuckets distinct bucket ids
-      val affBkts = affected.select(seqBucket(col("__aff_link")).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      val affBkts =
+        if (small) probe.map(_.getInt(1)).distinct.toSeq
+        else affected.select(seqBucket(col("__aff_link")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
       if (affBkts.nonEmpty) {
-        // bounded collect (≤ affectedKeyPushdownCap strings, cap enforced
-        // by the count on the checkpointed frame): small deltas push their
-        // keys as a literal predicate — scan-proportional to the delta —
-        // instead of semi-joining against a corpus-wide scan (scaladoc on
-        // the cap). Key collection also replaces the keep-side anti-join.
-        val cap = affectedKeyPushdownCap
-        val affKeys: Option[Seq[String]] =
-          if (cap > 0 && affected.count() <= cap)
-            Some(affected.collect().map(_.getString(0)).toIndexedSeq)
-          else None
         val restricted: graft.engine.EventSource = new graft.engine.EventSource {
           override def eventTypes: Seq[String] = store.eventTypes
           override def frame(t: String): DataFrame = {
@@ -531,7 +546,8 @@ final class Materializer(store: EventStore) {
   private def replaceBuckets(target: Path, combined: DataFrame,
       affBkts: Seq[Int]): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    combined.repartition(col("_bkt")) // delta-sized: only affected buckets
+    combined.repartition(SeqBuckets, col("_bkt")) // delta-sized buckets,
+      // pinned partition count so the writes parallelize (see rememberBody)
       .write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
     val old = target.resolveSibling(target.getFileName.toString + ".old")
     deleteRecursively(old) // stale leftovers were recovered on SHOW entry

@@ -24,11 +24,14 @@ run_chunk() {
   cat > /tmp/_timeq.scala <<EOF
 import org.apache.spark.sql.SparkSession
 val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-val s2 = SparkSession.builder().master(s"local[\$cpus]")
-  .config("spark.sql.shuffle.partitions", cpus)
-  .config("spark.sql.adaptive.enabled", "true")
-  .config("spark.sql.session.timeZone", "UTC")
-  .config("spark.ui.enabled", "false").getOrCreate()
+// spark-shell already made the session, so builder().config(...) would be
+// IGNORED by getOrCreate: set the runtime confs on the live session or
+// every timing here runs at shuffle.partitions=200 and reads ~2x slower
+// than Bench's (the r17 diagnosis of why solo times never matched Bench).
+val s2 = SparkSession.builder().getOrCreate()
+s2.conf.set("spark.sql.shuffle.partitions", cpus)
+s2.conf.set("spark.sql.adaptive.enabled", "true")
+s2.conf.set("spark.sql.session.timeZone", "UTC")
 s2.sparkContext.setLogLevel("WARN")
 try { graft.SparkEntry.entry(s2).count() } catch { case _: Throwable => }
 val names = "$qs".split(",").toSeq
