@@ -840,7 +840,15 @@ object Multimodal {
   def nearDupImages(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 4,
       s"banding over 4 bands is exact only for maxDist < 4, got $maxDist")
-    val banded = dhashBands(hashes)
+    // pinned-width exchange on the join key: a band self-join fans out
+    // ~10-100× (collisions), and AQE's coalescing is OUTPUT-BLIND — it
+    // sized this exchange by the (tiny) hash-table input and ran the whole
+    // 1.6M-pair explosion on ONE task (r17 stage profile: 2.0 s of a 2.4 s
+    // op). An explicit partition count (the session's shuffle width, so a
+    // real cluster's configured parallelism carries through) keeps the
+    // fan-out spread; both aliases still canonicalize to one exchange.
+    val width = hashes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val banded = dhashBands(hashes).repartition(width, col("band"), col("bv"))
     // self-join with BOTH sides the identical subplan (aliases applied
     // above the join, not below) and a merge-join hint: the two (band, bv)
     // shuffle exchanges canonicalize equal, so the decode pipeline runs
