@@ -293,7 +293,8 @@ object Dedup {
     // (id, array<long>) is the narrow form; eviction costs recompute only.
     // Lifetime: registered — see the Projections caching contract.
     val hashed = Projections.register(
-      df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+      Projections.spread(df, col(idCol))
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms), nBands, rpb)
 
@@ -343,7 +344,8 @@ object Dedup {
     // (spillable) so the shingling runs once per side, not twice.
     // Lifetime: registered — see the Projections caching contract.
     def prep(df: DataFrame) = Projections.register(
-      df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
+      Projections.spread(df, col(idCol))
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val ha = prep(a); val hb = prep(b)
     def bandSide(h: DataFrame, as: String) =
@@ -408,7 +410,8 @@ object Dedup {
     // the identical risk the minhash confirm tier already accepts).
     // Lifetime: registered — see the Projections caching contract.
     val toks = Projections.register(
-      df.select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("ts"))
+      Projections.spread(df, col(idCol))
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("ts"))
         .filter(size(col("ts")) > 0)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val dfreq = toks.select(col("id"), explode(col("ts")).as("t"))
@@ -641,8 +644,9 @@ object Dedup {
     // shingling (see minhashNearDups).
     // Lifetime: registered — see the Projections caching contract.
     val hashed = Projections.register(
-      df.select(col(idCol).as("id"), col(textCol).as("t"),
-        shingleHashes(col(textCol), ngram).as("sh"))
+      Projections.spread(df, col(idCol))
+        .select(col(idCol).as("id"), col(textCol).as("t"),
+          shingleHashes(col(textCol), ngram).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms),
       nBands, rpb)

@@ -39,6 +39,29 @@ object Projections {
     df
   }
 
+  /** Pre-tokenize spreader for the persisted projections: when the input
+    * plan's estimated bytes put its scan UNDER one file split per
+    * configured shuffle partition, the whole tokenize/quantize pipeline —
+    * and every map side downstream of the persist — inherits the scan's
+    * handful of partitions (a 50 MB single-row-group parquet is ONE task;
+    * the r17 stage profiles showed 1.1 s single-task shingling stages
+    * repeated per leg while 31 cores idled). Repartitioning the RAW rows
+    * by id BEFORE the projection spreads both the tokenize and the cached
+    * blocks. At real scale the size estimate exceeds the threshold and
+    * this is the IDENTITY: the scan's own splits already saturate the
+    * cluster, and a corpus-wide exchange of raw text would be pure cost.
+    * Plans with no usable size estimate (stats default to huge) are left
+    * untouched for the same reason. */
+  private[graft] def spread(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(width) * maxPart) df.repartition(width, key) else df
+  }
+
   /** Unpersist (non-blocking) every registered projection and clear the
     * registry; returns how many were released. The explicit boundary for
     * long-lived sessions — see the caching contract above. */

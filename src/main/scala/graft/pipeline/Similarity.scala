@@ -247,7 +247,8 @@ object Similarity {
     // multi-consumer lesson as the Dedup projections).
     // Lifetime: registered — see the Projections caching contract.
     val v = Projections.register(
-      corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      Projections.spread(corpus, col(idCol))
+        .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
         .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nPlanes =
@@ -958,7 +959,8 @@ object Similarity {
     // (spillable) so quantize+norm run once per side; under planes=0 the
     // auto-depth counts are the scans that warm the caches
     // Lifetime: registered — see the Projections caching contract.
-    def side(df: DataFrame, id: String) = Projections.register(df
+    def side(df: DataFrame, id: String) = Projections.register(
+      Projections.spread(df, col(idCol))
       .select(col(idCol).cast("long").as(id), quantize(col(vecCol)).as(s"_q$id"))
       .withColumn(s"_n$id", sqrt(dotLong(col(s"_q$id"), col(s"_q$id")).cast("double")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

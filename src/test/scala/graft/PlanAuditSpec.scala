@@ -77,10 +77,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
     val p = plan(SparkEntry.run(
       "QUERY signup FOLLOWED BY purchase LINKED BY context_id")(spark, dir))
-    // one Exchange for the groupByKey, a Union above it, no join operator
+    // one Exchange on the link key, a Union below it, no join operator;
+    // since r17 the match is sort-based — a Tungsten Sort(link, ts, eid)
+    // feeds a streaming MapPartitions (consecutive-group walk) instead of
+    // the old groupByKey/MapGroups object path
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
     assert("Exchange \\(".r.findAllIn(p).length == 1, p)
-    assert(p.contains("MapGroups") && p.contains("Union"), p)
+    assert(p.contains("MapPartitions") && p.contains("Sort") && p.contains("Union"), p)
   }
 
   test("decontamination broadcasts the benchmark gram set, never the corpus") {
