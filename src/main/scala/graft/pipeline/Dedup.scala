@@ -973,7 +973,8 @@ object Dedup {
       Seq(idCol), "left_semi")
     // the delta's tokenized projection, materialized once (delta-sized):
     // three lazy frames would re-shingle the admitted text once per append
-    val base = admitted.select(col(idCol).as("cid"),
+    val base = Projections.spread(admitted, col(idCol))
+      .select(col(idCol).as("cid"),
         contentKey(col(textCol)).as("ck"),
         shingleHashes(col(textCol), params.getOrElse("ngram", 3L).toInt).as("sh"))
       .localCheckpoint()
@@ -1008,7 +1009,7 @@ object Dedup {
       threshold: Double = 0.5): DedupArtifacts = {
     val (nBands, rpb) = resolveBanding(bands, rowsPerBand, threshold)
     val perms = nBands * rpb
-    val base = corpus.select(col(idCol).as("cid"),
+    val base = Projections.spread(corpus, col(idCol)).select(col(idCol).as("cid"),
       contentKey(col(textCol)).as("ck"), shingleHashes(col(textCol), ngram).as("sh"))
     val keys = base.select(col("ck")).distinct()
     val cBand = bandTable(
@@ -1084,7 +1085,7 @@ object Dedup {
     // these arrays. The previous shape re-ran the regex shingling +
     // per-shingle md5 in every leg (and a second full minhash inside the
     // within-batch minhashNearDups), which dominated the nightly decision.
-    val base = batch.select(col(idCol).as("id"),
+    val base = Projections.spread(batch, col(idCol)).select(col(idCol).as("id"),
         contentKey(col(textCol)).as("ck"),
         shingleHashes(col(textCol), ngram).as("sh"))
       .localCheckpoint()
