@@ -1009,6 +1009,14 @@ object Dedup {
       threshold: Double = 0.5): DedupArtifacts = {
     val (nBands, rpb) = resolveBanding(bands, rowsPerBand, threshold)
     val perms = nBands * rpb
+    // deliberately NOT persisted (r17, measured): the three artifact tables
+    // share this lineage, but their consumers either cut it themselves
+    // (DedupArtifacts.write derives keys/bands from the written shingles
+    // parquet; the streaming admission persists each stream-static table)
+    // or evaluate it once — with the tokenize spread across the cluster a
+    // re-run is cheaper than a corpus-sized cache fill + three block reads
+    // (persisting here measured +3 s on both the streaming-admission and
+    // artifact-cycle gates).
     val base = Projections.spread(corpus, col(idCol)).select(col(idCol).as("cid"),
       contentKey(col(textCol)).as("ck"), shingleHashes(col(textCol), ngram).as("sh"))
     val keys = base.select(col("ck")).distinct()
