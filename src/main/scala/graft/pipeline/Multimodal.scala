@@ -1237,7 +1237,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticPngs needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
+        col("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticPng(id, w, h)) }
     }(Encoders.row(syntheticBlobSchema))
   }
@@ -1376,7 +1377,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticJpegs needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
+        col("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticJpeg(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
@@ -1495,7 +1497,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticMp3s needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
+        col("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticMp3(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
@@ -1599,7 +1602,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticGifs needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
+        col("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticGif(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
@@ -1719,7 +1723,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticTiffs needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
+        col("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticTiff(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
@@ -1809,7 +1814,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticWbmps needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
+        col("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticWbmp(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
@@ -2186,7 +2192,7 @@ object Multimodal {
     require(ok.contains(df.schema(idCol).dataType) &&
       ok.contains(df.schema(audioIdCol).dataType),
       s"syntheticAvisAV needs integral id columns")
-    df.select(col(idCol).cast("long").as("media_id"),
+    Projections.spread(df, col(idCol)).select(col(idCol).cast("long").as("media_id"),
         col(audioIdCol).cast("long").as("_aid"))
       .mapPartitions { it =>
         it.map { r => Row(r.getLong(0), buildSyntheticAviAV(r.getLong(0), r.getLong(1))) }
@@ -2282,7 +2288,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticAvis needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
+        col("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticAvi(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }
@@ -2461,7 +2468,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticHtmlWarcs needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("t"))
+    Projections.spread(df, col(idCol))
+      .select(col(idCol).cast("long").as("media_id"), col(textCol).as("t"))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -2490,7 +2498,8 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticWarcs needs an integral id column, got ${idType.simpleString}")
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
+        col("media_id")).mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticWarc(id)) }
     }(Encoders.row(syntheticBlobSchema))
   }

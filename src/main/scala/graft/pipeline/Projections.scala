@@ -54,6 +54,10 @@ object Projections {
     * untouched for the same reason. */
   private[graft] def spread(df: DataFrame,
       key: org.apache.spark.sql.Column): DataFrame = {
+    // a streaming frame has no batch optimizedPlan to size (accessing it
+    // throws), and its per-trigger partitioning is the micro-batch
+    // planner's job — identity there
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val width = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
