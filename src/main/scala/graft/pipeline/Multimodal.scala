@@ -1237,8 +1237,14 @@ object Multimodal {
     val idType = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"syntheticPngs needs an integral id column, got ${idType.simpleString}")
-    Projections.spread(df.select(col(idCol).cast("long").as("media_id")),
-        col("media_id")).mapPartitions { it =>
+    // spread only when the per-row build+decode work can repay an
+    // exchange: at the gate fixtures' 5x6 pixels the blob work is
+    // cheaper than the shuffle and the extra stage measurably SLOWED the
+    // downstream graph gates ~1.4x (r17 A/B); realistic image sizes are
+    // decode-bound and spread like the other media generators
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    val spreadIds = if (w.toLong * h >= 4096) Projections.spread(ids, col("media_id")) else ids
+    spreadIds.mapPartitions { it =>
       it.map { r => val id = r.getLong(0); Row(id, buildSyntheticPng(id, w, h)) }
     }(Encoders.row(syntheticBlobSchema))
   }
