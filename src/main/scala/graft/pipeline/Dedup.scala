@@ -834,7 +834,8 @@ object Dedup {
     * per-batch job reads batch text plus three batch-∝ or candidate-∝
     * joins against the artifact tables. */
   final case class DedupArtifacts(keys: DataFrame, bands: DataFrame, shingles: DataFrame,
-      banding: Option[(Int, Int)] = None) {
+      banding: Option[(Int, Int)] = None,
+      keysDistinct: Boolean = false) {
     /** Materialize the three frames and truncate their lineage (eager
       * local checkpoint) — the single-process analog of writing the
       * artifact tables to storage and reading them back. Chained
@@ -846,7 +847,7 @@ object Dedup {
       * same boundary is the nightly parquet write of the artifacts. */
     def materialize(): DedupArtifacts =
       DedupArtifacts(keys.localCheckpoint(), bands.localCheckpoint(),
-        shingles.localCheckpoint(), banding)
+        shingles.localCheckpoint(), banding, keysDistinct)
 
     /** The REAL nightly boundary: persist the three artifact tables as
       * parquet under `dir` (`keys/`, `bands/`, `shingles/`) plus a
@@ -939,7 +940,12 @@ object Dedup {
       spark.read.parquet(s"$dir/keys"),
       spark.read.parquet(s"$dir/bands"),
       spark.read.parquet(s"$dir/shingles"),
-      scheme)
+      scheme,
+      // version-1 layouts are written by DedupArtifacts.write (keys pass a
+      // distinct at build) and extended only by appendDedupDelta (admitted
+      // keys are novel by the admission rules), so the key table is
+      // distinct by construction
+      keysDistinct = true)
   }
 
   /** The `params` map recorded by [[DedupArtifacts.write]] (empty if none
@@ -1024,7 +1030,7 @@ object Dedup {
         minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"), perms),
         nBands, rpb)
       .withColumnRenamed("id", "cid")
-    DedupArtifacts(keys, cBand, base, Some((nBands, rpb)))
+    DedupArtifacts(keys, cBand, base, Some((nBands, rpb)), keysDistinct = true)
   }
 
   /** Append the ADMITTED documents of a decided batch to the artifacts.
@@ -1061,7 +1067,10 @@ object Dedup {
       artifacts.keys.unionByName(add.keys),
       artifacts.bands.unionByName(add.bands),
       artifacts.shingles.unionByName(add.shingles),
-      Some((nBands, rpb)))
+      Some((nBands, rpb)),
+      // an admitted key is absent from the corpus and unique in its batch,
+      // so the union preserves the input's distinctness
+      keysDistinct = artifacts.keysDistinct)
   }
 
   /** [[incrementalDedup]] against persisted [[DedupArtifacts]] — the form
@@ -1097,9 +1106,13 @@ object Dedup {
         contentKey(col(textCol)).as("ck"),
         shingleHashes(col(textCol), ngram).as("sh"))
       .localCheckpoint()
-    // distinct defensively: a duplicated artifact key would multiply batch
-    // rows through the join (a freshly-built artifact is already distinct)
-    val ckeys = artifacts.keys.select(col("ck")).distinct()
+    // a duplicated artifact key would multiply batch rows through the
+    // join, but the defensive distinct is a CORPUS-WIDE exchange on every
+    // nightly decide — skipped when the artifacts' provenance guarantees
+    // distinctness (built/read/updated through this module, r17); only
+    // hand-assembled artifact frames still pay it
+    val ckeys = (if (artifacts.keysDistinct) artifacts.keys.select(col("ck"))
+                 else artifacts.keys.select(col("ck")).distinct())
       .withColumn("in_corpus", lit(true))
     val flagged = base.select("id", "ck").join(ckeys, Seq("ck"), "left")
       .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))

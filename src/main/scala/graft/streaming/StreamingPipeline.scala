@@ -188,7 +188,13 @@ object StreamingPipeline {
     // (Projections.release(); the frames are built inline, the caller has
     // no handle — r15 review finding)
     import graft.pipeline.Projections
-    val ckeys = Projections.register(artifacts.keys.select(col("ck")).distinct()
+    // the defensive distinct is skipped when artifact provenance
+    // guarantees a distinct key table (built/read/updated through the
+    // Dedup module — see DedupArtifacts.keysDistinct, r17): it cost a
+    // corpus-wide exchange at every stream start
+    val ckeys = Projections.register(
+      (if (artifacts.keysDistinct) artifacts.keys.select(col("ck"))
+       else artifacts.keys.select(col("ck")).distinct())
       .withColumn("in_corpus", lit(true)).persist())
     val cBands = Projections.register(
       artifacts.bands.select("cid", "band_idx", "band_hash").persist())
