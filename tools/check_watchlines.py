@@ -38,7 +38,14 @@ def main() -> int:
     bench = json.load(open(args[0]))
     watch = json.load(open(wl_path))["watchlines"]
     cal = bench["calibration"]["mean"]
-    contended = bool(bench.get("contended")) or cal > CLEAN_CAL_CEILING
+    # r17: full-subscription drift — a neighbor stealing CORES leaves the
+    # single-thread probe flat while every 32-way stage runs slow (the r17
+    # close breached 7 lines at a "clean" calMean 0.288 this way). Bench
+    # emits 32-thread probes since r17; older files lack the field.
+    mt_mean = bench["calibration"].get("mt_mean")
+    mt_bad = mt_mean is not None and mt_mean > 1.6 * bench["calibration"]["min"]
+    contended = (bool(bench.get("contended")) or cal > CLEAN_CAL_CEILING
+                 or mt_bad)
     qs = bench["queries"]
     breaches = []
     print(f"calibration mean {cal:.3f}s"
