@@ -207,9 +207,19 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val calMean = cals.sum / cals.size
     val mtMean = calsMT.sum / calsMT.size
+    // Single-pass epoch flag (VERDICT r17 #5): the mean-based 1.6× mt gate
+    // can miss ONE elevated probe — the r17 close's mid-run probe hit 1.9×
+    // the 1-thread min (pass 1 ran inside a full-subscription epoch) while
+    // the three-probe mean stayed at 1.44×. Per-query minima over two
+    // passes mostly absorb a one-pass epoch, but such a composite is a
+    // HALF-SAMPLE (each query got one clean shot, not two), so it must not
+    // seed watchline derivation. Any individual 32-thread probe past 1.8×
+    // the best 1-thread probe raises the flag.
+    val mtEpoch = calsMT.max > 1.8 * cals.min
     val calStats = s"""{"min":${r3(cals.min)},"max":${r3(cals.max)},""" +
       s""""mean":${r3(calMean)},"retried":$retried,""" +
       s""""mt":[${calsMT.map(r3).mkString(",")}],"mt_mean":${r3(mtMean)},""" +
+      s""""mt_max":${r3(calsMT.max)},"mt_epoch":$mtEpoch,""" +
       s""""pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}]}"""
     // Contention refusal (r10 lesson: a 3.53s-max / 0.28s-mean calibration
     // run produced phantom per-query regressions the verdict then chased).
@@ -234,11 +244,19 @@ object Bench {
     // (BENCH_r01–r07 all have parsed:null).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query pass provenance (VERDICT r17 #5): which pass each recorded
+    // minimum came from, so a one-pass-contaminated composite is auditable
+    // query by query (an mt_epoch run whose minima all came from the clean
+    // pass is still a usable lower bound; one leaning on the epoch pass is
+    // not)
+    val passSrc = pass1.zip(pass2).map { case ((k, a), (_, b)) =>
+      "\"" + k + "\":" + (if (a <= b) 1 else 2) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_kind":"$totalKind","contended":$contended,""" +
       s""""best_pass_total":$bestPass,""" +
       s""""failed_queries":$failedJson,"queries":$fullQs,""" +
+      s""""pass_src":$passSrc,""" +
       s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}"""
     println(fullLine)
     // Never clobber a previously recorded full table: every run writes a

@@ -162,11 +162,15 @@ final class AuthManager(root: String, maxFailures: Int = 5,
         // never evict a LIVE lockout — otherwise a spray of fabricated
         // names with fresher timestamps would erase a victim's lockout
         // (ADVICE r16: the old whole-map fallback did exactly that). When
-        // every tracked entry is a live lockout, the NEW name simply goes
-        // untracked: its failure is still returned, and a never-seen name
-        // is strictly less valuable than any live lockout.
+        // every tracked entry is a live lockout, FAIL CLOSED for the
+        // untracked name (ADVICE r17: letting it through untracked meant
+        // an attacker who saturated the tracker with ghost-name lockouts
+        // could brute-force any untracked real account with zero rate
+        // limiting — the saturation itself is attack evidence). The
+        // refusal message matches the lockout path, so it leaks nothing
+        // about whether the name exists.
         val unlocked = failures.filter { case (_, (n, _)) => n < maxFailures }
-        if (unlocked.isEmpty) return Left("Authentication failed")
+        if (unlocked.isEmpty) return Left("Rate limit exceeded")
         failures.remove(unlocked.minBy(_._2._2)._1): Unit
       }
     }
@@ -187,11 +191,19 @@ final class AuthManager(root: String, maxFailures: Int = 5,
         // MaxTrackedSessions is a CEILING, not just a prune trigger
         // (ADVICE r16: an authenticated client minting tokens in a loop
         // grew the map unboundedly for a full TTL window). If the map is
-        // still full of LIVE tokens, evict the nearest-expiry one — the
-        // least-valuable live session — so the insert below never grows
-        // the map past the bound.
-        while (sessions.size >= AuthManager.MaxTrackedSessions)
-          sessions.remove(sessions.minBy(_._2._2)._1): Unit
+        // still full of LIVE tokens, evict the MINTING user's own
+        // nearest-expiry token first (ADVICE r17: global nearest-expiry
+        // always picked OTHER users' tokens — fresh mints carry the
+        // latest expiry — so one client looping AUTH force-logged-out
+        // every concurrent user). Only when the minter holds no live
+        // token does the global nearest-expiry fallback run.
+        while (sessions.size >= AuthManager.MaxTrackedSessions) {
+          val own = sessions.filter { case (_, (who, _)) => who == name }
+          val victim =
+            if (own.nonEmpty) own.minBy(_._2._2)._1
+            else sessions.minBy(_._2._2)._1
+          sessions.remove(victim): Unit
+        }
       }
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
       sessions(token) = (name, clock() + tokenTtlSeconds)

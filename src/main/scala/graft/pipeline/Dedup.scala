@@ -903,15 +903,27 @@ object Dedup {
         keys.write.mode("overwrite").parquet(s"$dir/keys")
         bands.write.mode("overwrite").parquet(s"$dir/bands")
       }
-      val pjson = params.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      val manifest =
-        s"""{"version":1,"tables":["keys","bands","shingles"],"params":$pjson}"""
-      val path = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(path, true)
-      try out.write(manifest.getBytes("UTF-8")) finally out.close()
+      writeManifest(spark, dir, params, appends = 0L, dirty = false)
     }
+  }
+
+  /** Persist `MANIFEST.json`. `appends` counts completed
+    * [[appendDedupDelta]] epochs; `dirty` is set for the duration of an
+    * append so an interrupted one (crash between the three table appends,
+    * or a blind retry re-appending rows that already landed) is visible to
+    * the next reader instead of silently poisoning the distinct-by-
+    * construction claim (ADVICE r17). */
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      params: Map[String, Long], appends: Long, dirty: Boolean): Unit = {
+    val pjson = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val manifest =
+      s"""{"version":1,"appends":$appends,"dirty":${if (dirty) 1 else 0},""" +
+        s""""tables":["keys","bands","shingles"],"params":$pjson}"""
+    val path = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
   }
 
   private def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
@@ -944,8 +956,24 @@ object Dedup {
       // version-1 layouts are written by DedupArtifacts.write (keys pass a
       // distinct at build) and extended only by appendDedupDelta (admitted
       // keys are novel by the admission rules), so the key table is
-      // distinct by construction
-      keysDistinct = true)
+      // distinct by construction — UNLESS the manifest says an append was
+      // interrupted mid-flight (dirty=1): a crash between the three table
+      // appends, or a blind retry that re-appended already-landed rows,
+      // can leave duplicate ck rows, and skipping the distinct would then
+      // multiply batch rows through every downstream left join (ADVICE
+      // r17). A dirty dir degrades to the defensive distinct instead.
+      keysDistinct = !manifestDirty(manifest))
+  }
+
+  private def manifestDirty(manifest: String): Boolean =
+    """"dirty":(\d+)""".r.findFirstMatchIn(manifest).exists(_.group(1) != "0")
+
+  /** Completed-append epoch recorded in the manifest (0 for a fresh build
+    * or a pre-epoch manifest). Callers use it as an idempotency key for
+    * [[appendDedupDelta]] retries. */
+  def readArtifactEpoch(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val m = readManifest(spark, dir)
+    """"appends":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toLong).getOrElse(0L)
   }
 
   /** The `params` map recorded by [[DedupArtifacts.write]] (empty if none
@@ -954,9 +982,10 @@ object Dedup {
   def readArtifactParams(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, Long] =
     parseManifestParams(readManifest(spark, dir))
 
+  private val ManifestMetaKeys = Set("version", "appends", "dirty")
   private def parseManifestParams(manifest: String): Map[String, Long] =
     """"([A-Za-z]+)":(-?\d+)""".r.findAllMatchIn(manifest)
-      .filterNot(_.group(1) == "version")
+      .filterNot(m => ManifestMetaKeys(m.group(1)))
       .map(m => m.group(1) -> m.group(2).toLong).toMap
 
   /** Append-only nightly fold-back at the STORAGE layer: write ONLY the
@@ -969,11 +998,32 @@ object Dedup {
     * cost is DELTA-sized: the union-and-rewrite cycle copies the entire
     * artifact set every night, which at 100 TB is a nightly full copy of
     * the dedup state. `decisions` is [[incrementalDedup]]'s output for
-    * `batch` against these same artifacts. */
+    * `batch` against these same artifacts.
+    *
+    * Parquet append is neither atomic nor idempotent, so the manifest
+    * brackets each append with a `dirty` flag (set before the first table
+    * append, cleared with the epoch bump after the last): a crash in
+    * between leaves `dirty=1`, which makes [[readArtifacts]] fall back to
+    * the defensive key distinct and makes the NEXT append refuse until the
+    * dir is rebuilt — duplicated ck rows never silently multiply decisions
+    * (ADVICE r17). `expectedEpoch` is the retry guard: pass the
+    * [[readArtifactEpoch]] observed when the batch was decided and an
+    * orchestrator-level retry of an append that actually completed (epoch
+    * already bumped) becomes a no-op instead of a row-duplicating second
+    * append. */
   def appendDedupDelta(artifactDir: String, batch: DataFrame,
-      decisions: DataFrame, idCol: String, textCol: String): Unit = {
+      decisions: DataFrame, idCol: String, textCol: String,
+      expectedEpoch: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val manifest = readManifest(spark, artifactDir)
+    require(!manifestDirty(manifest),
+      s"dedup artifact dir $artifactDir has an interrupted append (dirty=1); " +
+        "rebuild the artifacts before appending more deltas")
+    val epoch = """"appends":(\d+)""".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong).getOrElse(0L)
+    if (expectedEpoch.exists(_ != epoch)) return // completed retry: no-op
     val params = readArtifactParams(spark, artifactDir)
+    writeManifest(spark, artifactDir, params, appends = epoch, dirty = true)
     val admitted = batch.join(
       decisions.filter(col("status") === "admitted").select(col(idCol)),
       Seq(idCol), "left_semi")
@@ -998,6 +1048,7 @@ object Dedup {
     val existing = spark.read.parquet(s"$artifactDir/shingles").columns.toSeq
     base.select(existing.map(col): _*)
       .write.mode("append").parquet(s"$artifactDir/shingles")
+    writeManifest(spark, artifactDir, params, appends = epoch + 1, dirty = false)
   }
 
   /** Build [[DedupArtifacts]] from a corpus — the one corpus-sized job,

@@ -486,12 +486,17 @@ final class Materializer(store: EventStore) {
       // delta (scaladoc on the cap), and the keys replace the keep-side
       // anti-join too.
       val cap = affectedKeyPushdownCap
+      // the clamp bounds driver memory even under an absurd configured cap;
+      // `small` must compare against the SAME clamped value (ADVICE r17: a
+      // cap > 1M made the truncated 1,000,001-row probe look like the full
+      // affected set, silently leaving affected rows unrefreshed)
+      val effCap = math.min(cap, 1000000L)
       val probe =
         if (cap > 0)
           affected.select(col("__aff_link"), seqBucket(col("__aff_link")).as("b"))
-            .limit(math.min(cap, 1000000L).toInt + 1).collect()
+            .limit(effCap.toInt + 1).collect()
         else Array.empty[org.apache.spark.sql.Row]
-      val small = cap > 0 && probe.length <= cap
+      val small = cap > 0 && probe.length <= effCap
       val affKeys: Option[Seq[String]] =
         if (small) Some(probe.map(_.getString(0)).toIndexedSeq) else None
       // bounded collect: at most SeqBuckets distinct bucket ids

@@ -352,6 +352,32 @@ class AuthSpec extends AnyFunSuite {
     assert(auth.verify("victim", "m", AuthManager.hmacHex("key", "m")).isRight)
   }
 
+  test("a saturated tracker fails CLOSED for untracked names (no lockout bypass)") {
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    var now = 1000L
+    val auth = new AuthManager(dir, maxFailures = 3, lockoutSeconds = 300,
+      clock = () => now)
+    auth.createUser("target", "key", Set(Role.Viewer))
+    // fill the tracker with LIVE ghost-name lockouts; "target" has never
+    // failed, so it is untracked. ADVICE r17: the old behavior let an
+    // untracked name's failures go unrecorded forever — unlimited
+    // brute-force against any account the attacker kept untracked.
+    (1 to AuthManager.MaxTrackedFailures + 5).foreach { i =>
+      (1 to 3).foreach(_ => auth.verify(s"ghost_$i", "m", "x"))
+    }
+    // failed attempts on the untracked name are refused outright …
+    (1 to 10).foreach { _ =>
+      assert(auth.verify("target", "m", "deadbeef") == Left("Rate limit exceeded"))
+    }
+    // … while a CORRECT signature still authenticates (legitimate users
+    // are not locked out by someone else's spray)
+    assert(auth.verify("target", "m", AuthManager.hmacHex("key", "m")).isRight)
+    // after the window expires the tracker drains and normal per-name
+    // failure tracking resumes
+    now += 301
+    assert(auth.verify("target", "m", "deadbeef") == Left("Authentication failed"))
+  }
+
   test("session tracker is a hard ceiling even when every token is live") {
     val dir = Files.createTempDirectory("graft_auth_").toString
     var now = 1000L
@@ -368,6 +394,25 @@ class AuthSpec extends AnyFunSuite {
     assert(auth.validateToken(first).isEmpty,
       "oldest live token should have been evicted at the ceiling")
     assert(auth.validateToken(last).isDefined)
+  }
+
+  test("a token-minting loop evicts its own sessions first, not other users'") {
+    val dir = Files.createTempDirectory("graft_auth_").toString
+    var now = 1000L
+    val auth = new AuthManager(dir, clock = () => now, tokenTtlSeconds = 1000000)
+    auth.createUser("alice", "akey", Set(Role.Viewer))
+    auth.createUser("bob", "bkey", Set(Role.Viewer))
+    val aliceTok = auth.authenticate("alice", AuthManager.hmacHex("akey", "alice")).toOption.get
+    // ADVICE r17: global nearest-expiry eviction always picked OTHER
+    // users' tokens (fresh mints carry the latest expiry), so bob looping
+    // AUTH force-logged-out alice. Same-user-first eviction keeps alice's
+    // session alive through bob's entire mint storm.
+    val bobSig = AuthManager.hmacHex("bkey", "bob")
+    (1 to AuthManager.MaxTrackedSessions + 10).foreach { _ =>
+      now += 1; auth.authenticate("bob", bobSig)
+    }
+    assert(auth.validateToken(aliceTok).isDefined,
+      "alice's live session must survive bob's mint loop")
   }
 
   test("expired session tokens are pruned when the tracker fills") {

@@ -288,6 +288,49 @@ class BandingRecallSpec extends AnyFunSuite {
     assert(Dedup.readArtifacts(spark, s"$dir/art").banding.contains((17, 4)))
   }
 
+  test("append epochs: interrupted appends degrade safely, completed retries no-op") {
+    import spark.implicits._
+    val docs = (0 until 10).map(i =>
+      (i.toLong, s"corpus doc $i words alpha$i beta${i * 3} gamma${i * 7}"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_epoch_").toString
+    Dedup.buildDedupArtifacts(docs, "doc_id", "text", bands = 32, rowsPerBand = 2)
+      .write(s"$dir/art")
+    assert(Dedup.readArtifactEpoch(spark, s"$dir/art") == 0L)
+    assert(Dedup.readArtifacts(spark, s"$dir/art").keysDistinct)
+    val batch = Seq((100L, "a brand new never seen document body"))
+      .toDF("doc_id", "text")
+    val dec = Dedup.incrementalDedup(batch, Dedup.readArtifacts(spark, s"$dir/art"),
+      "doc_id", "text", 3, 32, 2, 0.5).localCheckpoint()
+    // the production shape: read the epoch when the batch is decided, pass
+    // it to the append as the idempotency key
+    val epochAtDecide = Dedup.readArtifactEpoch(spark, s"$dir/art")
+    Dedup.appendDedupDelta(s"$dir/art", batch, dec, "doc_id", "text", Some(epochAtDecide))
+    assert(Dedup.readArtifactEpoch(spark, s"$dir/art") == 1L)
+    val keysAfter = spark.read.parquet(s"$dir/art/keys").count()
+    // an orchestrator-level retry of the COMPLETED append (ADVICE r17:
+    // parquet append is not idempotent) sees the bumped epoch and no-ops —
+    // no duplicate ck rows, the distinct-by-construction claim holds
+    Dedup.appendDedupDelta(s"$dir/art", batch, dec, "doc_id", "text", Some(epochAtDecide))
+    assert(spark.read.parquet(s"$dir/art/keys").count() == keysAfter)
+    assert(Dedup.readArtifacts(spark, s"$dir/art").keysDistinct)
+    // simulate a crash BETWEEN the table appends: manifest left dirty
+    val mPath = java.nio.file.Paths.get(s"$dir/art/MANIFEST.json")
+    val m = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    java.nio.file.Files.write(mPath,
+      m.replace("\"dirty\":0", "\"dirty\":1").getBytes("UTF-8"))
+    // the rewrite bypassed Hadoop's ChecksumFileSystem — drop its sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/art/.MANIFEST.json.crc")): Unit
+    // read-back no longer trusts key distinctness (defensive distinct back
+    // on) and further appends refuse until the dir is rebuilt
+    assert(!Dedup.readArtifacts(spark, s"$dir/art").keysDistinct)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendDedupDelta(s"$dir/art", batch, dec, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("interrupted append"))
+  }
+
   test("minhashEval enforces its O(n²) truth bound in-function") {
     import spark.implicits._
     val docs = (0 until 12).map(i =>

@@ -46,6 +46,17 @@ def main() -> int:
     mt_bad = mt_mean is not None and mt_mean > 1.6 * bench["calibration"]["min"]
     contended = (bool(bench.get("contended")) or cal > CLEAN_CAL_CEILING
                  or mt_bad)
+    # VERDICT r17 #5: a single elevated mt probe the mean-gate misses means
+    # ONE pass ran inside a full-subscription epoch. Per-query minima over
+    # two passes mostly absorb it (the close gate still judges), but the
+    # composite is a HALF-SAMPLE — each query got one clean measurement —
+    # so it is flagged here and refused by derive_watchlines.py as a
+    # threshold-derivation input. Recomputed from the probe array so
+    # pre-flag bench files are covered too.
+    mt_probes = bench["calibration"].get("mt", [])
+    mt_epoch = (bool(bench["calibration"].get("mt_epoch"))
+                or any(p > 1.8 * bench["calibration"]["min"]
+                       for p in mt_probes))
     qs = bench["queries"]
     breaches = []
     print(f"calibration mean {cal:.3f}s"
@@ -72,6 +83,12 @@ def main() -> int:
               "(warm-solo + stash A/B) or fix before close; an accepted "
               "adjudication updates tools/watchlines.json with its why.")
         return 1
+    if mt_epoch:
+        print("all watchlines green, BUT this run is a HALF-SAMPLE (an mt "
+              "probe exceeded 1.8x the 1-thread min: one pass ran inside a "
+              "full-subscription epoch). Usable for the close gate; NOT "
+              "usable as a watchline-derivation input.")
+        return 0
     print("all watchlines green (calibration-normalized, clean run)")
     return 0
 

@@ -53,6 +53,22 @@ def main() -> int:
         if d.get("contended") or cal > CLEAN_CAL_CEILING:
             print(f"REFUSED input {f}: contended (cal mean {cal})")
             return 1
+        # VERDICT r17 #1/#5: thresholds come from mt-probe-VERIFIED clean
+        # runs only. A file without 32-thread probes predates the drift
+        # detector (full-subscription epochs invisible to the 1-thread
+        # probe — the widened r17 envelope came from exactly such a run);
+        # a file with any single probe past 1.8x the 1-thread min had one
+        # pass inside an epoch, so its minima are a half-sample.
+        mt = d["calibration"].get("mt", [])
+        if not mt:
+            print(f"REFUSED input {f}: no mt probes (pre-r17 Bench; "
+                  "drift epochs undetectable)")
+            return 1
+        if any(p > 1.8 * d["calibration"]["min"] for p in mt):
+            print(f"REFUSED input {f}: mt epoch (probe max "
+                  f"{max(mt)} > 1.8x 1-thread min "
+                  f"{d['calibration']['min']}) — half-sample minima")
+            return 1
         used.append(f.split("/")[-1])
         for q in WATCHED:
             if q not in d["queries"]:
