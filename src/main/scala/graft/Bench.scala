@@ -28,15 +28,22 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** The same spin on `n` threads at once, reporting the SLOWEST thread's
-    * seconds — the per-core rate under full subscription. On an exclusive
-    * host this tracks the single-thread probe (~1.0–1.2×, SMT/boost); when
-    * a noisy neighbor steals CORES (not the one core the single-thread
-    * probe happens to hold) it rises while the 1-thread probe stays flat —
-    * exactly the drift that made the r17 close bench run 1.4× slower at a
-    * "clean" calibration 0.288 (judge r16 called this residual host-era
-    * drift; now it is measured, not suspected). */
-  private def calibrateMT(n: Int): Double = {
+  /** The same spin on `n` threads at once — the per-core rate under full
+    * subscription, reported as (MEDIAN, max) thread seconds. The gate
+    * statistic is the MEDIAN (r18): the max-of-n used through r17 has a
+    * structural one-sided noise tail — a single thread of 32 delayed by a
+    * G1 background cycle or an OS scheduling hiccup inflates it with no
+    * host contention at all. Measured on this host: inside a working
+    * Spark JVM the max reads 1.18–1.33× the 1-thread probe between clean
+    * query runs while the median holds 1.00–1.02×; under a genuine
+    * 12-core-stealing neighbor the median jumps to 1.47–1.70× (the OS
+    * time-slices ALL threads, so real core theft cannot hide from the
+    * median) while the 1-thread probe stays flat. Median separation is
+    * therefore clean ≤1.04× vs theft ≥1.47× — the drift the r17 close
+    * chased (a 1.4× composite at flat 1-thread calibration) is caught
+    * with margin, and the max's GC tail no longer flags clean runs. The
+    * max is still recorded per probe for audit. */
+  private def calibrateMT(n: Int): (Double, Double) = {
     val times = new Array[Long](n)
     val ts = (0 until n).map { me =>
       val t = new Thread(() => {
@@ -50,7 +57,8 @@ object Bench {
       t.start(); t
     }
     ts.foreach(_.join())
-    times.max / 1e9
+    val sorted = times.sorted
+    (sorted(n / 2) / 1e9, sorted(n - 1) / 1e9)
   }
 
   /** Write `content` to `<base>.json` with CREATE_NEW semantics — never
@@ -206,20 +214,25 @@ object Bench {
     val bestPass = math.min(finiteSum(pass1), finiteSum(pass2))
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val calMean = cals.sum / cals.size
-    val mtMean = calsMT.sum / calsMT.size
-    // Single-pass epoch flag (VERDICT r17 #5): the mean-based 1.6× mt gate
-    // can miss ONE elevated probe — the r17 close's mid-run probe hit 1.9×
-    // the 1-thread min (pass 1 ran inside a full-subscription epoch) while
-    // the three-probe mean stayed at 1.44×. Per-query minima over two
-    // passes mostly absorb a one-pass epoch, but such a composite is a
-    // HALF-SAMPLE (each query got one clean shot, not two), so it must not
-    // seed watchline derivation. Any individual 32-thread probe past 1.8×
-    // the best 1-thread probe raises the flag.
-    val mtEpoch = calsMT.max > 1.8 * cals.min
+    val mtMeds = calsMT.map(_._1)
+    val mtMaxes = calsMT.map(_._2)
+    val mtMedMean = mtMeds.sum / mtMeds.size
+    // Single-pass epoch flag (VERDICT r17 #5): a run-wide mean gate can
+    // miss ONE elevated probe — a transient epoch covering a single pass
+    // leaves a HALF-SAMPLE composite (each query got one clean shot, not
+    // two) that must not seed watchline derivation. Gated on the MEDIAN
+    // probe (see calibrateMT: clean ≤1.04×, 12-core theft ≥1.47× on this
+    // host — 1.35× splits the gap with margin on both sides; the
+    // max-of-32 used through r17 false-fired at 1.9× on composite-normal
+    // runs from its GC tail).
+    val mtEpoch = mtMeds.exists(_ > 1.35 * cals.min)
     val calStats = s"""{"min":${r3(cals.min)},"max":${r3(cals.max)},""" +
       s""""mean":${r3(calMean)},"retried":$retried,""" +
-      s""""mt":[${calsMT.map(r3).mkString(",")}],"mt_mean":${r3(mtMean)},""" +
-      s""""mt_max":${r3(calsMT.max)},"mt_epoch":$mtEpoch,""" +
+      s""""mt_med":[${mtMeds.map(r3).mkString(",")}],""" +
+      s""""mt_med_mean":${r3(mtMedMean)},""" +
+      s""""mt":[${mtMaxes.map(r3).mkString(",")}],""" +
+      s""""mt_mean":${r3(mtMaxes.sum / mtMaxes.size)},""" +
+      s""""mt_max":${r3(mtMaxes.max)},"mt_epoch":$mtEpoch,""" +
       s""""pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}]}"""
     // Contention refusal (r10 lesson: a 3.53s-max / 0.28s-mean calibration
     // run produced phantom per-query regressions the verdict then chased).
@@ -227,13 +240,16 @@ object Bench {
     // presented as a comparable number: total_kind flips to "contended" and
     // `contended` is set so automated diffing skips this run. The per-query
     // table is still recorded (minima remain useful lower bounds).
-    // Second trigger (r17): full-subscription drift. A neighbor stealing
-    // CORES leaves the single-thread probe flat while every 32-way stage
-    // runs slow — the r17 close measured a 1.4× composite at calMean
-    // 0.288 exactly this way. When the mean 32-thread probe exceeds 1.6×
-    // the best single-thread probe, per-core capacity is oversubscribed
-    // and the run is not comparable either.
-    val contended = cals.max > 3.0 * calMean || mtMean > 1.6 * cals.min
+    // Second trigger (r17, median-gated since r18): full-subscription
+    // drift. A neighbor stealing CORES leaves the single-thread probe flat
+    // while every 32-way stage runs slow — the r17 drift run measured a
+    // 1.4× composite at calMean 0.288 exactly this way. When the mean
+    // MEDIAN 32-thread probe exceeds 1.4× the best single-thread probe,
+    // per-core capacity is oversubscribed for most of the run and it is
+    // not comparable. (Median, not max: the max false-fired on clean runs
+    // — see calibrateMT — and 1.4× sits between the clean ceiling 1.04×
+    // and the measured 12-core-theft floor 1.47×.)
+    val contended = cals.max > 3.0 * calMean || mtMedMean > 1.4 * cals.min
     val totalKind =
       if (contended) "contended_do_not_compare" else "per_query_min_composite"
 

@@ -42,21 +42,29 @@ def main() -> int:
     # single-thread probe flat while every 32-way stage runs slow (the r17
     # close breached 7 lines at a "clean" calMean 0.288 this way). Bench
     # emits 32-thread probes since r17; older files lack the field.
-    mt_mean = bench["calibration"].get("mt_mean")
-    mt_bad = mt_mean is not None and mt_mean > 1.6 * bench["calibration"]["min"]
+    # r18: gate on the MEDIAN 32-thread probe when the file carries it —
+    # the max-of-32 used through r17 has a one-sided GC/scheduling tail
+    # that reads up to 1.33x inside a clean working Spark JVM (measured),
+    # so max-based rules false-refused clean runs; the median holds
+    # <=1.04x clean and >=1.47x under a 12-core-stealing neighbor. Files
+    # without mt_med fall back to the old max-based rules.
+    cmin = bench["calibration"]["min"]
+    mt_meds = bench["calibration"].get("mt_med")
+    if mt_meds:
+        mt_bad = sum(mt_meds) / len(mt_meds) > 1.4 * cmin
+        mt_epoch = any(p > 1.35 * cmin for p in mt_meds)
+    else:
+        mt_mean = bench["calibration"].get("mt_mean")
+        mt_bad = mt_mean is not None and mt_mean > 1.6 * cmin
+        # VERDICT r17 #5: a single elevated probe the mean-gate misses
+        # means ONE pass may have run inside an epoch — a HALF-SAMPLE
+        # composite (each query got one clean measurement), refused by
+        # derive_watchlines.py as a threshold input.
+        mt_probes = bench["calibration"].get("mt", [])
+        mt_epoch = (bool(bench["calibration"].get("mt_epoch"))
+                    or any(p > 1.8 * cmin for p in mt_probes))
     contended = (bool(bench.get("contended")) or cal > CLEAN_CAL_CEILING
                  or mt_bad)
-    # VERDICT r17 #5: a single elevated mt probe the mean-gate misses means
-    # ONE pass ran inside a full-subscription epoch. Per-query minima over
-    # two passes mostly absorb it (the close gate still judges), but the
-    # composite is a HALF-SAMPLE — each query got one clean measurement —
-    # so it is flagged here and refused by derive_watchlines.py as a
-    # threshold-derivation input. Recomputed from the probe array so
-    # pre-flag bench files are covered too.
-    mt_probes = bench["calibration"].get("mt", [])
-    mt_epoch = (bool(bench["calibration"].get("mt_epoch"))
-                or any(p > 1.8 * bench["calibration"]["min"]
-                       for p in mt_probes))
     qs = bench["queries"]
     breaches = []
     print(f"calibration mean {cal:.3f}s"

@@ -54,19 +54,21 @@ def main() -> int:
             print(f"REFUSED input {f}: contended (cal mean {cal})")
             return 1
         # VERDICT r17 #1/#5: thresholds come from mt-probe-VERIFIED clean
-        # runs only. A file without 32-thread probes predates the drift
-        # detector (full-subscription epochs invisible to the 1-thread
-        # probe — the widened r17 envelope came from exactly such a run);
-        # a file with any single probe past 1.8x the 1-thread min had one
-        # pass inside an epoch, so its minima are a half-sample.
-        mt = d["calibration"].get("mt", [])
-        if not mt:
-            print(f"REFUSED input {f}: no mt probes (pre-r17 Bench; "
-                  "drift epochs undetectable)")
+        # runs only. A file without MEDIAN 32-thread probes predates the
+        # reliable drift detector (the widened r17 envelope came from a
+        # run with no probes at all, and the r17 max-of-32 probe
+        # false-fires on clean runs from its GC tail — see
+        # check_watchlines.py); a file with any single median probe past
+        # 1.35x the 1-thread min had one pass inside an epoch, so its
+        # minima are a half-sample.
+        mt_med = d["calibration"].get("mt_med", [])
+        if not mt_med:
+            print(f"REFUSED input {f}: no mt_med probes (pre-r18 Bench; "
+                  "drift epochs not reliably measurable)")
             return 1
-        if any(p > 1.8 * d["calibration"]["min"] for p in mt):
-            print(f"REFUSED input {f}: mt epoch (probe max "
-                  f"{max(mt)} > 1.8x 1-thread min "
+        if any(p > 1.35 * d["calibration"]["min"] for p in mt_med):
+            print(f"REFUSED input {f}: mt epoch (median probe max "
+                  f"{max(mt_med)} > 1.35x 1-thread min "
                   f"{d['calibration']['min']}) — half-sample minima")
             return 1
         used.append(f.split("/")[-1])
