@@ -92,10 +92,10 @@ def main() -> int:
               "adjudication updates tools/watchlines.json with its why.")
         return 1
     if mt_epoch:
-        print("all watchlines green, BUT this run is a HALF-SAMPLE (an mt "
-              "probe exceeded 1.8x the 1-thread min: one pass ran inside a "
-              "full-subscription epoch). Usable for the close gate; NOT "
-              "usable as a watchline-derivation input.")
+        print("all watchlines green, BUT an mt probe shows one pass ran "
+              "inside a full-subscription epoch (HALF-SAMPLE). Usable for "
+              "the close gate; derive_watchlines.py will only take its "
+              "clean-bracketed pass (if per-pass values are recorded).")
         return 0
     print("all watchlines green (calibration-normalized, clean run)")
     return 0

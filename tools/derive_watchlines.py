@@ -54,29 +54,47 @@ def main() -> int:
             print(f"REFUSED input {f}: contended (cal mean {cal})")
             return 1
         # VERDICT r17 #1/#5: thresholds come from mt-probe-VERIFIED clean
-        # runs only. A file without MEDIAN 32-thread probes predates the
-        # reliable drift detector (the widened r17 envelope came from a
-        # run with no probes at all, and the r17 max-of-32 probe
-        # false-fires on clean runs from its GC tail — see
-        # check_watchlines.py); a file with any single median probe past
-        # 1.35x the 1-thread min had one pass inside an epoch, so its
-        # minima are a half-sample.
+        # measurements only. A file without MEDIAN 32-thread probes
+        # predates the reliable drift detector (the widened r17 envelope
+        # came from a run with no probes at all, and the r17 max-of-32
+        # probe false-fires on clean runs from its GC tail — see
+        # check_watchlines.py). The three probes bracket the two passes,
+        # so cleanliness is judged PER PASS (r18: the host throws a
+        # transient epoch most runs, so fully-clean runs are rare while
+        # clean passes are common): a file contributes iff its warm pass
+        # (pass 2) is clean-bracketed — per-query min(p1, p2) when both
+        # passes are clean (the historical statistic), else the pass-2
+        # value alone (the min usually comes from the warm pass anyway).
         mt_med = d["calibration"].get("mt_med", [])
         if not mt_med:
             print(f"REFUSED input {f}: no mt_med probes (pre-r18 Bench; "
                   "drift epochs not reliably measurable)")
             return 1
-        if any(p > 1.35 * d["calibration"]["min"] for p in mt_med):
-            print(f"REFUSED input {f}: mt epoch (median probe max "
-                  f"{max(mt_med)} > 1.35x 1-thread min "
-                  f"{d['calibration']['min']}) — half-sample minima")
+        clean = d.get("pass_clean")
+        if clean is None:
+            clean = [mt_med[0] <= 1.35 * d["calibration"]["min"]
+                     and mt_med[1] <= 1.35 * d["calibration"]["min"],
+                     mt_med[1] <= 1.35 * d["calibration"]["min"]
+                     and mt_med[2] <= 1.35 * d["calibration"]["min"]]
+        if not clean[1]:
+            print(f"REFUSED input {f}: warm pass not clean-bracketed "
+                  f"(mt_med {mt_med}, 1-thread min "
+                  f"{d['calibration']['min']})")
             return 1
-        used.append(f.split("/")[-1])
+        both = all(clean)
+        p2 = d.get("pass2_queries")
+        if p2 is None and not both:
+            print(f"REFUSED input {f}: pass 1 dirty and no per-pass "
+                  "values recorded")
+            return 1
+        used.append(f.split("/")[-1]
+                    + ("" if both else " (pass2-only; pass1 in epoch)"))
         for q in WATCHED:
             if q not in d["queries"]:
                 print(f"REFUSED input {f}: {q} missing")
                 return 1
-            norms[q].append(d["queries"][q] / cal)
+            val = d["queries"][q] if both else p2[q]
+            norms[q].append(val / cal)
     lines = {q: round(max(v) * headroom, 1) for q, v in norms.items()}
     doc = {
         "_unit": "query_seconds / calibration_mean_seconds (host-rate-normalized)",
