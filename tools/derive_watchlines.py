@@ -94,6 +94,10 @@ def main() -> int:
                 print(f"REFUSED input {f}: {q} missing")
                 return 1
             val = d["queries"][q] if both else p2[q]
+            if val < 0:  # failed-query sentinel (-1) must not shrink lines
+                print(f"REFUSED input {f}: {q} failed in the contributing "
+                      "pass")
+                return 1
             norms[q].append(val / cal)
     lines = {q: round(max(v) * headroom, 1) for q, v in norms.items()}
     doc = {
