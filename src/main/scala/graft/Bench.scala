@@ -61,6 +61,58 @@ object Bench {
     (sorted(n / 2) / 1e9, sorted(n - 1) / 1e9)
   }
 
+  /** Checkpoint/artifact-writing gates: their cost is n_fsync × host fsync
+    * latency on top of CPU, and that latency is the one axis no CPU probe
+    * sees (VERDICT r18: same code, same day — q_remember_show_seq 5.6 s
+    * pristine vs 11–19 s degraded-IO). Each gets an [[ioProbe]] bracket
+    * around its run in BOTH passes, emitted as `io_brackets` for the
+    * watchline tools. */
+  private val IoGates = Set(
+    "q_stream_admit", "q_stream_admit_near", "q_stream_av_admit",
+    "q_stream_audio_admit", "q_stream_embed_admit",
+    "q_remember_show", "q_remember_show_agg",
+    "q_remember_show_seq", "q_remember_show_seq_delta",
+    "q_dedup_incremental", "q_dedup_incr_update")
+
+  /** Fixed-work IO probe: 32 small files, each create+write(16 KB)+fsync+
+    * atomic-rename — the exact per-file discipline Structured Streaming
+    * checkpoints and the Materializer/dedup-artifact writers pay — into a
+    * fresh temp dir on the same filesystem the gates write
+    * (java.io.tmpdir; this host mounts one ext4 for everything). Returns
+    * the MEDIAN per-file latency in MILLISECONDS (median, not total, for
+    * the same reason as calibrateMT: a single journal-flush tail must not
+    * flag a clean window). Measured on this host (r19): 0.38–0.94 ms
+    * inside a working Spark JVM in windows where q_stream_admit ran
+    * 3.5–4.4 s; ≥2 ms in the windows where it ran 4.8–5.7 s; idle-shell
+    * drift reaches 17 ms within a single minute — which is why brackets
+    * are per-GATE, not per-pass (the axis moves faster than a 6-minute
+    * pass). Cost: ~16 ms clean, ~0.6 s in the degraded windows it exists
+    * to flag. */
+  private def ioProbe(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_probe_")
+    val payload = Array.tabulate[Byte](16384)(i => (i * 31).toByte)
+    val lats = new Array[Long](32)
+    var f = 0
+    while (f < 32) {
+      val tmp = dir.resolve(s"p$f.tmp")
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { ch.write(java.nio.ByteBuffer.wrap(payload)); ch.force(true) }
+      finally ch.close()
+      java.nio.file.Files.move(tmp, dir.resolve(s"p$f"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      lats(f) = System.nanoTime() - t0
+      f += 1
+    }
+    var i = 0
+    while (i < 32) { java.nio.file.Files.delete(dir.resolve(s"p$i")); i += 1 }
+    java.nio.file.Files.delete(dir)
+    val sorted = lats.sorted
+    sorted(16) / 1e6
+  }
+
   /** Write `content` to `<base>.json` with CREATE_NEW semantics — never
     * truncates an existing file; on collision falls to `<base>-1.json`,
     * `<base>-2.json`, … Returns the path actually written (or the intended
@@ -152,8 +204,19 @@ object Bench {
     // cheap enough to bracket the run, too costly to interleave per query)
     val nCores = cpus.toInt
     val calsMT = scala.collection.mutable.ArrayBuffer(calibrateMT(nCores))
+    // Run-level fsync-latency probes bracket the passes like the mt
+    // probes do (start / between / end) — audit record of the run's
+    // overall IO weather. The per-GATE brackets below are the actual
+    // certification instrument: the IO axis was measured drifting
+    // 0.4→17 ms within one minute on an idle host, faster than any
+    // pass-level bracket can certify.
+    val iosRun = scala.collection.mutable.ArrayBuffer(ioProbe())
+    // io_brackets: gate -> per-pass (before, after) median-ms pairs
+    val ioBrackets = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Double, Double)]]()
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val ioBefore = if (IoGates(name)) ioProbe() else -1.0
         def run(): Double = {
           val t0 = System.nanoTime()
           // a FAILED query must never record a (deceptively fast) wall
@@ -193,11 +256,20 @@ object Bench {
           t = math.min(t, run())
           val c2 = calibrate(); cals += c2; baseCal = math.min(baseCal, c2)
         }
+        if (IoGates(name)) {
+          // the after-probe closes the bracket AROUND everything that
+          // could have produced this pass's recorded value (including a
+          // contention retry) — a clean bracket certifies the whole window
+          ioBrackets.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer()) += ((ioBefore, ioProbe()))
+        }
         name -> t
       }
     val pass1 = pass()
+    iosRun += ioProbe()
     calsMT += calibrateMT(nCores)
     val pass2 = pass()
+    iosRun += ioProbe()
     calsMT += calibrateMT(nCores)
     val rawResults = pass1.zip(pass2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
     // queries that failed BOTH passes carry Infinity: excluded from totals,
@@ -245,6 +317,7 @@ object Bench {
       s""""mt":[${mtMaxes.map(r3).mkString(",")}],""" +
       s""""mt_mean":${r3(mtMaxes.sum / mtMaxes.size)},""" +
       s""""mt_max":${r3(mtMaxes.max)},"mt_epoch":$mtEpoch,""" +
+      s""""io_med_ms":[${iosRun.map(r3).mkString(",")}],""" +
       s""""pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}]}"""
     // Contention refusal (r10 lesson: a 3.53s-max / 0.28s-mean calibration
     // run produced phantom per-query regressions the verdict then chased).
@@ -284,12 +357,25 @@ object Bench {
         "\"" + k + "\":" + (if (v.isInfinite) -1.0 else v) }
         .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-gate fsync-latency brackets (median ms before/after the gate, per
+    // pass): the IO-axis certification record. tools/check_watchlines.py
+    // judges an IO gate against its TIGHT line only when the bracket around
+    // the pass that contributed the recorded minimum (per pass_src) is
+    // clean (max side ≤ IO_CLEAN_MS), and derive_watchlines.py seeds tight
+    // lines from certified brackets only. pass1_queries/pass2_queries stay
+    // AUDIT-ONLY for derivation: cold pass-1 values are systematically
+    // higher, so consuming them as threshold inputs would loosen lines.
+    val ioJson = ioBrackets.map { case (k, bs) =>
+      "\"" + k + "\":" + bs.map { case (b, a) => s"[${r3(b)},${r3(a)}]" }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_kind":"$totalKind","contended":$contended,""" +
       s""""best_pass_total":$bestPass,""" +
       s""""failed_queries":$failedJson,"queries":$fullQs,""" +
       s""""pass_src":$passSrc,""" +
       s""""pass_clean":[${passClean.mkString(",")}],""" +
+      s""""io_brackets":$ioJson,""" +
       s""""pass1_queries":${passJson(pass1)},""" +
       s""""pass2_queries":${passJson(pass2)},""" +
       s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}"""

@@ -903,6 +903,12 @@ object Dedup {
         keys.write.mode("overwrite").parquet(s"$dir/keys")
         bands.write.mode("overwrite").parquet(s"$dir/bands")
       }
+      // a rebuild resets the append state wholesale: clear any stale
+      // single-writer lock a crashed appender left behind (appendDedupDelta
+      // refuses while it exists), then stamp the fresh epoch-0 manifest
+      val lockPath = new org.apache.hadoop.fs.Path(s"$dir/_append.lock")
+      val lockFs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      lockFs.delete(lockPath, false): Unit
       writeManifest(spark, dir, params, appends = 0L, dirty = false)
     }
   }
@@ -912,7 +918,17 @@ object Dedup {
     * append so an interrupted one (crash between the three table appends,
     * or a blind retry re-appending rows that already landed) is visible to
     * the next reader instead of silently poisoning the distinct-by-
-    * construction claim (ADVICE r17). */
+    * construction claim (ADVICE r17).
+    *
+    * Written tmp + atomic rename, never an in-place truncate (ADVICE r18):
+    * the manifest is rewritten twice per append (dirty-set, then the
+    * clearing write after the three parquet appends), and a crash mid-write
+    * or a reader racing a truncate-then-write could observe an EMPTY
+    * manifest — the dirty/appends regexes then find nothing, so the very
+    * mechanism added to catch interrupted appends would report clean/epoch-0
+    * and wave a duplicating retry through. `Options.Rename.OVERWRITE` is the
+    * same atomic-replace primitive Spark's own checkpoint file manager
+    * relies on, and works on any Hadoop filesystem, not just file://. */
   private def writeManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
       params: Map[String, Long], appends: Long, dirty: Boolean): Unit = {
     val pjson = params.toSeq.sortBy(_._1)
@@ -921,9 +937,13 @@ object Dedup {
       s"""{"version":1,"appends":$appends,"dirty":${if (dirty) 1 else 0},""" +
         s""""tables":["keys","bands","shingles"],"params":$pjson}"""
     val path = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json.tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
+    fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
@@ -965,15 +985,28 @@ object Dedup {
       keysDistinct = !manifestDirty(manifest))
   }
 
+  /** A manifest MISSING the `dirty` key counts as dirty: every version-1
+    * manifest this code writes carries `appends` and `dirty`, so an absent
+    * key means a torn or foreign file — exactly the state in which trusting
+    * key distinctness (or an epoch default of 0) would let a retry
+    * double-append (ADVICE r18: the old getOrElse defaults turned a torn
+    * manifest into "clean, epoch 0", defeating the mechanism). */
   private def manifestDirty(manifest: String): Boolean =
-    """"dirty":(\d+)""".r.findFirstMatchIn(manifest).exists(_.group(1) != "0")
+    """"dirty":(\d+)""".r.findFirstMatchIn(manifest)
+      .map(_.group(1) != "0").getOrElse(true)
 
-  /** Completed-append epoch recorded in the manifest (0 for a fresh build
-    * or a pre-epoch manifest). Callers use it as an idempotency key for
-    * [[appendDedupDelta]] retries. */
+  /** Completed-append epoch recorded in the manifest. Callers use it as an
+    * idempotency key for [[appendDedupDelta]] retries. Refuses a manifest
+    * with no `appends` key (every version-1 manifest is written with one,
+    * so its absence means a torn or foreign file — defaulting to 0 would
+    * hand retries a valid-looking idempotency key; ADVICE r18). */
   def readArtifactEpoch(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
     val m = readManifest(spark, dir)
-    """"appends":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toLong).getOrElse(0L)
+    """"appends":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toLong).getOrElse {
+      throw new IllegalArgumentException(
+        s"dedup artifact manifest at $dir has no 'appends' epoch (torn or " +
+          "foreign manifest): " + m)
+    }
   }
 
   /** The `params` map recorded by [[DedupArtifacts.write]] (empty if none
@@ -1015,7 +1048,31 @@ object Dedup {
       decisions: DataFrame, idCol: String, textCol: String,
       expectedEpoch: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    // Single-writer lock (ADVICE r18): expectedEpoch protects SEQUENTIAL
+    // retries only — two CONCURRENT appenders would both read dirty=0 at
+    // epoch N, both append (duplicate rows), and whichever clearing write
+    // lands last would erase the evidence (dirty=0, epoch N+1). A
+    // CREATE-NEW lock file makes the second appender fail loudly instead;
+    // every manifest decision below happens under the lock. A crashed
+    // appender leaves the lock behind alongside dirty=1 — both cleared by
+    // the rebuild ([[DedupArtifacts.write]] removes a stale lock).
+    val lockPath = new org.apache.hadoop.fs.Path(s"$artifactDir/_append.lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = try fs.create(lockPath, false) catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"dedup artifact dir $artifactDir is locked by another appender " +
+            "(_append.lock exists — concurrent appends are not supported; " +
+            "if the holder crashed, the manifest is dirty and the dir " +
+            s"needs a rebuild, which clears the lock): ${e.getMessage}")
+    }
+    lock.close()
+    try {
     val manifest = readManifest(spark, artifactDir)
+    require(manifest.contains("\"appends\":") && manifest.contains("\"dirty\":"),
+      s"dedup artifact manifest at $artifactDir has no appends/dirty keys " +
+        "(torn or pre-epoch manifest) — rebuild the artifacts before " +
+        "appending deltas: " + manifest)
     require(!manifestDirty(manifest),
       s"dedup artifact dir $artifactDir has an interrupted append (dirty=1); " +
         "rebuild the artifacts before appending more deltas")
@@ -1049,6 +1106,12 @@ object Dedup {
     base.select(existing.map(col): _*)
       .write.mode("append").parquet(s"$artifactDir/shingles")
     writeManifest(spark, artifactDir, params, appends = epoch + 1, dirty = false)
+    } finally {
+      // released on success AND on refusal/failure paths where this JVM is
+      // still alive (a refused append left no partial state; a failed one
+      // left dirty=1, which blocks the next append regardless of the lock)
+      fs.delete(lockPath, false): Unit
+    }
   }
 
   /** Build [[DedupArtifacts]] from a corpus — the one corpus-sized job,

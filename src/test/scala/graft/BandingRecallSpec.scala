@@ -331,6 +331,73 @@ class BandingRecallSpec extends AnyFunSuite {
     assert(e.getMessage.contains("interrupted append"))
   }
 
+  test("manifest writes are atomic and torn manifests fail closed") {
+    import spark.implicits._
+    val docs = (0 until 6).map(i => (i.toLong, s"doc $i alpha$i beta${i * 5} gamma"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_torn_").toString
+    Dedup.buildDedupArtifacts(docs, "doc_id", "text", bands = 32, rowsPerBand = 2)
+      .write(s"$dir/art")
+    // the tmp+rename write never leaves its temp name behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/art/MANIFEST.json.tmp")))
+    val batch = Seq((50L, "a novel unseen document body here")).toDF("doc_id", "text")
+    val dec = Dedup.incrementalDedup(batch,
+      Dedup.readArtifacts(spark, s"$dir/art"), "doc_id", "text", 3, 32, 2, 0.5)
+      .localCheckpoint()
+    // simulate the torn manifest the in-place truncate could leave: keys
+    // missing entirely. ADVICE r18: the old getOrElse defaults read this as
+    // "clean, epoch 0" — a retry with expectedEpoch=0 then re-appended.
+    val mPath = java.nio.file.Paths.get(s"$dir/art/MANIFEST.json")
+    java.nio.file.Files.write(mPath, """{"version":1}""".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/art/.MANIFEST.json.crc")): Unit
+    // epoch read refuses (no valid idempotency key from a torn file) …
+    val eEpoch = intercept[IllegalArgumentException] {
+      Dedup.readArtifactEpoch(spark, s"$dir/art")
+    }
+    assert(eEpoch.getMessage.contains("appends"))
+    // … appends refuse (no silent re-append at a phantom epoch 0) …
+    val eApp = intercept[IllegalArgumentException] {
+      Dedup.appendDedupDelta(s"$dir/art", batch, dec, "doc_id", "text", Some(0L))
+    }
+    assert(eApp.getMessage.contains("torn or pre-epoch"))
+    // … and read-back drops the distinct-by-construction claim
+    assert(!Dedup.readArtifacts(spark, s"$dir/art").keysDistinct)
+  }
+
+  test("append lock: concurrent appenders refused, rebuild clears a stale lock") {
+    import spark.implicits._
+    val docs = (0 until 6).map(i => (i.toLong, s"doc $i alpha$i beta${i * 5} gamma"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_lock_").toString
+    Dedup.buildDedupArtifacts(docs, "doc_id", "text", bands = 32, rowsPerBand = 2)
+      .write(s"$dir/art")
+    val batch = Seq((60L, "another brand new document body text")).toDF("doc_id", "text")
+    val dec = Dedup.incrementalDedup(batch,
+      Dedup.readArtifacts(spark, s"$dir/art"), "doc_id", "text", 3, 32, 2, 0.5)
+      .localCheckpoint()
+    // a live (or crashed) appender's lock blocks a second appender loudly:
+    // expectedEpoch only serializes RETRIES, not concurrent writers, and two
+    // interleaved appends would double rows then clear each other's evidence
+    val lock = java.nio.file.Paths.get(s"$dir/art/_append.lock")
+    java.nio.file.Files.createFile(lock)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendDedupDelta(s"$dir/art", batch, dec, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("locked by another appender"))
+    // the refused call must not have deleted the holder's lock
+    assert(java.nio.file.Files.exists(lock))
+    // a rebuild resets the dir wholesale — stale lock cleared, epoch 0
+    Dedup.buildDedupArtifacts(docs, "doc_id", "text", bands = 32, rowsPerBand = 2)
+      .write(s"$dir/art")
+    assert(!java.nio.file.Files.exists(lock))
+    Dedup.appendDedupDelta(s"$dir/art", batch, dec, "doc_id", "text")
+    assert(Dedup.readArtifactEpoch(spark, s"$dir/art") == 1L)
+    // the lock is released after a successful append
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
   test("minhashEval enforces its O(n²) truth bound in-function") {
     import spark.implicits._
     val docs = (0 until 12).map(i =>

@@ -25,6 +25,30 @@ import sys
 
 CLEAN_CAL_CEILING = 0.32
 
+# IO-axis certification (VERDICT r18 lead item): checkpoint/artifact-writing
+# gates pay n_fsync x host fsync latency that NO CPU probe sees. Bench r19+
+# brackets each such gate with a 32-file fsync probe (median ms) per pass.
+# A bracket whose worse side is <= IO_CLEAN_MS certifies the window:
+# measured on this host, brackets of 0.38-0.94 ms accompany q_stream_admit
+# at 3.5-4.4 s while >= 2 ms accompanies 4.8-5.7 s, and idle-host drift
+# reaches 17 ms. Certified gates are judged against the TIGHT
+# io_watchlines; uncertified ones fall back to the wide legacy lines
+# (which carry the 2.5-3.7x IO slack with a recorded why).
+IO_CLEAN_MS = 2.0
+
+
+def io_certified(bench, name):
+    """(certified, bracket_ms) for the pass that contributed the recorded
+    minimum, or (False, None) when the run predates io_brackets."""
+    br = bench.get("io_brackets", {}).get(name)
+    if not br:
+        return False, None
+    src = bench.get("pass_src", {}).get(name)
+    if src not in (1, 2) or len(br) < src:
+        return False, None
+    b = br[src - 1]
+    return max(b) <= IO_CLEAN_MS, b
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -36,7 +60,9 @@ def main() -> int:
         print(__doc__)
         return 2
     bench = json.load(open(args[0]))
-    watch = json.load(open(wl_path))["watchlines"]
+    wl_doc = json.load(open(wl_path))
+    watch = wl_doc["watchlines"]
+    io_watch = wl_doc.get("io_watchlines", {})
     cal = bench["calibration"]["mean"]
     # r17: full-subscription drift — a neighbor stealing CORES leaves the
     # single-thread probe flat while every 32-way stage runs slow (the r17
@@ -69,15 +95,39 @@ def main() -> int:
     breaches = []
     print(f"calibration mean {cal:.3f}s"
           + ("  [CONTENDED RUN]" if contended else ""))
+    n_io_certified = 0
     for name, limit in sorted(watch.items()):
         if name not in qs:
             print(f"  {name:<26} MISSING from bench table")
             breaches.append((name, None, limit))
             continue
+        if qs[name] < 0:
+            # ADVICE r18: the -1 failed-both-passes sentinel divided by cal
+            # is negative and used to print 'ok' — a regression that makes
+            # a gated query CRASH must read as a breach, not a green line.
+            print(f"  {name:<26} FAILED both passes (-1 sentinel)  BREACH")
+            breaches.append((name, None, limit))
+            continue
         norm = qs[name] / cal
         flag = "BREACH" if norm > limit else "ok"
+        certified, bracket = io_certified(bench, name)
+        io_note = ""
+        if name in io_watch:
+            if certified:
+                n_io_certified += 1
+                tight = io_watch[name]
+                io_note = (f"  [io {bracket[0]:.2f}/{bracket[1]:.2f}ms "
+                           f"certified, tight {tight:.1f}]")
+                if norm > tight:
+                    flag = "IO-TIGHT BREACH"
+                    breaches.append((name, norm, tight))
+            elif bracket is not None:
+                io_note = (f"  [io {bracket[0]:.2f}/{bracket[1]:.2f}ms "
+                           "degraded: wide line only]")
+            else:
+                io_note = "  [no io bracket: wide line only]"
         print(f"  {name:<26} {qs[name]:7.2f}s  norm {norm:6.1f}  "
-              f"limit {limit:6.1f}  {flag}")
+              f"limit {limit:6.1f}  {flag}{io_note}")
         if norm > limit:
             breaches.append((name, norm, limit))
     if contended:
@@ -92,10 +142,19 @@ def main() -> int:
               "adjudication updates tools/watchlines.json with its why.")
         return 1
     if mt_epoch:
+        # ADVICE r18 wording fix: derivation accepts a file only when its
+        # WARM pass (pass 2) is clean-bracketed — pass-1 values are never
+        # consumed as threshold inputs (cold-pass numbers run systematically
+        # higher and would loosen lines; pass1_queries is audit-only).
         print("all watchlines green, BUT an mt probe shows one pass ran "
               "inside a full-subscription epoch (HALF-SAMPLE). Usable for "
               "the close gate; derive_watchlines.py will only take its "
-              "clean-bracketed pass (if per-pass values are recorded).")
+              "clean warm pass (pass 2) and refuses the file if that is "
+              "the dirty one.")
+        return 0
+    if io_watch:
+        print(f"all watchlines green ({n_io_certified}/{len(io_watch)} io "
+              "gates bracket-certified against tight lines)")
         return 0
     print("all watchlines green (calibration-normalized, clean run)")
     return 0
