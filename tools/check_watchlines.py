@@ -39,7 +39,15 @@ IO_CLEAN_MS = 2.0
 
 def io_certified(bench, name):
     """(certified, bracket_ms) for the pass that contributed the recorded
-    minimum, or (False, None) when the run predates io_brackets."""
+    minimum, or (False, None) when the run predates io_brackets.
+
+    Certification requires the contributing pass to be clean on BOTH axes:
+    a clean io bracket AND mt-median cleanliness (pass_clean). The second
+    condition is not redundant — the first half-sample run measured
+    (1786925546) recorded q_remember_show_seq's minimum from its CPU-dirty
+    pass 1 under a perfectly clean io bracket; judging that 11.2 s against
+    a tight line derived from clean passes would breach on CPU weather the
+    tight lines never priced in."""
     br = bench.get("io_brackets", {}).get(name)
     if not br:
         return False, None
@@ -47,7 +55,11 @@ def io_certified(bench, name):
     if src not in (1, 2) or len(br) < src:
         return False, None
     b = br[src - 1]
-    return max(b) <= IO_CLEAN_MS, b
+    pc = bench.get("pass_clean")
+    cpu_clean = bool(pc[src - 1]) if pc and len(pc) >= src else False
+    if not cpu_clean:
+        return "cpu-dirty pass", b
+    return True if max(b) <= IO_CLEAN_MS else "io-degraded", b
 
 
 def main() -> int:
@@ -113,7 +125,7 @@ def main() -> int:
         certified, bracket = io_certified(bench, name)
         io_note = ""
         if name in io_watch:
-            if certified:
+            if certified is True:
                 n_io_certified += 1
                 tight = io_watch[name]
                 io_note = (f"  [io {bracket[0]:.2f}/{bracket[1]:.2f}ms "
@@ -123,7 +135,7 @@ def main() -> int:
                     breaches.append((name, norm, tight))
             elif bracket is not None:
                 io_note = (f"  [io {bracket[0]:.2f}/{bracket[1]:.2f}ms "
-                           "degraded: wide line only]")
+                           f"{certified}: wide line only]")
             else:
                 io_note = "  [no io bracket: wide line only]"
         print(f"  {name:<26} {qs[name]:7.2f}s  norm {norm:6.1f}  "

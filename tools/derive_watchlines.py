@@ -48,6 +48,20 @@ IO_WATCHED = [
 ]
 IO_CLEAN_MS = 2.0  # keep in sync with check_watchlines.py
 
+# Run-level IO-weather ceiling for WIDE-line samples (r19, learned from
+# BENCH_FULL_1786925546): that run's CPU-clean warm pass ran under severe
+# host IO degradation (run-level fsync probes 13-21 ms) and its
+# weather-inflated values would have ballooned the wide lines
+# (q_remember_show_seq 57.4 -> 141.6, q_dedup_editdist 10.6 -> 14.5) —
+# baking the exact weather variance the io instrument measures into the
+# always-on guard. A per-gate sample enters wide-line derivation only when
+# the run-level probes bracketing its contributing pass are both under
+# this ceiling (looser than IO_CLEAN_MS: wide lines price MODERATE
+# weather, as their history always has; tight lines price none). Files
+# predating io probes are grandfathered — their weather is unknown but
+# their values built the current lines.
+RUN_IO_CEILING_MS = 5.0
+
 
 def main() -> int:
     files = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -104,8 +118,16 @@ def main() -> int:
             print(f"REFUSED input {f}: pass 1 dirty and no per-pass "
                   "values recorded")
             return 1
-        used.append(f.split("/")[-1]
-                    + ("" if both else " (pass2-only; pass1 in epoch)"))
+        # run-level io weather per pass: probes [start, mid, end] bracket
+        # pass 1 with (start, mid) and pass 2 with (mid, end). None = file
+        # predates io probes (weather unknown, grandfathered for wide).
+        io_run = d["calibration"].get("io_med_ms")
+        def pass_weather_ok(src):
+            if not io_run or len(io_run) < 3:
+                return True
+            pair = io_run[:2] if src == 1 else io_run[1:3]
+            return max(pair) <= RUN_IO_CEILING_MS
+        n_weather_dropped = 0
         for q in WATCHED:
             if q not in d["queries"]:
                 print(f"REFUSED input {f}: {q} missing")
@@ -115,17 +137,32 @@ def main() -> int:
                 print(f"REFUSED input {f}: {q} failed in the contributing "
                       "pass")
                 return 1
-            norms[q].append(val / cal)
-            # IO-certified samples for the tight lines: the bracket around
-            # the pass that CONTRIBUTED this value must be clean. Files
-            # predating io_brackets simply contribute no tight samples
-            # (their wide-line contribution above is unchanged).
+            src = 2 if not both else d.get("pass_src", {}).get(q, 2)
+            if pass_weather_ok(src):
+                norms[q].append(val / cal)
+            else:
+                n_weather_dropped += 1
+            # IO-certified samples for the tight lines: the PER-GATE
+            # bracket around the pass that contributed this value must be
+            # clean (the axis moves fast — a gate can hit a clean
+            # sub-window inside an otherwise degraded pass, and that
+            # sample is honest). Files predating io_brackets simply
+            # contribute no tight samples.
             if q in IO_WATCHED:
                 br = d.get("io_brackets", {}).get(q)
-                src = 2 if not both else d.get("pass_src", {}).get(q)
                 if br and src in (1, 2) and len(br) >= src \
                         and max(br[src - 1]) <= IO_CLEAN_MS:
                     io_norms[q].append(val / cal)
+        used.append(f.split("/")[-1]
+                    + ("" if both else " (pass2-only; pass1 in epoch)")
+                    + ("" if not n_weather_dropped else
+                       f" ({n_weather_dropped} wide samples dropped: "
+                       "io weather)"))
+    empty = [q for q, v in norms.items() if not v]
+    if empty:
+        print(f"REFUSED: no weather-acceptable wide samples at all for "
+              f"{empty} — add more clean runs")
+        return 1
     lines = {q: round(max(v) * headroom, 1) for q, v in norms.items()}
     io_lines = {q: round(max(v) * headroom, 1)
                 for q, v in io_norms.items() if v}
