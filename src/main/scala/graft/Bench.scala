@@ -88,7 +88,7 @@ object Bench {
     * are per-GATE, not per-pass (the axis moves faster than a 6-minute
     * pass). Cost: ~16 ms clean, ~0.6 s in the degraded windows it exists
     * to flag. */
-  private def ioProbe(): Double = {
+  private[graft] def ioProbe(): Double = {
     val dir = java.nio.file.Files.createTempDirectory("graft_io_probe_")
     val payload = Array.tabulate[Byte](16384)(i => (i * 31).toByte)
     val lats = new Array[Long](32)

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Recorded bench tables are append-only history: [[Bench.writeOnce]] must
@@ -39,6 +40,24 @@ class BenchWriteOnceSpec extends AnyFunSuite {
     assert(!Files.isSymbolicLink(latest) &&
       new String(Files.readAllBytes(latest), "UTF-8").trim == "{\"fresh\":true}",
       "LATEST must become a regular file holding the new line")
+  }
+
+  test("ioProbe measures a positive fsync latency and leaves no files behind") {
+    // the r19 IO-axis instrument: fixed work (32 create+fsync+rename files)
+    // returning the MEDIAN per-file latency in ms. The value is host-state
+    // dependent (0.4-17 ms measured), so assert structure, not magnitude:
+    // positive, finite, and the probe's temp dir fully removed.
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+    def probeDirs() = {
+      val s = Files.list(tmpRoot)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_io_probe_")).toSet
+      finally s.close()
+    }
+    val before = probeDirs()
+    val ms = Bench.ioProbe()
+    assert(ms > 0.0 && ms.isFinite, s"median latency must be positive, got $ms")
+    assert(probeDirs() == before, "probe must remove its temp dir and files")
   }
 
   test("atomicReplace's TMP write never follows a planted symlink either") {
