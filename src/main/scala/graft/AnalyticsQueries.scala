@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline._
 import graft.sources.TestDataSource
@@ -43,20 +43,33 @@ object AnalyticsQueries {
   private def pngHashes(s: SparkSession, d: String): DataFrame =
     Multimodal.imageDHashes(Multimodal.syntheticPngs(docs(s, d), "doc_id", 5, 6))
 
+  /** Doc ids spread to the session shuffle width BEFORE a per-row WAV
+    * synthesis: the documents scan is one file split at gate scale, so the
+    * synth expression (hundreds of `transform` elements per row) plus the
+    * downstream decode/WHT otherwise run on ONE task while the other cores
+    * idle (r19 profile: 2.4 s single-task corpus-fingerprint jobs).
+    * Identity at real scale — [[Projections.spread]] gates on plan size,
+    * and only skinny id rows cross the exchange. */
+  private def wavIds(s: SparkSession, d: String,
+      pred: Column => Column = _ => lit(true)): DataFrame =
+    Projections.spread(
+      docs(s, d).filter(pred(col("doc_id")))
+        .select(col("doc_id").as("media_id")), col("media_id"))
+
   /** 5-frame (320-sample) synthetic WAV corpus for the audio-fingerprint
     * gates — long enough that a 3-frame probe trimmed from the middle has
     * landmark pairs on both sides of its cut. */
   private def whtWavs(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id").as("media_id"),
-      Multimodal.syntheticWav(col("doc_id"), 320, 16000).as("bytes"))
+    wavIds(s, d).select(col("media_id"),
+      Multimodal.syntheticWav(col("media_id"), 320, 16000).as("bytes"))
 
   /** 5-frame Walsh-tone corpus for the fingerprint/match gates: per-frame
     * spectral peaks are analytically `K(id, g)` and DISTINCT across
     * tracks, so matching is demonstrably discriminative (the ramp corpus
     * is spectrally degenerate — every track peaks alike). */
   private def walshWavs(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id").as("media_id"),
-      Multimodal.syntheticWalshWav(col("doc_id"), 320, 16000).as("bytes"))
+    wavIds(s, d).select(col("media_id"),
+      Multimodal.syntheticWalshWav(col("media_id"), 320, 16000).as("bytes"))
 
   // ---------------- queries ----------------
 
@@ -417,8 +430,8 @@ object AnalyticsQueries {
       // span argument), threshold 1000, gap-merge = frame sessionization;
       // the oracle needs only the silence rule, never a sample replay
       Multimodal.voiceActivity(
-        docs(s, d).select(col("doc_id").as("media_id"),
-          Multimodal.syntheticGatedWav(col("doc_id"), 384, 16000).as("bytes")),
+        wavIds(s, d).select(col("media_id"),
+          Multimodal.syntheticGatedWav(col("media_id"), 384, 16000).as("bytes")),
         frameSize = 64, peakThreshold = 1000L)),
 
     "q_audio_frames" -> ((s, d) =>
@@ -426,9 +439,9 @@ object AnalyticsQueries {
       // into four 64-sample frames, per-frame sum/peak/zero-crossings/RMS
       // (round(rms, 6) — the sum of squares is an exact integer, so both
       // engines compute the identical double)
-      Multimodal.audioFrames(docs(s, d).select(
-          col("doc_id").as("media_id"),
-          Multimodal.syntheticWav(col("doc_id"), 256, 16000).as("bytes")),
+      Multimodal.audioFrames(wavIds(s, d).select(
+          col("media_id"),
+          Multimodal.syntheticWav(col("media_id"), 256, 16000).as("bytes")),
         frameSize = 64)
         .withColumn("rms", round(col("rms"), 6))),
 
@@ -457,9 +470,9 @@ object AnalyticsQueries {
       val corpus = Multimodal.audioFingerprints(
         Multimodal.audioWhtPeaks(walshWavs(s, d), frameSize = 64), maxDelta = 2)
       val probes = Multimodal.audioFingerprints(
-        Multimodal.audioWhtPeaks(docs(s, d).filter(col("doc_id") % 4 === 0)
-          .select(col("doc_id").as("media_id"),
-            Multimodal.syntheticWalshWav(col("doc_id"), 192, 16000, startSample = 64)
+        Multimodal.audioWhtPeaks(wavIds(s, d, _ % 4 === 0)
+          .select(col("media_id"),
+            Multimodal.syntheticWalshWav(col("media_id"), 192, 16000, startSample = 64)
               .as("bytes")),
           frameSize = 64), maxDelta = 2)
       Multimodal.matchAudioFingerprints(probes, corpus)

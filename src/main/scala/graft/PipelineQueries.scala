@@ -394,9 +394,11 @@ object PipelineQueries {
       // word is u = (id*13 + i*97) % 65536, little-endian, so the int16
       // value is u (u < 32768) or u - 65536 (two's complement); parsed
       // back by the chunk-walking decoder; 256 samples ⇒ exact mean
-      Multimodal.decodeAudio(docs(s, d).select(
-        col("doc_id").as("media_id"),
-        Multimodal.syntheticWav(col("doc_id"), 256, 16000).as("bytes")))),
+      Multimodal.decodeAudio(
+        Projections.spread(docs(s, d).select(col("doc_id").as("media_id")),
+            col("media_id"))
+          .select(col("media_id"),
+            Multimodal.syntheticWav(col("media_id"), 256, 16000).as("bytes")))),
 
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(docs(s, d), "doc_id", "text")),

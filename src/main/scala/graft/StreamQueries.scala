@@ -184,10 +184,15 @@ object StreamQueries {
       // already force three consecutive equal peaks, which the Walsh
       // corpus construction makes impossible across distinct tracks
       val src = new TestDataSource(s, d)
+      // corpus ids SPREAD before the synth+decode: the documents scan is
+      // one split at gate scale, so the per-row WAV build and fingerprint
+      // walk otherwise run single-task (identity at real scale)
       val corpusFps = graft.pipeline.Multimodal.audioLocalFingerprints(
-        src.table("documents").filter(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id").as("media_id"),
-            graft.pipeline.Multimodal.syntheticWalshWav(col("doc_id"), 320, 16000)
+        graft.pipeline.Projections.spread(
+            src.table("documents").filter(col("doc_id") % 5 =!= 0)
+              .select(col("doc_id").as("media_id")), col("media_id"))
+          .select(col("media_id"),
+            graft.pipeline.Multimodal.syntheticWalshWav(col("media_id"), 320, 16000)
               .as("bytes")), 64, 2)
       val dups = src.documentsStream.filter(col("doc_id") % 10 === 1)
         .select((col("doc_id") + 1000000L).as("media_id"),
@@ -213,10 +218,13 @@ object StreamQueries {
       val src = new TestDataSource(s, d)
       val mm = graft.pipeline.Multimodal
       val idxDir = java.nio.file.Files.createTempDirectory("graft_audio_idx").toString
+      // corpus ids spread before the synth+decode (see q_stream_audio_admit)
       mm.writeAudioIndex(mm.audioLocalFingerprints(
-        src.table("documents").filter(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id").as("media_id"),
-            mm.syntheticWalshWav(col("doc_id"), 320, 16000).as("bytes")), 64, 2),
+        graft.pipeline.Projections.spread(
+            src.table("documents").filter(col("doc_id") % 5 =!= 0)
+              .select(col("doc_id").as("media_id")), col("media_id"))
+          .select(col("media_id"),
+            mm.syntheticWalshWav(col("media_id"), 320, 16000).as("bytes")), 64, 2),
         idxDir, 64, 2)
       val indexed = mm.readAudioIndex(s, idxDir, 64, 2)
       val dupVids = src.documentsStream.filter(col("doc_id") % 10 === 1)

@@ -46,9 +46,15 @@ object Clustering {
     *                      `localCheckpoint` to executor block storage
     * @param localThreshold canonical edge counts at or below this finish as
     *                      driver-side union-find instead of shuffle rounds
-    *                      (small-graph fast path; default 128k edges —
-    *                      tens of MB transient on the driver; negative
-    *                      disables)
+    *                      (small-graph fast path; default 2M edges —
+    *                      ~100 MB transient on the driver, the same order
+    *                      as a large broadcast relation, vs O(log n)
+    *                      rounds × several scheduled shuffles each for a
+    *                      graph that fits in one task's memory; negative
+    *                      disables). Raised from 128k in r19: the dense
+    *                      image dup-graph gates carry ~1.6M edges and
+    *                      spent ~4 s in star rounds whose every shuffle
+    *                      moved less data than one broadcast.
     * @param autoDiskEdges with no explicit `checkpointDir`, canonical edge
     *                      counts ABOVE this auto-switch round scratch from
     *                      executor blocks to parquet under
@@ -62,7 +68,7 @@ object Clustering {
   def connectedComponents(pairs: DataFrame, idCol1: String = "id_1",
       idCol2: String = "id_2", maxRounds: Int = 30,
       checkpointDir: Option[String] = None,
-      localThreshold: Int = 1 << 17,
+      localThreshold: Int = 1 << 21,
       autoDiskEdges: Long = 1L << 26): DataFrame = {
     val spark = pairs.sparkSession
     val canonical = pairs
@@ -282,15 +288,34 @@ object Clustering {
     * `r′_v = (1e6 − damp) + damp · (Σ_{u∼v} (r_u div deg_u)) div 1e6`
     * for `iters` rounds — every division truncates, so all ten rounds
     * replay bit-for-bit on any engine (the steadyStateEventMix
-    * discipline, but fully DISTRIBUTED: ranks never visit the driver).
-    * The few-ppm mass leak of truncation is the documented price of
-    * exactness, identical everywhere.
+    * discipline; at scale fully DISTRIBUTED — ranks never visit the
+    * driver on any graph above `localThreshold`). The few-ppm mass leak
+    * of truncation is the documented price of exactness, identical
+    * everywhere.
+    *
+    * Small-graph fast path (the [[connectedComponents]] localThreshold
+    * discipline, r19): ≤ `localThreshold` canonical edges ⇒ collect the
+    * pair list through the tuple encoder and replay the identical integer
+    * recurrence on the driver over a CSR adjacency — milliseconds instead
+    * of `iters` × (join + aggregate) scheduled rounds (measured ~0.55 s
+    * PER ROUND of pure scheduling+scan floor on a 1.6M-edge gate graph).
+    * Every operand of every division is positive, so JVM `/` equals SQL
+    * `div` and the ranks are bit-identical (spec-pinned equivalence). A
+    * 100 TB pair graph never takes this branch; negative disables, and an
+    * explicit `checkpointDir` (the cluster spelling) skips it too.
     *
     * Scale shape: the degree-annotated directed edge list is built once,
-    * REPARTITIONED ON `src`, and localCheckpoint'd (partitioning survives
-    * the checkpoint, so the per-round join shuffles only the node-grain
-    * rank table, never the edges; lineage must not re-derive the pair
-    * graph per round). Each round is then exactly ONE join (edges ⋈
+    * REPARTITIONED ON `src`, SORTED within partitions, and persisted
+    * (MEMORY_AND_DISK, registered with [[Projections]] as the release
+    * boundary). A persisted InMemoryTableScan keeps both the hash
+    * partitioning and the sort order, so the per-round join shuffles and
+    * sorts only the node-grain rank table, never the edges. (r19: the
+    * previous `localCheckpoint` spelling came back as an ExistingRDD with
+    * UnknownPartitioning on Spark 4.x, so EVERY round silently re-exchanged
+    * and re-sorted the full edge table — the measured plan, not the
+    * documented one. Lineage re-derivation is equally prevented by the
+    * persist: cached blocks are read back, the pair-graph plan only re-runs
+    * if blocks are evicted.) Each round is then exactly ONE join (edges ⋈
     * ranks, both hashed on src) fused with ONE aggregation on the
     * destination — the symmetrized edge list guarantees every node
     * appears as a `dst`, so the old per-round "redistribute to all
@@ -308,16 +333,27 @@ object Clustering {
       iters: Int = 10, dampPpm: Long = 850000L,
       checkpointEvery: Int = 5,
       checkpointDir: Option[String] = None,
-      autoDiskEdges: Long = 1L << 26): DataFrame = {
+      autoDiskEdges: Long = 1L << 26,
+      localThreshold: Int = 1 << 21): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(dampPpm >= 0 && dampPpm <= 1000000L, s"dampPpm out of range: $dampPpm")
     val spark = edges.sparkSession
     val idiv = (a: Column, b: Column) => call_function("div", a, b)
-    val und = edges
+    val und0 = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") < col("b")).distinct()
+    // small-graph fast path (scaladoc): the canonical pair list is
+    // persisted ONCE (the count that gates the branch is also the fill
+    // job, so the pair-graph lineage still runs exactly one pass), then
+    // either collected (small) or reused as the distributed build's base
+    val smallOrUnd = smallPairsOrPersisted(und0, localThreshold, checkpointDir)
+    smallOrUnd match {
+      case Left(pairs) => return pageRankLocal(spark, pairs, iters, dampPpm)
+      case Right(_)    => ()
+    }
+    val und = smallOrUnd.toOption.get
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -325,9 +361,15 @@ object Clustering {
     // reliable parquet and every round scratch follows it (the
     // connectedComponents auto-disk discipline; count = one narrow job
     // over the cached blocks)
-    val (e, ckDir) = autoDiskEdgesSwitch(spark, checkpointDir, autoDiskEdges, "pr",
-      scratch(spark, checkpointDir, "pr_edges",
-        dir.join(deg, Seq("src")).repartition(col("src"))))
+    val annotated = dir.join(deg, Seq("src")).repartition(col("src"))
+    // partition-and-order-preserving local materialization (see scaladoc);
+    // with an explicit checkpoint dir the parquet scratch stays authoritative
+    val eLocal =
+      if (checkpointDir.isDefined) scratch(spark, checkpointDir, "pr_edges", annotated)
+      else Projections.register(annotated.sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val (e, ckDir) = autoDiskEdgesSwitch(spark, checkpointDir, autoDiskEdges, "pr", eLocal)
+    und.unpersist(false) // annotated cache is filled; the pair cache is done
     // initial ranks at node grain, derived from the CHECKPOINTED edges
     // (partition-aligned groupBy — no extra scan of the pair-graph lineage)
     var r = scratch(spark, ckDir, "pr_nodes",
@@ -348,6 +390,141 @@ object Clustering {
         r = scratch(spark, ckDir, s"pr_round_$i", r)
     }
     r.select(col("node"), col("r").as("rank_ppm"))
+  }
+
+  /** Gate of the iterative small-graph fast paths: persist the canonical
+    * pair frame (registered with [[Projections]]; the gating count is also
+    * the cache-fill job, so the pair lineage runs exactly one pass either
+    * way), then collect it when it is at or under `localThreshold` edges
+    * (Left) or hand the persisted frame back as the distributed build's
+    * base (Right). Negative threshold or an explicit checkpoint dir (the
+    * cluster spelling) skip the persist entirely. */
+  private def smallPairsOrPersisted(und: DataFrame, localThreshold: Int,
+      checkpointDir: Option[String]): Either[Array[(Long, Long)], DataFrame] = {
+    if (localThreshold < 0 || checkpointDir.isDefined) return Right(und)
+    val spark = und.sparkSession
+    import spark.implicits._
+    val p = Projections.register(und.persist(StorageLevel.MEMORY_AND_DISK))
+    if (p.count() <= localThreshold) {
+      val arr = p.select(col("a"), col("b")).as[(Long, Long)].collect()
+      p.unpersist(false)
+      Left(arr)
+    } else Right(p)
+  }
+
+  /** CSR adjacency over a canonical (a < b, distinct) pair list: sorted
+    * distinct node ids, per-node degree, offsets, neighbor index array —
+    * the driver-side mirror of the symmetrized directed edge list the
+    * distributed rounds iterate. Bounded by the callers' localThreshold. */
+  private final class CsrGraph(pairs: Array[(Long, Long)]) {
+    val nodes: Array[Long] = {
+      val ids = new Array[Long](pairs.length * 2)
+      var i = 0
+      pairs.foreach { case (a, b) => ids(i) = a; ids(i + 1) = b; i += 2 }
+      java.util.Arrays.sort(ids)
+      var n = 0
+      var j = 0
+      while (j < ids.length) {
+        if (n == 0 || ids(j) != ids(n - 1)) { ids(n) = ids(j); n += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(ids, n)
+    }
+    val n: Int = nodes.length
+    private def idx(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    val deg: Array[Int] = {
+      val d = new Array[Int](n)
+      pairs.foreach { case (a, b) => d(idx(a)) += 1; d(idx(b)) += 1 }
+      d
+    }
+    val off: Array[Int] = {
+      val o = new Array[Int](n + 1)
+      var k = 0
+      while (k < n) { o(k + 1) = o(k) + deg(k); k += 1 }
+      o
+    }
+    val nbr: Array[Int] = {
+      val cur = java.util.Arrays.copyOf(off, n)
+      val a = new Array[Int](pairs.length * 2)
+      pairs.foreach { case (p, q) =>
+        val ip = idx(p); val iq = idx(q)
+        a(cur(ip)) = iq; cur(ip) += 1
+        a(cur(iq)) = ip; cur(iq) += 1
+      }
+      a
+    }
+  }
+
+  /** Driver replay of the [[pageRank]] integer recurrence over a CSR
+    * adjacency — bit-identical to the distributed rounds (every division's
+    * operands are positive, so JVM `/` ≡ SQL `div`; spec-pinned). */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(Long, Long)], iters: Int, dampPpm: Long): DataFrame = {
+    import spark.implicits._
+    if (pairs.isEmpty) return Seq.empty[(Long, Long)].toDF("node", "rank_ppm")
+    val g = new CsrGraph(pairs)
+    var r = Array.fill(g.n)(1000000L)
+    var it = 0
+    while (it < iters) {
+      val c = new Array[Long](g.n)
+      var k = 0
+      while (k < g.n) { c(k) = r(k) / g.deg(k); k += 1 }
+      val nx = new Array[Long](g.n)
+      k = 0
+      while (k < g.n) {
+        var s = 0L
+        var j = g.off(k)
+        while (j < g.off(k + 1)) { s += c(g.nbr(j)); j += 1 }
+        nx(k) = (1000000L - dampPpm) + dampPpm * s / 1000000L
+        k += 1
+      }
+      r = nx
+      it += 1
+    }
+    g.nodes.indices.map(k => (g.nodes(k), r(k))).toDF("node", "rank_ppm")
+  }
+
+  /** Driver replay of the [[labelPropagation]] synchronous min-tie rounds
+    * over a CSR adjacency: per node, sort the neighbor labels and take the
+    * longest run (ascending scan with strictly-greater replacement ⇒ ties
+    * keep the smallest label — exactly the distributed
+    * `max(struct(count, -label))`). */
+  private def lpaLocal(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(Long, Long)], iters: Int): DataFrame = {
+    import spark.implicits._
+    if (pairs.isEmpty) return Seq.empty[(Long, Long)].toDF("node", "community")
+    val g = new CsrGraph(pairs)
+    var lab: Array[Long] = g.nodes.clone()
+    val scratchLabels = new Array[Long](g.deg.max)
+    var it = 0
+    while (it < iters) {
+      val nx = new Array[Long](g.n)
+      var k = 0
+      while (k < g.n) {
+        val base = g.off(k)
+        val d = g.off(k + 1) - base
+        var j = 0
+        while (j < d) { scratchLabels(j) = lab(g.nbr(base + j)); j += 1 }
+        java.util.Arrays.sort(scratchLabels, 0, d)
+        var best = scratchLabels(0); var bestCnt = 0
+        var cur = scratchLabels(0); var cnt = 0
+        j = 0
+        while (j < d) {
+          if (scratchLabels(j) == cur) cnt += 1
+          else {
+            if (cnt > bestCnt) { bestCnt = cnt; best = cur }
+            cur = scratchLabels(j); cnt = 1
+          }
+          j += 1
+        }
+        if (cnt > bestCnt) { bestCnt = cnt; best = cur }
+        nx(k) = best
+        k += 1
+      }
+      lab = nx
+      it += 1
+    }
+    g.nodes.indices.map(k => (g.nodes(k), lab(k))).toDF("node", "community")
   }
 
   /** Materialize an iteration frame: reliable scratch Parquet when a
@@ -440,24 +617,40 @@ object Clustering {
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       iters: Int = 3, checkpointEvery: Int = 5,
       checkpointDir: Option[String] = None,
-      autoDiskEdges: Long = 1L << 26): DataFrame = {
+      autoDiskEdges: Long = 1L << 26,
+      localThreshold: Int = 1 << 21): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val und = edges
+    val und0 = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") < col("b")).distinct()
-    // partitioned on the per-round join key BEFORE the checkpoint: a
-    // localCheckpoint's LogicalRDD keeps its physical partitioning, so
-    // every round's join re-shuffles only the node-grain label side, never
-    // the edge table (the pageRank discipline); above autoDiskEdges the
-    // table re-homes to reliable parquet (auto-disk discipline)
-    val (dir, ckDir) = autoDiskEdgesSwitch(edges.sparkSession, checkpointDir,
-      autoDiskEdges, "lpa",
-      scratch(edges.sparkSession, checkpointDir, "lpa_edges",
-        und.select(col("a").as("u"), col("b").as("v"))
-          .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-          .repartition(col("v"))))
+    // small-graph fast path — the pageRank/connectedComponents
+    // localThreshold discipline (identical labels, spec-pinned)
+    val smallOrUnd = smallPairsOrPersisted(und0, localThreshold, checkpointDir)
+    smallOrUnd match {
+      case Left(pairs) => return lpaLocal(edges.sparkSession, pairs, iters)
+      case Right(_)    => ()
+    }
+    val und = smallOrUnd.toOption.get
+    // partitioned on the per-round join key and SORTED before a persisted
+    // materialization: an InMemoryTableScan keeps hash partitioning + sort
+    // order, so every round's join re-shuffles/re-sorts only the node-grain
+    // label side, never the edge table (the pageRank discipline — the
+    // previous localCheckpoint spelling lost the partitioning on Spark 4.x
+    // and re-exchanged the edges per round, see pageRank's scaladoc);
+    // above autoDiskEdges the table re-homes to reliable parquet
+    val spark = edges.sparkSession
+    val symEdges = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("v"))
+    val dirLocal =
+      if (checkpointDir.isDefined) scratch(spark, checkpointDir, "lpa_edges", symEdges)
+      else Projections.register(symEdges.sortWithinPartitions("v")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val (dir, ckDir) = autoDiskEdgesSwitch(spark, checkpointDir,
+      autoDiskEdges, "lpa", dirLocal)
+    und.unpersist(false) // symmetrized cache is filled; the pair cache is done
     var labels = dir.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     (1 to iters).foreach { i =>

@@ -136,14 +136,18 @@ class ClusteringSpec extends AnyFunSuite {
       // switch (reliable rounds lose the edge partitioning — correctness
       // must not depend on it)
       val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
-      val prAuto = Clustering.pageRank(edges, "a", "b", iters = 3, autoDiskEdges = 0L)
+      val prAuto = Clustering.pageRank(edges, "a", "b", iters = 3, autoDiskEdges = 0L,
+          localThreshold = -1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val prLocal = Clustering.pageRank(edges, "a", "b", iters = 3, autoDiskEdges = -1L)
+      val prLocal = Clustering.pageRank(edges, "a", "b", iters = 3, autoDiskEdges = -1L,
+          localThreshold = -1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(prAuto == prLocal && scratchDirs("pr").nonEmpty)
-      val lpaAuto = Clustering.labelPropagation(edges, "a", "b", autoDiskEdges = 0L)
+      val lpaAuto = Clustering.labelPropagation(edges, "a", "b", autoDiskEdges = 0L,
+          localThreshold = -1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val lpaLocal = Clustering.labelPropagation(edges, "a", "b", autoDiskEdges = -1L)
+      val lpaLocal = Clustering.labelPropagation(edges, "a", "b", autoDiskEdges = -1L,
+          localThreshold = -1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(lpaAuto == lpaLocal && scratchDirs("lpa").nonEmpty)
     } finally {
@@ -153,6 +157,34 @@ class ClusteringSpec extends AnyFunSuite {
       if (prevCk.isDefined)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
+  }
+
+  test("pageRank/LPA small-graph fast path equals the distributed rounds bit-for-bit") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with hubs, ties, duplicate and
+    // reversed edges, and a node id far from the dense range — every shape
+    // the CSR replay must normalize exactly like the distributed rounds
+    val raw = (0 until 400).map { i =>
+      val a = (i * 7919L) % 53
+      val b = (i * 104729L) % 57 + (if (i % 11 == 0) 1000000L else 0L)
+      if (i % 3 == 0) (b, a) else (a, b)
+    }.filter { case (a, b) => a != b }
+    val edges = raw.toDF("a", "b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prFast = toMapOf(Clustering.pageRank(edges, "a", "b"))
+    val prDist = toMapOf(Clustering.pageRank(edges, "a", "b", localThreshold = -1))
+    assert(prFast == prDist, "pageRank fast path diverged from distributed rounds")
+    val lpaFast = toMapOf(Clustering.labelPropagation(edges, "a", "b"))
+    val lpaDist = toMapOf(Clustering.labelPropagation(edges, "a", "b", localThreshold = -1))
+    assert(lpaFast == lpaDist, "LPA fast path diverged from distributed rounds")
+    // single edge: both nodes tie at the fixed point (pageRank), and LPA
+    // adopts the partner's label — the min-tie rule's smallest witnesses
+    val one = Seq((5L, 6L)).toDF("a", "b")
+    assert(toMapOf(Clustering.pageRank(one, "a", "b")) ==
+      toMapOf(Clustering.pageRank(one, "a", "b", localThreshold = -1)))
+    assert(toMapOf(Clustering.labelPropagation(one, "a", "b")) ==
+      toMapOf(Clustering.labelPropagation(one, "a", "b", localThreshold = -1)))
   }
 
   test("dropNearDups keeps the min id per near-dup cluster and all singletons") {

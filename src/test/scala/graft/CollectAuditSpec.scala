@@ -22,8 +22,9 @@ class CollectAuditSpec extends AnyFunSuite {
       "vocabulary-/query-term-sized idf maps + one quantized query vector"),
     "pipeline/Similarity.scala" -> (5,
       "centroid tables (nClusters rows), per-DIMENSION quantization bounds"),
-    "pipeline/Clustering.scala" -> (1,
-      "small-graph fast path gated on localThreshold (<=128k edges)"),
+    "pipeline/Clustering.scala" -> (2,
+      "small-graph fast paths (CC union-find; pageRank/LPA CSR replay) " +
+        "gated on localThreshold (<=2M canonical edges)"),
     "pipeline/Ranking.scala" -> (1,
       "per-PARTITION rank offsets (one row per shuffle partition)"),
     "pipeline/EventAnalytics.scala" -> (1,
