@@ -50,11 +50,41 @@ final class Materializer(store: EventStore) {
   private val spark: SparkSession = store.spark
   private def matDir(name: String) = Paths.get(store.root, "_materializations", name)
 
-  /** Bucket fan-out for sequence materializations: an incremental SHOW
+  /** Max bucket fan-out for sequence materializations: an incremental SHOW
     * rewrites only the buckets containing affected link keys, so this
     * bounds the rewrite fraction (1/64 per touched bucket) while keeping
     * the per-bucket directory swap a driver-side metadata operation. */
   private val SeqBuckets = 64
+
+  /** ACTUAL bucket count for a NEW sequence materialization — derived from
+    * the committed source bytes of the query's step types (a driver
+    * metadata read, no job) and recorded in the catalog entry so every
+    * SHOW buckets with the layout it reads. A pinned 64 wrote 64 near-empty
+    * files (plus 64 directory moves and a 64-path listing) per materializer
+    * op at gate scale — the dominant fsync cost of the remember/show gates
+    * (r19 profile: 3 × 64-task write jobs per q_remember_show_seq) and a
+    * real small-file cost at any scale where the corpus is small. One
+    * bucket per `spark.graft.seq.bucketBytes` (default 16 MB) of source,
+    * floored at 8 (parallel writes) and capped at [[SeqBuckets]] (rewrite
+    * fraction at 100 TB). Existing materializations keep their recorded
+    * count — layout and meta can never disagree. */
+  private def seqBucketCountFor(q: QueryCmd): Int = {
+    val types =
+      if (q.eventType == "*") store.eventTypes
+      else q.sequence.map(s => (s.head +: s.links.map(_._2)).distinct)
+        .getOrElse(Seq(q.eventType))
+    val bytes = types.map { t =>
+      val dir = Paths.get(store.root, "data", t)
+      if (Files.isDirectory(dir))
+        EventStore.listDir(dir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size(_)).sum
+      else 0L
+    }.sum
+    val perBucket = spark.conf.get("spark.graft.seq.bucketBytes",
+      (16L << 20).toString).toLong
+    math.max(8, math.min(SeqBuckets.toLong, bytes / math.max(1L, perBucket) + 1L)).toInt
+  }
 
   /** Affected-key sets at or under this size are collected and pushed into
     * the re-match scans as a LITERAL membership predicate instead of a
@@ -79,8 +109,8 @@ final class Materializer(store: EventStore) {
   private def affectedKeyPushdownCap: Long =
     spark.conf.get("spark.graft.show.affectedKeyCap", "128").toLong
 
-  private def seqBucket(c: org.apache.spark.sql.Column) =
-    pmod(hash(c), lit(SeqBuckets))
+  private def seqBucket(c: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(hash(c), lit(nBuckets))
 
   /** The stored query of a materialization, if it exists (used by the auth
     * gate to scope SHOW to the query's event types). A corrupt/unparseable
@@ -94,7 +124,8 @@ final class Materializer(store: EventStore) {
 
   private case class Meta(query: String, hwmId: Long, schemaHash: String,
       maxRows: Option[Long], maxAgeSeconds: Option[Long],
-      resultSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      resultSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      seqBuckets: Int = 64) // legacy entries predate the field: always 64
 
   private def readMeta(name: String): Option[Meta] = {
     val f = matDir(name).resolve("meta.json")
@@ -112,7 +143,8 @@ final class Materializer(store: EventStore) {
           scala.util.Try(org.apache.spark.sql.types.DataType
             .fromJson(n.get("result_schema").asText())
             .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
-        else None))
+        else None,
+        if (n.has("seq_buckets")) n.get("seq_buckets").asInt() else 64))
       // Try: a torn/truncated meta (legacy in-place writes; writes are
       // atomic now) must not throw out of SHOW or the auth gate's
       // storedQuery — treated as absent, so re-REMEMBER can heal it
@@ -125,7 +157,8 @@ final class Materializer(store: EventStore) {
       s""""max_rows": ${m.maxRows.map(_.toString).getOrElse("null")}, """ +
       s""""max_age_seconds": ${m.maxAgeSeconds.map(_.toString).getOrElse("null")}, """ +
       s""""result_schema": ${m.resultSchema
-        .map(s => EventStore.jsonString(s.json)).getOrElse("null")}}"""
+        .map(s => EventStore.jsonString(s.json)).getOrElse("null")}, """ +
+      s""""seq_buckets": ${m.seqBuckets}}"""
     // tmp + atomic move: meta is rewritten on every delta-advancing SHOW,
     // and an in-place truncate-then-write left a crash window that bricked
     // the materialization (r15 review finding — the query text is
@@ -206,6 +239,7 @@ final class Materializer(store: EventStore) {
     // just to type the stored parquet read-back (the schema-hash guard
     // already invalidates the entry whenever the recorded shape could drift)
     var resultSchema: Option[org.apache.spark.sql.types.StructType] = None
+    val nBkt = seqBucketCountFor(q) // recorded in meta; SHOW reads it back
     val storedDir =
       if (q.isAggregate && !q.isSequence) {
         AggStateCompiler.partialState(q, boundedSource(Long.MinValue, hwmId))
@@ -221,13 +255,13 @@ final class Materializer(store: EventStore) {
         val compiled = QueryCompiler.compile(q, boundedSource(Long.MinValue, hwmId))
         resultSchema = Some(compiled.schema)
         compiled
-          .withColumn("_bkt", seqBucket(col("link_value")))
+          .withColumn("_bkt", seqBucket(col("link_value"), nBkt))
           // explicit partition count: a bare repartition(col) lets AQE
           // coalesce this small exchange to ONE task that then writes all
-          // 64 bucket dirs sequentially (~1.5 s of file-open latency per
-          // materializer op, the r17 stage profile's top cost); 64 pinned
+          // bucket dirs sequentially (~1.5 s of file-open latency per
+          // materializer op, the r17 stage profile's top cost); pinned
           // partitions write the dirs in parallel, still one file per dir
-          .repartition(SeqBuckets, col("_bkt"))
+          .repartition(nBkt, col("_bkt"))
           .write.mode("overwrite").partitionBy("_bkt")
           .parquet(dir.resolve("data").toString)
         dir.resolve("data")
@@ -237,7 +271,8 @@ final class Materializer(store: EventStore) {
         compiled.write.mode("overwrite").parquet(dir.resolve("data").toString)
         dir.resolve("data")
       }
-    writeMeta(cmd.name, Meta(renderQuery(q), hwmId, schemaHash(q), None, None, resultSchema))
+    writeMeta(cmd.name,
+      Meta(renderQuery(q), hwmId, schemaHash(q), None, None, resultSchema, nBkt))
     // rows-stored summary line (reference `handlers/remember.rs:168-169`);
     // summed from the just-written Parquet footers on the driver — a
     // metadata read, not a Spark job
@@ -441,13 +476,15 @@ final class Materializer(store: EventStore) {
       resultSchema.fields :+ org.apache.spark.sql.types.StructField(
         "_bkt", org.apache.spark.sql.types.IntegerType))
 
+    val nBkt = meta.seqBuckets // the layout's recorded bucket count
+
     if (!partitioned) {
       // legacy flat storage (or an emptied-out dir): full refresh, upgrading
       // to the bucket-partitioned layout
       val bucketed = QueryCompiler.compile(query, boundedSource(Long.MinValue, newHwm))
-        .withColumn("_bkt", seqBucket(col("link_value")))
+        .withColumn("_bkt", seqBucket(col("link_value"), nBkt))
       val tmp = dataDir.resolveSibling("data.tmp")
-      bucketed.repartition(SeqBuckets, col("_bkt")) // pinned: see rememberBody
+      bucketed.repartition(nBkt, col("_bkt")) // pinned: see rememberBody
         .write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
       val old = dataDir.resolveSibling("data.old")
       if (Files.exists(dataDir)) Files.move(dataDir, old)
@@ -493,16 +530,16 @@ final class Materializer(store: EventStore) {
       val effCap = math.min(cap, 1000000L)
       val probe =
         if (cap > 0)
-          affected.select(col("__aff_link"), seqBucket(col("__aff_link")).as("b"))
+          affected.select(col("__aff_link"), seqBucket(col("__aff_link"), nBkt).as("b"))
             .limit(effCap.toInt + 1).collect()
         else Array.empty[org.apache.spark.sql.Row]
       val small = cap > 0 && probe.length <= effCap
       val affKeys: Option[Seq[String]] =
         if (small) Some(probe.map(_.getString(0)).toIndexedSeq) else None
-      // bounded collect: at most SeqBuckets distinct bucket ids
+      // bounded collect: at most nBkt (<= SeqBuckets) distinct bucket ids
       val affBkts =
         if (small) probe.map(_.getInt(1)).distinct.toSeq
-        else affected.select(seqBucket(col("__aff_link")).as("b"))
+        else affected.select(seqBucket(col("__aff_link"), nBkt).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
       if (affBkts.nonEmpty) {
         val restricted: graft.engine.EventSource = new graft.engine.EventSource {
@@ -519,7 +556,7 @@ final class Materializer(store: EventStore) {
           override def schemaOf(t: String) = store.schemaOf(t)
         }
         val fresh = QueryCompiler.compile(query, restricted)
-          .withColumn("_bkt", seqBucket(col("link_value")))
+          .withColumn("_bkt", seqBucket(col("link_value"), nBkt))
         val stored = spark.read.schema(storedSchema).parquet(dataDir.toString)
         val inAff = stored.filter(col("_bkt").isInCollection(affBkts))
         val keep = affKeys match {
@@ -527,7 +564,7 @@ final class Materializer(store: EventStore) {
           case None => inAff
             .join(affected, stored("link_value") === affected("__aff_link"), "left_anti")
         }
-        replaceBuckets(dataDir, keep.unionByName(fresh), affBkts)
+        replaceBuckets(dataDir, keep.unionByName(fresh), affBkts, nBkt)
       }
       writeMeta(name, meta.copy(hwmId = newHwm))
     }
@@ -549,9 +586,9 @@ final class Materializer(store: EventStore) {
     * advanced after this returns, so a recovered pre-update bucket is
     * re-matched by the next SHOW's delta — no rows are lost either way. */
   private def replaceBuckets(target: Path, combined: DataFrame,
-      affBkts: Seq[Int]): Unit = {
+      affBkts: Seq[Int], nBkt: Int): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    combined.repartition(SeqBuckets, col("_bkt")) // delta-sized buckets,
+    combined.repartition(nBkt, col("_bkt")) // delta-sized buckets,
       // pinned partition count so the writes parallelize (see rememberBody)
       .write.mode("overwrite").partitionBy("_bkt").parquet(tmp.toString)
     val old = target.resolveSibling(target.getFileName.toString + ".old")

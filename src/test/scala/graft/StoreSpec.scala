@@ -40,6 +40,16 @@ class StoreSpec extends AnyFunSuite {
     case ExecResult.Error(e, _)  => fail(s"unexpected error: $e")
     case ExecResult.Ok(m)     => fail(s"unexpected ok: $m")
   }
+  /** The bucket count a sequence materialization recorded at REMEMBER
+    * (adaptive since r19 — derived from source bytes, so tests must read
+    * it back rather than assume the 64 cap). */
+  private def seqBucketsOf(s: EventStore, name: String): Int = {
+    val meta = java.nio.file.Paths.get(s.root, "_materializations", name, "meta.json")
+    val node = EventStore.readTree(
+      new String(java.nio.file.Files.readAllBytes(meta), "UTF-8"))
+    if (node.has("seq_buckets")) node.get("seq_buckets").asInt() else 64
+  }
+
   private def err(r: ExecResult): String = r match {
     case ExecResult.Error(e, _) => e
     case other               => fail(s"expected error, got $other")
@@ -224,7 +234,7 @@ class StoreSpec extends AnyFunSuite {
     val u1Bkt = spark.range(1).select(
       org.apache.spark.sql.functions.pmod(
         org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit("u1")),
-        org.apache.spark.sql.functions.lit(64))).head().getInt(0)
+        org.apache.spark.sql.functions.lit(seqBucketsOf(s, "fn")))).head().getInt(0)
     // only u1's bucket directory was rewritten; every other stored file is
     // byte-identical (same path, same mtime) — the incremental guarantee
     val after = java.nio.file.Files.walk(dataDir).iterator().asScala
@@ -286,7 +296,7 @@ class StoreSpec extends AnyFunSuite {
     val u2Bkt = spark.range(1).select(
       org.apache.spark.sql.functions.pmod(
         org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit("u2")),
-        org.apache.spark.sql.functions.lit(64))).head().getInt(0)
+        org.apache.spark.sql.functions.lit(seqBucketsOf(s, "fr")))).head().getInt(0)
     val old = dataDir.resolveSibling("data.old")
     java.nio.file.Files.createDirectories(old)
     java.nio.file.Files.move(dataDir.resolve(s"_bkt=$u2Bkt"), old.resolve(s"_bkt=$u2Bkt"))
