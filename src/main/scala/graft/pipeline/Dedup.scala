@@ -21,6 +21,22 @@ import Hashing._
   */
 object Dedup {
 
+  /** Run independent Spark actions concurrently from driver threads and
+    * wait for all of them — the scheduler back-fills each job's straggler
+    * tail with the next job's tasks instead of serializing full barriers.
+    * Only for actions with NO ordering dependency (here: artifact-table
+    * writes to distinct directories off one materialized base). The first
+    * failure is rethrown after every task has stopped. */
+  private def runParallel(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { t =>
+      val th = new Thread(() => try t() catch { case e: Throwable => errs.add(e): Unit })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Normalized content key for exact dedup: lowercase, collapsed whitespace. */
   def contentKey(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
@@ -889,19 +905,26 @@ object Dedup {
       val base = spark.read.parquet(s"$dir/shingles")
       val canDerive = base.columns.contains("ck") && base.columns.contains("sh") &&
         params.contains("bands") && params.contains("rowsPerBand")
+      // keys and bands derive from the SAME written parquet and land in
+      // different directories — two independent job chains, overlapped on
+      // driver threads so the second write's tasks back-fill the first's
+      // straggler tail (nothing orders them; the manifest below still
+      // commits only after both)
       if (canDerive) {
         val nBands = params("bands").toInt
         val rpb = params("rowsPerBand").toInt
-        base.select(col("ck")).distinct()
-          .write.mode("overwrite").parquet(s"$dir/keys")
-        bandTable(
-            minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"),
-              nBands * rpb), nBands, rpb)
-          .withColumnRenamed("id", "cid")
-          .write.mode("overwrite").parquet(s"$dir/bands")
+        runParallel(
+          () => base.select(col("ck")).distinct()
+            .write.mode("overwrite").parquet(s"$dir/keys"),
+          () => bandTable(
+              minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"),
+                nBands * rpb), nBands, rpb)
+            .withColumnRenamed("id", "cid")
+            .write.mode("overwrite").parquet(s"$dir/bands"))
       } else {
-        keys.write.mode("overwrite").parquet(s"$dir/keys")
-        bands.write.mode("overwrite").parquet(s"$dir/bands")
+        runParallel(
+          () => keys.write.mode("overwrite").parquet(s"$dir/keys"),
+          () => bands.write.mode("overwrite").parquet(s"$dir/bands"))
       }
       // a rebuild resets the append state wholesale: clear any stale
       // single-writer lock a crashed appender left behind (appendDedupDelta
@@ -1093,18 +1116,24 @@ object Dedup {
       .localCheckpoint()
     val nBands = params.getOrElse("bands", 32L).toInt
     val rpb = params.getOrElse("rowsPerBand", 2L).toInt
-    base.select(col("ck")).distinct()
-      .write.mode("append").parquet(s"$artifactDir/keys")
-    bandTable(minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"),
-        nBands * rpb), nBands, rpb)
-      .withColumnRenamed("id", "cid")
-      .write.mode("append").parquet(s"$artifactDir/bands")
     // project onto the dir's existing column set: a pre-r11 artifact dir
     // stores shingles as (cid, sh) without the combined projection's ck,
     // and a mixed-schema parquet dir reads back nondeterministically
     val existing = spark.read.parquet(s"$artifactDir/shingles").columns.toSeq
-    base.select(existing.map(col): _*)
-      .write.mode("append").parquet(s"$artifactDir/shingles")
+    // the three appends read the SAME checkpointed delta and land in
+    // different directories — independent jobs, overlapped on driver
+    // threads (the dirty bracket is already set; the clearing manifest
+    // write below still waits for all three, so the crash contract is
+    // unchanged: any failure or crash leaves dirty=1)
+    runParallel(
+      () => base.select(col("ck")).distinct()
+        .write.mode("append").parquet(s"$artifactDir/keys"),
+      () => bandTable(minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"),
+          nBands * rpb), nBands, rpb)
+        .withColumnRenamed("id", "cid")
+        .write.mode("append").parquet(s"$artifactDir/bands"),
+      () => base.select(existing.map(col): _*)
+        .write.mode("append").parquet(s"$artifactDir/shingles"))
     writeManifest(spark, artifactDir, params, appends = epoch + 1, dirty = false)
     } finally {
       // released on success AND on refusal/failure paths where this JVM is
