@@ -49,10 +49,23 @@ object StreamingReplay {
     val name = s"graft_replay_${counter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // The replay's checkpoint is a PROCESS-LOCAL temp dir, so the manager
+    // is pinned to [[LocalNioCheckpointFileManager]] here (and restored
+    // after): without libhadoop, BOTH stock managers fork a subprocess per
+    // checkpoint file (FileContext renames shell `readlink`; FileSystem
+    // creates/mkdirs shell `chmod`), and forking a multi-GB JVM stalls
+    // 10 µs–100+ ms with host memory pressure — the measured source of the
+    // 2-3x wall spread on every checkpoint-writing gate (see the manager's
+    // scaladoc). Production streams on HDFS/S3 configure their own durable
+    // checkpoint location and KEEP the default manager; this override is
+    // scoped to the replay and restored in the finally below.
+    val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val prevFm = spark.conf.getOption(fmKey)
     // restored only AFTER termination: the first micro-batch is planned
     // asynchronously after start(), and that planning reads the session conf
     try {
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      spark.conf.set(fmKey, classOf[LocalNioCheckpointFileManager].getName)
       val q = out.writeStream
         .outputMode(mode)
         .format("memory")
@@ -61,7 +74,13 @@ object StreamingReplay {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevFm match {
+        case Some(v) => spark.conf.set(fmKey, v)
+        case None    => spark.conf.unset(fmKey)
+      }
+    }
     // bind the result frame (Dataset creation analyzes eagerly, capturing
     // the memory sink's plan), then release the per-replay scaffolding a
     // suite of hundreds of replays would otherwise accumulate (r15 review
