@@ -178,6 +178,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no-fork local fs: without libhadoop every created file/dir shells
+      // out a chmod (fork+exec of this 16 GB JVM) — see
+      // graft.fs.NioLocalFileSystem; scheme-scoped, identical semantics
+      .config("spark.hadoop.fs.file.impl", classOf[graft.fs.NioLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

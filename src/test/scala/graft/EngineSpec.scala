@@ -14,6 +14,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same engine config as Bench/Verify: no-fork local fs — and running
+      // the WHOLE suite through it is its integration coverage
+      .config("spark.hadoop.fs.file.impl", classOf[graft.fs.NioLocalFileSystem].getName)
       .getOrCreate()
     graft.functions.Md5Long.register(s)
     graft.functions.DotLong.register(s)
