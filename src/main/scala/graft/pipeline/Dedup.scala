@@ -258,6 +258,24 @@ object Dedup {
       .select(col("id"), col("band.band_idx"), col("band.band_hash"))
   }
 
+  /** LSH band table (band_idx, band_hash, id) computed by the NATIVE
+    * per-row kernel ([[graft.functions.MinhashBands]]) — value-identical
+    * to `bandTable(minhashColumns(...))` (spec-pinned) at a fraction of
+    * the cost: minhash is a per-row function of the row's own shingle
+    * set, so the explode (corpus × shingles rows), the `perms`-field
+    * aggregation buffer, and the groupBy exchange the old spelling paid
+    * were pure overhead (~1.2 s warm per band-table build at sf0.1,
+    * repeated at every near-dup site). Shingle-less documents emit no
+    * band rows — exactly the old spelling's absence semantics. */
+  private[graft] def bandTableFromShingles(df: DataFrame, idCol: Column,
+      shCol: Column, bands: Int, rowsPerBand: Int): DataFrame = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    df.select(idCol.as("id"),
+      posexplode(columnOf(graft.functions.MinhashBands(
+          expressionOf(shCol), bands, rowsPerBand)))
+        .as(Seq("band_idx", "band_hash")))
+  }
+
   /** Per-row LSH band hashes — the `bands` packed band hashes as ONE array
     * column (index = band_idx), value-identical to the explode + groupBy
     * [[minhashColumns]]/band-table spelling (pinned in PipelineSpec). No
@@ -312,7 +330,7 @@ object Dedup {
       Projections.spread(df, col(idCol))
         .select(col(idCol).as("id"), shingleHashes(col(textCol), ngram).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms), nBands, rpb)
+    val banded = bandTableFromShingles(hashed, col("id"), col("sh"), nBands, rpb)
 
     // candidate pairs: ids sharing any band bucket (shuffle on band hash —
     // no cross join); then confirm with exact Jaccard on the shingle sets
@@ -365,7 +383,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val ha = prep(a); val hb = prep(b)
     def bandSide(h: DataFrame, as: String) =
-      bandTable(minhashColumns(h, col("id"), col("sh"), perms), nBands, rpb)
+      bandTableFromShingles(h, col("id"), col("sh"), nBands, rpb)
         .select(col("band_idx"), col("band_hash"), col("id").as(as))
     val candIds = bandSide(ha, "id_a")
       .join(bandSide(hb, "id_b"), Seq("band_idx", "band_hash"))
@@ -486,7 +504,7 @@ object Dedup {
       threshold: Double = 0.5, maxTruthRows: Long = 100000L): DataFrame = {
     val perms = bands * rowsPerBand
     val hashed = evalProjection(df, idCol, textCol, ngram, maxTruthRows)
-    val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms), bands, rowsPerBand)
+    val banded = bandTableFromShingles(hashed, col("id"), col("sh"), bands, rowsPerBand)
     val l = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_2"))
     val candIds = l.join(r, Seq("band_idx", "band_hash"))
@@ -579,7 +597,7 @@ object Dedup {
       s"sweep thresholds must be positive ppm, got $thetasPpm")
     val perms = bands * rowsPerBand
     val hashed = evalProjection(df, idCol, textCol, ngram, maxTruthRows)
-    val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms),
+    val banded = bandTableFromShingles(hashed, col("id"), col("sh"),
       bands, rowsPerBand)
     val l = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_2"))
@@ -664,8 +682,7 @@ object Dedup {
         .select(col(idCol).as("id"), col(textCol).as("t"),
           shingleHashes(col(textCol), ngram).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val banded = bandTable(minhashColumns(hashed, col("id"), col("sh"), perms),
-      nBands, rpb)
+    val banded = bandTableFromShingles(hashed, col("id"), col("sh"), nBands, rpb)
     val l = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_1"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_2"))
     val candIds = l.join(r, Seq("band_idx", "band_hash"))
@@ -916,9 +933,7 @@ object Dedup {
         runParallel(
           () => base.select(col("ck")).distinct()
             .write.mode("overwrite").parquet(s"$dir/keys"),
-          () => bandTable(
-              minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"),
-                nBands * rpb), nBands, rpb)
+          () => bandTableFromShingles(base, col("cid"), col("sh"), nBands, rpb)
             .withColumnRenamed("id", "cid")
             .write.mode("overwrite").parquet(s"$dir/bands"))
       } else {
@@ -1128,8 +1143,7 @@ object Dedup {
     runParallel(
       () => base.select(col("ck")).distinct()
         .write.mode("append").parquet(s"$artifactDir/keys"),
-      () => bandTable(minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"),
-          nBands * rpb), nBands, rpb)
+      () => bandTableFromShingles(base, col("cid"), col("sh"), nBands, rpb)
         .withColumnRenamed("id", "cid")
         .write.mode("append").parquet(s"$artifactDir/bands"),
       () => base.select(existing.map(col): _*)
@@ -1169,9 +1183,7 @@ object Dedup {
     val base = Projections.spread(corpus, col(idCol)).select(col(idCol).as("cid"),
       contentKey(col(textCol)).as("ck"), shingleHashes(col(textCol), ngram).as("sh"))
     val keys = base.select(col("ck")).distinct()
-    val cBand = bandTable(
-        minhashColumns(base.select(col("cid"), col("sh")), col("cid"), col("sh"), perms),
-        nBands, rpb)
+    val cBand = bandTableFromShingles(base, col("cid"), col("sh"), nBands, rpb)
       .withColumnRenamed("id", "cid")
     DedupArtifacts(keys, cBand, base, Some((nBands, rpb)), keysDistinct = true)
   }
@@ -1271,7 +1283,7 @@ object Dedup {
 
     // near-dup vs corpus: batch bands join corpus bands, exact-Jaccard confirm
     val bH = base.join(survIds, Seq("id"), "left_semi").select("id", "sh")
-    val bBand = bandTable(minhashColumns(bH, col("id"), col("sh"), perms), nBands, rpb)
+    val bBand = bandTableFromShingles(bH, col("id"), col("sh"), nBands, rpb)
     val candIds = bBand.join(artifacts.bands, Seq("band_idx", "band_hash"))
       .select("id", "cid").dropDuplicates("id", "cid")
     val nearCorpus = candIds
