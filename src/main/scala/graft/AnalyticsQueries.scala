@@ -18,14 +18,20 @@ import graft.sources.TestDataSource
 object AnalyticsQueries {
   import Hashing.duckMd5Long
 
+  // spread (size-gated, identity at real scale): the gate tables are ONE
+  // parquet split each, so per-row expression work (regex, md5, props
+  // parsing, wide agg partials) otherwise runs single-task — guide §2.5.
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    new TestDataSource(spark, dir).table("documents")
+    Projections.spread(
+      new TestDataSource(spark, dir).table("documents"), col("doc_id"))
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    new TestDataSource(spark, dir).table("embeddings")
+    Projections.spread(
+      new TestDataSource(spark, dir).table("embeddings"), col("vec_id"))
 
   private def events(spark: SparkSession, dir: String): DataFrame =
-    new TestDataSource(spark, dir).allEvents
+    Projections.spread(
+      new TestDataSource(spark, dir).allEvents, col("event_id"))
 
   /** Multi-line doc synthesis for the line-dedup gate (the testdata has no
     * newlines of its own — same trick as q_strip_lines): a corpus-wide

@@ -15,8 +15,14 @@ import graft.sources.TestDataSource
 object PipelineQueries {
   import Hashing.{P, duckMd5Long, permA, permB}
 
+  // spread (size-gated, identity at real scale): the gate corpus is ONE
+  // parquet split, so every per-row expression pipeline (regex shingling,
+  // md5, token stats) otherwise runs single-task while 31 cores idle —
+  // guide §2.5's exact shape. At production scale the scan has thousands
+  // of splits and the repartition never fires.
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    new TestDataSource(spark, dir).table("documents")
+    Projections.spread(
+      new TestDataSource(spark, dir).table("documents"), col("doc_id"))
 
   /** Deterministic synthetic URL per doc_id for the q_url_* gates — built
     * IDENTICALLY by the DuckDB oracle, which then derives the expected
@@ -46,7 +52,8 @@ object PipelineQueries {
       .otherwise(concat(scheme, lit("://"), host, port, path, query, frag))
   }
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    new TestDataSource(spark, dir).table("embeddings")
+    Projections.spread(
+      new TestDataSource(spark, dir).table("embeddings"), col("vec_id"))
 
   // ---------------- queries ----------------
 

@@ -12,8 +12,11 @@ import graft.sources.TestDataSource
   * not just the exact quantities they approximate. */
 object SketchQueries {
 
+  // spread (size-gated, identity at real scale) — see PipelineQueries.docs
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    new TestDataSource(spark, dir).table("documents")
+    graft.pipeline.Projections.spread(
+      new TestDataSource(spark, dir).table("documents"),
+      org.apache.spark.sql.functions.col("doc_id"))
 
   private val duckShingles3 =
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])"

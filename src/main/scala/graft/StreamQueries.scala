@@ -109,8 +109,10 @@ object StreamQueries {
         .unionByName(shifted(7, 100000L))
         .unionByName(shifted(10, 200000L))
         .withColumn("ets", col("doc_id") + lit(86400L))
-      val corpusKeys = src.table("documents")
-        .filter(col("doc_id") % 5 =!= 0)
+      // corpus SPREAD before the per-row md5/regex key derivation: the
+      // documents scan is one split at gate scale (identity at real scale)
+      val corpusKeys = graft.pipeline.Projections.spread(
+          src.table("documents").filter(col("doc_id") % 5 =!= 0), col("doc_id"))
         .select(graft.pipeline.Dedup.contentKey(col("text")).as("ck")).distinct()
       StreamingReplay.run(
         StreamingPipeline.admitStream(batch, corpusKeys, "doc_id", "text", "ets").toDF())
@@ -145,7 +147,8 @@ object StreamQueries {
       // end (the q_stream_windowed pattern)
       val src = new TestDataSource(s, d)
       val weights = graft.pipeline.CorpusSignals.importanceWeights(
-        src.table("documents"), "doc_id", "text", col("source") === "src0", buckets = 512)
+        graft.pipeline.Projections.spread(src.table("documents"), col("doc_id")),
+        "doc_id", "text", col("source") === "src0", buckets = 512)
       val stream = src.documentsStream
         .withColumn("ets", col("doc_id") + lit(86400L))
       StreamingReplay.run(
@@ -165,7 +168,9 @@ object StreamQueries {
       val src = new TestDataSource(s, d)
       val corpusHashes = graft.pipeline.Multimodal.imageDHashes(
         graft.pipeline.Multimodal.syntheticPngs(
-          src.table("documents").filter(col("doc_id") % 5 =!= 0), "doc_id", 5, 6))
+          graft.pipeline.Projections.spread(
+            src.table("documents").filter(col("doc_id") % 5 =!= 0), col("doc_id")),
+          "doc_id", 5, 6))
       val stream = graft.pipeline.Multimodal.syntheticPngs(
         src.documentsStream.filter(col("doc_id") % 5 === 0), "doc_id", 5, 6)
       val (decisions, staticSide) =
@@ -355,7 +360,8 @@ object StreamQueries {
       // IVF home cell against the static corpus postings, confirmed by
       // exact quantized cosine — stateless semi/anti joins, no state store
       val src = new TestDataSource(s, d)
-      val corpus = src.table("embeddings").filter(col("vec_id") % 3 =!= 0)
+      val corpus = graft.pipeline.Projections.spread(
+        src.table("embeddings").filter(col("vec_id") % 3 =!= 0), col("vec_id"))
       val (decisions, postings) = StreamingPipeline.admitEmbedsStreamCached(
         src.embeddingsStream, corpus, "vec_id", "embedding")
       try StreamingReplay.run(decisions)

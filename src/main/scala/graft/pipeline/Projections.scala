@@ -63,7 +63,24 @@ object Projections {
     val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(width) * maxPart) df.repartition(width, key) else df
+    if (est >= BigInt(width) * maxPart) return df // real scale: identity
+    // Spread WIDTH is size-derived, not the full session width (r19): a
+    // 32-way exchange of a sub-MB gate table costs ~0.2 s of per-task
+    // overhead per downstream stage — measured slower than no spread at
+    // all for cheap map pipelines — while the heavy per-row pipelines
+    // (regex shingling, media synth+decode, wide agg partials) that spread
+    // exists for keep ~all of their win at 8 tasks. One partition per
+    // `spark.graft.spread.partitionBytes` (default 256 KB) of estimated
+    // input, floored at `spark.graft.spread.minPartitions` (default 8 —
+    // enough that no single-task stage bottlenecks a 1–3 s expression
+    // pipeline), capped at the session width so a large-but-under-gate
+    // input still saturates the cluster.
+    val perPart = spark.conf.get("spark.graft.spread.partitionBytes",
+      (256L << 10).toString).toLong
+    val minParts = spark.conf.get("spark.graft.spread.minPartitions", "8").toInt
+    val w = math.max(minParts.toLong,
+      math.min(width.toLong, (est / BigInt(math.max(1L, perPart))).toLong + 1L)).toInt
+    df.repartition(w, key)
   }
 
   /** Unpersist (non-blocking) every registered projection and clear the
