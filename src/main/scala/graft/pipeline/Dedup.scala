@@ -868,7 +868,14 @@ object Dedup {
     * joins against the artifact tables. */
   final case class DedupArtifacts(keys: DataFrame, bands: DataFrame, shingles: DataFrame,
       banding: Option[(Int, Int)] = None,
-      keysDistinct: Boolean = false) {
+      keysDistinct: Boolean = false,
+      // true when the three frames are independently cheap to evaluate
+      // (parquet scans / checkpoints); false when they are live derivations
+      // of ONE shared tokenize pass — consumers that materialize all three
+      // (the streaming admission) then persist the shingles projection once
+      // and derive keys/bands from it instead of paying the corpus
+      // tokenize per frame (r19; the same one-scan discipline write() uses)
+      framesAtRest: Boolean = false) {
     /** Materialize the three frames and truncate their lineage (eager
       * local checkpoint) — the single-process analog of writing the
       * artifact tables to storage and reading them back. Chained
@@ -880,7 +887,7 @@ object Dedup {
       * same boundary is the nightly parquet write of the artifacts. */
     def materialize(): DedupArtifacts =
       DedupArtifacts(keys.localCheckpoint(), bands.localCheckpoint(),
-        shingles.localCheckpoint(), banding, keysDistinct)
+        shingles.localCheckpoint(), banding, keysDistinct, framesAtRest = true)
 
     /** The REAL nightly boundary: persist the three artifact tables as
       * parquet under `dir` (`keys/`, `bands/`, `shingles/`) plus a
@@ -1020,7 +1027,8 @@ object Dedup {
       // can leave duplicate ck rows, and skipping the distinct would then
       // multiply batch rows through every downstream left join (ADVICE
       // r17). A dirty dir degrades to the defensive distinct instead.
-      keysDistinct = !manifestDirty(manifest))
+      keysDistinct = !manifestDirty(manifest),
+      framesAtRest = true) // three independent parquet scans, no shared lineage
   }
 
   /** A manifest MISSING the `dirty` key counts as dirty: every version-1
@@ -1185,7 +1193,8 @@ object Dedup {
     val keys = base.select(col("ck")).distinct()
     val cBand = bandTableFromShingles(base, col("cid"), col("sh"), nBands, rpb)
       .withColumnRenamed("id", "cid")
-    DedupArtifacts(keys, cBand, base, Some((nBands, rpb)), keysDistinct = true)
+    DedupArtifacts(keys, cBand, base, Some((nBands, rpb)), keysDistinct = true,
+      framesAtRest = false) // all three are live derivations of `base`
   }
 
   /** Append the ADMITTED documents of a decided batch to the artifacts.
@@ -1225,7 +1234,11 @@ object Dedup {
       Some((nBands, rpb)),
       // an admitted key is absent from the corpus and unique in its batch,
       // so the union preserves the input's distinctness
-      keysDistinct = artifacts.keysDistinct)
+      keysDistinct = artifacts.keysDistinct,
+      // the delta legs are live derivations of one shared tokenize; the
+      // delta is batch-sized, so inheriting the corpus side's answer keeps
+      // the flag meaningful for the dominant frames
+      framesAtRest = artifacts.framesAtRest)
   }
 
   /** [[incrementalDedup]] against persisted [[DedupArtifacts]] — the form

@@ -192,14 +192,42 @@ object StreamingPipeline {
     // guarantees a distinct key table (built/read/updated through the
     // Dedup module — see DedupArtifacts.keysDistinct, r17): it cost a
     // corpus-wide exchange at every stream start
-    val ckeys = Projections.register(
-      (if (artifacts.keysDistinct) artifacts.keys.select(col("ck"))
-       else artifacts.keys.select(col("ck")).distinct())
-      .withColumn("in_corpus", lit(true)).persist())
-    val cBands = Projections.register(
-      artifacts.bands.select("cid", "band_idx", "band_hash").persist())
-    val cSh = Projections.register(
-      artifacts.shingles.select(col("cid"), col("sh").as("sh_c")).persist())
+    //
+    // ONE corpus tokenize, not three (r19): when the artifact frames are
+    // live derivations of a shared tokenized base (framesAtRest = false —
+    // the in-memory buildDedupArtifacts shape), persisting keys/bands/
+    // shingles independently re-ran the corpus scan + regex shingling +
+    // per-shingle md5 PER FRAME at stream start. Persist the combined
+    // (cid, ck, sh) projection once and derive the key set and band table
+    // from the cache — the same one-scan discipline DedupArtifacts.write
+    // applies at the storage boundary, value-identical by construction
+    // (keys = distinct ck of the same projection; bands = the same native
+    // kernel under the artifacts' own recorded scheme). At-rest artifacts
+    // (parquet read-back) keep the three independent persists: their
+    // frames are cheap scans, and re-deriving keys would trade a scan for
+    // a corpus-wide distinct exchange.
+    val sharedBase = !artifacts.framesAtRest && artifacts.banding.isDefined &&
+      artifacts.shingles.columns.contains("ck") &&
+      artifacts.shingles.columns.contains("cid") && artifacts.keysDistinct
+    val (ckeys, cBands, cSh) = if (sharedBase) {
+      val baseSh = Projections.register(
+        artifacts.shingles.select("cid", "ck", "sh").persist())
+      (Projections.register(baseSh.select(col("ck")).distinct()
+          .withColumn("in_corpus", lit(true)).persist()),
+        Projections.register(
+          Dedup.bandTableFromShingles(baseSh, col("cid"), col("sh"), nBands, rpb)
+            .withColumnRenamed("id", "cid")
+            .select("cid", "band_idx", "band_hash").persist()),
+        baseSh.select(col("cid"), col("sh").as("sh_c")))
+    } else (
+      Projections.register(
+        (if (artifacts.keysDistinct) artifacts.keys.select(col("ck"))
+         else artifacts.keys.select(col("ck")).distinct())
+        .withColumn("in_corpus", lit(true)).persist()),
+      Projections.register(
+        artifacts.bands.select("cid", "band_idx", "band_hash").persist()),
+      Projections.register(
+        artifacts.shingles.select(col("cid"), col("sh").as("sh_c")).persist()))
 
     val base = stream
       .withColumn("__event_time", timestamp_seconds(col(eventTimeCol).cast("long")))
@@ -227,9 +255,19 @@ object StreamingPipeline {
     val withSh = base.join(ckeys.select("ck"), Seq("ck"), "left_anti")
       .select(col("ck"), col("id"), col("__event_time"),
         Dedup.shingleHashes(col("__text"), ngram).as("sh_b"))
-    val banded = withSh.select(col("ck"), col("id"), col("__event_time"), col("sh_b"),
-      posexplode(Dedup.bandHashesExpr(col("sh_b"), nBands, rpb))
-        .as(Seq("band_idx", "band_hash")))
+    // NATIVE per-row band kernel (r19): stateless projection, so it is
+    // streaming-legal exactly like the HOF spelling it replaces — but
+    // compiled instead of interpreted lambdas (the r19 batch-site swap,
+    // value-identical by MinhashBandsSpec). Empty shingle sets: the kernel
+    // yields NULL (posexplode emits no rows) where the HOF yielded an
+    // all-null array (band rows that match nothing) — same admissions.
+    val banded = {
+      import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+      withSh.select(col("ck"), col("id"), col("__event_time"), col("sh_b"),
+        posexplode(columnOf(graft.functions.MinhashBands(
+            expressionOf(col("sh_b")), nBands, rpb)))
+          .as(Seq("band_idx", "band_hash")))
+    }
     val confirmRows = banded
       .join(cBands, Seq("band_idx", "band_hash"))
       .join(cSh, Seq("cid"))

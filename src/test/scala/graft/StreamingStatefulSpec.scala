@@ -398,6 +398,44 @@ class StreamingStatefulSpec extends AnyFunSuite {
       8L -> "near_dup_corpus"))
   }
 
+  test("streaming near-dup admission: LIVE (lineage-shared) artifacts take the " +
+      "single-tokenize static-side path and decide identically to at-rest artifacts") {
+    // the r19 shared-base optimization: framesAtRest = false artifacts make
+    // admitStreamNear persist ONE combined (cid, ck, sh) projection and
+    // derive the key set + band table from it — this pins that branch's
+    // decisions against the materialized (at-rest) branch the sibling test
+    // covers, over the same corpus/stream fixture
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base.replace("runs", "walks")
+    val novel = "a brand new paragraph nobody has stored before anywhere in this corpus"
+    val art = graft.pipeline.Dedup
+      .buildDedupArtifacts(Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(!art.framesAtRest, "in-memory builder artifacts must be lineage-shared")
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = StreamingPipeline
+      .admitStreamNear(stream, art, "doc_id", "text", "ts")
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("admit_near_live").start()
+    mem.addData((1L, base.toUpperCase, 100L), (2L, nearDup, 101L),
+      (3L, novel, 102L), (4L, novel, 103L))
+    q.processAllAvailable()
+    mem.addData((7L, novel, 104L), (8L, nearDup, 105L))
+    q.processAllAvailable()
+    val out = spark.table("admit_near_live").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    q.stop()
+    graft.pipeline.Projections.release()
+    assert(out == Map(
+      1L -> "dup_exact_corpus",
+      2L -> "near_dup_corpus",
+      3L -> "admitted", 4L -> "dup_exact_batch",
+      7L -> "dup_exact_batch",
+      8L -> "near_dup_corpus"))
+  }
+
   test("streaming anomaly: later-day closure across batches scores spikes and zero gap days") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
