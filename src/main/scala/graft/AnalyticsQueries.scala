@@ -29,9 +29,14 @@ object AnalyticsQueries {
     Projections.spread(
       new TestDataSource(spark, dir).table("embeddings"), col("vec_id"))
 
+  // events is NOT spread here (r19, measured): the events analytics maps
+  // are cheap projections (their cost lives in the context-keyed
+  // exchanges), and the extra spread exchange cost the 57-gate family a
+  // net +6.5 s at the bench's cold-plan grain (worst q_churn_hazard
+  // +0.85 s) while only the wide-agg q_profile_table gained — that one
+  // gate spreads inline at its definition.
   private def events(spark: SparkSession, dir: String): DataFrame =
-    Projections.spread(
-      new TestDataSource(spark, dir).allEvents, col("event_id"))
+    new TestDataSource(spark, dir).allEvents
 
   /** Multi-line doc synthesis for the line-dedup gate (the testdata has no
     * newlines of its own — same trick as q_strip_lines): a corpus-wide
@@ -831,10 +836,13 @@ object AnalyticsQueries {
     "q_profile_table" -> ((s, d) =>
       // ANALYZE-style snapshot QC: one pass, one wide agg row unpivoted to
       // a per-column report; value profiled milli-quantized so min/max
-      // strings are engine-portable
+      // strings are engine-portable. SPREAD inline (the one events gate
+      // whose map side is heavy — the wide agg partials over every
+      // column ran 3.4 s single-task; identity at real scale)
       Profile.profile(
-        events(s, d).withColumn("value_milli",
-          expr("cast(round(value * 1000) as bigint)")),
+        Projections.spread(events(s, d), col("event_id"))
+          .withColumn("value_milli",
+            expr("cast(round(value * 1000) as bigint)")),
         Seq("context_id", "event_type", "timestamp", "value_milli"))),
 
     "q_anomaly_rate" -> ((s, d) =>
