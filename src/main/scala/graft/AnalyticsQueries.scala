@@ -22,11 +22,11 @@ object AnalyticsQueries {
   // parquet split each, so per-row expression work (regex, md5, props
   // parsing, wide agg partials) otherwise runs single-task — guide §2.5.
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Projections.spread(
+    Projections.spreadInput(
       new TestDataSource(spark, dir).table("documents"), col("doc_id"))
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    Projections.spread(
+    Projections.spreadInput(
       new TestDataSource(spark, dir).table("embeddings"), col("vec_id"))
 
   // events is NOT spread here (r19, measured): the events analytics maps

@@ -21,7 +21,7 @@ object PipelineQueries {
   // guide §2.5's exact shape. At production scale the scan has thousands
   // of splits and the repartition never fires.
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Projections.spread(
+    Projections.spreadInput(
       new TestDataSource(spark, dir).table("documents"), col("doc_id"))
 
   /** Deterministic synthetic URL per doc_id for the q_url_* gates — built
@@ -52,7 +52,7 @@ object PipelineQueries {
       .otherwise(concat(scheme, lit("://"), host, port, path, query, frag))
   }
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    Projections.spread(
+    Projections.spreadInput(
       new TestDataSource(spark, dir).table("embeddings"), col("vec_id"))
 
   // ---------------- queries ----------------

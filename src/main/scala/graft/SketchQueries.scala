@@ -14,7 +14,7 @@ object SketchQueries {
 
   // spread (size-gated, identity at real scale) — see PipelineQueries.docs
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Projections.spread(
+    graft.pipeline.Projections.spreadInput(
       new TestDataSource(spark, dir).table("documents"),
       org.apache.spark.sql.functions.col("doc_id"))
 

@@ -111,7 +111,7 @@ object StreamQueries {
         .withColumn("ets", col("doc_id") + lit(86400L))
       // corpus SPREAD before the per-row md5/regex key derivation: the
       // documents scan is one split at gate scale (identity at real scale)
-      val corpusKeys = graft.pipeline.Projections.spread(
+      val corpusKeys = graft.pipeline.Projections.spreadInput(
           src.table("documents").filter(col("doc_id") % 5 =!= 0), col("doc_id"))
         .select(graft.pipeline.Dedup.contentKey(col("text")).as("ck")).distinct()
       StreamingReplay.run(
@@ -147,7 +147,7 @@ object StreamQueries {
       // end (the q_stream_windowed pattern)
       val src = new TestDataSource(s, d)
       val weights = graft.pipeline.CorpusSignals.importanceWeights(
-        graft.pipeline.Projections.spread(src.table("documents"), col("doc_id")),
+        graft.pipeline.Projections.spreadInput(src.table("documents"), col("doc_id")),
         "doc_id", "text", col("source") === "src0", buckets = 512)
       val stream = src.documentsStream
         .withColumn("ets", col("doc_id") + lit(86400L))

@@ -63,18 +63,37 @@ object Projections {
     val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(width) * maxPart) df.repartition(width, key) else df
+  }
+
+  /** Size-derived variant of [[spread]] for GATE INPUT tables (the query
+    * definitions' docs/events/embeddings helpers): one partition per
+    * `spark.graft.spread.partitionBytes` (default 256 KB) of estimated
+    * input, floored at `spark.graft.spread.minPartitions` (default 8),
+    * capped at the session width; identity at real scale exactly like
+    * [[spread]].
+    *
+    * Why two widths (r19, measured): a full-width exchange of a sub-MB
+    * table costs ~0.2 s of per-task overhead per downstream stage — a net
+    * LOSS for the many cheap map pipelines a shared input helper feeds —
+    * while the dedicated heavy-projection operators (regex shingling +
+    * minhash, prefix-filter df aggregates, media synth+decode, SRP
+    * quantize) measurably want the full width their r17 tuning chose
+    * (bench A/B: q_dedup_prefix_join 3.75 → 5.45 s and the graph pair
+    * builds +1 s each when the internal sites were narrowed to 8, while
+    * q_churn_hazard +0.85 s when the events helper was widened to the
+    * session width). When both fire, CollapseRepartition keeps the
+    * operator's own (outer, full-width) repartition — the helper's sized
+    * exchange disappears from the plan. */
+  private[graft] def spreadInput(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est >= BigInt(width) * maxPart) return df // real scale: identity
-    // Spread WIDTH is size-derived, not the full session width (r19): a
-    // 32-way exchange of a sub-MB gate table costs ~0.2 s of per-task
-    // overhead per downstream stage — measured slower than no spread at
-    // all for cheap map pipelines — while the heavy per-row pipelines
-    // (regex shingling, media synth+decode, wide agg partials) that spread
-    // exists for keep ~all of their win at 8 tasks. One partition per
-    // `spark.graft.spread.partitionBytes` (default 256 KB) of estimated
-    // input, floored at `spark.graft.spread.minPartitions` (default 8 —
-    // enough that no single-task stage bottlenecks a 1–3 s expression
-    // pipeline), capped at the session width so a large-but-under-gate
-    // input still saturates the cluster.
     val perPart = spark.conf.get("spark.graft.spread.partitionBytes",
       (256L << 10).toString).toLong
     val minParts = spark.conf.get("spark.graft.spread.minPartitions", "8").toInt
