@@ -120,8 +120,14 @@ final class TestDataSource(spark: SparkSession, dir: String) extends EventSource
   // inside a temp directory and stream that (no data copy).
   private def streamDir(table: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+    // absolutize: the symlink lives in the temp dir, so a RELATIVE `dir`
+    // would resolve against the temp dir and dangle — the file stream
+    // source then lists zero files and the replay silently returns an
+    // empty frame (bit a relative tmp/sf1 sweep in r19; the batch reads
+    // resolve against the process cwd and were unaffected)
     java.nio.file.Files.createSymbolicLink(
-      tmp.resolve(s"$table.parquet"), java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      tmp.resolve(s"$table.parquet"),
+      java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath)
     tmp.toString
   }
 
