@@ -672,21 +672,25 @@ object AnalyticsQueries {
       // graph — every division truncates, so the oracle replays all ten
       // iterations bit-for-bit as unrolled CTEs
       Clustering.pageRank(
-        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
+        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b",
+        // nearDupImages emits distinct a < b pairs by construction
+        assumeCanonical = true)),
 
     "q_graph_triangles" -> ((s, d) =>
       // dup-graph community density: triangles + local clustering
       // coefficient over the banded image near-dup pairs — id-oriented
       // edges make each triangle enumerable once via two equi-joins
       Clustering.triangleStats(
-        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
+        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b",
+        assumeCanonical = true)),
 
     "q_graph_lpa" -> ((s, d) =>
       // deterministic synchronous label propagation, 3 rounds over the
       // image dup graph: most-frequent neighbor label, min-label ties —
       // finer than CC (weak bridges stay split), fully replayable
       Clustering.labelPropagation(
-        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b")),
+        Multimodal.nearDupImages(pngHashes(s, d)), "a", "b",
+        assumeCanonical = true)),
 
     "q_identity_sessions" -> ((s, d) => {
       // the cross-device journey: events REKEYED onto stitched identities
@@ -720,7 +724,7 @@ object AnalyticsQueries {
       // the same O(log n) large-star/small-star machinery as text clusters
       Clustering.connectedComponents(
         Multimodal.nearDupImages(pngHashes(s, d), maxDist = 3),
-        idCol1 = "a", idCol2 = "b")
+        idCol1 = "a", idCol2 = "b", assumeCanonical = true)
         .select(col("id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_survivor"))),
 

@@ -198,14 +198,23 @@ object Bench {
     //     (every probe elevated, so burst detection never fires — the r5
     //     failure mode): a query's minimum over passes run minutes apart is
     //     far more robust than any single lap.
-    // `calibration` reports probe min/max/mean, the retry count, and both
+    //  3. REPLACEMENT passes (r20, VERDICT r19 #1): a pass whose bracketing
+    //     probes flag it dirty no longer refuses the whole run — up to two
+    //     extra passes run until TWO clean passes exist, and the composite
+    //     is the per-query minimum over the CLEAN passes only. The refusal
+    //     (`contended_do_not_compare`) now fires only when four passes
+    //     cannot produce two clean ones: three consecutive driver runs
+    //     (r18 32c, r19 32c, r19 8c) were refused outright and left PERF
+    //     empty two rounds running — an honest flag, but a failed contract.
+    // `calibration` reports probe min/max/mean, the retry count, and all
     // pass totals, so a run where even the minima are contended stays
     // machine-detectable.
     val cals = scala.collection.mutable.ArrayBuffer(calibrate())
     var baseCal = cals.head
     var retried = 0
-    // full-subscription probes: start / between passes / end (3 × ~0.35 s —
-    // cheap enough to bracket the run, too costly to interleave per query)
+    // full-subscription probes bracket every pass (start / between / end;
+    // ~0.35 s each — cheap enough per pass, too costly to interleave per
+    // query); probe i and probe i+1 bracket pass i
     val nCores = cpus.toInt
     val calsMT = scala.collection.mutable.ArrayBuffer(calibrateMT(nCores))
     // Run-level fsync-latency probes bracket the passes like the mt
@@ -218,7 +227,14 @@ object Bench {
     // io_brackets: gate -> per-pass (before, after) median-ms pairs
     val ioBrackets = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[(Double, Double)]]()
-    def pass(): Seq[(String, Double)] =
+    // 1-thread probes recorded DURING each pass, so a probe spike can be
+    // attributed to the pass it happened in (dirty-pass marker, not a
+    // run-wide refusal)
+    val calsByPass = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    def pass(): Seq[(String, Double)] = {
+      val myCals = scala.collection.mutable.ArrayBuffer[Double]()
+      calsByPass += myCals
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val ioBefore = if (IoGates(name)) ioProbe() else -1.0
         def run(): Double = {
@@ -253,12 +269,13 @@ object Bench {
         }
         var t = run()
         val c = calibrate()
-        cals += c
+        cals += c; myCals += c
         baseCal = math.min(baseCal, c)
         if (c > baseCal * 1.5) { // host was busy while this query ran
           retried += 1
           t = math.min(t, run())
-          val c2 = calibrate(); cals += c2; baseCal = math.min(baseCal, c2)
+          val c2 = calibrate(); cals += c2; myCals += c2
+          baseCal = math.min(baseCal, c2)
         }
         if (IoGates(name)) {
           // the after-probe closes the bracket AROUND everything that
@@ -269,76 +286,124 @@ object Bench {
         }
         name -> t
       }
-    val pass1 = pass()
-    iosRun += ioProbe()
-    calsMT += calibrateMT(nCores)
-    val pass2 = pass()
-    iosRun += ioProbe()
-    calsMT += calibrateMT(nCores)
-    val rawResults = pass1.zip(pass2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
-    // queries that failed BOTH passes carry Infinity: excluded from totals,
-    // emitted as -1, and counted loudly
+    }
+    val passes = scala.collection.mutable.ArrayBuffer[Seq[(String, Double)]]()
+    var mtRetried = 0
+    // boundary mt probe with one retry: a SINGLE probe is noisy (the first
+    // r20 4-pass run read 0.531 right after a 449 s contended pass1 —
+    // tainting the clean 180 s pass2 — and 0.370 vs a 0.369 threshold after
+    // a clean 178 s pass4), and one transient spike at a boundary dirties
+    // TWO passes. A second probe ~1 s later separates a transient (clean on
+    // retry → keep the better reading) from a genuine epoch (elevated on
+    // both). Mirrors the per-query burst retry.
+    def mtProbe(): (Double, Double) = {
+      val p1 = calibrateMT(nCores)
+      if (p1._1 <= 1.35 * cals.min) p1
+      else {
+        mtRetried += 1
+        Thread.sleep(1000)
+        val p2 = calibrateMT(nCores)
+        if (p2._1 < p1._1) p2 else p1
+      }
+    }
+    def runPass(): Unit = {
+      passes += pass()
+      iosRun += ioProbe()
+      calsMT += mtProbe()
+    }
+    // Pass-level cleanliness (r18, extended r20): mt probes bracket every
+    // pass, so pass i is clean when BOTH its bracketing median probes are
+    // within 1.35× the best single-thread probe (see calibrateMT: clean
+    // ≤1.04×, 12-core theft ≥1.47× on this host) AND no single-thread
+    // probe recorded during the pass spiked past 3× the run's probe mean
+    // (the r10 burst signature, previously a run-wide refusal, now
+    // attributed to the pass it happened in). On a host that throws a
+    // transient epoch most runs, a fully clean multi-pass run is rare but
+    // a clean single pass is common; replacement passes + clean-pass
+    // minima turn that into a comparable composite instead of a refusal.
+    def mtBracketClean(i: Int): Boolean =
+      calsMT(i)._1 <= 1.35 * cals.min && calsMT(i + 1)._1 <= 1.35 * cals.min
+    def spiked(i: Int): Boolean = {
+      val m = cals.sum / cals.size
+      calsByPass(i).nonEmpty && calsByPass(i).max > 3.0 * m
+    }
+    def cleanNow: IndexedSeq[Boolean] =
+      passes.indices.map(i => mtBracketClean(i) && !spiked(i))
+    runPass(); runPass()
+    val maxPasses = 4
+    while (passes.size < maxPasses && cleanNow.count(identity) < 2) runPass()
+    val passClean = cleanNow
+    val cleanIdx = passClean.zipWithIndex.collect { case (true, i) => i }
+    // the composite's inputs: clean passes when two or more exist (the
+    // normal case, possibly via replacement passes); otherwise every pass,
+    // with the run refused as contended below
+    val useIdx: IndexedSeq[Int] =
+      if (cleanIdx.size >= 2) cleanIdx.toIndexedSeq else passes.indices
+    val qNames = passes.head.map(_._1)
+    val perPass: IndexedSeq[IndexedSeq[Double]] =
+      passes.map(_.map(_._2).toIndexedSeq).toIndexedSeq
+    // per-query minimum over the used passes; a query that failed in every
+    // used pass falls back to its minimum over ALL passes (an inflated but
+    // real measurement beats a -1), and only an all-pass failure counts as
+    // failed
+    val rawResults = qNames.zipWithIndex.map { case (k, qi) =>
+      val used = useIdx.map(pi => perPass(pi)(qi)).min
+      k -> (if (used.isInfinite) passes.indices.map(pi => perPass(pi)(qi)).min
+            else used)
+    }
+    // provenance: 1-based index of the pass each recorded minimum came from
+    val passSrcIdx = qNames.zipWithIndex.map { case (k, qi) =>
+      val v = rawResults(qi)._2
+      val src = passes.indices.find(pi => perPass(pi)(qi) == v).getOrElse(0)
+      k -> (src + 1)
+    }
     val failed = rawResults.collect { case (k, v) if v.isInfinite => k }
     val results = rawResults.map { case (k, v) => k -> (if (v.isInfinite) -1.0 else v) }
-    // `value` is a best-of composite (sum of per-query minima across the two
-    // passes) — it corresponds to no single measured run. `best_pass_total`
-    // is the fastest single pass as actually measured; `total_kind` labels
-    // the composite so a reader of `value` alone is not misled.
+    // `value` is a best-of composite (sum of per-query minima across the
+    // clean passes) — it corresponds to no single measured run.
+    // `best_pass_total` is the fastest single pass as actually measured;
+    // `total_kind` labels the composite so a reader of `value` alone is not
+    // misled.
     def finiteSum(xs: Seq[(String, Double)]): Double =
       xs.collect { case (_, v) if !v.isInfinite && v >= 0 => v }.sum
     val total = finiteSum(results)
-    val bestPass = math.min(finiteSum(pass1), finiteSum(pass2))
+    val bestPass = passes.map(p => finiteSum(p)).min
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val calMean = cals.sum / cals.size
+    // the mean used for host-rate normalization (tools/check_watchlines.py
+    // divides by it) comes from the probes of the passes that PRODUCED the
+    // composite: averaging in a dirty replaced pass's inflated probes would
+    // shrink every normalized value and launder regressions. `mean_all`
+    // keeps the whole-run mean for audit.
+    val calMeanAll = cals.sum / cals.size
+    val cleanCals =
+      if (cleanIdx.size >= 2) cleanIdx.flatMap(calsByPass(_)) else cals.toSeq
+    val calMean = if (cleanCals.nonEmpty) cleanCals.sum / cleanCals.size else calMeanAll
     val mtMeds = calsMT.map(_._1)
     val mtMaxes = calsMT.map(_._2)
     val mtMedMean = mtMeds.sum / mtMeds.size
-    // Single-pass epoch flag (VERDICT r17 #5): a run-wide mean gate can
-    // miss ONE elevated probe — a transient epoch covering a single pass
-    // leaves a HALF-SAMPLE composite (each query got one clean shot, not
-    // two) that must not seed watchline derivation. Gated on the MEDIAN
-    // probe (see calibrateMT: clean ≤1.04×, 12-core theft ≥1.47× on this
-    // host — 1.35× splits the gap with margin on both sides; the
-    // max-of-32 used through r17 false-fired at 1.9× on composite-normal
-    // runs from its GC tail).
+    // epoch flag (VERDICT r17 #5): any probe past the bracket threshold —
+    // audit signal that at least one pass window was dirty (with ≥2 clean
+    // passes the composite is still full-sample; tools judge via
+    // pass_clean)
     val mtEpoch = mtMeds.exists(_ > 1.35 * cals.min)
-    // Pass-level cleanliness (r18): the three mt probes bracket the two
-    // passes (start / between / end), so each pass is individually
-    // verifiable — pass i is clean when both its bracketing median probes
-    // are. On a host that throws a transient epoch most runs (three of
-    // three r18 runs, one dirty probe window each, positions varying), a
-    // fully clean 13-minute run is rare but a clean 6-minute pass is
-    // common; recording per-pass values + cleanliness lets watchline
-    // derivation use verified-clean passes instead of waiting for a
-    // unicorn run.
-    val passClean = Seq(
-      mtMeds(0) <= 1.35 * cals.min && mtMeds(1) <= 1.35 * cals.min,
-      mtMeds(1) <= 1.35 * cals.min && mtMeds(2) <= 1.35 * cals.min)
     val calStats = s"""{"min":${r3(cals.min)},"max":${r3(cals.max)},""" +
-      s""""mean":${r3(calMean)},"retried":$retried,""" +
+      s""""mean":${r3(calMean)},"mean_all":${r3(calMeanAll)},""" +
+      s""""retried":$retried,"mt_retried":$mtRetried,""" +
       s""""mt_med":[${mtMeds.map(r3).mkString(",")}],""" +
       s""""mt_med_mean":${r3(mtMedMean)},""" +
       s""""mt":[${mtMaxes.map(r3).mkString(",")}],""" +
       s""""mt_mean":${r3(mtMaxes.sum / mtMaxes.size)},""" +
       s""""mt_max":${r3(mtMaxes.max)},"mt_epoch":$mtEpoch,""" +
       s""""io_med_ms":[${iosRun.map(r3).mkString(",")}],""" +
-      s""""pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}]}"""
-    // Contention refusal (r10 lesson: a 3.53s-max / 0.28s-mean calibration
-    // run produced phantom per-query regressions the verdict then chased).
-    // When the worst probe exceeds 3× the probe mean, the composite is NOT
-    // presented as a comparable number: total_kind flips to "contended" and
-    // `contended` is set so automated diffing skips this run. The per-query
-    // table is still recorded (minima remain useful lower bounds).
-    // Second trigger (r17, median-gated since r18): full-subscription
-    // drift. A neighbor stealing CORES leaves the single-thread probe flat
-    // while every 32-way stage runs slow — the r17 drift run measured a
-    // 1.4× composite at calMean 0.288 exactly this way. When the mean
-    // MEDIAN 32-thread probe exceeds 1.4× the best single-thread probe,
-    // per-core capacity is oversubscribed for most of the run and it is
-    // not comparable. (Median, not max: the max false-fired on clean runs
-    // — see calibrateMT — and 1.4× sits between the clean ceiling 1.04×
-    // and the measured 12-core-theft floor 1.47×.)
-    val contended = cals.max > 3.0 * calMean || mtMedMean > 1.4 * cals.min
+      s""""pass_totals":[${passes.map(p => r3(p.map(_._2).sum)).mkString(",")}]}"""
+    // Contention refusal, r20 semantics: refused ONLY when four passes
+    // could not produce two clean ones. The former run-wide triggers (probe
+    // spike > 3× mean, r10; mt-median drift > 1.4×, r17) are now per-pass
+    // dirty markers feeding the replacement loop — their evidence is
+    // recorded (calibration stats, pass_clean) but a run with two
+    // probe-certified clean passes is comparable regardless of what
+    // happened in the passes that were replaced.
+    val contended = cleanIdx.size < 2
     val totalKind =
       if (contended) "contended_do_not_compare" else "per_query_min_composite"
 
@@ -350,12 +415,10 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query pass provenance (VERDICT r17 #5): which pass each recorded
-    // minimum came from, so a one-pass-contaminated composite is auditable
-    // query by query (an mt_epoch run whose minima all came from the clean
-    // pass is still a usable lower bound; one leaning on the epoch pass is
-    // not)
-    val passSrc = pass1.zip(pass2).map { case ((k, a), (_, b)) =>
-      "\"" + k + "\":" + (if (a <= b) 1 else 2) }.mkString("{", ",", "}")
+    // minimum came from (1-based over ALL passes run), so the composite is
+    // auditable query by query against pass_clean
+    val passSrc = passSrcIdx.map { case (k, i) => "\"" + k + "\":" + i }
+      .mkString("{", ",", "}")
     def passJson(p: Seq[(String, Double)]): String =
       p.map { case (k, v) =>
         "\"" + k + "\":" + (if (v.isInfinite) -1.0 else v) }
@@ -376,12 +439,15 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_kind":"$totalKind","contended":$contended,""" +
       s""""best_pass_total":$bestPass,""" +
+      s""""n_passes":${passes.size},""" +
+      s""""clean_passes":[${cleanIdx.map(_ + 1).mkString(",")}],""" +
       s""""failed_queries":$failedJson,"queries":$fullQs,""" +
       s""""pass_src":$passSrc,""" +
       s""""pass_clean":[${passClean.mkString(",")}],""" +
       s""""io_brackets":$ioJson,""" +
-      s""""pass1_queries":${passJson(pass1)},""" +
-      s""""pass2_queries":${passJson(pass2)},""" +
+      s""""pass1_queries":${passJson(passes(0))},""" +
+      s""""pass2_queries":${passJson(passes(1))},""" +
+      s""""pass_queries":[${passes.map(passJson).mkString(",")}],""" +
       s""""calibration_s":${cals.max},"calibration":$calStats,"sf":"$sfDir"}"""
     println(fullLine)
     // Never clobber a previously recorded full table: every run writes a
@@ -412,6 +478,8 @@ object Bench {
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""total_kind":"$totalKind","contended":$contended,""" +
       s""""best_pass_total":${r3(bestPass)},""" +
+      s""""n_passes":${passes.size},""" +
+      s""""clean_passes":[${cleanIdx.map(_ + 1).mkString(",")}],""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""calibration_s":${r3(cals.max)},""" +
       s""""calibration":$calStats,"sf":"$sfDir",""" +

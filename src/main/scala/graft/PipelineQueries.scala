@@ -436,7 +436,9 @@ object PipelineQueries {
         Dedup.exactDedup(dd, "doc_id", "text")
           .select(col("keep_id").as("doc_id")), Seq("doc_id"))
       val dropped = Clustering.connectedComponents(
-          Dedup.minhashNearDups(exact, "doc_id", "text"), "id_1", "id_2")
+          Dedup.minhashNearDups(exact, "doc_id", "text"), "id_1", "id_2",
+          // minhashNearDups emits distinct id_1 < id_2 pairs by construction
+          assumeCanonical = true)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
       val near = exact.join(dropped, Seq("doc_id"), "left_anti")
@@ -596,7 +598,9 @@ object PipelineQueries {
       Clustering.labelPropagation(
         Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding",
           threshold = 0.4),
-        "id_1", "id_2")),
+        "id_1", "id_2",
+        // cosineNearDups emits distinct id_1 < id_2 pairs by construction
+        assumeCanonical = true)),
 
     "q_dedup_embed_lsh" -> ((s, d) =>
       // kept for bench continuity with rounds 1-2 (≡ q_dedup_embed now)

@@ -69,13 +69,27 @@ object Clustering {
       idCol2: String = "id_2", maxRounds: Int = 30,
       checkpointDir: Option[String] = None,
       localThreshold: Int = 1 << 21,
-      autoDiskEdges: Long = 1L << 26): DataFrame = {
+      autoDiskEdges: Long = 1L << 26,
+      assumeCanonical: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
-    val canonical = pairs
-      .select(col(idCol1).cast("long").as("u"), col(idCol2).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
+    // `assumeCanonical` (r20, guide §2.4 "a distinct on data that is
+    // already unique"): the near-dup pair builders (nearDupImages,
+    // minhashNearDups, cosineNearDups, Identity star edges) all emit
+    // DISTINCT pairs with id_1 < id_2 by construction (their band/bucket
+    // self-joins filter `<` and dropDuplicates before the confirm), so the
+    // defensive re-canonicalization here — a corpus-wide exchange + hash
+    // aggregate over the full edge list — is pure cost at every scale.
+    // Callers set it ONLY when the producer guarantees the contract;
+    // CanonicalPairSpec pins value identity on violating inputs staying on
+    // the default path.
+    val canonical =
+      if (assumeCanonical)
+        pairs.select(col(idCol1).cast("long").as("u"), col(idCol2).cast("long").as("v"))
+      else pairs
+        .select(col(idCol1).cast("long").as("u"), col(idCol2).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
 
     // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u});
     // small-star: every neighbor v < u (and u itself) links to m(u).
@@ -334,16 +348,22 @@ object Clustering {
       checkpointEvery: Int = 5,
       checkpointDir: Option[String] = None,
       autoDiskEdges: Long = 1L << 26,
-      localThreshold: Int = 1 << 21): DataFrame = {
+      localThreshold: Int = 1 << 21,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(dampPpm >= 0 && dampPpm <= 1000000L, s"dampPpm out of range: $dampPpm")
     val spark = edges.sparkSession
     val idiv = (a: Column, b: Column) => call_function("div", a, b)
-    val und0 = edges
-      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
-        greatest(col(aCol), col(bCol)).cast("long").as("b"))
-      .filter(col("a") < col("b")).distinct()
+    // assumeCanonical: see connectedComponents — skips a full-edge-list
+    // exchange when the producer guarantees distinct a < b pairs
+    val und0 =
+      if (assumeCanonical)
+        edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      else edges
+        .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+          greatest(col(aCol), col(bCol)).cast("long").as("b"))
+        .filter(col("a") < col("b")).distinct()
     // small-graph fast path (scaladoc): the canonical pair list is
     // persisted ONCE (the count that gates the branch is also the fill
     // job, so the pair-graph lineage still runs exactly one pass), then
@@ -618,13 +638,19 @@ object Clustering {
       iters: Int = 3, checkpointEvery: Int = 5,
       checkpointDir: Option[String] = None,
       autoDiskEdges: Long = 1L << 26,
-      localThreshold: Int = 1 << 21): DataFrame = {
+      localThreshold: Int = 1 << 21,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val und0 = edges
-      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
-        greatest(col(aCol), col(bCol)).cast("long").as("b"))
-      .filter(col("a") < col("b")).distinct()
+    // assumeCanonical: see connectedComponents — skips a full-edge-list
+    // exchange when the producer guarantees distinct a < b pairs
+    val und0 =
+      if (assumeCanonical)
+        edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      else edges
+        .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+          greatest(col(aCol), col(bCol)).cast("long").as("b"))
+        .filter(col("a") < col("b")).distinct()
     // small-graph fast path — the pageRank/connectedComponents
     // localThreshold discipline (identical labels, spec-pinned)
     val smallOrUnd = smallPairsOrPersisted(und0, localThreshold, checkpointDir)
@@ -682,13 +708,19 @@ object Clustering {
     *
     * Output: node, degree, n_tri, lcc_ppm =
     * `2·n_tri·1e6 div (degree·(degree−1))` (truncated). */
-  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+      assumeCanonical: Boolean = false): DataFrame = {
     // normalize orientation (a reversed duplicate collapses rather than
-    // vanishes), drop self-loops, dedupe
-    val e = edges
-      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
-        greatest(col(aCol), col(bCol)).cast("long").as("b"))
-      .filter(col("a") < col("b")).distinct()
+    // vanishes), drop self-loops, dedupe; assumeCanonical (see
+    // connectedComponents) skips that full-edge-list exchange when the
+    // producer guarantees distinct a < b pairs
+    val e =
+      if (assumeCanonical)
+        edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      else edges
+        .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+          greatest(col(aCol), col(bCol)).cast("long").as("b"))
+        .filter(col("a") < col("b")).distinct()
     val tri = e.alias("e1")
       .join(e.alias("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))

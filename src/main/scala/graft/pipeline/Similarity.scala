@@ -1001,16 +1001,26 @@ object Similarity {
   def marginPairs(candidates: DataFrame, k: Int, thresholdPpm: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    // THREE consumers read the candidate frame (each directional top-k
+    // aggregation plus the final join base), and a candidate row costs a
+    // bucket join + dot product to produce — unpersisted, the whole
+    // candidate build ran three times (r20 plan audit; exchange reuse does
+    // not cover the post-exchange dot-product projection). Persist
+    // (spillable) so collisions are scored once; candidate volume is the
+    // operator's honest cost and this caches exactly that, nothing wider.
+    // Lifetime: registered — see the Projections caching contract.
+    val cand = graft.pipeline.Projections.register(
+      candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def sumTopK(qc: String, nc: String, sumName: String, cntName: String) = {
       val tk = columnOf(graft.functions.TopKByDot(
         expressionOf(col("cos_ppm")), expressionOf(col(nc).cast("long")),
         expressionOf(lit(0.0)), k).toAggregateExpression())
-      candidates.groupBy(col(qc)).agg(tk.as("_tk"))
+      cand.groupBy(col(qc)).agg(tk.as("_tk"))
         .select(col(qc),
           expr("aggregate(_tk, cast(0 as bigint), (acc, e) -> acc + e.dot)").as(sumName),
           size(col("_tk")).cast("long").as(cntName))
     }
-    candidates
+    cand
       .join(sumTopK("a_id", "b_id", "_sa", "_ca"), Seq("a_id"))
       .join(sumTopK("b_id", "a_id", "_sb", "_cb"), Seq("b_id"))
       .filter(col("_sa") * col("_cb") + col("_sb") * col("_ca") > 0)

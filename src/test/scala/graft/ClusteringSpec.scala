@@ -260,4 +260,43 @@ class ClusteringSpec extends AnyFunSuite {
       .select("cluster_id").distinct().count()
     assert(cc == 1L)
   }
+
+  test("assumeCanonical: identical results on producer-contract inputs, " +
+      "both branches and both execution paths") {
+    import spark.implicits._
+    // a seeded random CANONICAL pair list (distinct, a < b) — the exact
+    // contract the near-dup builders guarantee; assumeCanonical=true skips
+    // the defensive re-canonicalization exchange and must change nothing
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(400)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val df = pairs.toDF("a", "b")
+    for (lt <- Seq(-1, 1 << 21)) { // distributed rounds AND the fast path
+      val ccDef = Clustering.connectedComponents(df, "a", "b",
+        localThreshold = lt).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ccCan = Clustering.connectedComponents(df, "a", "b",
+        localThreshold = lt, assumeCanonical = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ccCan == ccDef, s"cc localThreshold=$lt")
+      val prDef = Clustering.pageRank(df, "a", "b", iters = 3,
+        localThreshold = lt).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prCan = Clustering.pageRank(df, "a", "b", iters = 3,
+        localThreshold = lt, assumeCanonical = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prCan == prDef, s"pageRank localThreshold=$lt")
+      val lpDef = Clustering.labelPropagation(df, "a", "b", iters = 3,
+        localThreshold = lt).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lpCan = Clustering.labelPropagation(df, "a", "b", iters = 3,
+        localThreshold = lt, assumeCanonical = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lpCan == lpDef, s"lpa localThreshold=$lt")
+    }
+    val triDef = Clustering.triangleStats(df, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val triCan = Clustering.triangleStats(df, "a", "b", assumeCanonical = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(triCan == triDef)
+  }
 }

@@ -52,7 +52,7 @@ def io_certified(bench, name):
     if not br:
         return False, None
     src = bench.get("pass_src", {}).get(name)
-    if src not in (1, 2) or len(br) < src:
+    if not isinstance(src, int) or src < 1 or len(br) < src:
         return False, None
     b = br[src - 1]
     pc = bench.get("pass_clean")
@@ -88,7 +88,16 @@ def main() -> int:
     # without mt_med fall back to the old max-based rules.
     cmin = bench["calibration"]["min"]
     mt_meds = bench["calibration"].get("mt_med")
-    if mt_meds:
+    if bench.get("n_passes"):
+        # r20+ multi-pass Bench: pass-level gating (mt brackets + in-pass
+        # probe spikes) already decided which passes produced the composite,
+        # and `calibration.mean` is the CLEAN-pass probe mean, so run-wide
+        # mt heuristics would re-judge probes from passes that were replaced.
+        # Two clean passes = full-sample composite (no half-sample caveat);
+        # fewer = Bench already set contended.
+        mt_bad = False
+        mt_epoch = len(bench.get("clean_passes", [])) < 2
+    elif mt_meds:
         mt_bad = sum(mt_meds) / len(mt_meds) > 1.4 * cmin
         mt_epoch = any(p > 1.35 * cmin for p in mt_meds)
     else:

@@ -101,6 +101,44 @@ def main() -> int:
             print(f"REFUSED input {f}: no mt_med probes (pre-r18 Bench; "
                   "drift epochs not reliably measurable)")
             return 1
+        if d.get("n_passes"):
+            # r20+ multi-pass Bench: the recorded minima already come from
+            # probe-certified clean passes only (>=2 of them, else Bench set
+            # contended and we refused above), and calibration.mean is the
+            # clean-pass probe mean. Weather-gate each sample by the
+            # run-level io probes bracketing its contributing pass.
+            io_run = d["calibration"].get("io_med_ms", [])
+            n_dropped = 0
+            for q in WATCHED:
+                if q not in d["queries"]:
+                    print(f"REFUSED input {f}: {q} missing")
+                    return 1
+                val = d["queries"][q]
+                if val < 0:
+                    print(f"REFUSED input {f}: {q} failed in every clean "
+                          "pass")
+                    return 1
+                src = d.get("pass_src", {}).get(q, 0)
+                ok = (not io_run or src < 1 or len(io_run) <= src
+                      or max(io_run[src - 1], io_run[src])
+                      <= RUN_IO_CEILING_MS)
+                if ok:
+                    norms[q].append(val / cal)
+                else:
+                    n_dropped += 1
+                if q in IO_WATCHED:
+                    br = d.get("io_brackets", {}).get(q)
+                    if br and 1 <= src <= len(br) \
+                            and max(br[src - 1]) <= IO_CLEAN_MS:
+                        io_norms[q].append(val / cal)
+            used.append(f.split("/")[-1]
+                        + (f" ({d['n_passes']} passes, clean "
+                           f"{d.get('clean_passes')})"
+                           if d["n_passes"] > 2 else "")
+                        + ("" if not n_dropped else
+                           f" ({n_dropped} wide samples dropped: io "
+                           "weather)"))
+            continue
         clean = d.get("pass_clean")
         if clean is None:
             clean = [mt_med[0] <= 1.35 * d["calibration"]["min"]
