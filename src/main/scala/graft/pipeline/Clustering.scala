@@ -515,16 +515,25 @@ object Clustering {
     if (pairs.isEmpty) return Seq.empty[(Long, Long)].toDF("node", "community")
     val g = new CsrGraph(pairs)
     var lab: Array[Long] = g.nodes.clone()
-    val scratchLabels = new Array[Long](g.deg.max)
+    // per-node argmax is independent within a round (reads the previous
+    // round's lab, writes nx(k) only), so the rounds parallelize across
+    // driver cores with per-thread scratch — the per-node neighbor-label
+    // sort made the serial replay the visible cost of the LPA gate (~0.7 s
+    // single-threaded on the 3.17M-directed-edge gate graph vs pageRank's
+    // linear adds; r20 profile). Results are bit-identical regardless of
+    // scheduling: same per-node inputs, same first-max (= min-label tie)
+    // scan.
+    val scratchTL = ThreadLocal.withInitial[Array[Long]](() => new Array[Long](g.deg.max))
     var it = 0
     while (it < iters) {
       val nx = new Array[Long](g.n)
-      var k = 0
-      while (k < g.n) {
+      val labCur = lab
+      java.util.stream.IntStream.range(0, g.n).parallel().forEach { k =>
+        val scratchLabels = scratchTL.get()
         val base = g.off(k)
         val d = g.off(k + 1) - base
         var j = 0
-        while (j < d) { scratchLabels(j) = lab(g.nbr(base + j)); j += 1 }
+        while (j < d) { scratchLabels(j) = labCur(g.nbr(base + j)); j += 1 }
         java.util.Arrays.sort(scratchLabels, 0, d)
         var best = scratchLabels(0); var bestCnt = 0
         var cur = scratchLabels(0); var cnt = 0
@@ -539,7 +548,6 @@ object Clustering {
         }
         if (cnt > bestCnt) { bestCnt = cnt; best = cur }
         nx(k) = best
-        k += 1
       }
       lab = nx
       it += 1
