@@ -117,6 +117,15 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     expr(s"transform(${shingles(text, n).toString}, s -> md5long(s))")
 
+  /** Native `size(array_intersect(a, b))` for `array<bigint>` columns —
+    * the exact-Jaccard confirm rung, evaluated per candidate pair (see
+    * [[graft.functions.IntersectCountLong]]: the composed spelling boxes
+    * every element and materializes the intersection it only counts). */
+  private[graft] def intersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(graft.functions.IntersectCountLong(expressionOf(a), expressionOf(b)))
+  }
+
   /** Choose (bands, rowsPerBand) for a Jaccard threshold within a `perms`
     * permutation budget — the LSH S-curve knob the r11 scale sweep showed
     * matters: with b bands of r rows, P(candidate | J) = 1-(1-J^r)^b, and
@@ -347,7 +356,7 @@ object Dedup {
       .join(sets.select(col("id").as("id_2"), col("sh").as("sh_2")), Seq("id_2"))
 
     cand
-      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+      .withColumn("inter", intersectCount(col("sh_1"), col("sh_2")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_1")) + size(col("sh_2")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -392,7 +401,7 @@ object Dedup {
     candIds
       .join(ha.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(hb.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -460,16 +469,27 @@ object Dedup {
         expr("transform(ord, e -> e.t)").as("sorted_ts"),
         (col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1).as("plen"))
     val prefixes = ordered
-      .select(col("id"), explode(slice(col("sorted_ts"), lit(1), col("plen"))).as("t"))
-    val cand = prefixes.select(col("t"), col("id").as("id_1"))
-      .join(prefixes.select(col("t"), col("id").as("id_2")), Seq("t"))
+      .select(col("id"), col("n"),
+        explode(slice(col("sorted_ts"), lit(1), col("plen"))).as("t"))
+    // LENGTH filter (the PPJoin family's first refinement, exact): J(x,y)
+    // ≤ min(|x|,|y|)/max(|x|,|y|) — the intersection is at most the
+    // smaller set and the union at least the larger — so J ≥ t requires
+    // min ≥ t·max. Applied per candidate OCCURRENCE, before the pair
+    // dedup exchange and the confirm, it drops ~24% of candidates at
+    // sf0.1 (409k → 310k pairs) for two extra longs through the prefix
+    // join. The 1e-6 slack absorbs double rounding in t·max — it can only
+    // KEEP a boundary pair the real bound would drop, never lose one.
+    val cand = prefixes.select(col("t"), col("id").as("id_1"), col("n").as("n_1"))
+      .join(prefixes.select(col("t"), col("id").as("id_2"), col("n").as("n_2")), Seq("t"))
       .filter(col("id_1") < col("id_2"))
+      .filter(least(col("n_1"), col("n_2")).cast("double") >=
+        lit(threshold) * greatest(col("n_1"), col("n_2")).cast("double") - 1e-6)
       .select("id_1", "id_2").dropDuplicates("id_1", "id_2")
     val sets = toks
     cand
       .join(sets.select(col("id").as("id_1"), col("ts").as("ts_1")), Seq("id_1"))
       .join(sets.select(col("id").as("id_2"), col("ts").as("ts_2")), Seq("id_2"))
-      .withColumn("inter", size(array_intersect(col("ts_1"), col("ts_2"))).cast("double"))
+      .withColumn("inter", intersectCount(col("ts_1"), col("ts_2")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("ts_1")) + size(col("ts_2")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -757,17 +777,24 @@ object Dedup {
     // ReuseExchange computes ONCE, and the shuffle on fp is the one a
     // sort-merge self-join needs at scale anyway (AQE may still downgrade
     // it to broadcast on small inputs).
+    // HASHED shingle identity (md5long), as in [[prefixJaccardJoin]]: the
+    // fp exchange carries 8-byte elements instead of ~25-char shingle
+    // strings (§2.3 — ~4× fewer shuffled bytes for the same sets), and the
+    // confirm runs the native [[intersectCount]] kernel instead of boxing
+    // string arrays. Hashed-set Jaccard equals string-set Jaccard exactly
+    // unless two distinct shingles of one compared pair collide in 64 bits
+    // (~2⁻⁶⁴ per pair — the risk every minhash confirm tier accepts).
     val keyed = df.select(
       col(idCol).as("id"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"),
-      shingles(col(textCol), ngram).as("sh"))
+      shingleHashes(col(textCol), ngram).as("sh"))
       .repartition(col("fp"))
     val l = keyed.select(col("fp"), col("id").as("id_1"), col("sh").as("sh_1"))
     val r = keyed.select(col("fp"), col("id").as("id_2"), col("sh").as("sh_2"))
     l.join(r, Seq("fp"))
       .filter(col("id_1") < col("id_2"))
       .filter(size(col("sh_1")) > 0 && size(col("sh_2")) > 0)
-      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+      .withColumn("inter", intersectCount(col("sh_1"), col("sh_2")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_1")) + size(col("sh_2")) - col("inter")))
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
@@ -799,8 +826,14 @@ object Dedup {
     require(prefixTokens >= 1, s"prefixTokens must be >= 1, got $prefixTokens")
     val key = array_join(
       slice(split(trim(col(textCol)), "\\s+"), 1, prefixTokens), " ")
+    // HASHED shingle identity (md5long), as in [[prefixJaccardJoin]]: the
+    // checkpointed ranked table holds 8-byte elements instead of shingle
+    // strings (~4× narrower materialization + rank-join shuffles, §2.3),
+    // and the confirm runs the native [[intersectCount]] kernel. Exact
+    // unless two distinct shingles of one compared pair collide in 64
+    // bits — the accepted minhash-confirm risk.
     val base = df.select(col(idCol).as("_id"), key.as("_key"),
-      shingles(col(textCol), ngram).as("_sh"))
+      shingleHashes(col(textCol), ngram).as("_sh"))
     val ranked = Ranking.globalRank(base, Seq("_key", "_id"))
       // the rank join consumes this twice; materialize the (narrow)
       // ranked table once rather than re-running rank's shuffles per side
@@ -813,7 +846,7 @@ object Dedup {
       col("_rank").as("_rb"))
     lhs.join(rhs, "_rb")
       .filter(size(col("_s1")) > 0 && size(col("_s2")) > 0)
-      .withColumn("_i", size(array_intersect(col("_s1"), col("_s2"))).cast("long"))
+      .withColumn("_i", intersectCount(col("_s1"), col("_s2")).cast("long"))
       .withColumn("jaccard_ppm", expr(
         "_i * 1000000 div (size(_s1) + size(_s2) - _i)"))
       .filter(col("jaccard_ppm") >= thetaPpm)
@@ -1302,7 +1335,7 @@ object Dedup {
     val nearCorpus = candIds
       .join(bH.select(col("id"), col("sh").as("sh_b")), Seq("id"))
       .join(artifacts.shingles.select(col("cid"), col("sh").as("sh_c")), Seq("cid"))
-      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
+      .withColumn("inter", intersectCount(col("sh_b"), col("sh_c")).cast("double"))
       .filter(col("inter") / (size(col("sh_b")) + size(col("sh_c")) - col("inter")) >= threshold)
       .select("id").distinct().withColumn("near_corpus", lit(true))
 
@@ -1320,7 +1353,7 @@ object Dedup {
     val nearBatch = candBatch
       .join(base.select(col("id").as("id_1"), col("sh").as("sh_1")), Seq("id_1"))
       .join(base.select(col("id").as("id_2"), col("sh").as("sh_2")), Seq("id_2"))
-      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+      .withColumn("inter", intersectCount(col("sh_1"), col("sh_2")).cast("double"))
       .filter(col("inter") / (size(col("sh_1")) + size(col("sh_2")) - col("inter")) >= threshold)
       .select(col("id_2").as("id")).distinct().withColumn("near_batch", lit(true))
 

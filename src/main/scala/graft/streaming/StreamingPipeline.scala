@@ -271,7 +271,7 @@ object StreamingPipeline {
     val confirmRows = banded
       .join(cBands, Seq("band_idx", "band_hash"))
       .join(cSh, Seq("cid"))
-      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
+      .withColumn("inter", graft.pipeline.Dedup.intersectCount(col("sh_b"), col("sh_c")).cast("double"))
       .filter(col("inter") / (size(col("sh_b")) + size(col("sh_c")) - col("inter")) >= threshold)
       .select(col("ck"), col("id"), lit(false).as("inCorpus"),
         lit(true).as("confirm"), col("__event_time").as("et"))
