@@ -182,6 +182,13 @@ object Bench {
       // out a chmod (fork+exec of this 16 GB JVM) — see
       // graft.fs.NioLocalFileSystem; scheme-scoped, identical semantics
       .config("spark.hadoop.fs.file.impl", classOf[graft.fs.NioLocalFileSystem].getName)
+      // whole-stage-codegen class cache sized for the suite: the default
+      // 100-entry LRU thrashes under 266 distinct queries (~15 codegen
+      // units each), so every repeat execution re-runs Janino on every
+      // unit — measured 430 recompiles per 30-query pass at ~15 ms each,
+      // ~0.25 s/query of pure driver compile on EVERY pass. 8192 entries
+      // hold the full suite (one driver-side cache; scale-independent).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -23,6 +23,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // same engine config as Bench: no-fork local fs (graft.fs.NioLocalFileSystem)
       .config("spark.hadoop.fs.file.impl", classOf[graft.fs.NioLocalFileSystem].getName)
+      // same engine config as Bench: suite-sized codegen class cache
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

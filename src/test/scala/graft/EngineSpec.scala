@@ -17,6 +17,8 @@ object SparkTestSession {
       // same engine config as Bench/Verify: no-fork local fs — and running
       // the WHOLE suite through it is its integration coverage
       .config("spark.hadoop.fs.file.impl", classOf[graft.fs.NioLocalFileSystem].getName)
+      // same engine config as Bench/Verify: suite-sized codegen class cache
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     graft.functions.Md5Long.register(s)
     graft.functions.DotLong.register(s)
