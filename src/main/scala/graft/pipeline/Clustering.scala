@@ -176,21 +176,45 @@ object Clustering {
       val arr = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
       edges.unpersist(false)
       dropRound(0)
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
+      // Primitive union-find over the sorted node table (r20 rework: the
+      // boxed LongMap + flatMap/distinct spelling allocated ~3 objects per
+      // edge). nodes is ASCENDING, so index order == id order and min-root
+      // union on INDICES is exactly min-id union — every root stays its
+      // component's min id, the labels the distributed rounds converge to.
+      val m = arr.length
+      val ea = new Array[Long](m); val eb = new Array[Long](m)
+      var i = 0
+      while (i < m) { val p = arr(i); ea(i) = p._1; eb(i) = p._2; i += 1 }
+      val nodes = {
+        val ids = new Array[Long](m * 2)
+        System.arraycopy(ea, 0, ids, 0, m)
+        System.arraycopy(eb, 0, ids, m, m)
+        java.util.Arrays.parallelSort(ids)
+        var n = 0; var j = 0
+        while (j < ids.length) {
+          if (n == 0 || ids(j) != ids(n - 1)) { ids(n) = ids(j); n += 1 }
+          j += 1
+        }
+        java.util.Arrays.copyOf(ids, n)
+      }
+      val parent = Array.tabulate(nodes.length)(identity)
+      def find(x: Int): Int = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        while (parent(r) != r) r = parent(r)
         var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      arr.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
+      i = 0
+      while (i < m) {
+        val ra = find(java.util.Arrays.binarySearch(nodes, ea(i)))
+        val rb = find(java.util.Arrays.binarySearch(nodes, eb(i)))
         // min-root union ⇒ every root IS its component's min id
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        i += 1
       }
-      val ids = arr.flatMap { case (a, b) => Seq(a, b) }.distinct
-      return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster_id")
+      return nodes.indices.map(k => (nodes(k), nodes(find(k))))
+        .toDF("id", "cluster_id")
     }
 
     var converged = edges.isEmpty
@@ -437,11 +461,25 @@ object Clustering {
     * the driver-side mirror of the symmetrized directed edge list the
     * distributed rounds iterate. Bounded by the callers' localThreshold. */
   private final class CsrGraph(pairs: Array[(Long, Long)]) {
-    val nodes: Array[Long] = {
-      val ids = new Array[Long](pairs.length * 2)
+    // Build order (r20 rework): ONE unboxing pass over the tuple array
+    // into primitive endpoint arrays, ONE binary-search index pass per
+    // endpoint (parallel — writes disjoint slots), then degree/offset/
+    // neighbor fills over primitive ints. The previous spelling re-walked
+    // the boxed tuples three times and binary-searched every endpoint
+    // twice more (4 searches/edge) — ~0.4 s of the graph gates' driver
+    // wall at the 1.58M-edge gate graph. Identical arrays come out.
+    private val m = pairs.length
+    private val ea = new Array[Long](m)
+    private val eb = new Array[Long](m)
+    locally {
       var i = 0
-      pairs.foreach { case (a, b) => ids(i) = a; ids(i + 1) = b; i += 2 }
-      java.util.Arrays.sort(ids)
+      while (i < m) { val p = pairs(i); ea(i) = p._1; eb(i) = p._2; i += 1 }
+    }
+    val nodes: Array[Long] = {
+      val ids = new Array[Long](m * 2)
+      System.arraycopy(ea, 0, ids, 0, m)
+      System.arraycopy(eb, 0, ids, m, m)
+      java.util.Arrays.parallelSort(ids)
       var n = 0
       var j = 0
       while (j < ids.length) {
@@ -451,10 +489,19 @@ object Clustering {
       java.util.Arrays.copyOf(ids, n)
     }
     val n: Int = nodes.length
-    private def idx(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    private val ia = new Array[Int](m)
+    private val ib = new Array[Int](m)
+    locally {
+      val ns = nodes // avoid capturing `this` per lambda call
+      java.util.stream.IntStream.range(0, m).parallel().forEach { i =>
+        ia(i) = java.util.Arrays.binarySearch(ns, ea(i))
+        ib(i) = java.util.Arrays.binarySearch(ns, eb(i))
+      }
+    }
     val deg: Array[Int] = {
       val d = new Array[Int](n)
-      pairs.foreach { case (a, b) => d(idx(a)) += 1; d(idx(b)) += 1 }
+      var i = 0
+      while (i < m) { d(ia(i)) += 1; d(ib(i)) += 1; i += 1 }
       d
     }
     val off: Array[Int] = {
@@ -465,11 +512,13 @@ object Clustering {
     }
     val nbr: Array[Int] = {
       val cur = java.util.Arrays.copyOf(off, n)
-      val a = new Array[Int](pairs.length * 2)
-      pairs.foreach { case (p, q) =>
-        val ip = idx(p); val iq = idx(q)
+      val a = new Array[Int](m * 2)
+      var i = 0
+      while (i < m) {
+        val ip = ia(i); val iq = ib(i)
         a(cur(ip)) = iq; cur(ip) += 1
         a(cur(iq)) = ip; cur(iq) += 1
+        i += 1
       }
       a
     }
