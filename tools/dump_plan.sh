@@ -37,6 +37,7 @@ EOF
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" /opt/spark/bin/spark-shell \
   --master "local[${SPARK_GRAFT_CPUS:-32}]" --conf spark.ui.enabled=false \
   --conf spark.hadoop.fs.file.impl=graft.fs.NioLocalFileSystem \
+    --conf spark.sql.codegen.cache.maxEntries=8192 \
   --driver-java-options "$(echo $OPENS) -Dspark.sql.session.timeZone=UTC" \
   --driver-memory 16g \
   --driver-class-path "target/scala-2.13/classes" -i /tmp/_dumpplan.scala 2>/dev/null \
